@@ -1,0 +1,458 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Core relational operator surface (SURVEY.md §2): scan/filter/project,
+  * every join type the reference recognizes, positional UNION,
+  * (distinct) aggregation, the §2.8 expression inventory, star
+  * expansion, subquery aliases — plus the standard SQL constructs the
+  * reference lacks but an analytics engine needs (windows, HAVING,
+  * ORDER BY/LIMIT, INTERSECT/EXCEPT, CTE, ROLLUP, scalar subqueries).
+  *
+  * Every query is declarative DataFrame/SQL — Catalyst handles pushdown,
+  * pruning and join selection; small dimension sides are broadcast
+  * explicitly. Every query ends in ORDER BY on a unique key for oracle
+  * determinism.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 + §2.2 + §2.3: scan with pushed filter, pruned projection.
+    "q01_scan_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < ts("1996-01-01") && col("l_quantity") > 47)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.5: grouped aggregation, TPC-H Q1 shape, exact-decimal sums.
+    "q02_agg_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (decOne - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.4 inner join ×2 + §2.5, TPC-H Q3 shape; customer side broadcast.
+    "q03_join_inner_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice")) * (decOne - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.4 LEFT OUTER: orders with/without high-quantity line items.
+    "q04_join_left" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_big"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n_big"), lit(0L)).as("n_big_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 RIGHT OUTER: sparse supplier side against full nation list.
+    "q05_join_right" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"), "right")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("s_suppkey"), lit(-1L)).as("suppkey"))
+        .orderBy("n_nationkey", "suppkey")
+    }),
+
+    // §2.4 FULL OUTER over two pre-aggregated sides.
+    "q06_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sp = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // §2.4 LEFT SEMI (EXISTS): customers with a 1996 order.
+    "q07_join_semi" -> ((s, dir) => {
+      val o96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+      t(s, dir, "customer")
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // LEFT ANTI (NOT EXISTS): customers without a 1996 order.
+    "q08_join_anti" -> ((s, dir) => {
+      val o96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+      t(s, dir, "customer")
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.6 positional UNION ALL across heterogeneous sources.
+    "q09_union_all" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), lit("customer").as("kind"))
+        .unionAll(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+        .orderBy("id", "kind")
+    }),
+
+    // §2.6 UNION DISTINCT (set semantics, shuffle dedup).
+    "q10_union_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+        .union(t(s, dir, "supplier").select(col("s_suppkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    }),
+
+    // §2.5/E5: DISTINCT aggregates.
+    "q11_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // E6/E7/E8: CASE WHEN, IN, IS NULL.
+    "q12_case_in_null" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("size_class"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_urgent"),
+        col("o_orderstatus").isNull.as("status_null"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E9: CONCAT / NVL(coalesce) / date_sub.
+    "q13_concat_nvl_datesub" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("tag"),
+        date_sub(col("o_orderdate").cast("date"), 30).as("d_minus_30"),
+        coalesce(col("o_orderpriority"), lit("NONE")).as("prio"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.2 star expansion.
+    "q14_star_expansion" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("*")).orderBy("n_nationkey")),
+
+    // §2.7 subquery alias chase (SQL path, also a lineage fixture).
+    "q15_subquery_alias" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT x.k, x.n_name, x.r_name
+        FROM (SELECT n_nationkey AS k, n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey) x
+        WHERE x.r_name <> 'ASIA'
+        ORDER BY x.k""")
+    }),
+
+    // Window functions: rank + exact running sum per customer.
+    "q16_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // GROUP BY + HAVING.
+    "q17_having" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+        .filter(col("n_cust") >= 5)
+        .orderBy("c_nationkey")
+    }),
+
+    // ORDER BY ... LIMIT top-k (TakeOrderedAndProject, no full sort).
+    "q18_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // INTERSECT: customers ordering in both 1995 and 1996.
+    "q19_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c95 = o.filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1996-01-01")).select(col("o_custkey").as("k"))
+      val c96 = o.filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01")).select(col("o_custkey").as("k"))
+      c95.intersect(c96).orderBy("k")
+    }),
+
+    // EXCEPT: 1995 customers who did not order in 1996.
+    "q20_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c95 = o.filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1996-01-01")).select(col("o_custkey").as("k"))
+      val c96 = o.filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01")).select(col("o_custkey").as("k"))
+      c95.except(c96).orderBy("k")
+    }),
+
+    // CTE (WITH) through the SQL parser — also a lineage fixture.
+    "q21_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH per_nation AS (
+          SELECT c_nationkey AS k, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey)
+        SELECT n.n_name, p.n_cust
+        FROM per_nation p JOIN nation n ON p.k = n.n_nationkey
+        ORDER BY n.n_name""")
+    }),
+
+    // ROLLUP hierarchy totals (names coalesced for null-free ordering).
+    "q22_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region, nation""")
+    }),
+
+    // Scalar subquery in a predicate (exact arithmetic only).
+    "q23_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice * 2 > (SELECT max(o_totalprice) FROM orders)
+        ORDER BY o_orderkey""")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 47
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+                         (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) / count(*) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q03_join_inner_topn" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+                         (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+
+    "q04_join_left" ->
+      """SELECT o_orderkey, COALESCE(n_big, 0) AS n_big_items
+         FROM orders LEFT JOIN
+           (SELECT l_orderkey, count(*) AS n_big
+            FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey) b
+           ON o_orderkey = b.l_orderkey
+         ORDER BY o_orderkey""",
+
+    "q05_join_right" ->
+      """SELECT n_nationkey, n_name, COALESCE(s_suppkey, -1) AS suppkey
+         FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY n_nationkey, suppkey""",
+
+    "q06_join_full" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+                COALESCE(c.n_cust, 0) AS n_cust,
+                COALESCE(s.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+         FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+           ON c.c_nationkey = s.s_nationkey
+         ORDER BY nationkey""",
+
+    "q07_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '1996-01-01'
+                         AND o_orderdate < TIMESTAMP '1997-01-01')
+         ORDER BY c_custkey""",
+
+    "q08_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1996-01-01'
+                             AND o_orderdate < TIMESTAMP '1997-01-01')
+         ORDER BY c_custkey""",
+
+    "q09_union_all" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier)
+         ORDER BY id, kind""",
+
+    "q10_union_distinct" ->
+      """SELECT * FROM (
+           SELECT l_suppkey AS k FROM lineitem
+           UNION
+           SELECT s_suppkey AS k FROM supplier)
+         ORDER BY k""",
+
+    "q11_count_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "q12_case_in_null" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'big'
+                     WHEN o_totalprice > 150000 THEN 'mid'
+                     ELSE 'small' END AS size_class,
+                o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+                o_orderstatus IS NULL AS status_null
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "q13_concat_nvl_datesub" ->
+      """SELECT o_orderkey,
+                o_orderstatus || '/' || o_orderpriority AS tag,
+                CAST(o_orderdate AS DATE) - 30 AS d_minus_30,
+                COALESCE(o_orderpriority, 'NONE') AS prio
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "q14_star_expansion" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q15_subquery_alias" ->
+      """SELECT x.k, x.n_name, x.r_name
+         FROM (SELECT n_nationkey AS k, n_name, r_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey) x
+         WHERE x.r_name <> 'ASIA'
+         ORDER BY x.k""",
+
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,3)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders
+         ORDER BY o_custkey, rn""",
+
+    "q17_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust
+         FROM customer
+         GROUP BY c_nationkey
+         HAVING count(*) >= 5
+         ORDER BY c_nationkey""",
+
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 25""",
+
+    "q19_intersect" ->
+      """SELECT * FROM (
+           SELECT o_custkey AS k FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+           INTERSECT
+           SELECT o_custkey AS k FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+         ORDER BY k""",
+
+    "q20_except" ->
+      """SELECT * FROM (
+           SELECT o_custkey AS k FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+           EXCEPT
+           SELECT o_custkey AS k FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+         ORDER BY k""",
+
+    "q21_cte" ->
+      """WITH per_nation AS (
+           SELECT c_nationkey AS k, count(*) AS n_cust
+           FROM customer GROUP BY c_nationkey)
+         SELECT n.n_name, p.n_cust
+         FROM per_nation p JOIN nation n ON p.k = n.n_nationkey
+         ORDER BY n.n_name""",
+
+    "q22_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+                COALESCE(n_name, 'ALL') AS nation,
+                count(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
+
+    "q23_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_totalprice * 2 > (SELECT max(o_totalprice) FROM orders)
+         ORDER BY o_orderkey"""
+  )
+}

@@ -1,0 +1,60 @@
+package graft.lineage
+
+/** Column-level lineage edge.
+  *
+  * Field-for-field the reference's lineage edge
+  * (reference `src/main/java/com/complone/hiveparser/entity/ColLine.java:12-30`,
+  * string-encoding rules from `common/Constants.java:4-7`):
+  *
+  *  - `tableName`  destination table, db-qualified (`db.table`); the
+  *    sentinel `<EOF>` marks a bare SELECT with no sink (reference
+  *    `common/Constants.java:7`, `LineParser.java:104-108`).
+  *  - `colName`    destination column resolved from the sink's schema by
+  *    ordinal position, `db.table.col`; `None` when the sink is unknown
+  *    or the select list is wider than the schema (reference
+  *    `LineParser.java:138-152`).
+  *  - `toName`     destination column as parsed — the select-item alias
+  *    or simple column name (`LineParser.java:427-428`).
+  *  - `fromName`   source column(s), each `db.table.col`, sorted and
+  *    `,`-joined when one expression reads several columns
+  *    (`LineParser.java:709-723`). Empty for literal-only items
+  *    (`LineParser.java:508-525` filters literals).
+  *  - `conditionSet` tagged condition strings under which data flows:
+  *    `WHERE:<expr>` (`LineParser.java:433`), `<JOINTYPE>:<expr>`
+  *    (`LineParser.java:449-453`), `COLFUN:<expr>` for non-trivial
+  *    select-side expressions (`LineParser.java:499-506`). Expression
+  *    text uses Catalyst `Expression.sql` surface forms (documented
+  *    divergence — SURVEY.md §7.4 #1).
+  */
+case class ColLine(
+    tableName: String,
+    colName: Option[String],
+    toName: String,
+    fromName: String,
+    conditionSet: Set[String])
+
+/** Statement kind (reference `common/Operation.java:3-5`). */
+sealed abstract class Operation(val name: String)
+object Operation {
+  case object Select extends Operation("SELECT")
+  case object Insert extends Operation("INSERT")
+  case object Drop extends Operation("DROP")
+  case object Truncate extends Operation("TRUNCATE")
+  case object Load extends Operation("LOAD")
+  case object CreateTable extends Operation("CREATETABLE")
+  case object Alter extends Operation("ALTER")
+  case object Use extends Operation("USE")
+  case object Default extends Operation("DEFAULT")
+}
+
+/** Per-statement lineage: edges plus the statement-level table sets the
+  * reference accumulates (`LineParser.java:40-61` `inputTables` /
+  * `outputTables`; DDL outputs recorded `"<name>\t<OP>"`,
+  * `LineParser.java:435-440`).
+  */
+case class LineageResult(
+    statementIndex: Int,
+    operation: Operation,
+    inputTables: Set[String],
+    outputTables: Set[String],
+    colLines: Seq[ColLine])

@@ -1,0 +1,298 @@
+package graft.lineage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Column-level SQL lineage over Spark's own analyzer output.
+  *
+  * The reference implements this as a ~800-line hand-written recursive
+  * descent over a Hive ANTLR AST with manual alias/scope bookkeeping
+  * (reference `LineParser.java:164-458`). Here the same analysis runs
+  * over the **analyzed** Catalyst `LogicalPlan`: attribute resolution,
+  * star expansion, alias scoping and subquery chasing are already done
+  * by Spark's analyzer, so lineage is a single bottom-up fold that maps
+  * every `ExprId` to its set of leaf `db.table.col` sources
+  * (SURVEY.md §2.7 — the reference's `getRealTable`/`getSubQueryTable`
+  * machinery, `LineParser.java:534-577`, is subsumed by `exprId` chains).
+  *
+  * Analyzed — NOT optimized — plans are used deliberately: optimizer
+  * rules (column pruning, filter merging, projection collapsing) rewrite
+  * exactly the structures whose surface form the lineage strings must
+  * preserve (SURVEY.md §4).
+  *
+  * Reference defects implemented as *intent*, per SURVEY.md §7.4 #3:
+  * union branch sources are unioned (not last-branch-wins,
+  * `ColLineParse.java:48-50`), function sources use all argument
+  * references (not first-arg-only, `LineParser.java:669-687`), and sinks
+  * are not added to `inputTables` (`LineParser.java:363` fallthrough).
+  */
+object LineageParser {
+
+  private val DefaultDb = "default"
+  private val Eof = "<EOF>" // reference common/Constants.java:7
+  private val SepCol = ","  // reference common/Constants.java:5
+  private val SepDot = "."  // reference common/Constants.java:4
+
+  /** Split on `;` not preceded by a backslash — the reference's statement
+    * splitter verbatim semantics (`LineParser.java:83-85`). */
+  def splitStatements(sql: String): Seq[String] =
+    sql.split("(?<!\\\\);").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Parse one or more `;`-separated statements into lineage results.
+    * Statements are indexed 1..n like the reference (`LineParser.java:99`).
+    * A `USE db` statement re-qualifies later unqualified names. */
+  def parse(spark: SparkSession, sql: String): Seq[LineageResult] = {
+    var db = DefaultDb
+    splitStatements(sql).zipWithIndex.map { case (stmt, i) =>
+      val r = parseStatement(spark, stmt, i + 1, db)
+      if (r.operation == Operation.Use) db = r.outputTables.headOption.getOrElse(db)
+      r
+    }
+  }
+
+  /** Lineage for a single statement. */
+  def parseStatement(spark: SparkSession, stmt: String, index: Int, currentDb: String = DefaultDb): LineageResult = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+    def fill(n: String) = fillDb(n, currentDb)
+
+    parsed match {
+      case i: InsertIntoStatement =>
+        val sink = fill(unresolvedName(i.table).getOrElse(Eof))
+        extract(spark, i.query, sink, Operation.Insert, index, currentDb)
+      case c: CreateTableAsSelect =>
+        val sink = fill(unresolvedName(c.name).getOrElse(Eof))
+        extract(spark, c.query, sink, Operation.CreateTable, index, currentDb)
+      case other =>
+        other.getClass.getSimpleName match {
+          case "DropTable" | "DropTableStatement" =>
+            ddl(other, Operation.Drop, index, currentDb)
+          case "TruncateTable" =>
+            ddl(other, Operation.Truncate, index, currentDb)
+          case "LoadData" =>
+            ddl(other, Operation.Load, index, currentDb)
+          case "SetCatalogAndNamespace" | "SetNamespaceCommand" =>
+            val ns = other.collectFirst { case u: UnresolvedNamespace => u.multipartIdentifier.mkString(SepDot) }
+            LineageResult(index, Operation.Use, Set.empty, ns.toSet, Nil)
+          case n if n.startsWith("Alter") || n.startsWith("Add") ||
+                    n.startsWith("Rename") || n.startsWith("Replace") ||
+                    (n.startsWith("Set") && n.contains("Table")) ||
+                    n.contains("Partition") || n.contains("Column") =>
+            ddl(other, Operation.Alter, index, currentDb)
+          case n if n.startsWith("CreateTable") =>
+            ddl(other, Operation.CreateTable, index, currentDb)
+          case _ =>
+            // Plain query: sink is the <EOF> sentinel like the reference's
+            // TOK_TMP_FILE path (LineParser.java:104-108,343-345).
+            extract(spark, other, Eof, Operation.Select, index, currentDb)
+        }
+    }
+  }
+
+  /** DDL statements carry no column lineage; the reference records them
+    * as `"<name>\t<OP>"` output entries (`LineParser.java:435-440`). */
+  private def ddl(plan: LogicalPlan, op: Operation, index: Int, db: String): LineageResult = {
+    val name = unresolvedName(plan).map(fillDb(_, db))
+    LineageResult(index, op, Set.empty, name.map(n => s"$n\t${op.name}").toSet, Nil)
+  }
+
+  private def unresolvedName(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case u: UnresolvedRelation     => u.multipartIdentifier.mkString(SepDot)
+      case u: UnresolvedTableOrView  => u.multipartIdentifier.mkString(SepDot)
+      case u: UnresolvedTable        => u.multipartIdentifier.mkString(SepDot)
+      case u: UnresolvedIdentifier   => u.nameParts.mkString(SepDot)
+    }
+
+  /** Reference `fillDB` intent: qualify with the current db when the name
+    * has no dot (`LineParser.java:770-788`; the `split(".")` regex defect
+    * at `:113-115` is NOT replicated — SURVEY.md §2.1). */
+  def fillDb(name: String, db: String = DefaultDb): String =
+    if (name.contains(SepDot)) name else s"$db$SepDot$name"
+
+  // ---------------------------------------------------------------------
+  // Core extraction over the analyzed plan
+  // ---------------------------------------------------------------------
+
+  /** Bottom-up traversal state: exprId → leaf source columns, plus the
+    * statement-scoped condition set (`LineParser.java:51`) and input
+    * tables (`LineParser.java:54`). */
+  private case class State(
+      src: Map[ExprId, Set[String]],
+      conds: Set[String],
+      inputs: Set[String]) {
+    def merge(o: State): State = State(src ++ o.src, conds ++ o.conds, inputs ++ o.inputs)
+  }
+  private object State { val empty: State = State(Map.empty, Set.empty, Set.empty) }
+
+  private def extract(spark: SparkSession, query: LogicalPlan, sink: String,
+                      op: Operation, index: Int, db: String): LineageResult = {
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    val st = build(analyzed, Map.empty, db)
+
+    // Destination columns by ordinal against the sink's real schema —
+    // reference S10 (`LineParser.java:110-118,138-152`), via the session
+    // catalog instead of JDBC metadata (SURVEY.md §3.3).
+    val sinkSchema: Seq[String] =
+      if (sink == Eof) Nil
+      else sinkFields(spark, sink)
+
+    val named = topNamed(analyzed)
+    val edges = analyzed.output.zipWithIndex.map { case (attr, i) =>
+      val sources = st.src.getOrElse(attr.exprId, Set.empty)
+      // COLFUN: only when the select item is a real expression, not a bare
+      // column — the reference's filterCondition (`LineParser.java:499-506`).
+      val colFun = named.flatMap(_.lift(i)).collect {
+        case Alias(child, _) if !child.isInstanceOf[AttributeReference] =>
+          s"COLFUN:${child.sql}"
+      }
+      ColLine(
+        tableName = sink,
+        colName = sinkSchema.lift(i).map(c => s"${fillDb(sink, db)}$SepDot$c"),
+        toName = attr.name,
+        fromName = sources.toSeq.sorted.mkString(SepCol),
+        conditionSet = st.conds ++ colFun)
+    }
+    val outs = if (sink == Eof) Set.empty[String] else Set(fillDb(sink, db))
+    LineageResult(index, op, st.inputs, outs, edges)
+  }
+
+  /** Sink schema lookup (reference S10's JDBC metadata fetch,
+    * `MetaDataQueryImpl.java:29-44`, via the session catalog). Temp views
+    * are not db-scoped, so a `default.`-qualified name falls back to the
+    * bare view name. */
+  private def sinkFields(spark: SparkSession, sink: String): Seq[String] = {
+    def fields(n: String) = spark.table(n).schema.map(_.name).toSeq
+    try fields(sink)
+    catch {
+      case _: Exception =>
+        val bare = sink.split('.').last
+        try fields(bare) catch { case _: Exception => Nil }
+    }
+  }
+
+  /** The top select list, for COLFUN detection — descends through nodes
+    * that keep the projection intact. */
+  private def topNamed(plan: LogicalPlan): Option[Seq[NamedExpression]] = plan match {
+    case p: Project     => Some(p.projectList)
+    case a: Aggregate   => Some(a.aggregateExpressions)
+    case s: Sort        => topNamed(s.child)
+    case l: GlobalLimit => topNamed(l.child)
+    case l: LocalLimit  => topNamed(l.child)
+    case f: Filter      => topNamed(f.child)
+    case d: Distinct    => topNamed(d.child)
+    case s: SubqueryAlias => topNamed(s.child)
+    case w: WithCTE     => topNamed(w.plan)
+    case _              => None
+  }
+
+  /** One bottom-up fold replaces the reference's three-phase visitor and
+    * all of its scope stacks (`LineParser.java:240-458`). `ctes` carries
+    * CTE-definition lineage for `CTERelationRef` resolution. */
+  private def build(plan: LogicalPlan, ctes: Map[Long, (State, Seq[Attribute])], db: String): State = plan match {
+
+    case s: SubqueryAlias =>
+      val st = build(s.child, ctes, db)
+      // Leaf relations reach here with unmapped attributes: the nearest
+      // enclosing alias names them (temp view name or FROM alias) —
+      // reference alias registration (`LineParser.java:364-367`).
+      val unnamed = s.child.output.filterNot(a => st.src.contains(a.exprId))
+      if (unnamed.isEmpty) st
+      else {
+        val table = fillDb(s.identifier.name, db)
+        st.copy(
+          src = st.src ++ unnamed.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")),
+          inputs = st.inputs + table)
+      }
+
+    case v: View => build(v.child, ctes, db)
+
+    case lr: LogicalRelation if lr.catalogTable.isDefined =>
+      val table = fillDb(lr.catalogTable.get.identifier.unquotedString, db)
+      State(lr.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
+        Set.empty, Set(table))
+
+    case p: Project   => withNamed(build(p.child, ctes, db), p.projectList)
+    case a: Aggregate => withNamed(build(a.child, ctes, db), a.aggregateExpressions)
+    case w: Window    => withNamed(build(w.child, ctes, db), w.windowExpressions)
+
+    case g: Generate =>
+      val st = build(g.child, ctes, db)
+      val srcs = refsOf(g.generator, st)
+      st.copy(src = st.src ++ g.generatorOutput.map(a => a.exprId -> srcs))
+
+    case e: Expand =>
+      val st = build(e.child, ctes, db)
+      val m = e.output.zipWithIndex.map { case (a, i) =>
+        a.exprId -> e.projections.flatMap(p => refsOf(p(i), st)).toSet
+      }
+      st.copy(src = st.src ++ m)
+
+    case f: Filter =>
+      val st = build(f.child, ctes, db)
+      st.copy(conds = st.conds + s"WHERE:${f.condition.sql}")
+
+    case j: Join =>
+      val merged = build(j.left, ctes, db).merge(build(j.right, ctes, db))
+      j.condition.fold(merged) { c =>
+        merged.copy(conds = merged.conds + s"${joinTag(j.joinType)}:${c.sql}")
+      }
+
+    // Positional union fold — reference `LineParser.java:203-232` with the
+    // *intended* semantics: output position i sources = union of every
+    // branch's position-i sources (SURVEY.md §2.6).
+    case u: Union =>
+      val states = u.children.map(build(_, ctes, db))
+      val merged = states.reduce(_ merge _)
+      val m = u.output.zipWithIndex.map { case (a, i) =>
+        val srcs = u.children.zip(states).flatMap { case (c, s) =>
+          s.src.getOrElse(c.output(i).exprId, Set.empty)
+        }.toSet
+        a.exprId -> srcs
+      }
+      merged.copy(src = merged.src ++ m)
+
+    case w: WithCTE =>
+      val defs = w.cteDefs.map(d => d.id -> (build(d.child, ctes, db), d.child.output)).toMap
+      build(w.plan, ctes ++ defs, db)
+
+    case r: CTERelationRef =>
+      ctes.get(r.cteId).map { case (defState, defOut) =>
+        val m = r.output.zip(defOut).map { case (a, d) =>
+          a.exprId -> defState.src.getOrElse(d.exprId, Set.empty)
+        }
+        defState.copy(src = defState.src ++ m)
+      }.getOrElse(State.empty)
+
+    case _: LeafNode => State.empty
+
+    case other =>
+      other.children.map(build(_, ctes, db)).foldLeft(State.empty)(_ merge _)
+  }
+
+  private def withNamed(st: State, named: Seq[NamedExpression]): State =
+    st.copy(src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st)))
+
+  /** All argument references contribute (intent of reference E9/E10;
+    * the first-arg-only rule at `LineParser.java:669-687` is a defect).
+    * Literals have no references, so literal elision
+    * (`LineParser.java:508-525`) is free. */
+  private def refsOf(e: Expression, st: State): Set[String] =
+    e.references.iterator.flatMap(r => st.src.getOrElse(r.exprId, Set.empty)).toSet
+
+  /** Condition tags — reference token text minus `TOK_`
+    * (`LineParser.java:449-453`): JOIN, LEFTOUTERJOIN, ... */
+  private def joinTag(jt: JoinType): String = jt match {
+    case Inner       => "JOIN"
+    case LeftOuter   => "LEFTOUTERJOIN"
+    case RightOuter  => "RIGHTOUTERJOIN"
+    case FullOuter   => "FULLOUTERJOIN"
+    case LeftSemi    => "LEFTSEMIJOIN"
+    case LeftAnti    => "LEFTANTIJOIN"
+    case Cross       => "CROSSJOIN"
+    case other       => other.sql.replace(" ", "") + "JOIN"
+  }
+}

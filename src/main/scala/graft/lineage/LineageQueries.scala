@@ -1,0 +1,97 @@
+package graft.lineage
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The lineage capability exposed as an oracle-checkable query
+  * (FIXTURES.md §A): run the extractor over a fixed SQL corpus — one
+  * statement per SURVEY.md §2 construct — and return the edges as rows.
+  * The oracle is an inline `VALUES` golden (lineage depends only on the
+  * corpus and the fixture schemas, never on the scale factor), so the
+  * driver's DuckDB compare hash-checks the lineage engine itself.
+  */
+object LineageQueries {
+
+  /** One statement per §2 construct, over the fixture schema. Order is
+    * frozen: statement index is part of the golden. */
+  val corpus: Seq[String] = Seq(
+    // 1  S3/§2.2/§2.3: scan + filter + project
+    "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0",
+    // 2  §2.4 inner join + ON tag + WHERE tag + aliases
+    "SELECT c.c_name, o.o_totalprice FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 1000.0",
+    // 3  §2.4 left outer join
+    "SELECT n.n_name, r.r_name FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey",
+    // 4  §2.5/E5: distinct aggregate (COLFUN tag)
+    "SELECT count(DISTINCT o_custkey) AS buyer_count FROM orders",
+    // 5  E6: CASE WHEN — sources from both branches (reference getWhenColumn)
+    "SELECT CASE WHEN o_totalprice > 100.0 THEN o_orderstatus ELSE o_orderpriority END AS cls FROM orders",
+    // 6  E7/E8: IN + IS NOT NULL in WHERE
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_orderpriority IS NOT NULL",
+    // 7  E9: multi-argument functions — all arguments are sources
+    "SELECT concat(c_name, c_mktsegment) AS tag FROM customer",
+    // 8  E11: array subscript — source is the base column
+    "SELECT embedding[0] AS e0 FROM embeddings",
+    // 9  §2.2 star expansion (analyzer-expanded)
+    "SELECT * FROM region",
+    // 10 §2.7 subquery alias over a multi-table FROM — chased to real tables
+    "SELECT x.k FROM (SELECT n_nationkey AS k FROM nation JOIN region ON n_regionkey = r_regionkey) x WHERE x.k > 3",
+    // 11 §2.6 positional union — branch sources merged per ordinal
+    "SELECT c_custkey AS id FROM customer UNION ALL SELECT s_suppkey AS id FROM supplier",
+    // 12 E14: literal elision — literal-only items have empty sources
+    "SELECT n_name, 123 AS num, 'x' AS str FROM nation",
+    // 13 CTE (engine extension beyond the reference — SURVEY.md §2.8 note)
+    "WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 500.0) SELECT b.o_custkey FROM big b",
+    // 14 S4/S10: INSERT sink + destination columns by ordinal
+    "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1"
+  )
+
+  /** Parse the corpus and flatten edges to rows. Pure metadata work — no
+    * table data is scanned; at cluster scale this runs on the driver in
+    * milliseconds per statement (BASELINE.md target ≤50 ms/stmt). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    // Sink with a schema differing from the select list, to exercise the
+    // reference's ordinal zip (S10).
+    spark.table("nation")
+      .selectExpr("n_nationkey AS tgt_key", "n_name AS tgt_name").limit(0)
+      .createOrReplaceTempView("lineage_target")
+    val rows = corpus.zipWithIndex.flatMap { case (sql, i) =>
+      LineageParser.parseStatement(spark, sql, i + 1).colLines.map { cl =>
+        (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
+          cl.fromName, cl.conditionSet.toSeq.sorted.mkString("|"))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name", "conditions")
+      .orderBy("stmt", "to_name", "from_name")
+  }
+
+  /** DuckDB oracle: the frozen golden as inline VALUES (lineage depends
+    * only on the corpus + fixture schemas, never the scale factor).
+    * Refresh together with LineageSpec via LineageProbe. */
+  val oracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, '<EOF>', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 0)'),
+    (1, '<EOF>', '', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 0)'),
+    (2, '<EOF>', '', 'c_name', 'default.customer.c_name', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (3, '<EOF>', '', 'n_name', 'default.nation.n_name', 'LEFTOUTERJOIN:(n.n_regionkey = r.r_regionkey)'),
+    (3, '<EOF>', '', 'r_name', 'default.region.r_name', 'LEFTOUTERJOIN:(n.n_regionkey = r.r_regionkey)'),
+    (4, '<EOF>', '', 'buyer_count', 'default.orders.o_custkey', 'COLFUN:count(DISTINCT orders.o_custkey)'),
+    (5, '<EOF>', '', 'cls', 'default.orders.o_orderpriority,default.orders.o_orderstatus,default.orders.o_totalprice', 'COLFUN:CASE WHEN (orders.o_totalprice > CAST(100.0BD AS DOUBLE)) THEN orders.o_orderstatus ELSE orders.o_orderpriority END'),
+    (6, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:((orders.o_orderstatus IN (''F'', ''O'')) AND (orders.o_orderpriority IS NOT NULL))'),
+    (7, '<EOF>', '', 'tag', 'default.customer.c_mktsegment,default.customer.c_name', 'COLFUN:concat(customer.c_name, customer.c_mktsegment)'),
+    (8, '<EOF>', '', 'e0', 'default.embeddings.embedding', 'COLFUN:embeddings.embedding[0]'),
+    (9, '<EOF>', '', 'r_name', 'default.region.r_name', ''),
+    (9, '<EOF>', '', 'r_regionkey', 'default.region.r_regionkey', ''),
+    (10, '<EOF>', '', 'k', 'default.nation.n_nationkey', 'JOIN:(nation.n_regionkey = region.r_regionkey)|WHERE:(x.k > 3)'),
+    (11, '<EOF>', '', 'id', 'default.customer.c_custkey,default.supplier.s_suppkey', ''),
+    (12, '<EOF>', '', 'n_name', 'default.nation.n_name', ''),
+    (12, '<EOF>', '', 'num', '', 'COLFUN:123'),
+    (12, '<EOF>', '', 'str', '', 'COLFUN:''x'''),
+    (13, '<EOF>', '', 'o_custkey', 'default.orders.o_custkey', 'WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name"""
+}

@@ -1,0 +1,86 @@
+package graft.lineage
+
+import graft.SparkTestBase
+
+/** Golden lineage tests (SURVEY.md §5): exact edge output for one
+  * statement per §2 construct. Goldens frozen from LineageProbe; after a
+  * deliberate corpus or formatting change, re-run
+  * `sbt "runMain graft.lineage.LineageProbe"` and refresh.
+  */
+class LineageSpec extends SparkTestBase {
+
+  /** (stmt, table_name, col_name, to_name, from_name, conditions). */
+  val golden: Seq[(Int, String, String, String, String, String)] = Seq(
+    (1, "<EOF>", "", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 0)"),
+    (1, "<EOF>", "", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 0)"),
+    (2, "<EOF>", "", "c_name", "default.customer.c_name", "JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))"),
+    (2, "<EOF>", "", "o_totalprice", "default.orders.o_totalprice", "JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))"),
+    (3, "<EOF>", "", "n_name", "default.nation.n_name", "LEFTOUTERJOIN:(n.n_regionkey = r.r_regionkey)"),
+    (3, "<EOF>", "", "r_name", "default.region.r_name", "LEFTOUTERJOIN:(n.n_regionkey = r.r_regionkey)"),
+    (4, "<EOF>", "", "buyer_count", "default.orders.o_custkey", "COLFUN:count(DISTINCT orders.o_custkey)"),
+    (5, "<EOF>", "", "cls", "default.orders.o_orderpriority,default.orders.o_orderstatus,default.orders.o_totalprice", "COLFUN:CASE WHEN (orders.o_totalprice > CAST(100.0BD AS DOUBLE)) THEN orders.o_orderstatus ELSE orders.o_orderpriority END"),
+    (6, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:((orders.o_orderstatus IN ('F', 'O')) AND (orders.o_orderpriority IS NOT NULL))"),
+    (7, "<EOF>", "", "tag", "default.customer.c_mktsegment,default.customer.c_name", "COLFUN:concat(customer.c_name, customer.c_mktsegment)"),
+    (8, "<EOF>", "", "e0", "default.embeddings.embedding", "COLFUN:embeddings.embedding[0]"),
+    (9, "<EOF>", "", "r_name", "default.region.r_name", ""),
+    (9, "<EOF>", "", "r_regionkey", "default.region.r_regionkey", ""),
+    (10, "<EOF>", "", "k", "default.nation.n_nationkey", "JOIN:(nation.n_regionkey = region.r_regionkey)|WHERE:(x.k > 3)"),
+    (11, "<EOF>", "", "id", "default.customer.c_custkey,default.supplier.s_suppkey", ""),
+    (12, "<EOF>", "", "n_name", "default.nation.n_name", ""),
+    (12, "<EOF>", "", "num", "", "COLFUN:123"),
+    (12, "<EOF>", "", "str", "", "COLFUN:'x'"),
+    (13, "<EOF>", "", "o_custkey", "default.orders.o_custkey", "WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))"),
+    (14, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 1)"),
+    (14, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 1)")
+  )
+
+  test("corpus lineage matches golden edges") {
+    val rows = LineageQueries.edges(spark, sfDir).collect().map { r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5))
+    }.toSeq
+    assert(rows == golden)
+  }
+
+  test("statement splitting honors escaped semicolons") {
+    assert(LineageParser.splitStatements("a; b;c") == Seq("a", "b", "c"))
+    assert(LineageParser.splitStatements("a\\;b; c") == Seq("a\\;b", "c"))
+    assert(LineageParser.splitStatements(";;") == Nil)
+  }
+
+  test("fillDb qualifies unqualified names with the current db") {
+    assert(LineageParser.fillDb("t") == "default.t")
+    assert(LineageParser.fillDb("db.t") == "db.t")
+    assert(LineageParser.fillDb("t", "mydb") == "mydb.t")
+  }
+
+  test("USE db requalifies subsequent statements") {
+    graft.Tables.registerAll(spark, sfDir)
+    val rs = LineageParser.parse(spark, "USE mydb; SELECT r_name FROM region")
+    assert(rs.head.operation == Operation.Use)
+    // Temp views are not db-scoped; the leaf alias path still qualifies
+    // with the statement-current db, proving the USE state threaded.
+    assert(rs(1).inputTables == Set("mydb.region"))
+  }
+
+  test("DDL statements record tab-separated output entries") {
+    val drop = LineageParser.parseStatement(spark, "DROP TABLE some_t", 1)
+    assert(drop.operation == Operation.Drop)
+    assert(drop.outputTables == Set("default.some_t\tDROP"))
+    val trunc = LineageParser.parseStatement(spark, "TRUNCATE TABLE some_t", 1)
+    assert(trunc.operation == Operation.Truncate)
+    val alter = LineageParser.parseStatement(
+      spark, "ALTER TABLE some_t RENAME TO other_t", 1)
+    assert(alter.operation == Operation.Alter)
+  }
+
+  test("CTAS records sink and select lineage") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = LineageParser.parseStatement(
+      spark, "CREATE TABLE tgt AS SELECT n_name FROM nation", 1)
+    assert(r.operation == Operation.CreateTable)
+    assert(r.outputTables == Set("default.tgt"))
+    assert(r.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("n_name", "default.nation.n_name")))
+  }
+}

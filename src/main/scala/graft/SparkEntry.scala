@@ -38,7 +38,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++ Map[String, (SparkSession, String) => DataFrame](
+    graft.queries.CoreQueries.queries ++
+    graft.queries.PipelineQueries.queries ++
+    Map[String, (SparkSession, String) => DataFrame](
       // The lineage capability itself (SURVEY.md §7.1 #4): corpus edges vs
       // an inline VALUES golden — hash-checks the lineage engine.
       "q24_lineage_edges" -> ((s, dir) => graft.lineage.LineageQueries.edges(s, dir))
@@ -47,7 +49,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql ++ Map(
+    graft.queries.CoreQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql ++
+    Map(
       "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql
     )
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the pipeline
+  * extensions beyond the reference's lineage surface (builder brief;
+  * SURVEY.md §7.1 #5).
+  *
+  * Every operator is a declarative DataFrame transform built from
+  * codegen'd built-ins (no UDFs), so Catalyst keeps pushdown/pruning and
+  * whole-stage codegen intact. Determinism across engines is a design
+  * constraint (the driver hash-compares against DuckDB): all hashing is
+  * `md5` over explicit strings, all float math is quantized to integers
+  * first (exact in any engine), and doubles only appear in final
+  * division/sqrt steps whose inputs are identical integers.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - exact dedup is one hash-shuffle on the digest; map-side partial
+  *    aggregation applies because min() is partial-izable.
+  *  - MinHash/LSH replaces the O(n²) pair space with per-band
+  *    hash-shuffles; the band self-join co-locates on the band key, so
+  *    AQE's skew-join split handles hot buckets (identical boilerplate
+  *    docs). Signatures are computed scan-side in one pass.
+  *  - SimHash is a single narrow projection (no shuffle at all until the
+  *    band join); token hashes would be broadcast-dictionary-ed in a
+  *    real pipeline rather than recomputed per (token, bit).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Shingling
+  // ------------------------------------------------------------------
+
+  /** Distinct word n-grams of a whitespace-tokenized text column.
+    * A text with fewer than n words yields its single joined token
+    * (never an empty set, so Jaccard is always defined). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+  }
+
+  /** Distinct character n-grams (for near-dup on raw strings). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Exact Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content digest: one row per distinct `text`, keeping
+    * the smallest id. One hash-shuffle on the digest; at scale the digest
+    * (32 bytes) shuffles instead of the document body. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-dup
+  // ------------------------------------------------------------------
+
+  /** Modulus of the affine MinHash family (2^31 - 1, prime). */
+  val MinHashPrime = 2147483647L
+
+  /** Base hash of one shingle: the first 15 hex digits of its md5 as an
+    * integer, reduced mod [[MinHashPrime]]. ONE md5 per shingle — the k
+    * permutations are derived arithmetically (see [[minHashSignature]]),
+    * which is 12× cheaper than hashing per permutation and exactly as
+    * portable (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT). */
+  def shingleBaseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashPrime
+
+  /** MinHash signature over precomputed base hashes: element i is min
+    * over shingles of the affine permutation h_i(x) = ((2i+1)·x +
+    * 101i+17) mod p. Odd multipliers mod a prime are bijections, so this
+    * is a proper MinHash family. Keep `bases` a materialized column
+    * (separate projection), NOT an inline expression — inlined it would
+    * be duplicated into all k lambda bodies, recomputing every md5 k
+    * times (CollapseProject only protects non-cheap expressions across
+    * projection boundaries). */
+  def minHashSignatureFromBases(bases: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(bases,
+        b => ((i * 2 + 1).cast("long") * b + (i * 101 + 17).cast("long")) % MinHashPrime)))
+
+  /** Convenience single-expression form (k× md5 cost — prefer
+    * [[minHashSignatureFromBases]] in pipelines). */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    minHashSignatureFromBases(transform(shingles, s => shingleBaseHash(s)), k)
+
+  /** LSH band keys: the signature cut into `bands` groups of `rows`
+    * hashes; each band key is prefixed with its band index so different
+    * bands never collide. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      g => concat(g.cast("string"), lit(":"),
+        md5(concat_ws("|",
+          transform(slice(sig, g * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string"))))))
+
+  /** MinHash/LSH near-duplicate pairs, exact-verified.
+    *
+    * candidates = pairs sharing ≥1 band bucket (shuffle co-located on the
+    * band key — the scale path, no O(n²) cross join); verification =
+    * exact Jaccard over the shingle sets, kept when ≥ `threshold`.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 2, k: Int = 12, bands: Int = 4, rows: Int = 3,
+                 threshold: Double = 0.8): DataFrame =
+    minHashLshWith(df, idCol, wordShingles(col(textCol), shingleN),
+      k, bands, rows, threshold)
+
+  /** [[minHashLsh]] with a caller-supplied shingle expression (word
+    * n-grams, char n-grams, ...). */
+  def minHashLshWith(df: DataFrame, idCol: String, shingles: Column,
+                     k: Int, bands: Int, rows: Int,
+                     threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
+    // Signature via explode + k min-aggregates: the md5 base hash is
+    // computed exactly once per (doc, shingle) row. (A nested
+    // transform(transform(...)) expression re-evaluates the inner md5
+    // lambda once per permutation — k× the hashing.) The groupBy
+    // shuffles only (id, base) longs and aggregates partially map-side —
+    // the shape that scales.
+    val mins = (0 until k).map { i =>
+      min((col("b") * (2 * i + 1) + (101 * i + 17)) % MinHashPrime).as(s"m$i")
+    }
+    val sigs = docs
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), shingleBaseHash(col("s")).as("b"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(lshBands(col("sig"), bands, rows)).as("band"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 32-bit SimHash fingerprint as a '0'/'1' string.
+    *
+    * Bit j of a token's hash is 1 iff hex digit j of `md5(token)` has its
+    * top bit set (digit ≥ '8') — 32 independent fair bits from one md5.
+    * Fingerprint bit j is the sign of the ±1 vote sum over all tokens
+    * (with multiplicity). Near-dup banding uses [[simHashBandKeys]].
+    */
+  def simHash32(text: Column): Column = {
+    val toks = split(text, " ")
+    concat_ws("",
+      transform(sequence(lit(0), lit(31)), j =>
+        when(
+          aggregate(toks, lit(0),
+            (acc, w) => acc + when(md5(w).substr(j + lit(1), lit(1)) >= "8", 1).otherwise(-1))
+            > 0, "1").otherwise("0")))
+  }
+
+  /** Band keys over a bit-string fingerprint: `bands` equal slices, each
+    * prefixed with its index. Two docs within hamming distance d collide
+    * on ≥1 band whenever d < bands (pigeonhole). */
+  def simHashBandKeys(fp: Column, bits: Int, bands: Int): Column = {
+    val width = bits / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      g => concat(g.cast("string"), lit(":"), fp.substr(g * lit(width) + lit(1), lit(width))))
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Quantized embedding: floor(x * 10000) per element as long. Exact
+    * integer arithmetic from identical doubles — engine-portable. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 10000).cast("long"))
+
+  /** Integer dot product of two quantized vectors (exact in long). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity of two quantized vectors: exact integer dot and
+    * norms, double only in the final division. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / sqrt((qdot(a, a) * qdot(b, b)).cast("double"))
+
+  /** Brute-force cosine near-duplicate pairs (id_a < id_b, cos ≥
+    * threshold). The O(n²) baseline — at scale use LSH bucketing or IVF
+    * ([[Similarity]]) to bound the pair space. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        qcosine(col("a.q"), col("b.q")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

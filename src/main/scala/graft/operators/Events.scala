@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators (engine extensions beyond the
+  * reference — SURVEY.md §2.8 "not present" list): event-time windows,
+  * gap-based sessionization, JSON property extraction, and a salted
+  * two-phase aggregation for skewed keys. Streaming twins live in
+  * [[graft.streaming]].
+  */
+object Events {
+
+  /** Tumbling event-time window aggregation. One shuffle on
+    * (window, event_type); partial aggregation runs map-side. At scale
+    * the input would be date-partitioned so the window key aligns with
+    * partition pruning. */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of
+    * user inactivity. Two window passes over the same (user_id, ts)
+    * partitioning — Spark reuses the exchange, so it is one shuffle. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val prev = lag(expr("unix_micros(ts)"), 1).over(byUser)
+    val isNew = when(prev.isNull ||
+      expr("unix_micros(ts)") - prev > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("session_value"))
+  }
+
+  /** JSON property extraction + aggregation (codegen'd path, no UDF). */
+  def jsonPropAgg(events: DataFrame, jsonPath: String): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), jsonPath).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  /** Two-phase salted aggregation: phase 1 aggregates on
+    * (key, deterministic salt) spreading hot keys over `salts`
+    * partitions; phase 2 combines the partials. Same result as a direct
+    * groupBy — the shape that survives power-law key skew at 100 TB.
+    * All aggregates here must be decomposable (sum/count/min/max). */
+  def saltedSum(events: DataFrame, key: String, valueExpr: Column,
+                salts: Int): DataFrame =
+    events
+      .withColumn("_salt", col("event_id") % salts)
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueExpr).as("_partial"), count(lit(1)).as("_n"))
+      .groupBy(col(key))
+      .agg(sum("_partial").cast("double").as("total_value"),
+        sum("_n").as("n_events"))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (pipeline extension; builder brief):
+  * image/audio/video payloads modeled as opaque `binary` columns with a
+  * typed metadata struct, plus decode / feature-extract / frame-sample
+  * operators.
+  *
+  * This container has no image/audio codecs, so the *decode step* is a
+  * clearly-marked deterministic STUB ([[FakeCodec]]) — byte-derived
+  * pseudo-metadata and pseudo-features. Everything Spark-side is real
+  * and tested: the binary schema, partition-parallel batch decode via
+  * `mapPartitions` over a typed `Dataset`, the per-batch shape, and the
+  * columnar expression path used by the oracle-checked query.
+  *
+  * At 100 TB: payload bytes dominate row size, so operators (a) never
+  * shuffle the binary column — all derivations are narrow projections;
+  * (b) prune it from any plan that only reads metadata (Catalyst column
+  * pruning does this for free once metadata lives in separate columns).
+  */
+object Multimodal {
+
+  /** A media row: payload plus typed metadata. */
+  case class MediaRecord(media_id: Long, media_type: String, bytes: Array[Byte])
+
+  /** Decoded view — what a real codec would emit. */
+  case class DecodedMedia(media_id: Long, media_type: String, n_bytes: Long,
+                          width: Int, height: Int, n_frames: Int,
+                          features: Array[Float])
+
+  /** STUB codec — deterministic byte-derived fakes standing in for
+    * image/audio decoding (no codec libraries in this environment).
+    * Swap this object for a real codec binding in production; the Spark
+    * plumbing around it is unchanged. */
+  object FakeCodec {
+    def width(nBytes: Long): Int = (nBytes % 64).toInt + 1
+    def height(nBytes: Long): Int = ((nBytes / 64) % 64).toInt + 1
+    def frames(nBytes: Long): Int = (nBytes % 7).toInt + 1
+
+    /** 4 pseudo-features from the payload's md5, each a hex quad scaled
+      * to [0, 1). */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      (0 until 4).map { i =>
+        java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16) / 65536.0f
+      }.toArray
+    }
+  }
+
+  /** Fixture media table: documents' text bytes as the opaque payload
+    * (media_type round-robins image/audio/video). In production this is
+    * the parquet/lance binary column straight off storage. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("bytes"))
+
+  /** Typed decode path: partition-parallel batch decode via
+    * mapPartitions — the Scala analogue of a Pandas-UDF batch loop. One
+    * codec instance per partition, streaming iterator (no per-partition
+    * materialization). */
+  def decodeTyped(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition codec setup would go here
+      it.map { m =>
+        val n = m.bytes.length.toLong
+        DecodedMedia(m.media_id, m.media_type, n,
+          FakeCodec.width(n), FakeCodec.height(n), FakeCodec.frames(n),
+          FakeCodec.features(m.bytes))
+      }
+    }
+  }
+
+  /** Columnar decode path: same stub semantics as pure expressions
+    * (codegen'd, oracle-mirrorable). */
+  def decodeColumnar(media: DataFrame): DataFrame = {
+    val n = length(col("bytes")).cast("long")
+    media.select(
+      col("media_id"), col("media_type"),
+      n.as("n_bytes"),
+      (n % 64 + 1).cast("int").as("width"),
+      ((n / 64) % 64 + 1).cast("int").as("height"),
+      (n % 7 + 1).cast("int").as("n_frames"),
+      md5(col("bytes")).as("content_digest"))
+  }
+
+  /** Frame sampling: every k-th byte offset as a pseudo-frame slice of
+    * the payload (a real impl slices at codec frame boundaries). Narrow,
+    * binary column never shuffled. */
+  def frameSample(media: DataFrame, everyK: Int, frameBytes: Int): DataFrame =
+    media.select(col("media_id"),
+      transform(
+        sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
+        off => col("bytes").substr(off, lit(frameBytes)))
+        .as("frames"))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (pipeline
+  * extension; builder brief): per-document statistics, quality scoring,
+  * heuristic language ID, regex tokenization, and content
+  * fingerprinting.
+  *
+  * All narrow projections over codegen'd built-ins — zero shuffles;
+  * at 100 TB these run scan-side at parquet read throughput. Double
+  * arithmetic only ever divides/combines exact integers, so results are
+  * engine-deterministic.
+  */
+object TextAnalysis {
+
+  /** Per-language marker wordlists for the heuristic language ID. Tiny
+    * on purpose: broadcast as literals into the plan (a real pipeline
+    * would broadcast a larger dictionary). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "de", "y", "es"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Document statistics: token count, distinct-token count, type-token
+    * ratio, mean token length, stopword ratio. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val stop = Seq("the", "a", "of", "and", "in", "is")
+    val nTok = size(t)
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_types"),
+      (size(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
+      (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok)
+        .as("avg_token_len"),
+      (size(filter(t, w => w.isin(stop: _*))).cast("double") / nTok)
+        .as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: balanced length, lexical
+    * diversity, and a bounded stopword share — the usual cheap pre-LM
+    * filters. Deterministic double arithmetic over exact integers. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stop = Seq("the", "a", "of", "and", "in", "is")
+    val stopR = size(filter(t, w => w.isin(stop: _*))).cast("double") / nTok
+    // length factor: 1 at >= 64 tokens, linear below
+    val lenF = least(nTok / lit(64.0), lit(1.0))
+    df.select(col(idCol),
+      (lenF * lit(0.4) + ttr * lit(0.4) + least(stopR * lit(4.0), lit(1.0)) * lit(0.2))
+        .as("quality"))
+  }
+
+  /** Heuristic language ID: argmax of marker-word hits per language;
+    * 'und' (undetermined) when no list scores ≥ 1 hit. Ties break in
+    * [[langMarkers]] declaration order. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isin(words: _*)))
+    }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lang).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    df.select(col(idCol),
+      when(best._2 >= 1, best._1).otherwise("und").as("predicted_lang"),
+      best._2.cast("long").as("marker_hits"))
+  }
+
+  /** Regex tokenization: alpha runs, digit runs, or single symbols —
+    * the BPE-ish pre-tokenizer split — plus a subword-count estimate
+    * (ceil(len/4) per token ≈ bytes-per-BPE-token heuristic). */
+  def regexTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pieces = expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    df.select(col(idCol),
+      size(pieces).cast("long").as("n_pieces"),
+      aggregate(pieces, lit(0L), (acc, p) => acc + ceil(length(p) / lit(4.0)))
+        .as("n_bpe_est"))
+  }
+
+  /** Content fingerprint: md5 of the full text plus a winnowing-style
+    * robust fingerprint — md5 of the 4 lexicographically smallest
+    * char-8-gram hashes (stable under small edits elsewhere in the
+    * document). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = Dedup.charShingles(col(textCol), 8)
+    val hashes = array_sort(transform(grams, g => md5(g)))
+    df.select(col(idCol),
+      md5(col(textCol)).as("digest"),
+      md5(concat_ws("|", slice(hashes, 1, 4))).as("robust_digest"))
+  }
+}

@@ -1,0 +1,367 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked query surface for the training-data pipeline
+  * extensions (builder brief; SURVEY.md §7.1 #5): deduplication,
+  * similarity search, and text analysis over the `documents` and
+  * `embeddings` fixture tables.
+  *
+  * Cross-engine determinism contract (the driver hash-compares against
+  * DuckDB): hashing = md5 over explicit strings; float math = integer
+  * quantization first; every query ends in ORDER BY on a unique key.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-shuffle on the md5 digest.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")
+    }),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified. r=6 rows per
+    // band keeps the candidate set ~10⁻⁴ of the pair space on this
+    // corpus (shared small vocab inflates baseline Jaccard).
+    "q31_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash 32-bit fingerprints (narrow projection, no shuffle).
+    "q32_dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Char-5-gram Jaccard near-dups: LSH candidates (no O(n²) pair
+    // space), exact-verified — the scale path for raw-string near-dup.
+    // Char 5-grams have high baseline similarity on this vocab, so the
+    // band width is r=9 (collision odds ~j⁹ per band).
+    "q33_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.minHashLshWith(t(s, dir, "documents"), "doc_id",
+        Dedup.charShingles(col("text"), 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding cosine near-dup pairs, blocked by label cluster.
+    "q34_dedup_embedding_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Dedup.quantize(col("embedding")).as("q"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Dedup.qcosine(col("a.q"), col("b.q")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force exact cosine top-k for 5 query vectors.
+    "q35_ann_brute_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF approximate top-k: centroids = vec_id % 25 == 0, nprobe = 4.
+    "q36_ann_ivf_topk" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"),
+        col("vec_id") % 25 === 0, Seq(0L, 1L, 2L, 3L, 4L),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Per-document text statistics.
+    "q37_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic language ID by marker-word hits.
+    "q38_lang_id" -> ((s, dir) => {
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Content + winnowing-style robust fingerprints.
+    "q39_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Regex (BPE-ish) tokenization counts.
+    "q40_regex_tokens" -> ((s, dir) => {
+      TextAnalysis.regexTokens(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload column + stub decode metadata.
+    "q41_multimodal_decode" -> ((s, dir) => {
+      Multimodal.decodeColumnar(Multimodal.mediaTable(t(s, dir, "documents")))
+        .orderBy("media_id")
+    }),
+
+    // Event-time tumbling window aggregation.
+    "q42_event_windows" -> ((s, dir) => {
+      Events.tumblingCounts(t(s, dir, "events"), "1 hour")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Gap-based sessionization (30-minute inactivity).
+    "q43_sessionization" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"), 30)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // JSON property extraction + aggregation.
+    "q44_json_props" -> ((s, dir) => {
+      Events.jsonPropAgg(t(s, dir, "events"), "$.k")
+        .orderBy("event_type")
+    }),
+
+    // Salted two-phase aggregation over a skewable key.
+    "q45_salted_agg" -> ((s, dir) => {
+      Events.saltedSum(t(s, dir, "events"), "user_id",
+        col("value").cast("decimal(18,3)"), 8)
+        .orderBy("user_id")
+    })
+  )
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles. Shared SQL fragments mirror the Spark operators
+  // exactly: same md5 seeds, same shingle index ranges, same quantization.
+  // --------------------------------------------------------------------
+
+  /** Distinct word-2-gram shingles of `text` (mirrors Dedup.wordShingles:
+    * Spark i in 0..max(len-2,0) over slice(i+1,2) ⇔ DuckDB i in
+    * 1..max(len-1,1) over w[i:i+1], both yielding the bare word for
+    * single-token texts). */
+  private val sqlWordShingles =
+    "list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w), 2))])"
+
+  /** Mirrors Dedup.shingleBaseHash / minHashSignature / lshBands. */
+  private val sqlBases =
+    "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)"
+  private def sqlSig(k: Int) =
+    s"[list_min([((2*k+1) * b + (101*k+17)) % 2147483647 for b in $sqlBases]) for k in range(0, $k)]"
+  private def sqlBandUnnest(bands: Int, rows: Int) =
+    s"unnest([g::VARCHAR || ':' || md5(array_to_string(sig[g*$rows+1:g*$rows+$rows], '|')) for g in range(0, $bands)])"
+
+  /** Full LSH near-dup pipeline over a `docs(doc_id, sh)` CTE. */
+  private def sqlLshPipeline(k: Int, bands: Int, rows: Int, threshold: Double) =
+    s"""sigs AS (
+           SELECT doc_id, ${sqlSig(k)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(bands, rows)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT c.a AS doc_a, c.b AS doc_b,
+                  len(list_intersect(da.sh, db.sh))::DOUBLE /
+                  len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+           FROM cand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id)
+         WHERE jaccard >= $threshold
+         ORDER BY doc_a, doc_b"""
+
+  private def sqlCharShingles(n: Int) =
+    s"list_distinct([substr(text, i, $n) for i in range(1, greatest(length(text) - ${n - 1}, 1) + 1)])"
+
+  private val sqlQuantize =
+    "[floor(CAST(x AS DOUBLE) * 10000)::BIGINT for x in embedding]"
+
+  private def sqlQdot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  private def sqlQcos(a: String, b: String) =
+    s"(${sqlQdot(a, b)}::DOUBLE / sqrt((${sqlQdot(a, a)} * ${sqlQdot(b, b)})::DOUBLE))"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY digest""",
+
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         ${sqlLshPipeline(24, 4, 6, 0.8)}""",
+
+    "q32_dedup_simhash" ->
+      """SELECT doc_id,
+                array_to_string(
+                  [CASE WHEN list_sum([CASE WHEN substr(md5(t), j+1, 1) >= '8' THEN 1 ELSE -1 END for t in w]) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 32)], '') AS simhash
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+
+    "q33_dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+           SELECT doc_id, ${sqlCharShingles(5)} AS sh FROM documents),
+         ${sqlLshPipeline(36, 4, 9, 0.5)}""",
+
+    "q34_dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS q FROM embeddings)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${sqlQcos("a.q", "b.q")} AS cosine
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cosine >= 0.3
+         ORDER BY id_a, id_b""",
+
+    "q35_ann_brute_topk" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+         scored AS (
+           SELECT query_id, v.vec_id,
+                  ${sqlQcos("qv", "v.q")} AS cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ${sqlQcos("qv", "v.q")} DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id)
+         SELECT query_id, rank, vec_id, cosine FROM scored
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q36_ann_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, q AS cv FROM v WHERE vec_id % 25 = 0),
+         assigned AS (
+           SELECT vec_id, q, centroid_id AS cluster FROM (
+             SELECT v.vec_id, v.q, centroid_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY ${sqlQcos("v.q", "cv")} DESC, centroid_id) AS r
+             FROM v CROSS JOIN cents)
+           WHERE r = 1),
+         probes AS (
+           SELECT query_id, qv, centroid_id AS cluster FROM (
+             SELECT v.vec_id AS query_id, v.q AS qv, centroid_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY ${sqlQcos("v.q", "cv")} DESC, centroid_id) AS r
+             FROM v CROSS JOIN cents WHERE v.vec_id IN (0,1,2,3,4))
+           WHERE r <= 4),
+         scored AS (
+           SELECT query_id, a.vec_id,
+                  ${sqlQcos("qv", "a.q")} AS cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ${sqlQcos("qv", "a.q")} DESC, a.vec_id) AS rank
+           FROM assigned a JOIN probes p ON a.cluster = p.cluster
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, rank, vec_id, cosine FROM scored
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q37_text_stats" ->
+      """SELECT doc_id,
+                len(w) AS n_tokens,
+                len(list_distinct(w)) AS n_types,
+                len(list_distinct(w))::DOUBLE / len(w) AS type_token_ratio,
+                list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS avg_token_len,
+                len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w) AS stopword_ratio
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+
+    "q38_lang_id" ->
+      """SELECT doc_id,
+                CASE WHEN best < 1 THEN 'und'
+                     WHEN s_en = best THEN 'en'
+                     WHEN s_de = best THEN 'de'
+                     WHEN s_fr = best THEN 'fr'
+                     ELSE 'es' END AS predicted_lang,
+                best AS marker_hits
+         FROM (
+           SELECT doc_id, s_en, s_de, s_fr, s_es,
+                  greatest(s_en, s_de, s_fr, s_es) AS best
+           FROM (
+             SELECT doc_id,
+                    len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                    len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+                    len(list_filter(w, x -> x IN ('el','los','de','y','es'))) AS s_es
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+         ORDER BY doc_id""",
+
+    "q39_fingerprint" ->
+      s"""SELECT doc_id,
+                md5(text) AS digest,
+                md5(array_to_string(list_sort([md5(g) for g in ${sqlCharShingles(8)}])[1:4], '|')) AS robust_digest
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q40_regex_tokens" ->
+      """SELECT doc_id,
+                len(p) AS n_pieces,
+                list_sum(list_transform(p, x -> ceil(length(x) / 4.0)::BIGINT))::BIGINT AS n_bpe_est
+         FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS p
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q41_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                octet_length(encode(text)) AS n_bytes,
+                (octet_length(encode(text)) % 64 + 1)::INTEGER AS width,
+                ((octet_length(encode(text)) // 64) % 64 + 1)::INTEGER AS height,
+                (octet_length(encode(text)) % 7 + 1)::INTEGER AS n_frames,
+                md5(text) AS content_digest
+         FROM documents
+         ORDER BY media_id""",
+
+    "q42_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY win_start, event_type""",
+
+    "q43_sessionization" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id,
+                count(*) AS n_events,
+                min(ts) AS session_start,
+                max(ts) AS session_end,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS session_value
+         FROM numbered
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q44_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "q45_salted_agg" ->
+      """SELECT user_id,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value,
+                count(*) AS n_events
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id"""
+  )
+}

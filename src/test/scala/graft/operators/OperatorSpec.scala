@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the pipeline operators (dedup / similarity /
+  * text analysis) at sf0.001. Value-level parity with DuckDB is covered
+  * by the driver's oracle for q30–q40; these specs pin the semantic
+  * invariants the oracles can't express.
+  */
+class OperatorSpec extends SparkTestBase {
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+  lazy val embs = Tables.load(spark, sfDir, "embeddings")
+
+  test("exact dedup keeps one row per distinct text with min id") {
+    val n = docs.count()
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    // fixture texts are unique, so every digest keeps exactly one copy
+    assert(d.filter(col("n_copies") =!= 1).count() == 0)
+    assert(d.agg(sum("n_copies")).head.getLong(0) == n)
+  }
+
+  test("identical texts always share a MinHash band (never a false negative)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z q")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "doc_id", "text", threshold = 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard is 1 for equal sets and 0 for disjoint sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val r = df.select(Dedup.jaccard(col("x"), col("y")), Dedup.jaccard(col("x"), col("z"))).head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash of identical texts is identical; fingerprint is 32 bits") {
+    import spark.implicits._
+    val df = Seq(("t u v w"), ("t u v w"), ("alpha beta")).toDF("text")
+    val fps = df.select(Dedup.simHash32(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps.forall(f => f.length == 32 && f.forall(c => c == '0' || c == '1')))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quantized cosine is 1 for a vector with itself") {
+    val r = embs.limit(5)
+      .select(Dedup.qcosine(Dedup.quantize(col("embedding")),
+        Dedup.quantize(col("embedding"))).as("c"))
+      .collect()
+    assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query, self excluded") {
+    val r = Similarity.bruteForceTopK(embs, Seq(0L, 1L), "vec_id", "embedding", 5)
+      .collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rows.forall(_.getLong(2) != q))
+      // cosine non-increasing with rank
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k neighbors are a subset of vectors, ranks contiguous") {
+    val r = Similarity.ivfTopK(embs, col("vec_id") % 25 === 0, Seq(0L),
+      "vec_id", "embedding", k = 5, nprobe = 2).collect()
+    assert(r.nonEmpty && r.length <= 5)
+    assert(r.map(_.getLong(1)).sorted.toSeq == (1L to r.length).toSeq)
+  }
+
+  test("text stats are consistent per document") {
+    val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
+    r.foreach { row =>
+      val (nTok, nTyp) = (row.getLong(1), row.getLong(2))
+      assert(nTyp <= nTok)
+      assert(math.abs(row.getDouble(3) - nTyp.toDouble / nTok) < 1e-12)
+      assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("quality score stays within [0,1]") {
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()
+    assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
+  }
+
+  test("language id predicts a known language or 'und'") {
+    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("fingerprint digests are stable and distinct for distinct texts") {
+    val r = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    assert(r.select("digest").distinct().count() == docs.count())
+    val again = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    assert(r.except(again).count() == 0)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.operators.Events]]) — engine extension beyond the reference
+  * (which is batch-of-strings only, SURVEY.md §2.8).
+  *
+  * The transforms are written against plain Datasets so the same code
+  * path serves batch and streaming: `withWatermark` is a no-op on batch
+  * inputs. At scale: state lives in the state store (RocksDB provider),
+  * partitioned by the group key; watermarks bound state size.
+  */
+object EventStreams {
+
+  /** A typed event row (mirrors the events fixture schema). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** One closed (or timed-out) session. */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Running per-user session state. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Watermarked tumbling-window counts. OutputMode.Append-compatible:
+    * a window finalizes once the watermark passes its end. */
+  def windowedCounts(events: DataFrame, windowLen: String,
+                     watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: a session
+    * closes when a gap larger than `gapMinutes` is observed inside a
+    * batch, or when the event-time watermark times the group out.
+    *
+    * State per user is O(1) (one open session); the watermark bounds
+    * how long idle state is retained.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMinutes: Int, watermarkDelay: String): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def us(t: Timestamp): Long = t.getTime * 1000L
+    def tsOf(us: Long): Timestamp = new Timestamp(us / 1000L)
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (it.isEmpty && state.hasTimedOut) {
+        // Watermark passed: close the open session.
+        val out = state.getOption.map(s =>
+          Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // Time out once the watermark passes last-event + gap.
+        state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

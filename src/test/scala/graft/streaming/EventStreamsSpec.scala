@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Micro-batch tests for the streaming operators using MemoryStream —
+  * real Structured Streaming execution (state store, watermarks), not
+  * batch emulation.
+  */
+class EventStreamsSpec extends SparkTestBase {
+
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed counts finalize once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    q.processAllAvailable()
+    // next batch pushes the watermark to 23:10, far past hours 0 and 1
+    in.addData(Event(4, ts(23 * 60 + 20), 2, "view", 4.0))
+    q.processAllAvailable()
+    // one more batch so finalized windows are emitted against the
+    // advanced watermark
+    in.addData(Event(5, ts(23 * 60 + 25), 2, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1.getTime)
+    // hour 0 and hour 1 are closed; the 23:00 window stays open (pending)
+    assert(rows.toSeq == Seq(
+      (ts(0), "click", 2L, 3.0),
+      (ts(60), "view", 1L, 3.0)))
+  }
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = sessionize(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two sessions split by a 40-minute gap inside one batch
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(50), 1, "click", 3.0),
+      Event(4, ts(55), 1, "click", 4.0))
+    q.processAllAvailable()
+
+    // batch 2 pushes the watermark far ahead so user 1's open session
+    // times out via EventTimeTimeout
+    in.addData(Event(9, ts(600), 2, "view", 9.0))
+    q.processAllAvailable()
+    in.addData(Event(10, ts(1200), 2, "view", 10.0))
+    q.processAllAvailable()
+    in.addData(Event(11, ts(1800), 2, "view", 11.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(rows.length == 2)
+    assert(rows(0) == Session(1L, ts(0), ts(10), 2L, 3.0))
+    assert(rows(1) == Session(1L, ts(50), ts(55), 2L, 7.0))
+  }
+}

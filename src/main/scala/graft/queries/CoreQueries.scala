@@ -266,6 +266,30 @@ object CoreQueries {
         FROM orders
         WHERE o_totalprice * 2 > (SELECT max(o_totalprice) FROM orders)
         ORDER BY o_orderkey""")
+    }),
+
+    // E2 LIKE + E3 arithmetic (incl %) + E4 bitwise + unary minus.
+    "q25_like_arith_bitwise" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderpriority").like("1%").as("is_urgent_like"),
+        (col("o_orderkey") % 7).as("mod7"),
+        col("o_orderkey").bitwiseAND(255).as("low_byte"),
+        col("o_orderkey").bitwiseOR(4096).as("with_flag"),
+        col("o_orderkey").bitwiseXOR(21).as("xored"),
+        (-col("o_orderkey")).as("negated"),
+        (col("o_orderkey") * 3 + 1).as("affine"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E11 subscript access into an array column (1-based element_at).
+    "q26_array_subscript" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).as("e_first"),
+        element_at(col("embedding"), 64).as("e_last"),
+        size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
     })
   )
 
@@ -453,6 +477,26 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice
          FROM orders
          WHERE o_totalprice * 2 > (SELECT max(o_totalprice) FROM orders)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "q25_like_arith_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderpriority LIKE '1%' AS is_urgent_like,
+                o_orderkey % 7 AS mod7,
+                o_orderkey & 255 AS low_byte,
+                o_orderkey | 4096 AS with_flag,
+                xor(o_orderkey, 21) AS xored,
+                -o_orderkey AS negated,
+                o_orderkey * 3 + 1 AS affine
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "q26_array_subscript" ->
+      """SELECT vec_id,
+                embedding[1] AS e_first,
+                embedding[64] AS e_last,
+                len(embedding)::BIGINT AS dim
+         FROM embeddings
+         ORDER BY vec_id"""
   )
 }

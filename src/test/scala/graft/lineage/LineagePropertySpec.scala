@@ -1,0 +1,80 @@
+package graft.lineage
+
+import graft.{SparkTestBase, Tables}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5 #3): union folding, literal elision,
+  * and alias-resolution invariance under renaming, checked over
+  * generated query shapes instead of fixed fixtures. Generators are
+  * driven with a fixed seed (deterministic CI) — the scalatest/
+  * scalacheck bridge is not in the offline artifact cache.
+  */
+class LineagePropertySpec extends SparkTestBase {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.registerAll(spark, sfDir)
+  }
+
+  /** Sample `n` deterministic values from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val natCols = Seq("n_nationkey", "n_name", "n_regionkey")
+
+  test("union of N branches over M columns yields M edges with merged sources") {
+    val cases = samples(Gen.zip(Gen.chooseNum(2, 4), Gen.chooseNum(1, 3)), 8)
+    cases.foreach { case (branches, width) =>
+      val cols = natCols.take(width)
+      val sql = Seq.fill(branches)(
+        s"SELECT ${cols.map(c => s"$c AS c_$c").mkString(", ")} FROM nation")
+        .mkString(" UNION ALL ")
+      val r = LineageParser.parseStatement(spark, sql, 1)
+      assert(r.colLines.length == width, s"branches=$branches width=$width")
+      r.colLines.zip(cols).foreach { case (cl, c) =>
+        // every branch reads the same source column here, so the merged
+        // source set is exactly that one column
+        assert(cl.fromName == s"default.nation.$c")
+      }
+    }
+  }
+
+  test("literal-only select items never contribute sources") {
+    val cases = samples(Gen.zip(Gen.chooseNum(1, 1000), Gen.alphaLowerStr.map(_.take(8))), 8)
+    cases.foreach { case (n, s) =>
+      val sql = s"SELECT $n AS num, '$s' AS str, n_name FROM nation"
+      val r = LineageParser.parseStatement(spark, sql, 1)
+      val byName = r.colLines.map(c => c.toName -> c.fromName).toMap
+      assert(byName("num") == "")
+      assert(byName("str") == "")
+      assert(byName("n_name") == "default.nation.n_name")
+    }
+  }
+
+  test("lineage is invariant under FROM-alias renaming") {
+    val base = LineageParser.parseStatement(spark,
+      "SELECT x.n_name FROM nation x WHERE x.n_regionkey = 1", 1)
+    val aliases = samples(Gen.identifier.map(a => "a" + a.take(6)), 8).distinct
+    aliases.foreach { alias =>
+      val renamed = LineageParser.parseStatement(spark,
+        s"SELECT $alias.n_name FROM nation $alias WHERE $alias.n_regionkey = 1", 1)
+      assert(base.colLines.map(c => (c.toName, c.fromName)) ==
+        renamed.colLines.map(c => (c.toName, c.fromName)), s"alias=$alias")
+      assert(base.inputTables == renamed.inputTables)
+      // condition strings differ only by the alias text
+      assert(renamed.colLines.head.conditionSet.map(_.replace(alias + ".", "x.")) ==
+        base.colLines.head.conditionSet, s"alias=$alias")
+    }
+  }
+
+  test("select-item aliasing changes toName but not sources") {
+    val outs = samples(Gen.identifier.map(a => "c" + a.take(6)), 8).distinct
+    outs.foreach { out =>
+      val r = LineageParser.parseStatement(spark,
+        s"SELECT n_name AS $out FROM nation", 1)
+      assert(r.colLines.map(c => (c.toName, c.fromName)) ==
+        Seq((out, "default.nation.n_name")), s"out=$out")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the multimodal plumbing and batch event operators. */
+class MultimodalEventsSpec extends SparkTestBase {
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+  lazy val events = Tables.load(spark, sfDir, "events")
+
+  test("media table carries binary payloads with typed metadata") {
+    val m = Multimodal.mediaTable(docs)
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    val types = m.select("media_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+    assert(m.count() == docs.count())
+  }
+
+  test("typed mapPartitions decode agrees with the columnar decode path") {
+    val m = Multimodal.mediaTable(docs)
+    val typed = Multimodal.decodeTyped(spark, m)
+      .select("media_id", "n_bytes", "width", "height", "n_frames")
+    val columnar = Multimodal.decodeColumnar(m)
+      .select("media_id", "n_bytes", "width", "height", "n_frames")
+    assert(typed.except(columnar).count() == 0)
+    assert(columnar.except(typed).count() == 0)
+  }
+
+  test("typed decode emits deterministic pseudo-features in [0,1)") {
+    val feats = Multimodal.decodeTyped(spark, Multimodal.mediaTable(docs))
+      .select(explode(col("features")).as("f"))
+      .agg(min("f"), max("f")).head
+    assert(feats.getFloat(0) >= 0.0f && feats.getFloat(1) < 1.0f)
+  }
+
+  test("frame sampling yields ceil(len/k) frames per media") {
+    val m = Multimodal.mediaTable(docs)
+    val sampled = Multimodal.frameSample(m, everyK = 100, frameBytes = 16)
+      .select(col("media_id"), size(col("frames")).as("n"))
+      .join(m.select(col("media_id"), length(col("bytes")).as("len")), "media_id")
+    val bad = sampled.filter(col("n") =!= ceil(col("len") / 100.0).cast("int")).count()
+    assert(bad == 0)
+  }
+
+  test("batch sessionize splits on gaps and conserves events") {
+    val s = Events.sessionize(events, 30)
+    val total = s.agg(sum("n_events")).head.getLong(0)
+    assert(total == events.count())
+    // session bounds are ordered
+    assert(s.filter(col("session_end") < col("session_start")).count() == 0)
+    // session ids are 1..n per user
+    val perUser = s.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("session_id").as("mx"))
+    assert(perUser.filter(col("n") =!= col("mx")).count() == 0)
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val salted = Events.saltedSum(events, "user_id",
+      col("value").cast("decimal(18,3)"), 8)
+    val direct = events.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,3)")).cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+    assert(salted.except(direct).count() == 0)
+    assert(direct.except(salted).count() == 0)
+  }
+
+  test("json prop aggregation counts every event") {
+    val r = Events.jsonPropAgg(events, "$.k")
+    assert(r.agg(sum("n")).head.getLong(0) == events.count())
+  }
+}

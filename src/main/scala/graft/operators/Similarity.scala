@@ -14,68 +14,93 @@ import org.apache.spark.sql.functions._
   *    trade at any scale when |Q| is small.
   *  - [[ivfTopK]]: the scale path — IVF (inverted-file) partitioning.
   *    Centroids are broadcast, every vector is assigned to its nearest
-  *    centroid once (narrow, no shuffle), queries probe only the
-  *    `nprobe` nearest clusters. At 100 TB the assignment becomes a
-  *    bucketed/partitioned-by-cluster layout so probes touch only
-  *    matching partitions (partition pruning on `cluster`).
+  *    centroid once, queries probe only the `nprobe` nearest clusters.
+  *    At 100 TB the assignment becomes a bucketed/partitioned-by-cluster
+  *    layout so probes touch only matching partitions (partition pruning
+  *    on `cluster`).
   *
-  * All scoring uses [[Dedup.quantize]]d integer cosine for cross-engine
-  * determinism; ties break on vec_id.
+  * Scoring is [[Dedup.quantize]]d integer cosine (engine-deterministic);
+  * ties break on vec_id.
+  *
+  * Performance shape (measured at sf0.1, 5k vecs × 200 centroids):
+  *  - The quantized vector and its squared norm are computed in a
+  *    projection BELOW the broadcast join — the join boundary blocks
+  *    CollapseProject, so they run once per row, and pair scoring does
+  *    exactly one lambda dot per pair (vs 3.3s for inline 3-dot
+  *    scoring, 3.4s for an unrolled element_at tree whose ANSI bounds
+  *    checks + oversized codegen lose to lambda interpretation).
+  *  - Cluster assignment argmaxes via max_by aggregation (partial
+  *    map-side combine, no sort) instead of a row_number window —
+  *    0.29s vs 1.2s for the window on the same input.
   */
 object Similarity {
 
-  import Dedup.{quantize, qcosine}
+  import Dedup.{qdot, quantize}
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  /** Corpus with quantized vectors + squared norms (vec_id, v, vn).
+    * Consumers join this — the join boundary keeps the projection
+    * per-row. */
+  private def quantized(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+      .withColumn("vn", qdot(col("v"), col("v")))
 
   /** Exact top-k neighbors for each query id (self-match excluded).
     * Returns (query_id, rank, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
-    val q = corpus.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-      .filter(col("query_id").isin(queryIds: _*))
-    val c = corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("cv"))
+                     vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val vecs = quantized(corpus, idCol, vecCol, dim)
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        qcosine(col("qv"), col("cv")).as("cosine"))
+        cosine(qdot(col("qv"), col("v")), col("qn"), col("vn")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
-  /** IVF approximate top-k: vectors indexed by nearest of the given
-    * centroid ids; each query probes its `nprobe` closest clusters and
+  /** IVF approximate top-k: vectors indexed by nearest of the selected
+    * centroids; each query probes its `nprobe` closest clusters and
     * ranks only vectors inside them. Returns (query_id, rank, vec_id,
     * cosine) — approximate: neighbors outside probed clusters are missed
     * by design. */
   def ivfTopK(corpus: DataFrame, centroidFilter: Column, queryIds: Seq[Long],
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+              idCol: String, vecCol: String, k: Int, nprobe: Int,
+              dim: Int = 64): DataFrame = {
+    val vecs = quantized(corpus, idCol, vecCol, dim)
     val cents = vecs.filter(centroidFilter)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("vn").as("cn"))
 
-    // Assignment: argmax cosine over broadcast centroids — narrow per-row
-    // work, no corpus shuffle. Ties break on centroid_id.
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
-        qcosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
+    // Assignment: argmax cosine over broadcast centroids via max_by —
+    // one partial-aggregatable HashAggregate, no sort. Ties break to the
+    // lowest centroid_id (struct ordering). Only primitive columns go
+    // through the aggregate (an array column would force SortAggregate
+    // over the full pair space); v/vn are re-attached by a cheap id join.
+    val clusters = vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        cosine(qdot(col("v"), col("cv")), col("vn"), col("cn")).as("ccos"),
+        col("centroid_id"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(centroid_id, struct(ccos, -centroid_id))").as("cluster"))
+    val assigned = clusters.join(vecs, "vec_id")
 
     // Probe set: each query's nprobe nearest centroids.
     val q = vecs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("centroid_id"))
     val probes = q.join(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        qcosine(col("qv"), col("cv")).as("pcos"))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        cosine(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("pcos"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("cluster"))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
 
     // Search only probed clusters (at scale: partition pruning on
     // `cluster`); rank within each query.
@@ -84,7 +109,7 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        qcosine(col("qv"), col("v")).as("cosine"))
+        cosine(qdot(col("qv"), col("v")), col("qn"), col("vn")).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")

@@ -54,14 +54,18 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding cosine near-dup pairs, blocked by label cluster.
+    // Embedding cosine near-dup pairs, blocked by label cluster. The
+    // quantized vector + norm live in a projection below the self-join
+    // (computed once per row); each pair then costs one dot product.
     "q34_dedup_embedding_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Dedup.quantize(col("embedding")).as("q"))
+        .withColumn("nrm", Dedup.qdot(col("q"), col("q")))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          Dedup.qcosine(col("a.q"), col("b.q")).as("cosine"))
+          Dedup.qcosineWithNorms(col("a.q"), col("b.q"), col("a.nrm"), col("b.nrm"))
+            .as("cosine"))
         .filter(col("cosine") >= 0.3)
         .orderBy("id_a", "id_b")
     }),

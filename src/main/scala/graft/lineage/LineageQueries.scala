@@ -42,7 +42,23 @@ object LineageQueries {
     // 13 CTE (engine extension beyond the reference — SURVEY.md §2.8 note)
     "WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 500.0) SELECT b.o_custkey FROM big b",
     // 14 S4/S10: INSERT sink + destination columns by ordinal
-    "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1"
+    "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1",
+    // 15 §2.4: RIGHT OUTER join tag
+    "SELECT s.s_name, n.n_name FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey",
+    // 16 §2.4: FULL OUTER join tag
+    "SELECT c.c_name FROM customer c FULL JOIN nation n ON c.c_nationkey = n.n_nationkey",
+    // 17 §2.4: LEFT SEMI join tag
+    "SELECT c_name FROM customer LEFT SEMI JOIN orders ON c_custkey = o_custkey",
+    // 18 UDTF/Generate (engine extension): explode via LATERAL VIEW
+    "SELECT doc_id, tok FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok",
+    // 19 Window function lineage (engine extension)
+    "SELECT o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn FROM orders",
+    // 20 E3/E4: arithmetic + bitwise expressions as COLFUN
+    "SELECT o_orderkey + 1 AS k1, o_orderkey & 255 AS k2 FROM orders",
+    // 21 S4: INSERT OVERWRITE sink
+    "INSERT OVERWRITE TABLE lineage_target SELECT n_nationkey, n_name FROM nation",
+    // 22 E2/E8: IS NULL + LIKE in WHERE
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NULL OR o_orderpriority LIKE '1%'"
   )
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -91,7 +107,20 @@ object LineageQueries {
     (12, '<EOF>', '', 'str', '', 'COLFUN:''x'''),
     (13, '<EOF>', '', 'o_custkey', 'default.orders.o_custkey', 'WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))'),
     (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
-    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)')
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (15, '<EOF>', '', 'n_name', 'default.nation.n_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
+    (15, '<EOF>', '', 's_name', 'default.supplier.s_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
+    (16, '<EOF>', '', 'c_name', 'default.customer.c_name', 'FULLOUTERJOIN:(c.c_nationkey = n.n_nationkey)'),
+    (17, '<EOF>', '', 'c_name', 'default.customer.c_name', 'LEFTSEMIJOIN:(customer.c_custkey = orders.o_custkey)'),
+    (18, '<EOF>', '', 'doc_id', 'default.documents.doc_id', ''),
+    (18, '<EOF>', '', 'tok', 'default.documents.text', ''),
+    (19, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', ''),
+    (19, '<EOF>', '', 'rn', 'default.orders.o_custkey,default.orders.o_orderdate', ''),
+    (20, '<EOF>', '', 'k1', 'default.orders.o_orderkey', 'COLFUN:(orders.o_orderkey + CAST(1 AS BIGINT))'),
+    (20, '<EOF>', '', 'k2', 'default.orders.o_orderkey', 'COLFUN:(orders.o_orderkey & CAST(255 AS BIGINT))'),
+    (21, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', ''),
+    (21, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', ''),
+    (22, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE ''1%'')')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

@@ -31,7 +31,20 @@ class LineageSpec extends SparkTestBase {
     (12, "<EOF>", "", "str", "", "COLFUN:'x'"),
     (13, "<EOF>", "", "o_custkey", "default.orders.o_custkey", "WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))"),
     (14, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 1)"),
-    (14, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 1)")
+    (14, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 1)"),
+    (15, "<EOF>", "", "n_name", "default.nation.n_name", "RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)"),
+    (15, "<EOF>", "", "s_name", "default.supplier.s_name", "RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)"),
+    (16, "<EOF>", "", "c_name", "default.customer.c_name", "FULLOUTERJOIN:(c.c_nationkey = n.n_nationkey)"),
+    (17, "<EOF>", "", "c_name", "default.customer.c_name", "LEFTSEMIJOIN:(customer.c_custkey = orders.o_custkey)"),
+    (18, "<EOF>", "", "doc_id", "default.documents.doc_id", ""),
+    (18, "<EOF>", "", "tok", "default.documents.text", ""),
+    (19, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", ""),
+    (19, "<EOF>", "", "rn", "default.orders.o_custkey,default.orders.o_orderdate", ""),
+    (20, "<EOF>", "", "k1", "default.orders.o_orderkey", "COLFUN:(orders.o_orderkey + CAST(1 AS BIGINT))"),
+    (20, "<EOF>", "", "k2", "default.orders.o_orderkey", "COLFUN:(orders.o_orderkey & CAST(255 AS BIGINT))"),
+    (21, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", ""),
+    (21, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", ""),
+    (22, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE '1%')")
   )
 
   test("corpus lineage matches golden edges") {

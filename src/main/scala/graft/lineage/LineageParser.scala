@@ -60,6 +60,21 @@ object LineageParser {
     def fill(n: String) = fillDb(n, currentDb)
 
     parsed match {
+      // Hive multi-insert `FROM t INSERT ... INSERT ...` parses as a
+      // Union of InsertIntoStatements (SURVEY.md §7.4 #4): one statement,
+      // edges flowing to every sink.
+      case u: Union if u.children.nonEmpty &&
+          u.children.forall(_.isInstanceOf[InsertIntoStatement]) =>
+        val parts = u.children.map { c =>
+          val i = c.asInstanceOf[InsertIntoStatement]
+          val sink = fill(unresolvedName(i.table).getOrElse(Eof))
+          extract(spark, i.query, sink, Operation.Insert, index, currentDb)
+        }
+        parts.reduce { (a, b) =>
+          LineageResult(index, Operation.Insert,
+            a.inputTables ++ b.inputTables, a.outputTables ++ b.outputTables,
+            a.colLines ++ b.colLines)
+        }
       case i: InsertIntoStatement =>
         val sink = fill(unresolvedName(i.table).getOrElse(Eof))
         extract(spark, i.query, sink, Operation.Insert, index, currentDb)

@@ -87,6 +87,29 @@ class LineageSpec extends SparkTestBase {
     assert(alter.operation == Operation.Alter)
   }
 
+  test("multi-insert fans edges out to every sink") {
+    graft.Tables.registerAll(spark, sfDir)
+    spark.table("nation").selectExpr("n_name AS a").limit(0)
+      .createOrReplaceTempView("mi_t1")
+    spark.table("nation").selectExpr("n_nationkey AS b").limit(0)
+      .createOrReplaceTempView("mi_t2")
+    val r = LineageParser.parseStatement(spark,
+      "FROM nation INSERT INTO mi_t1 SELECT n_name INSERT INTO mi_t2 SELECT n_nationkey", 1)
+    assert(r.operation == Operation.Insert)
+    assert(r.outputTables == Set("default.mi_t1", "default.mi_t2"))
+    assert(r.colLines.map(c => (c.tableName, c.toName, c.fromName)).toSet == Set(
+      ("default.mi_t1", "n_name", "default.nation.n_name"),
+      ("default.mi_t2", "n_nationkey", "default.nation.n_nationkey")))
+  }
+
+  test("TABLESAMPLE flows sources through the sample") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = LineageParser.parseStatement(spark,
+      "SELECT n_name FROM nation TABLESAMPLE (50 PERCENT)", 1)
+    assert(r.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("n_name", "default.nation.n_name")))
+  }
+
   test("CTAS records sink and select lineage") {
     graft.Tables.registerAll(spark, sfDir)
     val r = LineageParser.parseStatement(

@@ -93,6 +93,22 @@ object QdotBench {
         .withColumn("r", row_number().over(wA)).filter(col("r") === 1).count()
     }
 
+    // g) native codegen'd QDot expression + max_by argmax
+    time("g_native_qdot_maxby") {
+      graft.functions.QDot.register(spark)
+      val vecs = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("v"))
+        .withColumn("vn", expr("graft_qdot(v, v)"))
+      val cents = vecs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("vn").as("cn"))
+      vecs.join(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          (expr("graft_qdot(v, cv)").cast("double") /
+            sqrt((col("vn") * col("cn")).cast("double"))).as("ccos"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(centroid_id, struct(ccos, -centroid_id))").as("cluster"))
+        .count()
+    }
+
     // f) same as e but argmax via max_by aggregation instead of a window
     time("f_lambda_norms_maxby") {
       val vecs = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("v"))
@@ -105,6 +121,22 @@ object QdotBench {
         .groupBy("vec_id")
         .agg(expr("max_by(centroid_id, struct(ccos, -centroid_id))").as("cluster"))
         .count()
+    }
+    // Pure scoring throughput: sum of dots over the full cross product
+    // (5000 × 200 = 1M dot products of dim 64), no argmax.
+    graft.functions.QDot.register(spark)
+    val vecsM = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("v"))
+    val centsM = vecsM.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    time("h_dot_lambda_sum") {
+      vecsM.join(broadcast(centsM))
+        .select(Dedup.qdot(col("v"), col("cv")).as("d"))
+        .agg(sum("d")).count()
+    }
+    time("i_dot_native_sum") {
+      vecsM.join(broadcast(centsM))
+        .select(expr("graft_qdot(v, cv)").as("d"))
+        .agg(sum("d")).count()
     }
     spark.stop()
   }

@@ -40,6 +40,17 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose dedup key was already
+    * seen, keeping state only within the watermark horizon — the
+    * streaming twin of [[graft.operators.Dedup.exact]]. State size is
+    * bounded by (arrival rate × watermark delay), not the full history;
+    * at scale the state store shards by key hash across executors. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful gap sessionization via flatMapGroupsWithState: a session
     * closes when a gap larger than `gapMinutes` is observed inside a
     * batch, or when the event-time watermark times the group out.

@@ -47,6 +47,30 @@ class EventStreamsSpec extends SparkTestBase {
       (ts(60), "view", 1L, 3.0)))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = dedupWithinWatermark(in.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup key, same batch
+      Event(2, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(3), 1, "click", 1.0)) // dup key, later batch
+    q.processAllAvailable()
+    in.addData(Event(3, ts(5), 2, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -81,6 +81,9 @@ object LineageParser {
       case c: CreateTableAsSelect =>
         val sink = fill(unresolvedName(c.name).getOrElse(Eof))
         extract(spark, c.query, sink, Operation.CreateTable, index, currentDb)
+      case v: CreateView =>
+        val sink = fill(unresolvedName(v).getOrElse(Eof))
+        extract(spark, v.query, sink, Operation.CreateTable, index, currentDb)
       case other =>
         other.getClass.getSimpleName match {
           case "DropTable" | "DropTableStatement" =>
@@ -127,6 +130,17 @@ object LineageParser {
     * at `:113-115` is NOT replicated — SURVEY.md §2.1). */
   def fillDb(name: String, db: String = DefaultDb): String =
     if (name.contains(SepDot)) name else s"$db$SepDot$name"
+
+  /** Lineage results as a queryable Dataset (SURVEY.md §1.3: lineage
+    * output is itself data). */
+  def toDataset(spark: SparkSession, results: Seq[LineageResult]) = {
+    import spark.implicits._
+    results.flatMap(r => r.colLines.map(c => (r.statementIndex,
+      r.operation.name, c.tableName, c.colName.getOrElse(""), c.toName,
+      c.fromName, c.conditionSet.toSeq.sorted.mkString("|"))))
+      .toDF("stmt", "operation", "table_name", "col_name", "to_name",
+        "from_name", "conditions")
+  }
 
   // ---------------------------------------------------------------------
   // Core extraction over the analyzed plan

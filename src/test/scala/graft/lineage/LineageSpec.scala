@@ -110,6 +110,27 @@ class LineageSpec extends SparkTestBase {
       Seq(("n_name", "default.nation.n_name")))
   }
 
+  test("CREATE VIEW records sink and select lineage") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = LineageParser.parseStatement(spark,
+      "CREATE VIEW v_lineage AS SELECT n_name FROM nation WHERE n_regionkey = 2", 1)
+    assert(r.operation == Operation.CreateTable)
+    assert(r.outputTables == Set("default.v_lineage"))
+    assert(r.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("n_name", "default.nation.n_name")))
+    assert(r.colLines.head.conditionSet == Set("WHERE:(nation.n_regionkey = 2)"))
+  }
+
+  test("toDataset exposes lineage as queryable rows") {
+    graft.Tables.registerAll(spark, sfDir)
+    val rs = LineageParser.parse(spark,
+      "SELECT n_name FROM nation; SELECT r_name FROM region")
+    val df = LineageParser.toDataset(spark, rs)
+    assert(df.count() == 2)
+    assert(df.filter("stmt = 2").select("from_name").head.getString(0) ==
+      "default.region.r_name")
+  }
+
   test("CTAS records sink and select lineage") {
     graft.Tables.registerAll(spark, sfDir)
     val r = LineageParser.parseStatement(

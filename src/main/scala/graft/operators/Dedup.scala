@@ -81,14 +81,14 @@ object Dedup {
   def shingleBaseHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashPrime
 
-  /** MinHash signature over precomputed base hashes: element i is min
-    * over shingles of the affine permutation h_i(x) = ((2i+1)·x +
-    * 101i+17) mod p. Odd multipliers mod a prime are bijections, so this
-    * is a proper MinHash family. Keep `bases` a materialized column
-    * (separate projection), NOT an inline expression — inlined it would
-    * be duplicated into all k lambda bodies, recomputing every md5 k
-    * times (CollapseProject only protects non-cheap expressions across
-    * projection boundaries). */
+  /** MinHash signature over base hashes: element i is min over shingles
+    * of the affine permutation h_i(x) = ((2i+1)·x + 101i+17) mod p. Odd
+    * multipliers mod a prime are bijections, so this is a proper MinHash
+    * family. CAUTION: as a single nested expression the inner `bases`
+    * lambda re-evaluates once per permutation at runtime (k× the md5
+    * cost — measured; DESIGN.md §5). [[minHashLshWith]] therefore
+    * computes signatures via explode + k min-aggregates instead; this
+    * expression form exists for small-k ad-hoc use. */
   def minHashSignatureFromBases(bases: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),

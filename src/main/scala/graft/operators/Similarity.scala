@@ -43,16 +43,15 @@ object Similarity {
   /** Corpus with quantized vectors + squared norms (vec_id, v, vn).
     * Consumers join this — the join boundary keeps the projection
     * per-row. */
-  private def quantized(corpus: DataFrame, idCol: String, vecCol: String,
-                        dim: Int): DataFrame =
+  private def quantized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
       .withColumn("vn", qdot(col("v"), col("v")))
 
   /** Exact top-k neighbors for each query id (self-match excluded).
     * Returns (query_id, rank, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
-                     vecCol: String, k: Int, dim: Int = 64): DataFrame = {
-    val vecs = quantized(corpus, idCol, vecCol, dim)
+                     vecCol: String, k: Int): DataFrame = {
+    val vecs = quantized(corpus, idCol, vecCol)
     val q = vecs.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy("query_id")
@@ -71,9 +70,8 @@ object Similarity {
     * cosine) — approximate: neighbors outside probed clusters are missed
     * by design. */
   def ivfTopK(corpus: DataFrame, centroidFilter: Column, queryIds: Seq[Long],
-              idCol: String, vecCol: String, k: Int, nprobe: Int,
-              dim: Int = 64): DataFrame = {
-    val vecs = quantized(corpus, idCol, vecCol, dim)
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val vecs = quantized(corpus, idCol, vecCol)
     val cents = vecs.filter(centroidFilter)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("vn").as("cn"))
 

@@ -85,6 +85,10 @@ class LineageSpec extends SparkTestBase {
     val alter = LineageParser.parseStatement(
       spark, "ALTER TABLE some_t RENAME TO other_t", 1)
     assert(alter.operation == Operation.Alter)
+    val load = LineageParser.parseStatement(
+      spark, "LOAD DATA INPATH '/tmp/x' INTO TABLE some_t", 1)
+    assert(load.operation == Operation.Load)
+    assert(load.outputTables == Set("default.some_t\tLOAD"))
   }
 
   test("multi-insert fans edges out to every sink") {

@@ -29,8 +29,17 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
   /** Register every fixture table as a temp view so `spark.sql` queries
-    * (and lineage extraction over the analyzed plan) can resolve them. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    * (and lineage extraction over the analyzed plan) can resolve them.
+    * Memoized on the last-registered dir per session (several queries
+    * call this and each registration re-reads 10 parquet footers);
+    * switching dirs re-registers so views never point at stale data. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val prev = lastRegistered.put(System.identityHashCode(spark), dir)
+    if (prev != dir)
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

@@ -17,7 +17,9 @@ package graft.lineage
   *    or simple column name (`LineParser.java:427-428`).
   *  - `fromName`   source column(s), each `db.table.col`, sorted and
   *    `,`-joined when one expression reads several columns
-  *    (`LineParser.java:709-723`). Empty for literal-only items
+  *    (`LineParser.java:709-723`); branch sources merged across UNION
+  *    are `&`-joined (`LineParser.java:540-542`,
+  *    `common/Constants.java:6`). Empty for literal-only items
   *    (`LineParser.java:508-525` filters literals).
   *  - `conditionSet` tagged condition strings under which data flows:
   *    `WHERE:<expr>` (`LineParser.java:433`), `<JOINTYPE>:<expr>`

@@ -36,6 +36,7 @@ object LineageParser {
   private val Eof = "<EOF>" // reference common/Constants.java:7
   private val SepCol = ","  // reference common/Constants.java:5
   private val SepDot = "."  // reference common/Constants.java:4
+  private val SepAnd = "&"  // reference common/Constants.java:6
 
   /** Split on `;` not preceded by a backslash — the reference's statement
     * splitter verbatim semantics (`LineParser.java:83-85`). */
@@ -271,16 +272,21 @@ object LineageParser {
       }
 
     // Positional union fold — reference `LineParser.java:203-232` with the
-    // *intended* semantics: output position i sources = union of every
-    // branch's position-i sources (SURVEY.md §2.6).
+    // *intended* semantics: output position i merges every branch's
+    // position-i sources. Branch source strings are `&`-joined (the
+    // reference's union-merge encoding, `getSubQueryTable`
+    // `LineParser.java:540-542`, `common/Constants.java:6`), while `,`
+    // stays reserved for multiple columns within one expression.
     case u: Union =>
       val states = u.children.map(build(_, ctes, db))
       val merged = states.reduce(_ merge _)
       val m = u.output.zipWithIndex.map { case (a, i) =>
-        val srcs = u.children.zip(states).flatMap { case (c, s) =>
+        val branchStrs = u.children.zip(states).map { case (c, s) =>
           s.src.getOrElse(c.output(i).exprId, Set.empty)
-        }.toSet
-        a.exprId -> srcs
+            .toSeq.sorted.mkString(SepCol)
+        }.filter(_.nonEmpty).distinct
+        val unit = branchStrs.mkString(SepAnd)
+        a.exprId -> (if (unit.isEmpty) Set.empty[String] else Set(unit))
       }
       merged.copy(src = merged.src ++ m)
 

@@ -101,7 +101,7 @@ object LineageQueries {
     (9, '<EOF>', '', 'r_name', 'default.region.r_name', ''),
     (9, '<EOF>', '', 'r_regionkey', 'default.region.r_regionkey', ''),
     (10, '<EOF>', '', 'k', 'default.nation.n_nationkey', 'JOIN:(nation.n_regionkey = region.r_regionkey)|WHERE:(x.k > 3)'),
-    (11, '<EOF>', '', 'id', 'default.customer.c_custkey,default.supplier.s_suppkey', ''),
+    (11, '<EOF>', '', 'id', 'default.customer.c_custkey&default.supplier.s_suppkey', ''),
     (12, '<EOF>', '', 'n_name', 'default.nation.n_name', ''),
     (12, '<EOF>', '', 'num', '', 'COLFUN:123'),
     (12, '<EOF>', '', 'str', '', 'COLFUN:''x'''),

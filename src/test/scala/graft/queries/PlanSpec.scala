@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-quality regression tests (builder brief: iterate on
+  * `.explain` until the plan is the one you'd want). These pin the
+  * properties that make the queries scale — filter pushdown, column
+  * pruning, broadcast join selection, top-k without full sort — so a
+  * refactor that silently loses one fails here, not in a benchmark.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sfDir)
+    val qe: QueryExecution = df.queryExecution
+    // FormattedMode prints scan details (PushedFilters/ReadSchema)
+    // without the treeString line truncation.
+    qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01 pushes filters into the parquet scan and prunes columns") {
+    val p = planOf("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("l_quantity:double,l_returnflag:string,l_shipdate:timestamp"))
+    // untouched wide columns must not be read
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q03 broadcasts both dimension sides and uses top-k without full sort") {
+    val p = planOf("q03_join_inner_topn")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q07 semi join is a broadcast hash join") {
+    val p = planOf("q07_join_semi")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q18 top-k avoids a global sort") {
+    val p = planOf("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q30 exact dedup shuffles the digest, not the document body") {
+    val p = planOf("q30_dedup_exact")
+    // partial aggregation before the exchange; text column pruned after
+    // the digest projection
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+  }
+
+  test("q36 IVF assignment combines partially map-side") {
+    val p = planOf("q36_ann_ivf_topk")
+    assert(p.contains("partial_max_by"))
+  }
+
+  test("q42 window aggregation is partially aggregated map-side") {
+    val p = planOf("q42_event_windows")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.lineage
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -221,8 +221,25 @@ object LineageParser {
 
   /** One bottom-up fold replaces the reference's three-phase visitor and
     * all of its scope stacks (`LineParser.java:240-458`). `ctes` carries
-    * CTE-definition lineage for `CTERelationRef` resolution. */
-  private def build(plan: LogicalPlan, ctes: Map[Long, (State, Seq[Attribute])], db: String): State = plan match {
+    * CTE-definition lineage for `CTERelationRef` resolution.
+    *
+    * Subquery expressions (scalar / IN / EXISTS) hang off node
+    * *expressions*, not children; their plans are traversed too so the
+    * tables they read land in `inputTables` (the reference's DFS visits
+    * them as ordinary TOK_TABREFs, `LineParser.java:347-367`). Their
+    * column sources stay out of the edge map — like the reference, a
+    * predicate subquery contributes a condition, not lineage edges. */
+  private def build(plan: LogicalPlan, ctes: Map[Long, (State, Seq[Attribute])], db: String): State = {
+    val st = buildNode(plan, ctes, db)
+    val subPlans = plan.expressions.flatMap(_.collect {
+      case s: SubqueryExpression => s.plan
+    })
+    subPlans.foldLeft(st) { (acc, p) =>
+      acc.copy(inputs = acc.inputs ++ build(p, ctes, db).inputs)
+    }
+  }
+
+  private def buildNode(plan: LogicalPlan, ctes: Map[Long, (State, Seq[Attribute])], db: String): State = plan match {
 
     case s: SubqueryAlias =>
       val st = build(s.child, ctes, db)
@@ -263,12 +280,12 @@ object LineageParser {
 
     case f: Filter =>
       val st = build(f.child, ctes, db)
-      st.copy(conds = st.conds + s"WHERE:${f.condition.sql}")
+      st.copy(conds = st.conds + s"WHERE:${condSql(f.condition, ctes, db)}")
 
     case j: Join =>
       val merged = build(j.left, ctes, db).merge(build(j.right, ctes, db))
       j.condition.fold(merged) { c =>
-        merged.copy(conds = merged.conds + s"${joinTag(j.joinType)}:${c.sql}")
+        merged.copy(conds = merged.conds + s"${joinTag(j.joinType)}:${condSql(c, ctes, db)}")
       }
 
     // Positional union fold — reference `LineParser.java:203-232` with the
@@ -310,6 +327,22 @@ object LineageParser {
 
   private def withNamed(st: State, named: Seq[NamedExpression]): State =
     st.copy(src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st)))
+
+  /** Condition text. `Expression.sql` renders subquery expressions as
+    * opaque `listquery()`/`scalarsubquery()`/`exists()` markers; those
+    * are rewritten to `subquery(<input tables>)` so the condition string
+    * names what the subquery reads (the reference prints the raw
+    * subquery text, which Catalyst does not retain). */
+  private def condSql(cond: Expression,
+                      ctes: Map[Long, (State, Seq[Attribute])],
+                      db: String): String = {
+    val subs = cond.collect { case s: SubqueryExpression => s }
+    subs.foldLeft(cond.sql) { (sql, s) =>
+      val tables = build(s.plan, ctes, db).inputs.toSeq.sorted.mkString(SepAnd)
+      sql.replaceFirst("(listquery|scalarsubquery|exists)\\(\\)",
+        java.util.regex.Matcher.quoteReplacement(s"subquery($tables)"))
+    }
+  }
 
   /** All argument references contribute (intent of reference E9/E10;
     * the first-arg-only rule at `LineParser.java:669-687` is a defect).

@@ -58,7 +58,10 @@ object LineageQueries {
     // 21 S4: INSERT OVERWRITE sink
     "INSERT OVERWRITE TABLE lineage_target SELECT n_nationkey, n_name FROM nation",
     // 22 E2/E8: IS NULL + LIKE in WHERE
-    "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NULL OR o_orderpriority LIKE '1%'"
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NULL OR o_orderpriority LIKE '1%'",
+    // 23 predicate subquery (§2.7 note): subquery tables join inputTables,
+    // the IN-subquery itself is part of the WHERE condition string
+    "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
   )
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -120,7 +123,8 @@ object LineageQueries {
     (20, '<EOF>', '', 'k2', 'default.orders.o_orderkey', 'COLFUN:(orders.o_orderkey & CAST(255 AS BIGINT))'),
     (21, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', ''),
     (21, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', ''),
-    (22, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE ''1%'')')
+    (22, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE ''1%'')'),
+    (23, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:(orders.o_custkey IN (subquery(default.customer)))')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

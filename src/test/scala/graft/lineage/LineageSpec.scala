@@ -44,7 +44,8 @@ class LineageSpec extends SparkTestBase {
     (20, "<EOF>", "", "k2", "default.orders.o_orderkey", "COLFUN:(orders.o_orderkey & CAST(255 AS BIGINT))"),
     (21, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", ""),
     (21, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", ""),
-    (22, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE '1%')")
+    (22, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE '1%')"),
+    (23, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:(orders.o_custkey IN (subquery(default.customer)))")
   )
 
   test("corpus lineage matches golden edges") {
@@ -89,6 +90,14 @@ class LineageSpec extends SparkTestBase {
       spark, "LOAD DATA INPATH '/tmp/x' INTO TABLE some_t", 1)
     assert(load.operation == Operation.Load)
     assert(load.outputTables == Set("default.some_t\tLOAD"))
+  }
+
+  test("predicate subqueries contribute their tables to inputTables") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = LineageParser.parseStatement(spark,
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')", 1)
+    assert(r.inputTables == Set("default.orders", "default.customer"))
   }
 
   test("multi-insert fans edges out to every sink") {

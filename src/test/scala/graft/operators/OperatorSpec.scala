@@ -46,6 +46,20 @@ class OperatorSpec extends SparkTestBase {
     assert(fps(0) != fps(2))
   }
 
+  test("simhash band keys: identical docs share all bands, banding partitions the fingerprint") {
+    import spark.implicits._
+    val df = Seq(("m n o p q r"), ("m n o p q r"), ("zz yy xx ww")).toDF("text")
+    val bands = df.select(Dedup.simHashBandKeys(
+      Dedup.simHash32(col("text")), bits = 32, bands = 4).as("b")).collect()
+      .map(_.getSeq[String](0))
+    assert(bands.forall(_.length == 4))
+    assert(bands(0) == bands(1))            // identical docs: all bands equal
+    assert(bands(0).toSet.intersect(bands(2).toSet).isEmpty ||
+      bands(0) != bands(2))                 // different docs differ somewhere
+    // band keys carry their index prefix so bands never cross-collide
+    bands(0).zipWithIndex.foreach { case (k, i) => assert(k.startsWith(s"$i:")) }
+  }
+
   test("quantized cosine is 1 for a vector with itself") {
     val r = embs.limit(5)
       .select(Dedup.qcosine(Dedup.quantize(col("embedding")),

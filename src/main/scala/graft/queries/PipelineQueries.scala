@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,15 @@ object PipelineQueries {
       Events.saltedSum(t(s, dir, "events"), "user_id",
         col("value").cast("decimal(18,3)"), 8)
         .orderBy("user_id")
+    }),
+
+    // Capstone: end-to-end curation (exact dedup → LSH near-dup removal
+    // → quality gate → stats) as one composed pipeline.
+    "q46_curation_pipeline" -> ((s, dir) => {
+      Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+        k = 24, bands = 4, rows = 6, nearDupThreshold = 0.8,
+        minQuality = 0.5)
+        .orderBy("doc_id")
     })
   )
 
@@ -366,6 +375,43 @@ object PipelineQueries {
                 count(*) AS n_events
          FROM events
          GROUP BY user_id
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "q46_curation_pipeline" ->
+      s"""WITH kept AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         base AS (
+           SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+         docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+         sigs AS (
+           SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         losers AS (
+           SELECT DISTINCT b AS doc_id FROM (
+             SELECT c.a, c.b,
+                    len(list_intersect(da.sh, db.sh))::DOUBLE /
+                    len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+             FROM cand c
+             JOIN docs da ON c.a = da.doc_id
+             JOIN docs db ON c.b = db.doc_id)
+           WHERE jaccard >= 0.8),
+         surv AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM base
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         scored AS (
+           SELECT doc_id,
+                  len(w)::BIGINT AS n_tokens,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2 AS quality
+           FROM surv)
+         SELECT doc_id, n_tokens, quality FROM scored
+         WHERE quality >= 0.5
+         ORDER BY doc_id"""
   )
 }

@@ -110,6 +110,24 @@ class OperatorSpec extends SparkTestBase {
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
 
+  test("curation pipeline drops near-dup losers and low-quality docs") {
+    val out = Curation.curate(docs, "doc_id", "text",
+      k = 24, bands = 4, rows = 6, nearDupThreshold = 0.8, minQuality = 0.0)
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(all))
+    // no verified near-dup pair survives intact
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8).collect()
+    pairs.foreach { r =>
+      assert(!(survivors.contains(r.getLong(0)) && survivors.contains(r.getLong(1))))
+    }
+    // a stricter quality gate only shrinks the output
+    val strict = Curation.curate(docs, "doc_id", "text",
+      k = 24, bands = 4, rows = 6, nearDupThreshold = 0.8, minQuality = 0.8)
+    assert(strict.count() <= out.count())
+  }
+
   test("fingerprint digests are stable and distinct for distinct texts") {
     val r = TextAnalysis.fingerprint(docs, "doc_id", "text")
     assert(r.select("digest").distinct().count() == docs.count())

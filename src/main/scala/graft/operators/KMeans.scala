@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over quantized embedding vectors — the
+  * trained-centroid companion to [[Similarity.ivfTopK]] (which accepts
+  * any centroid set; fixed-id picks are the zero-cost default, these
+  * are the quality path).
+  *
+  * Spark shape per iteration (the classic scalable k-means loop):
+  *  1. broadcast current centroids, assign each vector by max_by over
+  *     negated squared distance — narrow scan + partial-combine
+  *     aggregate, no corpus shuffle;
+  *  2. recompute means by posexploding assigned vectors and averaging
+  *     per (cluster, dimension) — one shuffle of (cluster, pos, value)
+  *     triples with map-side partial sums.
+  *
+  * Determinism: init = the k smallest vec_ids; quantized integer
+  * arithmetic throughout; means floor to longs (sums stay below 2^53 so
+  * the double division is exact); ties in assignment break to the
+  * lowest cluster id. Same input → bit-identical centroids.
+  */
+object KMeans {
+
+  import Dedup.{qdot, quantize}
+
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Run `iters` Lloyd iterations; returns (cluster, centroid) with
+    * `centroid: array<bigint>` in quantized space. */
+  def lloyd(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+
+    // deterministic init: the k smallest ids
+    var centroids: Seq[(Long, Seq[Long])] = vecs.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+
+    (1 to iters).foreach { _ =>
+      val centDf = centroids.toDF("cluster", "cv")
+
+      val assigned = vecs.join(broadcast(centDf))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          sqDist(col("v"), col("cv")).as("d2"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"))
+        .join(vecs, "vec_id")
+
+      // new centroid = per-dimension floor(mean) over exact long sums
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum("x") / count(lit(1))).as("mean"))
+        .select(col("cluster"), col("pos"), floor(col("mean")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      // clusters that lost every vector keep their previous centroid
+      val updated = means.toMap
+      centroids = centroids.map { case (c, v) => (c, updated.getOrElse(c, v)) }
+    }
+
+    centroids.sortBy(_._1).toDF("cluster", "centroid")
+  }
+
+  /** Within-cluster sum of squared distances for a centroid set —
+    * the objective Lloyd minimizes; used to test convergence. */
+  def wcss(corpus: DataFrame, idCol: String, vecCol: String,
+           centroids: DataFrame): Double = {
+    val vecs = corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+    vecs.join(broadcast(centroids))
+      .select(col("vec_id"), sqDist(col("v"), col("centroid")).as("d2"))
+      .groupBy("vec_id").agg(min("d2").as("d2"))
+      .agg(sum("d2")).head.getLong(0).toDouble
+  }
+}

@@ -140,6 +140,22 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // Exact distributed median per group — rank-based, so it is
+    // engine-portable where approx_percentile/quantile_cont are not.
+    "q47_exact_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wn = Window.partitionBy("event_type")
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wn).as("n"))
+        .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+        .groupBy("event_type")
+        .agg(avg("value").as("median_value"), max("n").as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Capstone: end-to-end curation (exact dedup → LSH near-dup removal
     // → quality gate → stats) as one composed pipeline.
     "q46_curation_pipeline" -> ((s, dir) => {
@@ -376,6 +392,30 @@ object PipelineQueries {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+    "q47_exact_median" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, avg(value) AS median_value, max(n) AS n_events
+         FROM r
+         WHERE rn = (n+1)//2 OR rn = (n+2)//2
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "q47_exact_median" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, avg(value) AS median_value, max(n) AS n_events
+         FROM r
+         WHERE rn = (n+1)//2 OR rn = (n+2)//2
+         GROUP BY event_type
+         ORDER BY event_type""",
+
     "q46_curation_pipeline" ->
       s"""WITH kept AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -40,13 +40,9 @@ object Curation {
       .select(col("doc_b").as(idCol)).distinct()
     val deduped = exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
 
-    // quality gate + stats on the survivors only
-    val quality = TextAnalysis.qualityScore(deduped, idCol, textCol)
-    val stats = TextAnalysis.stats(deduped, idCol, textCol)
-      .select(col(idCol), col("n_tokens"))
-    deduped.select(col(idCol))
-      .join(quality, idCol)
-      .join(stats, idCol)
+    // quality gate + stats on the survivors, in one projection (separate
+    // quality/stats joins would re-execute the deduped subtree twice)
+    TextAnalysis.qualityWithTokenCount(deduped, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol), col("n_tokens"), col("quality"))
   }

@@ -59,6 +59,22 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Token count + quality score in one projection — for pipelines that
+    * need both ([[Curation]]): one pass over the token array instead of
+    * two joined subtrees re-reading the input. */
+  def qualityWithTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stop = Seq("the", "a", "of", "and", "in", "is")
+    val stopR = size(filter(t, w => w.isin(stop: _*))).cast("double") / nTok
+    val lenF = least(nTok / lit(64.0), lit(1.0))
+    df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      (lenF * lit(0.4) + ttr * lit(0.4) + least(stopR * lit(4.0), lit(1.0)) * lit(0.2))
+        .as("quality"))
+  }
+
   /** Heuristic language ID: argmax of marker-word hits per language;
     * 'und' (undetermined) when no list scores ≥ 1 hit. Ties break in
     * [[langMarkers]] declaration order. */

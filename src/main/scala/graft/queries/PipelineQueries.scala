@@ -140,6 +140,17 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // PIVOT: per-user event-type counts as columns (explicit value
+    // list keeps the output schema deterministic).
+    "q48_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // Exact distributed median per group — rank-based, so it is
     // engine-portable where approx_percentile/quantile_cont are not.
     "q47_exact_median" -> ((s, dir) => {
@@ -392,6 +403,17 @@ object PipelineQueries {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+    "q48_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
+
     "q47_exact_median" ->
       """WITH r AS (
            SELECT event_type, value,
@@ -403,6 +425,17 @@ object PipelineQueries {
          WHERE rn = (n+1)//2 OR rn = (n+2)//2
          GROUP BY event_type
          ORDER BY event_type""",
+
+    "q48_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
 
     "q47_exact_median" ->
       """WITH r AS (

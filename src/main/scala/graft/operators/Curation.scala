@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the
@@ -45,5 +45,44 @@ object Curation {
     TextAnalysis.qualityWithTokenCount(deduped, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol), col("n_tokens"), col("quality"))
+  }
+
+  /** Benchmark decontamination: the fraction of each document's word
+    * 2-gram shingles that appear anywhere in the benchmark set
+    * (`benchmarkFilter` rows). Shape: benchmark shingles collapse to a
+    * distinct set (small — broadcast at scale), then one semi-join-style
+    * aggregation per (doc, shingle) pair with map-side partial counts.
+    * Returns (id, n_shingles, n_contaminated, contamination). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmarkFilter: Column): DataFrame = {
+    val shingled = docs.select(col(idCol).as("id"), benchmarkFilter.as("is_bench"),
+      Dedup.wordShingles(col(textCol), 2).as("sh"))
+    val benchShingles = shingled.filter(col("is_bench"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val exploded = shingled.filter(!col("is_bench"))
+      .select(col("id"), explode(col("sh")).as("s"))
+    exploded
+      .join(benchShingles.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
+  /** Corpus vocabulary: the `topK` most frequent tokens with their
+    * counts and frequency rank (count desc, token asc). The classic
+    * pre-tokenizer frequency pass — one hash-shuffle on the token. */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= topK)
   }
 }

@@ -140,6 +140,19 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // Benchmark decontamination: per-doc overlap with a held-out set.
+    "q49_contamination" -> ((s, dir) => {
+      Curation.contamination(t(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 50 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary frequency table (top-k tokens by count).
+    "q50_vocabulary" -> ((s, dir) => {
+      Curation.vocabulary(t(s, dir, "documents"), "text", topK = 1000)
+        .orderBy("rank")
+    }),
+
     // PIVOT: per-user event-type counts as columns (explicit value
     // list keeps the output schema deterministic).
     "q48_pivot" -> ((s, dir) => {
@@ -403,6 +416,32 @@ object PipelineQueries {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+    "q49_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+         ex AS (
+           SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench)
+         SELECT ex.doc_id,
+                count(*)::BIGINT AS n_shingles,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
+         FROM ex LEFT JOIN bench b ON ex.s = b.s
+         GROUP BY ex.doc_id
+         ORDER BY ex.doc_id""",
+
+    "q50_vocabulary" ->
+      """SELECT token, n, rank FROM (
+           SELECT token, n,
+                  row_number() OVER (ORDER BY n DESC, token) AS rank
+           FROM (SELECT token, count(*) AS n
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                 GROUP BY token))
+         WHERE rank <= 1000
+         ORDER BY rank""",
+
     "q48_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -425,6 +464,32 @@ object PipelineQueries {
          WHERE rn = (n+1)//2 OR rn = (n+2)//2
          GROUP BY event_type
          ORDER BY event_type""",
+
+    "q49_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+         ex AS (
+           SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench)
+         SELECT ex.doc_id,
+                count(*)::BIGINT AS n_shingles,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
+         FROM ex LEFT JOIN bench b ON ex.s = b.s
+         GROUP BY ex.doc_id
+         ORDER BY ex.doc_id""",
+
+    "q50_vocabulary" ->
+      """SELECT token, n, rank FROM (
+           SELECT token, n,
+                  row_number() OVER (ORDER BY n DESC, token) AS rank
+           FROM (SELECT token, count(*) AS n
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                 GROUP BY token))
+         WHERE rank <= 1000
+         ORDER BY rank""",
 
     "q48_pivot" ->
       """SELECT user_id,

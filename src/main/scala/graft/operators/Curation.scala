@@ -73,16 +73,30 @@ object Curation {
 
   /** Corpus vocabulary: the `topK` most frequent tokens with their
     * counts and frequency rank (count desc, token asc). The classic
-    * pre-tokenizer frequency pass — one hash-shuffle on the token. */
+    * pre-tokenizer frequency pass — one hash-shuffle on the token.
+    *
+    * The global top-k is `orderBy().limit(topK)`, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps a topK heap and only
+    * topK rows reach the driver-side merge — no single-partition global
+    * sort of the whole vocabulary (a `row_number().over(Window.orderBy)`
+    * would move EVERY distinct token to one task). Ranking then touches
+    * only the ≤topK survivors: they are collected into one sorted array
+    * and position-exploded, so the plan carries no unpartitioned window
+    * at all. */
   def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val top = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
-      .filter(col("rank") <= topK)
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+    // (count desc, token asc) ≡ ascending struct order on (-n, token);
+    // the aggregate sees at most topK rows.
+    top
+      .agg(array_sort(collect_list(struct((-col("n")).as("negn"),
+        col("token")))).as("ts"))
+      .select(posexplode(col("ts")).as(Seq("pos", "s")))
+      .select(col("s.token").as("token"), (-col("s.negn")).as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -225,9 +225,69 @@ object Dedup {
   def qcosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     qdot(a, b).cast("double") / sqrt((na * nb).cast("double"))
 
+  /** Deterministic hyperplane weights for sign-LSH: weight (j, i) =
+    * (first 15 md5 hex digits of "j,i") mod 2001 − 1000 — a pseudo-random
+    * integer in [−1000, 1000], reproducible in any engine with md5
+    * (DuckDB: ('0x' || substr(md5(j || ',' || i), 1, 15))::BIGINT).
+    * Computed once driver-side and embedded as literals, so executors
+    * never hash per (row, plane, dim). */
+  def hyperplaneWeights(nPlanes: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"$j,$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+  }
+
+  /** Sign bits of a quantized vector against literal hyperplanes, as a
+    * '0'/'1' string (bit j = sign of q · w_j). One lambda dot product
+    * per plane — ~nPlanes·dim integer multiplies per row, no shuffle. */
+  def hyperplaneBits(q: Column, weights: Seq[Seq[Long]]): Column =
+    concat_ws("", weights.map { w =>
+      val wl = array(w.map(lit): _*)
+      when(aggregate(zip_with(q, wl, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** Cosine near-duplicate pairs blocked by hyperplane sign-LSH — the
+    * scale path for embedding near-dup. Same banded-self-join shape as
+    * [[minHashLshWith]]: vectors colliding on ≥1 band of `nPlanes /
+    * bands` sign bits (within the same `blockCols` values) become
+    * candidates; candidates are exact-verified by quantized cosine.
+    * Approximate by design — a pair collides on a band with probability
+    * (1 − θ/π)^rows — but deterministic for a given weight seed, and the
+    * pair space is bounded by bucket sizes instead of O(group²). */
+  def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
+                         blockCols: Seq[String], dim: Int, nPlanes: Int,
+                         bands: Int, threshold: Double): DataFrame = {
+    val weights = hyperplaneWeights(nPlanes, dim)
+    val vecs = df.select(col(idCol).as("id") +: blockCols.map(col) :+
+        quantize(col(vecCol)).as("q"): _*)
+      .withColumn("nrm", qdot(col("q"), col("q")))
+    val banded = vecs
+      .select(col("id") +: blockCols.map(col) :+
+        explode(simHashBandKeys(hyperplaneBits(col("q"), weights),
+          nPlanes, bands)).as("band"): _*)
+    val joinCond = (blockCols.map(c => col(s"x.$c") === col(s"y.$c")) :+
+      (col("x.band") === col("y.band")) :+ (col("x.id") < col("y.id")))
+      .reduce(_ && _)
+    val cand = banded.as("x").join(banded.as("y"), joinCond)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("q").as("qa"), col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("q").as("qb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        qcosineWithNorms(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Brute-force cosine near-duplicate pairs (id_a < id_b, cos ≥
-    * threshold). The O(n²) baseline — at scale use LSH bucketing or IVF
-    * ([[Similarity]]) to bound the pair space. */
+    * threshold). The O(n²) baseline — at scale use [[embeddingCosineLsh]]
+    * or IVF ([[Similarity]]) to bound the pair space. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))

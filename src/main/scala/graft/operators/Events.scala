@@ -26,7 +26,13 @@ object Events {
 
   /** Gap-based sessionization: a session breaks after `gapMinutes` of
     * user inactivity. Two window passes over the same (user_id, ts)
-    * partitioning — Spark reuses the exchange, so it is one shuffle. */
+    * partitioning — Spark reuses the exchange, so it is one shuffle.
+    *
+    * Session bounds are emitted as epoch-MICROSECOND bigints, never raw
+    * timestamps: the source parquet is TIMESTAMP(NANOS), and an engine
+    * that reads nanos natively would disagree with one that truncates at
+    * load in the sub-µs digits. unix_micros (Spark) ≡ epoch_us (DuckDB)
+    * pins both sides to the same integer. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = gapMinutes * 60L * 1000000L
@@ -38,8 +44,8 @@ object Events {
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        min("ts").as("session_start"),
-        max("ts").as("session_end"),
+        min(expr("unix_micros(ts)")).as("session_start_us"),
+        max(expr("unix_micros(ts)")).as("session_end_us"),
         sum(col("value").cast("decimal(18,3)")).cast("double").as("session_value"))
   }
 

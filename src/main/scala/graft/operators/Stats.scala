@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order statistics (pipeline extension; builder brief).
+  *
+  * The naive exact median — `row_number().over(Window.partitionBy(grp)
+  * .orderBy(value))` — sorts each group inside ONE task, so a low-
+  * cardinality grouping column (5 event types over 100 TB) produces five
+  * straggler tasks that each sort n/5 rows. [[exactMedian]] replaces the
+  * per-group sort with two-phase rank selection: histogram buckets first
+  * (a decomposable count aggregate), then a real sort over only the one
+  * bucket per group that straddles the median rank (~n/buckets rows).
+  * Every wide stage is a hash aggregate with map-side partial combine;
+  * the only windows run over ≤`buckets` rows (cumulative counts) or one
+  * bucket's rows (final rank) per group.
+  */
+object Stats {
+
+  /** Exact per-group median (avg of the two middle elements for even
+    * counts — the same convention as SQL's
+    * `rn = (n+1)//2 OR rn = (n+2)//2` rank pick).
+    *
+    * Phase 1: per-group (min, max, count) → the two target ranks.
+    * Phase 2: fixed-width histogram over [min, max] — bucket assignment
+    * is monotone in the value, so global rank = rows in lower buckets +
+    * rank within the bucket. Cumulative bucket counts locate the
+    * bucket(s) holding the target ranks; only those buckets' rows are
+    * sorted (ties share a value, so any tie order yields the same
+    * selected values).
+    *
+    * Output: (groupCol, median_value, n_events). Group cardinality is
+    * assumed small enough to broadcast one row per group — exactly the
+    * regime where the single-window plan breaks. */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: String,
+                  buckets: Int = 1024): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("x"))
+
+    // Phase 1: one row per group — bounds, count, and the target ranks.
+    val bounds = base.groupBy("grp")
+      .agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+      .select(col("grp"), col("lo"), col("hi"), col("n"),
+        expr("(n + 1) div 2").as("r1"), expr("(n + 2) div 2").as("r2"))
+
+    // Bucket id is monotone non-decreasing in x (floor of an affine map).
+    val bucketId = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(
+        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * buckets),
+        lit(buckets - 1L)))
+      .cast("int")
+    val bucketed = base.join(broadcast(bounds), "grp")
+      .select(col("grp"), col("x"), bucketId.as("b"),
+        col("n"), col("r1"), col("r2"))
+
+    // Phase 2a: histogram + cumulative counts (window over ≤buckets rows
+    // per group); keep only the bucket(s) straddling a target rank.
+    val wCum = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val targets = bucketed
+      .groupBy("grp", "b")
+      .agg(count(lit(1)).as("c"), max("r1").as("r1"), max("r2").as("r2"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("below", col("cum") - col("c"))
+      .filter((col("r1") > col("below") && col("r1") <= col("cum")) ||
+        (col("r2") > col("below") && col("r2") <= col("cum")))
+      .select(col("grp"), col("b"), col("below"))
+
+    // Phase 2b: sort only the target buckets; global rank = below + local.
+    val wLocal = Window.partitionBy("grp", "b").orderBy("x")
+    bucketed.join(broadcast(targets), Seq("grp", "b"))
+      .withColumn("rnk", row_number().over(wLocal).cast("long") + col("below"))
+      .filter(col("rnk") === col("r1") || col("rnk") === col("r2"))
+      .groupBy("grp")
+      .agg(avg("x").as("median_value"), max("n").as("n_events"))
+      .select(col("grp").as(groupCol), col("median_value"), col("n_events"))
+  }
+}

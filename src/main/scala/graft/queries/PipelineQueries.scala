@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,19 +54,14 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding cosine near-dup pairs, blocked by label cluster. The
-    // quantized vector + norm live in a projection below the self-join
-    // (computed once per row); each pair then costs one dot product.
+    // Embedding cosine near-dup pairs, blocked by (label, hyperplane
+    // sign-LSH band) — the banded self-join bounds the pair space by
+    // bucket size instead of O(label-group²), so a hot label cannot
+    // blow up the join at scale. 16 planes × 4 bands of 4 bits.
     "q34_dedup_embedding_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), Dedup.quantize(col("embedding")).as("q"))
-        .withColumn("nrm", Dedup.qdot(col("q"), col("q")))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          Dedup.qcosineWithNorms(col("a.q"), col("b.q"), col("a.nrm"), col("b.nrm"))
-            .as("cosine"))
-        .filter(col("cosine") >= 0.3)
+      Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCols = Seq("label"), dim = 64, nPlanes = 16, bands = 4,
+        threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -164,19 +159,12 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
-    // Exact distributed median per group — rank-based, so it is
-    // engine-portable where approx_percentile/quantile_cont are not.
+    // Exact distributed median per group — two-phase rank selection
+    // (histogram buckets, then sort only the median bucket), so a
+    // low-cardinality group column never forces a whole-group sort
+    // into one task. Engine-portable where quantile_cont is not.
     "q47_exact_median" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      val wn = Window.partitionBy("event_type")
-      t(s, dir, "events")
-        .select(col("event_type"), col("value"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(wn).as("n"))
-        .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
-        .groupBy("event_type")
-        .agg(avg("value").as("median_value"), max("n").as("n_events"))
+      Stats.exactMedian(t(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")
     }),
 
@@ -267,11 +255,27 @@ object PipelineQueries {
          ${sqlLshPipeline(36, 4, 9, 0.5)}""",
 
     "q34_dedup_embedding_cosine" ->
-      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS q FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS q FROM embeddings),
+         sig AS (
+           SELECT vec_id, label,
+                  [CASE WHEN list_sum(list_transform(range(0, 64),
+                         i -> q[i+1] * (('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000))) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 16)] AS bits
+           FROM e),
+         bands AS (
+           SELECT vec_id, label,
+                  unnest([g::VARCHAR || ':' || array_to_string(bits[g*4+1:g*4+4], '') for g in range(0, 4)]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM bands x JOIN bands y
+           ON x.label = y.label AND x.band = y.band AND x.vec_id < y.vec_id)
          SELECT id_a, id_b, cosine FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  ${sqlQcos("a.q", "b.q")} AS cosine
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           SELECT c.a AS id_a, c.b AS id_b,
+                  ${sqlQcos("ea.q", "eb.q")} AS cosine
+           FROM cand c
+           JOIN e ea ON c.a = ea.vec_id
+           JOIN e eb ON c.b = eb.vec_id)
          WHERE cosine >= 0.3
          ORDER BY id_a, id_b""",
 
@@ -393,8 +397,8 @@ object PipelineQueries {
            FROM flagged)
          SELECT user_id, session_id,
                 count(*) AS n_events,
-                min(ts) AS session_start,
-                max(ts) AS session_end,
+                min(epoch_us(ts)) AS session_start_us,
+                max(epoch_us(ts)) AS session_end_us,
                 CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS session_value
          FROM numbered
          GROUP BY user_id, session_id
@@ -402,7 +406,7 @@ object PipelineQueries {
 
     "q44_json_props" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events
@@ -416,55 +420,6 @@ object PipelineQueries {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
-    "q49_contamination" ->
-      s"""WITH sh AS (
-           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         bench AS (
-           SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
-         ex AS (
-           SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench)
-         SELECT ex.doc_id,
-                count(*)::BIGINT AS n_shingles,
-                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
-                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
-         FROM ex LEFT JOIN bench b ON ex.s = b.s
-         GROUP BY ex.doc_id
-         ORDER BY ex.doc_id""",
-
-    "q50_vocabulary" ->
-      """SELECT token, n, rank FROM (
-           SELECT token, n,
-                  row_number() OVER (ORDER BY n DESC, token) AS rank
-           FROM (SELECT token, count(*) AS n
-                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-                 GROUP BY token))
-         WHERE rank <= 1000
-         ORDER BY rank""",
-
-    "q48_pivot" ->
-      """SELECT user_id,
-                count(*) FILTER (WHERE event_type = 'click') AS click,
-                count(*) FILTER (WHERE event_type = 'error') AS error,
-                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-                count(*) FILTER (WHERE event_type = 'signup') AS signup,
-                count(*) FILTER (WHERE event_type = 'view') AS view
-         FROM events
-         GROUP BY user_id
-         ORDER BY user_id""",
-
-    "q47_exact_median" ->
-      """WITH r AS (
-           SELECT event_type, value,
-                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM events)
-         SELECT event_type, avg(value) AS median_value, max(n) AS n_events
-         FROM r
-         WHERE rn = (n+1)//2 OR rn = (n+2)//2
-         GROUP BY event_type
-         ORDER BY event_type""",
-
     "q49_contamination" ->
       s"""WITH sh AS (
            SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh

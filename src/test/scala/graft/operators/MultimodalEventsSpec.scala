@@ -48,7 +48,7 @@ class MultimodalEventsSpec extends SparkTestBase {
     val total = s.agg(sum("n_events")).head.getLong(0)
     assert(total == events.count())
     // session bounds are ordered
-    assert(s.filter(col("session_end") < col("session_start")).count() == 0)
+    assert(s.filter(col("session_end_us") < col("session_start_us")).count() == 0)
     // session ids are 1..n per user
     val perUser = s.groupBy("user_id")
       .agg(count(lit(1)).as("n"), max("session_id").as("mx"))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Stats.exactMedian]] — the two-phase selection must agree exactly
+  * with the naive single-window rank pick on every input shape: odd and
+  * even group sizes, heavy ties, single-value groups, and tiny bucket
+  * counts that force multi-bucket spill of the target ranks.
+  */
+class StatsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Reference implementation: whole-group window sort (the plan shape
+    * exactMedian exists to avoid, but trivially correct). */
+  private def naive(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("g").orderBy("x")
+    val wn = Window.partitionBy("g")
+    df.select(col("g"), col("x").cast("double").as("x"))
+      .select(col("g"), col("x"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+      .groupBy("g")
+      .agg(avg("x").as("median_value"), max("n").as("n_events"))
+  }
+
+  private def check(rows: Seq[(String, Double)], buckets: Int): Unit = {
+    val df = rows.toDF("g", "x")
+    val got = Stats.exactMedian(df, "g", "x", buckets)
+    val want = naive(df)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("matches the naive median on odd/even groups and ties") {
+    // deterministic pseudo-random values, some groups even, some odd
+    val rows = (0 until 501).map { i =>
+      (s"g${i % 7}", ((i * 2654435761L) % 1000) / 10.0)
+    }
+    check(rows, buckets = 64)
+  }
+
+  test("single-value groups (hi == lo) collapse to one bucket") {
+    check(Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0)), buckets = 16)
+  }
+
+  test("tiny bucket count still selects the exact ranks") {
+    val rows = (1 to 100).map(i => ("g", i.toDouble))
+    check(rows, buckets = 2) // median straddles bucket boundaries
+  }
+
+  test("heavy ties at the median value") {
+    val rows = Seq.fill(50)(("g", 3.0)) ++ Seq.fill(25)(("g", 1.0)) ++
+      Seq.fill(25)(("g", 9.0))
+    check(rows, buckets = 8)
+  }
+
+  test("matches on the events fixture per event_type") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("g"), col("value").as("x"))
+    val got = Stats.exactMedian(events, "g", "x")
+    val want = naive(events)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+}

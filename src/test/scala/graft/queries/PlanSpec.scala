@@ -63,4 +63,32 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("q42_event_windows")
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
+
+  test("q50 vocabulary top-k is TakeOrderedAndProject with no window at all") {
+    val p = planOf("q50_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the rank comes from a bounded array posexplode, so the plan must
+    // not contain any Window node (an unpartitioned row_number would
+    // move every distinct token to a single task)
+    assert(!p.contains("Window"))
+  }
+
+  test("q47 exact median never sorts a whole group in one task") {
+    val p = planOf("q47_exact_median")
+    // histogram counts combine partially map-side
+    assert(p.contains("partial_count"))
+    // every window partition spec includes the bucket-phase keys — no
+    // window partitioned by the raw low-cardinality group alone ordered
+    // over row values
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(grp#\\d+".r.findAllIn(p).size
+    assert(all > 0 && all == bucketed)
+  }
+
+  test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
+    val p = planOf("q34_dedup_embedding_cosine")
+    assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

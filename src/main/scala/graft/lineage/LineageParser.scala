@@ -55,8 +55,17 @@ object LineageParser {
     }
   }
 
+  private val UniqueJoin = "(?i)\\bUNIQUEJOIN\\b".r
+
   /** Lineage for a single statement. */
   def parseStatement(spark: SparkSession, stmt: String, index: Int, currentDb: String = DefaultDb): LineageResult = {
+    // Hive's UNIQUEJOIN has no Spark SQL equivalent; the reference also
+    // declares it unsupported (LineParser.java:248,288). Fail with a
+    // named error instead of surfacing a generic parse failure.
+    if (UniqueJoin.findFirstIn(stmt).isDefined)
+      throw new UnsupportedOperationException(
+        s"UNIQUEJOIN is not supported (statement $index): Hive UNIQUEJOIN " +
+          "has no Spark SQL equivalent; rewrite as a FULL OUTER JOIN")
     val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
     def fill(n: String) = fillDb(n, currentDb)
 

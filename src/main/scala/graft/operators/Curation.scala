@@ -84,6 +84,13 @@ object Curation {
     * and position-exploded, so the plan carries no unpartitioned window
     * at all. */
   def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    // The topK survivors are ranked through one collect_list array in a
+    // single task — bounded memory only because topK is bounded. Guard
+    // the assumption rather than silently re-creating the single-task
+    // global sort this operator exists to avoid.
+    require(topK > 0 && topK <= 1000000,
+      s"vocabulary topK must be in [1, 1e6], got $topK — an unbounded " +
+        "top-k would funnel the whole vocabulary through one task")
     val top = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token")

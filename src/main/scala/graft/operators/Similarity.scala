@@ -76,7 +76,24 @@ object Similarity {
     val vecs = quantized(corpus, idCol, vecCol)
     val cents = vecs.filter(centroidFilter)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("vn").as("cn"))
+    ivfSearch(vecs, cents, queryIds, k, nprobe)
+  }
 
+  /** IVF top-k over TRAINED centroids — the [[KMeans.lloyd]] quality
+    * path. `centroids` is (cluster, centroid: array<bigint>) already in
+    * quantized space; anything satisfying that contract works. */
+  def ivfTopKTrained(corpus: DataFrame, centroids: DataFrame,
+                     queryIds: Seq[Long], idCol: String, vecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    val vecs = quantized(corpus, idCol, vecCol)
+    val cents = centroids.select(col("cluster").as("centroid_id"),
+      col("centroid").as("cv"), qdot(col("centroid"), col("centroid")).as("cn"))
+    ivfSearch(vecs, cents, queryIds, k, nprobe)
+  }
+
+  /** Shared IVF core over a prepared centroid set (centroid_id, cv, cn). */
+  private def ivfSearch(vecs: DataFrame, cents: DataFrame, queryIds: Seq[Long],
+                        k: Int, nprobe: Int): DataFrame = {
     // Assignment: argmax cosine over broadcast centroids via max_by —
     // partial map-side combine over three narrow columns. Ties break to
     // the lowest centroid_id (struct ordering). Array columns stay out

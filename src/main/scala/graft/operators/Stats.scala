@@ -36,8 +36,16 @@ object Stats {
     * regime where the single-window plan breaks. */
   def exactMedian(df: DataFrame, groupCol: String, valueCol: String,
                   buckets: Int = 1024): DataFrame = {
+    // Median of the FINITE values only: null/NaN/±Inf rows are dropped
+    // up front. A NaN max would make the affine bucket map NaN for the
+    // whole group (corrupting every bucket id), and an infinite bound
+    // degenerates its width — so non-finite inputs get aggregate-null
+    // treatment (excluded), the same convention as SQL percentile
+    // functions, rather than NaN-sorts-last semantics.
     val base = df.select(col(groupCol).as("grp"),
       col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
 
     // Phase 1: one row per group — bounds, count, and the target ranks.
     val bounds = base.groupBy("grp")

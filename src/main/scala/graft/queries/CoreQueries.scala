@@ -290,6 +290,33 @@ object CoreQueries {
         element_at(col("embedding"), 64).as("e_last"),
         size(col("embedding")).cast("long").as("dim"))
         .orderBy("vec_id")
+    }),
+
+    // §2.4 CROSS JOIN executable path (joinTag already maps Cross —
+    // LineageParser; reference LineParser.java:273-289 join-type table).
+    // Both sides are dimension tables: Spark broadcasts the smaller and
+    // plans BroadcastNestedLoopJoin — no shuffle at any scale.
+    "q27_cross_join" -> ((s, dir) => {
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select(col("n_name"), col("r_name"),
+          (col("n_nationkey") * 5 + col("r_regionkey")).as("pair_id"))
+        .orderBy("pair_id")
+    }),
+
+    // S4/S5 executable sink path: CTAS into the session warehouse, then
+    // read the table back — completes SURVEY §7.2's INSERT-shaped slice
+    // on the executable side (the parse side is lineage corpus 14/21).
+    // The sink result must round-trip losslessly: the oracle checks the
+    // read-back rows against the underlying SELECT.
+    "q28_ctas_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,3)")).cast("double")
+            .as("sum_price"))
+      s.sql("DROP TABLE IF EXISTS graft_ctas_roundtrip")
+      src.write.mode("overwrite").saveAsTable("graft_ctas_roundtrip")
+      s.table("graft_ctas_roundtrip").orderBy("o_orderpriority")
     })
   )
 
@@ -497,6 +524,21 @@ object CoreQueries {
                 embedding[64] AS e_last,
                 len(embedding)::BIGINT AS dim
          FROM embeddings
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    "q27_cross_join" ->
+      """SELECT n_name, r_name,
+                n_nationkey * 5 + r_regionkey AS pair_id
+         FROM nation CROSS JOIN region
+         ORDER BY pair_id""",
+
+    // The oracle for the CTAS round-trip is the underlying SELECT: if
+    // the write or read-back corrupted anything, the hashes diverge.
+    "q28_ctas_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority"""
   )
 }

@@ -58,6 +58,15 @@ object PipelineQueries {
     // sign-LSH band) — the banded self-join bounds the pair space by
     // bucket size instead of O(label-group²), so a hot label cannot
     // blow up the join at scale. 16 planes × 4 bands of 4 bits.
+    //
+    // RECALL TRADE-OFF (deliberate): output is LSH *candidates*, not the
+    // exhaustive pair set — at threshold 0.3 (angle ≈ 72°) a 4-bit band
+    // collides with p ≈ (1-θ/π)^4 ≈ 0.13, so 4 bands recover roughly
+    // 40% of qualifying pairs. The oracle mirrors the same approximation
+    // (both engines compute identical candidates); completeness is
+    // pinned separately by EmbeddingLshSpec's subset + minimum-recall
+    // assertions. Consumers needing higher recall raise `bands` (recall
+    // 1-(1-p)^b) at proportional shuffle cost.
     "q34_dedup_embedding_cosine" -> ((s, dir) => {
       Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         blockCols = Seq("label"), dim = 64, nPlanes = 16, bands = 4,
@@ -77,6 +86,19 @@ object PipelineQueries {
       Similarity.ivfTopK(t(s, dir, "embeddings"),
         col("vec_id") % 25 === 0, Seq(0L, 1L, 2L, 3L, 4L),
         "vec_id", "embedding", k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF top-k over TRAINED centroids: 2 deterministic Lloyd
+    // iterations (k=8, init = 8 smallest vec_ids) feed ivfTopKTrained —
+    // KMeans.lloyd exercised end-to-end against the oracle's unrolled
+    // fixed-iteration CTE chain. nprobe=2 of 8 clusters.
+    "q51_ann_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.ivfTopKTrained(emb, cents, Seq(0L, 1L, 2L, 3L, 4L),
+        "vec_id", "embedding", k = 10, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -229,6 +251,32 @@ object PipelineQueries {
   private def sqlQcos(a: String, b: String) =
     s"(${sqlQdot(a, b)}::DOUBLE / sqrt((${sqlQdot(a, a)} * ${sqlQdot(b, b)})::DOUBLE))"
 
+  /** One unrolled Lloyd iteration over an `e(vec_id, v)` CTE: assign
+    * each vector to the nearest (squared-L2, ties → lowest cluster)
+    * centroid in `prev`, recompute floored per-dimension means, and keep
+    * the previous centroid for clusters that lost every vector — the
+    * exact step KMeans.lloyd runs per iteration. */
+  private def sqlLloydIter(prev: String, next: String) =
+    s"""a_$next AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN $prev c)
+           WHERE rn = 1),
+         m_$next AS (
+           SELECT cluster, i,
+                  CAST(floor(CAST(sum(v[i+1]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM a_$next, range(0, 64) t(i)
+           GROUP BY cluster, i),
+         $next AS (
+           SELECT p.cluster, coalesce(mm.cv, p.cv) AS cv
+           FROM $prev p
+           LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS cv
+                      FROM m_$next GROUP BY cluster) mm
+             ON p.cluster = mm.cluster)"""
+
   val oracleSql: Map[String, String] = Map(
 
     "q30_dedup_exact" ->
@@ -318,6 +366,42 @@ object PipelineQueries {
          SELECT query_id, rank, vec_id, cosine FROM scored
          WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // Trained-IVF: the oracle re-derives KMeans.lloyd exactly — init =
+    // the 8 smallest vec_ids, two unrolled Lloyd iterations (integer
+    // squared-L2 assignment, floored double means, empty clusters keep
+    // their centroid), then the same probe/rank pipeline as q36 against
+    // the trained centroids.
+    "q51_ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c)
+           WHERE r = 1),
+         probes AS (
+           SELECT query_id, qv, cluster FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c WHERE e.vec_id IN (0,1,2,3,4))
+           WHERE r <= 2),
+         scored AS (
+           SELECT query_id, a.vec_id,
+                  ${sqlQcos("qv", "a.v")} AS cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ${sqlQcos("qv", "a.v")} DESC, a.vec_id) AS rank
+           FROM assigned a JOIN probes p ON a.cluster = p.cluster
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, rank, vec_id, cosine FROM scored
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
     "q37_text_stats" ->
       """SELECT doc_id,
                 len(w) AS n_tokens,
@@ -382,23 +466,32 @@ object PipelineQueries {
          GROUP BY 1, 2
          ORDER BY win_start, event_type""",
 
+    // epoch_ns(ts) // 1000 — NOT epoch_us(ts): the parquet column is
+    // TIMESTAMP(NANOS). A DuckDB that reads nanos natively may ROUND when
+    // converting to micros, while Spark's loader truncates (Tables.load,
+    // ts DIV 1000); floor-dividing the raw nanos is truncation under both
+    // behaviors, so both engines see identical microsecond integers.
     "q43_sessionization" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      """WITH base AS (
+           SELECT user_id, event_id, value,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us, value,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
                        THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          numbered AS (
-           SELECT user_id, ts, value,
-                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT user_id, us, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id, session_id,
                 count(*) AS n_events,
-                min(epoch_us(ts)) AS session_start_us,
-                max(epoch_us(ts)) AS session_end_us,
+                min(us) AS session_start_us,
+                max(us) AS session_end_us,
                 CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS session_value
          FROM numbered
          GROUP BY user_id, session_id

@@ -153,4 +153,26 @@ class LineageSpec extends SparkTestBase {
     assert(r.colLines.map(c => (c.toName, c.fromName)) ==
       Seq(("n_name", "default.nation.n_name")))
   }
+
+  test("UNIQUEJOIN is declared unsupported with a named error") {
+    // Hive syntax the reference also rejects (LineParser.java:248,288);
+    // a generic parse error would hide WHAT is unsupported.
+    val e = intercept[UnsupportedOperationException] {
+      LineageParser.parseStatement(spark,
+        "SELECT a.key FROM UNIQUEJOIN PRESERVE t1 a (a.key), t2 b (b.key)", 3)
+    }
+    assert(e.getMessage.contains("UNIQUEJOIN is not supported"))
+    assert(e.getMessage.contains("statement 3"))
+    // lower-case and embedded in a larger statement still caught
+    intercept[UnsupportedOperationException] {
+      LineageParser.parseStatement(spark,
+        "select * from uniquejoin t1 a (a.k), t2 b (b.k)", 1)
+    }
+    // ...but a table merely containing the substring is NOT
+    spark.range(1).selectExpr("id AS x")
+      .createOrReplaceTempView("uniquejoins_audit")
+    val ok = LineageParser.parseStatement(
+      spark, "SELECT x FROM uniquejoins_audit", 1)
+    assert(ok.operation == Operation.Select)
+  }
 }

@@ -30,6 +30,17 @@ class EmbeddingLshSpec extends SparkTestBase {
     val brute = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.2)
       .select("id_a", "id_b", "cosine")
     assert(lsh.except(brute).count() == 0)
+    // Minimum-recall floor on the fixture: banded sign-LSH is
+    // approximate by design (a 4-bit band collides with p = (1-θ/π)^4),
+    // but a weight or banding regression must not be able to silently
+    // empty the candidate set. The measured fixture recall is well above
+    // this floor; the assertion pins the order of magnitude, not the
+    // exact value.
+    val nBrute = brute.count()
+    val nHit = lsh.intersect(brute).count()
+    assert(nBrute > 0, "fixture must contain qualifying pairs")
+    assert(nHit.toDouble / nBrute >= 0.2,
+      s"LSH recall collapsed: $nHit of $nBrute brute-force pairs found")
   }
 
   test("identical vectors collide on every band and are always found") {

@@ -56,6 +56,20 @@ class StatsSpec extends SparkTestBase {
     check(rows, buckets = 8)
   }
 
+  test("null/NaN/infinite values are excluded, not corrupting") {
+    // A NaN max would poison every bucket id of group "g" if it reached
+    // phase 1; the finite-filter must instead yield the median of the
+    // remaining finite values.
+    val rows = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
+      ("g", Double.NaN), ("g", Double.PositiveInfinity),
+      ("g", Double.NegativeInfinity))
+    val got = Stats.exactMedian(rows.toDF("g", "x"), "g", "x", 16)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Double]("median_value") == 2.0)
+    assert(got(0).getAs[Long]("n_events") == 3L)
+  }
+
   test("matches on the events fixture per event_type") {
     val events = Tables.load(spark, sfDir, "events")
       .select(col("event_type").as("g"), col("value").as("x"))

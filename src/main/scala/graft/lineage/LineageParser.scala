@@ -45,11 +45,14 @@ object LineageParser {
 
   /** Parse one or more `;`-separated statements into lineage results.
     * Statements are indexed 1..n like the reference (`LineParser.java:99`).
-    * A `USE db` statement re-qualifies later unqualified names. */
-  def parse(spark: SparkSession, sql: String): Seq[LineageResult] = {
+    * A `USE db` statement re-qualifies later unqualified names.
+    * `metadata` resolves sink schemas (S11); None = the session catalog. */
+  def parse(spark: SparkSession, sql: String,
+            metadata: Option[MetadataProvider] = None): Seq[LineageResult] = {
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
     var db = DefaultDb
     splitStatements(sql).zipWithIndex.map { case (stmt, i) =>
-      val r = parseStatement(spark, stmt, i + 1, db)
+      val r = parseStatement(spark, stmt, i + 1, db, Some(meta))
       if (r.operation == Operation.Use) db = r.outputTables.headOption.getOrElse(db)
       r
     }
@@ -58,7 +61,10 @@ object LineageParser {
   private val UniqueJoin = "(?i)\\bUNIQUEJOIN\\b".r
 
   /** Lineage for a single statement. */
-  def parseStatement(spark: SparkSession, stmt: String, index: Int, currentDb: String = DefaultDb): LineageResult = {
+  def parseStatement(spark: SparkSession, stmt: String, index: Int,
+                     currentDb: String = DefaultDb,
+                     metadata: Option[MetadataProvider] = None): LineageResult = {
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
     // Hive's UNIQUEJOIN has no Spark SQL equivalent; the reference also
     // declares it unsupported (LineParser.java:248,288). Fail with a
     // named error instead of surfacing a generic parse failure.
@@ -78,7 +84,7 @@ object LineageParser {
         val parts = u.children.map { c =>
           val i = c.asInstanceOf[InsertIntoStatement]
           val sink = fill(unresolvedName(i.table).getOrElse(Eof))
-          extract(spark, i.query, sink, Operation.Insert, index, currentDb)
+          extract(spark, i.query, sink, Operation.Insert, index, currentDb, meta)
         }
         parts.reduce { (a, b) =>
           LineageResult(index, Operation.Insert,
@@ -87,13 +93,13 @@ object LineageParser {
         }
       case i: InsertIntoStatement =>
         val sink = fill(unresolvedName(i.table).getOrElse(Eof))
-        extract(spark, i.query, sink, Operation.Insert, index, currentDb)
+        extract(spark, i.query, sink, Operation.Insert, index, currentDb, meta)
       case c: CreateTableAsSelect =>
         val sink = fill(unresolvedName(c.name).getOrElse(Eof))
-        extract(spark, c.query, sink, Operation.CreateTable, index, currentDb)
+        extract(spark, c.query, sink, Operation.CreateTable, index, currentDb, meta)
       case v: CreateView =>
         val sink = fill(unresolvedName(v).getOrElse(Eof))
-        extract(spark, v.query, sink, Operation.CreateTable, index, currentDb)
+        extract(spark, v.query, sink, Operation.CreateTable, index, currentDb, meta)
       case other =>
         other.getClass.getSimpleName match {
           case "DropTable" | "DropTableStatement" =>
@@ -115,7 +121,7 @@ object LineageParser {
           case _ =>
             // Plain query: sink is the <EOF> sentinel like the reference's
             // TOK_TMP_FILE path (LineParser.java:104-108,343-345).
-            extract(spark, other, Eof, Operation.Select, index, currentDb)
+            extract(spark, other, Eof, Operation.Select, index, currentDb, meta)
         }
     }
   }
@@ -168,7 +174,8 @@ object LineageParser {
   private object State { val empty: State = State(Map.empty, Set.empty, Set.empty) }
 
   private def extract(spark: SparkSession, query: LogicalPlan, sink: String,
-                      op: Operation, index: Int, db: String): LineageResult = {
+                      op: Operation, index: Int, db: String,
+                      meta: MetadataProvider): LineageResult = {
     val analyzed = spark.sessionState.executePlan(query).analyzed
     val st = build(analyzed, Map.empty, db)
 
@@ -177,7 +184,7 @@ object LineageParser {
     // catalog instead of JDBC metadata (SURVEY.md §3.3).
     val sinkSchema: Seq[String] =
       if (sink == Eof) Nil
-      else sinkFields(spark, sink)
+      else meta.tableColumns(sink)
 
     val named = topNamed(analyzed)
     val edges = analyzed.output.zipWithIndex.map { case (attr, i) =>
@@ -197,20 +204,6 @@ object LineageParser {
     }
     val outs = if (sink == Eof) Set.empty[String] else Set(fillDb(sink, db))
     LineageResult(index, op, st.inputs, outs, edges)
-  }
-
-  /** Sink schema lookup (reference S10's JDBC metadata fetch,
-    * `MetaDataQueryImpl.java:29-44`, via the session catalog). Temp views
-    * are not db-scoped, so a `default.`-qualified name falls back to the
-    * bare view name. */
-  private def sinkFields(spark: SparkSession, sink: String): Seq[String] = {
-    def fields(n: String) = spark.table(n).schema.map(_.name).toSeq
-    try fields(sink)
-    catch {
-      case _: Exception =>
-        val bare = sink.split('.').last
-        try fields(bare) catch { case _: Exception => Nil }
-    }
   }
 
   /** The top select list, for COLFUN detection — descends through nodes

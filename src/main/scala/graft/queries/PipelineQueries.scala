@@ -485,8 +485,12 @@ object PipelineQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          numbered AS (
            SELECT user_id, us, value,
-                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  -- CAST: DuckDB sum(INTEGER) is HUGEINT; the driver's
+                  -- typed hash needs BIGINT like Spark's sum(LONG) —
+                  -- the exact q44 failure mode (VERDICT r1 #1).
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id,
                 count(*) AS n_events,

@@ -154,6 +154,25 @@ class LineageSpec extends SparkTestBase {
       Seq(("n_name", "default.nation.n_name")))
   }
 
+  test("sink schemas come from the pluggable MetadataProvider (S11)") {
+    graft.Tables.registerAll(spark, sfDir)
+    // A provider standing in for an external catalog (the reference's
+    // JDBC metadata source): knows a table Spark's catalog does not.
+    val external = new MetadataProvider {
+      def tableColumns(table: String): Seq[String] =
+        if (table == "default.ext_sink") Seq("dst_name", "dst_key") else Nil
+    }
+    val r = LineageParser.parseStatement(spark,
+      "INSERT INTO ext_sink SELECT n_name, n_nationkey FROM nation",
+      1, metadata = Some(external))
+    assert(r.colLines.map(_.colName) == Seq(
+      Some("default.ext_sink.dst_name"), Some("default.ext_sink.dst_key")))
+    // Default (catalog) provider: unknown sink degrades to ordinal-only.
+    val bare = LineageParser.parseStatement(spark,
+      "INSERT INTO ext_sink SELECT n_name, n_nationkey FROM nation", 1)
+    assert(bare.colLines.map(_.colName) == Seq(None, None))
+  }
+
   test("UNIQUEJOIN is declared unsupported with a named error") {
     // Hive syntax the reference also rejects (LineParser.java:248,288);
     // a generic parse error would hide WHAT is unsupported.

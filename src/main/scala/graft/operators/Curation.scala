@@ -71,6 +71,32 @@ object Curation {
           .as("contamination"))
   }
 
+  /** Deterministic train/valid/test split: each row's bucket comes from
+    * the first 4 hex chars of `md5(id)` compared against cumulative
+    * fraction thresholds (granularity 1/65536). Pure projection — zero
+    * shuffle, no RNG, stable across runs/engines/partitionings, and any
+    * engine that can md5 a string reproduces the exact assignment (the
+    * property a multi-team 100 TB pipeline actually needs from a split).
+    *
+    * `splits` = (name, fraction) in order; fractions must sum to 1. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two split buckets")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    // cumulative upper bounds as 4-digit lowercase hex strings; string
+    // comparison on fixed-width hex ≡ numeric comparison
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(f => f"${math.floor(f * 65536).toLong}%04x")
+    val chain = splits.init.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), bound)) =>
+        val cond = h < lit(bound)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.get.otherwise(splits.last._1)
+    df.withColumn("split", chain)
+  }
+
   /** Corpus vocabulary: the `topK` most frequent tokens with their
     * counts and frequency rank (count desc, token asc). The classic
     * pre-tokenizer frequency pass — one hash-shuffle on the token.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the clustering step of a
+  * near-duplicate dedup pipeline: LSH emits candidate PAIRS
+  * ([[Dedup.minHashLsh]]), but retention decisions need whole CLUSTERS
+  * (keep one canonical document per component). Engine extension — the
+  * reference has no graph operator.
+  *
+  * Algorithm: iterated min-label propagation. Every node starts
+  * labelled with itself; each round every node takes the minimum of its
+  * own label and its neighbors' labels; stop when no label changes.
+  * The fixpoint assigns every node the smallest node id in its
+  * component — a canonical, partition-independent result.
+  *
+  * Scale notes (100 TB):
+  *  - Each round is one shuffle: an equi-join of the edge list with the
+  *    current labels plus a map-side-combinable `min` aggregation. No
+  *    step materializes anything larger than |edges|.
+  *  - Rounds needed = graph diameter. Near-dup components are dense and
+  *    tiny (near-cliques of copies), so diameter is small — single
+  *    digits. For adversarial long-path graphs, the alternating
+  *    large-star/small-star rewrite (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SoCC'14) converges in
+  *    O(log²) rounds with the same per-round join shape; this operator
+  *    deliberately ships the simple variant and caps rounds explicitly
+  *    rather than hiding an unbounded loop.
+  *  - `localCheckpoint` truncates the plan each round — without it the
+  *    lineage (and codegen) grows linearly with iterations.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by (`aCol`, `bCol`) pairs.
+    * Returns one row per distinct node: (node, component) where
+    * component = min node id reachable. Fails rather than returning a
+    * partial result if `maxIters` rounds don't reach the fixpoint. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 30): DataFrame = {
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("n"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters or use a star-contraction variant for long-path graphs")
+    labels
+  }
+}

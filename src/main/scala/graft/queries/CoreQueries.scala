@@ -315,8 +315,36 @@ object CoreQueries {
           sum(col("o_totalprice").cast("decimal(18,3)")).cast("double")
             .as("sum_price"))
       s.sql("DROP TABLE IF EXISTS graft_ctas_roundtrip")
+      // DROP alone is not idempotent across sessions: an in-memory
+      // catalog forgets the table while its warehouse directory
+      // persists, and saveAsTable refuses an existing location —
+      // remove the physical path too.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, "graft_ctas_roundtrip")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       src.write.mode("overwrite").saveAsTable("graft_ctas_roundtrip")
       s.table("graft_ctas_roundtrip").orderBy("o_orderpriority")
+    }),
+
+    // CSV source/sink: write headered CSV, read back with the explicit
+    // schema (never inferred). Free-text stays out of CSV — that's the
+    // JSON round-trip's job (q57).
+    "q55_csv_roundtrip" -> ((s, dir) => {
+      val meta = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q55_csv"
+      graft.sources.Warehouse.writeCsv(meta, path)
+      graft.sources.Warehouse.readCsv(s, path, meta.schema).orderBy("doc_id")
+    }),
+
+    // JSON-lines source/sink: lossless string round-trip including the
+    // free-text column (quotes/newlines escape), explicit schema.
+    "q57_json_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q57_json"
+      graft.sources.Warehouse.writeJsonLines(docs, path)
+      graft.sources.Warehouse.readJsonLines(s, path, docs.schema)
+        .orderBy("doc_id")
     })
   )
 
@@ -539,6 +567,16 @@ object CoreQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority"""
+         ORDER BY o_orderpriority""",
+
+    // Round-trip oracles are the underlying SELECT on the parquet
+    // source: any loss in the CSV/JSON write+read diverges the hash.
+    "q55_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q57_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""
   )
 }

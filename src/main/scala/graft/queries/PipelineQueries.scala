@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, Graph, Multimodal, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked query surface for the training-data pipeline
@@ -100,6 +101,56 @@ object PipelineQueries {
       Similarity.ivfTopKTrained(emb, cents, Seq(0L, 1L, 2L, 3L, 4L),
         "vec_id", "embedding", k = 10, nprobe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // Near-dup CLUSTERS: the q31 LSH pairs fed through connected
+    // components — component = min doc_id, the canonical document a
+    // keep-one-per-cluster retention policy retains. Min-label
+    // propagation, one join+min-agg shuffle per round.
+    "q53_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // As-of join: every event gets the user's most recent purchase
+    // at-or-before it. Times are epoch-micros BIGINTs (the determinism
+    // contract — see q43) and ties resolve to the highest event_id.
+    "q52_asof_join" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val left = raw.select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val right = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      AsOfJoin.asOf(left, right, "user_id", "us", "event_id",
+        Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Deterministic hash split: md5-prefix bucketing, zero shuffle.
+    "q54_hash_split" -> ((s, dir) => {
+      Curation.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-group top-k: rank-filter over a per-user window. Spark plans
+    // the rnk <= 3 filter as WindowGroupLimit — per-partition k-heaps
+    // BEFORE the shuffle — so only ~3·|users| rows reach the sort
+    // (PlanSpec pins the node).
+    "q56_group_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("user_id", "rnk")
     }),
 
     // Per-document text statistics.
@@ -288,6 +339,26 @@ object PipelineQueries {
            SELECT doc_id, $sqlWordShingles AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
          ${sqlLshPipeline(24, 4, 6, 0.8)}""",
+
+    // q31's pair pipeline verbatim (as a nested CTE), then transitive
+    // closure by recursion — component = min reachable doc_id, the same
+    // fixpoint Graph.connectedComponents' min-label propagation reaches.
+    "q53_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION
+           SELECT doc_b AS a, doc_a AS b FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
+         SELECT node AS doc_id, min(r) AS component
+         FROM reach GROUP BY node ORDER BY doc_id""",
 
     "q32_dedup_simhash" ->
       """SELECT doc_id,
@@ -500,6 +571,48 @@ object PipelineQueries {
          FROM numbered
          GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    // ASOF LEFT JOIN is DuckDB's native operator — a genuinely different
+    // algorithm from the Spark side's union-and-scan, reaching the same
+    // answer. The right side is pre-deduped to the highest event_id per
+    // (user_id, us) to pin the tie rule both engines then share.
+    "q52_asof_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                  event_type, value
+           FROM events),
+         p AS (
+           SELECT user_id, us, purchase_id, purchase_value FROM (
+             SELECT user_id, us, event_id AS purchase_id,
+                    value AS purchase_value,
+                    row_number() OVER (PARTITION BY user_id, us
+                                       ORDER BY event_id DESC) AS rn
+             FROM ev WHERE event_type = 'purchase')
+           WHERE rn = 1)
+         SELECT e.event_id, e.user_id, e.us, e.event_type,
+                p.purchase_id AS asof_purchase_id,
+                p.purchase_value AS asof_purchase_value
+         FROM ev e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND e.us >= p.us
+         ORDER BY e.event_id""",
+
+    // Thresholds are floor(cumfrac·65536) as 4-digit hex: 0.8 → cccc,
+    // 0.9 → e666 (fixed-width lowercase hex compares like the number).
+    "q54_hash_split" ->
+      """SELECT doc_id, lang,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "q56_group_topk" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS rnk
+           FROM events)
+         WHERE rnk <= 3
+         ORDER BY user_id, rnk""",
 
     "q44_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -37,6 +37,38 @@ object Warehouse {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write `df` as headered CSV. CSV is the interchange format of last
+    * resort: strings containing the delimiter/quote/newline are quoted
+    * and escaped by the writer, but empty string and null collapse to
+    * the same cell — use [[writeJsonLines]] when that distinction (or a
+    * nested schema) matters. */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Read a headered CSV dataset with an explicit schema — never
+    * inferSchema: inference is an extra full pass over the data and can
+    * flip types between runs. `multiLine` handles quoted embedded
+    * newlines (disables input-split parallelism within a file, which is
+    * the price of newlines in CSV fields). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              multiLine: Boolean = false): DataFrame =
+    spark.read.option("header", "true").option("multiLine", multiLine.toString)
+      .schema(schema).csv(path)
+
+  /** Write `df` as JSON Lines — lossless for strings (newlines and
+    * quotes escape), nullable-safe, nested-schema-safe; one object per
+    * line keeps files splittable. */
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Read JSON Lines with an explicit schema (no inference pass). */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Persist `df` as a bucketed, sorted table in the session catalog.
     * Joins/aggregations on `keyCol` between tables with identical
     * bucketing read co-located data with no shuffle. */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: inclusive at-or-before match, latest-tie-wins,
+  * null for no prior row — pinned on a hand fixture, then cross-checked
+  * against a naive inequality-join + argmax on the events fixture (a
+  * genuinely different algorithm that must agree everywhere).
+  */
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("matches at-or-before, inclusive ties, latest right row wins") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // equal-ts to two right rows → inclusive, tie→12
+      (2L, 100L, 25L), // between right rows → t=10 wins
+      (3L, 100L, 30L), // equal-ts to rid 13 → inclusive
+      (4L, 200L, 5L)   // before any right row → null
+    ).toDF("id", "k", "t").withColumn("tie", col("id"))
+    val right = Seq(
+      (11L, 100L, 10L, "a"),
+      (12L, 100L, 10L, "b"), // same (k,t) as 11: higher tie wins
+      (13L, 100L, 30L, "c"),
+      (14L, 200L, 50L, "z")  // after every left row of k=200
+    ).toDF("tie", "k", "t", "payload")
+
+    val got = AsOfJoin.asOf(left, right, "k", "t", "tie", Seq("payload"))
+      .orderBy("id")
+      .select("id", "asof_payload")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some("b")), (2L, Some("b")), (3L, Some("c")), (4L, None)))
+  }
+
+  test("agrees with naive inequality-join + argmax on the events fixture") {
+    val raw = Tables.load(spark, sfDir, "events")
+    val left = raw.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_type"))
+    val right = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_id").as("purchase_id"))
+
+    val fast = AsOfJoin.asOf(left, right, "user_id", "us", "event_id",
+      Seq("purchase_id"))
+      .select(col("event_id"), col("asof_purchase_id"))
+
+    // Naive: materialize every (event, prior purchase) pair, keep the
+    // argmax by (us, event_id) — O(n·m) per key, the shape the operator
+    // exists to avoid, but an independent definition of the answer.
+    val r = right.select(col("user_id").as("r_uid"), col("us").as("r_us"),
+      col("event_id").as("r_tie"), col("purchase_id"))
+    val naive = left
+      .join(r, col("user_id") === col("r_uid") && col("r_us") <= col("us"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("purchase_id"), struct(col("r_us"), col("r_tie")))
+        .as("asof_purchase_id"))
+
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}

@@ -85,6 +85,24 @@ class PlanSpec extends SparkTestBase {
     assert(all > 0 && all == bucketed)
   }
 
+  test("q56 per-group top-k inserts WindowGroupLimit before the shuffle") {
+    val p = planOf("q56_group_topk")
+    // rank-filter pushdown: per-partition k-heaps on both sides of the
+    // exchange, so only ~k·|groups| rows reach the sort
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial") && p.contains("Final"))
+  }
+
+  test("q52 as-of join contains no join node — one window pass, no pair blowup") {
+    val p = planOf("q52_asof_join")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+    // exactly one hash shuffle for the window itself (the only other
+    // exchange is the final presentation sort's range partitioning);
+    // FormattedMode lists the partitioning in the Arguments line
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1)
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

@@ -26,6 +26,30 @@ class WarehouseSpec extends SparkTestBase {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("CSV and JSON-lines round-trip hostile strings losslessly") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "\"quoted\" and 'single'"),
+      (4L, "line\nbreak and tab\there"),
+      (5L, "unicode: caffè 日本語 🚀")
+    ).toDF("id", "s")
+
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    Warehouse.writeCsv(hostile, csvDir)
+    val fromCsv = Warehouse.readCsv(spark, csvDir, hostile.schema,
+      multiLine = true) // embedded newline needs multiLine
+    assert(fromCsv.orderBy("id").collect().toSeq ==
+      hostile.orderBy("id").collect().toSeq)
+
+    val jsonDir = Files.createTempDirectory("graft_json").toString
+    Warehouse.writeJsonLines(hostile, jsonDir)
+    val fromJson = Warehouse.readJsonLines(spark, jsonDir, hostile.schema)
+    assert(fromJson.orderBy("id").collect().toSeq ==
+      hostile.orderBy("id").collect().toSeq)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -46,6 +46,11 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(expr("unix_micros(ts)")).as("session_start_us"),
         max(expr("unix_micros(ts)")).as("session_end_us"),
+        // id-space bounds: conversion-free BIGINTs that identify the
+        // session's extent without touching timestamp semantics — the
+        // columns a cross-engine contract can hash exactly (see q43).
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
         sum(col("value").cast("decimal(18,3)")).cast("double").as("session_value"))
   }
 

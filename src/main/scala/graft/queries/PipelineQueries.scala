@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -292,6 +292,38 @@ object PipelineQueries {
     "q47_exact_median" -> ((s, dir) => {
       Stats.exactMedian(t(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")
+    }),
+
+    // Exact per-group quantile vector by two-phase histogram selection
+    // (generalizes q47's median): rank = floor((n-1)*q)+1, the discrete
+    // lower quantile, computed identically by both engines.
+    "q63_exact_quantiles" -> ((s, dir) => {
+      Stats.exactQuantiles(t(s, dir, "events"), "event_type", "value",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("event_type", "q")
+    }),
+
+    // CDC merge: apply a deterministic I/U/D change batch (derived from
+    // the base itself, so the oracle can reconstruct it) and emit the
+    // next snapshot. %10==3 updated (+10), %100==3 updated again at a
+    // later sequence (+20, must win), %10==7 deleted, %10==1 re-keyed
+    // inserts.
+    "q64_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      def ch(f: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+             key: org.apache.spark.sql.Column, op: String, seq: Long) =
+        base.filter(f).select(key.as("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), price.as("o_totalprice"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val k = col("o_orderkey")
+      val changes =
+        ch(k % 10 === 3, col("o_totalprice") + 10.0d, k, "U", 1L)
+          .union(ch(k % 100 === 3, col("o_totalprice") + 20.0d, k, "U", 2L))
+          .union(ch(k % 10 === 7, col("o_totalprice"), k, "D", 1L))
+          .union(ch(k % 10 === 1, col("o_totalprice"), k + 100000000L, "I", 1L))
+      Cdc.applyChanges(base, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy("o_orderkey")
     }),
 
     // Capstone: end-to-end curation (exact dedup → LSH near-dup removal
@@ -684,6 +716,63 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // Mirrors the Spark-side change-batch construction, collapses to
+    // the latest change per key, and full-joins against the base —
+    // double arithmetic is +10/+20 on identical parquet doubles, exact
+    // in both engines.
+    "q64_cdc_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 10.0 AS o_totalprice, 'U' AS op, 1 AS seq
+           FROM base WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 20.0, 'U', 2
+           FROM base WHERE o_orderkey % 100 = 3
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  'D', 1
+           FROM base WHERE o_orderkey % 10 = 7
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                  o_totalprice, 'I', 1
+           FROM base WHERE o_orderkey % 10 = 1),
+         latest AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+                                             ORDER BY seq DESC) AS rn
+             FROM ch) WHERE rn = 1)
+         SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+                CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                     ELSE b.o_custkey END AS o_custkey,
+                CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                     ELSE b.o_orderstatus END AS o_orderstatus,
+                CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                     ELSE b.o_totalprice END AS o_totalprice
+         FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY o_orderkey""",
+
+    // The oracle can afford the naive full sort; the rank formula is
+    // evaluated in DOUBLE on both sides (VALUES literals are DECIMAL in
+    // DuckDB — cast before the product or the floor differs).
+    "q63_exact_quantiles" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+         SELECT event_type, CAST(q AS DOUBLE) AS q,
+                value AS quantile_value, n AS n_events
+         FROM ranked JOIN qs
+           ON rnk = CAST(floor((n - 1) * CAST(q AS DOUBLE)) AS BIGINT) + 1
+         ORDER BY event_type, q""",
 
     // Thresholds are floor(cumfrac·65536) as 4-digit hex: 0.8 → cccc,
     // 0.9 → e666 (fixed-width lowercase hex compares like the number).

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[Cdc.applyChanges]]: upsert/delete semantics, latest-sequence-wins,
+  * and column-set preservation. */
+class CdcSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "s", "v")
+
+  test("insert, update, delete in one batch") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 1L), // update key 2
+      (3L, "c", 30.0, "D", 1L),  // delete key 3
+      (9L, "z", 90.0, "I", 1L))  // insert key 9
+      .toDF("k", "s", "v", "op", "seq")
+    val next = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(next == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (9L, "z", 90.0)))
+  }
+
+  test("latest sequence wins per key, including delete-then-reinsert") {
+    val changes = Seq(
+      (1L, "x1", 1.0, "U", 1L),
+      (1L, "x2", 2.0, "U", 3L), // latest for key 1
+      (1L, "x3", 3.0, "U", 2L),
+      (2L, "b", 20.0, "D", 1L),
+      (2L, "b9", 99.0, "I", 2L)) // re-insert AFTER the delete: row lives
+      .toDF("k", "s", "v", "op", "seq")
+    val next = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(next == Seq((1L, "x2", 2.0), (2L, "b9", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("empty change batch returns the base unchanged") {
+    val changes = Seq.empty[(Long, String, Double, String, Long)]
+      .toDF("k", "s", "v", "op", "seq")
+    val next = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+    assert(next.orderBy("k").collect().toSeq ==
+      base.orderBy("k").collect().toSeq)
+    assert(next.columns.toSeq == base.columns.toSeq)
+  }
+}

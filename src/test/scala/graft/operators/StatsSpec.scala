@@ -77,4 +77,43 @@ class StatsSpec extends SparkTestBase {
     val want = naive(events)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  /** Naive quantile reference: full-sort rank pick with the same
+    * rank = floor((n-1)*q)+1 convention. */
+  private def naiveQuantiles(df: org.apache.spark.sql.DataFrame,
+                             qs: Seq[Double]) = {
+    val w = Window.partitionBy("g").orderBy("x")
+    val wn = Window.partitionBy("g")
+    df.select(col("g"), col("x").cast("double").as("x"))
+      .select(col("g"), col("x"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(wn).as("n"))
+      .select(col("g"), col("x"), col("rn"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("rn") === floor((col("n") - 1) * col("q")).cast("long") + 1L)
+      .select(col("g"), col("q"), col("x").as("quantile_value"),
+        col("n").as("n_events"))
+  }
+
+  test("exactQuantiles matches the naive rank pick incl. q=0 and q=1") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val rows = (0 until 501).map { i =>
+      (s"g${i % 7}", ((i * 2654435761L) % 1000) / 10.0)
+    }
+    val df = rows.toDF("g", "x")
+    val got = Stats.exactQuantiles(df, "g", "x", qs, buckets = 32)
+    val want = naiveQuantiles(df, qs)
+    assert(got.count() == 7L * qs.size)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("exactQuantiles survives heavy ties and tiny bucket counts") {
+    val rows = Seq.fill(60)(("g", 3.0)) ++ Seq.fill(20)(("g", 1.0)) ++
+      Seq.fill(20)(("g", 9.0))
+    val qs = Seq(0.1, 0.5, 0.95)
+    val df = rows.toDF("g", "x")
+    val got = Stats.exactQuantiles(df, "g", "x", qs, buckets = 2)
+    val want = naiveQuantiles(df, qs)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
 }

@@ -103,6 +103,29 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1)
   }
 
+  test("q63 quantiles: windows only over bucket keys, small sides broadcast") {
+    val p = planOf("q63_exact_quantiles")
+    // same property as q47: no window partitioned by the raw
+    // low-cardinality group alone — every spec carries the bucket id
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(grp#\\d+, b#\\d+".r.findAllIn(p).size
+    assert(all > 0 && all == bucketed)
+    // per-group metadata (bounds/ranks/targets) joins are broadcast —
+    // the base is never shuffled for them
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q64 CDC merge: one full-outer join on the key, batch collapsed first") {
+    val p = planOf("q64_cdc_merge")
+    assert("SortMergeJoin FullOuter".r.findAllIn(p).size == 1 ||
+      p.contains("Join type: FullOuter"))
+    // latest-change pick is windowed by the full key (small side only)
+    assert("windowspecdefinition\\(o_orderkey#\\d+L, seq#\\d+L DESC"
+      .r.findFirstIn(p).isDefined)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

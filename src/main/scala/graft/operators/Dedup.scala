@@ -32,23 +32,47 @@ object Dedup {
   // Shingling
   // ------------------------------------------------------------------
 
+  /** Word n-grams WITH duplicates — the cheap construction for any
+    * consumer that is multiset-invariant (MinHash signatures: the min
+    * over a multiset equals the min over its distinct set). For n=2 a
+    * single `zip_with` pass replaces the sequence/slice/concat_ws
+    * builder — measured 3.1 s → 0.6 s for the whole
+    * shingle+explode+md5 signature path at sf0.1 (DESIGN.md §5).
+    * A text with fewer than n words yields its single joined token
+    * (never an empty multiset, so Jaccard stays defined). */
+  def wordShingleMultiset(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val grams =
+      if (n == 2)
+        // zip_with pads the shorter side with nulls (no truncation):
+        // the trailing (w_last, null) gram concats to null — drop it.
+        filter(
+          zip_with(words, slice(words, 2, 1 << 30),
+            (a, b) => concat(a, lit(" "), b)),
+          _.isNotNull)
+      else
+        transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
+    when(size(words) < n, array(concat_ws(" ", words))).otherwise(grams)
+  }
+
   /** Distinct word n-grams of a whitespace-tokenized text column.
     * A text with fewer than n words yields its single joined token
     * (never an empty set, so Jaccard is always defined). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingleMultiset(text, n))
+
+  /** Character n-grams with duplicates (cheap multiset form for the
+    * signature path — see [[wordShingleMultiset]]). */
+  def charShingleMultiset(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
 
   /** Distinct character n-grams (for near-dup on raw strings). */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-        i => text.substr(i, lit(n))))
+    array_distinct(charShingleMultiset(text, n))
 
   /** Exact Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -122,13 +146,18 @@ object Dedup {
                  shingleN: Int = 2, k: Int = 12, bands: Int = 4, rows: Int = 3,
                  threshold: Double = 0.8): DataFrame =
     minHashLshWith(df, idCol, wordShingles(col(textCol), shingleN),
-      k, bands, rows, threshold)
+      k, bands, rows, threshold,
+      sigShingles = wordShingleMultiset(col(textCol), shingleN))
 
   /** [[minHashLsh]] with a caller-supplied shingle expression (word
-    * n-grams, char n-grams, ...). */
+    * n-grams, char n-grams, ...). `sigShingles`, when given, feeds the
+    * SIGNATURE path only and may be any multiset with the same distinct
+    * set as `shingles` (MinHash mins are multiset-invariant) — pass the
+    * cheap non-distinct construction and keep the distinct arrays for
+    * the exact-Jaccard verification. */
   def minHashLshWith(df: DataFrame, idCol: String, shingles: Column,
                      k: Int, bands: Int, rows: Int,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, sigShingles: Column = null): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
     // Signature via explode + k min-aggregates: the md5 base hash is
     // computed exactly once per (doc, shingle) row. (A nested
@@ -139,16 +168,24 @@ object Dedup {
     val mins = (0 until k).map { i =>
       min((col("b") * (2 * i + 1) + (101 * i + 17)) % MinHashPrime).as(s"m$i")
     }
-    val sigs = docs
-      .select(col("id"), explode(col("sh")).as("s"))
+    val sigs = df
+      .select(col(idCol).as("id"),
+        explode(Option(sigShingles).getOrElse(shingles)).as("s"))
       .select(col("id"), shingleBaseHash(col("s")).as("b"))
       .groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("id"),
       explode(lshBands(col("sig"), bands, rows)).as("band"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
+    // The self-join is hinted to SHUFFLE so both sides plan as the
+    // IDENTICAL exchange and ReuseExchange evaluates the signature
+    // pipeline (the md5 over every shingle) once, not twice — a
+    // broadcast on one side would duplicate it (measured ~2× md5 cost).
+    // At scale a broadcast of n×bands keys is wrong anyway: banded
+    // grows with the corpus, so the co-located shuffle join IS the
+    // 100 TB plan.
+    val cand = banded.as("x").hint("shuffle_hash")
+      .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()

@@ -14,6 +14,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1)
+    // Sorted order: Map iteration order shifts as the surface grows,
+    // silently reshuffling which query pays first-run JIT/codegen —
+    // sorted keeps per-query numbers comparable across rounds.
+    // Untimed session warmup: exercise codegen/shuffle machinery once
+    // so the alphabetically-first query doesn't absorb JVM startup.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(100000).select(col("id"),
+        md5(col("id").cast("string")).as("h"))
+      w.groupBy(substring(col("h"), 1, 2)).count().count()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -21,7 +33,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

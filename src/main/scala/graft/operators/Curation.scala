@@ -97,6 +97,28 @@ object Curation {
     df.withColumn("split", chain)
   }
 
+  /** Deterministic stratified sampling: keep each row with a per-stratum
+    * rate, decided by comparing the first 4 hex chars of `md5(id)`
+    * against the stratum's rate threshold (granularity 1/65536 — same
+    * mechanism as [[hashSplit]], and the same 100 TB properties: pure
+    * projection, zero shuffle, zero RNG, reproducible on any engine and
+    * any partitioning, and a row's fate never changes when other rows
+    * come or go). Strata missing from `rates` keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double): DataFrame = {
+    require((rates.map(_._2) :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0,1]")
+    def hex(r: Double) = f"${math.floor(r * 65536).toLong}%04x"
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val threshold = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, r)) =>
+        val cond = col(strataCol) === stratum
+        Some(acc.fold(when(cond, hex(r)))(_.when(cond, hex(r))))
+    }.fold(lit(hex(defaultRate)))(_.otherwise(hex(defaultRate)))
+    df.filter(h < threshold)
+  }
+
   /** Corpus vocabulary: the `topK` most frequent tokens with their
     * counts and frequency rank (count desc, token asc). The classic
     * pre-tokenizer frequency pass — one hash-shuffle on the token.

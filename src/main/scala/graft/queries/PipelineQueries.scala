@@ -304,6 +304,15 @@ object PipelineQueries {
         .orderBy("event_type", "q")
     }),
 
+    // Deterministic stratified sampling: per-lang keep rates from the
+    // md5 hash of the id — zero shuffle, zero RNG, any-engine-exact.
+    "q65_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Seq("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.125)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // CDC merge: apply a deterministic I/U/D change batch (derived from
     // the base itself, so the oracle can reconstruct it) and emit the
     // next snapshot. %10==3 updated (+10), %100==3 updated again at a
@@ -717,6 +726,17 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // Thresholds are floor(rate·65536) as fixed-width hex, exactly as
+    // hashSplit's: 0.5→8000, 0.25→4000, 0.125→2000.
+    "q65_stratified_sample" ->
+      """SELECT doc_id, lang
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE WHEN lang = 'en' THEN '8000'
+                WHEN lang = 'fr' THEN '4000'
+                ELSE '2000' END
+         ORDER BY doc_id""",
 
     // Mirrors the Spark-side change-batch construction, collapses to
     // the latest change per key, and full-joins against the base —

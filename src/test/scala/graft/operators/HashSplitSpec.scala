@@ -39,4 +39,35 @@ class HashSplitSpec extends SparkTestBase {
       Curation.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+
+  test("stratified sample: per-stratum rates, partitioning-independent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rates = Seq("en" -> 0.5, "fr" -> 0.25)
+    val s = Curation.stratifiedSample(docs, "doc_id", "lang", rates, 0.125)
+    val kept = s.select("doc_id").collect().toSet
+    // pure hash: identical under a different partitioning
+    val kept2 = Curation
+      .stratifiedSample(docs.repartition(7), "doc_id", "lang", rates, 0.125)
+      .select("doc_id").collect().toSet
+    assert(kept == kept2)
+    // a row's fate depends only on (id, own stratum's rate): raising
+    // another stratum's rate never evicts previously-kept rows
+    val kept3 = Curation
+      .stratifiedSample(docs, "doc_id", "lang", Seq("en" -> 0.5, "fr" -> 0.9), 0.125)
+      .select("doc_id", "lang").collect()
+    val keptFr = kept3.filter(_.getString(1) != "en").map(_.getLong(0)).toSet
+    val origFr = s.filter(col("lang") =!= "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(origFr.subsetOf(keptFr ++ kept3.map(_.getLong(0))))
+    // per-stratum rate sanity on the en stratum (uniform md5)
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    if (nEn >= 20) {
+      val kEn = s.filter(col("lang") === "en").count().toDouble
+      assert(kEn / nEn > 0.25 && kEn / nEn < 0.75)
+    }
+    // out-of-range rates rejected
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, "doc_id", "lang", Seq("en" -> 1.5), 0.1)
+    }
+  }
 }

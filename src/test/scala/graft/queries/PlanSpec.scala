@@ -126,6 +126,43 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join shapes are eligible for Spark's runtime bloom-filter pruning") {
+    // At 100 TB the optimizer injects a bloom filter from the selective
+    // dim side into the fact scan (InjectRuntimeFilter), cutting the
+    // shuffled fact rows before the join. The fixtures are far below
+    // the size thresholds, so this test lowers them to prove our join
+    // shape qualifies — i.e. the scale path is actually reachable from
+    // these plans, not accidentally disqualified.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "10GB")  // creation side must be BELOW this
+      conf.set(keys(1), "0")     // application side must be ABOVE this
+      conf.set(keys(2), "-1") // force a shuffle join: bloom targets those
+      conf.set(keys(3), "true")
+      conf.set(keys(4), "1000000")
+      val fact = graft.Tables.load(spark, sfDir, "lineitem")
+      val dim = graft.Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+      val p = j.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("might_contain"),
+        "runtime bloom filter was not injected into the fact side")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -81,6 +82,31 @@ object StreamingQueries {
       runBounded(s, deduped.select("user_id", "event_type"),
         "graft_q62_sink", "append")
         .orderBy("user_id", "event_type")
+    }),
+
+    // Stateful gap sessionization via flatMapGroupsWithState. Emitted =
+    // sessions closed by an in-batch gap (every session but each
+    // user's last, since the fixture is one batch) plus last sessions
+    // the advanced watermark times out:
+    //   floor(last_us/1000) + gap_ms  <  floor(max_us/1000) − delay_ms.
+    // The oracle applies the same rule; margins are ≥12 s (measured),
+    // so <-vs-≤ and ms-floor effects cannot flip membership. The
+    // checked columns are the robust set (ordinal + count), the same
+    // contract shape as q43.
+    "q66_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sessions = EventStreams.sessionize(s, ev, gapMinutes = 30,
+        watermarkDelay = "10 minutes")
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      runBounded(s, sessions.toDF(), "graft_q66_sink", "append")
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("session_seq"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")
     })
   )
 
@@ -108,6 +134,44 @@ object StreamingQueries {
     "q62_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type
          FROM events
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+
+    // Batch reconstruction of the streaming emission: q43's session
+    // CTEs, minus each user's last session unless its event-time
+    // timeout precedes the final watermark.
+    "q66_stream_sessionize" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         numbered AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_id,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  min(us) AS start_us, max(us) AS end_us,
+                  max(session_id) OVER (PARTITION BY user_id) AS last_sid
+           FROM numbered
+           GROUP BY user_id, session_id),
+         wm AS (SELECT (max(us) // 1000) - 600000 AS w FROM base)
+         SELECT user_id,
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY start_us) AS BIGINT)
+                  AS session_seq,
+                n_events
+         FROM sess
+         WHERE session_id < last_sid
+            OR (end_us // 1000) + 1800000 < (SELECT w FROM wm)
+         ORDER BY user_id, session_seq"""
   )
 }

@@ -65,8 +65,16 @@ object EventStreams {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def us(t: Timestamp): Long = t.getTime * 1000L
-    def tsOf(us: Long): Timestamp = new Timestamp(us / 1000L)
+    // Full microsecond precision: getTime() is epoch MILLIS (it
+    // already contains the ms digits), getNanos() is the sub-second
+    // part — combine without double-counting the millis.
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
 
     def update(userId: Long, it: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {

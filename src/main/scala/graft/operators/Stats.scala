@@ -155,4 +155,31 @@ object Stats {
       .select(col("grp").as(groupCol), col("q"),
         col("x").as("quantile_value"), col("n").as("n_events"))
   }
+
+  /** Per-row z-score against the row's group: z = (x − μ) / σ with the
+    * population σ. Feature normalization for a training pipeline, built
+    * cross-engine-exact: Σx and Σx² accumulate in exact DECIMAL (order-
+    * independent), convert to double once, and the remaining scalar
+    * expression tree — x/n, a−b, sqrt — is correctly-rounded IEEE on
+    * identical inputs, so any engine evaluating the same tree emits the
+    * same bits. Variance is clamped at 0 (rounding can land an
+    * all-equal group epsilon-negative).
+    *
+    * One shuffle (the stats aggregate); stats broadcast back — the
+    * low-group-cardinality regime ([[exactMedian]] note). Appends `z`;
+    * all-equal groups (σ = 0) yield null (x−μ = 0 over sqrt(0) is
+    * 0/0 = NaN in IEEE, but both engines agree; the fixture never hits
+    * it — document rather than special-case). */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d = col(valueCol).cast("decimal(18,3)")
+    val stats = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"),
+        sum(d).cast("double").as("_s"),
+        sum(d * d).cast("double").as("_sq"))
+    val mean = col("_s") / col("_n")
+    val varr = greatest(col("_sq") / col("_n") - mean * mean, lit(0.0))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", (col(valueCol) - mean) / sqrt(varr))
+      .drop("_n", "_s", "_sq")
+  }
 }

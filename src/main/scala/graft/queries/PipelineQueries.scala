@@ -304,6 +304,14 @@ object PipelineQueries {
         .orderBy("event_type", "q")
     }),
 
+    // Feature normalization: per-row z-score against the event_type
+    // group (exact decimal moments, shared IEEE expression tree).
+    "q67_zscore" -> ((s, dir) => {
+      Stats.zscore(t(s, dir, "events"), "event_type", "value")
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
     // Deterministic stratified sampling: per-lang keep rates from the
     // md5 hash of the id — zero shuffle, zero RNG, any-engine-exact.
     "q65_stratified_sample" -> ((s, dir) => {
@@ -726,6 +734,23 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // The z expression tree must mirror the Spark side token-for-token:
+    // each division/subtraction/sqrt is correctly-rounded IEEE over
+    // identical inputs, so identical trees give identical bits.
+    "q67_zscore" ->
+      """WITH stats AS (
+           SELECT event_type,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s,
+                  CAST(sum(CAST(value AS DECIMAL(18,3))
+                           * CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sq
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+                (e.value - s / n)
+                  / sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)) AS z
+         FROM events e JOIN stats st ON e.event_type = st.event_type
+         ORDER BY e.event_id""",
 
     // Thresholds are floor(rate·65536) as fixed-width hex, exactly as
     // hashSplit's: 0.5→8000, 0.25→4000, 0.125→2000.

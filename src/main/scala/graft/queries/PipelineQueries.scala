@@ -304,6 +304,14 @@ object PipelineQueries {
         .orderBy("event_type", "q")
     }),
 
+    // Inverted index with df bounds (posting lists as sorted
+    // comma-joined ids — deterministic on any engine).
+    "q68_inverted_index" -> ((s, dir) => {
+      Search.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 5, maxDf = 400)
+        .orderBy("token")
+    }),
+
     // Feature normalization: per-row z-score against the event_type
     // group (exact decimal moments, shared IEEE expression tree).
     "q67_zscore" -> ((s, dir) => {
@@ -734,6 +742,23 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    "q68_inverted_index" ->
+      """WITH tf AS (
+           SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           WHERE token <> ''
+           GROUP BY token, doc_id)
+         SELECT token,
+                CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(tf) AS BIGINT) AS cf,
+                string_agg(CAST(doc_id AS VARCHAR), ','
+                           ORDER BY doc_id) AS postings
+         FROM tf
+         GROUP BY token
+         HAVING count(*) BETWEEN 5 AND 400
+         ORDER BY token""",
 
     // The z expression tree must mirror the Spark side token-for-token:
     // each division/subtraction/sqrt is correctly-rounded IEEE over

@@ -75,7 +75,75 @@ object Graph {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
-          "raise maxIters or use a star-contraction variant for long-path graphs")
+          "raise maxIters or use connectedComponentsStar for long-path graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): converges in O(log²) rounds of the
+    * component size — the variant for graphs whose DIAMETER makes
+    * min-label propagation ([[connectedComponents]]) impractical
+    * (long paths, comment chains, linked crawls).
+    *
+    * Each phase is one groupBy-min plus an equi-join — no per-node
+    * neighborhood collection, so hub nodes never materialize an
+    * in-memory adjacency list:
+    *  - large-star: every neighbor v > u re-attaches to
+    *    m(u) = min(Γ(u) ∪ u);
+    *  - small-star: every neighbor v ≤ u (and u itself) re-attaches
+    *    to m(u).
+    * The fixpoint is a forest of stars: every node holds an edge to its
+    * component's minimum, which is the same canonical labelling the
+    * propagation variant produces. */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    val raw = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint()
+    // every endpoint is a node, even if its only edges are self-loops
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct().localCheckpoint()
+    val init = raw.filter(col("u") =!= col("v"))
+
+    def centered(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val und = centered(e)
+      val mins = und.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val attach = und.join(mins, "u")
+      val out =
+        if (large) attach.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else attach.filter(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v")).distinct()
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+    var cur = init
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      val next = phase(phase(cur, large = true), large = false)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // Fixpoint stars: (u=node, v=root). Roots appear only on the v side.
+    nodes.join(cur, nodes("node") === cur("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
 }

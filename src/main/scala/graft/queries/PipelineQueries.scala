@@ -304,6 +304,16 @@ object PipelineQueries {
         .orderBy("event_type", "q")
     }),
 
+    // Same clusters via star contraction (O(log²) rounds — the variant
+    // for graphs whose diameter defeats min-label propagation).
+    "q69_dedup_components_star" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted index with df bounds (posting lists as sorted
     // comma-joined ids — deterministic on any engine).
     "q68_inverted_index" -> ((s, dir) => {
@@ -439,6 +449,23 @@ object PipelineQueries {
                       FROM m_$next GROUP BY cluster) mm
              ON p.cluster = mm.cluster)"""
 
+  private lazy val componentsOracle =
+    s"""WITH RECURSIVE pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION
+           SELECT doc_b AS a, doc_a AS b FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
+         SELECT node AS doc_id, min(r) AS component
+         FROM reach GROUP BY node ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
 
     "q30_dedup_exact" ->
@@ -453,23 +480,10 @@ object PipelineQueries {
 
     // q31's pair pipeline verbatim (as a nested CTE), then transitive
     // closure by recursion — component = min reachable doc_id, the same
-    // fixpoint Graph.connectedComponents' min-label propagation reaches.
-    "q53_dedup_components" ->
-      s"""WITH RECURSIVE pairs AS (
-           WITH docs AS (
-             SELECT doc_id, $sqlWordShingles AS sh
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-           ${sqlLshPipeline(24, 4, 6, 0.8)}),
-         edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION
-           SELECT doc_b AS a, doc_a AS b FROM pairs),
-         reach(node, r) AS (
-           SELECT a, a FROM edges
-           UNION
-           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
-         SELECT node AS doc_id, min(r) AS component
-         FROM reach GROUP BY node ORDER BY doc_id""",
+    // fixpoint BOTH Spark variants reach (q53 min-label propagation,
+    // q69 star contraction), so they share this oracle.
+    "q53_dedup_components" -> componentsOracle,
+    "q69_dedup_components_star" -> componentsOracle,
 
     "q32_dedup_simhash" ->
       """SELECT doc_id,

@@ -33,4 +33,39 @@ class GraphSpec extends SparkTestBase {
       cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), maxIters = 1)
     }
   }
+
+  private def ccStar(edges: Seq[(Long, Long)], maxIters: Int = 50) = {
+    import spark.implicits._
+    Graph.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("star contraction agrees with propagation on mixed graphs") {
+    val cases = Seq(
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+        (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L)),
+      Seq((2L, 7L), (7L, 2L), (2L, 7L), (9L, 7L)),
+      // deterministic pseudo-random graph over 60 nodes
+      (0 until 120).map { i =>
+        val a = (i * 2654435761L) % 60
+        val b = (i * 40503L + 13) % 60
+        (a, b)
+      })
+    cases.foreach { es =>
+      assert(ccStar(es) == cc(es, maxIters = 60), s"mismatch on $es")
+    }
+  }
+
+  test("star contraction closes a 200-node path in O(log^2) rounds") {
+    // propagation would need ~200 rounds; star contraction must land
+    // well inside 20 alternations, with every node labelled 0
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = ccStar(path, maxIters = 20)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loop-only nodes keep themselves as component") {
+    assert(ccStar(Seq((3L, 3L), (1L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
 }

@@ -326,6 +326,55 @@ object CoreQueries {
       s.table("graft_ctas_roundtrip").orderBy("o_orderpriority")
     }),
 
+    // Date-partitioned layout + partition pruning: write events
+    // partitioned by event_date, read back with a partition predicate.
+    // At 100 TB this is THE first-order I/O lever — the filter must
+    // prune at the DIRECTORY level (PlanSpec pins PartitionFilters), so
+    // a day query reads 1/30th of the files, not a filtered full scan.
+    "q70_partition_pruning" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q70_bydate"
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Bucketed co-located join: both sides written bucketed on the join
+    // key; the sort-merge join then runs with NO exchange on either
+    // side (PlanSpec pins the absence). The pre-shuffled layout a
+    // recurring 100 TB fact-fact join amortizes its shuffle into.
+    "q71_bucketed_join" -> ((s, dir) => {
+      def rewrite(name: String, df: DataFrame, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, name)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+          .saveAsTable(name)
+      }
+      rewrite("graft_li_bucketed",
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"), "l_orderkey")
+      rewrite("graft_ord_bucketed",
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      // hint MERGE: the fixture tables are small enough that AQE would
+      // broadcast and ignore the bucketing — the point here is the
+      // co-located sort-merge path a 100 TB fact-fact join takes, where
+      // neither side broadcasts.
+      s.table("graft_li_bucketed").hint("merge")
+        .join(s.table("graft_ord_bucketed").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CSV source/sink: write headered CSV, read back with the explicit
     // schema (never inferred). Free-text stays out of CSV — that's the
     // JSON round-trip's job (q57).
@@ -574,6 +623,24 @@ object CoreQueries {
     "q55_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    // The layout round-trips losslessly, so the oracle is the plain
+    // filtered aggregation over the source table.
+    "q70_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "q71_bucketed_join" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_lines,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q57_json_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars

@@ -126,6 +126,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q70 prunes partitions at the directory level, not by row filter") {
+    val p = planOf("q70_partition_pruning")
+    assert("PartitionFilters: \\[.*event_date".r.findFirstIn(p).isDefined,
+      "date predicate did not reach PartitionFilters")
+  }
+
+  test("q71 bucketed join has no exchange on either side") {
+    val p = planOf("q71_bucketed_join")
+    // In FormattedMode's tree section the join's CHILDREN print below
+    // it; bucketed layout means nothing between join and scans — no
+    // Exchange may appear after the join line within the tree.
+    val tree = p.substring(0, p.indexOf("\n\n") match {
+      case -1 => p.length; case i => i
+    })
+    val joinIdx = tree.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, "expected a sort-merge join over bucketed tables")
+    assert(!tree.substring(joinIdx).contains("Exchange"),
+      "bucketed join still shuffles its inputs")
+  }
+
   test("join shapes are eligible for Spark's runtime bloom-filter pruning") {
     // At 100 TB the optimizer injects a bloom filter from the selective
     // dim side into the fact scan (InjectRuntimeFilter), cutting the

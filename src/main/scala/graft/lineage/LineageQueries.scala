@@ -61,7 +61,15 @@ object LineageQueries {
     "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NULL OR o_orderpriority LIKE '1%'",
     // 23 predicate subquery (§2.7 note): subquery tables join inputTables,
     // the IN-subquery itself is part of the WHERE condition string
-    "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+    // 24 S4: Hive multi-insert — one FROM, two sinks (LineParser.java:300-304)
+    "FROM nation INSERT INTO lineage_target SELECT n_nationkey, n_name WHERE n_regionkey = 2 INSERT INTO lineage_target2 SELECT n_regionkey, n_name",
+    // 25 §2.6: three-branch positional union (nested `&`-composite)
+    "SELECT c_custkey AS id FROM customer UNION ALL SELECT s_suppkey AS id FROM supplier UNION ALL SELECT n_nationkey AS id FROM nation",
+    // 26 S5: CTAS sink (analyzed, never executed)
+    "CREATE TABLE lineage_ctas AS SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
+    // 27 §2.5 + E6: aggregate over CASE with HAVING (engine extension)
+    "SELECT o_orderstatus, sum(CASE WHEN o_totalprice > 100.0 THEN o_totalprice ELSE 0.0 END) AS big_total FROM orders GROUP BY o_orderstatus HAVING count(1) > 5"
   )
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -74,6 +82,9 @@ object LineageQueries {
     spark.table("nation")
       .selectExpr("n_nationkey AS tgt_key", "n_name AS tgt_name").limit(0)
       .createOrReplaceTempView("lineage_target")
+    spark.table("nation")
+      .selectExpr("n_regionkey AS tgt2_region", "n_name AS tgt2_name").limit(0)
+      .createOrReplaceTempView("lineage_target2")
     val rows = corpus.zipWithIndex.flatMap { case (sql, i) =>
       LineageParser.parseStatement(spark, sql, i + 1).colLines.map { cl =>
         (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
@@ -124,7 +135,16 @@ object LineageQueries {
     (21, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', ''),
     (21, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', ''),
     (22, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE ''1%'')'),
-    (23, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:(orders.o_custkey IN (subquery(default.customer)))')
+    (23, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:(orders.o_custkey IN (subquery(default.customer)))'),
+    (24, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 2)'),
+    (24, 'default.lineage_target2', 'default.lineage_target2.tgt2_name', 'n_name', 'default.nation.n_name', ''),
+    (24, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 2)'),
+    (24, 'default.lineage_target2', 'default.lineage_target2.tgt2_region', 'n_regionkey', 'default.nation.n_regionkey', ''),
+    (25, '<EOF>', '', 'id', 'default.customer.c_custkey&default.supplier.s_suppkey&default.nation.n_nationkey', ''),
+    (26, 'default.lineage_ctas', '', 'r_name', 'default.region.r_name', 'WHERE:(region.r_regionkey < 3)'),
+    (26, 'default.lineage_ctas', '', 'r_regionkey', 'default.region.r_regionkey', 'WHERE:(region.r_regionkey < 3)'),
+    (27, '<EOF>', '', 'big_total', 'default.orders.o_totalprice', 'WHERE:(`count(1)` > CAST(5 AS BIGINT))'),
+    (27, '<EOF>', '', 'o_orderstatus', 'default.orders.o_orderstatus', 'WHERE:(`count(1)` > CAST(5 AS BIGINT))')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

@@ -45,7 +45,16 @@ class LineageSpec extends SparkTestBase {
     (21, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", ""),
     (21, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", ""),
     (22, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:((orders.o_orderstatus IS NULL) OR orders.o_orderpriority LIKE '1%')"),
-    (23, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:(orders.o_custkey IN (subquery(default.customer)))")
+    (23, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", "WHERE:(orders.o_custkey IN (subquery(default.customer)))"),
+    (24, "default.lineage_target", "default.lineage_target.tgt_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 2)"),
+    (24, "default.lineage_target2", "default.lineage_target2.tgt2_name", "n_name", "default.nation.n_name", ""),
+    (24, "default.lineage_target", "default.lineage_target.tgt_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 2)"),
+    (24, "default.lineage_target2", "default.lineage_target2.tgt2_region", "n_regionkey", "default.nation.n_regionkey", ""),
+    (25, "<EOF>", "", "id", "default.customer.c_custkey&default.supplier.s_suppkey&default.nation.n_nationkey", ""),
+    (26, "default.lineage_ctas", "", "r_name", "default.region.r_name", "WHERE:(region.r_regionkey < 3)"),
+    (26, "default.lineage_ctas", "", "r_regionkey", "default.region.r_regionkey", "WHERE:(region.r_regionkey < 3)"),
+    (27, "<EOF>", "", "big_total", "default.orders.o_totalprice", "WHERE:(`count(1)` > CAST(5 AS BIGINT))"),
+    (27, "<EOF>", "", "o_orderstatus", "default.orders.o_orderstatus", "WHERE:(`count(1)` > CAST(5 AS BIGINT))")
   )
 
   test("corpus lineage matches golden edges") {

@@ -51,6 +51,49 @@ object LshAbProbe {
     time("checkpointed (warm)") { candCount(banded.localCheckpoint()) }
     time("checkpointed (warm)") { candCount(banded.localCheckpoint()) }
 
+    // char-5-gram (q33) phase decomposition
+    val cdocs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.operators.Dedup.charShingleMultiset(col("text"), 5).as("ss"))
+    Seq.fill(2) {
+      time("char multiset arrays") { cdocs.select(sum(size(col("ss")))).head() }
+      time("char + explode") {
+        cdocs.select(col("id"), explode(col("ss")).as("s")).count()
+      }
+      time("char + md5") {
+        cdocs.select(col("id"), explode(col("ss")).as("s"))
+          .select(sum(Dedup.shingleBaseHash(col("s")))).head()
+      }
+      time("char + 36 min-aggs") {
+        val mins = (0 until 36).map { i =>
+          min((col("b") * (2 * i + 1) + (101 * i + 17)) % Dedup.MinHashPrime).as(s"m$i")
+        }
+        cdocs.select(col("id"), explode(col("ss")).as("s"))
+          .select(col("id"), Dedup.shingleBaseHash(col("s")).as("b"))
+          .groupBy("id").agg(mins.head, mins.tail: _*).count()
+      }
+      time("char distinct verify arrays") {
+        Tables.load(spark, sfDir, "documents")
+          .select(graft.operators.Dedup.charShingles(col("text"), 5).as("sh"))
+          .select(sum(size(col("sh")))).head()
+      }
+    }
+
+    // position-explode char grams: no array materialization at all
+    val ctext = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    Seq.fill(2) {
+      time("char posexplode + md5") {
+        ctext
+          .select(col("id"), col("text"),
+            explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))))
+              .as("p"))
+          .select(col("id"),
+            Dedup.shingleBaseHash(col("text").substr(col("p"), lit(5))).as("b"))
+          .select(sum(col("b"))).head()
+      }
+    }
+
     // alternative shingle constructions (signature path only)
     val words = split(col("text"), " ")
     val zipped = zip_with(words, slice(words, 2, 1 << 30),

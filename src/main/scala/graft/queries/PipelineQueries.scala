@@ -315,6 +315,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling over the binary media payload: every-100th-byte
+    // offsets, 16-byte pseudo-frames (stub slicing — a real codec cuts
+    // at frame boundaries; the Spark-side plumbing is real). The
+    // checked contract is length arithmetic only, so no binary content
+    // ever crosses engines: frame count and summed frame bytes are
+    // integer functions of the payload length.
+    "q72_frame_sample" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.frameSample(m, everyK = 100, frameBytes = 16)
+        .select(col("media_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          aggregate(col("frames"), lit(0L),
+            (acc, f) => acc + length(f).cast("long"))
+            .as("total_frame_bytes"))
+        .orderBy("media_id")
+    }),
+
     // Inverted index with df bounds (posting lists as sorted
     // comma-joined ids — deterministic on any engine).
     "q68_inverted_index" -> ((s, dir) => {
@@ -757,6 +774,19 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // Mirrors the slicing arithmetic on octet lengths (UTF-8 bytes on
+    // both sides); the final (possibly short) frame is the least() term.
+    "q72_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                CAST((greatest(octet_length(encode(text)), 1) - 1) // 100 + 1
+                     AS BIGINT) AS n_frames,
+                CAST(list_sum(
+                  [greatest(least(16, octet_length(encode(text)) - off + 1), 0)
+                   for off in range(1, greatest(octet_length(encode(text)), 1) + 1, 100)])
+                  AS BIGINT) AS total_frame_bytes
+         FROM documents
+         ORDER BY media_id""",
 
     "q68_inverted_index" ->
       """WITH tf AS (

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding merge learning — the tokenizer-training step of
+  * an LLM data pipeline (engine extension; completes the tokenization
+  * story next to [[TextAnalysis.regexTokens]] and
+  * [[Curation.vocabulary]]).
+  *
+  * Classic BPE (Sennrich et al. 2016): start from characters, then
+  * repeatedly merge the most frequent adjacent symbol pair. State is
+  * kept as a space-delimited symbol STRING per distinct word — not a
+  * nested array — because applying a merge is then one engine-portable
+  * `replace` chain (see [[applyMerge]]), which is also what lets the
+  * DuckDB oracle mirror every iteration exactly.
+  *
+  * Scale shape: the state table is one row per DISTINCT word (with its
+  * corpus frequency) — vocabulary-sized, not corpus-sized. Each merge
+  * round is: one explode+sum over adjacent pairs (map-side combinable),
+  * an argmax of ONE row collected to the driver (the same k-scalars
+  * loop as [[KMeans.lloyd]]), and a narrow per-row replace. Rounds are
+  * `numMerges` by construction.
+  */
+object Bpe {
+
+  /** The merge-application trick: with symbols single-space-delimited
+    * and the string wrapped in one space each side, doubling the spaces
+    * first makes left-to-right non-overlapping `replace` consume one
+    * space from each side of a match — so back-to-back occurrences
+    * (" a b a b ") and odd chains (" b b b ") merge exactly as BPE's
+    * left-to-right rule demands; normalizing "  "→" " afterwards cannot
+    * leave doubles (every gap is ≤2 spaces by construction). */
+  def applyMerge(s: org.apache.spark.sql.Column, a: String, b: String)
+      : org.apache.spark.sql.Column =
+    call_function("replace",
+      call_function("replace",
+        call_function("replace", s, lit(" "), lit("  ")),
+        lit(s" $a  $b "), lit(s" $a$b ")),
+      lit("  "), lit(" "))
+
+  /** Learn up to `numMerges` merges over the lowercase-alpha words of
+    * `textCol` (the `[a-z]+` filter keeps the contract byte-exact on
+    * any engine; real pipelines pre-normalize anyway). Ties break on
+    * (count desc, left asc, right asc). Stops early if no pair is left.
+    *
+    * Returns (merge_rank, left, right, pair_count), one row per merge
+    * in learning order. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges must be in [1, 64], got $numMerges — each merge is a " +
+        "distributed round; cap it explicitly rather than looping freely")
+    val spark = docs.sparkSession
+
+    var state = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+          .as("s"),
+        col("freq"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val toks = state.select(col("freq"),
+        split(trim(col("s")), " ").as("t"))
+      val best = toks
+        .select(col("freq"),
+          explode(zip_with(col("t"), slice(col("t"), 2, 1 << 30),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank.toLong, a, b, cnt))
+        state = state
+          .select(applyMerge(col("s"), a, b).as("s"), col("freq"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map(m => Row(m._1, m._2, m._3, m._4)), 1),
+      StructType(Seq(
+        StructField("merge_rank", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+}

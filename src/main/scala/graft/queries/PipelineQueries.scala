@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -315,6 +315,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge learning: 6 merge rounds over the corpus's lowercase
+    // words — tokenizer training as a distributed pipeline, checked
+    // against an oracle that unrolls the same 6 rounds as CTE stages
+    // (the q51 KMeans fixed-iteration pattern).
+    "q73_bpe_merges" -> ((s, dir) => {
+      Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 6)
+        .orderBy("merge_rank")
+    }),
+
     // Frame sampling over the binary media payload: every-100th-byte
     // offsets, 16-byte pseudo-frames (stub slicing — a real codec cuts
     // at frame boundaries; the Spark-side plumbing is real). The
@@ -466,6 +475,49 @@ object PipelineQueries {
            LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS cv
                       FROM m_$next GROUP BY cluster) mm
              ON p.cluster = mm.cluster)"""
+
+  /** Unrolled BPE oracle: k CTE stages, each mirroring one Spark merge
+    * round — pair counts from zipped adjacent symbols, argmax with the
+    * (count desc, left, right) tie-break, then the identical
+    * space-doubling replace chain ([[graft.operators.Bpe.applyMerge]]). */
+  private def bpeOracleSql(k: Int): String = {
+    // Every stage CTE is MATERIALIZED and the 1-row argmax joins in by
+    // cross join, never by scalar subquery: an inlining engine would
+    // otherwise re-expand the whole prior chain once per reference —
+    // exponential in k (observed as a hang at k=6 on DuckDB 1.0).
+    val stages = (1 to k).map { i =>
+      s"""best$i AS MATERIALIZED (
+           SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT unnest(list_zip(t, t[2:])) AS z, freq
+                 FROM (SELECT string_split(trim(s), ' ') AS t, freq
+                       FROM s${i - 1}))
+           WHERE z[2] IS NOT NULL
+           GROUP BY z[1], z[2]
+           ORDER BY cnt DESC, a, b LIMIT 1),
+         s$i AS MATERIALIZED (
+           SELECT replace(replace(replace(st.s, ' ', '  '),
+                    ' ' || b.a || '  ' || b.b || ' ',
+                    ' ' || b.a || b.b || ' '),
+                  '  ', ' ') AS s, st.freq
+           FROM s${i - 1} st CROSS JOIN best$i b)"""
+    }
+    val union = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+                 cnt AS pair_count FROM best$i""")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH words AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+')
+          GROUP BY w),
+        s0 AS MATERIALIZED (
+          SELECT ' ' || array_to_string([w[i] for i in range(1, length(w)+1)], ' ')
+                 || ' ' AS s, freq
+          FROM words),
+        ${stages.mkString(",\n        ")}
+        $union
+        ORDER BY merge_rank"""
+  }
 
   private lazy val componentsOracle =
     s"""WITH RECURSIVE pairs AS (
@@ -774,6 +826,8 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    "q73_bpe_merges" -> bpeOracleSql(6),
 
     // Mirrors the slicing arithmetic on octet lengths (UTF-8 bytes on
     // both sides); the final (possibly short) frame is the least() term.

@@ -48,7 +48,32 @@ object Bpe {
     * Returns (merge_rank, left, right, pair_count), one row per merge
     * in learning order. */
   def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame =
+    learn(docs, textCol, numMerges)._1
+
+  /** Tokenize the corpus with merges learned from it: per document, the
+    * word count and post-merge symbol count of its lowercase-alpha
+    * words. The vocabulary (word → merged symbol string) is
+    * vocabulary-sized and joins back to the corpus by word — the same
+    * shape a production tokenizer run takes (trained artifact broadcast
+    * against the stream of documents). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   numMerges: Int): DataFrame = {
+    val vocab = learn(docs, textCol, numMerges)._2
+      .select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
+  }
+
+  /** Shared learning loop: returns (merge table, final word→symbols
+    * vocabulary). */
+  private def learn(docs: DataFrame, textCol: String,
+                    numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges must be in [1, 64], got $numMerges — each merge is a " +
         "distributed round; cap it explicitly rather than looping freely")
@@ -58,7 +83,7 @@ object Bpe {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(
+      .select(col("w"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
           .as("s"),
         col("freq"))
@@ -86,12 +111,12 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank.toLong, a, b, cnt))
         state = state
-          .select(applyMerge(col("s"), a, b).as("s"), col("freq"))
+          .select(col("w"), applyMerge(col("s"), a, b).as("s"), col("freq"))
           .localCheckpoint()
         rank += 1
       }
     }
-    spark.createDataFrame(
+    val mergeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.result().map(m => Row(m._1, m._2, m._3, m._4)), 1),
       StructType(Seq(
@@ -99,5 +124,6 @@ object Bpe {
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+    (mergeDf, state.select(col("w"), col("s")))
   }
 }

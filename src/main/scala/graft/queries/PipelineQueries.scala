@@ -324,6 +324,14 @@ object PipelineQueries {
         .orderBy("merge_rank")
     }),
 
+    // Apply the learned BPE merges back to the corpus: per-doc token
+    // counts through the broadcast word→symbols vocabulary.
+    "q74_bpe_tokenize" -> ((s, dir) => {
+      Bpe.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        numMerges = 6)
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over the binary media payload: every-100th-byte
     // offsets, 16-byte pseudo-frames (stub slicing — a real codec cuts
     // at frame boundaries; the Spark-side plumbing is real). The
@@ -480,7 +488,13 @@ object PipelineQueries {
     * round — pair counts from zipped adjacent symbols, argmax with the
     * (count desc, left, right) tie-break, then the identical
     * space-doubling replace chain ([[graft.operators.Bpe.applyMerge]]). */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int): String =
+    bpeOracleSql(k, (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+                 cnt AS pair_count FROM best$i""")
+      .mkString("\n UNION ALL\n ") + "\n ORDER BY merge_rank")
+
+  private def bpeOracleSql(k: Int, tail: String): String = {
     // Every stage CTE is MATERIALIZED and the 1-row argmax joins in by
     // cross join, never by scalar subquery: an inlining engine would
     // otherwise re-expand the whole prior chain once per reference —
@@ -495,28 +509,25 @@ object PipelineQueries {
            GROUP BY z[1], z[2]
            ORDER BY cnt DESC, a, b LIMIT 1),
          s$i AS MATERIALIZED (
-           SELECT replace(replace(replace(st.s, ' ', '  '),
+           SELECT st.w,
+                  replace(replace(replace(st.s, ' ', '  '),
                     ' ' || b.a || '  ' || b.b || ' ',
                     ' ' || b.a || b.b || ' '),
                   '  ', ' ') AS s, st.freq
            FROM s${i - 1} st CROSS JOIN best$i b)"""
     }
-    val union = (1 to k).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
-                 cnt AS pair_count FROM best$i""")
-      .mkString("\n UNION ALL\n ")
     s"""WITH words AS (
           SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE regexp_full_match(w, '[a-z]+')
           GROUP BY w),
         s0 AS MATERIALIZED (
-          SELECT ' ' || array_to_string([w[i] for i in range(1, length(w)+1)], ' ')
+          SELECT w,
+                 ' ' || array_to_string([w[i] for i in range(1, length(w)+1)], ' ')
                  || ' ' AS s, freq
           FROM words),
         ${stages.mkString(",\n        ")}
-        $union
-        ORDER BY merge_rank"""
+        $tail"""
   }
 
   private lazy val componentsOracle =
@@ -828,6 +839,19 @@ object PipelineQueries {
          FROM events""",
 
     "q73_bpe_merges" -> bpeOracleSql(6),
+
+    // Same learned stages, applied back to the corpus: per-doc word and
+    // post-merge token counts through the word→symbols vocabulary.
+    "q74_bpe_tokenize" -> bpeOracleSql(6,
+      """SELECT d.doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(trim(v.s), ' '))) AS BIGINT)
+                  AS n_tokens
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents) d
+         JOIN s6 v ON d.w = v.w
+         GROUP BY d.doc_id
+         ORDER BY doc_id"""),
 
     // Mirrors the slicing arithmetic on octet lengths (UTF-8 bytes on
     // both sides); the final (possibly short) frame is the least() term.

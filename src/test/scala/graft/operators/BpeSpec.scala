@@ -47,6 +47,21 @@ class BpeSpec extends SparkTestBase {
     assert(chain == " bb b ")
   }
 
+  test("tokenize applies the learned merges: low=1, lower=3, newest=2, widest=4") {
+    // after merges es, est, lo, low, ew, ew+est: "low"→[low],
+    // "lower"→[low,e,r], "newest"→[n,ewest], "widest"→[w,i,d,est]
+    val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expectTokens = Map("low" -> 1L, "lower" -> 3L, "newest" -> 2L,
+      "widest" -> 4L)
+    corpus.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == ((1L, expectTokens(w))),
+        s"doc $i ($w): got ${got(i.toLong)}")
+    }
+  }
+
   test("stops early when no pairs remain") {
     val docs = Seq("a b c").toDF("text") // three 1-char words: no pairs
     val got = Bpe.learnMerges(docs, "text", 5).count()

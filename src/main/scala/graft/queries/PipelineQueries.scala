@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, Graph, Multimodal, Search, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, Graph, Multimodal, RangeJoin, Search, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -313,6 +313,26 @@ object PipelineQueries {
       Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // Range join without a nested loop: per purchase, how many of the
+    // same user's views fell in the 30 minutes before it. Bucketed
+    // equi-join on (user, time-bucket) + exact BETWEEN on co-located
+    // candidates (PlanSpec pins the absence of BroadcastNestedLoop).
+    // Membership margins are the measured ≥8 s same-user spacing, so
+    // ±1µs engine skew cannot flip a count.
+    "q75_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      RangeJoin.intervalJoinAgg(purchases, views, "user_id", "us", "us",
+        before = 1800000000L, after = 0L,
+        matchAggs = Seq(count(col("_rt")).as("n_prior_views")))
+        .select("event_id", "user_id", "n_prior_views")
+        .orderBy("event_id")
     }),
 
     // BPE merge learning: 6 merge rounds over the corpus's lowercase
@@ -837,6 +857,23 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // The oracle can afford the plain inequality join the Spark side
+    // must avoid.
+    "q75_range_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS us
+           FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id,
+                CAST(count(v.us) AS BIGINT) AS n_prior_views
+         FROM p LEFT JOIN v
+           ON p.user_id = v.user_id
+          AND v.us >= p.us - 1800000000 AND v.us <= p.us
+         GROUP BY p.event_id, p.user_id
+         ORDER BY p.event_id""",
 
     "q73_bpe_merges" -> bpeOracleSql(6),
 

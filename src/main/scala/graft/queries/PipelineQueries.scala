@@ -315,6 +315,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Spark's NATIVE session_window aggregation, checked against the
+    // same session oracle as the hand-rolled q43 (both reach identical
+    // sessions here: the engines differ only at gaps exactly equal to
+    // 30 min, and the fixture's nearest gap is 886 ms away). Robust
+    // contract columns: per-user ordinal + count.
+    "q76_session_window" -> ((s, dir) => {
+      val sessions = t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+      sessions
+        .select(col("user_id"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("session_window.start"))).cast("long")
+            .as("session_seq"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Range join without a nested loop: per purchase, how many of the
     // same user's views fell in the 30 minutes before it. Bucketed
     // equi-join on (user, time-bucket) + exact BETWEEN on co-located
@@ -857,6 +875,32 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // Same session reconstruction as q43/q66 — the native operator must
+    // agree with the hand-rolled one's oracle.
+    "q76_session_window" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         numbered AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id,
+                CAST(session_id AS BIGINT) AS session_seq,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM numbered
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_seq""",
 
     // The oracle can afford the plain inequality join the Spark side
     // must avoid.

@@ -315,6 +315,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Winsorized aggregation: values clipped to the exact per-group
+    // [p05, p95] band (composition of q63's quantile selection with a
+    // broadcast clip — the robust-statistics pass a feature pipeline
+    // runs before normalization).
+    "q77_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = Stats
+        .exactQuantiles(ev, "event_type", "value", Seq(0.05, 0.95))
+        .groupBy("event_type")
+        .agg(min(when(col("q") === 0.05, col("quantile_value"))).as("lo"),
+          min(when(col("q") === 0.95, col("quantile_value"))).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("clipped").cast("decimal(18,3)")).cast("double")
+            .as("sum_clipped"))
+        .orderBy("event_type")
+    }),
+
     // Spark's NATIVE session_window aggregation, checked against the
     // same session oracle as the hand-rolled q43 (both reach identical
     // sessions here: the engines differ only at gaps exactly equal to
@@ -875,6 +896,32 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    // Quantile bounds by the same explicit rank formula as q63, then
+    // clip + exact decimal sum (clipped values are corpus values, so
+    // the decimal cast stays exact).
+    "q77_winsorize" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         qs(q) AS (VALUES (0.05), (0.95)),
+         bounds AS (
+           SELECT event_type,
+                  min(CASE WHEN CAST(q AS DOUBLE) = 0.05 THEN value END) AS lo,
+                  min(CASE WHEN CAST(q AS DOUBLE) = 0.95 THEN value END) AS hi
+           FROM ranked JOIN qs
+             ON rnk = CAST(floor((n - 1) * CAST(q AS DOUBLE)) AS BIGINT) + 1
+           GROUP BY event_type)
+         SELECT e.event_type,
+                count(*) AS n,
+                CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+                              AS DECIMAL(18,3))) AS DOUBLE) AS sum_clipped
+         FROM events e JOIN bounds b ON e.event_type = b.event_type
+         GROUP BY e.event_type
+         ORDER BY e.event_type""",
 
     // Same session reconstruction as q43/q66 — the native operator must
     // agree with the hand-rolled one's oracle.

@@ -126,6 +126,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q58 search: term filter precedes the shuffle, weights broadcast, heap top-k") {
+    val p = planOf("q58_search_topk")
+    // the literal term list filters the exploded tokens (before the
+    // (doc, token) aggregation shuffle by construction) — only
+    // query-term hits ever move
+    assert("token#\\d+ IN \\(spark,window,stream\\)".r.findFirstIn(p).isDefined ||
+      p.contains("IN (spark,window,stream)"))
+    // weights (|terms| rows) come back via broadcast, and the global
+    // top-k is a per-partition heap merge, not a full sort
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q67 zscore: per-group stats broadcast back over a narrow projection") {
+    val p = planOf("q67_zscore")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // no window at all: stats are an aggregate, not a whole-group sort
+    assert(!p.contains("Window ("))
+  }
+
   test("q70 prunes partitions at the directory level, not by row filter") {
     val p = planOf("q70_partition_pruning")
     assert("PartitionFilters: \\[.*event_date".r.findFirstIn(p).isDefined,

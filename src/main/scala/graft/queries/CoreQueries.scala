@@ -326,6 +326,38 @@ object CoreQueries {
       s.table("graft_ctas_roundtrip").orderBy("o_orderpriority")
     }),
 
+    // Full grouping-sets lattice (completes ROLLUP/q22): every
+    // (region, nation) aggregation combination in one pass over the
+    // join — Expand feeds one shuffle, not 4 scans.
+    "q78_cube" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE(r_name, n_name)
+        ORDER BY region, nation""")
+    }),
+
+    // Multiset set-ops (the ALL variants of q19/q20): duplicates carry
+    // multiplicity through the operator. Identical surviving rows are
+    // interchangeable, so ORDER BY the value is hash-stable.
+    "q79_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      li.exceptAll(o).orderBy("k")
+    }),
+
+    "q80_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
+        .select(col("l_suppkey").as("k"))
+      a.intersectAll(b).orderBy("k")
+    }),
+
     // Date-partitioned layout + partition pruning: write events
     // partitioned by event_date, read back with a partition predicate.
     // At 100 TB this is THE first-order I/O lever — the filter must
@@ -623,6 +655,28 @@ object CoreQueries {
     "q55_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q78_cube" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+                COALESCE(n_name, 'ALL') AS nation,
+                count(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE(r_name, n_name)
+         ORDER BY region, nation""",
+
+    "q79_except_all" ->
+      """SELECT l_orderkey AS k FROM lineitem
+         EXCEPT ALL
+         SELECT o_orderkey AS k FROM orders
+         ORDER BY k""",
+
+    "q80_intersect_all" ->
+      """SELECT l_suppkey AS k FROM lineitem
+         INTERSECT ALL
+         SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25
+         ORDER BY k""",
 
     // The layout round-trips losslessly, so the oracle is the plain
     // filtered aggregation over the source table.

@@ -342,6 +342,24 @@ object CoreQueries {
         ORDER BY region, nation""")
     }),
 
+    // Explicit GROUPING SETS with grouping() markers: the general form
+    // behind ROLLUP/CUBE — hand-picked lattice levels, and the marker
+    // distinguishes "aggregated over" from a genuine NULL.
+    "q81_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(grouping(r_name) AS BIGINT) AS g_region,
+               CAST(grouping(n_name) AS BIGINT) AS g_nation,
+               count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        ORDER BY region, nation""")
+    }),
+
     // Multiset set-ops (the ALL variants of q19/q20): duplicates carry
     // multiplicity through the operator. Identical surviving rows are
     // interchangeable, so ORDER BY the value is hash-stable.
@@ -664,6 +682,18 @@ object CoreQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY CUBE(r_name, n_name)
+         ORDER BY region, nation""",
+
+    "q81_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+                COALESCE(n_name, 'ALL') AS nation,
+                CAST(grouping(r_name) AS BIGINT) AS g_region,
+                CAST(grouping(n_name) AS BIGINT) AS g_nation,
+                count(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
          ORDER BY region, nation""",
 
     "q79_except_all" ->

@@ -31,15 +31,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also land the JSON in a plain file: sbt decorates stdout with
-    // [info]/[error] tags that can defeat line-oriented parsing.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    // STDOUT line: the harness keeps only a ~2 KiB tail of sbt output, so
+    // the line must stay well under that or its head gets clipped and the
+    // JSON no longer parses (r1-r3 all landed as parsed:null). Key by the
+    // short query id (the `_` suffix is human labeling; ids are unique)
+    // and round to ms.
+    val short = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}""")
+    // Full names land in a plain file (sbt decorates stdout with
+    // [info]/[error] tags that can defeat line-oriented parsing).
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -250,6 +250,20 @@ object PipelineQueries {
         .as("n_odd_us"))
     }),
 
+    // q82: full µs-value fingerprint. r3's q60 proved the LAST bit of
+    // every floor-µs value agrees across engines; this pins the WHOLE
+    // value (min, max, and a modular checksum of all 150k values). Green
+    // here ⇔ `epoch_ns(ts) // 1000` in the oracle is bit-identical to
+    // Spark's `ts div 1000`, and µs-derived output columns (the shape
+    // that was red in r2 via DuckDB's epoch_us()) are safe to restore.
+    "q82_probe_us_fingerprint" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val us = s.read.parquet(s"$dir/events.parquet")
+        .select(expr("ts div 1000").as("us"))
+      us.agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"),
+        sum(col("us") % lit(1000000007L)).as("sum_mod"))
+    }),
+
     // JSON property extraction + aggregation.
     "q44_json_props" -> ((s, dir) => {
       Events.jsonPropAgg(t(s, dir, "events"), "$.k")
@@ -896,6 +910,11 @@ object PipelineQueries {
       """SELECT CAST(sum(CASE WHEN (epoch_ns(ts) // 1000) % 2 = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_us
          FROM events""",
+
+    "q82_probe_us_fingerprint" ->
+      """SELECT min(us) AS min_us, max(us) AS max_us,
+                CAST(sum(us % 1000000007) AS BIGINT) AS sum_mod
+         FROM (SELECT epoch_ns(ts) // 1000 AS us FROM events)""",
 
     // Quantile bounds by the same explicit rank formula as q63, then
     // clip + exact decimal sum (clipped values are corpus values, so

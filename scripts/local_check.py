@@ -14,11 +14,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-# Engine-semantics probes (PipelineQueries q59/q60): their whole point
-# is to MEASURE how the oracle engine converts TIMESTAMP(NANOS).  The
-# local DuckDB 1.0.0 truncates ns at parquet read, so q59 necessarily
-# reads 0 there — report the measurement, don't count it as a failure.
-PROBES = {"q59_probe_ts_subus", "q60_probe_us_parity"}
+# Engine-semantics probes (PipelineQueries q60/q82): they pin the floor
+# ns→µs TIMESTAMP(NANOS) conversion both engines share (measured r3-r4
+# via the now-retired q59 sub-µs probe). Report separately so a future
+# oracle-engine change reads as a measurement, not an operator bug.
+PROBES = {"q60_probe_us_parity", "q82_probe_us_fingerprint"}
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])

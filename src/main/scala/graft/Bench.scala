@@ -31,17 +31,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
+    // f"%.3f" would emit "0,123" and corrupt the JSON.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     // STDOUT line: the harness keeps only a ~2 KiB tail of sbt output, so
     // the line must stay well under that or its head gets clipped and the
     // JSON no longer parses (r1-r3 all landed as parsed:null). Key by the
-    // short query id (the `_` suffix is human labeling; ids are unique)
-    // and round to ms.
-    val short = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    // short query id (the `_` suffix is human labeling) and round to ms.
+    // Short ids must stay unique or last-wins silently corrupts the map —
+    // fall back to full names if a qNN prefix ever collides.
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    val useShort = shortIds.distinct.size == shortIds.size
+    val short = results.zip(shortIds).map { case ((k, v), sid) =>
+      s"\"" + (if (useShort) sid else k) + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}"""
+    // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
+    // by the harness tail; degrade to totals-only (full per-query detail
+    // always lands in bench.json).
+    println(if (line.length <= 1900)
+      line
+    else
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
     // Full names land in a plain file (sbt decorates stdout with
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }

@@ -1,8 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** As-of join: attach to every left row the payload of the most recent
   * right row at-or-before its timestamp, per key (engine extension —
@@ -60,5 +64,51 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(keep.map(n => col("_l").getField(n).as(n)) ++
         payloadCols.map(p => col(s"asof_$p")): _*)
+  }
+
+  /** The same as-of semantics as [[asOf]], executed by the NATIVE
+    * whole-operator path: a custom `AsOfJoinPlan` logical node planned
+    * by [[graft.plans.AsOfJoinStrategy]] into a merge-join physical
+    * operator (`AsOfJoinExec`). One hash exchange per side + an
+    * O(n+m) forward merge per partition — no union row inflation, no
+    * window-function machinery, and the right side ships only its
+    * payload columns. Output column contract matches [[asOf]] exactly
+    * (left columns, then `asof_<p>` per payload column, nullable).
+    *
+    * The planner strategy is registered idempotently on the Dataset's
+    * session via `experimental.extraStrategies` (the public runtime
+    * registration point; `SparkSessionExtensions
+    * .injectPlannerStrategy(_ => AsOfJoinStrategy)` is the
+    * builder-time equivalent).
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
+                 timeCol: String, tieCol: String,
+                 payloadCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    // Validate names up front (the node carries names, not attribute
+    // refs — see AsOfJoinPlan's scaladoc on self-join exprId dedup)
+    // and require them unambiguous per side.
+    def attr(p: LogicalPlan, n: String, side: String) = {
+      val hits = p.output.filter(_.name == n)
+      require(hits.size == 1,
+        s"asOfNative: column `$n` must appear exactly once on the $side " +
+          s"side, found ${hits.size} in ${p.output.map(_.name).mkString(", ")}")
+      hits.head
+    }
+    Seq(keyCol, timeCol).foreach(attr(lPlan, _, "left"))
+    Seq(keyCol, timeCol, tieCol).foreach(attr(rPlan, _, "right"))
+    val asofOut = payloadCols.map { p =>
+      val a = attr(rPlan, p, "right")
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)()
+    }
+    val node = AsOfJoinPlan(lPlan, rPlan, keyCol, timeCol, tieCol,
+      payloadCols, asofOut)
+    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, node)
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the classic
+  * bottom-k estimator (Bar-Yossef et al. 2002; the same family behind
+  * theta sketches): hash every value to a uniform 60-bit integer, keep
+  * the k smallest distinct hashes per group, and estimate
+  * |D| ≈ (k-1) · 2^60 / h_(k) from the k-th smallest hash. Exact when
+  * the group has fewer than k distinct values (the sketch IS the set).
+  *
+  * Why it belongs in a 100 TB engine: the sketch is tiny (k longs),
+  * MERGEABLE (k smallest of a union = k smallest of the pooled
+  * sketches — partial aggregation works), and unlike HyperLogLog it is
+  * exactly reproducible from the hash definition alone, so a DuckDB
+  * oracle can recompute it bit-for-bit. Spark's own
+  * `approx_count_distinct` (HLL++) is the black-box alternative; this
+  * is the auditable one.
+  *
+  * Plan shape: `row_number() <= k` over (group, hash-ascending) plans
+  * as WindowGroupLimit — Spark pushes a per-partition top-k BEFORE the
+  * shuffle (the q56 pattern), so each map task ships at most k hashes
+  * per group: a partial-aggregate-shaped sketch build, never a full
+  * distinct materialization across the cluster.
+  *
+  * Determinism: the hash is the repo-standard md5 60-bit prefix
+  * (`Md5Prefix64`, ≡ DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`);
+  * the estimate divides exactly-representable doubles ((k-1)·2^60 has
+  * a 6-bit mantissa; the cast of h_k is correctly rounded in both
+  * engines), then floors to BIGINT — bit-identical cross-engine.
+  */
+object Sketch {
+
+  /** Per-`groupCols` KMV estimate of `count(distinct valueStr)`.
+    * `valueStr` must be a STRING column expression. Output: group
+    * columns + `est_nd` (BIGINT). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueStr: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val sp = df.sparkSession
+    graft.functions.Md5Prefix64.register(sp)
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g :+ call_function(graft.functions.Md5Prefix64.name,
+        valueStr).as("h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    val kept = hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k) // WindowGroupLimit: pre-shuffle top-k
+    kept.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(g :+
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(
+            lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("hk").cast("double")).cast("long"))
+          .as("est_nd"): _*)
+  }
+}

@@ -24,7 +24,8 @@ import graft.streaming.EventStreams
   * ts sits hundreds of µs from any ms boundary, and hour windows sit
   * minutes from the cutoff, so the emitted set is stable even under
   * engines that round (rather than floor) the parquet TIMESTAMP(NANOS)
-  * column to µs (see q59/q60 probes).
+  * column to µs (moot since r4: the q60/q82 probes proved the oracle
+  * engine floors, but the margins keep the contract robust anyway).
   */
 object StreamingQueries {
 

@@ -60,4 +60,54 @@ class AsOfJoinSpec extends SparkTestBase {
 
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("native operator matches the hand fixture, including null-payload rows") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 30L), (4L, 200L, 5L)
+    ).toDF("id", "k", "t").withColumn("tie", col("id"))
+    val right = Seq(
+      (11L, 100L, 10L, "a"), (12L, 100L, 10L, "b"),
+      (13L, 100L, 30L, "c"), (14L, 200L, 50L, "z")
+    ).toDF("tie", "k", "t", "payload")
+
+    val df = AsOfJoin.asOfNative(left, right, "k", "t", "tie", Seq("payload"))
+    // The custom physical operator must actually be in the plan
+    // (TreeNode renders AsOfJoinExec as "AsOfJoin").
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = df.orderBy("id").select("id", "asof_payload")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some("b")), (2L, Some("b")), (3L, Some("c")), (4L, None)))
+  }
+
+  test("native operator agrees with the composed operator on the events fixture") {
+    val raw = Tables.load(spark, sfDir, "events")
+    val left = raw.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_type"))
+    val right = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+
+    val composed = AsOfJoin.asOf(left, right, "user_id", "us", "event_id",
+      Seq("purchase_id", "purchase_value"))
+    val native = AsOfJoin.asOfNative(left, right, "user_id", "us", "event_id",
+      Seq("purchase_id", "purchase_value"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
+  test("native operator handles empty right side and left-only keys") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 10L, 1L)).toDF("id", "k", "t", "tie")
+    val right = Seq.empty[(Long, Long, Long, String)]
+      .toDF("tie", "k", "t", "payload")
+    val got = AsOfJoin.asOfNative(left, right, "k", "t", "tie", Seq("payload"))
+      .collect()
+    assert(got.length == 1 && got.head.isNullAt(4))
+  }
 }

@@ -425,6 +425,25 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Z-order layout (Layout.morton): Morton-interleave two bounded
+    // dims of lineitem and group by the 128×128 tile the top z-bits
+    // define. The per-tile min/max bounds ARE the pruning property: a
+    // z-sorted write gives every parquet file tight stats on BOTH
+    // columns (each ≤128-wide here, vs one tight + one full-range for
+    // a plain sort), so either dimension's predicates skip files.
+    // Pure codegen'd bit math, zero shuffle before the tile agg.
+    "q85_zorder_layout" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).cast("long").as("x"),
+        (col("l_orderkey") % 1024).cast("long").as("y"))
+      pts.withColumn("zval", graft.operators.Layout.morton(col("x"), col("y"), 10))
+        .groupBy(shiftright(col("zval"), 14).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("tile")
+    }),
+
     // CSV source/sink: write headered CSV, read back with the explicit
     // schema (never inferred). Free-text stays out of CSV — that's the
     // JSON round-trip's job (q57).
@@ -728,6 +747,21 @@ object CoreQueries {
 
     "q57_json_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // The interleave is generated from the same bit formula the Spark
+    // side uses (Layout.mortonSql) — shift/and arithmetic is exact in
+    // any engine.
+    "q85_zorder_layout" ->
+      s"""WITH pts AS (
+           SELECT l_partkey % 1024 AS x, l_orderkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x, y,
+                 ${graft.operators.Layout.mortonSql("x", "y", 10)} AS zval
+               FROM pts)
+         SELECT zval >> 14 AS tile, count(*) AS n,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY tile ORDER BY tile"""
   )
 }

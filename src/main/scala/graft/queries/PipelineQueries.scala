@@ -295,6 +295,34 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // q86: incremental materialized-view maintenance. The per-custkey
+    // order stats are maintained as base (history before a cutoff) +
+    // delta (the new partition), merged by adding decomposable partial
+    // aggregates through a full-outer join — the daily-refresh pattern
+    // that turns a 100 TB full recompute into aggregating one day's
+    // partition and merging k×|keys| partials. The oracle is the
+    // DIRECT aggregation over everything: hash-equality proves
+    // merge(base, delta) ≡ recompute, exactly (decimal partials add
+    // associatively; the double cast happens once, after the merge).
+    "q86_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cutoff = to_date(lit("1997-01-01"))
+      def part(p: DataFrame, n: String, sm: String) =
+        p.groupBy("o_custkey").agg(
+          count(lit(1)).as(n),
+          sum(col("o_totalprice").cast("decimal(18,3)")).as(sm))
+      val base = part(orders.filter(col("o_orderdate") < cutoff), "bn", "bs")
+      val delta = part(orders.filter(col("o_orderdate") >= cutoff), "dn", "ds")
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bs"), lit(0).cast("decimal(18,3)")) +
+            coalesce(col("ds"), lit(0).cast("decimal(18,3)")))
+            .cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
     // JSON property extraction + aggregation.
     "q44_json_props" -> ((s, dir) => {
       Events.jsonPropAgg(t(s, dir, "events"), "$.k")
@@ -1009,6 +1037,17 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // The incremental path must be indistinguishable from direct
+    // recomputation — the oracle aggregates everything in one pass.
+    "q86_incremental_agg" ->
+      """SELECT o_custkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_total
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
 
     // Quantile bounds by the same explicit rank formula as q63, then
     // clip + exact decimal sum (clipped values are corpus values, so

@@ -94,6 +94,26 @@ object StreamingQueries {
     // so <-vs-≤ and ms-floor effects cannot flip membership. The
     // checked columns are the robust set (ordinal + count), the same
     // contract shape as q43.
+    // Stream-stream inner interval join: purchases × views of the same
+    // user within a 30-minute lookback. Inner matches emit on
+    // discovery, so the bounded run's emitted PAIR SET equals the batch
+    // interval join — which is exactly what the oracle computes. The
+    // watermark + time-bound condition is what makes the join legal
+    // (state bounded) rather than a semantics change.
+    "q87_stream_stream_join" -> ((s, dir) => {
+      val ev = eventsStream(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      val pairs = EventStreams.intervalJoinPairs(purchases, views,
+        "user_id", "event_id", lookbackMinutes = 30,
+        watermarkDelay = "10 minutes")
+      runBounded(s,
+        pairs.select(col("left_id").as("purchase_id"),
+          col("right_id").as("view_id")),
+        "graft_q87_sink", "append")
+        .orderBy("purchase_id", "view_id")
+    }),
+
     "q66_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = eventsStream(s, dir)
@@ -136,6 +156,20 @@ object StreamingQueries {
       """SELECT DISTINCT user_id, event_type
          FROM events
          ORDER BY user_id, event_type""",
+
+    // Inner stream-stream matches emit on discovery, so the emitted
+    // set is the batch interval join, on the shared floor-µs timeline.
+    "q87_stream_stream_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events)
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id
+         FROM ev p JOIN ev v
+           ON p.user_id = v.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.us BETWEEN p.us - 1800000000 AND p.us
+         ORDER BY purchase_id, view_id""",
 
     // Batch reconstruction of the streaming emission: q43's session
     // CTEs, minus each user's last session unless its event-time

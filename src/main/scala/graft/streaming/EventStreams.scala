@@ -53,6 +53,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream INNER interval join: pair each left event with the
+    * right events of the same key whose time falls within
+    * [left.ts − `lookbackMinutes`, left.ts]. Inner-join matches emit as
+    * they are found (append mode); the watermarks exist to BOUND STATE —
+    * each side buffers only rows younger than (watermark − interval),
+    * so state is O(rate × (delay + lookback)) per key shard, never the
+    * full history. The condition must carry the time bound or Spark
+    * rejects the join as unbounded-state (analysis error, not a
+    * runtime surprise).
+    *
+    * Inputs must expose (`keyCol`, `ts`, `idCol`); output is the
+    * matched id pairs (left_id, right_id).
+    */
+  def intervalJoinPairs(left: DataFrame, right: DataFrame, keyCol: String,
+                        idCol: String, lookbackMinutes: Int,
+                        watermarkDelay: String): DataFrame = {
+    val l = left.select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+      col(idCol).as("left_id")).withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+      col(idCol).as("right_id")).withWatermark("r_ts", watermarkDelay)
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+      col("r_ts") <= col("l_ts"), "inner")
+      .select(col("left_id"), col("right_id"))
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: a session
     * closes when a gap larger than `gapMinutes` is observed inside a
     * batch, or when the event-time watermark times the group out.

@@ -210,4 +210,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q83 native as-of join: custom exec, one exchange+sort per side, no window") {
+    val p = planOf("q83_asof_native")
+    assert(p.contains("AsOfJoin"))
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // one hash exchange per side (the only other exchange is the final
+    // presentation sort's range partitioning)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 2)
+  }
+
+  test("q84 KMV sketch builds via pre-shuffle WindowGroupLimit, not a full sort") {
+    val p = planOf("q84_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("Exchange rangepartitioning(h"))
+  }
+
+  test("q85 z-order tiles aggregate partially map-side with no pre-agg shuffle") {
+    val p = planOf("q85_zorder_layout")
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+    // bit-interleave is pure projection: exactly the aggregation's own
+    // hash exchange (on the internal grouping expression for the tile)
+    // plus the presentation sort's range partitioning, nothing else
+    assert("hashpartitioning\\(".r.findAllIn(p).length == 1)
+    assert("rangepartitioning\\(tile".r.findAllIn(p).length == 1)
+  }
+
+  test("q86 incremental merge joins partial aggregates, never re-scans history twice") {
+    val p = planOf("q86_incremental_agg")
+    // both branches aggregate partially before their single shuffle
+    assert("partial_count".r.findAllIn(p).length >= 2)
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"))
+  }
 }

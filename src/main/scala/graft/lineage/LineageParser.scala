@@ -264,19 +264,19 @@ object LineageParser {
       State(lr.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
         Set.empty, Set(table))
 
-    case p: Project   => withNamed(build(p.child, ctes, db), p.projectList)
-    case a: Aggregate => withNamed(build(a.child, ctes, db), a.aggregateExpressions)
-    case w: Window    => withNamed(build(w.child, ctes, db), w.windowExpressions)
+    case p: Project   => withNamed(build(p.child, ctes, db), p.projectList, ctes, db)
+    case a: Aggregate => withNamed(build(a.child, ctes, db), a.aggregateExpressions, ctes, db)
+    case w: Window    => withNamed(build(w.child, ctes, db), w.windowExpressions, ctes, db)
 
     case g: Generate =>
       val st = build(g.child, ctes, db)
-      val srcs = refsOf(g.generator, st)
+      val srcs = refsOf(g.generator, st, ctes, db)
       st.copy(src = st.src ++ g.generatorOutput.map(a => a.exprId -> srcs))
 
     case e: Expand =>
       val st = build(e.child, ctes, db)
       val m = e.output.zipWithIndex.map { case (a, i) =>
-        a.exprId -> e.projections.flatMap(p => refsOf(p(i), st)).toSet
+        a.exprId -> e.projections.flatMap(p => refsOf(p(i), st, ctes, db)).toSet
       }
       st.copy(src = st.src ++ m)
 
@@ -327,8 +327,10 @@ object LineageParser {
       other.children.map(build(_, ctes, db)).foldLeft(State.empty)(_ merge _)
   }
 
-  private def withNamed(st: State, named: Seq[NamedExpression]): State =
-    st.copy(src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st)))
+  private def withNamed(st: State, named: Seq[NamedExpression],
+                        ctes: Map[Long, (State, Seq[Attribute])],
+                        db: String): State =
+    st.copy(src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st, ctes, db)))
 
   /** Condition text. `Expression.sql` renders subquery expressions as
     * opaque `listquery()`/`scalarsubquery()`/`exists()` markers; those
@@ -350,8 +352,25 @@ object LineageParser {
     * the first-arg-only rule at `LineParser.java:669-687` is a defect).
     * Literals have no references, so literal elision
     * (`LineParser.java:508-525`) is free. */
-  private def refsOf(e: Expression, st: State): Set[String] =
-    e.references.iterator.flatMap(r => st.src.getOrElse(r.exprId, Set.empty)).toSet
+  /** Leaf sources of an expression. A SCALAR subquery in a select item
+    * produces the item's VALUE, so its result column's sources flow
+    * through (corpus 31) — unlike predicate subqueries (IN/EXISTS,
+    * corpus 23), which contribute a condition but no edges, matching
+    * the reference's treatment (`LineParser.java:347-367`). */
+  private def refsOf(e: Expression, st: State,
+                     ctes: Map[Long, (State, Seq[Attribute])],
+                     db: String): Set[String] = {
+    val direct =
+      e.references.iterator.flatMap(r => st.src.getOrElse(r.exprId, Set.empty)).toSet
+    val scalar = e.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        val sub = build(s.plan, ctes, db)
+        s.plan.output.headOption
+          .map(a => sub.src.getOrElse(a.exprId, Set.empty))
+          .getOrElse(Set.empty[String])
+    }.flatten.toSet
+    direct ++ scalar
+  }
 
   /** Condition tags — reference token text minus `TOK_`
     * (`LineParser.java:449-453`): JOIN, LEFTOUTERJOIN, ... */

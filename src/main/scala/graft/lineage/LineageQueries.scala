@@ -69,7 +69,24 @@ object LineageQueries {
     // 26 S5: CTAS sink (analyzed, never executed)
     "CREATE TABLE lineage_ctas AS SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
     // 27 §2.5 + E6: aggregate over CASE with HAVING (engine extension)
-    "SELECT o_orderstatus, sum(CASE WHEN o_totalprice > 100.0 THEN o_totalprice ELSE 0.0 END) AS big_total FROM orders GROUP BY o_orderstatus HAVING count(1) > 5"
+    "SELECT o_orderstatus, sum(CASE WHEN o_totalprice > 100.0 THEN o_totalprice ELSE 0.0 END) AS big_total FROM orders GROUP BY o_orderstatus HAVING count(1) > 5",
+    // 28 §2.4: CROSS join tag (LineageParser.joinTag handles Cross;
+    // until round 5 no corpus statement exercised it)
+    "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    // 29 §2.4: LEFT ANTI join tag — sources only from the left side
+    "SELECT c_name FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey",
+    // 30 §2.7: SELF-join with aliases — the analyzer deduplicates the
+    // second scan's exprIds; both sides must still resolve to
+    // default.nation (the same trap the native as-of join hit)
+    "SELECT a.n_name, b.n_name AS other FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey",
+    // 31 scalar subquery in the SELECT list (engine extension): the
+    // subquery's table contributes through the COLFUN expression
+    "SELECT o_orderkey, (SELECT max(c_custkey) FROM customer) AS max_cust FROM orders",
+    // 32 §2.6: UNION DISTINCT — positional fold through the Distinct
+    "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region",
+    // 33 ORDER BY + LIMIT (engine extension): presentation operators
+    // must not add or drop lineage
+    "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 5"
   )
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -144,7 +161,16 @@ object LineageQueries {
     (26, 'default.lineage_ctas', '', 'r_name', 'default.region.r_name', 'WHERE:(region.r_regionkey < 3)'),
     (26, 'default.lineage_ctas', '', 'r_regionkey', 'default.region.r_regionkey', 'WHERE:(region.r_regionkey < 3)'),
     (27, '<EOF>', '', 'big_total', 'default.orders.o_totalprice', 'WHERE:(`count(1)` > CAST(5 AS BIGINT))'),
-    (27, '<EOF>', '', 'o_orderstatus', 'default.orders.o_orderstatus', 'WHERE:(`count(1)` > CAST(5 AS BIGINT))')
+    (27, '<EOF>', '', 'o_orderstatus', 'default.orders.o_orderstatus', 'WHERE:(`count(1)` > CAST(5 AS BIGINT))'),
+    (28, '<EOF>', '', 'n_name', 'default.nation.n_name', ''),
+    (28, '<EOF>', '', 'r_name', 'default.region.r_name', ''),
+    (29, '<EOF>', '', 'c_name', 'default.customer.c_name', 'LEFTANTIJOIN:(customer.c_custkey = orders.o_custkey)'),
+    (30, '<EOF>', '', 'n_name', 'default.nation.n_name', 'JOIN:(a.n_regionkey = b.n_regionkey)'),
+    (30, '<EOF>', '', 'other', 'default.nation.n_name', 'JOIN:(a.n_regionkey = b.n_regionkey)'),
+    (31, '<EOF>', '', 'max_cust', 'default.customer.c_custkey', 'COLFUN:scalarsubquery()'),
+    (31, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', ''),
+    (32, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
+    (33, '<EOF>', '', 'c_name', 'default.customer.c_name', '')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

@@ -146,4 +146,49 @@ object Graph {
     nodes.join(cur, nodes("node") === cur("u"), "left")
       .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
+
+  /** Fixed-iteration PageRank in PURE INTEGER arithmetic (ranks scaled
+    * by `scale`), over a directed edge list (`srcCol`, `dstCol`) in
+    * which every node must appear as a source (true for symmetrized
+    * undirected graphs — the q88 usage; dangling nodes would need a
+    * redistribution term this operator deliberately omits).
+    *
+    * Why integer: float PageRank sums per-node contributions in
+    * nondeterministic order, so results differ run-to-run and
+    * engine-to-engine in low bits. With ranks as scaled BIGINTs,
+    * contribution = `rank div outdeg` and damping = `(85·Σ) div 100`
+    * are exact and associative — any engine (and any partitioning)
+    * computes bit-identical ranks, which is what lets a SQL oracle
+    * recompute the iteration verbatim.
+    *
+    * Per iteration: one equi-join of edges (with static out-degrees)
+    * against the current rank vector + one map-side-combinable sum —
+    * the same shuffle shape as [[connectedComponents]], O(|E|) rows
+    * moved, no state bigger than the rank vector. `localCheckpoint`
+    * truncates the growing plan per round.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    val base = scale / n
+    val teleport = base * 15L / 100L
+    val withDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr("(85 * in_sum) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

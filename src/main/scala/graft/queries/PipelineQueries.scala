@@ -117,6 +117,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q88: fixed-iteration PageRank over the part↔supplier bipartite
+    // graph, in pure integer arithmetic (Graph.pageRankInt) — float
+    // PageRank sums contributions in nondeterministic order, integer
+    // ranks make every iteration exact, so the oracle can recompute
+    // all three iterations verbatim as unrolled CTEs. Node encoding:
+    // part k → 2k, supplier k → 2k+1.
+    "q88_pagerank" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        // checkpoint before the two-direction fan-out: union branches
+        // are separate subtrees and would evaluate the distinct twice
+        .localCheckpoint()
+      val edges = base
+        .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .union(base.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iters = 3)
+        .orderBy(desc("rank"), col("node")).limit(20)
+    }),
+
     // As-of join: every event gets the user's most recent purchase
     // at-or-before it. Times are epoch-micros BIGINTs (the determinism
     // contract — see q43) and ties resolve to the highest event_id.
@@ -1037,6 +1057,49 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Three unrolled iterations of the exact integer recurrence:
+    // rank' = (base·15)//100 + (85·Σ rank//outdeg)//100. The CAST on
+    // the sum keeps DuckDB's HUGEINT out of the damping multiply.
+    "q88_pagerank" ->
+      """WITH base AS (
+           SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+         edges AS (
+           SELECT 2*p AS src, 2*s+1 AS dst FROM base
+           UNION ALL
+           SELECT 2*s+1, 2*p FROM base),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         params AS (
+           SELECT (1000000000000 // count(*)) * 15 // 100 AS t,
+                  1000000000000 // count(*) AS b
+           FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM edges GROUP BY src),
+         r0 AS (SELECT node, (SELECT b FROM params) AS rank FROM nodes),
+         it1 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN r0 r ON e.src = r.node
+           GROUP BY e.dst),
+         it2 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN it1 r ON e.src = r.node
+           GROUP BY e.dst),
+         it3 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN it2 r ON e.src = r.node
+           GROUP BY e.dst)
+         SELECT node, rank FROM it3
+         ORDER BY rank DESC, node
+         LIMIT 20""",
 
     // The incremental path must be indistinguishable from direct
     // recomputation — the oracle aggregates everything in one pass.

@@ -54,7 +54,16 @@ class LineageSpec extends SparkTestBase {
     (26, "default.lineage_ctas", "", "r_name", "default.region.r_name", "WHERE:(region.r_regionkey < 3)"),
     (26, "default.lineage_ctas", "", "r_regionkey", "default.region.r_regionkey", "WHERE:(region.r_regionkey < 3)"),
     (27, "<EOF>", "", "big_total", "default.orders.o_totalprice", "WHERE:(`count(1)` > CAST(5 AS BIGINT))"),
-    (27, "<EOF>", "", "o_orderstatus", "default.orders.o_orderstatus", "WHERE:(`count(1)` > CAST(5 AS BIGINT))")
+    (27, "<EOF>", "", "o_orderstatus", "default.orders.o_orderstatus", "WHERE:(`count(1)` > CAST(5 AS BIGINT))"),
+    (28, "<EOF>", "", "n_name", "default.nation.n_name", ""),
+    (28, "<EOF>", "", "r_name", "default.region.r_name", ""),
+    (29, "<EOF>", "", "c_name", "default.customer.c_name", "LEFTANTIJOIN:(customer.c_custkey = orders.o_custkey)"),
+    (30, "<EOF>", "", "n_name", "default.nation.n_name", "JOIN:(a.n_regionkey = b.n_regionkey)"),
+    (30, "<EOF>", "", "other", "default.nation.n_name", "JOIN:(a.n_regionkey = b.n_regionkey)"),
+    (31, "<EOF>", "", "max_cust", "default.customer.c_custkey", "COLFUN:scalarsubquery()"),
+    (31, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", ""),
+    (32, "<EOF>", "", "k", "default.nation.n_regionkey&default.region.r_regionkey", ""),
+    (33, "<EOF>", "", "c_name", "default.customer.c_name", "")
   )
 
   test("corpus lineage matches golden edges") {

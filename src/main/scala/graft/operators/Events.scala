@@ -63,6 +63,35 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Ordered funnel analysis: how many users reach each stage of
+    * `stages` IN ORDER — stage k counts users with an event of type
+    * stages(k) at-or-after their earliest stage-(k-1) completion time.
+    * Returns (stage, stage_name, n_users), stage 0 = all users.
+    *
+    * Each stage is one filtered equi-join against the (user, time)
+    * frontier plus a map-side-combinable min — |users| rows of state,
+    * never an event-sequence materialization per user; at 100 TB the
+    * frontier is broadcastable long after the first selective stage. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             timeCol: String, stages: Seq[String]): DataFrame = {
+    var reached = events.select(col(userCol).as("user_id")).distinct()
+      .withColumn("_t", lit(Long.MinValue))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(0L).as("stage"), lit("all").as("stage_name"),
+        col("n_users"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      reached = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("user_id"), col(timeCol).as("_ts"))
+        .join(reached, "user_id")
+        .filter(col("_ts") >= col("_t"))
+        .groupBy("user_id").agg(min(col("_ts")).as("_t"))
+      out = out.union(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("stage"), lit(st).as("stage_name"),
+          col("n_users")))
+    }
+    out
+  }
+
   /** Two-phase salted aggregation: phase 1 aggregates on
     * (key, deterministic salt) spreading hot keys over `salts`
     * partitions; phase 2 combines the partials. Same result as a direct

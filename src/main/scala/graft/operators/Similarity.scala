@@ -92,6 +92,34 @@ object Similarity {
   }
 
   /** Shared IVF core over a prepared centroid set (centroid_id, cv, cn). */
+  /** Per-`labelCol` element-wise centroid of the quantized embeddings,
+    * as (label, pos, n, centroid_q) rows — embedding analytics for
+    * cluster inspection / semantic-dedup seeding. Exact integer sums
+    * (the [[Dedup.quantize]] convention) make the result
+    * engine-deterministic; the double appears only in one final divide
+    * of identical integers.
+    *
+    * Scale shape: posexplode to (label, pos, q) then ONE
+    * map-side-combinable sum/count per (label, pos) — the shuffle
+    * carries labels × d partials, never vectors; no row holds more
+    * than a scalar after the explode. */
+  def quantizedLabelCentroids(corpus: DataFrame, labelCol: String,
+                              vecCol: String): DataFrame =
+    corpus
+      .select(col(labelCol).as("label"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS LONG))")
+          .as("qv"))
+      .select(col("label"), posexplode(col("qv")))
+      // pos is 1-based BIGINT (posexplode is 0-based INT; the oracle's
+      // list subscripts are 1-based)
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("v"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_q"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("sum_q").cast("double") / col("n").cast("double"))
+          .as("centroid_q"))
+
   private def ivfSearch(vecs: DataFrame, cents: DataFrame, queryIds: Seq[Long],
                         k: Int, nprobe: Int): DataFrame = {
     // Assignment: argmax cosine over broadcast centroids via max_by —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, Graph, Multimodal, RangeJoin, Search, Similarity, Sketch, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Search, Similarity, Sketch, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -115,6 +115,44 @@ object PipelineQueries {
       Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // q91: ordered funnel (Events.funnel) — users reaching
+    // signup → view → purchase in event-time order, on the proven
+    // floor-µs timeline.
+    "q91_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      Events.funnel(ev, "user_id", "event_type", "us",
+        Seq("signup", "view", "purchase"))
+        .orderBy("stage")
+    }),
+
+    // q90: per-label embedding centroids over the quantized integer
+    // grid (Similarity.quantizedLabelCentroids) — embedding analytics
+    // with one decomposable sum per (label, dimension).
+    "q90_label_centroids" -> ((s, dir) => {
+      Similarity.quantizedLabelCentroids(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
+    // q89: edit-distance-1 fuzzy join (FuzzyJoin.editDistance1Join).
+    // Deterministic typos (3rd char deleted) probe back into the
+    // vocabulary through deletion-neighborhood blocking + exact
+    // levenshtein verify — never an all-pairs distance matrix.
+    "q89_fuzzy_join" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("token")).distinct()
+      val probes = vocab.filter(length(col("token")) >= 5)
+        .select(col("token").as("orig"),
+          expr("concat(substring(token,1,2), substring(token,4,length(token)))")
+            .as("probe"))
+      FuzzyJoin.editDistance1Join(probes, "probe", vocab, "token")
+        .select(col("orig"), col("probe"), col("token"),
+          expr("CAST(levenshtein(probe, token) AS LONG)").as("dist"))
+        .orderBy("orig", "token")
     }),
 
     // q88: fixed-iteration PageRank over the part↔supplier bipartite
@@ -1057,6 +1095,75 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Stage k = min event time of type k at-or-after the stage-(k-1)
+    // frontier; counts fall out of the chained CTEs.
+    "q91_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(us) AS t FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.us) AS t
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.us >= s1.t
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.us) AS t
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us >= s2.t
+                GROUP BY e.user_id)
+         SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+                CAST(count(*) AS BIGINT) AS n_users FROM u
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'signup', CAST(count(*) AS BIGINT) FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'view', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+         ORDER BY stage""",
+
+    // Element access is 1-based on both sides; the centroid divide is
+    // one IEEE division of identical exact integers.
+    "q90_label_centroids" ->
+      s"""WITH q AS (SELECT label, $sqlQuantize AS qv FROM embeddings),
+         e AS (SELECT label, i AS pos, qv[i] AS v
+               FROM q, range(1, 65) t(i))
+         SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS centroid_q
+         FROM e GROUP BY label, pos
+         ORDER BY label, pos""",
+
+    // The same deletion-neighborhood pipeline, recomputed end to end
+    // (list comprehension ≡ Spark transform; levenshtein is the classic
+    // unit-cost definition in both engines).
+    "q89_fuzzy_join" ->
+      """WITH vocab AS (
+           SELECT DISTINCT unnest(string_split(text,' ')) AS token
+           FROM documents WHERE text IS NOT NULL),
+         probes AS (
+           SELECT token AS orig,
+                  substring(token,1,2) || substring(token,4,length(token))
+                    AS probe
+           FROM vocab WHERE length(token) >= 5),
+         pv AS (
+           SELECT DISTINCT orig, probe, unnest(list_prepend(probe,
+             [substring(probe,1,i-1) || substring(probe,i+1,length(probe))
+              for i in range(1, length(probe)+1)])) AS variant
+           FROM probes),
+         vv AS (
+           SELECT DISTINCT token, unnest(list_prepend(token,
+             [substring(token,1,i-1) || substring(token,i+1,length(token))
+              for i in range(1, length(token)+1)])) AS variant
+           FROM vocab),
+         cand AS (
+           SELECT DISTINCT p.orig, p.probe, v.token
+           FROM pv p JOIN vv v USING (variant))
+         SELECT orig, probe, token,
+                CAST(levenshtein(probe, token) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(probe, token) <= 1
+         ORDER BY orig, token""",
 
     // Three unrolled iterations of the exact integer recurrence:
     // rank' = (base·15)//100 + (85·Σ rank//outdeg)//100. The CAST on

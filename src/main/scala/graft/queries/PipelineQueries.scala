@@ -117,6 +117,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q92: weighted Bernoulli sampling (Curation.weightedSample) —
+    // keep probability ∝ n_chars, pure integer inclusion test, no RNG.
+    "q92_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // q91: ordered funnel (Events.funnel) — users reaching
     // signup → view → purchase in event-time order, on the proven
     // floor-µs timeline.
@@ -1095,6 +1104,16 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Same integer inclusion test: top-40 hash bits × max weight vs
+    // 2^40 × row weight.
+    "q92_weighted_sample" ->
+      """WITH w AS (SELECT max(n_chars) AS maxw FROM documents)
+         SELECT doc_id, n_chars
+         FROM documents, w
+         WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                // 1048576) * maxw < 1099511627776 * n_chars
+         ORDER BY doc_id""",
 
     // Stage k = min event time of type k at-or-after the stage-(k-1)
     // frontier; counts fall out of the chained CTEs.

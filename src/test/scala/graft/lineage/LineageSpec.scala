@@ -63,7 +63,9 @@ class LineageSpec extends SparkTestBase {
     (31, "<EOF>", "", "max_cust", "default.customer.c_custkey", "COLFUN:scalarsubquery()"),
     (31, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", ""),
     (32, "<EOF>", "", "k", "default.nation.n_regionkey&default.region.r_regionkey", ""),
-    (33, "<EOF>", "", "c_name", "default.customer.c_name", "")
+    (33, "<EOF>", "", "c_name", "default.customer.c_name", ""),
+    (34, "default.lineage_part", "default.lineage_part.part_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 3)"),
+    (34, "default.lineage_part", "default.lineage_part.part_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 3)")
   )
 
   test("corpus lineage matches golden edges") {

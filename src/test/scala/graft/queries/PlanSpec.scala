@@ -204,6 +204,60 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("skewed shuffle joins split at runtime under AQE (the hot-key scale path)") {
+    // Complements the salted-agg operator (q45): for JOINS the engine
+    // relies on AQE's OptimizeSkewedJoin to split oversized partitions
+    // at runtime. Fixture partitions are tiny, so lower the thresholds
+    // to prove the join shape actually qualifies for the optimization —
+    // a 100 TB hot key would otherwise serialize into one task.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "-1") // force a sort-merge join
+      conf.set(keys(1), "true")
+      conf.set(keys(2), "16KB")
+      conf.set(keys(3), "2")
+      conf.set(keys(4), "16KB")
+      // apply the split even where it costs an extra shuffle — the
+      // fixture is too small for the cost model's tipping point
+      conf.set(keys(5), "true")
+      import org.apache.spark.sql.functions._
+      // sf0.01 (not the sf0.001 spec default): the skew detector works
+      // on shuffle BYTES and needs a hot partition big enough to clear
+      // the byte thresholds
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      // 90% of rows share key 0 — one partition dwarfs the median.
+      // repartition(8) first: AQE splits a skewed partition at MAPPER
+      // granularity, and the single-row-group fixture scan is one map
+      // task — debugged via the rule's own "number of skewed
+      // partitions: left 0" log line; a one-mapper shuffle is
+      // unsplittable no matter how skewed.
+      val left = ev.select(
+        when(col("event_id") % 10 < 9, 0L).otherwise(col("event_id"))
+          .as("k"), col("value")).repartition(8)
+      val right = ev.select((col("event_id") % 50).as("k"),
+        col("event_type")).distinct()
+      val j = left.join(right, "k")
+      // AQE decides from runtime stats — execute THIS QueryExecution
+      // (count() would plan a separate one and leave j's non-final)
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("skew=true"),
+        "AQE did not split the skewed join partition")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

@@ -455,6 +455,18 @@ object CoreQueries {
       graft.sources.Warehouse.readCsv(s, path, meta.schema).orderBy("doc_id")
     }),
 
+    // ORC source/sink: full-fidelity columnar round-trip including the
+    // free-text column (ORC handles arbitrary strings natively, unlike
+    // CSV). The oracle reads the original parquet — a lossless format
+    // conversion is invisible to the hash compare.
+    "q93_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q93_orc"
+      graft.sources.Warehouse.writeOrc(docs, path)
+      graft.sources.Warehouse.readOrc(s, path).orderBy("doc_id")
+    }),
+
     // JSON-lines source/sink: lossless string round-trip including the
     // free-text column (quotes/newlines escape), explicit schema.
     "q57_json_roundtrip" -> ((s, dir) => {
@@ -746,6 +758,10 @@ object CoreQueries {
          ORDER BY o_orderpriority""",
 
     "q57_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q93_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 

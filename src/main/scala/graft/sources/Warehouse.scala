@@ -57,6 +57,19 @@ object Warehouse {
     spark.read.option("header", "true").option("multiLine", multiLine.toString)
       .schema(schema).csv(path)
 
+  /** Write `df` as ORC — the columnar alternative to parquet when the
+    * surrounding warehouse is ORC-native (Hive heritage, the
+    * reference's own ecosystem). Same predicate-pushdown/column-
+    * pruning/min-max-stats properties through Spark's vectorized ORC
+    * reader; the engine treats the two interchangeably. */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Read an ORC dataset (self-describing schema, like parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write `df` as JSON Lines — lossless for strings (newlines and
     * quotes escape), nullable-safe, nested-schema-safe; one object per
     * line keeps files splittable. */

@@ -114,6 +114,33 @@ object StreamingQueries {
         .orderBy("purchase_id", "view_id")
     }),
 
+    // Streaming snapshot maintenance via foreachBatch: each micro-batch
+    // of change records folds into the running snapshot with the batch
+    // CDC operator (Cdc.applyChanges) — the MERGE-INTO-per-batch shape
+    // of a lakehouse ingestion job. localCheckpoint per batch plays the
+    // role of the table write: the snapshot's lineage never grows with
+    // batch count. Latest event per user wins; a trailing 'error' op
+    // deletes the user.
+    "q94_stream_upsert" -> ((s, dir) => {
+      val changes = eventsStream(s, dir).select(
+        col("user_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      var snapshot = s.sql(
+        "SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS DOUBLE) AS value WHERE 1=0")
+      val fold: (DataFrame, Long) => Unit = (batch, _) =>
+        snapshot = graft.operators.Cdc.applyChanges(
+          snapshot, batch, Seq("user_id"), "seq", "op").localCheckpoint()
+      val q = changes.writeStream
+        .foreachBatch(fold)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      snapshot.orderBy("user_id")
+    }),
+
     "q66_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = eventsStream(s, dir)
@@ -170,6 +197,25 @@ object StreamingQueries {
           AND p.event_type = 'purchase' AND v.event_type = 'view'
           AND v.us BETWEEN p.us - 1800000000 AND p.us
          ORDER BY purchase_id, view_id""",
+
+    // Folding applyChanges over the batches ≡ latest change per key
+    // over the whole stream (the fold is associative on per-key latest
+    // state), so the oracle is one ranked pick per user.
+    "q94_stream_upsert" ->
+      """WITH ch AS (
+           SELECT user_id, event_id AS seq, value,
+                  CASE event_type WHEN 'signup' THEN 'I'
+                                  WHEN 'error' THEN 'D'
+                                  ELSE 'U' END AS op
+           FROM events),
+         latest AS (
+           SELECT user_id, value, op,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY seq DESC) AS rn
+           FROM ch)
+         SELECT user_id, value FROM latest
+         WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
 
     // Batch reconstruction of the streaming emission: q43's session
     // CTEs, minus each user's last session unless its event-time

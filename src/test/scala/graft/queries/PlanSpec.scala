@@ -204,6 +204,13 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q89 fuzzy join blocks on deletion variants, never a nested-loop distance matrix") {
+    val p = planOf("q89_fuzzy_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("_variant")) // candidate generation is the equi-join key
+  }
+
   test("skewed shuffle joins split at runtime under AQE (the hot-key scale path)") {
     // Complements the salted-agg operator (q45): for JOINS the engine
     // relies on AQE's OptimizeSkewedJoin to split oversized partitions

@@ -92,6 +92,31 @@ object Events {
     out
   }
 
+  /** Cohort retention: bucket users by their first `signupType` event
+    * (epoch-µs integer division by `bucketUs`) and count distinct users
+    * active in each subsequent bucket, as (cohort_bucket,
+    * bucket_offset, n_users) — the classic retention triangle.
+    *
+    * Input needs (`user_id`, `event_type`, `us`). Shapes: one
+    * per-user min over the signup subset (decomposable), one
+    * broadcastable join of the cohort frame back onto events, one
+    * distinct + count — nothing holds per-user event lists. */
+  def cohortRetention(ev: DataFrame, signupType: String,
+                      bucketUs: Long): DataFrame = {
+    val cohort = ev.filter(col("event_type") === signupType)
+      .groupBy("user_id")
+      .agg(expr(s"min(us) div CAST($bucketUs AS BIGINT)").as("cohort_bucket"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_bucket"),
+        expr(s"us div CAST($bucketUs AS BIGINT)").as("_b"))
+      .filter(col("_b") >= col("cohort_bucket"))
+      .select(col("user_id"), col("cohort_bucket"),
+        (col("_b") - col("cohort_bucket")).as("bucket_offset"))
+      .distinct()
+      .groupBy("cohort_bucket", "bucket_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Two-phase salted aggregation: phase 1 aggregates on
     * (key, deterministic salt) spreading hot keys over `salts`
     * partitions; phase 2 combines the partials. Same result as a direct

@@ -117,6 +117,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q95: weekly cohort retention (Events.cohortRetention) on the
+    // proven floor-µs timeline — 604800000000 µs per week bucket.
+    "q95_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      Events.cohortRetention(ev, "signup", 604800000000L)
+        .select(col("cohort_bucket").as("cohort_week"),
+          col("bucket_offset").as("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // q92: weighted Bernoulli sampling (Curation.weightedSample) —
     // keep probability ∝ n_chars, pure integer inclusion test, no RNG.
     "q92_weighted_sample" -> ((s, dir) => {
@@ -1104,6 +1116,25 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Week buckets are integer floor-division of the shared µs
+    // timeline; offsets count distinct active users per cohort.
+    "q95_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(us) // 604800000000 AS cohort_week
+           FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+         activity AS (
+           SELECT DISTINCT e.user_id, c.cohort_week,
+                  e.us // 604800000000 - c.cohort_week AS week_offset
+           FROM ev e JOIN cohort c USING (user_id)
+           WHERE e.us // 604800000000 >= c.cohort_week)
+         SELECT cohort_week, week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM activity GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
 
     // Same integer inclusion test: top-40 hash bits × max weight vs
     // 2^40 × row weight.

@@ -77,4 +77,27 @@ class LineagePropertySpec extends SparkTestBase {
         Seq((out, "default.nation.n_name")), s"out=$out")
     }
   }
+
+  test("ORDER BY / LIMIT wrappers never change a SELECT statement's sources") {
+    // Presentation operators are lineage-invariant on SOURCES and on
+    // WHERE/JOIN condition tags (corpus 33 pins one instance; this
+    // checks every corpus SELECT under generated wrappers). COLFUN is
+    // excluded by design: it annotates the TOP-LEVEL projection, and
+    // the wrapper's star expansion replaces expression items with bare
+    // columns — the expression still shows in the inner statement.
+    def comparable(cls: Seq[ColLine]) = cls.map(c =>
+      (c.toName, c.fromName, c.conditionSet.filterNot(_.startsWith("COLFUN:"))))
+    val selects = LineageQueries.corpus.filter(s =>
+      s.startsWith("SELECT") && !s.contains("ORDER BY") && !s.contains("LIMIT"))
+    val limits = samples(Gen.chooseNum(1, 9999), 3)
+    selects.foreach { sql =>
+      val base = LineageParser.parseStatement(spark, sql, 1).colLines
+      limits.foreach { n =>
+        val wrapped = LineageParser.parseStatement(spark,
+          s"SELECT * FROM ($sql) w_outer LIMIT $n", 1).colLines
+        assert(comparable(wrapped) == comparable(base),
+          s"LIMIT $n changed edges for: $sql")
+      }
+    }
+  }
 }

@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Why it belongs in a 100 TB engine: the sketch is tiny (k longs),
   * MERGEABLE (k smallest of a union = k smallest of the pooled
-  * sketches — partial aggregation works), and unlike HyperLogLog it is
-  * exactly reproducible from the hash definition alone, so a DuckDB
-  * oracle can recompute it bit-for-bit. Spark's own
-  * `approx_count_distinct` (HLL++) is the black-box alternative; this
-  * is the auditable one.
+  * sketches — partial aggregation works; q96 proves merge ≡ direct
+  * through the oracle hash), and unlike HyperLogLog it is exactly
+  * reproducible from the hash definition alone, so a DuckDB oracle can
+  * recompute it bit-for-bit. Spark's own `approx_count_distinct`
+  * (HLL++) is the black-box alternative; this is the auditable one.
   *
   * Plan shape: `row_number() <= k` over (group, hash-ascending) plans
   * as WindowGroupLimit — Spark pushes a per-partition top-k BEFORE the
@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Per-`groupCols` KMV estimate of `count(distinct valueStr)`.
-    * `valueStr` must be a STRING column expression. Output: group
-    * columns + `est_nd` (BIGINT). */
-  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueStr: Column,
-                  k: Int): DataFrame = {
+  /** The sketch itself: per `groupCols`, the (up to) `k` smallest
+    * distinct hashes of `valueStr` as (group..., h) rows. Sketches of
+    * disjoint (or overlapping) data slices merge by [[kmvEstimate]]
+    * over their union — any global bottom-k hash is inside its slice's
+    * bottom-k, so merging loses nothing. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueStr: Column,
+                k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val sp = df.sparkSession
     graft.functions.Md5Prefix64.register(sp)
@@ -46,11 +48,25 @@ object Sketch {
       .select(g :+ call_function(graft.functions.Md5Prefix64.name,
         valueStr).as("h"): _*)
       .distinct()
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
-    val kept = hashed
+    val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    hashed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k) // WindowGroupLimit: pre-shuffle top-k
-    kept.groupBy(g: _*)
+      .select(g :+ col("h"): _*)
+  }
+
+  /** Distinct-count estimate from (a union of) sketches: re-take the
+    * k smallest distinct hashes per group and apply the KMV estimator
+    * ((k-1)·2^60/h_k, exact count when fewer than k survive). Output:
+    * group columns + `est_nd` BIGINT. */
+  def kmvEstimate(sketches: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    sketches.distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(g: _*)
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rn") === k, col("h"))).as("hk"))
       .select(g :+
@@ -60,4 +76,10 @@ object Sketch {
               col("hk").cast("double")).cast("long"))
           .as("est_nd"): _*)
   }
+
+  /** Per-`groupCols` KMV estimate of `count(distinct valueStr)` in one
+    * pass — [[kmvSketch]] piped into [[kmvEstimate]]. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueStr: Column,
+                  k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, valueStr, k), groupCols, k)
 }

@@ -402,6 +402,24 @@ object PipelineQueries {
         .orderBy("o_custkey")
     }),
 
+    // q96: KMV sketch MERGEABILITY — the distributed-aggregation
+    // property itself, oracle-checked: sketch the even and odd event
+    // halves separately, merge the two sketches, estimate. The oracle
+    // computes the estimate DIRECTLY over everything; a hash match
+    // proves merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B), which is why
+    // the sketch build can run as partial aggregation at 100 TB.
+    "q96_kmv_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val userHour = concat(col("user_id").cast("string"), lit("#"),
+        expr("unix_micros(ts) div 3600000000").cast("string"))
+      val a = Sketch.kmvSketch(ev.filter(col("event_id") % 2 === 0),
+        Seq("event_type"), userHour, 64)
+      val b = Sketch.kmvSketch(ev.filter(col("event_id") % 2 === 1),
+        Seq("event_type"), userHour, 64)
+      Sketch.kmvEstimate(a.union(b), Seq("event_type"), 64)
+        .orderBy("event_type")
+    }),
+
     // JSON property extraction + aggregation.
     "q44_json_props" -> ((s, dir) => {
       Events.jsonPropAgg(t(s, dir, "events"), "$.k")
@@ -1115,6 +1133,32 @@ object PipelineQueries {
                 END AS est_user_hours
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
+         ORDER BY event_type""",
+
+    // DIRECT single-pass bottom-k over everything — green only if the
+    // Spark side's two-sketch merge reaches the identical estimate.
+    "q96_kmv_merge" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(user_id AS VARCHAR) || '#' ||
+                  CAST(epoch_ns(ts) // 1000 // 3600000000 AS VARCHAR) AS uh
+           FROM events),
+         kept AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                 FROM (SELECT DISTINCT event_type,
+                         ('0x'||substr(md5(uh),1,15))::BIGINT AS h
+                       FROM ev))
+           WHERE rn <= 64 GROUP BY event_type)
+         SELECT event_type,
+                CASE WHEN n_kept < 64 THEN n_kept
+                     ELSE CAST(floor(CAST(63 AS DOUBLE)
+                                     * CAST(1152921504606846976 AS DOUBLE)
+                                     / CAST(hk AS DOUBLE)) AS BIGINT)
+                END AS est_nd
+         FROM kept
          ORDER BY event_type""",
 
     // Week buckets are integer floor-division of the shared µs

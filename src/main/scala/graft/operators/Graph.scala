@@ -179,7 +179,7 @@ object Graph {
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -187,7 +187,10 @@ object Graph {
         .agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(teleport) + expr("(85 * in_sum) div 100")).as("rank"))
-        .localCheckpoint()
+      // truncate lineage between rounds; the LAST round flows straight
+      // into the caller's plan — checkpointing it would just add an
+      // extra materializing action
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

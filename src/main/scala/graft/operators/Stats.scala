@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,34 @@ object Stats {
     * all-equal groups (σ = 0) yield null (x−μ = 0 over sqrt(0) is
     * 0/0 = NaN in IEEE, but both engines agree; the fixture never hits
     * it — document rather than special-case). */
+  /** Per-group least-squares linear trend over INTEGER (x, y)
+    * columns: one decomposable aggregate collects the five exact
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) as BIGINTs, then
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * intercept = (Σy − slope·Σx)/n evaluate in doubles — each cast is
+    * correctly rounded from an exact integer and the arithmetic tree
+    * is mirrored token-for-token in the oracle, so the result is
+    * bit-identical cross-engine (the q67 shared-IEEE-tree device).
+    * Callers pre-scale x/y so the int64 product sums cannot overflow
+    * (minutes + cents here: Σx² safe past sf1). Degenerate groups
+    * (all x equal) divide 0/0 → NaN identically in both engines. */
+  def linearTrend(df: DataFrame, groupCols: Seq[String],
+                  x: Column, y: Column): DataFrame = {
+    val g = groupCols.map(col)
+    def d(c: Column) = c.cast("double")
+    val agg = df
+      .select(g :+ x.cast("long").as("_x") :+ y.cast("long").as("_y"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"))
+    val slope = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+    agg.select(g :+ col("n") :+ slope.as("slope") :+
+      ((d(col("sy")) - slope * d(col("sx"))) / d(col("n"))).as("intercept"): _*)
+  }
+
   def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val d = col(valueCol).cast("decimal(18,3)")
     val stats = df.groupBy(groupCol)

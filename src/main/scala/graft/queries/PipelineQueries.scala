@@ -117,6 +117,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q97: per-type linear value trend (Stats.linearTrend) — minutes
+    // since the global first event vs value cents, exact integer
+    // sufficient statistics, IEEE-shared slope/intercept tree.
+    "q97_group_linreg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+          col("value"))
+      val base = ev.agg(min(col("us")).as("_base_us"))
+      val prepared = ev.crossJoin(broadcast(base))
+        .select(col("event_type"),
+          expr("(us - _base_us) div 60000000").as("x_min"),
+          expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS LONG)").as("y_cents"))
+      Stats.linearTrend(prepared, Seq("event_type"),
+        col("x_min"), col("y_cents"))
+        .orderBy("event_type")
+    }),
+
     // q95: weekly cohort retention (Events.cohortRetention) on the
     // proven floor-µs timeline — 604800000000 µs per week bucket.
     "q95_cohort_retention" -> ((s, dir) => {
@@ -1133,6 +1150,41 @@ object PipelineQueries {
                 END AS est_user_hours
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
+         ORDER BY event_type""",
+
+    // Identical sufficient statistics, identical double tree — CASTs
+    // keep DuckDB's HUGEINT sums out of the float math.
+    "q97_group_linreg" ->
+      """WITH base AS (
+           SELECT min(epoch_ns(ts) // 1000) AS base_us FROM events),
+         prepared AS (
+           SELECT event_type,
+                  (epoch_ns(ts) // 1000 - (SELECT base_us FROM base))
+                    // 60000000 AS x_min,
+                  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                    AS y_cents
+           FROM events),
+         agg AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x_min) AS BIGINT) AS sx,
+                  CAST(sum(y_cents) AS BIGINT) AS sy,
+                  CAST(sum(x_min * y_cents) AS BIGINT) AS sxy,
+                  CAST(sum(x_min * x_min) AS BIGINT) AS sxx
+           FROM prepared GROUP BY event_type)
+         SELECT event_type, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                (CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept
+         FROM agg
          ORDER BY event_type""",
 
     // DIRECT single-pass bottom-k over everything — green only if the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Search, Similarity, Sketch, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -115,6 +115,31 @@ object PipelineQueries {
       Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // q98: snapshot reconciliation (Reconcile.digest) — XOR row-hash
+    // digests of the orders table vs a drifted version (cents bumped on
+    // o_orderkey%1000==3, rows %1000==7 dropped), 64 buckets. Equal
+    // digests certify untouched buckets; mismatches localize the drift.
+    "q98_reconcile_digest" -> ((s, dir) => {
+      val rows = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS LONG)")
+          .as("cents"))
+      val drifted = rows.filter(col("o_orderkey") % 1000 =!= 7)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 1000 === 3, col("cents") + 1000L)
+            .otherwise(col("cents")).as("cents"))
+      def d(df: DataFrame) = Reconcile.digest(df,
+        col("o_orderkey") % 64,
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("cents")))
+      d(rows).select(col("bucket"), col("n_rows").as("n_a"),
+          col("digest").as("digest_a"))
+        .join(d(drifted).select(col("bucket"), col("n_rows").as("n_b"),
+          col("digest").as("digest_b")), Seq("bucket"))
+        .withColumn("is_equal",
+          col("n_a") === col("n_b") && col("digest_a") === col("digest_b"))
+        .orderBy("bucket")
     }),
 
     // q97: per-type linear value trend (Stats.linearTrend) — minutes
@@ -1151,6 +1176,38 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Same md5-prefix row hashes, same XOR fold; integer-rendered row
+    // strings keep float formatting out of the digest.
+    "q98_reconcile_digest" ->
+      """WITH rows_a AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+                    AS cents
+           FROM orders),
+         rows_b AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 1000 = 3 THEN cents + 1000
+                       ELSE cents END AS cents
+           FROM rows_a WHERE o_orderkey % 1000 <> 7),
+         da AS (
+           SELECT o_orderkey % 64 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_a,
+                  bit_xor(('0x'||substr(md5(
+                    concat_ws('|', o_orderkey, o_custkey, cents)),1,15))::BIGINT)
+                    AS digest_a
+           FROM rows_a GROUP BY bucket),
+         db AS (
+           SELECT o_orderkey % 64 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_b,
+                  bit_xor(('0x'||substr(md5(
+                    concat_ws('|', o_orderkey, o_custkey, cents)),1,15))::BIGINT)
+                    AS digest_b
+           FROM rows_b GROUP BY bucket)
+         SELECT bucket, n_a, digest_a, n_b, digest_b,
+                n_a = n_b AND digest_a = digest_b AS is_equal
+         FROM da JOIN db USING (bucket)
+         ORDER BY bucket""",
 
     // Identical sufficient statistics, identical double tree — CASTs
     // keep DuckDB's HUGEINT sums out of the float math.

@@ -92,6 +92,31 @@ object Events {
     out
   }
 
+  /** Merge overlapping/touching intervals per key into coverage
+    * islands (gaps-and-islands): an interval starts a new island iff
+    * its start exceeds the running max end of everything before it.
+    * Returns one row per (key, island) with the island's bounds.
+    *
+    * One hash shuffle on the key + two running-frame window passes
+    * (the sessionize shape). Tie rows (identical intervals) may take
+    * either island NUMBER, but island membership — and thus any
+    * per-key aggregate over islands — is tie-invariant, which is what
+    * the q99 cross-engine contract relies on. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("_new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"))
+  }
+
   /** Cohort retention: bucket users by their first `signupType` event
     * (epoch-µs integer division by `bucketUs`) and count distinct users
     * active in each subsequent bucket, as (cohort_bucket,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -115,6 +115,43 @@ object PipelineQueries {
       Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // q100: pre-promotion data-quality gate (DataQuality.report) —
+    // domain checks (narrow filters) + referential checks (left-anti
+    // joins) collapse to one count per rule.
+    "q100_quality_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val docs = t(s, dir, "documents")
+      DataQuality.report(Seq(
+        "documents.empty_text" ->
+          docs.filter(col("text").isNull || length(col("text")) === 0),
+        "lineitem.nonpositive_quantity" -> li.filter(col("l_quantity") <= 0),
+        "lineitem.orphan_orderkey" ->
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"),
+        "orders.nonpositive_total" -> ord.filter(col("o_totalprice") <= 0),
+        "orders.orphan_custkey" ->
+          ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")))
+        .orderBy("rule")
+    }),
+
+    // q99: activity coverage via gaps-and-islands — each event claims
+    // a 60-second interval; overlapping intervals merge per user
+    // (Events.mergeIntervals) and the per-user coverage stats are
+    // island-numbering-invariant, so both engines agree even where
+    // tie rows could renumber islands.
+    "q99_interval_islands" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("ivl_start"),
+        expr("unix_micros(ts) + 60000000").as("ivl_end"))
+      Events.mergeIntervals(iv, "user_id", "ivl_start", "ivl_end")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_end") - col("island_start")).as("covered_us"),
+          max(col("island_end") - col("island_start")).as("max_island_us"))
+        .orderBy("user_id")
     }),
 
     // q98: snapshot reconciliation (Reconcile.digest) — XOR row-hash
@@ -1176,6 +1213,62 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // One counting subquery per rule, unioned — NOT EXISTS mirrors the
+    // anti joins.
+    "q100_quality_report" ->
+      """SELECT 'documents.empty_text' AS rule,
+                CAST(count(*) AS BIGINT) AS n_violations
+         FROM documents WHERE text IS NULL OR length(text) = 0
+         UNION ALL
+         SELECT 'lineitem.nonpositive_quantity', CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_quantity <= 0
+         UNION ALL
+         SELECT 'lineitem.orphan_orderkey', CAST(count(*) AS BIGINT)
+         FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'orders.nonpositive_total', CAST(count(*) AS BIGINT)
+         FROM orders WHERE o_totalprice <= 0
+         UNION ALL
+         SELECT 'orders.orphan_custkey', CAST(count(*) AS BIGINT)
+         FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         ORDER BY rule""",
+
+    // Same running-max island construction on the shared µs timeline;
+    // the checked aggregates are invariant to tie renumbering.
+    "q99_interval_islands" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS s,
+                  epoch_ns(ts) // 1000 + 60000000 AS e
+           FROM events),
+         flagged AS (
+           SELECT user_id, s, e,
+                  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS is_new
+           FROM iv),
+         ids AS (
+           SELECT user_id, s, e,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+           FROM flagged),
+         islands AS (
+           SELECT user_id, island, min(s) AS island_start,
+                  max(e) AS island_end
+           FROM ids GROUP BY user_id, island)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(island_end - island_start) AS BIGINT) AS covered_us,
+                max(island_end - island_start) AS max_island_us
+         FROM islands GROUP BY user_id
+         ORDER BY user_id""",
 
     // Same md5-prefix row hashes, same XOR fold; integer-rendered row
     // strings keep float formatting out of the digest.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -425,6 +425,27 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // q101: six-table star join (the TPC-H Q5 shape) — region filter
+    // reaches the dimension scan, the small dims broadcast, and the
+    // fact-side revenue folds in exact decimals. The flagship
+    // "Catalyst picks the join order/strategies" query at warehouse
+    // scale.
+    "q101_star_join_revenue" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,3)")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(dec18(col("l_extendedprice")) *
+            (lit(1) - dec18(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // Z-order layout (Layout.morton): Morton-interleave two bounded
     // dims of lineitem and group by the 128×128 tile the top z-bits
     // define. The per-tile min/max bounds ARE the pruning property: a
@@ -764,6 +785,21 @@ object CoreQueries {
     "q93_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    // Exact decimal products inside the sum; the double appears once,
+    // after the aggregate.
+    "q101_star_join_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))
+                         * (1 - CAST(l_discount AS DECIMAL(18,3))))
+                     AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
 
     // The interleave is generated from the same bit formula the Spark
     // side uses (Layout.mortonSql) — shift/and arithmetic is exact in

@@ -117,6 +117,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q102: sliding-frame moving average per user (5-event window) —
+    // frame aggregates in exact decimals over the (us, event_id) total
+    // order; one division of identical values at the edge.
+    "q102_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id")).rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          (sum(col("value").cast("decimal(18,3)")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("moving_avg"))
+        .orderBy("event_id")
+    }),
+
     // q100: pre-promotion data-quality gate (DataQuality.report) —
     // domain checks (narrow filters) + referential checks (left-anti
     // joins) collapse to one count per rule.
@@ -1213,6 +1228,21 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Identical frame, identical decimal sums, one final divide.
+    "q102_moving_avg" ->
+      """SELECT event_id, user_id,
+                CAST(sum(CAST(value AS DECIMAL(18,3)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_ns(ts) // 1000, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                / CAST(count(*) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts) // 1000, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS moving_avg
+         FROM events
+         ORDER BY event_id""",
 
     // One counting subquery per rule, unioned — NOT EXISTS mirrors the
     // anti joins.

@@ -204,6 +204,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q101 star join broadcasts dims and pushes the region filter to the scan") {
+    val p = planOf("q101_star_join_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
+    // region/nation/supplier (at minimum) broadcast; the fact side
+    // never nest-loops
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89 fuzzy join blocks on deletion variants, never a nested-loop distance matrix") {
     val p = planOf("q89_fuzzy_join")
     assert(!p.contains("CartesianProduct"))

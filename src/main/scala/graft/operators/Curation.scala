@@ -71,6 +71,65 @@ object Curation {
           .as("contamination"))
   }
 
+  /** Decontamination through a DETERMINISTIC Bloom filter: the
+    * held-out set's distinct shingles set `kHash` md5-derived bit
+    * positions in a `bits`-wide filter (stored as 32-bit words folded
+    * with `bit_or` — a tiny, broadcastable, partial-aggregable build);
+    * corpus shingles then probe all `kHash` positions against the
+    * broadcast words. Per document: distinct shingles, EXACT hits (set
+    * join, the [[contamination]] ground truth) and MAYBE hits (Bloom).
+    * The filter never misses (`n_maybe ≥ n_exact` always) and the
+    * surplus is the measured false-positive mass.
+    *
+    * Why at 100 TB: the exact set join ships the benchmark shingle SET
+    * through a shuffle; the Bloom filter ships `bits/8` BYTES to every
+    * executor regardless of benchmark size — the standard trade for a
+    * first-pass gate, with the exact join reserved for flagged docs.
+    * Every position is integer md5 arithmetic, so any engine rebuilds
+    * the identical filter (no RNG, no sip-hash seeds). */
+  def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
+                         benchmarkFilter: Column, bits: Int = 65536,
+                         kHash: Int = 4): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    def pos(j: Int, s: Column): Column =
+      call_function(graft.functions.Md5Prefix64.name,
+        concat(lit(j.toString), lit(":"), s)) % bits
+    // 32-bit words: shifts stay below the sign bit, which DuckDB
+    // rejects as overflow on BIGINT << 63
+    def mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    val shingled = docs.select(col(idCol).as("id"),
+      benchmarkFilter.as("is_bench"),
+      Dedup.wordShingles(col(textCol), 2).as("sh"))
+    val bench = shingled.filter(col("is_bench"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val words = (0 until kHash)
+      .map(j => bench.select(pos(j, col("s")).as("pos")))
+      .reduce(_ union _)
+      .select(expr("pos div 32").as("word_idx"), mask.as("m"))
+      .groupBy("word_idx").agg(expr("bit_or(m)").as("word"))
+    val probes = shingled.filter(!col("is_bench"))
+      .select(col("id"), explode(col("sh")).as("s")).distinct()
+    val maybe = (0 until kHash)
+      .map(j => probes.select(col("id"), col("s"), pos(j, col("s")).as("pos")))
+      .reduce(_ union _)
+      .select(col("id"), col("s"), expr("pos div 32").as("word_idx"), mask.as("m"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .select(col("id"), col("s"),
+        when(col("word").isNotNull &&
+          (col("word").bitwiseAND(col("m")) =!= 0), 1L).otherwise(0L).as("hit"))
+      .groupBy("id", "s")
+      .agg(min(col("hit")).as("member")) // member ⇔ ALL kHash bits set
+    val exact = probes
+      .join(bench.withColumn("ex", lit(1L)), Seq("s"), "left")
+      .groupBy("id")
+      .agg(sum(coalesce(col("ex"), lit(0L))).as("n_exact"))
+    maybe.groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("member")).as("n_maybe"))
+      .join(exact, Seq("id"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_exact"),
+        col("n_maybe"))
+  }
+
   /** Deterministic train/valid/test split: each row's bucket comes from
     * the first 4 hex chars of `md5(id)` compared against cumulative
     * fraction thresholds (granularity 1/65536). Pure projection — zero

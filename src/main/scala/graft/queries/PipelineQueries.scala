@@ -534,6 +534,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q103: Bloom-filter decontamination (Curation.bloomContamination)
+    // — the broadcast-kilobytes first-pass gate next to q49's exact
+    // set join; n_maybe ≥ n_exact per doc by construction and the
+    // surplus is the measured false-positive mass.
+    "q103_bloom_contamination" -> ((s, dir) => {
+      Curation.bloomContamination(t(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 50 === 0)
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary frequency table (top-k tokens by count).
     "q50_vocabulary" -> ((s, dir) => {
       Curation.vocabulary(t(s, dir, "documents"), "text", topK = 1000)
@@ -1228,6 +1238,46 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Identical filter build (same md5 positions, same bit_or words),
+    // identical probe — the false positives agree bit-for-bit too.
+    "q103_bloom_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+         words AS (
+           SELECT pos // 32 AS word_idx,
+                  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+           FROM (SELECT (('0x'||substr(md5(j::VARCHAR || ':' || s),1,15))::BIGINT)
+                          % 65536 AS pos
+                 FROM bench, range(0, 4) t(j))
+           GROUP BY word_idx),
+         probes AS (SELECT DISTINCT doc_id, unnest(sh) AS s
+                    FROM sh WHERE NOT is_bench),
+         pp AS (SELECT doc_id, s,
+                  (('0x'||substr(md5(j::VARCHAR || ':' || s),1,15))::BIGINT)
+                    % 65536 AS pos
+                FROM probes, range(0, 4) t(j)),
+         checked AS (
+           SELECT doc_id, s,
+                  min(CASE WHEN w.word IS NOT NULL
+                            AND (w.word &
+                                 (1::BIGINT << CAST(pp.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END) AS member
+           FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 32
+           GROUP BY doc_id, s),
+         ex AS (
+           SELECT p.doc_id,
+                  CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_exact
+           FROM probes p LEFT JOIN bench b ON p.s = b.s
+           GROUP BY p.doc_id)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                ex.n_exact, CAST(sum(c.member) AS BIGINT) AS n_maybe
+         FROM checked c JOIN ex ON c.doc_id = ex.doc_id
+         GROUP BY c.doc_id, ex.n_exact
+         ORDER BY c.doc_id""",
 
     // Identical frame, identical decimal sums, one final divide.
     "q102_moving_avg" ->

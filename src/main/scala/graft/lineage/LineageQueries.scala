@@ -91,13 +91,17 @@ object LineageQueries {
     // warehouse shape. Query columns zip against the sink's DATA
     // columns by ordinal; the partition column's value comes from the
     // spec (a constant), so it carries no source edge.
-    "INSERT INTO lineage_part PARTITION (dt='2024-01-15') SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3"
+    "INSERT INTO lineage_part PARTITION (dt='2024-01-15') SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3",
+    // 35 §2.7: query THROUGH a view — lineage must chase the view
+    // definition down to the base table (the view adds no edges of its
+    // own; its filter joins the statement's condition set)
+    "SELECT v_name FROM lineage_view WHERE v_key > 2"
   )
 
-  /** Parse the corpus and flatten edges to rows. Pure metadata work — no
-    * table data is scanned; at cluster scale this runs on the driver in
-    * milliseconds per statement (BASELINE.md target ≤50 ms/stmt). */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
+  /** Register every fixture the corpus references (tables, sinks, the
+    * partitioned table, the view) — shared by [[edges]] and the specs
+    * that re-parse corpus statements. */
+  def registerFixtures(spark: SparkSession, dir: String): Unit = {
     Tables.registerAll(spark, dir)
     // Sink with a schema differing from the select list, to exercise the
     // reference's ordinal zip (S10).
@@ -113,6 +117,17 @@ object LineageQueries {
     spark.sql("DROP TABLE IF EXISTS lineage_part")
     spark.sql("""CREATE TABLE lineage_part (part_key BIGINT, part_name STRING)
                  USING parquet PARTITIONED BY (dt STRING)""")
+    // View for statement 35 — lineage must resolve through it.
+    spark.sql("""CREATE OR REPLACE TEMP VIEW lineage_view AS
+                 SELECT n_nationkey AS v_key, n_name AS v_name
+                 FROM nation WHERE n_regionkey < 4""")
+  }
+
+  /** Parse the corpus and flatten edges to rows. Pure metadata work — no
+    * table data is scanned; at cluster scale this runs on the driver in
+    * milliseconds per statement (BASELINE.md target ≤50 ms/stmt). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
     val rows = corpus.zipWithIndex.flatMap { case (sql, i) =>
       LineageParser.parseStatement(spark, sql, i + 1).colLines.map { cl =>
         (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
@@ -183,7 +198,8 @@ object LineageQueries {
     (32, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
     (33, '<EOF>', '', 'c_name', 'default.customer.c_name', ''),
     (34, 'default.lineage_part', 'default.lineage_part.part_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 3)'),
-    (34, 'default.lineage_part', 'default.lineage_part.part_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 3)')
+    (34, 'default.lineage_part', 'default.lineage_part.part_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 3)'),
+    (35, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

@@ -94,6 +94,20 @@ object StreamingQueries {
     // so <-vs-≤ and ms-floor effects cannot flip membership. The
     // checked columns are the robust set (ordinal + count), the same
     // contract shape as q43.
+    // The same windowed aggregation in UPDATE mode: each batch emits
+    // the windows it changed, watermark or not — so the bounded run
+    // (one data batch + a finalization batch that changes nothing)
+    // emits every window exactly once with its final value, and the
+    // oracle is the plain batch aggregation. Contrast with q61, where
+    // append mode suppresses windows the watermark hasn't passed:
+    // OUTPUT MODE, not the aggregation, decides what reaches the sink.
+    "q104_stream_update_windows" -> ((s, dir) => {
+      val out = EventStreams.windowedCounts(
+        eventsStream(s, dir), "1 hour", "30 minutes")
+      runBounded(s, out, "graft_q104_sink", "update")
+        .orderBy("win_start", "event_type")
+    }),
+
     // Stream-stream inner interval join: purchases × views of the same
     // user within a 30-minute lookback. Inner matches emit on
     // discovery, so the bounded run's emitted PAIR SET equals the batch
@@ -183,6 +197,16 @@ object StreamingQueries {
       """SELECT DISTINCT user_id, event_type
          FROM events
          ORDER BY user_id, event_type""",
+
+    // Update mode emits every window the single data batch touched —
+    // i.e. all of them, with final values: the batch aggregation.
+    "q104_stream_update_windows" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY win_start, event_type""",
 
     // Inner stream-stream matches emit on discovery, so the emitted
     // set is the batch interval join, on the shared floor-µs timeline.

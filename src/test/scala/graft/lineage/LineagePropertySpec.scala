@@ -14,7 +14,9 @@ class LineagePropertySpec extends SparkTestBase {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    Tables.registerAll(spark, sfDir)
+    // Full corpus fixtures (incl. the view statement 35 reads) — the
+    // wrapper-invariance property re-parses corpus statements.
+    LineageQueries.registerFixtures(spark, sfDir)
   }
 
   /** Sample `n` deterministic values from a generator. */

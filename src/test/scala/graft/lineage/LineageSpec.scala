@@ -65,7 +65,8 @@ class LineageSpec extends SparkTestBase {
     (32, "<EOF>", "", "k", "default.nation.n_regionkey&default.region.r_regionkey", ""),
     (33, "<EOF>", "", "c_name", "default.customer.c_name", ""),
     (34, "default.lineage_part", "default.lineage_part.part_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 3)"),
-    (34, "default.lineage_part", "default.lineage_part.part_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 3)")
+    (34, "default.lineage_part", "default.lineage_part.part_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 3)"),
+    (35, "<EOF>", "", "v_name", "default.nation.n_name", "WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)")
   )
 
   test("corpus lineage matches golden edges") {

@@ -103,6 +103,32 @@ object TextAnalysis {
         .as("n_bpe_est"))
   }
 
+  /** Top-k token CO-OCCURRENCE: unordered token pairs appearing in the
+    * same document, counted across the corpus — the raw statistic
+    * behind PMI/collocation scoring and embedding-free relatedness.
+    *
+    * Shape: per-doc DISTINCT tokens, then a doc_id-co-located
+    * self-join emitting only ordered pairs (t1 < t2) — pair space is
+    * Σ C(d_i, 2) over per-doc distinct counts, never corpus-vocab², and
+    * the join shuffles on doc_id so pairs materialize where the doc
+    * lives. At 100 TB cap per-doc distinct tokens first (a length
+    * guard upstream); the count is one map-side-combinable aggregate
+    * and the top-k plans as TakeOrderedAndProject. */
+  def cooccurrenceTopK(df: DataFrame, idCol: String, textCol: String,
+                       topK: Int): DataFrame = {
+    val tok = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .distinct()
+    tok.select(col("_id"), col("t").as("t1"))
+      .join(tok.select(col("_id"), col("t").as("t2")), Seq("_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Content fingerprint: md5 of the full text plus a winnowing-style
     * robust fingerprint — md5 of the 4 lexicographically smallest
     * char-8-gram hashes (stable under small edits elsewhere in the

@@ -534,6 +534,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q105: top co-occurring token pairs (TextAnalysis.cooccurrenceTopK)
+    // — doc-co-located pair generation, one combinable count, heap
+    // top-k. Ties break on the pair itself.
+    "q105_cooccurrence" -> ((s, dir) => {
+      TextAnalysis.cooccurrenceTopK(t(s, dir, "documents"),
+        "doc_id", "text", topK = 30)
+    }),
+
     // q103: Bloom-filter decontamination (Curation.bloomContamination)
     // — the broadcast-kilobytes first-pass gate next to q49's exact
     // set join; n_maybe ≥ n_exact per doc by construction and the
@@ -1238,6 +1246,17 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Same distinct-token self-join and ordered-pair filter.
+    "q105_cooccurrence" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_docs
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+         GROUP BY t1, t2
+         ORDER BY n_docs DESC, t1, t2
+         LIMIT 30""",
 
     // Identical filter build (same md5 positions, same bit_or words),
     // identical probe — the false positives agree bit-for-bit too.

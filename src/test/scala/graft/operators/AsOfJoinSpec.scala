@@ -110,4 +110,20 @@ class AsOfJoinSpec extends SparkTestBase {
       .collect()
     assert(got.length == 1 && got.head.isNullAt(4))
   }
+
+  test("native operator rejects missing and ambiguous column names up front") {
+    import spark.implicits._
+    val left = Seq((1L, 2L)).toDF("k", "t")
+    val right = Seq((1L, 2L, 3L, "x")).toDF("k", "t", "tie", "payload")
+    val noSuch = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, right, "k", "t", "tie", Seq("nope"))
+    }
+    assert(noSuch.getMessage.contains("nope"))
+    val dup = left.select(col("k"), col("t"), col("t").as("k"))
+      .toDF("k", "t", "k") // duplicate name on the left
+    val ambiguous = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(dup, right, "k", "t", "tie", Seq("payload"))
+    }
+    assert(ambiguous.getMessage.contains("exactly once"))
+  }
 }

@@ -476,6 +476,36 @@ object CoreQueries {
       graft.sources.Warehouse.readCsv(s, path, meta.schema).orderBy("doc_id")
     }),
 
+    // q106: cross-format federation check — the same table written to
+    // CSV and ORC, read back, and certified equal to the parquet base
+    // via Reconcile digests (XOR row hashes over integer-rendered
+    // strings). One digest row per bucket, with the equality verdicts;
+    // at 100 TB this is how a format migration proves itself without a
+    // row-by-row diff.
+    "q106_format_federation" -> ((s, dir) => {
+      import graft.sources.Warehouse
+      val meta = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val tmp = System.getProperty("java.io.tmpdir")
+      Warehouse.writeCsv(meta, s"$tmp/graft_q106_csv")
+      Warehouse.writeOrc(meta, s"$tmp/graft_q106_orc")
+      val csv = Warehouse.readCsv(s, s"$tmp/graft_q106_csv", meta.schema)
+      val orc = Warehouse.readOrc(s, s"$tmp/graft_q106_orc")
+      def dig(df: DataFrame, n: String) = graft.operators.Reconcile.digest(df,
+        col("doc_id") % 16,
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars")))
+        .select(col("bucket"), col("n_rows").as(s"n_$n"),
+          col("digest").as(s"digest_$n"))
+      dig(meta, "pq").join(dig(csv, "csv"), Seq("bucket"))
+        .join(dig(orc, "orc"), Seq("bucket"))
+        .withColumn("all_equal",
+          col("digest_pq") === col("digest_csv") &&
+            col("digest_pq") === col("digest_orc") &&
+            col("n_pq") === col("n_csv") && col("n_pq") === col("n_orc"))
+        .orderBy("bucket")
+    }),
+
     // ORC source/sink: full-fidelity columnar round-trip including the
     // free-text column (ORC handles arbitrary strings natively, unlike
     // CSV). The oracle reads the original parquet — a lossless format
@@ -785,6 +815,23 @@ object CoreQueries {
     "q93_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    // Round-trips are lossless, so all three digests equal the one the
+    // oracle computes from the parquet base.
+    "q106_format_federation" ->
+      """WITH d AS (
+           SELECT doc_id % 16 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n,
+                  bit_xor(('0x'||substr(md5(
+                    concat_ws('|', doc_id, lang, source, n_chars)),1,15))::BIGINT)
+                    AS digest
+           FROM documents GROUP BY bucket)
+         SELECT bucket, n AS n_pq, digest AS digest_pq,
+                n AS n_csv, digest AS digest_csv,
+                n AS n_orc, digest AS digest_orc,
+                true AS all_equal
+         FROM d
+         ORDER BY bucket""",
 
     // Exact decimal products inside the sum; the double appears once,
     // after the aggregate.

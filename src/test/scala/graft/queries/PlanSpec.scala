@@ -204,6 +204,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q103 bloom probe broadcasts the filter words — the corpus never shuffles for membership") {
+    val p = planOf("q103_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q101 star join broadcasts dims and pushes the region filter to the scan") {
     val p = planOf("q101_star_join_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))

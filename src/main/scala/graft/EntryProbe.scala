@@ -11,10 +11,9 @@ object EntryProbe {
     val rows = SparkEntry.entry(spark).collect()
     println(s"entry rows=${rows.length} time=${(System.nanoTime()-t0)/1e9}")
     rows.take(3).foreach(println)
-    // lineage latency: warm statements/sec
-    graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
-    spark.table("nation").selectExpr("n_nationkey AS tgt_key", "n_name AS tgt_name")
-      .limit(0).createOrReplaceTempView("lineage_target")
+    // lineage latency: warm statements/sec (full corpus fixtures —
+    // sinks, the partitioned table, the view)
+    graft.lineage.LineageQueries.registerFixtures(spark, "/root/testdata/sf0.001")
     graft.lineage.LineageQueries.corpus.foreach(s0 =>
       graft.lineage.LineageParser.parseStatement(spark, s0, 1)) // warm
     val t1 = System.nanoTime()

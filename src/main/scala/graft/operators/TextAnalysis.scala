@@ -129,6 +129,80 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Fixed-size token-window CHUNKING with overlap — the
+    * training-example preparation step that turns variable-length
+    * documents into model-sized windows. Window starts advance by
+    * `stride` tokens (overlap = window - stride); every start < n_tokens
+    * is emitted, so all tokens are covered and the trailing chunk may be
+    * shorter than `window`. chunk_id = start / stride — a pure function
+    * of position, identical in any engine and stable under re-runs.
+    *
+    * Shape: one narrow projection + an explode whose fan-out is
+    * ceil(n_tokens/stride) per document — no shuffle, runs scan-side at
+    * 100 TB; chunk rows inherit the input partitioning. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val t = toks(col(textCol))
+    df.filter(col(textCol).isNotNull && size(t) > 0)
+      .select(col(idCol), t.as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as("_start"))
+      .select(
+        col(idCol),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("_toks"), col("_start") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Gopher-style REPETITION metrics — the cheap redundancy filters a
+    * pre-LM curation pass applies: share of the document taken by its
+    * single most frequent token, and the fraction of 3-gram positions
+    * whose 3-gram occurs more than once in the document. Both are exact
+    * ratios of integers (engine-deterministic doubles). Narrow: one
+    * higher-order-function pass per document, no shuffle. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 maxTopTokenRatio: Double = 0.2,
+                 maxDupTrigramRatio: Double = 0.3): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t)
+    // Top term frequency = longest run in the SORTED token array —
+    // O(n log n) per doc (a per-distinct-token count scan would be
+    // O(n·distinct), quadratic on adversarially repetitive documents,
+    // exactly the ones this filter exists to catch). One fold carrying
+    // (prev token, current run, best run).
+    val topFreq = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    // 3-gram positions: i = 1 .. n-2 (1-based); duplicate share =
+    // 1 - distinct/total — the excess mass of repeated trigrams.
+    val tris = transform(sequence(lit(1), greatest(n - 2, lit(1))),
+      i => concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val nTri = n - 2
+    df.filter(col(textCol).isNotNull && n > 0)
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        (topFreq.cast("double") / n).as("top_token_ratio"),
+        when(nTri > 0,
+          lit(1.0) - size(array_distinct(tris)).cast("double") / nTri)
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+      .withColumn("keep",
+        col("top_token_ratio") <= maxTopTokenRatio &&
+        col("dup_trigram_ratio") <= maxDupTrigramRatio)
+  }
+
   /** Content fingerprint: md5 of the full text plus a winnowing-style
     * robust fingerprint — md5 of the 4 lexicographically smallest
     * char-8-gram hashes (stable under small edits elsewhere in the

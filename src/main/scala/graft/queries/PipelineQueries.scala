@@ -542,6 +542,26 @@ object PipelineQueries {
         "doc_id", "text", topK = 30)
     }),
 
+    // q107: fixed-token-window chunking with overlap (window 32,
+    // stride 24) — training-example prep; chunk_id = start/stride is
+    // position-pure so both engines derive identical ids. Narrow
+    // explode, fan-out ceil(n/stride) per doc, no shuffle.
+    "q107_chunking" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // q112: Gopher-style repetition metrics — top-token share via a
+    // sorted-run fold (O(n log n) per doc, never O(n·distinct)) and
+    // duplicate-trigram excess via distinct counts. All ratios are
+    // exact-integer divisions; `keep` thresholds computed identically
+    // in both engines.
+    "q112_repetition_filter" -> ((s, dir) => {
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // q103: Bloom-filter decontamination (Curation.bloomContamination)
     // — the broadcast-kilobytes first-pass gate next to q49's exact
     // set join; n_maybe ≥ n_exact per doc by construction and the
@@ -1246,6 +1266,54 @@ object PipelineQueries {
          FROM ex JOIN kmv_u u USING (event_type)
                  JOIN kmv_uh h USING (event_type)
          ORDER BY event_type""",
+
+    // Same window starts (range exclusive ≡ sequence to n-1 inclusive),
+    // same 1-based clamped slice, chunk_id = start/stride in both.
+    "q107_chunking" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents
+           WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0),
+         s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+               FROM d)
+         SELECT doc_id,
+                CAST(start // 24 AS BIGINT) AS chunk_id,
+                CAST(len(toks[start+1 : start+32]) AS BIGINT)
+                  AS n_chunk_tokens,
+                array_to_string(toks[start+1 : start+32], ' ') AS chunk_text
+         FROM s
+         ORDER BY doc_id, chunk_id""",
+
+    // Relational twin of the per-doc folds: max per-token count ≡ the
+    // sorted-run maximum; distinct-trigram excess ≡ 1 - distinct/total.
+    // Ratio arithmetic mirrors the Spark op order exactly.
+    "q112_repetition_filter" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents
+           WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0),
+         tf AS (
+           SELECT doc_id, max(c) AS top_freq
+           FROM (SELECT doc_id, t, count(*) AS c
+                 FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+                 GROUP BY doc_id, t)
+           GROUP BY doc_id),
+         m AS (
+           SELECT d.doc_id,
+                  len(toks) AS n,
+                  CAST(tf.top_freq AS DOUBLE) / len(toks) AS top_token_ratio,
+                  CASE WHEN len(toks) - 2 > 0 THEN
+                    1.0 - CAST(len(list_distinct(list_transform(
+                            range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                          AS DOUBLE) / (len(toks) - 2)
+                  ELSE 0.0 END AS dup_trigram_ratio
+           FROM d JOIN tf ON d.doc_id = tf.doc_id)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                top_token_ratio, dup_trigram_ratio,
+                top_token_ratio <= 0.2 AND dup_trigram_ratio <= 0.3 AS keep
+         FROM m
+         ORDER BY doc_id""",
 
     // Same distinct-token self-join and ordered-pair filter.
     "q105_cooccurrence" ->

@@ -58,4 +58,27 @@ object Cdc {
           payload.map(p =>
             when(hasChange, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
   }
+
+  /** SCD TYPE-2 dimension build: turn a keyed, time-ordered change
+    * history into validity intervals — each change opens a version at
+    * its `validFromCol` value, closed by the key's next change (open /
+    * `is_current` for the latest). The point-in-time lookup this
+    * produces pairs with [[RangeJoin]] for as-of-correct joins.
+    *
+    * `orderCols` must be unique per key (pass a tiebreaker alongside
+    * the event time). One window partitioned by the dimension key —
+    * the history's natural distribution; version counts per key are
+    * bounded by that key's own change count, so no global or
+    * low-cardinality partition appears. */
+  def scd2(history: DataFrame, keyCols: Seq[String],
+           orderCols: Seq[String], validFromCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "need key and order columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    history
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(validFromCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -200,6 +200,41 @@ object Curation {
       .drop("_maxw")
   }
 
+  /** Sequence PACKING (concat-then-chunk): documents are laid out
+    * back-to-back per shard (ordered by `orderCol` within `shardCol`)
+    * and the concatenated token stream is cut every `ctxTokens` — the
+    * GPT-style packing that turns a curated corpus into fixed-length
+    * training sequences. A document's pack is where it STARTS:
+    * pack_id = floor(tokens_before / ctx), with tokens_before the exact
+    * prefix sum of token counts; `n_boundary_docs` counts documents
+    * that straddle a cut (consumers either split them or pad).
+    *
+    * Scale shape: one window prefix-sum partitioned by shard — shards
+    * are the pipeline's distribution unit and bounded by construction
+    * (a writer caps shard size), so no unpartitioned window appears —
+    * then one map-side-combinable groupBy(shard, pack). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sized = docs.select(col(shardCol).as("shard"), col(idCol).as("_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    sized
+      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("before") / ctxTokens).cast("long"))
+      .withColumn("straddles",
+        col("pack_id") <
+          ((col("before") + col("n_tok") - 1) / ctxTokens).cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("_id")).as("first_doc"),
+        max(col("_id")).as("last_doc"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_boundary_docs"))
+  }
+
   /** Corpus vocabulary: the `topK` most frequent tokens with their
     * counts and frequency rank (count desc, token asc). The classic
     * pre-tokenizer frequency pass — one hash-shuffle on the token.

@@ -562,6 +562,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q108: sequence packing (ctx 512) — per-shard prefix-sum layout of
+    // the concatenated token stream, cut every ctx tokens; a doc's pack
+    // is where it starts, straddlers counted per pack. One bounded
+    // window + one combinable agg.
+    "q108_sequence_packing" -> ((s, dir) => {
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        "source", ctxTokens = 512)
+        .orderBy("shard", "pack_id")
+    }),
+
+    // q109: SCD Type-2 dimension build (Cdc.scd2) — the purchase
+    // history per user becomes versioned validity intervals
+    // [valid_from, valid_to), open interval = current version. µs
+    // epochs only (nanos-source rule); (ts, event_id) order keys make
+    // the version sequence total.
+    "q109_scd2_build" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("valid_from_us"), col("value"))
+      Cdc.scd2(h, Seq("user_id"), Seq("valid_from_us", "event_id"),
+        "valid_from_us")
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("is_current"), col("value"))
+        .orderBy("user_id", "version")
+    }),
+
     // q103: Bloom-filter decontamination (Curation.bloomContamination)
     // — the broadcast-kilobytes first-pass gate next to q49's exact
     // set join; n_maybe ≥ n_exact per doc by construction and the
@@ -1314,6 +1342,52 @@ object PipelineQueries {
                 top_token_ratio <= 0.2 AND dup_trigram_ratio <= 0.3 AS keep
          FROM m
          ORDER BY doc_id""",
+
+    // Same prefix-sum window and integer cut arithmetic; sums cast to
+    // BIGINT (DuckDB sum(BIGINT) widens to HUGEINT).
+    "q108_sequence_packing" ->
+      """WITH sized AS (
+           SELECT source AS shard, doc_id AS _id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         pre AS (
+           SELECT shard, _id, n_tok,
+                  COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY _id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS before
+           FROM sized),
+         packed AS (
+           SELECT shard, _id, n_tok,
+                  before // 512 AS pack_id,
+                  (before // 512) < ((before + n_tok - 1) // 512)
+                    AS straddles
+           FROM pre)
+         SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                min(_id) AS first_doc, max(_id) AS last_doc,
+                CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boundary_docs
+         FROM packed
+         GROUP BY shard, pack_id
+         ORDER BY shard, pack_id""",
+
+    // Same per-key window: row_number versions, lead() closes each
+    // interval; value passes through untouched (bit-identical double).
+    "q109_scd2_build" ->
+      """WITH h AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS valid_from_us,
+                  value
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                event_id, valid_from_us,
+                lead(valid_from_us) OVER w AS valid_to_us,
+                (lead(valid_from_us) OVER w) IS NULL AS is_current,
+                value
+         FROM h
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+         ORDER BY user_id, version""",
 
     // Same distinct-token self-join and ordered-pair filter.
     "q105_cooccurrence" ->

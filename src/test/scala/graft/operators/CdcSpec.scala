@@ -8,6 +8,22 @@ class CdcSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("scd2 builds closed intervals with one open current version per key") {
+    val hist = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 150L, "x"))
+      .toDF("k", "ts", "payload")
+    val dim = Cdc.scd2(hist, Seq("k"), Seq("ts"), "ts")
+      .orderBy("k", "version")
+      .select("k", "version", "ts", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(dim == Seq(
+      (1L, 1L, 100L, Some(200L), false),
+      (1L, 2L, 200L, Some(300L), false),
+      (1L, 3L, 300L, None, true),
+      (2L, 1L, 150L, None, true)))
+  }
+
   private val base = Seq(
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     .toDF("k", "s", "v")

@@ -167,6 +167,63 @@ object Graph {
     * moved, no state bigger than the rank vector. `localCheckpoint`
     * truncates the growing plan per round.
     */
+  /** Per-vertex TRIANGLE COUNTS — the cohesion census of an undirected
+    * graph (triangle-dense near-dup components are near-cliques of
+    * copies; triangle-free ones are chains of borderline matches).
+    *
+    * Degree-ordered orientation: every undirected edge points from its
+    * lower-(degree, id) endpoint to the higher. Out-degrees are then
+    * capped at O(√m), so the wedge self-join's per-vertex fan-out is
+    * bounded — an id-ordered orientation would let one hub emit
+    * O(deg²) wedges, the triangle-counting heavy-hitter failure mode.
+    * Each triangle is found exactly once: the wedge at its
+    * order-minimal vertex, closed by the oriented third edge. The
+    * (degree, id) order is total and data-derived, so any engine
+    * reproduces the exact orientation.
+    *
+    * Shapes: degree attach = two broadcast-or-shuffle equi-joins on
+    * endpoints; wedge join + closing join shuffle on vertex keys; the
+    * final per-vertex count is map-side combinable. No windows, no
+    * driver state, nothing materializes beyond O(wedges). */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected edge set: a < b, no self-loops, distinct
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = lower endpoint in that order
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val before = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(before, col("a")).otherwise(col("b")).as("u"),
+      when(before, col("b")).otherwise(col("a")).as("v"),
+      when(before, col("db")).otherwise(col("da")).as("dv"))
+    // wedges at the order-minimal vertex, closed by the oriented edge
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perVertex = triangles.select(col("u").as("v"))
+      .union(triangles.select(col("v1").as("v")))
+      .union(triangles.select(col("v2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

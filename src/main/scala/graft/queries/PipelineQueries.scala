@@ -117,6 +117,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q110: triangle census of the near-dup graph (q31's LSH pairs) —
+    // degree-ordered orientation caps wedge fan-out at O(√m) per
+    // vertex; triangle-dense components are near-cliques of copies.
+    "q110_triangle_count" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      Graph.triangleCount(pairs, "doc_a", "doc_b")
+        .orderBy("node")
+    }),
+
     // q102: sliding-frame moving average per user (5-event window) —
     // frame aggregates in exact decimals over the (us, event_id) total
     // order; one division of identical values at the edge.
@@ -954,6 +964,49 @@ object PipelineQueries {
     // q69 star contraction), so they share this oracle.
     "q53_dedup_components" -> componentsOracle,
     "q69_dedup_components_star" -> componentsOracle,
+
+    // q31's pair pipeline as a nested CTE, then the same degree-ordered
+    // orientation, wedge join, and closing join — each triangle counted
+    // once at its order-minimal vertex.
+    "q110_triangle_count" ->
+      s"""WITH pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         und AS (
+           SELECT DISTINCT least(doc_a, doc_b) AS a,
+                  greatest(doc_a, doc_b) AS b
+           FROM pairs WHERE doc_a <> doc_b),
+         deg AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           GROUP BY v),
+         o AS (
+           SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN u.a ELSE u.b END AS u,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN u.b ELSE u.a END AS v,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN db.d ELSE da.d END AS dv
+           FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+         w AS (
+           SELECT x.u, x.v AS v1, y.v AS v2
+           FROM o x JOIN o y ON x.u = y.u
+             AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+         tri AS (
+           SELECT w.u, w.v1, w.v2
+           FROM w JOIN o z ON z.u = w.v1 AND z.v = w.v2),
+         pv AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT u AS v FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri)
+           GROUP BY v)
+         SELECT deg.v AS node, deg.d AS degree,
+                COALESCE(pv.n_triangles, 0) AS n_triangles
+         FROM deg LEFT JOIN pv ON deg.v = pv.v
+         ORDER BY node""",
 
     "q32_dedup_simhash" ->
       """SELECT doc_id,

@@ -68,4 +68,24 @@ class GraphSpec extends SparkTestBase {
     assert(ccStar(Seq((3L, 3L), (1L, 2L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
+
+  test("triangle counts: K4 has 4 triangles with every vertex in 3") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.triangleCount(k4, "a", "b")
+      .orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == (1L to 4L).map(v => (v, 3L, 3L)))
+  }
+
+  test("triangle counts: pendant vertex has 0; duplicates/reversals collapse") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("a", "b")
+    val got = Graph.triangleCount(g, "a", "b")
+      .orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+  }
 }

@@ -198,6 +198,36 @@ object Stats {
       ((d(col("sy")) - slope * d(col("sx"))) / d(col("n"))).as("intercept"): _*)
   }
 
+  /** Robust per-group outlier detection: median/MAD instead of
+    * mean/stddev ([[zscore]]), so a contaminated tail cannot drag its
+    * own detection threshold (the breakdown-point argument for MAD).
+    * Flags x with |x − median| > k·MAD; returns one row per group with
+    * the median, the MAD, and the outlier count.
+    *
+    * Both medians are the discrete lower quantile via
+    * [[exactQuantiles]]' two-phase histogram selection — no per-group
+    * whole-sort, so the low-cardinality grouping regime (5 event types
+    * at 100 TB) stays straggler-free. Per-group scalars travel by
+    * broadcast join; deviations and flags are pure projections. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0, buckets: Int = 1024): DataFrame = {
+    val med = exactQuantiles(df, groupCol, valueCol, Seq(0.5), buckets)
+      .select(col(groupCol), col("quantile_value").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol), col(valueCol).cast("double").as("x"),
+        col("med"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = exactQuantiles(dev, groupCol, "adev", Seq(0.5), buckets)
+      .select(col(groupCol), col("quantile_value").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"),
+        max("med").as("median_value"),
+        max("mad").as("mad"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val d = col(valueCol).cast("decimal(18,3)")
     val stats = df.groupBy(groupCol)

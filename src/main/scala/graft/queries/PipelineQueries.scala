@@ -127,6 +127,14 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // q111: median/MAD robust outliers per event type — both medians
+    // via the two-phase histogram selector (no per-group whole-sort),
+    // group scalars broadcast, flags pure projections.
+    "q111_mad_outliers" -> ((s, dir) => {
+      Stats.madOutliers(t(s, dir, "events"), "event_type", "value", k = 3.0)
+        .orderBy("event_type")
+    }),
+
     // q102: sliding-frame moving average per user (5-event window) —
     // frame aggregates in exact decimals over the (us, event_id) total
     // order; one division of identical values at the edge.
@@ -1994,6 +2002,40 @@ object PipelineQueries {
     // The oracle can afford the naive full sort; the rank formula is
     // evaluated in DOUBLE on both sides (VALUES literals are DECIMAL in
     // DuckDB — cast before the product or the floor differs).
+    // Same discrete lower-quantile rank (floor((n-1)/2)+1) for both
+    // medians; deviations and the 3·MAD flag mirror the Spark op order.
+    "q111_mad_outliers" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (
+           SELECT event_type, value AS med FROM ranked
+           WHERE rnk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         dranked AS (
+           SELECT event_type, adev,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY adev) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+         mad AS (
+           SELECT event_type, adev AS mad FROM dranked
+           WHERE rnk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1)
+         SELECT d.event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                max(d.med) AS median_value,
+                max(mm.mad) AS mad,
+                CAST(sum(CASE WHEN d.adev > 3.0 * mm.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad mm USING (event_type)
+         GROUP BY d.event_type
+         ORDER BY d.event_type""",
+
     "q63_exact_quantiles" ->
       """WITH ranked AS (
            SELECT event_type, value,

@@ -129,6 +129,18 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(z0 - (x0 - mean) / sd) < 1e-9)
   }
 
+  test("madOutliers flags only the contaminated tail, not via it") {
+    // 9 inliers around 10 and one gross outlier; median 10, MAD 1
+    val rows = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
+      .map(("g", _))
+    val got = Stats.madOutliers(rows.toDF("g", "x"), "g", "x", k = 3.0)
+      .select("n_events", "median_value", "mad", "n_outliers")
+      .as[(Long, Double, Double, Long)].head()
+    assert(got == ((10L, 10.0, 1.0, 1L)))
+    // mean/stddev on the same data would put the threshold past 900 —
+    // the outlier drags z-score detection; MAD ignores it
+  }
+
   test("exactQuantiles survives heavy ties and tiny bucket counts") {
     val rows = Seq.fill(60)(("g", 3.0)) ++ Seq.fill(20)(("g", 1.0)) ++
       Seq.fill(20)(("g", 9.0))

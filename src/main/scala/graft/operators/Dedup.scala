@@ -188,26 +188,11 @@ object Dedup {
                      threshold: Double, sigShingles: Column = null,
                      sigRows: DataFrame = null): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
-    // Signature via explode + k min-aggregates: the md5 base hash is
-    // computed exactly once per (doc, shingle) row. (A nested
-    // transform(transform(...)) expression re-evaluates the inner md5
-    // lambda once per permutation — k× the hashing.) The groupBy
-    // shuffles only (id, base) longs and aggregates partially map-side —
-    // the shape that scales.
-    val mins = (0 until k).map { i =>
-      min((col("b") * (2 * i + 1) + (101 * i + 17)) % MinHashPrime).as(s"m$i")
-    }
     val exploded =
       if (sigRows != null) sigRows.select(col("id"), col("s"))
       else df.select(col(idCol).as("id"),
         explode(Option(sigShingles).getOrElse(shingles)).as("s"))
-    val sigs = exploded
-      .select(col("id"), shingleBaseHash(col("s")).as("b"))
-      .groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sigs.select(col("id"),
-      explode(lshBands(col("sig"), bands, rows)).as("band"))
+    val banded = bandKeysOf(signaturesOf(exploded, k), bands, rows)
     // The self-join is hinted to SHUFFLE so both sides plan as the
     // IDENTICAL exchange and ReuseExchange evaluates the signature
     // pipeline (the md5 over every shingle) once, not twice — a
@@ -225,6 +210,66 @@ object Dedup {
       .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures of an exploded (id, s) shingle frame, via
+    * explode + k min-aggregates: the md5 base hash is computed exactly
+    * once per (doc, shingle) row. (A nested transform(transform(...))
+    * expression re-evaluates the inner md5 lambda once per permutation
+    * — k× the hashing.) The groupBy shuffles only (id, base) longs and
+    * aggregates partially map-side — the shape that scales. */
+  private def signaturesOf(exploded: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min((col("b") * (2 * i + 1) + (101 * i + 17)) % MinHashPrime).as(s"m$i")
+    }
+    exploded
+      .select(col("id"), shingleBaseHash(col("s")).as("b"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** (id, band) rows of a signature frame — the LSH bucket index. At
+    * scale this frame is what an incremental pipeline PERSISTS for the
+    * corpus (computed once per document ever, not once per run). */
+  private def bandKeysOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(lshBands(col("sig"), bands, rows)).as("band"))
+
+  /** INCREMENTAL near-dup: match a new `batch` against an existing
+    * `corpus` (both carrying `idCol` + `textCol`) without any
+    * batch-internal or corpus-internal pairing — the daily-ingest gate
+    * that asks "which incoming documents near-duplicate something we
+    * already have?". Returns (batch_id, corpus_id, jaccard) pairs with
+    * jaccard ≥ threshold; quarantine = distinct batch_id.
+    *
+    * Scale shape (corpus ≫ batch): the batch's band keys BROADCAST to
+    * the corpus band scan — the corpus is never shuffled, never
+    * self-joined, and only candidate corpus docs pay the exact-Jaccard
+    * verify (their shingle arrays join the candidate list by id). The
+    * corpus (id, band) index is deterministic per document, so a real
+    * pipeline materializes it once ([[bandKeysOf]] over stored
+    * signatures) and each day's run touches only batch-sized state. */
+  def incrementalMinHashLsh(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 2, k: Int = 24, bands: Int = 4,
+                            rows: Int = 6, threshold: Double = 0.8): DataFrame = {
+    val shing = wordShingles(col(textCol), shingleN)
+    val sigSh = wordShingleMultiset(col(textCol), shingleN)
+    def explodedOf(df: DataFrame) =
+      df.select(col(idCol).as("id"), explode(sigSh).as("s"))
+    val corpusBands = bandKeysOf(signaturesOf(explodedOf(corpus), k), bands, rows)
+    val batchBands = bandKeysOf(signaturesOf(explodedOf(batch), k), bands, rows)
+    val cand = corpusBands.as("c")
+      .join(broadcast(batchBands.as("n")), col("c.band") === col("n.band"))
+      .select(col("n.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batch.select(col(idCol).as("batch_id"), shing.as("shn")), "batch_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), shing.as("shc")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("shn"), col("shc")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -117,6 +117,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q113: incremental dedup — the daily-ingest gate. New docs
+    // (doc_id ≥ 400) match against the standing corpus (< 400) via a
+    // batch-bands-broadcast join: the corpus is never shuffled or
+    // self-paired, and only candidate corpus docs pay the exact verify.
+    "q113_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalMinHashLsh(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", shingleN = 2, k = 24, bands = 4, rows = 6,
+        threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // q110: triangle census of the near-dup graph (q31's LSH pairs) —
     // degree-ordered orientation caps wedge fan-out at O(√m) per
     // vertex; triangle-dense components are near-cliques of copies.
@@ -972,6 +985,32 @@ object PipelineQueries {
     // q69 star contraction), so they share this oracle.
     "q53_dedup_components" -> componentsOracle,
     "q69_dedup_components_star" -> componentsOracle,
+
+    // Same signatures and band keys on both sides of the id-400 split;
+    // candidates cross the split only, verified by the same exact
+    // Jaccard.
+    "q113_incremental_dedup" ->
+      s"""WITH docsall AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         corp AS (SELECT * FROM docsall WHERE doc_id < 400),
+         newb AS (SELECT * FROM docsall WHERE doc_id >= 400),
+         csig AS (SELECT doc_id, ${sqlSig(24)} AS sig FROM corp),
+         nsig AS (SELECT doc_id, ${sqlSig(24)} AS sig FROM newb),
+         cb AS (SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM csig),
+         nb AS (SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM nsig),
+         cand AS (
+           SELECT DISTINCT n.doc_id AS batch_id, c.doc_id AS corpus_id
+           FROM cb c JOIN nb n ON c.band = n.band)
+         SELECT batch_id, corpus_id, jaccard FROM (
+           SELECT cand.batch_id, cand.corpus_id,
+                  len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM cand
+           JOIN newb a ON cand.batch_id = a.doc_id
+           JOIN corp b ON cand.corpus_id = b.doc_id)
+         WHERE jaccard >= 0.8
+         ORDER BY batch_id, corpus_id""",
 
     // q31's pair pipeline as a nested CTE, then the same degree-ordered
     // orientation, wedge join, and closing join — each triangle counted

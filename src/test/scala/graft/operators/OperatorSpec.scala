@@ -30,6 +30,23 @@ class OperatorSpec extends SparkTestBase {
       Seq((1L, 2L, 1.0)))
   }
 
+  test("incremental dedup reports batch-vs-corpus pairs only") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    // 10 and 11 are batch-internal duplicates of each other AND of
+    // corpus doc 1; 12 is novel
+    val batch = Seq((10L, "a b c d e f"), (11L, "a b c d e f"),
+      (12L, "m n o p")).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinHashLsh(corpus, batch, "doc_id", "text",
+      threshold = 0.99)
+      .orderBy("batch_id")
+      .select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSeq
+    // both batch copies match corpus doc 1; the 10–11 internal pair and
+    // the novel doc never appear
+    assert(got == Seq((10L, 1L), (11L, 1L)))
+  }
+
   test("jaccard is 1 for equal sets and 0 for disjoint sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")

@@ -200,6 +200,45 @@ object Curation {
       .drop("_maxw")
   }
 
+  /** DOMAIN-MIXTURE resampling: downsample each domain so the kept
+    * corpus hits target mixture proportions — the data-mixing step that
+    * turns "we have whatever the crawl gave us" into "the training set
+    * is 40% web, 30% books, ...". The feasible kept-total is
+    * T = min_d(n_d / share_d) (the binding domain keeps everything);
+    * each listed domain then keeps rate_d = T·share_d / n_d of its
+    * rows; unlisted domains are dropped. Acceptance is the md5-prefix
+    * threshold of [[stratifiedSample]] — no RNG, stable under re-runs
+    * and partitioning — with the threshold computed IN-PLAN from the
+    * observed counts (rates are data-dependent, unlike the static
+    * splits). Shapes: one small per-domain count agg broadcast back;
+    * acceptance is a pure projection over the corpus scan. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "need positive target shares")
+    require(targets.map(_._2).sum <= 1.0 + 1e-9,
+      s"target shares must sum to <= 1, got ${targets.map(_._2).sum}")
+    def shareOf(c: Column): Column = targets.foldLeft(Option.empty[Column]) {
+      case (acc, (d, sh)) =>
+        Some(acc.fold(when(c === d, sh))(_.when(c === d, sh)))
+    }.get // no otherwise: unlisted domains get null and drop out
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("_nd"))
+    val tTotal = counts
+      .withColumn("_share", shareOf(col(domainCol)))
+      .filter(col("_share").isNotNull)
+      .agg(min(col("_nd").cast("double") / col("_share")).as("_T"))
+    val h4 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), domainCol)
+      .withColumn("_share", shareOf(col(domainCol)))
+      .filter(col("_share").isNotNull)
+      .crossJoin(broadcast(tTotal))
+      .withColumn("_thresh",
+        floor(col("_T") * col("_share") / col("_nd") * 65536).cast("long"))
+      .filter(h4 < col("_thresh"))
+      .drop("_nd", "_share", "_T", "_thresh")
+  }
+
   /** Sequence PACKING (concat-then-chunk): documents are laid out
     * back-to-back per shard (ordered by `orderCol` within `shardCol`)
     * and the concatenated token stream is cut every `ctxTokens` — the

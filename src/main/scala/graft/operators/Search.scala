@@ -51,6 +51,62 @@ object Search {
       .limit(k)
   }
 
+  /** BM25-shaped top-`k` ranking — [[topKByTerms]]' integer-weight idf
+    * plus BM25's two refinements: TF SATURATION (score grows
+    * sublinearly in tf, capped at k1+1) and LENGTH NORMALIZATION (long
+    * documents don't win by volume), at the standard k1=1.2, b=0.75.
+    *
+    * Determinism contract: the tf part is exact rational — with
+    * k1=6/5, b=3/4, multiplying through by 10·T gives
+    * tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) = 22·tf·T / (10·T·tf + 3·T +
+    * 9·dl·N), all int64 — and the idf is the scaled-integer Robertson
+    * ratio (2(N−df)+1)/(2df+1) (the argument of BM25's log; log-free
+    * because IEEE does not require correctly-rounded log, and a
+    * monotone substitute ranks identically for a single term). Doubles
+    * appear only in one correctly-rounded division and one multiply
+    * per (doc, term), and the per-document total is a FIXED-ORDER
+    * left-associated chain over per-term conditional sums — never an
+    * order-undefined float aggregate.
+    *
+    * Shape: explode filtered by the literal term list BEFORE the
+    * (doc, term) shuffle; df and corpus stats broadcast back; top-k is
+    * TakeOrderedAndProject. int64 bounds: W ≤ 2e6·N/df and the tf
+    * numerator 22·tf·T — fine to ~10^8-doc corpora; shard the stats
+    * beyond that. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("_t"))
+    val tok = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("dl"),
+      explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("wt",
+        expr("(1000000 * (2 * (_n - df) + 1)) div (2 * df + 1)"))
+      .withColumn("s", col("wt").cast("double") *
+        ((lit(22L) * col("tf") * col("_t")).cast("double") /
+          (lit(10L) * col("_t") * col("tf") + lit(3L) * col("_t") +
+            lit(9L) * col("dl") * col("_n")).cast("double")))
+    // per-term conditional sums (each doc has ≤1 row per term; adding
+    // exact 0.0 is order-free), then a fixed left-assoc total
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("s")).otherwise(lit(0.0))).as(s"s$i")
+    }
+    scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        queryTerms.indices.map(i => col(s"s$i")).reduce(_ + _))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Inverted index: one row per surviving token with document
     * frequency, collection frequency, and the sorted posting list
     * (comma-joined ids — a deterministic, engine-portable encoding).

@@ -117,6 +117,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q115: domain-mixture resampling to 40/30/20/10 over four
+    // sources — thresholds derived in-plan from observed counts,
+    // md5-prefix acceptance, unlisted domains dropped.
+    "q115_mixture_sample" -> ((s, dir) => {
+      Curation.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // q114: BM25-shaped retrieval — tf saturation + length
+    // normalization in exact rational arithmetic, scaled-integer
+    // Robertson idf (log-free), fixed-order per-term total.
+    "q114_bm25_topk" -> ((s, dir) => {
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), k = 20)
+    }),
+
     // q113: incremental dedup — the daily-ingest gate. New docs
     // (doc_id ≥ 400) match against the standing corpus (< 400) via a
     // batch-bands-broadcast join: the corpus is never shuffled or
@@ -1332,6 +1350,61 @@ object PipelineQueries {
          SELECT tf.doc_id, CAST(sum(tf.tf * w.wt) AS BIGINT) AS score
          FROM tf JOIN w USING (token)
          GROUP BY tf.doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+
+    // Same T = min(n_d/share_d), same ((T·share)/n_d)·65536 threshold
+    // arithmetic, same md5-prefix acceptance.
+    "q115_mixture_sample" ->
+      """WITH tg(domain, share) AS (
+           VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+                 FROM documents GROUP BY source),
+         tt AS (SELECT min(CAST(nd AS DOUBLE) / share) AS T
+                FROM cnt JOIN tg ON cnt.source = tg.domain),
+         th AS (SELECT domain,
+                       CAST(floor(T * share / nd * 65536) AS BIGINT) AS thresh
+                FROM cnt JOIN tg ON cnt.source = tg.domain CROSS JOIN tt)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN th ON d.source = th.domain
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < th.thresh
+         ORDER BY d.doc_id""",
+
+    // Same exact-rational tf part, same scaled-integer idf, same
+    // fixed-order (s0 + s1) + s2 total.
+    "q114_bm25_topk" ->
+      """WITH stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+                  max(dl) AS dl
+           FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents) tok
+           WHERE token IN ('spark', 'window', 'stream')
+           GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY token),
+         sc AS (
+           SELECT tf.doc_id, tf.token,
+                  CAST((1000000 * (2 * (s.n - d.df) + 1)) // (2 * d.df + 1)
+                       AS DOUBLE)
+                  * (CAST(22 * tf.tf * s.t AS DOUBLE) /
+                     CAST(10 * s.t * tf.tf + 3 * s.t + 9 * tf.dl * s.n
+                          AS DOUBLE)) AS sterm
+           FROM tf JOIN dfs d USING (token) CROSS JOIN stats s),
+         agg AS (
+           SELECT doc_id,
+                  sum(CASE WHEN token = 'spark' THEN sterm ELSE 0.0 END) AS s0,
+                  sum(CASE WHEN token = 'window' THEN sterm ELSE 0.0 END) AS s1,
+                  sum(CASE WHEN token = 'stream' THEN sterm ELSE 0.0 END) AS s2
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, (s0 + s1) + s2 AS score
+         FROM agg
          ORDER BY score DESC, doc_id
          LIMIT 20""",
 

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Search.bm25TopK]] ranking properties and [[Curation.mixtureSample]]
+  * mixture/determinism invariants. */
+class SearchMixSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bm25 saturates tf and normalizes length") {
+    val docs = Seq(
+      (1L, ("apple " * 50).trim),                      // tf=50, dl=50
+      (2L, "apple pear plum fig"),                     // tf=1, dl=4
+      (3L, ("apple " + "x " * 96).trim))               // tf=1, dl=97
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("apple"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val score = got.toMap
+    // saturation: 50x the tf buys well under 50x the score
+    assert(score(1L) < 50 * score(2L) && score(1L) > score(2L))
+    // length normalization: same tf, longer doc scores strictly lower
+    assert(score(2L) > score(3L))
+  }
+
+  test("bm25 multi-term score is the fixed-order sum of per-term scores") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val both = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("alpha", "beta"), 3).collect().map(r => r.getLong(0)).toSeq
+    // doc 1 matches both terms and must outrank the single-term docs
+    assert(both.head == 1L)
+    assert(!both.contains(3L))
+  }
+
+  test("mixtureSample hits the target mixture and drops unlisted domains") {
+    val docs = (0 until 400).map(i => (i.toLong, s"dom${i % 4}"))
+      .toDF("doc_id", "domain")
+    val kept = Curation.mixtureSample(docs, "doc_id", "domain",
+      Seq("dom0" -> 0.5, "dom1" -> 0.25))
+    val byDom = kept.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(100/0.5, 100/0.25) = 200 → dom0 rate 1.0 (keeps all 100),
+    // dom1 rate 0.5 (~50 by hash), others dropped
+    assert(byDom("dom0") == 100L)
+    assert(byDom("dom1") > 30L && byDom("dom1") < 70L)
+    assert(!byDom.contains("dom2") && !byDom.contains("dom3"))
+    // deterministic: the same call returns the identical kept set
+    val again = Curation.mixtureSample(docs, "doc_id", "domain",
+      Seq("dom0" -> 0.5, "dom1" -> 0.25))
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
+  }
+}

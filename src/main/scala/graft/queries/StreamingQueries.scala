@@ -155,6 +155,19 @@ object StreamingQueries {
       snapshot.orderBy("user_id")
     }),
 
+    // Stream-static join: per-batch broadcast join against the
+    // customer dimension (no join state, no watermark on the static
+    // side), then windowed per-segment totals. Update mode + one data
+    // batch ⇒ every window emits once with final values, so the oracle
+    // is the plain batch join + aggregation.
+    "q116_stream_static_join" -> ((s, dir) => {
+      val dim = graft.Tables.load(s, dir, "customer")
+      val out = EventStreams.enrichedWindowCounts(eventsStream(s, dir), dim,
+        "user_id", "c_custkey", "c_mktsegment", "1 hour", "30 minutes")
+      runBounded(s, out, "graft_q116_sink", "update")
+        .orderBy("win_start", "c_mktsegment")
+    }),
+
     "q66_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = eventsStream(s, dir)
@@ -240,6 +253,16 @@ object StreamingQueries {
          SELECT user_id, value FROM latest
          WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+
+    // Update mode over one data batch ⇒ the batch join + aggregation.
+    "q116_stream_static_join" ->
+      """SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment,
+                count(*) AS n_events,
+                CAST(sum(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2
+         ORDER BY win_start, c_mktsegment""",
 
     // Batch reconstruction of the streaming emission: q43's session
     // CTEs, minus each user's last session unless its event-time

@@ -42,6 +42,25 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** STREAM-STATIC enrichment + windowed aggregate: each micro-batch
+    * joins against a static dimension (Spark re-plans the join per
+    * batch with the dim broadcast — no streaming state for the join,
+    * no watermark requirement on the static side), then aggregates per
+    * (window, dim attribute). The enrich-then-rollup shape of a live
+    * dashboard fed by a dimension table. */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame,
+                           eventKey: String, dimKey: String, dimCol: String,
+                           windowLen: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(dim.select(col(dimKey), col(dimCol)),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), windowLen).as("w"), col(dimCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col(dimCol),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop events whose dedup key was already
     * seen, keeping state only within the watermark horizon — the
     * streaming twin of [[graft.operators.Dedup.exact]]. State size is

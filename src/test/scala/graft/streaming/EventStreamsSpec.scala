@@ -139,4 +139,25 @@ class EventStreamsSpec extends SparkTestBase {
     assert(afterSecond == afterFirst,
       "restart from checkpoint re-emitted finalized windows")
   }
+
+  test("stream-static join enriches each batch against the dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "segment")
+    val in = MemoryStream[Event]
+    val q = enrichedWindowCounts(in.toDF(), dim, "user_id", "k", "segment",
+      "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("update").start()
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(15), 2, "view", 3.0),
+      Event(4, ts(20), 9, "view", 9.0)) // no dim row → dropped by inner join
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("GOLD", 2L, 3.0), ("SILVER", 1L, 3.0)))
+  }
 }

@@ -319,4 +319,68 @@ class PlanSpec extends SparkTestBase {
     assert("partial_count".r.findAllIn(p).length >= 2)
     assert(p.contains("FullOuter") || p.contains("SortMergeJoin"))
   }
+
+  test("q107 chunking is scan-side: a generate, no hash exchange, no window") {
+    val p = planOf("q107_chunking")
+    assert(p.contains("Generate")) // the stride-start explode
+    assert(!p.contains("Window"))
+    // only the presentation sort repartitions
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q112 repetition metrics are one narrow projection") {
+    val p = planOf("q112_repetition_filter")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("Window") && !p.contains("Generate"))
+  }
+
+  test("q108 packing: the prefix-sum window is partitioned by shard") {
+    val p = planOf("q108_sequence_packing")
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val sharded = "windowspecdefinition\\(shard#\\d+".r.findAllIn(p).size
+    assert(all > 0 && all == sharded)
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q109 scd2: every window is partitioned by the dimension key") {
+    val p = planOf("q109_scd2_build")
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val keyed = "windowspecdefinition\\(user_id#\\d+L".r.findAllIn(p).size
+    assert(all > 0 && all == keyed)
+  }
+
+  test("q110 triangles: equi-joins only, never a cartesian wedge product") {
+    val p = planOf("q110_triangle_count")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q111 MAD: histogram phases combine partially, scalars broadcast") {
+    val p = planOf("q111_mad_outliers")
+    assert(p.contains("partial_count"))
+    assert(p.contains("BroadcastHashJoin"))
+    // no window partitioned by the raw event_type alone (the selector's
+    // windows all carry the bucket id)
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(grp#\\d+, b#\\d+".r.findAllIn(p).size
+    assert(all > 0 && all == bucketed)
+  }
+
+  test("q113 incremental dedup broadcasts the batch bands — the corpus never shuffles for candidates") {
+    val p = planOf("q113_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q114 bm25: pre-shuffle term filter, broadcast stats, heap top-k") {
+    val p = planOf("q114_bm25_topk")
+    assert("IN \\(spark,window,stream\\)".r.findFirstIn(p).isDefined)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q115 mixture acceptance is a projection over broadcast thresholds") {
+    val p = planOf("q115_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+  }
 }

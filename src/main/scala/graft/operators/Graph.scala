@@ -186,12 +186,18 @@ object Graph {
     * final per-vertex count is map-side combinable. No windows, no
     * driver state, nothing materializes beyond O(wedges). */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical undirected edge set: a < b, no self-loops, distinct
+    // canonical undirected edge set: a < b, no self-loops, distinct.
+    // localCheckpoint: deg, both wedge sides, and the closing join all
+    // re-consume this frame — without truncation each consumer would
+    // recompute the whole upstream pipeline (q110's edges are a full
+    // LSH run; measured 5.7 → 4.9 s, the remainder being the tiny
+    // downstream stages' fixed scheduling cost, not recomputation).
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))

@@ -213,10 +213,16 @@ object Stats {
                   k: Double = 3.0, buckets: Int = 1024): DataFrame = {
     val med = exactQuantiles(df, groupCol, valueCol, Seq(0.5), buckets)
       .select(col(groupCol), col("quantile_value").as("med"))
+    // localCheckpoint: the MAD selection (3 passes) and the final
+    // flag/count aggregate all re-consume the deviation frame; without
+    // truncation each pass re-derives it from the source scan + join.
+    // At cluster scale substitute persist(DISK_ONLY) or a materialized
+    // intermediate table — same shape, spill-safe storage.
     val dev = df.join(broadcast(med), groupCol)
       .select(col(groupCol), col(valueCol).cast("double").as("x"),
         col("med"))
       .withColumn("adev", abs(col("x") - col("med")))
+      .localCheckpoint()
     val mad = exactQuantiles(dev, groupCol, "adev", Seq(0.5), buckets)
       .select(col(groupCol), col("quantile_value").as("mad"))
     dev.join(broadcast(mad), groupCol)

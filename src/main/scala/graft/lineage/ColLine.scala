@@ -46,6 +46,11 @@ object Operation {
   case object CreateTable extends Operation("CREATETABLE")
   case object Alter extends Operation("ALTER")
   case object Use extends Operation("USE")
+  // Lakehouse DML — engine extensions beyond the reference's Hive-era
+  // operation set (Hive MERGE/UPDATE/DELETE postdate it).
+  case object Update extends Operation("UPDATE")
+  case object Delete extends Operation("DELETE")
+  case object Merge extends Operation("MERGE")
   case object Default extends Operation("DEFAULT")
 }
 

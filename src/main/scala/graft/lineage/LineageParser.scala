@@ -1,7 +1,7 @@
 package graft.lineage
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -100,6 +100,18 @@ object LineageParser {
       case v: CreateView =>
         val sink = fill(unresolvedName(v).getOrElse(Eof))
         extract(spark, v.query, sink, Operation.CreateTable, index, currentDb, meta)
+      // Lakehouse DML (engine extension — Hive's MERGE/UPDATE/DELETE
+      // postdate the reference): lineage from the UNRESOLVED plan, since
+      // analysis of row-level DML requires a v2 table; the MERGE source
+      // side is a plain query and goes through the analyzer as usual.
+      case m: MergeIntoTable =>
+        mergeLineage(spark, m, index, currentDb)
+      case u: UpdateTable =>
+        updateLineage(u, index, currentDb)
+      case d: DeleteFromTable =>
+        val name = fill(unresolvedName(d.table).getOrElse(Eof))
+        LineageResult(index, Operation.Delete, Set(name),
+          Set(s"$name\t${Operation.Delete.name}"), Nil)
       case other =>
         other.getClass.getSimpleName match {
           case "DropTable" | "DropTableStatement" =>
@@ -124,6 +136,101 @@ object LineageParser {
             extract(spark, other, Eof, Operation.Select, index, currentDb, meta)
         }
     }
+  }
+
+  /** UPDATE t SET c = expr [WHERE cond]: every reference in an
+    * assignment value (and the WHERE tag) is a column of the target
+    * itself, so lineage is name-level self-edges — no analysis needed
+    * (and none possible: row-level DML analyzes only against v2
+    * tables). */
+  private def updateLineage(u: UpdateTable, index: Int, db: String): LineageResult = {
+    val target = fillDb(unresolvedName(u.table).getOrElse(Eof), db)
+    val where = u.condition.map(c => s"WHERE:${c.sql}").toSet
+    val edges = u.assignments.map { a =>
+      val dest = a.key.collectFirst {
+        case ua: UnresolvedAttribute => ua.nameParts.last
+      }.getOrElse(a.key.sql)
+      val srcs = a.value.collect {
+        case ua: UnresolvedAttribute => s"$target$SepDot${ua.nameParts.last}"
+      }.distinct.sorted
+      ColLine(target, Some(s"$target$SepDot$dest"), dest,
+        srcs.mkString(SepCol), where)
+    }
+    LineageResult(index, Operation.Update, Set(target), Set(target), edges)
+  }
+
+  /** MERGE INTO lineage: the source side is a plain query — analyzed
+    * and folded like any SELECT, so source references chase through
+    * subqueries to leaf `db.table.col`s — while target-side references
+    * resolve by name against the (unanalyzable pre-v2) target. Every
+    * edge carries a `MERGE:<on-condition>` tag plus the action's own
+    * `WHEN:<condition>` tag when present. */
+  private def mergeLineage(spark: SparkSession, m: MergeIntoTable,
+                           index: Int, db: String): LineageResult = {
+    val target = fillDb(unresolvedName(m.targetTable).getOrElse(Eof), db)
+    val targetAliases: Set[String] =
+      (m.targetTable.collect { case SubqueryAlias(id, _) => id.name.toLowerCase } :+
+        target.split(java.util.regex.Pattern.quote(SepDot)).last.toLowerCase).toSet
+    val analyzedSrc = spark.sessionState.executePlan(m.sourceTable).analyzed
+    val st = build(analyzedSrc, Map.empty, db)
+    val srcByName: Map[String, Set[String]] = analyzedSrc.output.map { a =>
+      a.name.toLowerCase -> st.src.getOrElse(a.exprId, Set.empty[String])
+    }.toMap
+
+    // A reference inside an action: alias-qualified target names map to
+    // the target's own column; anything matching a source output name
+    // takes that output's LEAF lineage; a qualified non-source name
+    // falls back to the target (conservative: MERGE scopes are only the
+    // two relations).
+    def resolve(nameParts: Seq[String]): Set[String] = {
+      val colL = nameParts.last.toLowerCase
+      val qual = if (nameParts.size >= 2)
+        Some(nameParts(nameParts.size - 2).toLowerCase) else None
+      if (qual.exists(targetAliases.contains))
+        Set(s"$target$SepDot${nameParts.last}")
+      else srcByName.getOrElse(colL,
+        Set(s"$target$SepDot${nameParts.last}"))
+    }
+    def refs(e: Expression): Set[String] =
+      e.collect { case ua: UnresolvedAttribute => ua }
+        .flatMap(ua => resolve(ua.nameParts)).toSet
+
+    val mergeTag = s"MERGE:${m.mergeCondition.sql}"
+    def whenTag(cond: Option[Expression]): Set[String] =
+      cond.map(c => s"WHEN:${c.sql}").toSet
+
+    def assignmentEdges(assigns: Seq[Assignment],
+                        cond: Option[Expression]): Seq[ColLine] =
+      assigns.map { a =>
+        val dest = a.key.collectFirst {
+          case ua: UnresolvedAttribute => ua.nameParts.last
+        }.getOrElse(a.key.sql)
+        ColLine(target, Some(s"$target$SepDot$dest"), dest,
+          refs(a.value).toSeq.sorted.mkString(SepCol),
+          Set(mergeTag) ++ whenTag(cond))
+      }
+    // `UPDATE SET *` / `INSERT *`: same-named source column per source
+    // output column.
+    def starEdges(cond: Option[Expression]): Seq[ColLine] =
+      analyzedSrc.output.map { a =>
+        ColLine(target, Some(s"$target$SepDot${a.name}"), a.name,
+          srcByName.getOrElse(a.name.toLowerCase, Set.empty[String])
+            .toSeq.sorted.mkString(SepCol),
+          Set(mergeTag) ++ whenTag(cond))
+      }
+
+    val edges = (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).flatMap {
+      case ua: UpdateAction     => assignmentEdges(ua.assignments, ua.condition)
+      case us: UpdateStarAction => starEdges(us.condition)
+      case ia: InsertAction     => assignmentEdges(ia.assignments, ia.condition)
+      case is: InsertStarAction => starEdges(is.condition)
+      case _: DeleteAction      => Nil // row removal carries no column flow
+      case _                    => Nil
+    }
+    // The target is both read (match scan) and written — unlike INSERT
+    // sinks, which the reference keeps out of inputTables.
+    LineageResult(index, Operation.Merge, st.inputs + target, Set(target), edges)
   }
 
   /** DDL statements carry no column lineage; the reference records them

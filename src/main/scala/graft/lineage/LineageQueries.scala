@@ -95,7 +95,15 @@ object LineageQueries {
     // 35 §2.7: query THROUGH a view — lineage must chase the view
     // definition down to the base table (the view adds no edges of its
     // own; its filter joins the statement's condition set)
-    "SELECT v_name FROM lineage_view WHERE v_key > 2"
+    "SELECT v_name FROM lineage_view WHERE v_key > 2",
+    // 36 lakehouse DML (engine extension): UPDATE — self-edges per
+    // assignment with the WHERE tag; analyzes against no table (v2-only
+    // statement), so lineage reads the unresolved plan
+    "UPDATE lineage_target SET tgt_name = concat(tgt_name, '!') WHERE tgt_key < 5",
+    // 37 lakehouse DML (engine extension): MERGE — the source subquery
+    // goes through the analyzer (s.nm chases to nation.n_name); every
+    // edge carries the MERGE:<on> tag
+    "MERGE INTO lineage_target t USING (SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_regionkey = 1) s ON t.tgt_key = s.k WHEN MATCHED THEN UPDATE SET tgt_name = s.nm WHEN NOT MATCHED THEN INSERT (tgt_key, tgt_name) VALUES (s.k, s.nm)"
   )
 
   /** Register every fixture the corpus references (tables, sinks, the
@@ -199,7 +207,11 @@ object LineageQueries {
     (33, '<EOF>', '', 'c_name', 'default.customer.c_name', ''),
     (34, 'default.lineage_part', 'default.lineage_part.part_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 3)'),
     (34, 'default.lineage_part', 'default.lineage_part.part_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 3)'),
-    (35, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)')
+    (35, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)'),
+    (36, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.lineage_target.tgt_name', 'WHERE:(tgt_key < 5)'),
+    (37, 'default.lineage_target', 'default.lineage_target.tgt_key', 'tgt_key', 'default.nation.n_nationkey', 'MERGE:(t.tgt_key = s.k)'),
+    (37, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.nation.n_name', 'MERGE:(t.tgt_key = s.k)'),
+    (37, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.nation.n_name', 'MERGE:(t.tgt_key = s.k)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

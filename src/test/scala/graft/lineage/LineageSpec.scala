@@ -66,7 +66,11 @@ class LineageSpec extends SparkTestBase {
     (33, "<EOF>", "", "c_name", "default.customer.c_name", ""),
     (34, "default.lineage_part", "default.lineage_part.part_name", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 3)"),
     (34, "default.lineage_part", "default.lineage_part.part_key", "n_nationkey", "default.nation.n_nationkey", "WHERE:(nation.n_regionkey = 3)"),
-    (35, "<EOF>", "", "v_name", "default.nation.n_name", "WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)")
+    (35, "<EOF>", "", "v_name", "default.nation.n_name", "WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)"),
+    (36, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.lineage_target.tgt_name", "WHERE:(tgt_key < 5)"),
+    (37, "default.lineage_target", "default.lineage_target.tgt_key", "tgt_key", "default.nation.n_nationkey", "MERGE:(t.tgt_key = s.k)"),
+    (37, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.nation.n_name", "MERGE:(t.tgt_key = s.k)"),
+    (37, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.nation.n_name", "MERGE:(t.tgt_key = s.k)")
   )
 
   test("corpus lineage matches golden edges") {

@@ -48,8 +48,13 @@ object Bpe {
     * Returns (merge_rank, left, right, pair_count), one row per merge
     * in learning order. */
   def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): DataFrame =
-    learn(docs, textCol, numMerges)._1
+                  numMerges: Int): DataFrame = {
+    val (mergeDf, vocab) = learn(docs, textCol, numMerges)
+    // The merge table is driver-local rows; the vocabulary's final
+    // checkpoint would otherwise sit in the block manager forever.
+    graft.Checkpoints.free(vocab)
+    mergeDf
+  }
 
   /** Tokenize the corpus with merges learned from it: per document, the
     * word count and post-merge symbol count of its lowercase-alpha
@@ -58,17 +63,50 @@ object Bpe {
     * shape a production tokenizer run takes (trained artifact broadcast
     * against the stream of documents). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  numMerges: Int): DataFrame = {
-    val vocab = learn(docs, textCol, numMerges)._2
+                  numMerges: Int): DataFrame =
+    applyVocab(docs, idCol, textCol, learn(docs, textCol, numMerges)._2
       .select(col("w"),
-        size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+        size(split(trim(col("s")), " ")).cast("long").as("n_sym")))
+
+  /** Tokenize with an ALREADY-TRAINED merge table (the output of
+    * [[learnMerges]]) — the production shape: train once, then apply
+    * the artifact to any corpus without re-running the learning loop.
+    *
+    * `merges` is vocabulary-sized by contract (≤64 rows — one per
+    * learned merge), so collecting it to the driver is the same
+    * k-scalars move as broadcasting a trained model. The per-word
+    * vocabulary is rebuilt by folding the merges, in rank order, over
+    * the corpus's DISTINCT words — one narrow projection, no iteration
+    * over the data, no driver argmax, no checkpoints. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("merge_rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val base = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .distinct()
+      .select(col("w"),
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+          .as("s"))
+    val vocab = ms.foldLeft(base) { case (df, (a, b)) =>
+      df.select(col("w"), applyMerge(col("s"), a, b).as("s"))
+    }.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    applyVocab(docs, idCol, textCol, vocab)
+  }
+
+  /** Join the (word → post-merge symbol count) vocabulary back to the
+    * corpus: the trained artifact broadcasts against the document
+    * stream, one shuffle for the per-document aggregate. */
+  private def applyVocab(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame): DataFrame =
     docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .join(broadcast(vocab), "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
-  }
 
   /** Shared learning loop: returns (merge table, final word→symbols
     * vocabulary). */
@@ -110,9 +148,14 @@ object Bpe {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank.toLong, a, b, cnt))
+        val prev = state
         state = state
           .select(col("w"), applyMerge(col("s"), a, b).as("s"), col("freq"))
           .localCheckpoint()
+        // eager checkpoint above has materialized the new generation;
+        // the superseded one is dead — free it, or `numMerges`
+        // generations pile up in the block manager per call
+        graft.Checkpoints.free(prev)
         rank += 1
       }
     }

@@ -68,10 +68,15 @@ object Graph {
             .as("_changed"))
         .localCheckpoint()
       converged = next.filter(col("_changed")).isEmpty
+      // the eager checkpoint above superseded the previous generation —
+      // free it, or `rounds` label tables pile up in the block manager
+      graft.Checkpoints.free(labels)
       labels = next.drop("_changed")
       round += 1
     }
     und.unpersist()
+    // the final labels are checkpointed, so the edge list is dead too
+    graft.Checkpoints.free(fwd)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
@@ -131,11 +136,16 @@ object Graph {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
+    // nodes and cur are both checkpointed now; the raw edge list is dead
+    graft.Checkpoints.free(raw)
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
-      val next = phase(phase(cur, large = true), large = false)
+      val mid = phase(cur, large = true)
+      val next = phase(mid, large = false)
+      graft.Checkpoints.free(mid)
       converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      graft.Checkpoints.free(cur)
       cur = next
       round += 1
     }
@@ -234,7 +244,28 @@ object Graph {
                   iters: Int, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct()
+    // One endpoint aggregation, checkpointed and reused three ways: the
+    // dangling-node guard, the node count, and the initial rank vector.
+    // (Separate `distinct`s would re-shuffle the edge list per use.)
+    val endpoints = e.select(col("src").as("node"), lit(1).as("is_src"))
+      .union(e.select(col("dst").as("node"), lit(0).as("is_src")))
+      .groupBy("node").agg(max(col("is_src")).as("is_src"))
+      .localCheckpoint()
+    // Every-node-is-a-source precondition, ENFORCED: a dangling node
+    // (appears only as a destination) silently leaks rank mass — the
+    // iteration drops its incoming rank instead of redistributing it,
+    // mis-ranking everything downstream with no error. The check is a
+    // local filter on the node-sized checkpoint — free next to `iters`
+    // join rounds. Symmetrized undirected graphs (the near-dup usage)
+    // satisfy it by construction.
+    val dangling = endpoints.filter(col("is_src") === 0)
+    require(dangling.isEmpty,
+      "pageRankInt requires every node to appear as a source; dangling " +
+        "destinations found (e.g. " +
+        dangling.limit(3).collect().map(_.get(0)).mkString(", ") +
+        ") — add self-loops or a redistribution term, or symmetrize " +
+        "the graph")
+    val nodes = endpoints.select("node")
     val n = nodes.count()
     val base = scale / n
     val teleport = base * 15L / 100L
@@ -242,6 +273,7 @@ object Graph {
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       ranks = withDeg
         .join(ranks, col("src") === col("node"))
@@ -252,8 +284,15 @@ object Graph {
           (lit(teleport) + expr("(85 * in_sum) div 100")).as("rank"))
       // truncate lineage between rounds; the LAST round flows straight
       // into the caller's plan — checkpointing it would just add an
-      // extra materializing action
-      if (i < iters) ranks = ranks.localCheckpoint()
+      // extra materializing action. Superseded round checkpoints (and,
+      // after round 1, the raw edge list — withDeg replaces it) are
+      // freed as soon as the next generation materializes.
+      if (i < iters) {
+        ranks = ranks.localCheckpoint()
+        if (prevCkpt != null) graft.Checkpoints.free(prevCkpt)
+        if (i == 1) graft.Checkpoints.free(e, endpoints)
+        prevCkpt = ranks
+      }
     }
     ranks
   }

@@ -45,18 +45,50 @@ object StreamingQueries {
   }
 
   /** Run a bounded streaming query into a memory sink and return its
-    * final content. */
+    * final content.
+    *
+    * Two pieces of session hygiene, both measured against the r5 bench:
+    *  - shuffle partitions drop to [[streamShufflePartitions]] for the
+    *    run: every stateful operator builds one state store PER
+    *    partition PER micro-batch, so at 32 partitions the seven
+    *    bounded runs spent most of their ~23 s on state-store setup for
+    *    a fixture that fits in a handful of tasks. (Real unbounded
+    *    deployments size this to throughput; these runs are bounded
+    *    correctness contracts.)
+    *  - the memory sink's rows are copied into a checkpoint and the
+    *    sink view is dropped — otherwise every `graft_qXX_sink` table
+    *    (and the terminated query holding it) stays referenced for the
+    *    whole session's lifetime.
+    */
+  private val streamShufflePartitions = "1"
+
   private def runBounded(s: SparkSession, df: DataFrame, name: String,
-                         mode: String): DataFrame = {
-    s.sql(s"DROP VIEW IF EXISTS $name")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+                         mode: String): DataFrame =
+    withStreamConf(s) {
+      s.sql(s"DROP VIEW IF EXISTS $name")
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name).localCheckpoint()
+      s.catalog.dropTempView(name)
+      out
+    }
+
+  /** Scope the low streaming shuffle-partition setting to one bounded
+    * run; the session value is restored for the batch queries. */
+  private def withStreamConf[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, streamShufflePartitions)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,14 +176,21 @@ object StreamingQueries {
         col("event_id").as("seq"))
       var snapshot = s.sql(
         "SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS DOUBLE) AS value WHERE 1=0")
-      val fold: (DataFrame, Long) => Unit = (batch, _) =>
+      val fold: (DataFrame, Long) => Unit = (batch, _) => {
+        val prev = snapshot
         snapshot = graft.operators.Cdc.applyChanges(
           snapshot, batch, Seq("user_id"), "seq", "op").localCheckpoint()
-      val q = changes.writeStream
-        .foreachBatch(fold)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        // each batch's snapshot supersedes the last — free it, as a
+        // real table write would let the old files age out
+        graft.Checkpoints.free(prev)
+      }
+      withStreamConf(s) {
+        val q = changes.writeStream
+          .foreachBatch(fold)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       snapshot.orderBy("user_id")
     }),
 

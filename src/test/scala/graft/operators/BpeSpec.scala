@@ -62,6 +62,19 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("trained-artifact overload reproduces the learn-path tokenization") {
+    // applying a pre-trained merge table must equal training in-line —
+    // same fold over the same merges — without running the learning loop
+    val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 6)
+    val viaArtifact = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaLearn = Bpe.tokenCounts(docs, "doc_id", "text", numMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaArtifact == viaLearn)
+  }
+
   test("stops early when no pairs remain") {
     val docs = Seq("a b c").toDF("text") // three 1-char words: no pairs
     val got = Bpe.learnMerges(docs, "text", 5).count()

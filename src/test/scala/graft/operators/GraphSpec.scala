@@ -88,4 +88,21 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
   }
+
+  test("pageRankInt rejects dangling nodes instead of leaking rank mass") {
+    import spark.implicits._
+    // node 3 appears only as a destination: its incoming rank would
+    // silently vanish each round — the guard must fail loudly instead
+    val sink = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankInt(sink, "s", "d", iters = 2).collect()
+    }
+    assert(ex.getMessage.contains("dangling"))
+    // symmetrized, the same edges pass and conserve scaled mass within
+    // integer-division slack
+    val und = sink.union(sink.select($"d", $"s"))
+    val ranks = Graph.pageRankInt(und, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L) && ranks.values.forall(_ > 0L))
+  }
 }

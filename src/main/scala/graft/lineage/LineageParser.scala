@@ -105,13 +105,31 @@ object LineageParser {
       // analysis of row-level DML requires a v2 table; the MERGE source
       // side is a plain query and goes through the analyzer as usual.
       case m: MergeIntoTable =>
-        mergeLineage(spark, m, index, currentDb)
+        mergeLineage(spark, m, index, currentDb, meta)
       case u: UpdateTable =>
         updateLineage(u, index, currentDb)
       case d: DeleteFromTable =>
         val name = fill(unresolvedName(d.table).getOrElse(Eof))
-        LineageResult(index, Operation.Delete, Set(name),
-          Set(s"$name\t${Operation.Delete.name}"), Nil)
+        // The predicate's columns are recorded for parity with UPDATE's
+        // WHERE tag — a row-level delete READS them, and dropping the
+        // condition entirely left the two DML paths inconsistent. The
+        // edge has no destination column (nothing is written per-column
+        // by a delete); an unconditional DELETE carries no edge.
+        val edges = d.condition match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value == true => Nil
+          case cond =>
+            val srcs = cond.collect {
+              case ua: UnresolvedAttribute => s"$name$SepDot${ua.nameParts.last}"
+            }.distinct.sorted
+            Seq(ColLine(name, None, "", srcs.mkString(SepCol),
+              Set(s"WHERE:${cond.sql}")))
+        }
+        LineageResult(index, Operation.Delete,
+          Set(name) ++ d.condition.collect {
+            case s: SubqueryExpression => subqueryRelations(s, currentDb)
+          }.flatten.toSet,
+          Set(s"$name\t${Operation.Delete.name}"), edges)
       case other =>
         other.getClass.getSimpleName match {
           case "DropTable" | "DropTableStatement" =>
@@ -138,11 +156,27 @@ object LineageParser {
     }
   }
 
-  /** UPDATE t SET c = expr [WHERE cond]: every reference in an
+  /** Tables a subquery expression reads, by name — row-level DML plans
+    * can't go through the analyzer (v2-only statements), so subquery
+    * inputs are collected from the UNRESOLVED plan. `expression.collect`
+    * does NOT descend into subquery plans on its own; without this walk
+    * a scalar subquery in an assignment value or DML predicate
+    * (`UPDATE t SET c = (SELECT max(x) FROM other)`) would silently
+    * drop `other` from inputTables. */
+  private def subqueryRelations(s: SubqueryExpression, db: String): Set[String] =
+    s.plan.collect {
+      case ur: UnresolvedRelation =>
+        fillDb(ur.multipartIdentifier.mkString(SepDot), db)
+    }.toSet
+
+  /** UPDATE t SET c = expr [WHERE cond]: every DIRECT reference in an
     * assignment value (and the WHERE tag) is a column of the target
     * itself, so lineage is name-level self-edges — no analysis needed
     * (and none possible: row-level DML analyzes only against v2
-    * tables). */
+    * tables). Subqueries in values or the predicate contribute their
+    * tables to inputTables (via [[subqueryRelations]]); their columns
+    * are not chased to leaf edges — the unresolved plan carries no
+    * attribute resolution to chase with. */
   private def updateLineage(u: UpdateTable, index: Int, db: String): LineageResult = {
     val target = fillDb(unresolvedName(u.table).getOrElse(Eof), db)
     val where = u.condition.map(c => s"WHERE:${c.sql}").toSet
@@ -156,7 +190,11 @@ object LineageParser {
       ColLine(target, Some(s"$target$SepDot$dest"), dest,
         srcs.mkString(SepCol), where)
     }
-    LineageResult(index, Operation.Update, Set(target), Set(target), edges)
+    val subInputs = (u.assignments.map(_.value) ++ u.condition).flatMap(
+      _.collect { case s: SubqueryExpression => subqueryRelations(s, db) })
+      .flatten.toSet
+    LineageResult(index, Operation.Update, Set(target) ++ subInputs,
+      Set(target), edges)
   }
 
   /** MERGE INTO lineage: the source side is a plain query — analyzed
@@ -166,7 +204,8 @@ object LineageParser {
     * edge carries a `MERGE:<on-condition>` tag plus the action's own
     * `WHEN:<condition>` tag when present. */
   private def mergeLineage(spark: SparkSession, m: MergeIntoTable,
-                           index: Int, db: String): LineageResult = {
+                           index: Int, db: String,
+                           meta: MetadataProvider): LineageResult = {
     val target = fillDb(unresolvedName(m.targetTable).getOrElse(Eof), db)
     val targetAliases: Set[String] =
       (m.targetTable.collect { case SubqueryAlias(id, _) => id.name.toLowerCase } :+
@@ -176,20 +215,31 @@ object LineageParser {
     val srcByName: Map[String, Set[String]] = analyzedSrc.output.map { a =>
       a.name.toLowerCase -> st.src.getOrElse(a.exprId, Set.empty[String])
     }.toMap
+    // Target columns (when the metadata provider knows the sink) let the
+    // UNQUALIFIED-name case detect genuine ambiguity instead of silently
+    // shadowing a same-named target column with the source's.
+    val targetCols: Set[String] =
+      meta.tableColumns(target).map(_.toLowerCase).toSet
 
     // A reference inside an action: alias-qualified target names map to
-    // the target's own column; anything matching a source output name
-    // takes that output's LEAF lineage; a qualified non-source name
-    // falls back to the target (conservative: MERGE scopes are only the
-    // two relations).
+    // the target's own column; an unqualified (or source-qualified) name
+    // matching a source output takes that output's LEAF lineage — and
+    // when the same unqualified name ALSO exists on the target, BOTH
+    // candidate edges are emitted (conservative union: a confident wrong
+    // edge is worse than an extra one). A name on neither side falls
+    // back to the target (MERGE scopes are only the two relations).
     def resolve(nameParts: Seq[String]): Set[String] = {
       val colL = nameParts.last.toLowerCase
       val qual = if (nameParts.size >= 2)
         Some(nameParts(nameParts.size - 2).toLowerCase) else None
-      if (qual.exists(targetAliases.contains))
-        Set(s"$target$SepDot${nameParts.last}")
-      else srcByName.getOrElse(colL,
-        Set(s"$target$SepDot${nameParts.last}"))
+      val asTarget = Set(s"$target$SepDot${nameParts.last}")
+      if (qual.exists(targetAliases.contains)) asTarget
+      else srcByName.get(colL) match {
+        case Some(srcs) if qual.isEmpty && targetCols.contains(colL) =>
+          srcs ++ asTarget
+        case Some(srcs) => srcs
+        case None => asTarget
+      }
     }
     def refs(e: Expression): Set[String] =
       e.collect { case ua: UnresolvedAttribute => ua }
@@ -228,9 +278,23 @@ object LineageParser {
       case _: DeleteAction      => Nil // row removal carries no column flow
       case _                    => Nil
     }
+    // Subqueries in the ON condition or action expressions contribute
+    // their tables (same gap as updateLineage — expression.collect does
+    // not descend into subquery plans).
+    val actionExprs = (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).flatMap {
+      case ua: UpdateAction => ua.assignments.map(_.value) ++ ua.condition
+      case ia: InsertAction => ia.assignments.map(_.value) ++ ia.condition
+      case a: MergeAction   => a.condition.toSeq
+      case _                => Nil
+    }
+    val subInputs = (m.mergeCondition +: actionExprs).flatMap(
+      _.collect { case s: SubqueryExpression => subqueryRelations(s, db) })
+      .flatten.toSet
     // The target is both read (match scan) and written — unlike INSERT
     // sinks, which the reference keeps out of inputTables.
-    LineageResult(index, Operation.Merge, st.inputs + target, Set(target), edges)
+    LineageResult(index, Operation.Merge, st.inputs + target ++ subInputs,
+      Set(target), edges)
   }
 
   /** DDL statements carry no column lineage; the reference records them
@@ -367,7 +431,11 @@ object LineageParser {
     case v: View => build(v.child, ctes, db)
 
     case lr: LogicalRelation if lr.catalogTable.isDefined =>
-      val table = fillDb(lr.catalogTable.get.identifier.unquotedString, db)
+      // db.table, never catalog.db.table: the reference's name encoding
+      // is two-part (`fillDB`, LineParser.java:770-788), and
+      // `identifier.unquotedString` would prepend `spark_catalog.`
+      val id = lr.catalogTable.get.identifier
+      val table = fillDb((id.database.toSeq :+ id.table).mkString(SepDot), db)
       State(lr.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
         Set.empty, Set(table))
 

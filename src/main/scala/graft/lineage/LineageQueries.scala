@@ -103,7 +103,13 @@ object LineageQueries {
     // 37 lakehouse DML (engine extension): MERGE — the source subquery
     // goes through the analyzer (s.nm chases to nation.n_name); every
     // edge carries the MERGE:<on> tag
-    "MERGE INTO lineage_target t USING (SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_regionkey = 1) s ON t.tgt_key = s.k WHEN MATCHED THEN UPDATE SET tgt_name = s.nm WHEN NOT MATCHED THEN INSERT (tgt_key, tgt_name) VALUES (s.k, s.nm)"
+    "MERGE INTO lineage_target t USING (SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_regionkey = 1) s ON t.tgt_key = s.k WHEN MATCHED THEN UPDATE SET tgt_name = s.nm WHEN NOT MATCHED THEN INSERT (tgt_key, tgt_name) VALUES (s.k, s.nm)",
+    // 38 the reference's own end-to-end smoke fixture, VERBATIM
+    // (`LineParser.java:794-805`): static-partition INSERT OVERWRITE +
+    // star-through-alias + TABLESAMPLE (BUCKET x OUT OF y) + partition
+    // predicate. Every ingredient is covered individually elsewhere;
+    // this pins the exact statement the reference ships.
+    "INSERT OVERWRITE TABLE dest1 partition (ds = '111')  SELECT s.* FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1) s WHERE s.ds='2008-04-08' and s.hr='11'"
   )
 
   /** Register every fixture the corpus references (tables, sinks, the
@@ -129,6 +135,16 @@ object LineageQueries {
     spark.sql("""CREATE OR REPLACE TEMP VIEW lineage_view AS
                  SELECT n_nationkey AS v_key, n_name AS v_name
                  FROM nation WHERE n_regionkey < 4""")
+    // Hive-classic srcpart/dest1 pair for the reference's verbatim smoke
+    // statement (38): srcpart's s.* expands to 4 columns (data +
+    // partition), which zip against dest1's 4 DATA columns by ordinal.
+    spark.sql("DROP TABLE IF EXISTS srcpart")
+    spark.sql("""CREATE TABLE srcpart (key STRING, value STRING)
+                 USING parquet PARTITIONED BY (ds STRING, hr STRING)""")
+    spark.sql("DROP TABLE IF EXISTS dest1")
+    spark.sql("""CREATE TABLE dest1 (d_key STRING, d_value STRING,
+                                     d_ds STRING, d_hr STRING)
+                 USING parquet PARTITIONED BY (ds STRING)""")
   }
 
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
@@ -211,7 +227,11 @@ object LineageQueries {
     (36, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.lineage_target.tgt_name', 'WHERE:(tgt_key < 5)'),
     (37, 'default.lineage_target', 'default.lineage_target.tgt_key', 'tgt_key', 'default.nation.n_nationkey', 'MERGE:(t.tgt_key = s.k)'),
     (37, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.nation.n_name', 'MERGE:(t.tgt_key = s.k)'),
-    (37, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.nation.n_name', 'MERGE:(t.tgt_key = s.k)')
+    (37, 'default.lineage_target', 'default.lineage_target.tgt_name', 'tgt_name', 'default.nation.n_name', 'MERGE:(t.tgt_key = s.k)'),
+    (38, 'default.dest1', 'default.dest1.d_ds', 'ds', 'default.srcpart.ds', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
+    (38, 'default.dest1', 'default.dest1.d_hr', 'hr', 'default.srcpart.hr', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
+    (38, 'default.dest1', 'default.dest1.d_key', 'key', 'default.srcpart.key', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
+    (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

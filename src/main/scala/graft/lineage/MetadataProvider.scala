@@ -20,15 +20,78 @@ trait MetadataProvider {
 
 /** Default provider backed by the Spark session catalog. Temp views are
   * not db-scoped, so a `default.`-qualified name falls back to the bare
-  * view name. */
+  * view name. Only `AnalysisException` (unknown/unresolvable table)
+  * degrades to Nil — genuine catalog failures (a broken metastore
+  * connection, a corrupt table definition) propagate rather than
+  * silently downgrading lineage to the ordinal-only path. */
 final class CatalogMetadataProvider(spark: SparkSession) extends MetadataProvider {
+  import org.apache.spark.sql.AnalysisException
   def tableColumns(table: String): Seq[String] = {
     def fields(n: String) = spark.table(n).schema.map(_.name).toSeq
     try fields(table)
     catch {
-      case _: Exception =>
+      case _: AnalysisException =>
         val bare = table.split('.').last
-        try fields(bare) catch { case _: Exception => Nil }
+        try fields(bare) catch { case _: AnalysisException => Nil }
     }
+  }
+}
+
+/** JDBC-backed provider — parity with the reference's only real
+  * connector (`MetaDataQueryImpl.java:29-44`): destination-table
+  * columns come from `java.sql.DatabaseMetaData.getColumns` against a
+  * live RDBMS, so lineage can resolve sink schemas for tables that
+  * exist only in an external database (the reference's primary
+  * deployment shape — MySQL/PostgreSQL dialects behind a routing
+  * datasource, `utils/DataSourceUtils.java:24-61`).
+  *
+  * Implements the INTENT of the reference's lookup (SURVEY.md §2.1):
+  *  - a `db.tbl` name splits on the dot — with a character split, not
+  *    the reference's unescaped-regex `String.split(".")` defect
+  *    (`LineParser.java:113-115`) — and the db half narrows the JDBC
+  *    schema pattern;
+  *  - a bare name (and, as a fallback, a db-qualified one whose schema
+  *    doesn't exist server-side) searches all schemas, exactly the
+  *    reference's `getColumns(null, "%", table, "%")`;
+  *  - unknown tables yield Nil, degrading to ordinal-only lineage like
+  *    the reference's unknown-sink path;
+  *  - case-folding engines are retried upper- then lowercase (JDBC
+  *    metadata patterns are case-sensitive and engines fold unquoted
+  *    identifiers differently — Derby/Oracle up, PostgreSQL down).
+  *
+  * `connect` is invoked once per lookup; hand it a pooled DataSource's
+  * `getConnection` for service use (the reference routes through
+  * Hikari/Druid pools — pooling is the caller's policy, not the
+  * provider's). Connection failures propagate: they are outages, not
+  * unknown tables. */
+final class JdbcMetadataProvider(connect: () => java.sql.Connection)
+    extends MetadataProvider {
+
+  def tableColumns(table: String): Seq[String] = {
+    val parts = table.split('.')
+    val tbl = parts.last
+    val db = if (parts.length >= 2) parts(parts.length - 2) else "%"
+    val conn = connect()
+    try {
+      val folds: Seq[String => String] =
+        Seq(identity, _.toUpperCase(java.util.Locale.ROOT),
+          _.toLowerCase(java.util.Locale.ROOT))
+      val candidates =
+        folds.map(f => (f(db), f(tbl))) ++ folds.map(f => ("%", f(tbl)))
+      candidates.distinct.iterator
+        .map { case (s, t) => lookup(conn, s, t) }
+        .find(_.nonEmpty).getOrElse(Nil)
+    } finally conn.close()
+  }
+
+  /** `getColumns` rows arrive ordered by ORDINAL_POSITION (JDBC spec) —
+    * exactly the order the S10 ordinal zip needs. */
+  private def lookup(conn: java.sql.Connection, schemaPattern: String,
+                     tbl: String): Seq[String] = {
+    val rs = conn.getMetaData.getColumns(null, schemaPattern, tbl, "%")
+    val b = Seq.newBuilder[String]
+    try { while (rs.next()) b += rs.getString("COLUMN_NAME") }
+    finally rs.close()
+    b.result()
   }
 }

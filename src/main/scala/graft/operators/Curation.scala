@@ -211,7 +211,15 @@ object Curation {
     * and partitioning — with the threshold computed IN-PLAN from the
     * observed counts (rates are data-dependent, unlike the static
     * splits). Shapes: one small per-domain count agg broadcast back;
-    * acceptance is a pure projection over the corpus scan. */
+    * acceptance is a pure projection over the corpus scan.
+    *
+    * The binding domain's keep-everything guarantee is CLAMPED
+    * explicitly: floor(T·share/n_d·65536) can land on 65535 for
+    * non-dyadic shares (double rounding), which would silently drop
+    * ~1/65536 of the very domain the mixture pivots on. The binding
+    * domain is detected exactly — its n_d/share_d IS the minimum T,
+    * computed by the same double expression, so `=` holds bit-for-bit
+    * on any IEEE engine — and gets threshold 65536 (accept all). */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
                     targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
@@ -234,7 +242,11 @@ object Curation {
       .filter(col("_share").isNotNull)
       .crossJoin(broadcast(tTotal))
       .withColumn("_thresh",
-        floor(col("_T") * col("_share") / col("_nd") * 65536).cast("long"))
+        when(col("_nd").cast("double") / col("_share") === col("_T"),
+          lit(65536L))
+          .otherwise(
+            floor(col("_T") * col("_share") / col("_nd") * 65536)
+              .cast("long")))
       .filter(h4 < col("_thresh"))
       .drop("_nd", "_share", "_T", "_thresh")
   }

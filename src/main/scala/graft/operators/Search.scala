@@ -62,7 +62,17 @@ object Search {
     * 9·dl·N), all int64 — and the idf is the scaled-integer Robertson
     * ratio (2(N−df)+1)/(2df+1) (the argument of BM25's log; log-free
     * because IEEE does not require correctly-rounded log, and a
-    * monotone substitute ranks identically for a single term). Doubles
+    * monotone substitute ranks identically for a single term).
+    *
+    * MULTI-term caveat, stated plainly: across terms the substitution
+    * is NOT rank-equivalent to true BM25 — the ratio grows linearly in
+    * N/df where the log grows logarithmically, so rare terms weigh
+    * more here than under textbook BM25 and summed multi-term rankings
+    * can diverge from it. This is a deliberate trade: a deterministic,
+    * engine-portable ranking (rare-term-favoring is itself a sane
+    * retrieval policy) over bit-exact parity with log-BM25. Callers
+    * needing textbook ordering should apply log idf and accept
+    * float-aggregation nondeterminism across engines. Doubles
     * appear only in one correctly-rounded division and one multiply
     * per (doc, term), and the per-document total is a FIXED-ORDER
     * left-associated chain over per-term conditional sums — never an

@@ -1387,7 +1387,9 @@ object PipelineQueries {
          tt AS (SELECT min(CAST(nd AS DOUBLE) / share) AS T
                 FROM cnt JOIN tg ON cnt.source = tg.domain),
          th AS (SELECT domain,
-                       CAST(floor(T * share / nd * 65536) AS BIGINT) AS thresh
+                       CASE WHEN CAST(nd AS DOUBLE) / share = T THEN 65536
+                            ELSE CAST(floor(T * share / nd * 65536) AS BIGINT)
+                       END AS thresh
                 FROM cnt JOIN tg ON cnt.source = tg.domain CROSS JOIN tt)
          SELECT d.doc_id, d.source
          FROM documents d JOIN th ON d.source = th.domain

@@ -9,7 +9,9 @@ import graft.SparkTestBase
 class DmlLineageSpec extends SparkTestBase {
 
   private def parse(stmt: String): LineageResult = {
-    graft.Tables.registerAll(spark, sfDir)
+    // full fixtures: MERGE ambiguity detection reads the target's
+    // schema (lineage_target) through the metadata provider
+    LineageQueries.registerFixtures(spark, sfDir)
     LineageParser.parseStatement(spark, stmt, 1)
   }
 
@@ -32,7 +34,43 @@ class DmlLineageSpec extends SparkTestBase {
     assert(r.operation == Operation.Delete)
     assert(r.inputTables == Set("default.orders"))
     assert(r.outputTables == Set("default.orders\tDELETE"))
+    // WHERE parity with UPDATE: the predicate's columns are recorded
+    // (destination-column-less edge — a delete writes no column)
+    val edge = r.colLines match { case Seq(e) => e }
+    assert(edge.toName == "" && edge.colName.isEmpty)
+    assert(edge.fromName == "default.orders.o_totalprice")
+    assert(edge.conditionSet.exists(_.startsWith("WHERE:")))
+  }
+
+  test("unconditional DELETE carries no predicate edge") {
+    val r = parse("DELETE FROM orders")
     assert(r.colLines.isEmpty)
+    assert(r.inputTables == Set("default.orders"))
+  }
+
+  test("DML subquery tables reach inputTables (UPDATE value, DELETE predicate)") {
+    // expression.collect does not descend into subquery plans; the
+    // explicit walk must surface `customer` as an input in both paths
+    val u = parse("UPDATE orders SET o_totalprice = " +
+      "(SELECT max(c_acctbal) FROM customer) WHERE o_orderstatus = 'O'")
+    assert(u.inputTables == Set("default.orders", "default.customer"))
+    val d = parse("DELETE FROM orders WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)")
+    assert(d.inputTables == Set("default.orders", "default.customer"))
+  }
+
+  test("MERGE unqualified name on BOTH sides emits both candidate edges") {
+    // source output `tgt_name` collides with the target's own column:
+    // the conservative union keeps both (a confident wrong edge is
+    // worse than an extra one)
+    val r = parse(
+      "MERGE INTO lineage_target t USING " +
+        "(SELECT n_nationkey AS k, n_name AS tgt_name FROM nation) s " +
+        "ON t.tgt_key = s.k " +
+        "WHEN MATCHED THEN UPDATE SET tgt_name = tgt_name")
+    val edge = r.colLines.head
+    assert(edge.fromName ==
+      "default.lineage_target.tgt_name,default.nation.n_name")
   }
 
   test("MERGE: source refs chase the subquery to leaf columns; ON tag everywhere") {

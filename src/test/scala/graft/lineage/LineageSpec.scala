@@ -70,7 +70,11 @@ class LineageSpec extends SparkTestBase {
     (36, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.lineage_target.tgt_name", "WHERE:(tgt_key < 5)"),
     (37, "default.lineage_target", "default.lineage_target.tgt_key", "tgt_key", "default.nation.n_nationkey", "MERGE:(t.tgt_key = s.k)"),
     (37, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.nation.n_name", "MERGE:(t.tgt_key = s.k)"),
-    (37, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.nation.n_name", "MERGE:(t.tgt_key = s.k)")
+    (37, "default.lineage_target", "default.lineage_target.tgt_name", "tgt_name", "default.nation.n_name", "MERGE:(t.tgt_key = s.k)"),
+    (38, "default.dest1", "default.dest1.d_ds", "ds", "default.srcpart.ds", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
+    (38, "default.dest1", "default.dest1.d_hr", "hr", "default.srcpart.hr", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
+    (38, "default.dest1", "default.dest1.d_key", "key", "default.srcpart.key", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
+    (38, "default.dest1", "default.dest1.d_value", "value", "default.srcpart.value", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))")
   )
 
   test("corpus lineage matches golden edges") {
@@ -146,6 +150,14 @@ class LineageSpec extends SparkTestBase {
       "SELECT n_name FROM nation TABLESAMPLE (50 PERCENT)", 1)
     assert(r.colLines.map(c => (c.toName, c.fromName)) ==
       Seq(("n_name", "default.nation.n_name")))
+    // the BUCKET x OUT OF y form — the one the reference's own smoke
+    // fixture uses (LineParser.java:794-805; corpus 38 pins the full
+    // statement, this pins the sample form in isolation)
+    val b = LineageParser.parseStatement(spark,
+      "SELECT n_name FROM nation TABLESAMPLE (BUCKET 1 OUT OF 1)", 1)
+    assert(b.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("n_name", "default.nation.n_name")))
+    assert(b.inputTables == Set("default.nation"))
   }
 
   test("CREATE VIEW records sink and select lineage") {

@@ -280,6 +280,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q31/q33 LSH self-join reuses one exchange — the signature pipeline runs once") {
+    // the shuffle_hash hint makes both self-join sides plan the
+    // IDENTICAL exchange so ReuseExchange evaluates the md5-per-shingle
+    // signature pipeline once (Dedup.minHashLshWith); a hint or AQE
+    // change that silently drops the reuse would double the dominant
+    // cost, so pin it here
+    for (q <- Seq("q31_dedup_minhash_lsh", "q33_dedup_ngram_jaccard")) {
+      // AQE applies exchange reuse at RUNTIME: the pin must read the
+      // final adaptive plan, so execute the frame first
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse")
+      assert(!p.contains("CartesianProduct"), s"$q degraded to all-pairs")
+    }
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

@@ -244,12 +244,16 @@ object Graph {
                   iters: Int, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    // One endpoint aggregation, checkpointed and reused three ways: the
-    // dangling-node guard, the node count, and the initial rank vector.
-    // (Separate `distinct`s would re-shuffle the edge list per use.)
-    val endpoints = e.select(col("src").as("node"), lit(1).as("is_src"))
-      .union(e.select(col("dst").as("node"), lit(0).as("is_src")))
-      .groupBy("node").agg(max(col("is_src")).as("is_src"))
+    // ONE endpoint aggregation, checkpointed and reused four ways: the
+    // dangling-node guard, the node count, the OUT-DEGREES (the sum of
+    // src markers is exactly outdeg — dst rows contribute 0), and the
+    // initial rank vector. Folding the degree computation in makes the
+    // guard net-free: r5 spent the same shuffle on a separate
+    // `groupBy("src")` degree aggregation.
+    val endpoints = e.select(col("src").as("node"), lit(1L).as("c"))
+      .union(e.select(col("dst").as("node"), lit(0L).as("c")))
+      .groupBy("node")
+      .agg(sum(col("c")).as("outdeg"), max(col("c")).as("is_src"))
       .localCheckpoint()
     // Every-node-is-a-source precondition, ENFORCED: a dangling node
     // (appears only as a destination) silently leaks rank mass — the
@@ -258,21 +262,20 @@ object Graph {
     // local filter on the node-sized checkpoint — free next to `iters`
     // join rounds. Symmetrized undirected graphs (the near-dup usage)
     // satisfy it by construction.
-    val dangling = endpoints.filter(col("is_src") === 0)
+    val dangling = endpoints.filter(col("is_src") === 0L)
     require(dangling.isEmpty,
       "pageRankInt requires every node to appear as a source; dangling " +
         "destinations found (e.g. " +
         dangling.limit(3).collect().map(_.get(0)).mkString(", ") +
         ") — add self-loops or a redistribution term, or symmetrize " +
         "the graph")
-    val nodes = endpoints.select("node")
-    val n = nodes.count()
+    val n = endpoints.count()
     val base = scale / n
     val teleport = base * 15L / 100L
     val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      endpoints.select(col("node").as("src"), col("outdeg")), "src")
       .localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    var ranks = endpoints.select(col("node"), lit(base).as("rank"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       ranks = withDeg

@@ -411,4 +411,102 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------------------------------
+  // Span-level and containment dedup
+  // ------------------------------------------------------------------
+
+  /** Per-document DUPLICATED-SPAN census: for each document, how many of
+    * its distinct word `n`-gram spans also occur in at least one OTHER
+    * document — the span-level view of corpus duplication (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * find exact duplicate substrings with a suffix array; the
+    * distributed equivalent is this fixed-width span census, which is
+    * what the dedup decisions consume). Returns
+    * (id, n_spans, n_dup_spans, dup_permille) with `dup_permille` an
+    * exact integer `1000·dup div spans` — no float ratio to diverge
+    * across engines.
+    *
+    * Scale shape: explode distinct spans (rows are (id, span)-unique by
+    * construction), ONE map-side-combinable count per span — the row
+    * count per span IS its document frequency — then a join back and a
+    * per-document aggregate. The span-key shuffle is the skew point
+    * (stop-phrase spans are heavy hitters): the aggregation combines
+    * partially map-side, and the join back is AQE-skew-splittable.
+    * Production would shuffle [[shingleBaseHash]] digests instead of
+    * span strings; the string key keeps the oracle definition direct. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("g"))
+    val freq = spans.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    spans.join(freq, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup_spans"),
+        expr("(1000 * n_dup_spans) div n_spans").as("dup_permille"))
+  }
+
+  /** CONTAINMENT near-duplicates: pairs where one document's shingle set
+    * is mostly inside the other's — containment(A→B) = |A∩B| / |A|.
+    * This catches what symmetric Jaccard (and therefore MinHash LSH)
+    * structurally misses: a short document quoted inside a long one has
+    * high containment but low Jaccard, so no band ever collides.
+    *
+    * Blocking is RARE-SHINGLE PREFIX filtering (the PPJoin family,
+    * Xiao et al. 2008): each document probes with its `probes`
+    * globally-rarest shingles (ties broken on the shingle string — a
+    * total, data-derived order any engine reproduces), and only pairs
+    * sharing a probe shingle are verified. A contained document's rare
+    * shingles are the ones most likely shared with its container, which
+    * is what makes the recall/cost knob effective; like LSH banding it
+    * IS a recall trade, stated rather than hidden.
+    *
+    * Verification is exact and integer-only: candidate pairs join both
+    * span sets on the shingle, `|A∩B|` is a count, and the permille
+    * containments are `1000·inter div size` — bit-identical on any
+    * engine. Returns (doc_a, doc_b, cont_a_permille, cont_b_permille)
+    * with doc_a < doc_b, kept when either side ≥ `thresholdPermille`.
+    *
+    * Scale shapes: document frequency and sizes are map-side-combinable
+    * aggregates; the probe pick is a per-document top-`probes` window
+    * over (df, shingle) — bounded partitions, WindowGroupLimit prunes
+    * pre-shuffle; candidate generation joins probes against the posting
+    * rows on the shingle key (rare by selection, so fan-out is small);
+    * the verify joins carry only (pair, shingle) rows for candidate
+    * pairs, never the full pair space. */
+  def containmentNearDup(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, probes: Int,
+                         thresholdPermille: Int): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("g"))
+      .localCheckpoint() // consumed 4× below (sizes, df, postings, verify)
+    val sizes = spans.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = spans.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    val probeKeys = spans.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= probes)
+      .select(col("id").as("pid"), col("g"))
+    val cands = probeKeys
+      .join(spans.select(col("id").as("oid"), col("g")), "g")
+      .filter(col("pid") =!= col("oid"))
+      .select(least(col("pid"), col("oid")).as("a"),
+        greatest(col("pid"), col("oid")).as("b"))
+      .distinct()
+    val inter = cands
+      .join(spans.select(col("id").as("a"), col("g")), "a")
+      .join(spans.select(col("id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        expr("(1000 * inter) div sza").as("cont_a_permille"),
+        expr("(1000 * inter) div szb").as("cont_b_permille"))
+      .filter(col("cont_a_permille") >= thresholdPermille ||
+        col("cont_b_permille") >= thresholdPermille)
+  }
 }

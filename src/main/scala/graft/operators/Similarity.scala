@@ -49,6 +49,33 @@ object Similarity {
     corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
       .withColumn("vn", qdot(col("v"), col("v")))
 
+  /** INT8-quantized top-k — the compressed-index retrieval path: each
+    * float collapses to one byte (`clamp(floor(x·64), −128, 127)`, an
+    * 8× memory/bandwidth cut at 100 TB) and scoring is a PURE-INTEGER
+    * dot product ranked by (dot desc, vec_id) — no cosine divide, no
+    * doubles anywhere, so the ranking is bit-exact on any engine and
+    * any partitioning. The standard production ladder is int8-recall →
+    * exact-rerank; this operator is the first rung, with
+    * [[bruteForceTopK]] as the reranker.
+    * Returns (query_id, rank, vec_id, dot). */
+  def int8TopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q8 = transform(col(vecCol),
+      x => greatest(lit(-128L),
+        least(lit(127L), floor(x.cast("double") * 64).cast("long"))))
+    val vecs = corpus.select(col(idCol).as("vec_id"), q8.as("v"))
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qdot(col("qv"), col("v")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "dot")
+  }
+
   /** Exact top-k neighbors for each query id (self-match excluded).
     * Returns (query_id, rank, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,

@@ -214,4 +214,34 @@ object TextAnalysis {
       md5(col(textCol)).as("digest"),
       md5(concat_ws("|", slice(hashes, 1, 4))).as("robust_digest"))
   }
+
+  /** Unigram SURPRISAL scoring — the information-content quality signal
+    * (boilerplate and stop-word-heavy documents score low; documents
+    * carrying rare vocabulary score high). Each token contributes
+    * floor(log2(N / count(w))) bits, an integer: the bit-length trick
+    * `length(bin(N div cw)) − 1` never touches a float log, so the
+    * score is bit-identical on any engine (IEEE does not require
+    * correctly-rounded `log` — the same reason [[Search.bm25TopK]] is
+    * log-free). `mean_millibits = 1000·bits div n_tokens` keeps the
+    * per-token average integer too.
+    *
+    * Scale shape: the unigram table is vocabulary-sized and broadcast;
+    * the corpus pays one explode + one map-side-combinable per-document
+    * aggregate — scan throughput, no corpus shuffle on a hot key. */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val cnt = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cnt), "w")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(bin(expr("n_total div cw"))) - 1).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .select(col("id").as(idCol), col("n_tokens"), col("surprisal_bits"),
+        expr("(1000 * surprisal_bits) div n_tokens").as("mean_millibits"))
+  }
 }

@@ -866,6 +866,38 @@ object PipelineQueries {
         k = 24, bands = 4, rows = 6, nearDupThreshold = 0.8,
         minQuality = 0.5)
         .orderBy("doc_id")
+    }),
+
+    // Span-level duplication census: which documents are stitched from
+    // corpus-repeated 8-gram spans (the suffix-array dedup signal of
+    // Lee et al. 2022, as a distributed fixed-width census).
+    "q117_span_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-dup: asymmetric |A∩B|/|A| over 3-gram shingle
+    // sets, rare-shingle prefix blocking (4 probes/doc), integer
+    // permille verification ≥ 600 on either side.
+    "q118_containment" -> ((s, dir) => {
+      Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, probes = 4, thresholdPermille = 600)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Unigram surprisal quality score: integer floor-log2 bits per
+    // token (bit-length trick — no float log anywhere).
+    "q119_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // int8-quantized retrieval: one-byte vectors, pure-integer dot
+    // ranking — the compressed first rung under q35's exact rerank.
+    "q120_int8_topk" -> ((s, dir) => {
+      Similarity.int8TopK(t(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -880,6 +912,13 @@ object PipelineQueries {
     * single-token texts). */
   private val sqlWordShingles =
     "list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w), 2))])"
+
+  /** [[sqlWordShingles]] for arbitrary n (mirrors Dedup.wordShingles):
+    * for len(w) < n the clamped slice w[1:n] degrades to the single
+    * joined token, exactly Spark's short-text fallback. */
+  private def sqlWordShinglesN(n: Int) =
+    s"list_distinct([array_to_string(w[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, greatest(len(w) - ${n - 2}, 2))])"
 
   /** Mirrors Dedup.shingleBaseHash / minHashSignature / lshBands. */
   private val sqlBases =
@@ -2307,6 +2346,101 @@ object PipelineQueries {
            FROM surv)
          SELECT doc_id, n_tokens, quality FROM scored
          WHERE quality >= 0.5
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // Same span census: distinct 8-gram spans, row count per span = its
+    // document frequency, integer permille.
+    "q117_span_dedup" ->
+      s"""WITH spans AS (
+           SELECT doc_id, unnest(${sqlWordShinglesN(8)}) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         freq AS (SELECT g, CAST(count(*) AS BIGINT) AS ndocs
+                  FROM spans GROUP BY g)
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans,
+                (1000 * CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_permille
+         FROM spans s JOIN freq f USING (g)
+         GROUP BY s.doc_id
+         ORDER BY doc_id""",
+
+    // Same prefix-blocked containment: rarest-4 probe shingles per doc
+    // (ties on the shingle string), exact intersection counts, integer
+    // permille on both sides.
+    "q118_containment" ->
+      s"""WITH spans AS (
+           SELECT doc_id AS id, unnest(${sqlWordShinglesN(3)}) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+                   FROM spans GROUP BY id),
+         dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+                   FROM spans GROUP BY g),
+         pk AS (
+           SELECT id AS pid, g FROM (
+             SELECT s.id, s.g,
+                    row_number() OVER (PARTITION BY s.id
+                                       ORDER BY d.df, s.g) AS rk
+             FROM spans s JOIN dfreq d USING (g))
+           WHERE rk <= 4),
+         cands AS (
+           SELECT DISTINCT least(pid, oid) AS a, greatest(pid, oid) AS b
+           FROM pk JOIN (SELECT id AS oid, g FROM spans) o USING (g)
+           WHERE pid <> oid),
+         inter AS (
+           SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n
+           FROM cands c
+           JOIN spans sa ON sa.id = c.a
+           JOIN spans sb ON sb.id = c.b AND sb.g = sa.g
+           GROUP BY c.a, c.b)
+         SELECT i.a AS doc_a, i.b AS doc_b,
+                (1000 * i.n) // za.sz AS cont_a_permille,
+                (1000 * i.n) // zb.sz AS cont_b_permille
+         FROM inter i
+         JOIN sizes za ON za.id = i.a
+         JOIN sizes zb ON zb.id = i.b
+         WHERE (1000 * i.n) // za.sz >= 600 OR (1000 * i.n) // zb.sz >= 600
+         ORDER BY doc_a, doc_b""",
+
+    // Same bit-length floor-log2: length(bin(N div cw)) - 1 per token.
+    "q119_surprisal" ->
+      """WITH words AS (
+           SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                 FROM words GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM words)
+         SELECT id AS doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(length(bin(n_total // cw)) - 1) AS BIGINT)
+                  AS surprisal_bits,
+                (1000 * CAST(sum(length(bin(n_total // cw)) - 1) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS mean_millibits
+         FROM words JOIN cnt USING (w) CROSS JOIN tot
+         GROUP BY id
+         ORDER BY doc_id""",
+
+    // Same int8 grid (clamp(floor(x*64))) and pure-integer dot ranking.
+    "q120_int8_topk" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         scored AS (
+           SELECT query_id, v.vec_id,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> qv[i] * v.q[i])) AS BIGINT) AS dot,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v.q[i])) DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot
+         FROM scored WHERE rank <= 10
+         ORDER BY query_id, rank"""
   )
 }

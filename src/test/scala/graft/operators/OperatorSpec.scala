@@ -106,6 +106,62 @@ class OperatorSpec extends SparkTestBase {
     assert(r.map(_.getLong(1)).sorted.toSeq == (1L to r.length).toSeq)
   }
 
+  test("duplicated-span census: shared spans counted, unique spans not") {
+    import spark.implicits._
+    // docs 1 and 2 share the span "a b c"; doc 3 shares nothing
+    val df = Seq((1L, "a b c x"), (2L, "a b c y"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // each 4-word doc has 2 distinct 3-gram spans
+    assert(got(1L) == ((2L, 1L, 500L)))
+    assert(got(2L) == ((2L, 1L, 500L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+  }
+
+  test("containment finds a quoted subset that Jaccard would miss") {
+    import spark.implicits._
+    // doc 1 (5 words) is verbatim inside doc 2 (20 words): containment
+    // of 1 in 2 is 1000 permille while Jaccard is only ~0.22 — below
+    // any LSH near-dup threshold
+    val contained = "alpha beta gamma delta epsilon"
+    val container = contained + " one two three four five six seven " +
+      "eight nine ten eleven twelve thirteen fourteen fifteen"
+    val df = Seq((1L, contained), (2L, container), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDup(df, "doc_id", "text",
+      shingleN = 3, probes = 3, thresholdPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1000L)))
+  }
+
+  test("unigram surprisal: rare words carry more bits, integer-exact") {
+    import spark.implicits._
+    // corpus of 8 tokens: 'x' appears 4 times (8/4=2 -> 1 bit),
+    // 'y' twice (8/2=4 -> 2 bits), 'z' and 'w' once (8 -> 3 bits)
+    val df = Seq((1L, "x x x x"), (2L, "y y z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 4L, 1000L)))   // 4 tokens x 1 bit
+    assert(got(2L) == ((4L, 10L, 2500L)))  // 2+2+3+3 bits
+  }
+
+  test("int8 top-k ranks by integer dot with vec_id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(0.5f, 0.0f)),   // query: q8 = [32, 0]
+      (1L, Array(0.4f, 0.0f)),   // dot 32*25 = 800
+      (2L, Array(-0.5f, 0.0f)),  // dot -1024
+      (3L, Array(0.4f, 0.3f))    // dot 800 — ties with 1, loses on id
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8TopK(df, Seq(0L), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 800L), (2L, 3L, 800L), (3L, 2L, -1024L)))
+  }
+
   test("text stats are consistent per document") {
     val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
     r.foreach { row =>

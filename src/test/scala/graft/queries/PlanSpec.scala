@@ -299,6 +299,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q117/q118 span and containment dedup never degrade to all-pairs") {
+    for (q <- Seq("q117_span_dedup", "q118_containment")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop")
+      assert(p.contains("partial_count"), s"$q lost map-side combine")
+    }
+  }
+
+  test("q119 surprisal broadcasts the vocabulary — the corpus never shuffles on words") {
+    val p = planOf("q119_surprisal")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q120 int8 retrieval broadcasts queries against one corpus scan") {
+    val p = planOf("q120_int8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin")) // non-equi self-exclusion join
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q34 embedding near-dup self-joins on (label, LSH band), not all pairs") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert("Left keys \\[2\\]: \\[label#\\d+, band#\\d+\\]".r.findFirstIn(p).isDefined)

@@ -44,7 +44,10 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       // The lineage capability itself (SURVEY.md §7.1 #4): corpus edges vs
       // an inline VALUES golden — hash-checks the lineage engine.
-      "q24_lineage_edges" -> ((s, dir) => graft.lineage.LineageQueries.edges(s, dir))
+      "q24_lineage_edges" -> ((s, dir) => graft.lineage.LineageQueries.edges(s, dir)),
+      // Statement-level ops (S1 split, S2 USE threading, S6-S9 DDL) —
+      // driver-checked through the multi-statement parse path.
+      "q121_lineage_ops" -> ((s, dir) => graft.lineage.LineageQueries.operations(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,6 +57,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracleSql ++
     graft.queries.StreamingQueries.oracleSql ++
     Map(
-      "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql
+      "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql,
+      "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql
     )
 }

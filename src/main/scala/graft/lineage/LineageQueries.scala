@@ -147,6 +147,49 @@ object LineageQueries {
                  USING parquet PARTITIONED BY (ds STRING)""")
   }
 
+  /** Statement-LEVEL operations corpus: the session/DDL constructs whose
+    * lineage is an operation plus table sets rather than column edges
+    * (SURVEY §2.1 S1, S2, S6–S9). Runs through the MULTI-statement
+    * [[LineageParser.parse]] so what's actually under test is the
+    * `;`-splitter (statement 8 carries an escaped `\;` inside a string
+    * literal — one statement, not two) and USE-db threading (statements
+    * after 1 must qualify unqualified names with `graftdb`, including
+    * the INSERT's sink). */
+  val opsCorpus: String = Seq(
+    // 1  S2: USE switches the default database for everything below
+    "USE graftdb",
+    // 2  unqualified scan must resolve under graftdb
+    "SELECT n_nationkey FROM nation WHERE n_regionkey = 0",
+    // 3  S6: DROP records "<name>\tDROP"
+    "DROP TABLE lineage_target",
+    // 4  S7: TRUNCATE
+    "TRUNCATE TABLE lineage_target",
+    // 5  S8: LOAD DATA
+    "LOAD DATA INPATH '/tmp/graft_load' INTO TABLE lineage_target",
+    // 6  S9: ALTER (ADD COLUMNS form)
+    "ALTER TABLE lineage_target ADD COLUMNS (extra STRING)",
+    // 7  S9: ALTER (RENAME form)
+    "ALTER TABLE lineage_target RENAME TO lineage_target2",
+    // 8  S1: the escaped \; must NOT split this statement
+    "SELECT 'a\\;b' AS marker FROM nation",
+    // 9  S4 under USE: both sink and source qualify with graftdb
+    "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation"
+  ).mkString(";\n")
+
+  /** [[opsCorpus]] results as rows: (stmt, operation, input_tables,
+    * output_tables), table sets sorted and `&`-joined. */
+  def operations(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    val rows = LineageParser.parse(spark, opsCorpus).map { r =>
+      (r.statementIndex, r.operation.name,
+        r.inputTables.toSeq.sorted.mkString("&"),
+        r.outputTables.toSeq.sorted.mkString("&"))
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "operation", "input_tables", "output_tables")
+      .orderBy("stmt")
+  }
+
   /** Parse the corpus and flatten edges to rows. Pure metadata work — no
     * table data is scanned; at cluster scale this runs on the driver in
     * milliseconds per statement (BASELINE.md target ≤50 ms/stmt). */
@@ -162,6 +205,22 @@ object LineageQueries {
       .toDF("stmt", "table_name", "col_name", "to_name", "from_name", "conditions")
       .orderBy("stmt", "to_name", "from_name")
   }
+
+  /** DuckDB oracle for [[operations]] — the DDL tab encoding goes
+    * through chr(9) so the SQL itself stays control-character-free. */
+  val opsOracleSql: String =
+    """SELECT stmt, operation, input_tables, output_tables FROM (VALUES
+    (1, 'USE', '', 'graftdb'),
+    (2, 'SELECT', 'graftdb.nation', ''),
+    (3, 'DROP', '', 'graftdb.lineage_target' || chr(9) || 'DROP'),
+    (4, 'TRUNCATE', '', 'graftdb.lineage_target' || chr(9) || 'TRUNCATE'),
+    (5, 'LOAD', '', 'graftdb.lineage_target' || chr(9) || 'LOAD'),
+    (6, 'ALTER', '', 'graftdb.lineage_target' || chr(9) || 'ALTER'),
+    (7, 'ALTER', '', 'graftdb.lineage_target' || chr(9) || 'ALTER'),
+    (8, 'SELECT', 'graftdb.nation', ''),
+    (9, 'INSERT', 'graftdb.nation', 'graftdb.lineage_target')
+    ) AS t(stmt, operation, input_tables, output_tables)
+    ORDER BY stmt"""
 
   /** DuckDB oracle: the frozen golden as inline VALUES (lineage depends
     * only on the corpus + fixture schemas, never the scale factor).

@@ -2348,11 +2348,12 @@ object PipelineQueries {
          WHERE quality >= 0.5
          ORDER BY doc_id""",
 
-    // Same span census: distinct 8-gram spans, row count per span = its
-    // document frequency, integer permille.
+    // Same span census: distinct 8-gram spans as 60-bit digests, row
+    // count per span = its document frequency, integer permille.
     "q117_span_dedup" ->
       s"""WITH spans AS (
-           SELECT doc_id, unnest(${sqlWordShinglesN(8)}) AS g
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(${sqlWordShinglesN(8)})), 1, 15))::BIGINT AS g
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
          freq AS (SELECT g, CAST(count(*) AS BIGINT) AS ndocs
                   FROM spans GROUP BY g)
@@ -2367,11 +2368,12 @@ object PipelineQueries {
          ORDER BY doc_id""",
 
     // Same prefix-blocked containment: rarest-4 probe shingles per doc
-    // (ties on the shingle string), exact intersection counts, integer
+    // (ties on the shingle digest), exact intersection counts, integer
     // permille on both sides.
     "q118_containment" ->
       s"""WITH spans AS (
-           SELECT doc_id AS id, unnest(${sqlWordShinglesN(3)}) AS g
+           SELECT doc_id AS id,
+                  ('0x' || substr(md5(unnest(${sqlWordShinglesN(3)})), 1, 15))::BIGINT AS g
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
          sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
                    FROM spans GROUP BY id),

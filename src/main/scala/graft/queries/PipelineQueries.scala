@@ -43,6 +43,24 @@ object PipelineQueries {
       .coalesce(1)
   }
 
+  /** Same trained-artifact pattern for KMeans centroids: q51 (IVF
+    * search) and q122 (semantic dedup) consume the identical training
+    * run; whichever executes first trains, the other reuses. Cached as
+    * k×d driver-local longs — no session state. */
+  private val centroidCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int),
+      Array[(Long, Seq[Long])]]()
+
+  private def trainedCentroids(s: SparkSession, dir: String,
+                               k: Int, iters: Int): DataFrame = {
+    val rows = centroidCache.getOrElseUpdate((dir, k, iters),
+      graft.operators.KMeans.lloyd(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k, iters).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))))
+    import s.implicits._
+    rows.toSeq.toDF("cluster", "centroid").coalesce(1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: one hash-shuffle on the md5 digest.
@@ -121,9 +139,8 @@ object PipelineQueries {
     // fixed-iteration CTE chain. nprobe=2 of 8 clusters.
     "q51_ann_ivf_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
-      Similarity.ivfTopKTrained(emb, cents, Seq(0L, 1L, 2L, 3L, 4L),
+      Similarity.ivfTopKTrained(emb, trainedCentroids(s, dir, 8, 2),
+        Seq(0L, 1L, 2L, 3L, 4L),
         "vec_id", "embedding", k = 10, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
@@ -898,6 +915,19 @@ object PipelineQueries {
       Similarity.int8TopK(t(s, dir, "embeddings"),
         Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // Semantic dedup (SemDeDup): trained clusters bound the pair space,
+    // within-cluster high-cosine pairs close into keep-one groups.
+    // Composes KMeans.lloyd + cluster equi-join + connected components.
+    // Threshold 0.4: the synthetic embedding space is diffuse (max
+    // pairwise cosine ≈ 0.51), so a production-style 0.95 would make
+    // the group-formation path vacuous; 0.4 exercises it.
+    "q122_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, trainedCentroids(s, dir, 8, 2),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("vec_id")
     })
   )
 
@@ -2443,6 +2473,42 @@ object PipelineQueries {
            FROM v JOIN qs ON v.vec_id <> qs.query_id)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot
          FROM scored WHERE rank <= 10
-         ORDER BY query_id, rank"""
+         ORDER BY query_id, rank""",
+
+    // Same two Lloyd iterations as q51, then: min-L2 assignment (ties →
+    // lowest cluster), within-cluster cosine ≥ 0.4 pairs, recursive
+    // min-label components, keep_id = component min (self if unpaired).
+    "q122_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN c2 c)
+           WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id AS x, b.vec_id AS y
+           FROM assigned a JOIN assigned b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE ${sqlQcos("a.v", "b.v")} >= 0.4),
+         edges AS (
+           SELECT x AS a, y AS b FROM pairs
+           UNION SELECT y, x FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+         comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                coalesce(c.component, a.vec_id) AS keep_id
+         FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
+         ORDER BY vec_id"""
   )
 }

@@ -136,6 +136,21 @@ class OperatorSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1000L)))
   }
 
+  test("semantic dedup groups same-cluster near-identical vectors, keeps min id") {
+    import spark.implicits._
+    // two tight groups far apart; 0/1/2 near-identical, 10/11 near-identical
+    def vec(base: Float, eps: Float) =
+      Array.tabulate(64)(i => if (i == 0) base + eps else 0.1f)
+    val emb = Seq(
+      (0L, vec(5f, 0f)), (1L, vec(5f, 0.001f)), (2L, vec(5f, 0.002f)),
+      (10L, vec(-5f, 0f)), (11L, vec(-5f, 0.001f))
+    ).toDF("vec_id", "embedding")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val got = Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("unigram surprisal: rare words carry more bits, integer-exact") {
     import spark.implicits._
     // corpus of 8 tokens: 'x' appears 4 times (8/4=2 -> 1 bit),

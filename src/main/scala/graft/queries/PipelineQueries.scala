@@ -928,6 +928,22 @@ object PipelineQueries {
       Dedup.semanticDedup(emb, trainedCentroids(s, dir, 8, 2),
         "vec_id", "embedding", threshold = 0.4)
         .orderBy("vec_id")
+    }),
+
+    // Tokenizer FERTILITY by corpus source (tokens per word, integer
+    // permille) — the per-domain health check a tokenizer-training run
+    // reports. Applies the cached trained merges (the q73/q74 artifact)
+    // through the no-retrain tokenCounts overload.
+    "q123_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.tokenCounts(docs, "doc_id", "text",
+        merges = trainedBpeMerges(s, dir, 6))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          expr("(1000 * n_tokens) div n_words").as("fertility_milli"))
+        .orderBy("source")
     })
   )
 
@@ -2107,6 +2123,23 @@ object PipelineQueries {
          JOIN s6 v ON d.w = v.w
          GROUP BY d.doc_id
          ORDER BY doc_id"""),
+
+    // Same 6 unrolled merge rounds, rolled up per source instead of per
+    // document (the join to s6 applies the [a-z]+ filter implicitly —
+    // the vocabulary only holds matching words, both engines alike).
+    "q123_bpe_fertility" -> bpeOracleSql(6,
+      """SELECT d.source,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(trim(v.s), ' '))) AS BIGINT)
+                  AS n_tokens,
+                (1000 * CAST(sum(len(string_split(trim(v.s), ' ')))
+                   AS BIGINT)) // CAST(count(*) AS BIGINT)
+                  AS fertility_milli
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents) d
+         JOIN s6 v ON d.w = v.w
+         GROUP BY d.source
+         ORDER BY source"""),
 
     // Mirrors the slicing arithmetic on octet lengths (UTF-8 bytes on
     // both sides); the final (possibly short) frame is the least() term.

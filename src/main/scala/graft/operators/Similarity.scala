@@ -76,6 +76,32 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "dot")
   }
 
+  /** The full retrieval LADDER: [[int8TopK]] recall at `recallK`, then
+    * exact quantized-cosine rerank of only those candidates down to `k`
+    * — the standard production shape (cheap compressed scan bounds the
+    * candidate set; the expensive exact metric touches `recallK` rows
+    * per query, never the corpus). Approximate by construction: an
+    * exact neighbor the int8 stage misses stays missed — `recallK/k` is
+    * the recall knob, stated like LSH banding's.
+    * Returns (query_id, rank, vec_id, cosine). */
+  def int8Rerank(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
+                 vecCol: String, recallK: Int, k: Int): DataFrame = {
+    val cands = int8TopK(corpus, queryIds, idCol, vecCol, recallK)
+      .select(col("query_id"), col("vec_id"))
+    val vecs = quantized(corpus, idCol, vecCol)
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(vecs, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("v")), col("qn"), col("vn")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Exact top-k neighbors for each query id (self-match excluded).
     * Returns (query_id, rank, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,

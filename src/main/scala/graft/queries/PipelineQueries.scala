@@ -930,6 +930,16 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Retrieval ladder: int8 recall (top-25) → exact cosine rerank
+    // (top-10). The compressed scan bounds the candidate set; the exact
+    // metric touches 25 rows per query, never the corpus.
+    "q124_int8_rerank" -> ((s, dir) => {
+      Similarity.int8Rerank(t(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding",
+        recallK = 25, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Tokenizer FERTILITY by corpus source (tokens per word, integer
     // permille) — the per-domain health check a tokenizer-training run
     // reports. Applies the cached trained merges (the q73/q74 artifact)
@@ -2123,6 +2133,34 @@ object PipelineQueries {
          JOIN s6 v ON d.w = v.w
          GROUP BY d.doc_id
          ORDER BY doc_id"""),
+
+    // Same ladder: int8 top-25 candidates (q120's grid and integer dot),
+    // then the exact quantized cosine rerank to 10.
+    "q124_int8_rerank" ->
+      s"""WITH v AS (
+           SELECT vec_id, $sqlQuantize AS v,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q8
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q8 AS qv8, v AS qv FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         scored8 AS (
+           SELECT query_id, v.vec_id, qv,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv8[i] * v.q8[i])) DESC, v.vec_id) AS r8
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         rer AS (
+           SELECT s.query_id, s.vec_id,
+                  ${sqlQcos("s.qv", "v.v")} AS cosine,
+                  row_number() OVER (PARTITION BY s.query_id
+                    ORDER BY ${sqlQcos("s.qv", "v.v")} DESC, s.vec_id) AS rank
+           FROM scored8 s JOIN v ON v.vec_id = s.vec_id
+           WHERE s.r8 <= 25)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM rer WHERE rank <= 10
+         ORDER BY query_id, rank""",
 
     // Same 6 unrolled merge rounds, rolled up per source instead of per
     // document (the join to s6 applies the [a-z]+ filter implicitly —

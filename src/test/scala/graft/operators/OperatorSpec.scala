@@ -177,6 +177,19 @@ class OperatorSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1L, 800L), (2L, 3L, 800L), (3L, 2L, -1024L)))
   }
 
+  test("int8 rerank equals exact brute force when recall covers the corpus") {
+    // with recallK = |corpus|, the int8 stage filters nothing and the
+    // rerank IS the exact ranking — the ladder's correctness anchor
+    val n = embs.count().toInt
+    val exact = Similarity.bruteForceTopK(embs, Seq(0L, 1L), "vec_id",
+      "embedding", k = 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ladder = Similarity.int8Rerank(embs, Seq(0L, 1L), "vec_id",
+      "embedding", recallK = n, k = 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ladder == exact)
+  }
+
   test("text stats are consistent per document") {
     val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
     r.foreach { row =>

@@ -84,7 +84,8 @@ object LineageParser {
         val parts = u.children.map { c =>
           val i = c.asInstanceOf[InsertIntoStatement]
           val sink = fill(unresolvedName(i.table).getOrElse(Eof))
-          extract(spark, i.query, sink, Operation.Insert, index, currentDb, meta)
+          extract(spark, i.query, sink, Operation.Insert, index, currentDb,
+            meta, i.userSpecifiedCols)
         }
         parts.reduce { (a, b) =>
           LineageResult(index, Operation.Insert,
@@ -93,7 +94,8 @@ object LineageParser {
         }
       case i: InsertIntoStatement =>
         val sink = fill(unresolvedName(i.table).getOrElse(Eof))
-        extract(spark, i.query, sink, Operation.Insert, index, currentDb, meta)
+        extract(spark, i.query, sink, Operation.Insert, index, currentDb,
+          meta, i.userSpecifiedCols)
       case c: CreateTableAsSelect =>
         val sink = fill(unresolvedName(c.name).getOrElse(Eof))
         extract(spark, c.query, sink, Operation.CreateTable, index, currentDb, meta)
@@ -346,15 +348,22 @@ object LineageParser {
 
   private def extract(spark: SparkSession, query: LogicalPlan, sink: String,
                       op: Operation, index: Int, db: String,
-                      meta: MetadataProvider): LineageResult = {
+                      meta: MetadataProvider,
+                      explicitCols: Seq[String] = Nil): LineageResult = {
     val analyzed = spark.sessionState.executePlan(query).analyzed
     val st = build(analyzed, Map.empty, db)
 
     // Destination columns by ordinal against the sink's real schema —
     // reference S10 (`LineParser.java:110-118,138-152`), via the session
-    // catalog instead of JDBC metadata (SURVEY.md §3.3).
+    // catalog instead of JDBC metadata (SURVEY.md §3.3). An explicit
+    // column list (`INSERT INTO t (b, a) SELECT ...`) overrides the
+    // schema order: select items map to the NAMED columns by position —
+    // the statement's own declaration beats the catalog's ordinal guess
+    // (engine extension; the reference's ordinal-only zip predates the
+    // column-list form).
     val sinkSchema: Seq[String] =
       if (sink == Eof) Nil
+      else if (explicitCols.nonEmpty) explicitCols
       else meta.tableColumns(sink)
 
     val named = topNamed(analyzed)

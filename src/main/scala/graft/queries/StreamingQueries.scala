@@ -207,6 +207,23 @@ object StreamingQueries {
         .orderBy("win_start", "c_mktsegment")
     }),
 
+    // Streaming training-data quality gate: the batch pipeline's
+    // quality scorer applied to a DOCUMENT stream — stateless, so
+    // append mode emits every passing row in the data batch and the
+    // oracle is the plain batch filter. The point under test is that
+    // the curation operators compose with readStream unchanged (same
+    // projection, no watermark, no state store).
+    "q125_stream_quality_gate" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val gated = graft.operators.TextAnalysis
+        .qualityWithTokenCount(docs, "doc_id", "text")
+        .filter(col("quality") >= 0.5)
+      runBounded(s, gated, "graft_q125_sink", "append")
+        .orderBy("doc_id")
+    }),
+
     "q66_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = eventsStream(s, dir)
@@ -302,6 +319,18 @@ object StreamingQueries {
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2
          ORDER BY win_start, c_mktsegment""",
+
+    // Stateless gate ⇒ the batch filter, same quality formula as q46.
+    "q125_stream_quality_gate" ->
+      """SELECT doc_id, n_tokens, quality FROM (
+           SELECT doc_id,
+                  len(w)::BIGINT AS n_tokens,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2 AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         WHERE quality >= 0.5
+         ORDER BY doc_id""",
 
     // Batch reconstruction of the streaming emission: q43's session
     // CTEs, minus each user's last session unless its event-time

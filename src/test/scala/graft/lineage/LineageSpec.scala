@@ -160,6 +160,18 @@ class LineageSpec extends SparkTestBase {
     assert(b.inputTables == Set("default.nation"))
   }
 
+  test("INSERT with an explicit column list maps by the list, not schema order") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    // lineage_target's schema order is (tgt_key, tgt_name); the
+    // statement reverses it — the named list must win
+    val r = LineageParser.parseStatement(spark,
+      "INSERT INTO lineage_target (tgt_name, tgt_key) " +
+        "SELECT n_name, n_nationkey FROM nation", 1)
+    val byTo = r.colLines.map(c => c.toName -> c.colName).toMap
+    assert(byTo("n_name") == Some("default.lineage_target.tgt_name"))
+    assert(byTo("n_nationkey") == Some("default.lineage_target.tgt_key"))
+  }
+
   test("CREATE VIEW records sink and select lineage") {
     graft.Tables.registerAll(spark, sfDir)
     val r = LineageParser.parseStatement(spark,

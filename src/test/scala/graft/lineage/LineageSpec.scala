@@ -160,6 +160,17 @@ class LineageSpec extends SparkTestBase {
     assert(b.inputTables == Set("default.nation"))
   }
 
+  test("INSERT ... VALUES records the sink with literal-elided edges") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val r = LineageParser.parseStatement(spark,
+      "INSERT INTO lineage_target VALUES (99, 'x')", 1)
+    assert(r.operation == Operation.Insert)
+    assert(r.outputTables == Set("default.lineage_target"))
+    assert(r.inputTables.isEmpty)
+    // literal-only items: edges exist (one per ordinal) with no sources
+    assert(r.colLines.nonEmpty && r.colLines.forall(_.fromName == ""))
+  }
+
   test("INSERT with an explicit column list maps by the list, not schema order") {
     LineageQueries.registerFixtures(spark, sfDir)
     // lineage_target's schema order is (tgt_key, tgt_name); the

@@ -53,4 +53,24 @@ class SearchMixSpec extends SparkTestBase {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
     assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
   }
+
+  test("mixture binding domain keeps EVERY row for non-dyadic shares (clamp)") {
+    // non-dyadic shares (1/3, 1/7, ...) are where floor(T·share/n·65536)
+    // can double-round to 65535 and silently shed ~1/65536 of the
+    // binding domain; the exact-equality clamp must hold regardless
+    val docs = (0 until 900).map(i => (i.toLong, s"dom${i % 3}"))
+      .toDF("doc_id", "domain")
+    for (shares <- Seq(
+      Seq("dom0" -> (1.0 / 3), "dom1" -> (1.0 / 7)),
+      Seq("dom0" -> 0.3, "dom1" -> 0.1, "dom2" -> 0.6),
+      Seq("dom0" -> (1.0 / 9), "dom1" -> (2.0 / 7), "dom2" -> 0.13))) {
+      val kept = Curation.mixtureSample(docs, "doc_id", "domain", shares)
+        .groupBy("domain").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // binding domain = argmin n_d/share_d; every domain has n=300
+      val binding = shares.minBy { case (_, sh) => 300.0 / sh }._1
+      assert(kept(binding) == 300L,
+        s"binding domain $binding lost rows under $shares: ${kept(binding)}")
+    }
+  }
 }

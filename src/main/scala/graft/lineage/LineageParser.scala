@@ -99,6 +99,13 @@ object LineageParser {
       case c: CreateTableAsSelect =>
         val sink = fill(unresolvedName(c.name).getOrElse(Eof))
         extract(spark, c.query, sink, Operation.CreateTable, index, currentDb, meta)
+      // RTAS is CTAS with replace semantics — same sink, same select
+      // lineage. Without this arm the generic name heuristic below
+      // ("Replace*" → ALTER) would mis-file it as DDL and drop every
+      // column edge.
+      case r: ReplaceTableAsSelect =>
+        val sink = fill(unresolvedName(r.name).getOrElse(Eof))
+        extract(spark, r.query, sink, Operation.CreateTable, index, currentDb, meta)
       case v: CreateView =>
         val sink = fill(unresolvedName(v).getOrElse(Eof))
         extract(spark, v.query, sink, Operation.CreateTable, index, currentDb, meta)
@@ -486,6 +493,25 @@ object LineageParser {
       val m = u.output.zipWithIndex.map { case (a, i) =>
         val branchStrs = u.children.zip(states).map { case (c, s) =>
           s.src.getOrElse(c.output(i).exprId, Set.empty)
+            .toSeq.sorted.mkString(SepCol)
+        }.filter(_.nonEmpty).distinct
+        val unit = branchStrs.mkString(SepAnd)
+        a.exprId -> (if (unit.isEmpty) Set.empty[String] else Set(unit))
+      }
+      merged.copy(src = merged.src ++ m)
+
+    // INTERSECT keeps only rows present in BOTH branches, so each
+    // output column's values come from both branches' position-i
+    // columns — the same positional fold (and `&` encoding) as UNION.
+    // EXCEPT deliberately stays on the default path: its result rows
+    // come from the LEFT branch only (the right side filters, it never
+    // contributes values), so left-attribute mapping is already right.
+    case i: Intersect =>
+      val states = i.children.map(build(_, ctes, db))
+      val merged = states.reduce(_ merge _)
+      val m = i.output.zipWithIndex.map { case (a, pos) =>
+        val branchStrs = i.children.zip(states).map { case (c, s) =>
+          s.src.getOrElse(c.output(pos).exprId, Set.empty)
             .toSeq.sorted.mkString(SepCol)
         }.filter(_.nonEmpty).distinct
         val unit = branchStrs.mkString(SepAnd)

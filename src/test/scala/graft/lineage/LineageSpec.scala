@@ -160,6 +160,35 @@ class LineageSpec extends SparkTestBase {
     assert(b.inputTables == Set("default.nation"))
   }
 
+  test("INTERSECT folds both branches positionally; EXCEPT keeps the left") {
+    graft.Tables.registerAll(spark, sfDir)
+    val i = LineageParser.parseStatement(spark,
+      "SELECT n_regionkey AS k FROM nation INTERSECT " +
+        "SELECT r_regionkey FROM region", 1)
+    // intersect rows carry values from BOTH branches — union's `&` fold
+    assert(i.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("k", "default.nation.n_regionkey&default.region.r_regionkey")))
+    val e = LineageParser.parseStatement(spark,
+      "SELECT n_regionkey AS k FROM nation EXCEPT " +
+        "SELECT r_regionkey FROM region", 1)
+    // except rows come from the left branch only; the right just filters
+    assert(e.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("k", "default.nation.n_regionkey")))
+    assert(e.inputTables == Set("default.nation", "default.region"))
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT is CTAS lineage, not ALTER") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = LineageParser.parseStatement(spark,
+      "CREATE OR REPLACE TABLE rtas_t AS " +
+        "SELECT n_name FROM nation WHERE n_regionkey = 1", 1)
+    assert(r.operation == Operation.CreateTable)
+    assert(r.outputTables == Set("default.rtas_t"))
+    assert(r.colLines.map(c => (c.toName, c.fromName)) ==
+      Seq(("n_name", "default.nation.n_name")))
+    assert(r.colLines.head.conditionSet == Set("WHERE:(nation.n_regionkey = 1)"))
+  }
+
   test("INSERT ... VALUES records the sink with literal-elided edges") {
     LineageQueries.registerFixtures(spark, sfDir)
     val r = LineageParser.parseStatement(spark,

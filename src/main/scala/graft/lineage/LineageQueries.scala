@@ -109,7 +109,14 @@ object LineageQueries {
     // star-through-alias + TABLESAMPLE (BUCKET x OUT OF y) + partition
     // predicate. Every ingredient is covered individually elsewhere;
     // this pins the exact statement the reference ships.
-    "INSERT OVERWRITE TABLE dest1 partition (ds = '111')  SELECT s.* FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1) s WHERE s.ds='2008-04-08' and s.hr='11'"
+    "INSERT OVERWRITE TABLE dest1 partition (ds = '111')  SELECT s.* FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1) s WHERE s.ds='2008-04-08' and s.hr='11'",
+    // 39 §2.6 extension: INTERSECT — both branches feed values, so the
+    // positional fold `&`-joins them like UNION (EXCEPT stays
+    // left-only; spec-pinned rather than corpus-pinned)
+    "SELECT n_regionkey AS k FROM nation INTERSECT SELECT r_regionkey FROM region",
+    // 40 S5 extension: CREATE OR REPLACE TABLE AS SELECT — CTAS
+    // lineage, not the "Replace*" ALTER heuristic
+    "CREATE OR REPLACE TABLE lineage_rtas AS SELECT n_name FROM nation WHERE n_regionkey = 1"
   )
 
   /** Register every fixture the corpus references (tables, sinks, the
@@ -290,7 +297,9 @@ object LineageQueries {
     (38, 'default.dest1', 'default.dest1.d_ds', 'ds', 'default.srcpart.ds', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (38, 'default.dest1', 'default.dest1.d_hr', 'hr', 'default.srcpart.hr', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (38, 'default.dest1', 'default.dest1.d_key', 'key', 'default.srcpart.key', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
-    (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))')
+    (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
+    (39, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
+    (40, 'default.lineage_rtas', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 }

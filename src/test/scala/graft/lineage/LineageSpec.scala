@@ -74,7 +74,9 @@ class LineageSpec extends SparkTestBase {
     (38, "default.dest1", "default.dest1.d_ds", "ds", "default.srcpart.ds", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
     (38, "default.dest1", "default.dest1.d_hr", "hr", "default.srcpart.hr", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
     (38, "default.dest1", "default.dest1.d_key", "key", "default.srcpart.key", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
-    (38, "default.dest1", "default.dest1.d_value", "value", "default.srcpart.value", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))")
+    (38, "default.dest1", "default.dest1.d_value", "value", "default.srcpart.value", "WHERE:((s.ds = '2008-04-08') AND (s.hr = '11'))"),
+    (39, "<EOF>", "", "k", "default.nation.n_regionkey&default.region.r_regionkey", ""),
+    (40, "default.lineage_rtas", "", "n_name", "default.nation.n_name", "WHERE:(nation.n_regionkey = 1)")
   )
 
   test("corpus lineage matches golden edges") {

@@ -308,6 +308,10 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  // q122's interior shapes (broadcast centroids, cluster equi-join) sit
+  // behind its localCheckpoint and are invisible to a final-plan pin;
+  // OperatorSpec's exact-grouping test covers the operator instead.
+
   test("q119 surprisal broadcasts the vocabulary — the corpus never shuffles on words") {
     val p = planOf("q119_surprisal")
     assert(p.contains("BroadcastHashJoin"))

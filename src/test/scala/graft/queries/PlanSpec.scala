@@ -306,6 +306,9 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop")
       assert(p.contains("partial_count"), s"$q lost map-side combine")
     }
+    // the rarest-probes pick prunes to top-4 per doc BEFORE the window
+    // shuffle — losing this re-sorts every (doc, shingle) row
+    assert(planOf("q118_containment").contains("WindowGroupLimit"))
   }
 
   // q122's interior shapes (broadcast centroids, cluster equi-join) sit

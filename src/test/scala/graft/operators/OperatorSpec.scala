@@ -190,6 +190,20 @@ class OperatorSpec extends SparkTestBase {
     assert(ladder == exact)
   }
 
+  test("span census, containment, surprisal are partitioning-invariant") {
+    // engine-determinism evidence: the same corpus under a different
+    // physical partitioning must produce the identical result set
+    val base = docs.filter(col("doc_id") < 60) // deterministic subset
+    val shuffled = base.repartition(7)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(set(Dedup.duplicatedSpans(base, "doc_id", "text", 8)) ==
+      set(Dedup.duplicatedSpans(shuffled, "doc_id", "text", 8)))
+    assert(set(Dedup.containmentNearDup(base, "doc_id", "text", 3, 4, 600)) ==
+      set(Dedup.containmentNearDup(shuffled, "doc_id", "text", 3, 4, 600)))
+    assert(set(TextAnalysis.unigramSurprisal(base, "doc_id", "text")) ==
+      set(TextAnalysis.unigramSurprisal(shuffled, "doc_id", "text")))
+  }
+
   test("text stats are consistent per document") {
     val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
     r.foreach { row =>

@@ -47,7 +47,10 @@ object SparkEntry {
       "q24_lineage_edges" -> ((s, dir) => graft.lineage.LineageQueries.edges(s, dir)),
       // Statement-level ops (S1 split, S2 USE threading, S6-S9 DDL) —
       // driver-checked through the multi-statement parse path.
-      "q121_lineage_ops" -> ((s, dir) => graft.lineage.LineageQueries.operations(s, dir))
+      "q121_lineage_ops" -> ((s, dir) => graft.lineage.LineageQueries.operations(s, dir)),
+      // Impact analysis over the lineage graph — per-source-table
+      // fan-out, the lineage service's downstream question.
+      "q126_lineage_impact" -> ((s, dir) => graft.lineage.LineageQueries.impact(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,6 +61,7 @@ object SparkEntry {
     graft.queries.StreamingQueries.oracleSql ++
     Map(
       "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql,
-      "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql
+      "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql,
+      "q126_lineage_impact" -> graft.lineage.LineageQueries.impactOracleSql
     )
 }

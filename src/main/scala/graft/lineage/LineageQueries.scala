@@ -213,6 +213,48 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** IMPACT ANALYSIS over the corpus lineage — the question a lineage
+    * service exists to answer ("if this table changes, what breaks?").
+    * Lineage output is itself a Dataset (SURVEY §1.3), so the analysis
+    * is ordinary DataFrame algebra over [[edges]]: split each edge's
+    * composite source encoding (`,` within an expression, `&` across
+    * union branches), reduce `db.table.col` to `db.table`, and count
+    * per source table the edges, distinct destination columns, and
+    * distinct statements it feeds. */
+  def impact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    edges(spark, dir)
+      .select(col("stmt"), col("to_name"),
+        explode(split(col("from_name"), "[,&]")).as("src"))
+      .filter(col("src") =!= "")
+      .select(col("stmt"), col("to_name"),
+        concat_ws(".", slice(split(col("src"), "\\."), 1, 2)).as("src_table"))
+      .groupBy("src_table")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(concat_ws(":", col("stmt"), col("to_name")))
+          .as("n_dest_cols"),
+        countDistinct(col("stmt")).as("n_statements"))
+      .orderBy("src_table")
+  }
+
+  /** DuckDB oracle for [[impact]] — the same rollup over the frozen
+    * edge golden (the [[oracleSql]] VALUES relation as a subquery). */
+  lazy val impactOracleSql: String =
+    s"""SELECT src_table,
+          CAST(count(*) AS BIGINT) AS n_edges,
+          CAST(count(DISTINCT stmt || ':' || to_name) AS BIGINT)
+            AS n_dest_cols,
+          CAST(count(DISTINCT stmt) AS BIGINT) AS n_statements
+        FROM (
+          SELECT stmt, to_name,
+                 array_to_string(string_split(unnest(
+                   string_split_regex(from_name, '[,&]')), '.')[1:2], '.')
+                   AS src_table
+          FROM ($oracleSql))
+        WHERE src_table <> ''
+        GROUP BY src_table
+        ORDER BY src_table"""
+
   /** DuckDB oracle for [[operations]] — the DDL tab encoding goes
     * through chr(9) so the SQL itself stays control-character-free. */
   val opsOracleSql: String =

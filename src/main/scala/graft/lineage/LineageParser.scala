@@ -171,12 +171,19 @@ object LineageParser {
     * does NOT descend into subquery plans on its own; without this walk
     * a scalar subquery in an assignment value or DML predicate
     * (`UPDATE t SET c = (SELECT max(x) FROM other)`) would silently
-    * drop `other` from inputTables. */
-  private def subqueryRelations(s: SubqueryExpression, db: String): Set[String] =
-    s.plan.collect {
+    * drop `other` from inputTables. Recurses: a subquery nested inside
+    * the subquery's own predicates (`... WHERE k IN (SELECT ...)`) has
+    * the same blind spot one level down. */
+  private def subqueryRelations(s: SubqueryExpression, db: String): Set[String] = {
+    val direct = s.plan.collect {
       case ur: UnresolvedRelation =>
         fillDb(ur.multipartIdentifier.mkString(SepDot), db)
     }.toSet
+    val nested = s.plan.collect { case node =>
+      node.expressions.flatMap(_.collect { case n: SubqueryExpression => n })
+    }.flatten
+    direct ++ nested.flatMap(subqueryRelations(_, db))
+  }
 
   /** UPDATE t SET c = expr [WHERE cond]: every DIRECT reference in an
     * assignment value (and the WHERE tag) is a column of the target

@@ -73,25 +73,50 @@ final class JdbcMetadataProvider(connect: () => java.sql.Connection)
     val db = if (parts.length >= 2) parts(parts.length - 2) else "%"
     val conn = connect()
     try {
+      // `getColumns` arguments are LIKE patterns: a literal `_` in a
+      // table name matches ANY character, so `ext_sink` would also pull
+      // in an `extasink` and interleave its columns into the ordinal
+      // zip. Escape with the driver's escape string where one exists
+      // (Derby reports NONE), and post-filter to exact TABLE_NAME
+      // matches regardless — the belt covers drivers whose escaping is
+      // absent or broken.
+      val esc = conn.getMetaData.getSearchStringEscape
+      def quote(name: String): String =
+        if (esc == null || esc.isEmpty) name
+        else name.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
       val folds: Seq[String => String] =
         Seq(identity, _.toUpperCase(java.util.Locale.ROOT),
           _.toLowerCase(java.util.Locale.ROOT))
       val candidates =
-        folds.map(f => (f(db), f(tbl))) ++ folds.map(f => ("%", f(tbl)))
+        folds.map(f => (if (db == "%") "%" else quote(f(db)), f(tbl))) ++
+          folds.map(f => ("%", f(tbl)))
       candidates.distinct.iterator
-        .map { case (s, t) => lookup(conn, s, t) }
+        .map { case (s, t) => lookup(conn, s, quote(t), t) }
         .find(_.nonEmpty).getOrElse(Nil)
     } finally conn.close()
   }
 
-  /** `getColumns` rows arrive ordered by ORDINAL_POSITION (JDBC spec) —
-    * exactly the order the S10 ordinal zip needs. */
+  /** `getColumns` rows arrive ordered by TABLE_SCHEM, TABLE_NAME,
+    * ORDINAL_POSITION (JDBC spec) — exactly the order the S10 ordinal
+    * zip needs. Rows are kept only for an EXACT `tblExact` name match
+    * (wildcard side-catches dropped), and only the FIRST matching
+    * (schema, table) group is returned: a same-named table in a second
+    * schema must not interleave, and first-in-JDBC-order is the
+    * deterministic pick for the any-schema fallback. */
   private def lookup(conn: java.sql.Connection, schemaPattern: String,
-                     tbl: String): Seq[String] = {
-    val rs = conn.getMetaData.getColumns(null, schemaPattern, tbl, "%")
-    val b = Seq.newBuilder[String]
-    try { while (rs.next()) b += rs.getString("COLUMN_NAME") }
-    finally rs.close()
-    b.result()
+                     tblPattern: String, tblExact: String): Seq[String] = {
+    val rows = Seq.newBuilder[(String, String)]
+    val rs = conn.getMetaData.getColumns(null, schemaPattern, tblPattern, "%")
+    try {
+      while (rs.next())
+        if (rs.getString("TABLE_NAME") == tblExact)
+          rows += ((Option(rs.getString("TABLE_SCHEM")).getOrElse(""),
+            rs.getString("COLUMN_NAME")))
+    } finally rs.close()
+    val r = rows.result()
+    r.headOption.map { case (s0, _) =>
+      r.takeWhile(_._1 == s0).map(_._2)
+    }.getOrElse(Nil)
   }
 }

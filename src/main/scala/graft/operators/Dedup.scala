@@ -465,8 +465,13 @@ object Dedup {
     def sqDist(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
+    // checkpoint the quantize+norm projection: it feeds BOTH the
+    // centroid-distance scoring and the join-back, and un-checkpointed
+    // each subtree would rescan the corpus and recompute the O(dim)
+    // norms twice
     val vecs = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("nrm", qdot(col("v"), col("v")))
+      .localCheckpoint()
     val assigned = vecs
       .join(broadcast(centroids.select(col("cluster"), col("centroid").as("cv"))))
       .select(col("id"), col("cluster"), sqDist(col("v"), col("cv")).as("d2"))
@@ -475,6 +480,7 @@ object Dedup {
       .join(vecs, "id")
       // consumed three times (both self-join sides + final output)
       .localCheckpoint()
+    graft.Checkpoints.free(vecs) // superseded by the assigned checkpoint
     val left = assigned.select(col("cluster"), col("id").as("ida"),
       col("v").as("va"), col("nrm").as("na"))
     val right = assigned.select(col("cluster"), col("id").as("idb"),

@@ -57,6 +57,13 @@ class DmlLineageSpec extends SparkTestBase {
     val d = parse("DELETE FROM orders WHERE o_custkey IN " +
       "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)")
     assert(d.inputTables == Set("default.orders", "default.customer"))
+    // doubly-nested: the subquery's OWN predicate hides another
+    // subquery — the walk must recurse or `supplier` vanishes
+    val n = parse("UPDATE orders SET o_totalprice = " +
+      "(SELECT max(c_acctbal) FROM customer WHERE c_custkey IN " +
+      "(SELECT s_suppkey FROM supplier))")
+    assert(n.inputTables ==
+      Set("default.orders", "default.customer", "default.supplier"))
   }
 
   test("MERGE unqualified name on BOTH sides emits both candidate edges") {

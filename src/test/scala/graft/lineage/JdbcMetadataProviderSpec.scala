@@ -22,12 +22,19 @@ class JdbcMetadataProviderSpec extends SparkTestBase {
       st.executeUpdate(
         """CREATE TABLE ext_sink ("d_key" INT, "d_name" VARCHAR(32),
                                   "d_val" DOUBLE)""")
+      // underscore-wildcard decoy: an unescaped LIKE pattern for
+      // "ext_sink" would ALSO match this table and interleave its
+      // columns into the ordinal zip
+      st.executeUpdate("""CREATE TABLE extasink ("z_other" INT)""")
     } finally c.close()
   }
 
   private def provider = { setup; new JdbcMetadataProvider(() => connect()) }
 
   test("columns come back in ordinal order from DatabaseMetaData") {
+    // must NOT pick up `extasink` — `_` is a LIKE wildcard in JDBC
+    // metadata patterns and has to be escaped or the two tables'
+    // columns interleave silently
     assert(provider.tableColumns("ext_sink") ==
       Seq("d_key", "d_name", "d_val"))
   }

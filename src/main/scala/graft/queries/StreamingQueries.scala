@@ -160,6 +160,31 @@ object StreamingQueries {
         .orderBy("purchase_id", "view_id")
     }),
 
+    // Stream-stream LEFT OUTER interval join: q87's pairing plus the
+    // outer semantic — an unmatched purchase emits its null row only
+    // once its state is EVICTED. Spark derives the left-side state
+    // watermark conservatively from the join condition: the
+    // `l_ts ≤ r_ts + 30min` bound yields watermark − 30 min, so
+    // unmatched lefts inside that last half hour never finalize in the
+    // bounded run (measured: one fixture purchase sits there). The
+    // oracle applies the identical eviction rule; the nearest unmatched
+    // purchase is 465 s from the cutoff, so boundary semantics cannot
+    // flip membership. Nulls are coalesced to -1 in BOTH engines:
+    // null-ordering under ORDER BY differs across them.
+    "q127_stream_stream_left" -> ((s, dir) => {
+      val ev = eventsStream(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      val pairs = EventStreams.intervalJoinPairs(purchases, views,
+        "user_id", "event_id", lookbackMinutes = 30,
+        watermarkDelay = "10 minutes", joinType = "left_outer")
+      runBounded(s,
+        pairs.select(col("left_id").as("purchase_id"),
+          coalesce(col("right_id"), lit(-1L)).as("view_id")),
+        "graft_q127_sink", "append")
+        .orderBy("purchase_id", "view_id")
+    }),
+
     // Streaming snapshot maintenance via foreachBatch: each micro-batch
     // of change records folds into the running snapshot with the batch
     // CDC operator (Cdc.applyChanges) — the MERGE-INTO-per-batch shape
@@ -289,6 +314,28 @@ object StreamingQueries {
            ON p.user_id = v.user_id
           AND p.event_type = 'purchase' AND v.event_type = 'view'
           AND v.us BETWEEN p.us - 1800000000 AND p.us
+         ORDER BY purchase_id, view_id""",
+
+    // Matched pairs = the batch join; null rows only for unmatched
+    // purchases Spark EVICTS — left state watermark = final watermark
+    // − the 30 min interval bound (the conservative derivation from
+    // l_ts ≤ r_ts + 30min). -1 stands in for the outer null.
+    "q127_stream_stream_left" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events),
+         wm AS (SELECT ((max(us) // 1000) - 600000) * 1000 AS w FROM ev),
+         j AS (
+           SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.us
+           FROM ev p LEFT JOIN ev v
+             ON p.user_id = v.user_id
+            AND v.event_type = 'view'
+            AND v.us BETWEEN p.us - 1800000000 AND p.us
+           WHERE p.event_type = 'purchase')
+         SELECT purchase_id, coalesce(view_id, -1) AS view_id
+         FROM j, wm
+         WHERE view_id IS NOT NULL OR us < w - 1800000000
          ORDER BY purchase_id, view_id""",
 
     // Folding applyChanges over the batches ≡ latest change per key

@@ -72,7 +72,7 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Stream-stream INNER interval join: pair each left event with the
+  /** Stream-stream interval join: pair each left event with the
     * right events of the same key whose time falls within
     * [left.ts − `lookbackMinutes`, left.ts]. Inner-join matches emit as
     * they are found (append mode); the watermarks exist to BOUND STATE —
@@ -82,19 +82,26 @@ object EventStreams {
     * rejects the join as unbounded-state (analysis error, not a
     * runtime surprise).
     *
+    * `joinType` "left_outer": an UNMATCHED left row emits null-padded
+    * only once the watermark proves no future right can still match it
+    * (eviction time, not arrival time) — the semantic that
+    * distinguishes streaming outer joins from batch ones.
+    *
     * Inputs must expose (`keyCol`, `ts`, `idCol`); output is the
-    * matched id pairs (left_id, right_id).
+    * matched id pairs (left_id, right_id — the latter null for
+    * outer-emitted unmatched lefts).
     */
   def intervalJoinPairs(left: DataFrame, right: DataFrame, keyCol: String,
                         idCol: String, lookbackMinutes: Int,
-                        watermarkDelay: String): DataFrame = {
+                        watermarkDelay: String,
+                        joinType: String = "inner"): DataFrame = {
     val l = left.select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
       col(idCol).as("left_id")).withWatermark("l_ts", watermarkDelay)
     val r = right.select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
       col(idCol).as("right_id")).withWatermark("r_ts", watermarkDelay)
     l.join(r, col("l_key") === col("r_key") &&
       col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
-      col("r_ts") <= col("l_ts"), "inner")
+      col("r_ts") <= col("l_ts"), joinType)
       .select(col("left_id"), col("right_id"))
   }
 

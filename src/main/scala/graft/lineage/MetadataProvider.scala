@@ -88,35 +88,53 @@ final class JdbcMetadataProvider(connect: () => java.sql.Connection)
       val folds: Seq[String => String] =
         Seq(identity, _.toUpperCase(java.util.Locale.ROOT),
           _.toLowerCase(java.util.Locale.ROOT))
+      // db-qualified rounds ALSO pin the schema (or catalog — MySQL
+      // reports databases as TABLE_CAT with TABLE_SCHEM null) on the
+      // result rows, so a wildcard side-catch from a near-named schema
+      // can never win while the exactly-named one exists; the
+      // any-schema fallback rounds drop that pin on purpose.
       val candidates =
-        folds.map(f => (if (db == "%") "%" else quote(f(db)), f(tbl))) ++
-          folds.map(f => ("%", f(tbl)))
+        folds.map(f => (if (db == "%") "%" else quote(f(db)), f(tbl),
+          if (db == "%") None else Some(db))) ++
+          folds.map(f => ("%", f(tbl), None))
       candidates.distinct.iterator
-        .map { case (s, t) => lookup(conn, s, quote(t), t) }
+        .map { case (s, t, dbx) => lookup(conn, s, quote(t), t, dbx) }
         .find(_.nonEmpty).getOrElse(Nil)
     } finally conn.close()
   }
 
-  /** `getColumns` rows arrive ordered by TABLE_SCHEM, TABLE_NAME,
-    * ORDINAL_POSITION (JDBC spec) — exactly the order the S10 ordinal
-    * zip needs. Rows are kept only for an EXACT `tblExact` name match
-    * (wildcard side-catches dropped), and only the FIRST matching
-    * (schema, table) group is returned: a same-named table in a second
-    * schema must not interleave, and first-in-JDBC-order is the
-    * deterministic pick for the any-schema fallback. */
+  /** `getColumns` rows arrive ordered by TABLE_CAT, TABLE_SCHEM,
+    * TABLE_NAME, ORDINAL_POSITION (JDBC spec) — exactly the order the
+    * S10 ordinal zip needs. Rows are kept only when TABLE_NAME matches
+    * `tblExact` case-insensitively (wildcard side-catches dropped;
+    * case-insensitive because servers may STORE a folded or mixed-case
+    * form of the requested name) and, when `dbExact` is given, when the
+    * schema OR catalog matches it. Only the FIRST matching
+    * (catalog, schema, stored-name) group is returned: a same-named
+    * table elsewhere must not interleave — keyed on the full triple
+    * because catalog-only drivers report TABLE_SCHEM as null — and
+    * first-in-JDBC-order is the deterministic pick for the any-schema
+    * fallback. */
   private def lookup(conn: java.sql.Connection, schemaPattern: String,
-                     tblPattern: String, tblExact: String): Seq[String] = {
-    val rows = Seq.newBuilder[(String, String)]
+                     tblPattern: String, tblExact: String,
+                     dbExact: Option[String]): Seq[String] = {
+    val rows = Seq.newBuilder[((String, String, String), String)]
     val rs = conn.getMetaData.getColumns(null, schemaPattern, tblPattern, "%")
     try {
-      while (rs.next())
-        if (rs.getString("TABLE_NAME") == tblExact)
-          rows += ((Option(rs.getString("TABLE_SCHEM")).getOrElse(""),
-            rs.getString("COLUMN_NAME")))
+      while (rs.next()) {
+        val name = rs.getString("TABLE_NAME")
+        if (name != null && name.equalsIgnoreCase(tblExact)) {
+          val cat = Option(rs.getString("TABLE_CAT")).getOrElse("")
+          val schem = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+          if (dbExact.forall(d =>
+            schem.equalsIgnoreCase(d) || cat.equalsIgnoreCase(d)))
+            rows += (((cat, schem, name), rs.getString("COLUMN_NAME")))
+        }
+      }
     } finally rs.close()
     val r = rows.result()
-    r.headOption.map { case (s0, _) =>
-      r.takeWhile(_._1 == s0).map(_._2)
+    r.headOption.map { case (g0, _) =>
+      r.takeWhile(_._1 == g0).map(_._2)
     }.getOrElse(Nil)
   }
 }

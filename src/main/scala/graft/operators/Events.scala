@@ -156,4 +156,65 @@ object Events {
       .groupBy(col(key))
       .agg(sum("_partial").cast("double").as("total_value"),
         sum("_n").as("n_events"))
+
+  /** Salted equi-join — the join twin of [[saltedSum]] for when the
+    * PROBE side's key distribution is power-law and the build side is
+    * too big to broadcast outright. The probe side gets a
+    * deterministic salt in [0, salts); the build side is replicated
+    * once per salt value (explode of a literal sequence — `salts`×
+    * build-side rows, the price of splitting each hot key's probe rows
+    * across `salts` shuffle partitions). Join keys become (key, salt),
+    * so one hot key no longer lands in one task. Result rows are
+    * exactly those of the unsalted join — the salt never reaches the
+    * output.
+    *
+    * When to reach for it at 100 TB: AQE's skew-split
+    * (`spark.sql.adaptive.skewJoin`) handles hot PARTITIONS
+    * transparently and should be the first lever; explicit salting is
+    * for a single pathological KEY (one partition cannot be split
+    * below one key's row count) or engines/stages where AQE cannot
+    * re-plan (e.g. the exchange feeding a streaming state store).
+    * `salts` trades build-side duplication for parallelism — keep it
+    * at the small end (8–32) and size by the hot key's share. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salts: Int): DataFrame = {
+    require(salts >= 1, "need at least one salt")
+    // xxhash64 of the probe ROW (not just the key — every column) so
+    // a hot key's rows spread uniformly; deterministic across runs.
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(replicated,
+        salted("_salt") === replicated("_salt") &&
+          col(probeKey) === col(buildKey))
+      .drop("_salt")
+  }
+
+  /** First-touch attribution: every conversion (row matching
+    * `convType`) is credited to the user's FIRST event's type — the
+    * acquisition-channel question asked of any event stream. Returns
+    * one row per first-touch channel: users converted, conversions,
+    * exact-decimal revenue.
+    *
+    * Shape: one window over (user, time) to stamp each user's first
+    * touch (no self-join — the window and the subsequent per-user
+    * aggregate shuffle on the same key, so the exchange is reused),
+    * then a conversion filter and a channel rollup whose cardinality
+    * is the (tiny) event-type domain. The (ts, tiebreak) total order
+    * makes "first" deterministic under same-timestamp events. */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String,
+                            tieCol: String, convType: String,
+                            valueCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_first_touch", first(col(typeCol)).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(col("_first_touch").as("first_touch"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,3)")).cast("double")
+          .as("revenue"))
+  }
 }

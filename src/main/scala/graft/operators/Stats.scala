@@ -246,4 +246,88 @@ object Stats {
       .withColumn("z", (col(valueCol) - mean) / sqrt(varr))
       .drop("_n", "_s", "_sq")
   }
+
+  /** ANALYZE-style numeric column profile: one row per profiled column
+    * with row/null/distinct counts, min/max, and an exact-decimal sum —
+    * the table-health snapshot a pipeline records before promoting a
+    * snapshot (complements [[graft.operators.DataQuality.report]],
+    * which counts rule violations; this describes the data itself).
+    *
+    * Shape at scale: ONE aggregate over the table computes every
+    * column's stats (`stack` then unpivots the single result row —
+    * driver-side, zero extra passes). The multiple `count(distinct)`s
+    * plan as one Expand: each input row is replicated once per
+    * profiled column before the partial aggregate, so the scan cost is
+    * paid once and the shuffle carries only per-column partial states.
+    * For very wide profiles where ×cols row replication bites, swap
+    * `countDistinct` for `approx_count_distinct` (HLL partials, no
+    * Expand) — the exact form is kept here because the oracle demands
+    * exact answers. min/max/sum are plain decomposable aggregates.
+    *
+    * Output: (column, n_rows, n_nulls, n_distinct, min_v, max_v,
+    * sum_v) — min/max/sum as doubles via exact decimal accumulation
+    * (QueryUtil convention). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}_n"),
+        countDistinct(col(c)).as(s"__${c}_d"),
+        min(col(c)).cast("double").as(s"__${c}_min"),
+        max(col(c)).cast("double").as(s"__${c}_max"),
+        sum(col(c).cast("decimal(18,3)")).cast("double").as(s"__${c}_sum"))
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __total, __total - __${c}_n, __${c}_d, " +
+        s"__${c}_min, __${c}_max, __${c}_sum"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+  }
+
+  /** Exact equi-width histogram over `valueCol`: `nBins` buckets
+    * spanning [min, max], EMPTY BUCKETS INCLUDED (n = 0), each row
+    * carrying its bucket bounds — the data-profiling companion to
+    * [[exactQuantiles]] (which inverts the question: values at given
+    * ranks vs counts at given values).
+    *
+    * Two passes, both decomposable: a (min, max, count) aggregate
+    * (one row, broadcast back via crossJoin), then a bucket-count
+    * aggregate with map-side partial combine. The bucket id is the
+    * floor of an affine map — monotone in the value, so the histogram
+    * is exact, not sampled. The bins frame is generated FROM the
+    * 1-row bounds (sequence + explode), so empty buckets appear
+    * without a driver-side loop; the left join onto it is a broadcast
+    * of at most `nBins` count rows.
+    *
+    * Determinism: bounds and bucket edges are doubles computed by the
+    * identical expression tree in both engines (affine map, floor,
+    * least) — every op is correctly-rounded IEEE, so bucket
+    * assignment and edge values agree bit-for-bit. Degenerate
+    * min == max collapses everything into bucket 0. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val base = df.select(col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")))
+    val bounds = base.agg(min("x").as("lo"), max("x").as("hi"))
+    val bucketId = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(
+        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins),
+        lit(nBins - 1L)))
+    val counts = base.crossJoin(broadcast(bounds))
+      .select(bucketId.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / nBins
+    val bins = bounds
+      .select(explode(sequence(lit(0L), lit(nBins - 1L))).as("bucket"),
+        col("lo"), col("hi"))
+      .select(col("bucket"),
+        (col("lo") + col("bucket") * width).as("bin_lo"),
+        when(col("bucket") === lit(nBins - 1L), col("hi"))
+          .otherwise(col("lo") + (col("bucket") + 1) * width).as("bin_hi"))
+    bins.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

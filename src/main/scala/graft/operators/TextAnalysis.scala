@@ -244,4 +244,48 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("surprisal_bits"),
         expr("(1000 * surprisal_bits) div n_tokens").as("mean_millibits"))
   }
+
+  /** Bigram conditional surprisal — the second-order sibling of
+    * [[unigramSurprisal]]: each adjacent pair (w1, w2) costs
+    * floor(log2(c(w1) / c(w1,w2))) bits, the inverse of the corpus
+    * conditional probability P(w2|w1), so documents whose word ORDER
+    * is unusual score high even when every individual word is common —
+    * the fluency signal a unigram model cannot see. Same bit-length
+    * floor-log2 (`length(bin(x)) - 1`), no float log anywhere.
+    *
+    * c(w1) counts w1 as a bigram LEFT (doc-final tokens excluded), so
+    * probabilities per context sum to 1 and c(w1) ≥ c(w1,w2) always —
+    * the ratio is a positive integer and the bit trick is safe.
+    * Documents with fewer than two tokens have no bigrams and are
+    * absent from the output (no conditional model applies to them).
+    *
+    * Shape at scale: bigram extraction is a NARROW zip of the token
+    * array with its own tail (no shuffle, no positional self-join);
+    * the model — (w1, w2) counts and w1 context counts — is
+    * vocabulary-bounded, aggregated with map-side combine, and
+    * broadcast back. For web-scale vocabularies where V² outgrows the
+    * broadcast threshold, drop the `broadcast` hints: the join keys
+    * are the bigram columns, and the per-doc rollup shuffles on the
+    * doc id either way. */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val bigrams = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"), expr(
+        """explode(zip_with(slice(t, 1, size(t) - 1),
+                            slice(t, 2, size(t) - 1),
+                            (a, b) -> struct(a AS w1, b AS w2))) AS bg"""))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ctx = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pair = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigrams.join(broadcast(pair), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .withColumn("bits",
+        (length(bin(expr("c1 div cb"))) - 1).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("surprisal_bits"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("surprisal_bits"),
+        expr("(1000 * surprisal_bits) div n_bigrams").as("mean_millibits"))
+  }
 }

@@ -326,6 +326,30 @@ object CoreQueries {
       s.table("graft_ctas_roundtrip").orderBy("o_orderpriority")
     }),
 
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match the dimension's NULL row instead of dropping — completes
+    // the join-operator family (q03-q08, q27). The '3-MEDIUM' priority
+    // is nulled on BOTH sides, so a plain inner join would lose those
+    // 3,003 orders; the UNKNOWN output row proves they survive. The
+    // null-safe predicate still hash-partitions both sides (NULL is an
+    // ordinary key value to `<=>`), so the plan is a normal equi-join,
+    // not a nested loop.
+    "q29_join_null_safe" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '3-MEDIUM')").as("pr"),
+          col("o_totalprice"))
+      val dim = t(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '3-MEDIUM')").as("dpr"))
+        .distinct()
+        .select(col("dpr"), coalesce(col("dpr"), lit("UNKNOWN")).as("grp"))
+      o.join(dim, col("pr") <=> col("dpr"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,3)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // Full grouping-sets lattice (completes ROLLUP/q22): every
     // (region, nation) aggregation combination in one pass over the
     // join — Expand feeds one shuffle, not 4 scans.
@@ -749,6 +773,22 @@ object CoreQueries {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    // IS NOT DISTINCT FROM — the nulled priority matches the dim's
+    // NULL row, surfacing as UNKNOWN.
+    "q29_join_null_safe" ->
+      """WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+                           o_totalprice
+                    FROM orders),
+         dim AS (SELECT dpr, coalesce(dpr, 'UNKNOWN') AS grp FROM
+                   (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM')
+                      AS dpr FROM orders))
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_price
+         FROM o JOIN dim ON o.pr IS NOT DISTINCT FROM dim.dpr
+         GROUP BY grp
+         ORDER BY grp""",
 
     // Round-trip oracles are the underlying SELECT on the parquet
     // source: any loss in the CSV/JSON write+read diverges the hash.

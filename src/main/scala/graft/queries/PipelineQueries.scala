@@ -954,6 +954,69 @@ object PipelineQueries {
         .select(col("source"), col("n_words"), col("n_tokens"),
           expr("(1000 * n_tokens) div n_words").as("fertility_milli"))
         .orderBy("source")
+    }),
+
+    // ANALYZE-style numeric profile of lineitem: one aggregate pass
+    // (multi-distinct plans as a single Expand), stack-unpivoted to a
+    // row per column.
+    "q128_column_profile" -> ((s, dir) => {
+      Stats.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax"))
+        .orderBy("col_name")
+    }),
+
+    // Exact equi-width histogram (20 bins, empty bins included) over
+    // order totals — bounds pass + decomposable bucket counts.
+    "q129_histogram" -> ((s, dir) => {
+      Stats.histogram(t(s, dir, "orders"), "o_totalprice", nBins = 20)
+        .orderBy("bucket")
+    }),
+
+    // Salted equi-join: events (probe, salted) × customer (build,
+    // replicated ×8) — result identical to the plain join, shuffle
+    // split across salts. The rollup proves result parity.
+    "q130_salted_join" -> ((s, dir) => {
+      Events.saltedJoin(t(s, dir, "events"),
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          "user_id", "c_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).cast("double")
+            .as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // First-touch attribution: purchases credited to each user's first
+    // event type; one window + one rollup sharing the user shuffle.
+    "q131_attribution" -> ((s, dir) => {
+      Events.firstTouchAttribution(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", convType = "purchase",
+          valueCol = "value")
+        .orderBy("first_touch")
+    }),
+
+    // Trailing 1-hour RANGE-frame window per user (time-based frame —
+    // q102's sibling with a value frame instead of a row frame; ties
+    // at the same µs are peers, so the result is order-independent).
+    "q132_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          sum(col("value").cast("decimal(18,3)")).over(w).cast("double")
+            .as("trailing_1h_sum"),
+          count(lit(1)).over(w).as("trailing_1h_n"))
+        .orderBy("event_id")
+    }),
+
+    // Bigram conditional surprisal — fluency scoring via corpus
+    // P(w2|w1), integer bit-length floor-log2 end to end.
+    "q133_bigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2580,6 +2643,110 @@ object PipelineQueries {
          SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
                 coalesce(c.component, a.vec_id) AS keep_id
          FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    // One counting subquery per profiled column, unioned — the oracle
+    // pays a scan per column where the engine pays one Expand pass.
+    "q128_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(min($c) AS DOUBLE) AS min_v,
+                   CAST(max($c) AS DOUBLE) AS max_v,
+                   CAST(sum(CAST($c AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
+            FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    // Same affine bucket map (identical IEEE expression order), same
+    // generated bin frame so empty bins appear with n = 0.
+    "q129_histogram" ->
+      """WITH base AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+         bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+         counts AS (
+           SELECT CASE WHEN hi = lo THEN 0
+                       ELSE least(CAST(floor((x - lo) / (hi - lo) * 20)
+                                       AS BIGINT), 19) END AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM base CROSS JOIN bounds GROUP BY 1),
+         bins AS (
+           SELECT unnest(range(0, 20)) AS bucket, lo, hi
+           FROM bounds)
+         SELECT CAST(b.bucket AS BIGINT) AS bucket,
+                lo + b.bucket * ((hi - lo) / 20) AS bin_lo,
+                CASE WHEN b.bucket = 19 THEN hi
+                     ELSE lo + (b.bucket + 1) * ((hi - lo) / 20) END AS bin_hi,
+                coalesce(c.n, 0) AS n
+         FROM bins b LEFT JOIN counts c ON c.bucket = b.bucket
+         ORDER BY bucket""",
+
+    // The salt never changes the result set: the oracle is the PLAIN
+    // join's rollup.
+    "q130_salted_join" ->
+      """SELECT c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+
+    // Same (ts µs, event_id) total order for "first"; purchases roll
+    // up by that first-touch channel.
+    "q131_attribution" ->
+      """WITH stamped AS (
+           SELECT user_id, event_type, value,
+                  first_value(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS first_touch
+           FROM events)
+         SELECT first_touch,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS revenue
+         FROM stamped WHERE event_type = 'purchase'
+         GROUP BY first_touch
+         ORDER BY first_touch""",
+
+    // Identical µs RANGE frame; decimal-exact sum, one edge cast.
+    "q132_trailing_window" ->
+      """SELECT event_id, user_id, us,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE)
+                  AS trailing_1h_sum,
+                CAST(count(*) OVER w AS BIGINT) AS trailing_1h_n
+         FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // Same tail-zip bigram extraction, same bit-length floor-log2 of
+    // the context/pair count ratio.
+    "q133_bigram_surprisal" ->
+      """WITH d AS (
+           SELECT doc_id AS id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         bg AS (
+           SELECT id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT id, t, unnest(range(1, len(t))) AS i FROM d)),
+         ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM bg GROUP BY w1),
+         pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                  FROM bg GROUP BY w1, w2)
+         SELECT id AS doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(length(bin(c1 // cb)) - 1) AS BIGINT)
+                  AS surprisal_bits,
+                (1000 * CAST(sum(length(bin(c1 // cb)) - 1) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS mean_millibits
+         FROM bg JOIN pair USING (w1, w2) JOIN ctx USING (w1)
+         GROUP BY id
+         ORDER BY doc_id"""
   )
 }

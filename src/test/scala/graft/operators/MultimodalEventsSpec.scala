@@ -69,4 +69,36 @@ class MultimodalEventsSpec extends SparkTestBase {
     val r = Events.jsonPropAgg(events, "$.k")
     assert(r.agg(sum("n")).head.getLong(0) == events.count())
   }
+
+  test("salted join equals the plain join, salt column dropped") {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val salted = Events.saltedJoin(events, dim, "user_id", "c_custkey", 8)
+    val plain = events.join(dim, col("user_id") === col("c_custkey"))
+    assert(!salted.columns.contains("_salt"))
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+  }
+
+  test("first-touch attribution: conversions credit the first event") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: ad first, then purchase — credit "ad"
+      (1L, 1L, "ad", 10.0), (2L, 1L, "purchase", 5.0),
+      // user 2: email first, two purchases — both credit "email"
+      (3L, 2L, "email", 0.0), (4L, 2L, "purchase", 7.0),
+      (5L, 2L, "purchase", 3.0),
+      // user 3: purchase IS the first touch — credits itself
+      (6L, 3L, "purchase", 2.0),
+      // user 4: never converts — absent from output
+      (7L, 4L, "ad", 0.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+    val got = Events.firstTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "purchase", "value")
+      .orderBy("first_touch")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("ad", 1L, 1L, 5.0), ("email", 1L, 2L, 10.0),
+      ("purchase", 1L, 1L, 2.0)))
+  }
 }

@@ -163,6 +163,26 @@ class OperatorSpec extends SparkTestBase {
     assert(got(2L) == ((4L, 10L, 2500L)))  // 2+2+3+3 bits
   }
 
+  test("bigram surprisal: unusual word ORDER costs bits common words don't") {
+    import spark.implicits._
+    // doc1's 9 tokens tail-zip to 8 bigrams: (a,b)×4, (b,a)×4.
+    // doc2 "a a" uses only the corpus's most common WORD, but the
+    // ORDER (a following a) is unique. Context counts (as bigram
+    // left): c(a)=5, c(b)=4 → bits(a,b)=floor(log2(5/4))=0,
+    // bits(b,a)=floor(log2(4/4))=0, bits(a,a)=floor(log2(5/1))=2.
+    val df = Seq((1L, "a b a b a b a b a"), (2L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((8L, 0L, 0L)))     // fluent under the corpus LM
+    assert(got(2L) == ((1L, 2L, 2000L)))  // common words, rare order
+    // a single-token doc has no bigrams and is absent
+    val single = TextAnalysis.bigramSurprisal(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.count() == 0)
+  }
+
   test("int8 top-k ranks by integer dot with vec_id tie-break") {
     import spark.implicits._
     val df = Seq(

@@ -150,4 +150,34 @@ class StatsSpec extends SparkTestBase {
     val want = naiveQuantiles(df, qs)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  test("profileNumeric counts nulls and distincts per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (2.0, null), (3.0, 20.0))
+      .toDF("a", "b")
+    val got = Stats.profileNumeric(df, Seq("a", "b")).orderBy("col_name")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 0L, 3L, 1.0, 3.0, 8.0),
+      ("b", 4L, 1L, 2L, 10.0, 20.0, 40.0)))
+  }
+
+  test("histogram: counts sum to total, empty bins present, edges exact") {
+    val df = (0 to 100).map(_.toDouble).toDF("x")
+      .filter(col("x") < 30 || col("x") > 70) // hollow the middle
+    val h = Stats.histogram(df, "x", nBins = 10).orderBy("bucket").collect()
+    assert(h.length == 10) // empty middle bins still present
+    assert(h.map(_.getLong(3)).sum == df.count())
+    assert(h.count(_.getLong(3) == 0L) == 4) // buckets 3..6 are empty
+    assert(h.head.getDouble(1) == 0.0 && h.last.getDouble(2) == 100.0)
+    // max value lands in the LAST bucket, not a phantom bucket n
+    assert(h.last.getLong(3) > 0)
+  }
+
+  test("histogram degenerate min == max collapses to bucket 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val h = Stats.histogram(df, "x", nBins = 4).orderBy("bucket").collect()
+    assert(h.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L, 0L))
+  }
 }

@@ -185,7 +185,12 @@ object Events {
       pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
-    salted.join(replicated,
+    // The operator exists for the NO-broadcast regime (a broadcast
+    // join has no per-key partition to split, and salting it is pure
+    // overhead) — pin the shuffle-hash shape so the plan demonstrated
+    // at test scale is the plan used at 100 TB, where the build side
+    // exceeds the broadcast threshold anyway.
+    salted.join(replicated.hint("shuffle_hash"),
         salted("_salt") === replicated("_salt") &&
           col(probeKey) === col(buildKey))
       .drop("_salt")

@@ -263,6 +263,34 @@ object StreamingQueries {
           row_number().over(w).cast("long").as("session_seq"),
           col("n_events"))
         .orderBy("user_id", "session_seq")
+    }),
+
+    // Arbitrary state via Spark 4's transformWithState (RocksDB-backed
+    // typed ValueState): per-user running totals emitted per event.
+    // Append mode with no watermark dependency ⇒ the bounded one-batch
+    // run emits the prefix sums of the (us, event_id) order, which is
+    // the oracle's UNBOUNDED PRECEDING window. Sums are exact integer
+    // milli-units (the DECIMAL(18,3) convention, pre-quantized so the
+    // state fold is pure int64).
+    "q134_stream_running_totals" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"),
+          (col("value").cast("decimal(18,3)") * 1000).cast("long")
+            .as("millis"))
+        .as[EventStreams.EventMilli]
+      val totals = EventStreams.runningTotals(s, ev)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try runBounded(s, totals.toDF(), "graft_q134_sink", "append")
+        .orderBy("event_id")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     })
   )
 
@@ -415,6 +443,19 @@ object StreamingQueries {
          FROM sess
          WHERE session_id < last_sid
             OR (end_us // 1000) + 1800000 < (SELECT w FROM wm)
-         ORDER BY user_id, session_seq"""
+         ORDER BY user_id, session_seq""",
+
+    // The one-batch transformWithState emission = batch prefix sums
+    // over the same (us, event_id) total order, in exact milli-units.
+    "q134_stream_running_totals" ->
+      """SELECT event_id, user_id,
+                CAST(count(*) OVER w AS BIGINT) AS running_n,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w * 1000
+                     AS BIGINT) AS running_sum_millis
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY epoch_ns(ts) // 1000, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id"""
   )
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the batch event operators
   * ([[graft.operators.Events]]) — engine extension beyond the reference
@@ -164,5 +164,66 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Input row for [[runningTotals]]: event with its µs timestamp and
+    * the value pre-quantized to exact DECIMAL(18,3) milli-units. */
+  case class EventMilli(event_id: Long, user_id: Long, us: Long,
+                        millis: Long)
+
+  /** One emitted running total (sum in exact milli-units — the
+    * integer twin of the DECIMAL(18,3) convention). */
+  case class RunningTotal(event_id: Long, user_id: Long, running_n: Long,
+                          running_sum_millis: Long)
+
+  private case class TotalsState(n: Long, sumMillis: Long)
+
+  /** Arbitrary-state processor behind [[runningTotals]] — the
+    * Spark 4 `transformWithState` API (StatefulProcessor + typed
+    * ValueState) rather than flatMapGroupsWithState: state schema is
+    * declared to the store (RocksDB provider required), not smuggled
+    * through a GroupState blob, which is what enables state TTL,
+    * schema evolution, and independent state-var composition at scale.
+    *
+    * Within a batch the group's rows are folded in (us, event_id)
+    * order; the O(1) per-key state carries the fold across batches.
+    * Emission is per input row (append mode, no watermark dependency),
+    * so the bounded single-batch run emits exactly the batch window
+    * prefix-sums — which is what the oracle computes. */
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventMilli, RunningTotal] {
+    @transient private var state: ValueState[TotalsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TotalsState]("totals",
+        org.apache.spark.sql.Encoders.product[TotalsState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventMilli],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      // One group-batch is buffered to restore event order — the same
+      // bounded-buffer trade sessionize makes; state stays O(1).
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var st = if (state.exists()) state.get() else TotalsState(0L, 0L)
+      val out = sorted.map { e =>
+        st = TotalsState(st.n + 1L, st.sumMillis + e.millis)
+        RunningTotal(e.event_id, key, st.n, st.sumMillis)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Per-user running (count, exact-decimal sum) emitted for EVERY
+    * event — the transformWithState feature-engineering primitive
+    * (cumulative user spend feeding a live model). State is one
+    * (n, sum) pair per user in the state store, sharded by key hash;
+    * nothing is ever retained per event. */
+  def runningTotals(spark: SparkSession,
+                    events: Dataset[EventMilli]): Dataset[RunningTotal] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -430,4 +430,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
+
+  test("q128 profile is ONE pass: a single scan through one Expand") {
+    val p = planOf("q128_column_profile")
+    // one lineitem scan feeds the multi-distinct Expand; no join, no
+    // per-column re-scan (formatted mode prints each node twice —
+    // count the numbered detail entries)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("Expand"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q129 histogram broadcasts the 1-row bounds; counts combine map-side") {
+    val p = planOf("q129_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"))
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q130 salted join is a SHUFFLE join — the shape salting exists for") {
+    val p = planOf("q130_salted_join")
+    assert(p.contains("ShuffledHashJoin"))
+    // the probe side must NOT be broadcast (a broadcast join has no
+    // per-key partition for the salt to split)
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("q133 bigram model joins broadcast — the corpus never shuffles on bigrams") {
+    val p = planOf("q133_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
 }

@@ -160,4 +160,39 @@ class EventStreamsSpec extends SparkTestBase {
       .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
     assert(rows.toSeq == Seq(("GOLD", 2L, 3.0), ("SILVER", 1L, 3.0)))
   }
+
+  test("running totals carry ValueState across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventMilli]
+      val q = runningTotals(spark, in.toDS())
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("append").start()
+      // batch 1: user 1 twice (out of order — the processor re-sorts),
+      // user 2 once
+      in.addData(
+        EventMilli(2L, 1L, 2000L, 2500L),
+        EventMilli(1L, 1L, 1000L, 1000L),
+        EventMilli(3L, 2L, 1500L, 7000L))
+      q.processAllAvailable()
+      // batch 2: user 1 again — the fold must RESUME from (2, 3500)
+      in.addData(EventMilli(4L, 1L, 9000L, 500L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("running_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, 1L, 1L, 1000L), (2L, 1L, 2L, 3500L),
+        (3L, 2L, 1L, 7000L), (4L, 1L, 3L, 4000L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner is weak-ref driven; Spark's default periodic-GC
+      // safety net is 30 MIN. Within a single long multi-stage query the
+      // between-queries sweep can't help, so tighten the net (see
+      // Checkpoints.sweep for the measured starvation numbers).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated name filter for targeted timing runs.
@@ -69,18 +74,20 @@ object Bench {
     // fall back to full names if a qNN prefix ever collides.
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     val useShort = shortIds.distinct.size == shortIds.size
-    val short = results.zip(shortIds).map { case ((k, v), sid) =>
-      s"\"" + (if (useShort) sid else k) + "\":" + r3(v)
-    }.mkString("{", ",", "}")
-    val line =
+    def fmtLine(fmt: Double => String): String = {
+      val short = results.zip(shortIds).map { case ((k, v), sid) =>
+        s"\"" + (if (useShort) sid else k) + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}"""
+    }
     // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
-    // by the harness tail; degrade to totals-only (full per-query detail
-    // always lands in bench.json).
-    println(if (line.length <= 1900)
-      line
-    else
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    // by the harness tail. Degrade gracefully: ms precision → cs
+    // precision → totals-only (full 3-decimal detail always lands in
+    // bench.json).
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(Seq(fmtLine(r3), fmtLine(r2)).find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     // Full names land in a plain file (sbt decorates stdout with
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }

@@ -41,10 +41,27 @@ object Checkpoints {
   /** Drop every persisted RDD and SQL-cached plan still registered in
     * the session — between-queries hygiene for a service processing
     * independent requests. Callers must have fully consumed any prior
-    * results first: freed checkpoints are unrecomputable. */
+    * results first: freed checkpoints are unrecomputable.
+    *
+    * The explicit GC is the load-bearing half. Spark frees SHUFFLE and
+    * BROADCAST state only through ContextCleaner, which is driven by
+    * WEAK REFERENCES — nothing is unregistered until the driver
+    * garbage-collects. A bench/service session with a generous heap
+    * running small queries may not GC for many minutes, so thousands
+    * of dead shuffles stay registered and every job submission walks
+    * an ever-growing scheduler state: measured on the 136-query sf0.1
+    * bench, the single dag-scheduler-event-loop thread burned 68 s of
+    * CPU and the run took 608 s at -Xmx8g — and 829 s at -Xmx28g
+    * (bigger heap ⇒ rarer GC ⇒ more starvation), with queries idling
+    * 97% while the scheduler churned. A forced GC at each query
+    * boundary lets the cleaner drain; pauses land in UNTIMED harness
+    * code, never inside a measured query. (Spark's own safety net,
+    * `spark.cleaner.periodicGC.interval`, defaults to 30 MINUTES —
+    * far too slow for this shape.) */
   def sweep(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
+    System.gc()
   }
 }

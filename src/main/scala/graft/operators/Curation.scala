@@ -178,6 +178,63 @@ object Curation {
     df.filter(h < threshold)
   }
 
+  /** Exact per-class cap — keep at most `cap` rows per class, chosen
+    * as the `cap` SMALLEST md5-prefix hashes (a deterministic uniform
+    * draw, the same coin as [[hashSplit]]) — the class-balancing step
+    * of a training-data mix (cap the over-represented crawl domain,
+    * keep the rare ones whole).
+    *
+    * Unlike a rate (`stratifiedSample`), an exact cap needs per-class
+    * ORDER STATISTICS — and the naive `row_number().over(partitionBy
+    * (class).orderBy(hash)) <= cap` sorts each class in ONE task, the
+    * straggler shape a power-law class distribution guarantees. This
+    * implements the [[Stats.exactMedian]] trick instead: count rows
+    * per (class, 16-bit hash bucket), take the per-class cumulative
+    * bucket histogram (a window over ≤ 65,536 count rows per class,
+    * never data rows), find the cutoff bucket where the cap lands, and
+    * rank ONLY that one bucket's rows (~n/65,536 of the class). Below
+    * the cutoff: kept outright; above: dropped; inside: the remaining
+    * quota by (hash, id) order. Equal to the naive rank's answer row
+    * for row, at 1/65,536th of the sort.
+    *
+    * Classes with ≤ `cap` rows pass through whole. Output: the kept
+    * rows, original columns. */
+  def classBalance(df: DataFrame, classCol: String, idCol: String,
+                   cap: Int): DataFrame = {
+    require(cap >= 1, "need a positive cap")
+    // 32-bit hash prefix as fixed-width hex: string order ≡ numeric.
+    val withH = df.withColumn("_h8",
+      substring(md5(col(idCol).cast("string")), 1, 8))
+      .withColumn("_b", expr("conv(substring(_h8, 1, 4), 16, 10)")
+        .cast("long"))
+    val hist = withH.groupBy(col(classCol).as("_cls"), col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cls").orderBy("_b")
+    val cuts = hist
+      .withColumn("_cum", sum("_bn").over(wCum))
+      .withColumn("_before", col("_cum") - col("_bn"))
+      // the bucket where the cap falls, and the quota left inside it
+      .filter(col("_before") < cap)
+      .withColumn("_quota",
+        when(col("_cum") <= cap, col("_bn"))
+          .otherwise(lit(cap) - col("_before")))
+      .select(col("_cls"), col("_b").as("_cb"), col("_quota"), col("_bn"))
+    val joined = withH.join(cuts,
+      withH(classCol) === cuts("_cls") && withH("_b") === cuts("_cb"))
+    // full buckets pass through; only the one straddling bucket per
+    // class is ranked — and only its own rows enter the window
+    val whole = joined.filter(col("_quota") === col("_bn"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cls", "_cb").orderBy(col("_h8"), col(idCol))
+    val straddle = joined.filter(col("_quota") < col("_bn"))
+      .withColumn("_rn", row_number().over(wIn))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_rn")
+    whole.union(straddle)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: keep each row with
     * probability proportional to its integer weight, p_i = w_i / w_max
     * (the max-weight row is always kept) — importance sampling by

@@ -247,6 +247,56 @@ object Stats {
       .drop("_n", "_s", "_sq")
   }
 
+  /** Exact per-group percent rank in integer permille —
+    * `(1000·(rank−1)) div (n−1)` with SQL `rank()` tie semantics —
+    * the cross-domain score CALIBRATION step of a curation mix: each
+    * source's quality scores map onto its own [0, 1000] rank scale, so
+    * a single global threshold means the same thing in every domain.
+    *
+    * Exactness via the [[exactMedian]] two-phase shape, but for EVERY
+    * row's rank rather than one selected rank: per-group bucket
+    * histogram (decomposable counts), cumulative rows-below per
+    * bucket (a window over ≤ `buckets` count rows), then an in-bucket
+    * `rank()` window over ~n/`buckets` rows. Global rank = rows below
+    * the bucket + in-bucket rank; equal values share a bucket (the
+    * map is value-deterministic), so ties resolve exactly as one
+    * whole-group `rank()` would — without ever sorting a whole group
+    * in one task. Integer arithmetic end to end; n = 1 pins to 0.
+    *
+    * Output: the input columns plus `prank_milli`. Non-finite values
+    * are dropped (the same convention as [[exactMedian]]). */
+  def percentRankMilli(df: DataFrame, groupCol: String, valueCol: String,
+                       buckets: Int = 1024): DataFrame = {
+    val base = df.withColumn("_x", col(valueCol).cast("double"))
+      .where(col("_x").isNotNull && !isnan(col("_x")) &&
+        abs(col("_x")) < lit(Double.PositiveInfinity))
+    val bounds = base.groupBy(col(groupCol).as("_g"))
+      .agg(min("_x").as("_lo"), max("_x").as("_hi"),
+        count(lit(1)).as("_n"))
+    val bucketId = when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(least(
+        floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo")) * buckets),
+        lit(buckets - 1L)))
+    val bucketed = base
+      .join(broadcast(bounds), col(groupCol) === col("_g"))
+      .withColumn("_b", bucketId)
+    val hist = bucketed.groupBy(col(groupCol).as("_hg"), col("_b").as("_hb"))
+      .agg(count(lit(1)).as("_bn"))
+    val wCum = Window.partitionBy("_hg").orderBy("_hb")
+    val below = hist
+      .withColumn("_below", sum("_bn").over(wCum) - col("_bn"))
+      .select(col("_hg"), col("_hb"), col("_below"))
+    val wIn = Window.partitionBy(col(groupCol), col("_b")).orderBy(col("_x"))
+    bucketed
+      .join(broadcast(below),
+        col(groupCol) === col("_hg") && col("_b") === col("_hb"))
+      .withColumn("_grank", col("_below") + rank().over(wIn))
+      .withColumn("prank_milli",
+        when(col("_n") === 1L, lit(0L))
+          .otherwise(expr("(1000 * (_grank - 1)) div (_n - 1)")))
+      .select((df.columns.map(col) :+ col("prank_milli")).toIndexedSeq: _*)
+  }
+
   /** ANALYZE-style numeric column profile: one row per profiled column
     * with row/null/distinct counts, min/max, and an exact-decimal sum —
     * the table-health snapshot a pipeline records before promoting a

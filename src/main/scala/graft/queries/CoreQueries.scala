@@ -550,6 +550,24 @@ object CoreQueries {
       graft.sources.Warehouse.writeJsonLines(docs, path)
       graft.sources.Warehouse.readJsonLines(s, path, docs.schema)
         .orderBy("doc_id")
+    }),
+
+    // JDBC source/sink round-trip against embedded Derby — the
+    // executable data path next to JdbcMetadataProvider's lookup path
+    // (together they mirror and extend the reference's JDBC connector,
+    // its only real one). Aggregate out, RDBMS table in, read back;
+    // the oracle is the underlying SELECT, so any type mangling in the
+    // JDBC writer/reader (strings→CLOB, longs→BIGINT) diverges the
+    // hash.
+    "q135_jdbc_roundtrip" -> ((s, dir) => {
+      val agg = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      val url = "jdbc:derby:memory:graftq135;create=true"
+      graft.sources.Warehouse.writeJdbc(agg, url, "graft_q135")
+      graft.sources.Warehouse.readJdbc(s, url, "graft_q135")
+        .orderBy("source", "lang")
     })
   )
 
@@ -795,6 +813,13 @@ object CoreQueries {
     "q55_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q135_jdbc_roundtrip" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY source, lang
+         ORDER BY source, lang""",
 
     "q78_cube" ->
       """SELECT COALESCE(r_name, 'ALL') AS region,

@@ -1017,6 +1017,26 @@ object PipelineQueries {
     "q133_bigram_surprisal" -> ((s, dir) => {
       TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Exact per-class cap (13 docs/source by smallest md5 prefix) via
+    // the two-phase bucket cutoff — never a whole class in one sort.
+    // 13 binds in EVERY class at the sf0.01 gate (25/source), so the
+    // cutoff+straddle path is what the oracle checks, not pass-through.
+    "q136_class_balance" -> ((s, dir) => {
+      Curation.classBalance(
+          t(s, dir, "documents").select("doc_id", "source", "lang", "n_chars"),
+          "source", "doc_id", cap = 13)
+        .orderBy("doc_id")
+    }),
+
+    // Exact per-group percent rank in permille (score calibration
+    // across domains) — two-phase bucketed ranks, integer output.
+    "q137_percent_rank" -> ((s, dir) => {
+      Stats.percentRankMilli(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_id")
     })
   )
 
@@ -2747,6 +2767,32 @@ object PipelineQueries {
                   // CAST(count(*) AS BIGINT) AS mean_millibits
          FROM bg JOIN pair USING (w1, w2) JOIN ctx USING (w1)
          GROUP BY id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // The naive whole-class rank — the semantics the two-phase cutoff
+    // reproduces exactly: cap smallest (md5-prefix, id) per class.
+    "q136_class_balance" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, lang, n_chars,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, source, lang, n_chars
+         FROM ranked WHERE rn <= 13
+         ORDER BY doc_id""",
+
+    // The naive whole-group rank() the bucketed ranks must equal,
+    // including tie semantics; integer permille division.
+    "q137_percent_rank" ->
+      """SELECT event_id, event_type, value,
+                CASE WHEN count(*) OVER g = 1 THEN 0
+                     ELSE (1000 * (rank() OVER w - 1))
+                          // (count(*) OVER g - 1) END AS prank_milli
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value),
+                g AS (PARTITION BY event_type)
+         ORDER BY event_id"""
   )
 }

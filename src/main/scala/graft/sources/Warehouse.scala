@@ -92,4 +92,38 @@ object Warehouse {
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write `df` to an RDBMS table over JDBC — the executable sink
+    * behind the reference's only real connector (its JDBC metadata SPI,
+    * `service/MetaDataQueryImpl.java:29-44`, resolves columns for
+    * exactly such tables; [[graft.lineage.JdbcMetadataProvider]] is the
+    * lookup half, this is the data half).
+    *
+    * Scale contract: JDBC is the DIMENSION/RESULT-scale edge of the
+    * warehouse (reference tables in, aggregates out), not a corpus
+    * store — writes funnel through `numPartitions` connections (default
+    * 1: most RDBMS ingest paths prefer one well-batched writer;
+    * `batchsize` covers the rest). Corpus-scale data belongs in the
+    * columnar layouts above. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+                numPartitions: Int = 1,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.coalesce(numPartitions).write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver)
+      .mode(mode).save()
+
+  /** Read an RDBMS table over JDBC. Catalyst pushes filters and column
+    * pruning into the generated SQL (`PushedFilters` in `.explain`
+    * become the remote WHERE clause); for large remote tables pass
+    * `partitionColumn` bounds via the options overloads of
+    * `spark.read.jdbc` to parallelize the range scan — this helper is
+    * the single-partition reference/dimension path. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver)
+      .load()
 }

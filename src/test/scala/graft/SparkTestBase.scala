@@ -13,7 +13,13 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkTestBase.session
 
-  override def afterAll(): Unit = super.afterAll()
+  // Per-suite hygiene: drop leftover persisted state and let the
+  // weak-ref cleaner drain (the GC inside sweep) so later suites run
+  // against a clean scheduler, not 20 suites of dead shuffles.
+  override def afterAll(): Unit = {
+    Checkpoints.sweep(SparkTestBase.session)
+    super.afterAll()
+  }
 }
 
 object SparkTestBase {
@@ -23,6 +29,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The suite runs thousands of small jobs in one session; without
+      // this the weak-ref ContextCleaner never fires on the quiet test
+      // heap and scheduler state accumulates (see Checkpoints.sweep).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -70,4 +70,30 @@ class HashSplitSpec extends SparkTestBase {
       Curation.stratifiedSample(docs, "doc_id", "lang", Seq("en" -> 1.5), 0.1)
     }
   }
+
+  test("classBalance equals the naive per-class rank cap") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val cap = 37 // odd cap so the cutoff bucket is genuinely straddled
+    val got = Curation.classBalance(docs, "source", "doc_id", cap)
+    val want = docs.selectExpr("*",
+      "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substring(md5(CAST(doc_id AS STRING)), 1, 8), doc_id) AS rn")
+      .filter(col("rn") <= cap).drop("rn")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // per-class sizes: min(cap, class size)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) => assert(kept(s) == math.min(cap.toLong, n)) }
+  }
+
+  test("classBalance passes small classes through whole") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source")
+    val total = docs.count()
+    assert(Curation.classBalance(docs, "source", "doc_id",
+      cap = total.toInt + 1).count() == total)
+  }
 }

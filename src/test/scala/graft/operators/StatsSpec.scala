@@ -180,4 +180,18 @@ class StatsSpec extends SparkTestBase {
     val h = Stats.histogram(df, "x", nBins = 4).orderBy("bucket").collect()
     assert(h.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L, 0L))
   }
+
+  test("percentRankMilli equals the naive whole-group rank, ties included") {
+    // heavy ties + a skewed group + a singleton group, tiny buckets so
+    // the cutoff logic is exercised, not bypassed
+    val rows = (0 until 400).map(i => (s"g${i % 3}", (i % 17).toDouble)) :+
+      (("solo", 42.0))
+    val df = rows.toDF("g", "x")
+    val got = Stats.percentRankMilli(df, "g", "x", buckets = 4)
+    val want = df.selectExpr("g", "x",
+      "CASE WHEN count(1) OVER (PARTITION BY g) = 1 THEN CAST(0 AS BIGINT) " +
+        "ELSE (1000 * (rank() OVER (PARTITION BY g ORDER BY x) - 1)) " +
+        "div (count(1) OVER (PARTITION BY g) - 1) END AS prank_milli")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
 }

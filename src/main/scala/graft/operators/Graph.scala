@@ -299,4 +299,48 @@ object Graph {
     }
     ranks
   }
+
+  /** k-core peeling, `rounds` fixed iterations: repeatedly delete
+    * nodes of degree < `k` (with their edges) from the UNDIRECTED
+    * graph; survivors of the fixpoint form the k-core — the standard
+    * densest-region filter (spam rings, tight near-dup families)
+    * whose cascade a single degree filter cannot see: removing the
+    * ends of a chain strands their neighbors, round after round.
+    *
+    * Fixed `rounds` rather than convergence-test-per-round keeps the
+    * result a pure function of (graph, k, rounds) — cross-engine
+    * checkable by an unrolled oracle — and peeling is monotone, so
+    * once converged, further rounds are no-ops: pick `rounds` ≥ the
+    * expected cascade depth (it is ≤ the graph's degeneracy ordering
+    * depth; a convergence-driven caller can compare successive round
+    * counts). Per round: one degree aggregation (map-side combinable)
+    * + two semi-joins to drop edges of deleted nodes — all shuffles
+    * on the node id, no all-pairs anything. Superseded per-round edge
+    * checkpoints are freed as the next generation materializes.
+    *
+    * Output: (node, degree) of the surviving subgraph. */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val fwd = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    var e = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var prev: DataFrame = e
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k)
+        .select(col("u").as("_keep"))
+      val next = e
+        .join(keep, col("u") === col("_keep"), "left_semi")
+        .join(keep, col("v") === col("_keep"), "left_semi")
+      if (r < rounds) {
+        e = next.localCheckpoint()
+        graft.Checkpoints.free(prev)
+        prev = e
+      } else {
+        e = next
+      }
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -1037,6 +1037,47 @@ object PipelineQueries {
           t(s, dir, "events").select("event_id", "event_type", "value"),
           "event_type", "value")
         .orderBy("event_id")
+    }),
+
+    // k-core peeling (k = 26, 3 fixed rounds) over the bipartite
+    // part–supplier incidence graph (q88's node encoding): the
+    // dense-region filter. The real cascade depth is proven on a path
+    // graph in GraphSpec; here the third round is the oracle-checked
+    // converged no-op.
+    "q138_kcore" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.kCorePeel(edges, "a", "b", k = 26, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // SCD2 POINT-IN-TIME lookup: each view event joined to the
+    // purchase-history version valid at its timestamp — the lakehouse
+    // "dimension as of fact time" question, composed as Cdc.scd2 →
+    // as-of join (a version interval match IS an as-of on version
+    // starts when versions tile time). Views before a user's first
+    // version drop (inner interval semantics).
+    "q139_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("valid_from_us"), col("value"))
+      val dims = Cdc.scd2(hist, Seq("user_id"),
+          Seq("valid_from_us", "event_id"), "valid_from_us")
+        .select(col("user_id"), col("valid_from_us").as("us"),
+          col("event_id"), col("version"),
+          col("value").as("value_at_time"))
+      val facts = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"))
+      AsOfJoin.asOf(facts, dims, "user_id", "us", "event_id",
+          Seq("version", "value_at_time"))
+        .withColumnRenamed("asof_version", "version")
+        .withColumnRenamed("asof_value_at_time", "value_at_time")
+        .filter(col("version").isNotNull)
+        .orderBy("event_id")
     })
   )
 
@@ -2793,6 +2834,56 @@ object PipelineQueries {
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY value),
                 g AS (PARTITION BY event_type)
+         ORDER BY event_id""",
+
+    // Three unrolled peel stages — the same fixed-round contract
+    // (peeling is monotone, so a converged round is a no-op).
+    "q138_kcore" ->
+      """WITH e0 AS (
+           SELECT u, v FROM (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem)
+           UNION
+           SELECT v, u FROM (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem)),
+         k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 26),
+         e1 AS (SELECT e0.u, e0.v FROM e0
+                WHERE e0.u IN (SELECT u FROM k1)
+                  AND e0.v IN (SELECT u FROM k1)),
+         k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 26),
+         e2 AS (SELECT e1.u, e1.v FROM e1
+                WHERE e1.u IN (SELECT u FROM k2)
+                  AND e1.v IN (SELECT u FROM k2)),
+         k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 26),
+         e3 AS (SELECT e2.u, e2.v FROM e2
+                WHERE e2.u IN (SELECT u FROM k3)
+                  AND e2.v IN (SELECT u FROM k3))
+         SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM e3 GROUP BY u
+         ORDER BY node""",
+
+    // Interval join against the q109-style version table: version
+    // valid at view time, open current version, zero-width dup-ts
+    // versions excluded by vf <= us < vt.
+    "q139_pit_join" ->
+      """WITH hist AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS vf, value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT user_id,
+                  CAST(row_number() OVER w AS BIGINT) AS version,
+                  vf, lead(vf) OVER w AS vt, value
+           FROM hist
+           WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)),
+         f AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+           FROM events WHERE event_type = 'view')
+         SELECT f.event_id, f.user_id, f.us, v.version,
+                v.value AS value_at_time
+         FROM f JOIN v
+           ON f.user_id = v.user_id AND v.vf <= f.us
+          AND (v.vt IS NULL OR f.us < v.vt)
          ORDER BY event_id"""
   )
 }

@@ -105,4 +105,21 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(ranks.keySet == Set(1L, 2L, 3L) && ranks.values.forall(_ > 0L))
   }
+
+  test("k-core peeling cascades: a tail strands its neighbor round by round") {
+    import spark.implicits._
+    // triangle {10,11,12} with a 2-hop tail 1-2-10: k=2 removes node 1
+    // (degree 1) in round 1, which strands node 2 for round 2; the
+    // triangle is the 2-core. A converged extra round changes nothing.
+    val edges = Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (1L, 2L), (2L, 10L)).toDF("a", "b")
+    def core(rounds: Int) =
+      Graph.kCorePeel(edges, "a", "b", k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    assert(core(1).keySet == Set(2L, 10L, 11L, 12L)) // tail end gone
+    assert(core(2) == Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+    assert(core(3) == core(2)) // converged: no-op round
+    // k above the max degree empties the graph
+    assert(Graph.kCorePeel(edges, "a", "b", k = 4, rounds = 2).count() == 0)
+  }
 }

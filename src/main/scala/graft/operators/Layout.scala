@@ -42,4 +42,25 @@ object Layout {
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
+
+  /** ZONE MAP over a dataset laid out in `zoneExpr`-sized units (a
+    * stand-in for files/row-groups): per zone, row count and min/max
+    * of each stats column, plus whether a `[lo, hi]` range predicate
+    * on the FIRST stats column can skip the zone entirely
+    * (`hi < min ∨ lo > max` — the parquet footer-stats pruning rule,
+    * made inspectable). The skipped-zone share is the measure of how
+    * good a layout is for a predicate — this is the auditing companion
+    * to the write-side layout ops (q70/q71/q85): compute it BEFORE
+    * rewriting 100 TB into a new sort order, on a sample, to know
+    * what the rewrite buys.
+    *
+    * One map-side-combinable aggregation; zones are metadata-sized
+    * (one row each), never data-sized. */
+  def zoneMap(df: org.apache.spark.sql.DataFrame, zoneExpr: Column,
+              statsCol: Column, lo: Column, hi: Column): org.apache.spark.sql.DataFrame =
+    df.groupBy(zoneExpr.as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(statsCol).as("min_v"),
+        max(statsCol).as("max_v"))
+      .withColumn("skippable", hi < col("min_v") || lo > col("max_v"))
 }

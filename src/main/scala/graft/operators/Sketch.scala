@@ -82,4 +82,50 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueStr: Column,
                   k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, groupCols, valueStr, k), groupCols, k)
+
+  private val HashSpace = 1152921504606846976L // 2^60
+
+  /** Theta-style INTERSECTION estimate from two KMV sketches (built
+    * with the same `k` and hash): per group, θ = the smaller of the
+    * two sketches' k-th-smallest hashes (2^60 when a side has fewer
+    * than k — that sketch IS its set), and
+    * |A∩B| ≈ |{h in both sketches : h < θ}| · 2^60 / θ.
+    * Exact when both sides are exact (θ = 2^60 makes the ratio 1).
+    *
+    * This is the theta-sketch set-operation trick (Dasgupta et al.):
+    * below θ both sketches are complete uniform samples of their sets,
+    * so the sub-θ intersection scales up by the same inverse sampling
+    * rate as any bottom-k estimate. It answers the cross-dataset
+    * overlap question ("how many users does corpus A share with B")
+    * from two k-long summaries — no shuffle of either corpus, only
+    * the sketch-sized equi-join here.
+    *
+    * Output: group columns + `est_common` BIGINT. */
+  def kmvIntersect(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                   k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    def thresh(s: DataFrame, name: String): DataFrame = {
+      val w = Window.partitionBy(g: _*).orderBy(col("h"))
+      s.distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(g: _*)
+        .agg(coalesce(max(when(col("rn") === k, col("h"))),
+          lit(HashSpace)).as(name))
+    }
+    val bounded = a.select(g :+ col("h"): _*).distinct()
+      .join(b.select(g :+ col("h"): _*).distinct(),
+        groupCols :+ "h")
+      .join(broadcast(thresh(a, "ta")), groupCols)
+      .join(broadcast(thresh(b, "tb")), groupCols)
+      .withColumn("theta", least(col("ta"), col("tb")))
+      .filter(col("h") < col("theta"))
+    bounded
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_common"), max("theta").as("theta"))
+      .select(g :+
+        floor(col("n_common").cast("double") *
+          lit(HashSpace.toDouble) / col("theta").cast("double"))
+          .cast("long").as("est_common"): _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1051,6 +1051,43 @@ object PipelineQueries {
         .distinct()
       Graph.kCorePeel(edges, "a", "b", k = 26, rounds = 3)
         .orderBy("node")
+    }),
+
+    // Theta-style KMV intersection: shared users between the two
+    // event-id parity halves, per event type, from two 64-hash
+    // sketches — the cross-dataset overlap question answered without
+    // shuffling either side.
+    "q140_kmv_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = Sketch.kmvSketch(ev.filter(col("event_id") % 2 === 0),
+        Seq("event_type"), col("user_id").cast("string"), 64)
+      val b = Sketch.kmvSketch(ev.filter(col("event_id") % 2 === 1),
+        Seq("event_type"), col("user_id").cast("string"), 64)
+      Sketch.kmvIntersect(a, b, Seq("event_type"), 64)
+        .orderBy("event_type")
+    }),
+
+    // Zone-map audit: per-zone min/max stats + the footer-pruning
+    // skip verdict for a shipdate range, under TWO layouts of the same
+    // table — the by-orderkey layout skips nothing (shipdates span
+    // every zone), the by-month layout skips every zone outside the
+    // predicate. The measurement to run on a sample BEFORE paying for
+    // a 100 TB re-sort.
+    "q141_zone_map" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-06-30").cast("timestamp")
+      val byKey = Layout.zoneMap(li,
+          expr("l_orderkey div 2000").cast("long"),
+          col("l_shipdate"), lo, hi)
+        .withColumn("layout", lit("by_orderkey"))
+      val byMonth = Layout.zoneMap(li,
+          expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long"),
+          col("l_shipdate"), lo, hi)
+        .withColumn("layout", lit("by_month"))
+      byKey.union(byMonth)
+        .select("layout", "zone", "n_rows", "min_v", "max_v", "skippable")
+        .orderBy("layout", "zone")
     }),
 
     // SCD2 POINT-IN-TIME lookup: each view event joined to the
@@ -2862,6 +2899,70 @@ object PipelineQueries {
          SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
          FROM e3 GROUP BY u
          ORDER BY node""",
+
+    // Same 60-bit md5 hashes, same bottom-64 thresholds, same
+    // θ = min rule and sub-θ inner join; one floor division at the
+    // edge from exactly-representable doubles.
+    "q140_kmv_intersect" ->
+      """WITH ha AS (
+           SELECT DISTINCT event_type,
+                  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           FROM events WHERE event_id % 2 = 0),
+         hb AS (
+           SELECT DISTINCT event_type,
+                  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           FROM events WHERE event_id % 2 = 1),
+         sa AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM ha),
+         sb AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM hb),
+         ta AS (SELECT event_type,
+                  coalesce(max(CASE WHEN rn = 64 THEN h END),
+                           1152921504606846976) AS ta
+                FROM sa WHERE rn <= 64 GROUP BY event_type),
+         tb AS (SELECT event_type,
+                  coalesce(max(CASE WHEN rn = 64 THEN h END),
+                           1152921504606846976) AS tb
+                FROM sb WHERE rn <= 64 GROUP BY event_type),
+         common AS (
+           SELECT sa.event_type,
+                  CAST(count(*) AS BIGINT) AS n_common,
+                  max(least(ta.ta, tb.tb)) AS theta
+           FROM sa JOIN sb ON sa.event_type = sb.event_type
+                          AND sa.h = sb.h
+           JOIN ta ON ta.event_type = sa.event_type
+           JOIN tb ON tb.event_type = sa.event_type
+           WHERE sa.rn <= 64 AND sb.rn <= 64
+             AND sa.h < least(ta.ta, tb.tb)
+           GROUP BY sa.event_type)
+         SELECT event_type,
+                CAST(floor(CAST(n_common AS DOUBLE) *
+                     1152921504606846976.0 / CAST(theta AS DOUBLE))
+                     AS BIGINT) AS est_common
+         FROM common
+         ORDER BY event_type""",
+
+    // Same zone keys, same min/max stats, same footer-pruning rule.
+    "q141_zone_map" ->
+      """WITH zones AS (
+           SELECT 'by_orderkey' AS layout,
+                  CAST(l_orderkey // 2000 AS BIGINT) AS zone,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  min(l_shipdate) AS min_v, max(l_shipdate) AS max_v
+           FROM lineitem GROUP BY 1, 2
+           UNION ALL
+           SELECT 'by_month',
+                  CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  min(l_shipdate), max(l_shipdate)
+           FROM lineitem GROUP BY 1, 2)
+         SELECT layout, zone, n_rows, min_v, max_v,
+                (TIMESTAMP '1996-06-30' < min_v OR
+                 TIMESTAMP '1996-01-01' > max_v) AS skippable
+         FROM zones
+         ORDER BY layout, zone""",
 
     // Interval join against the q109-style version table: version
     // valid at view time, open current version, zero-width dup-ts

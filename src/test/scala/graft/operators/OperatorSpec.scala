@@ -224,6 +224,28 @@ class OperatorSpec extends SparkTestBase {
       set(TextAnalysis.unigramSurprisal(shuffled, "doc_id", "text")))
   }
 
+  test("round-6 operators are partitioning-invariant") {
+    // classBalance, percentRankMilli, bigramSurprisal, kCorePeel: the
+    // same input under a different physical partitioning must produce
+    // the identical result set (cross-engine determinism evidence).
+    import spark.implicits._
+    val base = docs.select("doc_id", "source", "text")
+    val shuffled = base.repartition(7)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(set(Curation.classBalance(base.drop("text"), "source", "doc_id", 7)) ==
+      set(Curation.classBalance(shuffled.drop("text"), "source", "doc_id", 7)))
+    assert(set(TextAnalysis.bigramSurprisal(base, "doc_id", "text")) ==
+      set(TextAnalysis.bigramSurprisal(shuffled, "doc_id", "text")))
+    val vals = (0 until 300).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble))
+      .toDF("g", "x")
+    assert(set(Stats.percentRankMilli(vals, "g", "x", buckets = 8)) ==
+      set(Stats.percentRankMilli(vals.repartition(5), "g", "x", buckets = 8)))
+    val edges = Seq((10L, 11L), (11L, 12L), (10L, 12L), (1L, 2L), (2L, 10L))
+      .toDF("a", "b")
+    assert(set(Graph.kCorePeel(edges, "a", "b", 2, 2)) ==
+      set(Graph.kCorePeel(edges.repartition(3), "a", "b", 2, 2)))
+  }
+
   test("text stats are consistent per document") {
     val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
     r.foreach { row =>

@@ -1053,6 +1053,39 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // SLIDING event-time windows (2 h window, 1 h slide — each event
+    // lands in two windows) with exact distinct users: the
+    // overlapping-window rollup a live dashboard reads. Tumbling
+    // coverage is q42; the slide is what's new — Spark materializes
+    // window membership as a generate (row → its 2 windows), then one
+    // combinable aggregate; distinct plans as a two-phase expand.
+    "q142_sliding_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("n_users"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Inter-event gap medians: lag() per user for the sequential gap,
+    // then the two-phase exact median per event type — the behavioral
+    // cadence feature (bot detection, session tuning) composed from
+    // the window + order-statistics primitives.
+    "q143_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      Stats.exactMedian(gaps, "event_type", "gap_us")
+        .orderBy("event_type")
+    }),
+
     // Theta-style KMV intersection: shared users between the two
     // event-id parity halves, per event type, from two 64-hash
     // sketches — the cross-dataset overlap question answered without
@@ -2899,6 +2932,46 @@ object PipelineQueries {
          SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
          FROM e3 GROUP BY u
          ORDER BY node""",
+
+    // Each event unnested to its two hourly-grid 2-hour windows; same
+    // exact distinct count.
+    "q142_sliding_windows" ->
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS h, event_type, user_id
+           FROM events),
+         m AS (
+           SELECT unnest([h - INTERVAL 1 HOUR, h]) AS win_start,
+                  event_type, user_id
+           FROM ev)
+         SELECT win_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM m GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+
+    // lag() gaps on the same (us, event_id) order, then the q47 rank
+    // pick for the median.
+    "q143_event_gaps" ->
+      """WITH g AS (
+           SELECT event_type,
+                  CAST(us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                       AS DOUBLE) AS gap
+           FROM (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts) // 1000 AS us
+                 FROM events)),
+         r AS (
+           SELECT event_type, gap,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gap) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM g WHERE gap IS NOT NULL)
+         SELECT event_type, avg(gap) AS median_value,
+                max(n) AS n_events
+         FROM r
+         WHERE rn = (n+1)//2 OR rn = (n+2)//2
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     // Same 60-bit md5 hashes, same bottom-64 thresholds, same
     // θ = min rule and sub-θ inner join; one floor division at the

@@ -462,4 +462,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
+
+  test("q136 class cap never sorts a whole class: data windows carry the bucket id") {
+    val p = planOf("q136_class_balance")
+    // the straddle-bucket rank partitions by (class, bucket)
+    assert("windowspecdefinition\\(_cls#\\d+, _cb#\\d+".r.findFirstIn(p).isDefined)
+    // no window over data rows partitioned by the bare class: the only
+    // single-key window is the cumulative fold over per-bucket COUNTS
+    assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isEmpty)
+  }
+
+  test("q137 percent rank never sorts a whole group: the rank window is bucketed") {
+    val p = planOf("q137_percent_rank")
+    assert("windowspecdefinition\\(event_type#\\d+, _b#\\d+".r.findFirstIn(p).isDefined)
+    // the naive shape — rank over (event_type ORDER BY value) — absent
+    assert("windowspecdefinition\\(event_type#\\d+, _x#\\d+ ASC".r.findFirstIn(p).isEmpty)
+  }
+
+  test("q140 sketch intersection joins only sketch-sized inputs") {
+    val p = planOf("q140_kmv_intersect")
+    assert(p.contains("WindowGroupLimit")) // pre-shuffle bottom-k build
+    assert(p.contains("BroadcastHashJoin")) // thresholds broadcast back
+    assert(!p.contains("CartesianProduct"))
+  }
 }

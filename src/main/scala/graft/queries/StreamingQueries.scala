@@ -265,6 +265,25 @@ object StreamingQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // SLIDING windows streaming twin (q142's shape, q104's contract):
+    // 2 h window / 1 h slide in UPDATE mode — the one data batch emits
+    // every touched window once with its final value, so the oracle is
+    // the batch sliding rollup. Watermark bounds state: each event
+    // feeds two windows, and windows evict once the watermark passes.
+    "q144_stream_sliding" -> ((s, dir) => {
+      val out = eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).cast("double")
+            .as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      runBounded(s, out, "graft_q144_sink", "update")
+        .orderBy("win_start", "event_type")
+    }),
+
     // Arbitrary state via Spark 4's transformWithState (RocksDB-backed
     // typed ValueState): per-user running totals emitted per event.
     // Append mode with no watermark dependency ⇒ the bounded one-batch
@@ -444,6 +463,24 @@ object StreamingQueries {
          WHERE session_id < last_sid
             OR (end_us // 1000) + 1800000 < (SELECT w FROM wm)
          ORDER BY user_id, session_seq""",
+
+    // Update mode + one data batch ⇒ every touched sliding window
+    // emits once with final values: the batch unnest-to-two-windows
+    // rollup.
+    "q144_stream_sliding" ->
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS h, event_type, value
+           FROM events),
+         m AS (
+           SELECT unnest([h - INTERVAL 1 HOUR, h]) AS win_start,
+                  event_type, value
+           FROM ev)
+         SELECT win_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_value
+         FROM m GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
 
     // The one-batch transformWithState emission = batch prefix sums
     // over the same (us, event_id) total order, in exact milli-units.

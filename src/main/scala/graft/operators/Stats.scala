@@ -263,6 +263,13 @@ object Stats {
     * whole-group `rank()` would — without ever sorting a whole group
     * in one task. Integer arithmetic end to end; n = 1 pins to 0.
     *
+    * Like [[exactMedian]], group cardinality is assumed small enough
+    * to broadcast the per-group bounds (one row each) and the
+    * (group × occupied-bucket) rows-below table — exactly the
+    * low-cardinality regime where the single-window plan breaks. For
+    * millions of groups drop the broadcast hints: the joins shuffle
+    * on the group key and the two-phase structure still holds.
+    *
     * Output: the input columns plus `prank_milli`. Non-finite values
     * are dropped (the same convention as [[exactMedian]]). */
   def percentRankMilli(df: DataFrame, groupCol: String, valueCol: String,

@@ -220,8 +220,12 @@ object Curation {
         when(col("_cum") <= cap, col("_bn"))
           .otherwise(lit(cap) - col("_before")))
       .select(col("_cls"), col("_b").as("_cb"), col("_quota"), col("_bn"))
+    // Null-safe on the class: GROUP BY (and the naive rank-over-
+    // partition this operator reproduces) treats a NULL class as an
+    // ordinary partition, so its rows must match their histogram row
+    // rather than vanish to an EqualTo mismatch.
     val joined = withH.join(cuts,
-      withH(classCol) === cuts("_cls") && withH("_b") === cuts("_cb"))
+      withH(classCol) <=> cuts("_cls") && withH("_b") === cuts("_cb"))
     // full buckets pass through; only the one straddling bucket per
     // class is ranked — and only its own rows enter the window
     val whole = joined.filter(col("_quota") === col("_bn"))

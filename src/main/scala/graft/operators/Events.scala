@@ -190,9 +190,13 @@ object Events {
     // overhead) — pin the shuffle-hash shape so the plan demonstrated
     // at test scale is the plan used at 100 TB, where the build side
     // exceeds the broadcast threshold anyway.
-    salted.join(replicated.hint("shuffle_hash"),
-        salted("_salt") === replicated("_salt") &&
-          col(probeKey) === col(buildKey))
+    // Keys resolve through their own side: an unqualified col() would
+    // be ambiguous (and throw) whenever the build side carries a
+    // column named like probeKey — the conformed-dimension case.
+    val rep = replicated.hint("shuffle_hash")
+    salted.join(rep,
+        salted("_salt") === rep("_salt") &&
+          salted(probeKey) === rep(buildKey))
       .drop("_salt")
   }
 

@@ -19,6 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Shared phase-1 base for the two-phase selectors: (grp, x) with
+    * only FINITE values kept. A NaN max would make the affine bucket
+    * map NaN for the whole group (corrupting every bucket id) and an
+    * infinite bound degenerates its width, so non-finite inputs get
+    * aggregate-null treatment (excluded) — the same convention as SQL
+    * percentile functions, rather than NaN-sorts-last semantics. */
+  private def finiteBase(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
+
+  /** Bucket id for the two-phase selectors: floor of an affine map of
+    * `x` onto [0, buckets), monotone non-decreasing in `x`;
+    * single-valued groups (hi = lo) pin to bucket 0. */
+  private def affineBucket(x: Column, lo: Column, hi: Column,
+                           buckets: Int): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(least(floor((x - lo) / (hi - lo) * buckets),
+        lit(buckets - 1L)))
+
+  /** Join a one-row-per-group broadcast table back to the base,
+    * NULL-SAFE on the group key. Every selector here emulates a
+    * `PARTITION BY grp` window — and SQL windows (like GROUP BY) treat
+    * NULL as an ordinary group — so a NULL group must survive the join
+    * rather than silently vanishing to an EqualTo mismatch. `<=>` is a
+    * valid hash-join key, so the plan shape (broadcast hash join) is
+    * unchanged. */
+  private def joinGroup(base: DataFrame, perGroup: DataFrame): DataFrame = {
+    // rename instead of qualifying: perGroup derives from base, so
+    // base("grp")/perGroup("grp") share an exprId and lean on Spark's
+    // dataset-id disambiguation (it works, but warns); a fresh name
+    // resolves unambiguously
+    val pg = perGroup.withColumnRenamed("grp", "_bg")
+    base.join(broadcast(pg), col("grp") <=> col("_bg")).drop("_bg")
+  }
+
   /** Exact per-group median (avg of the two middle elements for even
     * counts — the same convention as SQL's
     * `rn = (n+1)//2 OR rn = (n+2)//2` rank pick).
@@ -36,16 +73,8 @@ object Stats {
     * regime where the single-window plan breaks. */
   def exactMedian(df: DataFrame, groupCol: String, valueCol: String,
                   buckets: Int = 1024): DataFrame = {
-    // Median of the FINITE values only: null/NaN/±Inf rows are dropped
-    // up front. A NaN max would make the affine bucket map NaN for the
-    // whole group (corrupting every bucket id), and an infinite bound
-    // degenerates its width — so non-finite inputs get aggregate-null
-    // treatment (excluded), the same convention as SQL percentile
-    // functions, rather than NaN-sorts-last semantics.
-    val base = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast("double").as("x"))
-      .where(col("x").isNotNull && !isnan(col("x")) &&
-        abs(col("x")) < lit(Double.PositiveInfinity))
+    // Median of the FINITE values only — see [[finiteBase]].
+    val base = finiteBase(df, groupCol, valueCol)
 
     // Phase 1: one row per group — bounds, count, and the target ranks.
     val bounds = base.groupBy("grp")
@@ -53,14 +82,10 @@ object Stats {
       .select(col("grp"), col("lo"), col("hi"), col("n"),
         expr("(n + 1) div 2").as("r1"), expr("(n + 2) div 2").as("r2"))
 
-    // Bucket id is monotone non-decreasing in x (floor of an affine map).
-    val bucketId = when(col("hi") === col("lo"), lit(0))
-      .otherwise(least(
-        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * buckets),
-        lit(buckets - 1L)))
-      .cast("int")
-    val bucketed = base.join(broadcast(bounds), "grp")
-      .select(col("grp"), col("x"), bucketId.as("b"),
+    val bucketed = joinGroup(base, bounds)
+      .select(col("grp"), col("x"),
+        affineBucket(col("x"), col("lo"), col("hi"), buckets)
+          .cast("int").as("b"),
         col("n"), col("r1"), col("r2"))
 
     // Phase 2a: histogram + cumulative counts (window over ≤buckets rows
@@ -74,11 +99,13 @@ object Stats {
       .withColumn("below", col("cum") - col("c"))
       .filter((col("r1") > col("below") && col("r1") <= col("cum")) ||
         (col("r2") > col("below") && col("r2") <= col("cum")))
-      .select(col("grp"), col("b"), col("below"))
+      .select(col("grp").as("_tg"), col("b").as("_tb"), col("below"))
 
     // Phase 2b: sort only the target buckets; global rank = below + local.
     val wLocal = Window.partitionBy("grp", "b").orderBy("x")
-    bucketed.join(broadcast(targets), Seq("grp", "b"))
+    bucketed.join(broadcast(targets),
+        col("grp") <=> col("_tg") && col("b") === col("_tb"))
+      .drop("_tg", "_tb")
       .withColumn("rnk", row_number().over(wLocal).cast("long") + col("below"))
       .filter(col("rnk") === col("r1") || col("rnk") === col("r2"))
       .groupBy("grp")
@@ -107,27 +134,21 @@ object Stats {
                      qs: Seq[Double], buckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile fractions must be in [0,1], got $qs")
-    val base = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast("double").as("x"))
-      .where(col("x").isNotNull && !isnan(col("x")) &&
-        abs(col("x")) < lit(Double.PositiveInfinity))
+    val base = finiteBase(df, groupCol, valueCol)
 
     val bounds = base.groupBy("grp")
       .agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
 
     // One (grp, q, target-rank) row per requested fraction.
-    val ranks = bounds.select(col("grp"), col("n"),
+    val ranks = bounds.select(col("grp").as("_rg"), col("n"),
       explode(array(qs.map(lit): _*)).as("q"))
-      .select(col("grp"), col("n"), col("q"),
+      .select(col("_rg"), col("n"), col("q"),
         (floor((col("n") - 1) * col("q")).cast("long") + 1L).as("r"))
 
-    val bucketId = when(col("hi") === col("lo"), lit(0))
-      .otherwise(least(
-        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * buckets),
-        lit(buckets - 1L)))
-      .cast("int")
-    val bucketed = base.join(broadcast(bounds), "grp")
-      .select(col("grp"), col("x"), bucketId.as("b"))
+    val bucketed = joinGroup(base, bounds)
+      .select(col("grp"), col("x"),
+        affineBucket(col("x"), col("lo"), col("hi"), buckets)
+          .cast("int").as("b"))
 
     // Histogram + cumulative counts; a bucket is a target iff it
     // straddles some requested rank.
@@ -138,16 +159,17 @@ object Stats {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("below", col("cum") - col("c"))
-    val targets = hist.join(broadcast(ranks), Seq("grp"))
+    val targets = hist.join(broadcast(ranks), col("grp") <=> col("_rg"))
       .filter(col("r") > col("below") && col("r") <= col("cum"))
-      .select(col("grp"), col("b"), col("below"), col("q"), col("r"),
-        col("n"))
+      .select(col("grp").as("_tg"), col("b").as("_tb"), col("below"),
+        col("q"), col("r"), col("n"))
 
     // Sort only straddled buckets: joining rows against targets fans
     // each bucket row out once per quantile landing in that bucket
     // (tiny — |qs| at most), then local rank + rows-below = global rank.
     bucketed
-      .join(broadcast(targets), Seq("grp", "b"))
+      .join(broadcast(targets),
+        col("grp") <=> col("_tg") && col("b") === col("_tb"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("grp", "b", "q").orderBy("x"))
           .cast("long") + col("below"))
@@ -212,20 +234,20 @@ object Stats {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0, buckets: Int = 1024): DataFrame = {
     val med = exactQuantiles(df, groupCol, valueCol, Seq(0.5), buckets)
-      .select(col(groupCol), col("quantile_value").as("med"))
+      .select(col(groupCol).as("_mg"), col("quantile_value").as("med"))
     // localCheckpoint: the MAD selection (3 passes) and the final
     // flag/count aggregate all re-consume the deviation frame; without
     // truncation each pass re-derives it from the source scan + join.
     // At cluster scale substitute persist(DISK_ONLY) or a materialized
     // intermediate table — same shape, spill-safe storage.
-    val dev = df.join(broadcast(med), groupCol)
+    val dev = df.join(broadcast(med), col(groupCol) <=> col("_mg"))
       .select(col(groupCol), col(valueCol).cast("double").as("x"),
         col("med"))
       .withColumn("adev", abs(col("x") - col("med")))
       .localCheckpoint()
     val mad = exactQuantiles(dev, groupCol, "adev", Seq(0.5), buckets)
-      .select(col(groupCol), col("quantile_value").as("mad"))
-    dev.join(broadcast(mad), groupCol)
+      .select(col(groupCol).as("_dg"), col("quantile_value").as("mad"))
+    dev.join(broadcast(mad), col(groupCol) <=> col("_dg"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_events"),
         max("med").as("median_value"),
@@ -236,15 +258,15 @@ object Stats {
 
   def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val d = col(valueCol).cast("decimal(18,3)")
-    val stats = df.groupBy(groupCol)
+    val stats = df.groupBy(col(groupCol).as("_zg"))
       .agg(count(lit(1)).as("_n"),
         sum(d).cast("double").as("_s"),
         sum(d * d).cast("double").as("_sq"))
     val mean = col("_s") / col("_n")
     val varr = greatest(col("_sq") / col("_n") - mean * mean, lit(0.0))
-    df.join(broadcast(stats), groupCol)
+    df.join(broadcast(stats), col(groupCol) <=> col("_zg"))
       .withColumn("z", (col(valueCol) - mean) / sqrt(varr))
-      .drop("_n", "_s", "_sq")
+      .drop("_zg", "_n", "_s", "_sq")
   }
 
   /** Exact per-group percent rank in integer permille —
@@ -280,13 +302,10 @@ object Stats {
     val bounds = base.groupBy(col(groupCol).as("_g"))
       .agg(min("_x").as("_lo"), max("_x").as("_hi"),
         count(lit(1)).as("_n"))
-    val bucketId = when(col("_hi") === col("_lo"), lit(0L))
-      .otherwise(least(
-        floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo")) * buckets),
-        lit(buckets - 1L)))
     val bucketed = base
-      .join(broadcast(bounds), col(groupCol) === col("_g"))
-      .withColumn("_b", bucketId)
+      .join(broadcast(bounds), col(groupCol) <=> col("_g"))
+      .withColumn("_b",
+        affineBucket(col("_x"), col("_lo"), col("_hi"), buckets))
     val hist = bucketed.groupBy(col(groupCol).as("_hg"), col("_b").as("_hb"))
       .agg(count(lit(1)).as("_bn"))
     val wCum = Window.partitionBy("_hg").orderBy("_hb")
@@ -296,7 +315,7 @@ object Stats {
     val wIn = Window.partitionBy(col(groupCol), col("_b")).orderBy(col("_x"))
     bucketed
       .join(broadcast(below),
-        col(groupCol) === col("_hg") && col("_b") === col("_hb"))
+        col(groupCol) <=> col("_hg") && col("_b") === col("_hb"))
       .withColumn("_grank", col("_below") + rank().over(wIn))
       .withColumn("prank_milli",
         when(col("_n") === 1L, lit(0L))

@@ -8,10 +8,15 @@ import graft.SparkTestBase
   * query that goes through the analyzer and chases to leaf columns. */
 class DmlLineageSpec extends SparkTestBase {
 
-  private def parse(stmt: String): LineageResult = {
-    // full fixtures: MERGE ambiguity detection reads the target's
-    // schema (lineage_target) through the metadata provider
+  // full fixtures: MERGE ambiguity detection reads the target's
+  // schema (lineage_target) through the metadata provider. Registered
+  // once per suite — the fixture DDL drops/creates physical warehouse
+  // tables, so re-running it per parsed statement is pure churn.
+  private lazy val fixtures: Unit =
     LineageQueries.registerFixtures(spark, sfDir)
+
+  private def parse(stmt: String): LineageResult = {
+    fixtures
     LineageParser.parseStatement(spark, stmt, 1)
   }
 

@@ -89,6 +89,23 @@ class HashSplitSpec extends SparkTestBase {
     sizes.foreach { case (s, n) => assert(kept(s) == math.min(cap.toLong, n)) }
   }
 
+  test("classBalance treats a NULL class as an ordinary partition") {
+    import spark.implicits._
+    // scraped metadata commonly has NULL sources; the histogram join
+    // must be null-safe or the whole NULL class silently vanishes
+    val rows: Seq[(Long, Option[String])] =
+      (0L until 50L).map(i => (i, if (i % 5 == 0) None else Some(s"s${i % 3}")))
+    val docs = rows.toDF("doc_id", "source")
+    val cap = 3
+    val got = Curation.classBalance(docs, "source", "doc_id", cap)
+    val want = docs.selectExpr("*",
+      "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substring(md5(CAST(doc_id AS STRING)), 1, 8), doc_id) AS rn")
+      .filter(col("rn") <= cap).drop("rn")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.filter(col("source").isNull).count() == cap)
+  }
+
   test("classBalance passes small classes through whole") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source")

@@ -80,6 +80,19 @@ class MultimodalEventsSpec extends SparkTestBase {
     assert(plain.except(salted).count() == 0)
   }
 
+  test("salted join resolves same-named keys through their own side") {
+    // conformed-dimension shape: both sides carry `user_id`; keys must
+    // resolve side-qualified or the join condition is ambiguous
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val salted = Events.saltedJoin(events, dim, "user_id", "user_id", 8)
+      .select(events("user_id"), col("c_mktsegment"))
+    val plain = events.join(dim, events("user_id") === dim("user_id"))
+      .select(events("user_id"), col("c_mktsegment"))
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+  }
+
   test("first-touch attribution: conversions credit the first event") {
     import spark.implicits._
     val ev = Seq(

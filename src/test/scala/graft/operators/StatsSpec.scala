@@ -194,4 +194,36 @@ class StatsSpec extends SparkTestBase {
         "div (count(1) OVER (PARTITION BY g) - 1) END AS prank_milli")
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  test("a NULL group is an ordinary partition, not silently dropped") {
+    // GROUP BY and PARTITION BY both treat NULL as its own group; the
+    // broadcast bounds joins must be null-safe or every NULL-group row
+    // vanishes (no error, just missing output).
+    val rows: Seq[(Option[String], Double)] =
+      (0 until 60).map(i => (if (i % 4 == 0) None else Some(s"g${i % 3}"),
+        (i % 13).toDouble))
+    val df = rows.toDF("g", "x")
+    val nullRows = rows.count(_._1.isEmpty)
+
+    val med = Stats.exactMedian(df, "g", "x", buckets = 4)
+    assert(med.filter(col("g").isNull).count() == 1)
+    val wantMed = naive(df)
+    assert(med.except(wantMed).count() == 0 &&
+      wantMed.except(med).count() == 0)
+
+    val q = Stats.exactQuantiles(df, "g", "x", Seq(0.0, 0.5, 1.0), 4)
+    assert(q.filter(col("g").isNull).count() == 3)
+
+    val pr = Stats.percentRankMilli(df, "g", "x", buckets = 4)
+    assert(pr.filter(col("g").isNull).count() == nullRows)
+    val wantPr = df.selectExpr("g", "x",
+      "CASE WHEN count(1) OVER (PARTITION BY g) = 1 THEN CAST(0 AS BIGINT) " +
+        "ELSE (1000 * (rank() OVER (PARTITION BY g ORDER BY x) - 1)) " +
+        "div (count(1) OVER (PARTITION BY g) - 1) END AS prank_milli")
+    assert(pr.except(wantPr).count() == 0 && wantPr.except(pr).count() == 0)
+
+    assert(Stats.zscore(df, "g", "x").count() == rows.size)
+    assert(Stats.madOutliers(df, "g", "x", k = 3.0, buckets = 4)
+      .filter(col("g").isNull).count() == 1)
+  }
 }

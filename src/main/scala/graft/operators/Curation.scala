@@ -239,6 +239,64 @@ object Curation {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-class WEIGHTED budget fill — the token-budget sibling of
+    * [[classBalance]]: walk each class's rows in the deterministic
+    * (md5(id), id) order and keep rows while the cumulative weight of
+    * the rows BEFORE them is under `budget` (so the row that first
+    * crosses the budget is still kept — "fill until reached"). With
+    * weight = token count this is "give every domain at most B tokens",
+    * the mixture-capping step of a training-data recipe, where
+    * [[classBalance]] caps document COUNTS.
+    *
+    * Same two-phase shape as classBalance, with weight sums instead of
+    * row counts: per (class, 16-bit hash bucket) weight totals, a
+    * cumulative histogram over ≤65,536 COUNT rows per class, then a
+    * real prefix-sum window over only the one straddling bucket's rows
+    * (~n/65,536 of the class) — never a whole-class window, so a
+    * power-law class distribution cannot make straggler tasks. Buckets
+    * wholly under budget pass entirely; buckets past it are dropped
+    * whole. Row-for-row equal to the naive cumulative-window answer.
+    *
+    * Weights must be positive (the prefix monotonicity the bucket
+    * split relies on); a NULL class is an ordinary class. Output: the
+    * kept rows, original columns. */
+  def budgetFill(df: DataFrame, classCol: String, idCol: String,
+                 weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "need a positive budget")
+    val w = col(weightCol).cast("long")
+    val withH = df.withColumn("_h8",
+      substring(md5(col(idCol).cast("string")), 1, 8))
+      .withColumn("_b", expr("conv(substring(_h8, 1, 4), 16, 10)")
+        .cast("long"))
+    val hist = withH.groupBy(col(classCol).as("_cls"), col("_b"))
+      .agg(sum(w).as("_bw"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cls").orderBy("_b")
+    val cuts = hist
+      .withColumn("_cumw", sum("_bw").over(wCum))
+      .withColumn("_beforew", col("_cumw") - col("_bw"))
+      // buckets that START past the budget contribute nothing
+      .filter(col("_beforew") < budget)
+      .select(col("_cls"), col("_b").as("_cb"), col("_beforew"),
+        col("_cumw"))
+    val joined = withH.join(cuts,
+      withH(classCol) <=> cuts("_cls") && withH("_b") === cuts("_cb"))
+    // a bucket ending within budget passes whole (every row's prefix
+    // is under it); only the straddling bucket needs a real prefix sum
+    // — over its own rows only
+    val whole = joined.filter(col("_cumw") <= budget)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cls", "_cb").orderBy(col("_h8"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val straddle = joined.filter(col("_cumw") > budget)
+      .withColumn("_ib", coalesce(sum(w).over(wIn), lit(0L)))
+      .filter(col("_beforew") + col("_ib") < budget)
+      .drop("_ib")
+    whole.union(straddle)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: keep each row with
     * probability proportional to its integer weight, p_i = w_i / w_max
     * (the max-weight row is always kept) — importance sampling by

@@ -221,6 +221,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Rewrite map of a keep-the-BEST dedup policy: every document maps
+    * to the canonical keeper of its near-duplicate cluster — the
+    * member with the greatest `weightCol` (quality score, length),
+    * smallest id as the tiebreak; documents in no cluster map to
+    * themselves. Min-id retention (the [[minHashLsh]] +
+    * [[Graph.connectedComponents]] default) keeps an arbitrary copy;
+    * real curation keeps the best one, and downstream references
+    * rewrite through this map.
+    *
+    * Shape at scale: components by min-label propagation (one
+    * join+min shuffle per round), then ONE aggregate per cluster picks
+    * the keeper via `max_by` over the score `weight·2^32 − id` — no
+    * corpus-wide window, no all-pairs. The keeper table is
+    * cluster-count-sized and joins back on the component key; a final
+    * left join restores singletons. The score stays inside int64 for
+    * weight < 2^20 and id < 2^32 (lengths and quality scores, not raw
+    * token counts), and embeds the id, so `max_by` never sees a tie.
+    *
+    * `pairs` is any near-dup pair list ((aCol, bCol) ids —
+    * [[minHashLsh]] output or another blocking method's). Output:
+    * (idCol, keep_id). */
+  def canonicalMap(docs: DataFrame, idCol: String, weightCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = Graph.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as("_cid"), col("component"))
+    val score = col(weightCol).cast("long") * lit(1L << 32) - col("_cid")
+    val keeper = comp
+      .join(docs.select(col(idCol), col(weightCol)), col("_cid") === col(idCol))
+      .groupBy("component")
+      .agg(max_by(col("_cid"), score).as("keep_id"))
+    docs.select(col(idCol))
+      .join(comp, col(idCol) === col("_cid"), "left")
+      .join(keeper, Seq("component"), "left")
+      .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("keep_id"))
+  }
+
   /** MinHash signatures of an exploded (id, s) shingle frame, via
     * explode + k min-aggregates: the md5 base hash is computed exactly
     * once per (doc, shingle) row. (A nested transform(transform(...))

@@ -323,6 +323,49 @@ object Stats {
       .select((df.columns.map(col) :+ col("prank_milli")).toIndexedSeq: _*)
   }
 
+  /** Pearson chi-square contingency audit between two categorical
+    * columns — the metadata-association check a curation pipeline runs
+    * before trusting a stratification (is `lang` independent of
+    * `source`, or does one crawl skew the language mix?). One row per
+    * observed (a, b) cell: observed count, expected count under
+    * independence, and the cell's chi-square contribution (the
+    * statistic is their sum; the hot cells name the drift).
+    *
+    * The output is the FULL marginal grid — a (a, b) combination never
+    * observed still carries its expected count (observed 0), because
+    * the statistic is wrong without the zero cells' mass.
+    *
+    * Shape at scale: ONE corpus-sized count aggregate over (a, b),
+    * materialized (localCheckpoint — the cell table is domain-sized,
+    * pennies to persist) so the marginals, the total, and the grid all
+    * derive from it without re-scanning the corpus. Joins are
+    * broadcast and null-safe (a NULL category is a category). Expected
+    * counts multiply the marginals in DOUBLE (each cast exact below
+    * 2^53) rather than int64, which would overflow at 100 TB row
+    * counts; the expression tree is mirrored token-for-token in the
+    * oracle, so the doubles are bit-identical cross-engine. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy(col("a").as("_ra")).agg(sum("o").as("ra"))
+    val colTot = cells.groupBy(col("b").as("_cb")).agg(sum("o").as("cb"))
+    val total = cells.agg(sum("o").as("n"))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("n").cast("double")
+    rowTot.crossJoin(colTot)
+      .join(broadcast(cells),
+        col("_ra") <=> col("a") && col("_cb") <=> col("b"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("expected", e)
+      .withColumn("chi2_part",
+        (col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"))
+      .select(col("_ra").as(aCol), col("_cb").as(bCol), col("o"),
+        col("expected"), col("chi2_part"))
+  }
+
   /** ANALYZE-style numeric column profile: one row per profiled column
     * with row/null/distinct counts, min/max, and an exact-decimal sum —
     * the table-health snapshot a pipeline records before promoting a

@@ -207,6 +207,67 @@ object TextAnalysis {
     * robust fingerprint — md5 of the 4 lexicographically smallest
     * char-8-gram hashes (stable under small edits elsewhere in the
     * document). */
+  /** Exact frequent words — every word whose corpus count exceeds
+    * n/k — found WITHOUT shuffling the full distinct-word domain.
+    *
+    * The scale problem: `GROUP BY word HAVING count(*)·k > n` shuffles
+    * every distinct word (billions at 100 TB) to answer a question
+    * whose output is at most k−1 rows. Misra-Gries fixes the plan, not
+    * the answer: a per-partition pass with k bounded counters (the
+    * genuinely imperative per-partition tier — mapPartitions, the
+    * documented last resort) nominates candidates, and the MG guarantee
+    * transfers across partitions by pigeonhole — if count(w) > n/k
+    * globally, then count_p(w) > n_p/k in SOME partition, so w survives
+    * that partition's summary. An exact recount of only the candidates
+    * (≤ k·partitions words, broadcast into a pre-shuffle filter — the
+    * BM25 term-filter move) then drops the false positives, so the
+    * output is exactly the HAVING query's.
+    *
+    * The candidate SET depends on partitioning; the final output does
+    * not (any partitioning yields a superset of the true heavy
+    * hitters). Output: (w, cnt), the words with cnt·k > n. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000,
+      s"k must be in [2, 100000], got $k — candidates are k per partition")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    // One pass: each partition emits its MG survivors plus one count
+    // marker (the empty string cannot be a word — the regex above
+    // requires [a-z]+), so candidates and n arrive in a single job.
+    val summary = words.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { w =>
+        n += 1
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None if counts.size < k => counts.update(w, 1L)
+          case None =>
+            // decrement-all step: k+1 distinct words each give up one
+            val dead = List.newBuilder[String]
+            counts.foreach { case (kw, c) =>
+              if (c == 1L) dead += kw else counts.update(kw, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator.map(w => (w, 0L)) ++ Iterator(("", n))
+    }.toDF("w", "n")
+    val rows = summary.groupBy("w").agg(sum("n").as("n")).collect()
+    val total = rows.collectFirst {
+      case r if r.getString(0).isEmpty => r.getLong(1) }.getOrElse(0L)
+    val candidates = rows.map(_.getString(0)).filter(_.nonEmpty)
+    // Exact pass: candidate filter BEFORE the shuffle, so only rows of
+    // ≤ k·partitions words are exchanged; threshold strict, as in the
+    // HAVING form.
+    words.filter(col("w").isin(candidates.toIndexedSeq: _*))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > total)
+      .orderBy("w")
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = Dedup.charShingles(col(textCol), 8)
     val hashes = array_sort(transform(grams, g => md5(g)))

@@ -1148,6 +1148,45 @@ object PipelineQueries {
         .withColumnRenamed("asof_value_at_time", "value_at_time")
         .filter(col("version").isNotNull)
         .orderBy("event_id")
+    }),
+
+    // Exact heavy hitters (count·30 > n) via per-partition Misra-Gries
+    // candidates + an exact recount of candidates only — the sketch
+    // changes the plan (no full distinct-word shuffle), never the
+    // answer, so the HAVING oracle matches bit-for-bit.
+    "q145_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", k = 30)
+    }),
+
+    // Keep-the-BEST dedup rewrite map: q53's LSH clusters, keeper =
+    // longest member (min doc_id tiebreak), singletons map to
+    // themselves — the artifact downstream references rewrite through.
+    "q146_canonical_pick" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      Dedup.canonicalMap(docs, "doc_id", "n_chars", pairs,
+          "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
+    // lang × source independence audit: one corpus aggregate to
+    // contingency cells, marginals from the cells themselves,
+    // shared-IEEE expected counts and chi-square contributions.
+    "q147_chisq_assoc" -> ((s, dir) => {
+      Stats.chiSquare(t(s, dir, "documents"), "lang", "source")
+        .orderBy("lang", "source")
+    }),
+
+    // Per-source 2,000-char budget fill in deterministic (md5, id)
+    // order — the weighted (token-budget) sibling of q136. The budget
+    // binds in EVERY source at sf0.01 (~25 docs × ~190 chars each), so
+    // the straddling-bucket prefix-sum path is what the oracle checks.
+    "q148_budget_fill" -> ((s, dir) => {
+      Curation.budgetFill(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", budget = 2000L)
+        .orderBy("doc_id")
     })
   )
 
@@ -1281,7 +1320,7 @@ object PipelineQueries {
         $tail"""
   }
 
-  private lazy val componentsOracle =
+  private lazy val componentsCtes =
     s"""WITH RECURSIVE pairs AS (
            WITH docs AS (
              SELECT doc_id, $sqlWordShingles AS sh
@@ -1294,9 +1333,31 @@ object PipelineQueries {
          reach(node, r) AS (
            SELECT a, a FROM edges
            UNION
-           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)"""
+
+  private lazy val componentsOracle =
+    s"""$componentsCtes
          SELECT node AS doc_id, min(r) AS component
          FROM reach GROUP BY node ORDER BY doc_id"""
+
+  // componentsOracle's clusters + arg_max keeper per cluster (the
+  // weight·2^32 − id score mirrors Dedup.canonicalMap exactly);
+  // singletons restored by the left joins.
+  private lazy val canonicalOracle =
+    s"""$componentsCtes,
+         comps AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node),
+         keeper AS (
+           SELECT component,
+                  arg_max(c.doc_id, d.n_chars * 4294967296 - c.doc_id)
+                    AS keep_id
+           FROM comps c JOIN documents d ON d.doc_id = c.doc_id
+           GROUP BY component)
+         SELECT d.doc_id, COALESCE(k.keep_id, d.doc_id) AS keep_id
+         FROM documents d
+         LEFT JOIN comps c ON c.doc_id = d.doc_id
+         LEFT JOIN keeper k ON k.component = c.component
+         ORDER BY d.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
 
@@ -3058,6 +3119,62 @@ object PipelineQueries {
          FROM f JOIN v
            ON f.user_id = v.user_id AND v.vf <= f.us
           AND (v.vt IS NULL OR f.us < v.vt)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    // The Misra-Gries pass is plan-only: the answer is exactly the
+    // HAVING form, which is what the oracle states.
+    "q145_heavy_hitters" ->
+      """WITH fw AS (
+           SELECT w FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE regexp_full_match(w, '[a-z]+'))
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM fw GROUP BY w
+         HAVING count(*) * 30 > (SELECT count(*) FROM fw)
+         ORDER BY w""",
+
+    "q146_canonical_pick" -> canonicalOracle,
+
+    // Same cells → marginals → full grid → shared-IEEE tree as
+    // Stats.chiSquare (zero cells included); the e subtree is written
+    // out verbatim everywhere it appears, so both engines evaluate the
+    // identical double expression.
+    "q147_chisq_assoc" ->
+      """WITH cells AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY lang, source),
+         ra AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra
+                FROM cells GROUP BY lang),
+         cb AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb
+                FROM cells GROUP BY source),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         SELECT ra.lang, cb.source,
+                CAST(COALESCE(o, 0) AS BIGINT) AS o,
+                CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS expected,
+                (CAST(COALESCE(o, 0) AS DOUBLE) -
+                 CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                (CAST(COALESCE(o, 0) AS DOUBLE) -
+                 CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) /
+                (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS chi2_part
+         FROM ra CROSS JOIN cb
+         LEFT JOIN cells
+           ON cells.lang = ra.lang AND cells.source = cb.source
+         CROSS JOIN tot
+         ORDER BY ra.lang, cb.source""",
+
+    // Naive per-class cumulative prefix under 2000 — the whole-class
+    // window the two-phase budgetFill reproduces row for row.
+    "q148_budget_fill" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  COALESCE(sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cb
+           FROM documents)
+         WHERE cb < 2000 ORDER BY doc_id"""
   )
 }

@@ -113,4 +113,43 @@ class HashSplitSpec extends SparkTestBase {
     assert(Curation.classBalance(docs, "source", "doc_id",
       cap = total.toInt + 1).count() == total)
   }
+
+  test("budgetFill equals the naive cumulative-prefix window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val budget = 900L
+    val got = Curation.budgetFill(docs, "source", "doc_id", "n_chars", budget)
+    val want = docs.selectExpr("*",
+      "COALESCE(sum(n_chars) OVER (PARTITION BY source " +
+        "ORDER BY substring(md5(CAST(doc_id AS STRING)), 1, 8), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb")
+      .filter(col("cb") < budget).drop("cb")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // fill-until-reached: each class's kept weight covers the budget
+    // (or the whole class), because the crossing row is kept
+    val kept = got.groupBy("source").agg(sum("n_chars").as("kw"))
+    val tot = docs.groupBy("source").agg(sum("n_chars").as("tw"))
+      .withColumnRenamed("source", "_s")
+    kept.join(tot, col("source") === col("_s")).collect().foreach { r =>
+      assert(r.getAs[Long]("kw") >= math.min(budget, r.getAs[Long]("tw")))
+    }
+  }
+
+  test("budgetFill: NULL class is a class; oversize budget keeps everything") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[String], Long)] =
+      (0L until 40L).map(i =>
+        (i, if (i % 4 == 0) None else Some(s"s${i % 3}"), 10L + i % 5))
+    val df = rows.toDF("doc_id", "source", "w")
+    val got = Curation.budgetFill(df, "source", "doc_id", "w", 50L)
+    val want = df.selectExpr("*",
+      "COALESCE(sum(w) OVER (PARTITION BY source " +
+        "ORDER BY substring(md5(CAST(doc_id AS STRING)), 1, 8), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb")
+      .filter(col("cb") < 50L).drop("cb")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.filter(col("source").isNull).count() > 0)
+    assert(Curation.budgetFill(df, "source", "doc_id", "w", 100000L)
+      .count() == rows.size)
+  }
 }

@@ -246,6 +246,43 @@ class OperatorSpec extends SparkTestBase {
       set(Graph.kCorePeel(edges.repartition(3), "a", "b", 2, 2)))
   }
 
+  test("heavy hitters: the exact HAVING answer under any partitioning") {
+    // the Misra-Gries CANDIDATE set varies with partitioning (each
+    // partition keeps its own k survivors); the final output, after
+    // the exact recount, must not
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val n = words.count()
+    val want = set(words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 30 > n))
+    assert(want.nonEmpty) // the fixture must exercise the non-trivial path
+    assert(set(TextAnalysis.heavyHitters(docs, "text", 30)) == want)
+    assert(set(TextAnalysis.heavyHitters(docs.repartition(1), "text", 30)) == want)
+    assert(set(TextAnalysis.heavyHitters(docs.repartition(13), "text", 30)) == want)
+  }
+
+  test("canonicalMap keeps the heaviest member, min-id tiebreak; singletons self-map") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 5L),
+      (6L, 7L)).toDF("id", "wt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("pa", "pb")
+    val m = Dedup.canonicalMap(d, "id", "wt", pairs, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster {1,2,3}: max weight 30 shared by 2 and 3 → min id 2;
+    // cluster {4,5}: equal weights → 4; singleton 6 → itself
+    assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
+
+  test("budget fill is partitioning-invariant") {
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val base = docs.select("doc_id", "source", "n_chars")
+    assert(set(Curation.budgetFill(base, "source", "doc_id", "n_chars", 900L)) ==
+      set(Curation.budgetFill(base.repartition(7), "source", "doc_id",
+        "n_chars", 900L)))
+  }
+
   test("text stats are consistent per document") {
     val r = TextAnalysis.stats(docs, "doc_id", "text").collect()
     r.foreach { row =>

@@ -195,6 +195,31 @@ class StatsSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("chiSquare: independence grid zeroes out; skewed table sums to n; zero cells emitted") {
+    // uniform 2×3 grid: expected = observed = 4 everywhere, chi2 = 0
+    val even = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r");
+      _ <- 0 until 4 } yield (a, b)).toDF("a", "b")
+    val r1 = Stats.chiSquare(even, "a", "b").collect()
+    assert(r1.length == 6)
+    assert(r1.forall(r => r.getDouble(3) == 4.0 && r.getDouble(4) == 0.0))
+
+    // perfectly dependent 2×2 diagonal: chi2 = n = 20, and the two
+    // ZERO cells carry half of it (expected 5 each, observed 0)
+    val diag = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val r2 = Stats.chiSquare(diag, "a", "b").collect()
+    assert(r2.length == 4)
+    assert(r2.map(_.getDouble(4)).sum == 20.0)
+    assert(r2.count(_.getLong(2) == 0L) == 2)
+
+    // NULL categories are categories
+    val withNull = Seq((Some("x"), "p"), (None, "p"), (None, "q"))
+      .toDF("a", "b")
+    val r3 = Stats.chiSquare(withNull, "a", "b")
+    assert(r3.count() == 4)
+    assert(r3.filter(col("a").isNull).count() == 2)
+  }
+
   test("a NULL group is an ordinary partition, not silently dropped") {
     // GROUP BY and PARTITION BY both treat NULL as its own group; the
     // broadcast bounds joins must be null-safe or every NULL-group row

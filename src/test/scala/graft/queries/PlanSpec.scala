@@ -485,4 +485,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin")) // thresholds broadcast back
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q147 chi-square derives everything from the checkpointed cells") {
+    val p = planOf("q147_chisq_assoc")
+    // the one corpus scan happened at cell-materialization time; the
+    // final plan reads only the domain-sized checkpoint (no parquet
+    // re-scan per marginal) and joins it broadcast
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q148 budget fill never windows a whole class: prefix sums are bucketed") {
+    val p = planOf("q148_budget_fill")
+    // the straddle-bucket prefix sum partitions by (class, bucket)
+    assert("windowspecdefinition\\(_cls#\\d+, _cb#\\d+".r.findFirstIn(p).isDefined)
+    // no data-row window over the bare class (the naive cumsum shape)
+    assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isEmpty)
+  }
 }

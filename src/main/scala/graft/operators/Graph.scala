@@ -84,6 +84,58 @@ object Graph {
     labels
   }
 
+  /** Synchronous label-propagation communities over the undirected
+    * (`aCol`, `bCol`) graph — a FIXED number of rounds of "adopt the
+    * label most common among your neighbors" (ties: the smallest
+    * label). Where [[connectedComponents]] answers reachability
+    * (every near-dup belongs together), label propagation finds the
+    * DENSE regions inside a component — topic clusters in a similarity
+    * graph, communities in an interaction graph.
+    *
+    * Deterministic by construction: all nodes update simultaneously
+    * from the previous round's labels (no asynchronous order
+    * dependence), and the winning label maximizes the integer score
+    * `count·2^40 − label` (count < 2^23 neighbors, label < 2^40), so
+    * `max_by` never sees a tie. Fixed `rounds` rather than
+    * convergence: synchronous LPA can oscillate on bipartite
+    * structures, so production runs pick a round budget — and a fixed
+    * unrolling is also what a cross-engine oracle can express.
+    *
+    * Per round: one equi-join (edges × labels) + one count aggregate +
+    * one argmax aggregate — all map-side combinable, the [[pageRankInt]]
+    * shuffle shape. Rounds are checkpoint-truncated and superseded
+    * generations freed. Isolated nodes don't occur (every node is an
+    * edge endpoint by construction). Output: (node, label). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds — each round is a " +
+        "distributed join; budget it explicitly")
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val next = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("n").as("node"))
+        .agg(max_by(col("label"),
+          col("c") * lit(1L << 40) - col("label")).as("label"))
+        .localCheckpoint()
+      graft.Checkpoints.free(labels)
+      labels = next
+    }
+    und.unpersist()
+    graft.Checkpoints.free(fwd)
+    labels
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14): converges in O(log²) rounds of the

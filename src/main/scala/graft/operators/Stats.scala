@@ -178,6 +178,68 @@ object Stats {
         col("x").as("quantile_value"), col("n").as("n_events"))
   }
 
+  /** Exact per-group WEIGHTED quantiles: the smallest value whose
+    * cumulative integer weight reaches ⌈q·W⌉ (the weighted lower
+    * quantile — quantity-weighted price percentiles, duration-weighted
+    * latency SLOs). [[exactQuantiles]] with weight MASS in place of row
+    * counts: per-bucket weight sums, cumulative histogram over
+    * ≤`buckets` count rows per group, then a real window over only the
+    * straddling bucket's rows. The in-bucket cumulative uses the
+    * RANGE frame (value peers aggregate together), so ties in the
+    * value cannot make the answer depend on row order — "smallest x
+    * with cumweight(≤x) ≥ T" is row-order-free by construction.
+    *
+    * The target T = max(⌈q·W⌉, 1) computes ceil over the one double
+    * product q·W (exact BIGINT W cast in), mirrored token-for-token in
+    * the oracle. Weights must be positive integers (zero-weight rows
+    * would make "smallest x" ambiguous at a crossing). Same finite-
+    * value and small-group-cardinality regime as [[exactMedian]].
+    *
+    * Output: (groupCol, q, quantile_value, total_weight). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String, qs: Seq[Double],
+                        buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0,1], got $qs")
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("x"),
+      col(weightCol).cast("long").as("wt"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
+    val bounds = base.groupBy("grp")
+      .agg(min("x").as("lo"), max("x").as("hi"), sum("wt").as("tw"))
+    val ranks = bounds.select(col("grp").as("_rg"), col("tw"),
+      explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("_rg"), col("tw"), col("q"),
+        greatest(ceil(col("q") * col("tw").cast("double")), lit(1L))
+          .as("t"))
+    val bucketed = joinGroup(base, bounds)
+      .select(col("grp"), col("x"), col("wt"),
+        affineBucket(col("x"), col("lo"), col("hi"), buckets)
+          .cast("int").as("b"))
+    val wCum = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = bucketed.groupBy("grp", "b")
+      .agg(sum("wt").as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("below", col("cum") - col("c"))
+    val targets = hist.join(broadcast(ranks), col("grp") <=> col("_rg"))
+      .filter(col("t") > col("below") && col("t") <= col("cum"))
+      .select(col("grp").as("_tg"), col("b").as("_tb"), col("below"),
+        col("q"), col("t"), col("tw"))
+    // default ordered-window frame = RANGE unbounded→current: peers of
+    // a tied value accumulate as one block, the row-order-free rule
+    val wIn = Window.partitionBy("grp", "b", "q").orderBy("x")
+    bucketed.join(broadcast(targets),
+        col("grp") <=> col("_tg") && col("b") === col("_tb"))
+      .withColumn("cw", col("below") + sum("wt").over(wIn))
+      .filter(col("cw") >= col("t"))
+      .groupBy(col("grp"), col("q"))
+      .agg(min("x").as("quantile_value"), max("tw").as("total_weight"))
+      .select(col("grp").as(groupCol), col("q"), col("quantile_value"),
+        col("total_weight"))
+  }
+
   /** Per-row z-score against the row's group: z = (x − μ) / σ with the
     * population σ. Feature normalization for a training pipeline, built
     * cross-engine-exact: Σx and Σx² accumulate in exact DECIMAL (order-

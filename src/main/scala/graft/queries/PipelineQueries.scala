@@ -1187,6 +1187,30 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "source", "n_chars"),
           "source", "doc_id", "n_chars", budget = 2000L)
         .orderBy("doc_id")
+    }),
+
+    // Quantity-weighted price percentiles per return flag — the
+    // weighted lower quantile (smallest price whose cumulative
+    // quantity reaches ⌈q·W⌉) via the two-phase histogram with weight
+    // MASS in place of row counts; RANGE-frame peers make ties
+    // row-order-free.
+    "q149_weighted_quantile" -> ((s, dir) => {
+      Stats.weightedQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9))
+        .orderBy("l_returnflag", "q")
+    }),
+
+    // Synchronous label-propagation communities (2 rounds, majority
+    // vote, min-label ties) over the part–supplier incidence graph —
+    // the dense-region sibling of q53's reachability components,
+    // deterministic by integer argmax scoring.
+    "q150_label_prop" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.labelPropagation(edges, "a", "b", rounds = 2)
+        .orderBy("node")
     })
   )
 
@@ -3175,6 +3199,56 @@ object PipelineQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS cb
            FROM documents)
-         WHERE cb < 2000 ORDER BY doc_id"""
+         WHERE cb < 2000 ORDER BY doc_id""",
+
+    // Weighted lower quantile: same ⌈q·W⌉ target arithmetic (one
+    // double product, ceil, clamp to 1) and the same RANGE-frame
+    // cumulative ("weight of all values ≤ x"), so ties resolve
+    // identically without any row-order dependence.
+    "q149_weighted_quantile" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x,
+                  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+         tot AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw
+                 FROM base GROUP BY g),
+         tq AS (SELECT g, tw, q,
+                  GREATEST(CAST(ceil(q * CAST(tw AS DOUBLE)) AS BIGINT), 1)
+                    AS t
+                FROM tot CROSS JOIN
+                  (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+                                  0.9::DOUBLE]) AS q)),
+         cum AS (SELECT g, x, sum(wt) OVER (PARTITION BY g ORDER BY x
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+                 FROM base)
+         SELECT tq.g AS l_returnflag, tq.q AS q, min(cum.x) AS quantile_value,
+                max(tq.tw) AS total_weight
+         FROM cum JOIN tq ON cum.g = tq.g AND cum.cw >= tq.t
+         GROUP BY tq.g, tq.q
+         ORDER BY l_returnflag, q""",
+
+    // Two synchronous rounds unrolled; the arg_max score c·2^40 −
+    // label mirrors Graph.labelPropagation's integer tie-break
+    // exactly.
+    "q150_label_prop" ->
+      """WITH fwd AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM fwd
+                 UNION SELECT dst, src FROM fwd),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         r1 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l0 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l1 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r1 GROUP BY n),
+         r2 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l1 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l2 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r2 GROUP BY n)
+         SELECT node, CAST(label AS BIGINT) AS label FROM l2
+         ORDER BY node"""
   )
 }

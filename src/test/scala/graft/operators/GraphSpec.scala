@@ -14,6 +14,23 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
   }
 
+  test("label propagation: synchronous rounds, majority vote, min-label ties") {
+    import spark.implicits._
+    // two triangles bridged by 3—4; every step hand-computed:
+    // round 1 (from self labels): 1→2 (tie {2,3}), 2→1, 3→1 (tie
+    // {1,2,4}), 4→3 (tie {3,5,6}), 5→4, 6→4
+    // round 2: 1→1 (both nbrs carry 1), 2→1 (tie {2,1}), 3→1 (tie
+    // {2,1,3}), 4→4 (majority: 5,6 carry 4), 5→3 (tie {3,4}), 6→3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    def lp(r: Int) = Graph.labelPropagation(edges, "a", "b", r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(lp(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+    assert(lp(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L))
+  }
+
   test("path graph needs full-diameter propagation; components stay disjoint") {
     // 5—4—3—2—1 written high-to-low so the min label must travel the
     // whole path, plus a separate pair and a self-contained triangle.

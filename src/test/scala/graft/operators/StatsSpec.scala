@@ -195,6 +195,33 @@ class StatsSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("weightedQuantiles: smallest x with cumweight ≥ ⌈q·W⌉, ties row-order-free") {
+    // heavy ties (x repeats with different weights) + a skewed group;
+    // tiny buckets so the straddle logic is exercised
+    val rows = (0 until 300).map(i =>
+      (s"g${i % 3}", (i % 11).toDouble, 1L + (i % 7)))
+    val df = rows.toDF("g", "x", "wt")
+    val got = Stats.weightedQuantiles(df, "g", "x", "wt",
+      Seq(0.0, 0.25, 0.5, 0.9, 1.0), buckets = 4)
+    val want = df.selectExpr("g", "x",
+      "sum(wt) OVER (PARTITION BY g ORDER BY x " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+      "sum(wt) OVER (PARTITION BY g) AS tw")
+      .crossJoin(Seq(0.0, 0.25, 0.5, 0.9, 1.0).toDF("q"))
+      .withColumn("t", greatest(ceil(col("q") * col("tw").cast("double")),
+        lit(1L)))
+      .filter(col("cw") >= col("t"))
+      .groupBy("g", "q")
+      .agg(min("x").as("quantile_value"), max("tw").as("total_weight"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // unit weights degrade to the plain "count ≥ ⌈q·n⌉" rank pick
+    val unit = df.withColumn("wt", lit(1L))
+    val uq = Stats.weightedQuantiles(unit, "g", "x", "wt", Seq(0.5), 4)
+      .filter(col("g") === "g0").head
+    val manual = rows.filter(_._1 == "g0").map(_._2).sorted
+    assert(uq.getDouble(2) == manual((manual.size + 1) / 2 - 1))
+  }
+
   test("chiSquare: independence grid zeroes out; skewed table sums to n; zero cells emitted") {
     // uniform 2×3 grid: expected = observed = 4 everywhere, chi2 = 0
     val even = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r");

@@ -220,12 +220,14 @@ object Curation {
         when(col("_cum") <= cap, col("_bn"))
           .otherwise(lit(cap) - col("_before")))
       .select(col("_cls"), col("_b").as("_cb"), col("_quota"), col("_bn"))
-    // Null-safe on the class: GROUP BY (and the naive rank-over-
-    // partition this operator reproduces) treats a NULL class as an
-    // ordinary partition, so its rows must match their histogram row
-    // rather than vanish to an EqualTo mismatch.
+    // Null-safe on the class AND the bucket: GROUP BY (and the naive
+    // rank-over-partition this operator reproduces) treats a NULL
+    // class as an ordinary partition, so its rows must match their
+    // histogram row rather than vanish to an EqualTo mismatch — and a
+    // NULL id makes md5(NULL) = NULL, so the bucket key needs the same
+    // treatment or NULL-id rows silently drop.
     val joined = withH.join(cuts,
-      withH(classCol) <=> cuts("_cls") && withH("_b") === cuts("_cb"))
+      withH(classCol) <=> cuts("_cls") && withH("_b") <=> cuts("_cb"))
     // full buckets pass through; only the one straddling bucket per
     // class is ranked — and only its own rows enter the window
     val whole = joined.filter(col("_quota") === col("_bn"))
@@ -279,8 +281,9 @@ object Curation {
       .filter(col("_beforew") < budget)
       .select(col("_cls"), col("_b").as("_cb"), col("_beforew"),
         col("_cumw"))
+    // null-safe on class and bucket — same reasoning as classBalance
     val joined = withH.join(cuts,
-      withH(classCol) <=> cuts("_cls") && withH("_b") === cuts("_cb"))
+      withH(classCol) <=> cuts("_cls") && withH("_b") <=> cuts("_cb"))
     // a bucket ending within budget passes whole (every row's prefix
     // is under it); only the straddling bucket needs a real prefix sum
     // — over its own rows only

@@ -246,7 +246,16 @@ object Dedup {
                    pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = Graph.connectedComponents(pairs, aCol, bCol)
       .select(col("node").as("_cid"), col("component"))
-    val score = col(weightCol).cast("long") * lit(1L << 32) - col("_cid")
+    // The weight < 2^20 contract is ENFORCED, not just documented: a
+    // raw-token-count weight column would silently overflow the packed
+    // score (non-ANSI long multiply) and pick wrong keepers. The check
+    // rides the scoring expression — no extra pass.
+    val wRaw = col(weightCol).cast("long")
+    val w = when(wRaw >= 0L && wRaw < (1L << 20), wRaw)
+      .otherwise(raise_error(concat(
+        lit(s"canonicalMap: $weightCol must be in [0, 2^20), got "),
+        wRaw.cast("string"))))
+    val score = w * lit(1L << 32) - col("_cid")
     val keeper = comp
       .join(docs.select(col(idCol), col(weightCol)), col("_cid") === col(idCol))
       .groupBy("component")
@@ -488,16 +497,38 @@ object Dedup {
     *
     * Assignment reuses [[KMeans.lloyd]]'s exact rule (min squared-L2,
     * ties to the lowest cluster) over broadcast centroids; within-cluster
-    * pairs are an equi-join on the cluster key (never an all-pairs
-    * product); duplicate groups close over [[Graph.connectedComponents]]
-    * min-label propagation. All scoring is quantized-integer
-    * ([[quantize]]/[[qdot]]), so the result is engine-deterministic.
+    * pairs are an equi-join on the cluster key; duplicate groups close
+    * over [[Graph.connectedComponents]] min-label propagation. All
+    * scoring is quantized-integer ([[quantize]]/[[qdot]]), so the result
+    * is engine-deterministic.
+    *
+    * PAIR-SPACE SHAPE — the 100 TB knob. With `subPlanes = 0` the
+    * within-cluster join is ALL-PAIRS inside each cluster: cost
+    * O(Σ cᵢ²), which is only tractable when cluster sizes are bounded —
+    * i.e. the caller grows k with the corpus (k ∝ n / target-cluster-
+    * size, the SemDeDup paper's own regime where k is tens of thousands
+    * for billions of documents). With a FIXED k the clusters grow
+    * linearly with the corpus and this path is quadratic — so for
+    * corpus-scale runs pass `subPlanes`/`subBands` (and `dim`): each
+    * cluster is then sub-blocked by hyperplane sign-LSH
+    * ([[hyperplaneBits]] over the same quantized vectors, banded by
+    * [[simHashBandKeys]]) and the self-join key becomes (cluster, band),
+    * bounding the pair space by bucket sizes exactly as
+    * [[embeddingCosineLsh]] does across the whole corpus. Like any LSH
+    * blocking this is a recall trade — a qualifying pair is a candidate
+    * with probability 1 − (1 − (1 − θ/π)^(subPlanes/subBands))^subBands
+    * — deterministic for the fixed weight seed, stated rather than
+    * hidden.
     *
     * Returns one row per vector: (id, cluster, keep_id) with
     * keep_id = the minimum id of its duplicate group (itself when it has
     * no duplicate). */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
-                    vecCol: String, threshold: Double): DataFrame = {
+                    vecCol: String, threshold: Double,
+                    subPlanes: Int = 0, subBands: Int = 0,
+                    dim: Int = 0): DataFrame = {
+    require(subPlanes == 0 || (subBands > 0 && dim > 0),
+      "sub-banding needs subPlanes, subBands and dim all set")
     def sqDist(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
@@ -517,20 +548,56 @@ object Dedup {
       // consumed three times (both self-join sides + final output)
       .localCheckpoint()
     graft.Checkpoints.free(vecs) // superseded by the assigned checkpoint
-    val left = assigned.select(col("cluster"), col("id").as("ida"),
-      col("v").as("va"), col("nrm").as("na"))
-    val right = assigned.select(col("cluster"), col("id").as("idb"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = left.join(right, Seq("cluster"))
-      .filter(col("ida") < col("idb"))
-      .filter(qcosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
-        >= threshold)
-      .select(col("ida"), col("idb"))
+    val pairs =
+      if (subPlanes > 0) {
+        // scale path: candidates co-locate on (cluster, band) — the
+        // per-key pair space is bucket-sized, never cluster-sized
+        val cand = semanticCandidates(assigned, subPlanes, subBands, dim)
+        cand
+          .join(assigned.select(col("id").as("ida"), col("v").as("va"),
+            col("nrm").as("na")), "ida")
+          .join(assigned.select(col("id").as("idb"), col("v").as("vb"),
+            col("nrm").as("nb")), "idb")
+          .filter(qcosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+            >= threshold)
+          .select(col("ida"), col("idb"))
+      } else {
+        // exact path: all pairs inside each cluster — requires bounded
+        // cluster sizes (k grown with the corpus; see the docstring)
+        val left = assigned.select(col("cluster"), col("id").as("ida"),
+          col("v").as("va"), col("nrm").as("na"))
+        val right = assigned.select(col("cluster"), col("id").as("idb"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        left.join(right, Seq("cluster"))
+          .filter(col("ida") < col("idb"))
+          .filter(qcosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+            >= threshold)
+          .select(col("ida"), col("idb"))
+      }
     val comp = Graph.connectedComponents(pairs, "ida", "idb")
     assigned.select(col("id"), col("cluster"))
       .join(comp, col("id") === col("node"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("component"), col("id")).as("keep_id"))
+  }
+
+  /** Within-cluster candidate pairs for [[semanticDedup]]'s sub-banded
+    * path: explode each assigned vector into its hyperplane sign-LSH
+    * band keys and self-join on (cluster, band). Distinct (ida, idb)
+    * with ida < idb. The band computation is ~subPlanes·dim integer
+    * multiplies per row over the already-checkpointed projection — no
+    * extra scan of the source. */
+  private[graft] def semanticCandidates(assigned: DataFrame, subPlanes: Int,
+                                        subBands: Int, dim: Int): DataFrame = {
+    val weights = hyperplaneWeights(subPlanes, dim)
+    val banded = assigned.select(col("cluster"), col("id"),
+      explode(simHashBandKeys(hyperplaneBits(col("v"), weights),
+        subPlanes, subBands)).as("band"))
+    banded.as("x").join(banded.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
   }
 
   // ------------------------------------------------------------------

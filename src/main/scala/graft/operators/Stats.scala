@@ -486,11 +486,15 @@ object Stats {
     * identical expression tree in both engines (affine map, floor,
     * least) — every op is correctly-rounded IEEE, so bucket
     * assignment and edge values agree bit-for-bit. Degenerate
-    * min == max collapses everything into bucket 0. */
+    * min == max collapses everything into bucket 0. Non-finite values
+    * (NULL, NaN, ±Inf) are excluded like [[finiteBase]] everywhere
+    * else in this module — an infinite bound would make the affine
+    * bucket expression NaN for every row. */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, "need at least one bin")
     val base = df.select(col(valueCol).cast("double").as("x"))
-      .where(col("x").isNotNull && !isnan(col("x")))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
     val bounds = base.agg(min("x").as("lo"), max("x").as("hi"))
     val bucketId = when(col("hi") === col("lo"), lit(0L))
       .otherwise(least(

@@ -219,9 +219,17 @@ object TextAnalysis {
     * transfers across partitions by pigeonhole — if count(w) > n/k
     * globally, then count_p(w) > n_p/k in SOME partition, so w survives
     * that partition's summary. An exact recount of only the candidates
-    * (≤ k·partitions words, broadcast into a pre-shuffle filter — the
-    * BM25 term-filter move) then drops the false positives, so the
-    * output is exactly the HAVING query's.
+    * then drops the false positives, so the output is exactly the
+    * HAVING query's.
+    *
+    * The candidate set (≤ k·partitions words) NEVER touches the
+    * driver: it stays a DataFrame and reaches the recount as a
+    * broadcast LEFT SEMI join on the exploded words — the pre-shuffle
+    * filter the BM25 term filter uses, without the plan-bloat failure
+    * of an `isin` literal list (k=30 × 100k partitions would be
+    * millions of literals in one In-expression). The corpus total
+    * rides the same summary frame and attaches as a broadcast 1-row
+    * scalar.
     *
     * The candidate SET depends on partitioning; the final output does
     * not (any partitioning yields a superset of the true heavy
@@ -236,6 +244,8 @@ object TextAnalysis {
     // One pass: each partition emits its MG survivors plus one count
     // marker (the empty string cannot be a word — the regex above
     // requires [a-z]+), so candidates and n arrive in a single job.
+    // Checkpointed (bounded: ≤ k+1 rows per partition) — both the
+    // candidate list and the total read it without re-running the scan.
     val summary = words.as[String].mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
@@ -254,17 +264,18 @@ object TextAnalysis {
         }
       }
       counts.keysIterator.map(w => (w, 0L)) ++ Iterator(("", n))
-    }.toDF("w", "n")
-    val rows = summary.groupBy("w").agg(sum("n").as("n")).collect()
-    val total = rows.collectFirst {
-      case r if r.getString(0).isEmpty => r.getLong(1) }.getOrElse(0L)
-    val candidates = rows.map(_.getString(0)).filter(_.nonEmpty)
-    // Exact pass: candidate filter BEFORE the shuffle, so only rows of
-    // ≤ k·partitions words are exchanged; threshold strict, as in the
-    // HAVING form.
-    words.filter(col("w").isin(candidates.toIndexedSeq: _*))
+    }.toDF("w", "n").localCheckpoint()
+    val candidates = summary.filter(col("w") =!= "").select("w").distinct()
+    val total = summary.filter(col("w") === "")
+      .agg(sum("n").as("_total"))
+    // Exact pass: the broadcast semi join filters BEFORE the shuffle,
+    // so only rows of ≤ k·partitions words are exchanged; threshold
+    // strict, as in the HAVING form.
+    words.join(broadcast(candidates), Seq("w"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * k > total)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("_total"))
+      .select(col("w"), col("cnt"))
       .orderBy("w")
   }
 

@@ -922,11 +922,16 @@ object PipelineQueries {
     // Composes KMeans.lloyd + cluster equi-join + connected components.
     // Threshold 0.4: the synthetic embedding space is diffuse (max
     // pairwise cosine ≈ 0.51), so a production-style 0.95 would make
-    // the group-formation path vacuous; 0.4 exercises it.
+    // the group-formation path vacuous; 0.4 exercises it. Runs the
+    // SUB-BANDED pair space (hyperplane sign-LSH inside each cluster,
+    // self-join key (cluster, band)) — the shape that survives fixed-k
+    // clusters growing with the corpus; the oracle mirrors the banding
+    // bit-for-bit, so the recall trade is verified, not assumed.
     "q122_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Dedup.semanticDedup(emb, trainedCentroids(s, dir, 8, 2),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4,
+        subPlanes = 16, subBands = 4, dim = 64)
         .orderBy("vec_id")
     }),
 
@@ -1271,6 +1276,24 @@ object PipelineQueries {
 
   private def sqlQcos(a: String, b: String) =
     s"(${sqlQdot(a, b)}::DOUBLE / sqrt((${sqlQdot(a, a)} * ${sqlQdot(b, b)})::DOUBLE))"
+
+  /** Hyperplane sign-LSH band keys of a quantized vector expression —
+    * the DuckDB mirror of Dedup.hyperplaneBits + simHashBandKeys, with
+    * the SAME driver-computed weight literals, so both engines block on
+    * bit-identical band keys. */
+  private def sqlHyperplaneBands(vExpr: String, nPlanes: Int, bands: Int,
+                                 dim: Int): String = {
+    val wlit = graft.operators.Dedup.hyperplaneWeights(nPlanes, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val width = nPlanes / bands
+    s"""[CAST(g AS VARCHAR) || ':' ||
+          substr(array_to_string(list_transform(range(1, ${nPlanes + 1}),
+            j -> CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+                        i -> $vExpr[i] * ($wlit)[j][i])) > 0
+                      THEN '1' ELSE '0' END), ''),
+            g * $width + 1, $width)
+        for g in range(0, $bands)]"""
+  }
 
   /** One unrolled Lloyd iteration over an `e(vec_id, v)` CTE: assign
     * each vector to the nearest (squared-L2, ties → lowest cluster)
@@ -2826,8 +2849,10 @@ object PipelineQueries {
          ORDER BY query_id, rank""",
 
     // Same two Lloyd iterations as q51, then: min-L2 assignment (ties →
-    // lowest cluster), within-cluster cosine ≥ 0.4 pairs, recursive
-    // min-label components, keep_id = component min (self if unpaired).
+    // lowest cluster), (cluster, band) sub-banded candidates with the
+    // identical hyperplane weight literals, cosine ≥ 0.4 verification,
+    // recursive min-label components, keep_id = component min (self if
+    // unpaired).
     "q122_semantic_dedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
          c0 AS (
@@ -2843,10 +2868,20 @@ object PipelineQueries {
                                c.cluster) AS rn
              FROM e CROSS JOIN c2 c)
            WHERE rn = 1),
+         banded AS (
+           SELECT vec_id, cluster,
+                  unnest(${sqlHyperplaneBands("v", 16, 4, 64)}) AS band
+           FROM assigned),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+           FROM banded a JOIN banded b
+             ON a.cluster = b.cluster AND a.band = b.band
+                AND a.vec_id < b.vec_id),
          pairs AS (
-           SELECT a.vec_id AS x, b.vec_id AS y
-           FROM assigned a JOIN assigned b
-             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           SELECT c.x, c.y
+           FROM cand c
+           JOIN assigned a ON a.vec_id = c.x
+           JOIN assigned b ON b.vec_id = c.y
            WHERE ${sqlQcos("a.v", "b.v")} >= 0.4),
          edges AS (
            SELECT x AS a, y AS b FROM pairs
@@ -2883,7 +2918,8 @@ object PipelineQueries {
     "q129_histogram" ->
       """WITH base AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+             AND isfinite(CAST(o_totalprice AS DOUBLE))),
          bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
          counts AS (
            SELECT CASE WHEN hi = lo THEN 0
@@ -3162,7 +3198,9 @@ object PipelineQueries {
     // Same cells → marginals → full grid → shared-IEEE tree as
     // Stats.chiSquare (zero cells included); the e subtree is written
     // out verbatim everywhere it appears, so both engines evaluate the
-    // identical double expression.
+    // identical double expression. The grid→cells join is null-safe
+    // (IS NOT DISTINCT FROM) to mirror the engine's <=> — a NULL
+    // category is a category on both sides.
     "q147_chisq_assoc" ->
       """WITH cells AS (
            SELECT lang, source, CAST(count(*) AS BIGINT) AS o
@@ -3184,7 +3222,8 @@ object PipelineQueries {
                   AS chi2_part
          FROM ra CROSS JOIN cb
          LEFT JOIN cells
-           ON cells.lang = ra.lang AND cells.source = cb.source
+           ON cells.lang IS NOT DISTINCT FROM ra.lang
+          AND cells.source IS NOT DISTINCT FROM cb.source
          CROSS JOIN tot
          ORDER BY ra.lang, cb.source""",
 

@@ -106,6 +106,27 @@ class HashSplitSpec extends SparkTestBase {
     assert(got.filter(col("source").isNull).count() == cap)
   }
 
+  test("classBalance keeps NULL-id rows (null-safe bucket key)") {
+    import spark.implicits._
+    // md5(NULL) is NULL, so a NULL id lands in a NULL hash bucket; the
+    // histogram join must be null-safe on the BUCKET too or those rows
+    // silently drop — while the naive rank they reproduce keeps them
+    // (NULLS FIRST in the hash order).
+    val rows: Seq[(Option[Long], String)] =
+      (0L until 20L).map(i => (Some(i): Option[Long], s"s${i % 2}")) ++
+        Seq((None, "s0"), (None, "s1"))
+    val docs = rows.toDF("doc_id", "source")
+    val cap = 5
+    val got = Curation.classBalance(docs, "source", "doc_id", cap)
+    val want = docs.selectExpr("*",
+      "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substring(md5(CAST(doc_id AS STRING)), 1, 8), doc_id) AS rn")
+      .filter(col("rn") <= cap).drop("rn")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the NULL-id rows rank first (NULL hash) and are kept
+    assert(got.filter(col("doc_id").isNull).count() == 2)
+  }
+
   test("classBalance passes small classes through whole") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source")

@@ -149,6 +149,37 @@ class OperatorSpec extends SparkTestBase {
     val got = Dedup.semanticDedup(emb, cents, "vec_id", "embedding", 0.999)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+    // sub-banded path: near-identical vectors share every band, so the
+    // same groups form through the bounded (cluster, band) pair space
+    val banded = Dedup.semanticDedup(emb, cents, "vec_id", "embedding",
+      0.999, subPlanes = 16, subBands = 4, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(banded == got)
+  }
+
+  test("semantic dedup sub-banding keeps a hot cluster sub-quadratic") {
+    import spark.implicits._
+    // one pathological cluster: 200 vectors, all nearest the single
+    // centroid, but pointing in spread-out directions — the fixed-k
+    // skew case the all-pairs path cannot survive. Directions rotate
+    // through 16 orthogonal axes (plus sign), so hyperplane sign bits
+    // differ across most pairs and band buckets stay small.
+    val emb = (0 until 200).map { i =>
+      val v = Array.fill(64)(0.01f)
+      v(i % 16 * 4) = if (i % 2 == 0) 4f + i * 0.01f else -4f - i * 0.01f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val assigned = emb.select(
+      org.apache.spark.sql.functions.lit(0).as("cluster"),
+      col("vec_id").as("id"),
+      Dedup.quantize(col("embedding")).as("v"))
+    val nCand = Dedup.semanticCandidates(assigned,
+      subPlanes = 32, subBands = 4, dim = 64).count()
+    val allPairs = 200L * 199 / 2
+    // the banding must prune the hot cluster's pair space hard — well
+    // under a tenth of all-pairs on this spread fixture (width-8 bands:
+    // unrelated directions collide per band at ~2^-8)
+    assert(nCand < allPairs / 10, s"got $nCand of $allPairs pairs")
   }
 
   test("unigram surprisal: rare words carry more bits, integer-exact") {
@@ -273,6 +304,21 @@ class OperatorSpec extends SparkTestBase {
     // cluster {4,5}: equal weights → 4; singleton 6 → itself
     assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L,
       6L -> 6L))
+  }
+
+  test("canonicalMap rejects weights outside the packed-score contract") {
+    import spark.implicits._
+    // a raw-token-count weight (≥ 2^20) would silently overflow the
+    // weight·2^32 packing and pick wrong keepers — the contract is
+    // enforced at runtime, not just documented
+    val d = Seq((1L, 1L << 20), (2L, 3L)).toDF("id", "wt")
+    val pairs = Seq((1L, 2L)).toDF("pa", "pb")
+    val e = intercept[Exception] {
+      Dedup.canonicalMap(d, "id", "wt", pairs, "pa", "pb").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("canonicalMap")))
   }
 
   test("budget fill is partitioning-invariant") {

@@ -181,6 +181,16 @@ class StatsSpec extends SparkTestBase {
     assert(h.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L, 0L))
   }
 
+  test("histogram excludes non-finite values like the other selectors") {
+    // an infinite value would make hi infinite and every affine bucket
+    // expression NaN — the finiteBase convention applies here too
+    val df = Seq(1.0, 2.0, 3.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NaN).toDF("x")
+    val h = Stats.histogram(df, "x", nBins = 2).orderBy("bucket").collect()
+    assert(h.map(_.getLong(3)).sum == 3L)
+    assert(h.head.getDouble(1) == 1.0 && h.last.getDouble(2) == 3.0)
+  }
+
   test("percentRankMilli equals the naive whole-group rank, ties included") {
     // heavy ties + a skewed group + a singleton group, tiny buckets so
     // the cutoff logic is exercised, not bypassed

@@ -486,6 +486,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q145 heavy hitters recount: broadcast semi join, no isin literal list") {
+    val p = planOf("q145_heavy_hitters")
+    // candidates reach the recount as a broadcast LEFT SEMI join — the
+    // scale-safe form; an In-expression over collected candidates would
+    // be k·partitions literals of plan bloat
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!" IN \\(".r.findFirstIn(p).isDefined, "candidate isin literal list crept back")
+    // the count marker/total never forces a shuffle join
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q147 chi-square derives everything from the checkpointed cells") {
     val p = planOf("q147_chisq_assoc")
     // the one corpus scan happened at cell-materialization time; the

@@ -64,6 +64,102 @@ final class CatalogMetadataProvider(spark: SparkSession) extends MetadataProvide
   * Hikari/Druid pools — pooling is the caller's policy, not the
   * provider's). Connection failures propagate: they are outages, not
   * unknown tables. */
+/** A JDBC dialect the metadata lookup can be pointed at: the type
+  * name (plus aliases, matched case-insensitively — the reference's
+  * `TypeSPIRegistry.matchesType`, `type/TypeSPIRegistry.java:22-24`),
+  * the driver class, and the URL template. Mirrors the BEHAVIOR of the
+  * reference's per-dialect construction
+  * (`utils/DataSourceUtils.java:109-141` — `getURL` +
+  * `getDriverClassName`): same dialect set, same URL shapes (including
+  * SQLServer's `;DatabaseName=` form and H2's in-memory mode flags),
+  * with driver classes updated to their current public coordinates.
+  * Pool wiring (the reference's Hikari/Druid managers) stays the
+  * caller's policy — hand [[JdbcMetadataProvider]] a pooled
+  * DataSource's `getConnection` for service use. */
+final case class JdbcDialect(name: String, aliases: Set[String],
+                             driverClass: String, defaultPort: Int,
+                             private val template: (String, String, Int) => String) {
+  /** Connection URL for `database`, with the dialect's default port
+    * when `port` is not positive. */
+  def url(database: String, host: String = "localhost",
+          port: Int = -1): String =
+    template(database, host, if (port > 0) port else defaultPort)
+
+  def matchesType(t: String): Boolean =
+    name.equalsIgnoreCase(t) || aliases.exists(_.equalsIgnoreCase(t))
+}
+
+/** Registry of the dialects the reference routes
+  * (`DataSourceUtils.java:109-141`). Lookup is alias-aware and
+  * case-insensitive; an unknown type throws a NAMED error like the
+  * reference's `ParseTypeNotFoundException` rather than guessing. */
+object JdbcDialects {
+  val MySql = JdbcDialect("MySQL", Set("mysql8"),
+    "com.mysql.cj.jdbc.Driver", 3306,
+    (d, h, p) => s"jdbc:mysql://$h:$p/$d")
+  val MariaDb = JdbcDialect("MariaDB", Set.empty,
+    "org.mariadb.jdbc.Driver", 3306,
+    (d, h, p) => s"jdbc:mariadb://$h:$p/$d")
+  val PostgreSql = JdbcDialect("PostgreSQL", Set("postgres"),
+    "org.postgresql.Driver", 5432,
+    (d, h, p) => s"jdbc:postgresql://$h:$p/$d")
+  val OpenGauss = JdbcDialect("openGauss", Set.empty,
+    "org.opengauss.Driver", 5431,
+    (d, h, p) => s"jdbc:opengauss://$h:$p/$d")
+  val Oracle = JdbcDialect("Oracle", Set.empty,
+    "oracle.jdbc.OracleDriver", 1521,
+    (d, h, p) => s"jdbc:oracle:thin:@//$h:$p/$d")
+  val SqlServer = JdbcDialect("SQLServer", Set("mssql"),
+    "com.microsoft.sqlserver.jdbc.SQLServerDriver", 1433,
+    (d, h, p) => s"jdbc:sqlserver://$h:$p;DatabaseName=$d")
+  val H2 = JdbcDialect("H2", Set.empty, "org.h2.Driver", -1,
+    (d, _, _) =>
+      s"jdbc:h2:mem:$d;DB_CLOSE_DELAY=-1;DATABASE_TO_UPPER=false;MODE=MYSQL")
+  /** Not in the reference's switch; included because it is the
+    * embedded engine Spark ships (Hive metastore) and what the specs
+    * exercise live. */
+  val Derby = JdbcDialect("Derby", Set("apache-derby"),
+    "org.apache.derby.jdbc.EmbeddedDriver", -1,
+    (d, _, _) => s"jdbc:derby:memory:$d;create=true")
+
+  val all: Seq[JdbcDialect] =
+    Seq(MySql, MariaDb, PostgreSql, OpenGauss, Oracle, SqlServer, H2, Derby)
+
+  def find(tpe: String): Option[JdbcDialect] = all.find(_.matchesType(tpe))
+
+  def forName(tpe: String): JdbcDialect = find(tpe).getOrElse(
+    throw new NoSuchElementException(
+      s"no JDBC dialect registered for type '$tpe' " +
+        s"(known: ${all.map(_.name).mkString(", ")})"))
+}
+
+object JdbcMetadataProvider {
+  /** Dialect-routed construction — the reference's
+    * `DataSourceUtils.build` story collapsed to what the metadata
+    * lookup needs: resolve the dialect (alias-aware), template the
+    * URL, connect through `DriverManager` with the given credentials.
+    * The driver class loads lazily at FIRST lookup, so constructing a
+    * provider for a dialect whose driver jar is absent only fails if
+    * it is actually used — and connection failures propagate as
+    * outages, never as unknown tables. */
+  def forDialect(dialect: JdbcDialect, database: String,
+                 host: String = "localhost", port: Int = -1,
+                 user: String = null, password: String = null):
+      JdbcMetadataProvider = {
+    val url = dialect.url(database, host, port)
+    new JdbcMetadataProvider(() => {
+      Class.forName(dialect.driverClass)
+      if (user == null) java.sql.DriverManager.getConnection(url)
+      else java.sql.DriverManager.getConnection(url, user, password)
+    })
+  }
+
+  def forType(tpe: String, database: String, host: String = "localhost",
+              port: Int = -1, user: String = null,
+              password: String = null): JdbcMetadataProvider =
+    forDialect(JdbcDialects.forName(tpe), database, host, port, user, password)
+}
+
 final class JdbcMetadataProvider(connect: () => java.sql.Connection)
     extends MetadataProvider {
 

@@ -373,6 +373,41 @@ object Curation {
       .drop("_nd", "_share", "_T", "_thresh")
   }
 
+  /** PPS (probability-proportional-to-size) sampling, deterministic:
+    * keep each row with probability min(1, k·w/W) where `w` is the
+    * row's weight (tokens, bytes) and W the corpus total — the
+    * expected sample size is ≈ k rows, but token-HEAVY documents are
+    * preferentially kept, which is what a compute-budgeted training
+    * subset wants (sampling documents uniformly under-weights long
+    * documents' token mass).
+    *
+    * The budgeted sibling of [[weightedSample]]: that one pins
+    * p ∝ w/w_max (sample size falls out of the data), this one pins
+    * the expected SIZE k and lets inclusion probability scale to it.
+    *
+    * No RNG: acceptance compares the row's 16-bit md5 prefix against
+    * an integer threshold — the same hash-threshold machinery as
+    * [[stratifiedSample]], so the decision is reproducible row-by-row
+    * on any engine with md5. All arithmetic is exact integer:
+    * h·W < 65536·k·w, with h < 2¹⁶ and 65536·k·w within long for any
+    * realistic budget (w·k < 2⁴⁷). Weights must be non-negative;
+    * zero-weight rows are never kept.
+    *
+    * Shape at scale: one column-pruned aggregate for W (broadcast
+    * 1-row attach), then a stateless projection-filter — no shuffle
+    * of the corpus, no sort, trivially AQE/codegen friendly. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+                k: Long): DataFrame = {
+    require(k >= 1, s"target sample size must be >= 1, got $k")
+    val w = col(weightCol).cast("long")
+    val total = df.agg(sum(w).as("_W"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.crossJoin(broadcast(total))
+      .filter(h * col("_W") < lit(65536L) * lit(k) * w)
+      .drop("_W")
+  }
+
   /** Sequence PACKING (concat-then-chunk): documents are laid out
     * back-to-back per shard (ordered by `orderCol` within `shardCol`)
     * and the concatenated token stream is cut every `ctxTokens` — the

@@ -429,13 +429,16 @@ object Dedup {
   }
 
   /** Sign bits of a quantized vector against literal hyperplanes, as a
-    * '0'/'1' string (bit j = sign of q · w_j). One lambda dot product
-    * per plane — ~nPlanes·dim integer multiplies per row, no shuffle. */
+    * '0'/'1' string (bit j = sign of q · w_j). One dot product per
+    * plane — ~nPlanes·dim integer multiplies per row, no shuffle. The
+    * dot goes through [[qdot]] (the native codegen'd expression with a
+    * live session): on checkpointed inputs — semanticDedup's banding
+    * reads one — the lambda fold would run interpreted at ~9× the cost
+    * (the QDot lesson, DESIGN.md §2). */
   def hyperplaneBits(q: Column, weights: Seq[Seq[Long]]): Column =
     concat_ws("", weights.map { w =>
       val wl = array(w.map(lit): _*)
-      when(aggregate(zip_with(q, wl, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x) > 0, "1").otherwise("0")
+      when(qdot(q, wl) > 0, "1").otherwise("0")
     }: _*)
 
   /** Cosine near-duplicate pairs blocked by hyperplane sign-LSH — the

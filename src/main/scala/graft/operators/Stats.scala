@@ -515,4 +515,35 @@ object Stats {
       .select(col("bucket"), col("bin_lo"), col("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** JOIN-KEY SKEW AUDIT: the top-`topN` hottest values of `keyCol`
+    * with their row counts and corpus share (integer permille) — the
+    * diagnostic run BEFORE deciding whether a join needs salting
+    * ([[graft.queries.PipelineQueries]] q130) or AQE skew splitting.
+    * A key above ~1000/numPartitions permille serializes its partition
+    * at shuffle time; this report names those keys and sizes the salt.
+    *
+    * Shape at scale: one map-side-combinable count per key, then a
+    * TakeOrderedAndProject heap top-N (never a full sort of the key
+    * domain) with (count desc, key asc NULLS FIRST) determinism; the
+    * 1-row total attaches broadcast. A NULL key is a key — it is
+    * usually THE hot key. Output: (key as string, cnt,
+    * share_permille), ordered hottest first. */
+  def skewAudit(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 100000,
+      s"topN must be in [1, 1e5], got $topN — the report is driver-sized")
+    val counts = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    // total from the SOURCE, not from re-aggregating the key domain: a
+    // count(*) scan is column-pruned and shuffle-free where summing
+    // `counts` would repeat the key shuffle
+    val total = df.agg(count(lit(1)).as("_total"))
+    counts
+      .orderBy(col("cnt").desc, col("key").asc_nulls_first)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("(1000 * cnt) div _total").as("share_permille"))
+      .orderBy(col("cnt").desc, col("key").asc_nulls_first)
+  }
 }

@@ -279,6 +279,93 @@ object TextAnalysis {
       .orderBy("w")
   }
 
+  /** PII pattern census — the scrubbing pass every public-corpus
+    * pipeline runs before training. Patterns are deliberately written
+    * in the common subset of Java regex and RE2 (no lookaround, no
+    * backreference), so the same pattern string runs identically in
+    * Spark and in RE2-based engines (DuckDB) — determinism across the
+    * oracle boundary. The patterns catch well-formed instances
+    * (emails, NANP-style phones, dotted-quad IPs, SSN-shaped ids);
+    * real scrubbing layers validation (checksums, allow-lists) on
+    * top, but the Spark shape — a stateless codegen'd projection, no
+    * UDF, no shuffle — is exactly what runs at 100 TB. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** Per-document PII counts: one column per [[PiiPatterns]] entry
+    * (`n_<kind>`) plus the total. `regexp_count` is a codegen'd
+    * built-in — the whole operator is a narrow projection with scan
+    * throughput. Note the SSN pattern is shape-based and the phone
+    * pattern is a superset-shaped cousin: a 3-3-4 digit group matches
+    * phone, a 3-2-4 group matches ssn — disjoint shapes, counted
+    * independently. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (kind, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$kind")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_pii",
+        PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+  }
+
+  /** PII redaction: each [[PiiPatterns]] match replaced with its
+    * `<KIND>` tag, applied in the patterns' declared order (order
+    * matters — the email pattern must run before anything that could
+    * consume its digits). Pure projection; the redacted text is the
+    * column a scrubbed corpus persists. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (kind, pat)) =>
+        regexp_replace(acc, pat, s"<${kind.toUpperCase(java.util.Locale.ROOT)}>")
+    }
+    df.select(col(idCol), redacted.as("redacted"))
+  }
+
+  /** BOILERPLATE LINE REMOVAL (the C4/CCNet move): a line occurring in
+    * at least `minDocs` DISTINCT documents of the same `groupCol`
+    * (site, domain, source) is template chrome — navigation, cookie
+    * banners, footers — and is stripped from every document in that
+    * group; document-unique lines survive. Returns
+    * (idCol, clean_text, n_lines, n_removed) with surviving lines
+    * rejoined IN ORIGINAL ORDER.
+    *
+    * Shape at scale: lines explode with their position, the
+    * (group, line) document-frequency is one map-side-combinable
+    * aggregate over DISTINCT (group, line, doc) triples, and the
+    * boilerplate verdict joins back on (group, line) — lines shuffle
+    * as [[graft.operators.Dedup.digest64]] keys (8 bytes, not line
+    * text). The per-document rebuild is one aggregate:
+    * `array_sort(collect_list(struct(pos, line)))` — order restored
+    * inside the group, no window over the corpus. Hot boilerplate
+    * lines are exactly the heavy keys the AQE-skew-splittable join
+    * back absorbs. */
+  def boilerplateStrip(df: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("g", Dedup.digest64(col("line")))
+      .localCheckpoint() // consumed twice: df count + join back
+    val docFreq = lines.select("grp", "g", "id").distinct()
+      .groupBy("grp", "g").agg(count(lit(1)).as("_df"))
+    val verdict = lines.join(docFreq, Seq("grp", "g"))
+    verdict
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("_df") < minDocs,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_lines"),
+        col("n_removed"))
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = Dedup.charShingles(col(textCol), 8)
     val hashes = array_sort(transform(grams, g => md5(g)))

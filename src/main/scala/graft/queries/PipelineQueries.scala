@@ -1216,8 +1216,90 @@ object PipelineQueries {
         .distinct()
       Graph.labelPropagation(edges, "a", "b", rounds = 2)
         .orderBy("node")
+    }),
+
+    // PII census — the scrub-before-training pass. The corpus carries
+    // no PII, so the query derives deterministic instances from doc_id
+    // (email always; phone every 3rd; IP every 5th; SSN-shaped every
+    // 7th) and the oracle rebuilds the IDENTICAL strings — the regex
+    // extraction itself is what's verified, in the Java∩RE2 pattern
+    // subset both engines share.
+    "q151_pii_scan" -> ((s, dir) => {
+      TextAnalysis.piiScan(piiDocs(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Redaction twin: each hit replaced by its <KIND> tag in declared
+    // pattern order — the persisted form of a scrubbed corpus.
+    "q152_pii_redact" -> ((s, dir) => {
+      TextAnalysis.piiRedact(piiDocs(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Join-key skew audit: hottest user_ids with corpus share — the
+    // diagnostic that decides salting (q130) vs AQE skew-split before
+    // a 100 TB join, as a combinable count + heap top-N (no full sort
+    // of the key domain).
+    "q153_skew_audit" -> ((s, dir) => {
+      Stats.skewAudit(t(s, dir, "events"), "user_id", topN = 20)
+    }),
+
+    // C4-style boilerplate removal: lines shared by ≥3 documents of
+    // the same source are template chrome and drop; survivors rejoin
+    // in original order. Documents have no newlines, so 2-word lines
+    // are derived identically in both engines (the threshold and line
+    // width are fixture-tuned so removal AND survival both occur —
+    // ~600 of ~9700 distinct (source, line) pairs are boilerplate).
+    "q154_boilerplate" -> ((s, dir) => {
+      TextAnalysis.boilerplateStrip(lineDocs(t(s, dir, "documents")),
+        "doc_id", "source", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic PPS sampling: expected ~100 docs kept with
+    // probability ∝ n_chars — the compute-budgeted subset that weights
+    // token mass, not document count; md5-threshold acceptance, no RNG.
+    "q155_pps_sample" -> ((s, dir) => {
+      Curation.ppsSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        k = 100)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
+
+  /** Deterministic PII-bearing text for q151/q152: derived from doc_id
+    * with the same construction in the DuckDB oracle, so the regex
+    * machinery (not the fixture) is what the driver verifies. */
+  private def piiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" user"), col("doc_id").cast("string"), lit("@mail.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" id 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+      ).as("text"))
+
+  /** 2-word-per-line view of documents for q154 (the corpus has no
+    * newlines); same construction in the oracle. */
+  private def lineDocs(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        transform(
+          // Column `/` is double division — cast back for sequence()
+          sequence(lit(0), ((size(words) - 1) / 2).cast("int")),
+          i => concat_ws(" ", slice(words, i * 2 + 1, lit(2))))).as("text"))
+  }
 
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments mirror the Spark operators
@@ -3288,6 +3370,114 @@ object PipelineQueries {
                        arg_max(label, c * 1099511627776 - label) AS label
                 FROM r2 GROUP BY n)
          SELECT node, CAST(label AS BIGINT) AS label FROM l2
-         ORDER BY node"""
+         ORDER BY node""",
+
+    // Same derived PII strings; RE2 counts via regexp_extract_all over
+    // the IDENTICAL pattern literals (single source: PiiPatterns).
+    "q151_pii_scan" ->
+      s"""WITH d AS ($sqlPiiDocs)
+         SELECT doc_id,
+                ${sqlPiiCount("email")} AS n_email,
+                ${sqlPiiCount("phone")} AS n_phone,
+                ${sqlPiiCount("ipv4")} AS n_ipv4,
+                ${sqlPiiCount("ssn")} AS n_ssn,
+                ${sqlPiiCount("email")} + ${sqlPiiCount("phone")} +
+                ${sqlPiiCount("ipv4")} + ${sqlPiiCount("ssn")} AS n_pii
+         FROM d ORDER BY doc_id""",
+
+    // Same chained global replaces in the same declared order.
+    "q152_pii_redact" ->
+      s"""WITH d AS ($sqlPiiDocs)
+         SELECT doc_id, $sqlPiiRedacted AS redacted
+         FROM d ORDER BY doc_id""",
+
+    // Combinable count + total + permille share; the ORDER includes the
+    // key so the top-20 cut is a total order in both engines.
+    "q153_skew_audit" ->
+      """WITH c AS (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+         SELECT key, cnt, (1000 * cnt) // total AS share_permille
+         FROM c CROSS JOIN t
+         ORDER BY cnt DESC, key ASC NULLS FIRST
+         LIMIT 20""",
+
+    // Same 2-word line derivation, distinct-doc line frequency per
+    // source, and order-preserving rebuild (COALESCE mirrors Spark's
+    // empty-array concat_ws = '' when every line is boilerplate).
+    "q154_boilerplate" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+         d AS (
+           SELECT doc_id, source,
+                  [array_to_string(ws[i*2+1:i*2+2], ' ')
+                   for i in range(0, (len(ws)-1)//2 + 1)] AS ls
+           FROM w),
+         lines AS (
+           SELECT doc_id, source, unnest(ls) AS line,
+                  unnest(range(1, len(ls)+1)) AS pos
+           FROM d),
+         freq AS (
+           SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM lines GROUP BY source, line),
+         j AS (
+           SELECT l.doc_id, l.pos, l.line, f.df
+           FROM lines l JOIN freq f
+             ON l.source = f.source AND l.line = f.line)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN df < 3 THEN line END,
+                                    chr(10) ORDER BY pos), '') AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    // Same integer acceptance: h16 · W < 65536 · k · w.
+    "q155_pps_sample" ->
+      """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_tot
+                    FROM documents)
+         SELECT doc_id, source, n_chars
+         FROM documents CROSS JOIN t
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 * w_tot
+               < 65536 * 100 * CAST(n_chars AS BIGINT)
+         ORDER BY doc_id"""
   )
+
+  /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].
+    * (defs, not vals: referenced from the oracle map's initializer
+    * above their definition site.) */
+  private def sqlPiiDocs =
+    """SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.com' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+       FROM documents"""
+
+  /** RE2 count of one [[TextAnalysis.PiiPatterns]] entry — the same
+    * pattern literal the engine compiles (single source of truth). */
+  private def sqlPiiCount(kind: String): String = {
+    val pat = graft.operators.TextAnalysis.PiiPatterns.toMap.apply(kind)
+    s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+  }
+
+  /** Chained global replaces mirroring [[TextAnalysis.piiRedact]]'s
+    * fold order. */
+  private def sqlPiiRedacted: String =
+    graft.operators.TextAnalysis.PiiPatterns.foldLeft("text") {
+      case (acc, (kind, pat)) =>
+        s"regexp_replace($acc, '$pat', " +
+          s"'<${kind.toUpperCase(java.util.Locale.ROOT)}>', 'g')"
+    }
 }

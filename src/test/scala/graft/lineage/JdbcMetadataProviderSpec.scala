@@ -59,4 +59,32 @@ class JdbcMetadataProviderSpec extends SparkTestBase {
     assert(byTo("n_name") == Some("default.ext_sink.d_name"))
     assert(r.outputTables == Set("default.ext_sink"))
   }
+
+  test("dialect registry: reference URL shapes, alias-aware lookup, named failure") {
+    // the URL templates mirror DataSourceUtils.getURL's shapes
+    assert(JdbcDialects.MySql.url("sales") == "jdbc:mysql://localhost:3306/sales")
+    assert(JdbcDialects.PostgreSql.url("sales", "db1", 6432) ==
+      "jdbc:postgresql://db1:6432/sales")
+    assert(JdbcDialects.OpenGauss.url("g") == "jdbc:opengauss://localhost:5431/g")
+    assert(JdbcDialects.Oracle.url("orcl") ==
+      "jdbc:oracle:thin:@//localhost:1521/orcl")
+    assert(JdbcDialects.SqlServer.url("dw") ==
+      "jdbc:sqlserver://localhost:1433;DatabaseName=dw")
+    assert(JdbcDialects.H2.url("t") ==
+      "jdbc:h2:mem:t;DB_CLOSE_DELAY=-1;DATABASE_TO_UPPER=false;MODE=MYSQL")
+    // alias + case-insensitive matching (TypeSPIRegistry.matchesType)
+    assert(JdbcDialects.forName("postgres") == JdbcDialects.PostgreSql)
+    assert(JdbcDialects.forName("MYSQL") == JdbcDialects.MySql)
+    assert(JdbcDialects.forName("mssql") == JdbcDialects.SqlServer)
+    // unknown type: a named error, not a guess
+    val e = intercept[NoSuchElementException](JdbcDialects.forName("sybase"))
+    assert(e.getMessage.contains("sybase"))
+  }
+
+  test("forDialect builds a working provider end-to-end (embedded Derby)") {
+    setup // the graftmeta database and its tables must exist first
+    val p = JdbcMetadataProvider.forDialect(JdbcDialects.Derby, "graftmeta")
+    assert(p.tableColumns("ext_sink") == Seq("d_key", "d_name", "d_val"))
+    assert(p.tableColumns("nope") == Nil)
+  }
 }

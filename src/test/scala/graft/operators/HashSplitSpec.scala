@@ -173,4 +173,30 @@ class HashSplitSpec extends SparkTestBase {
     assert(Curation.budgetFill(df, "source", "doc_id", "w", 100000L)
       .count() == rows.size)
   }
+
+  test("ppsSample: deterministic, weight-monotone, saturates at p=1") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, 1L + i % 100))
+    val df = rows.toDF("doc_id", "w")
+    val k = 50L
+    val got = Curation.ppsSample(df, "doc_id", "w", k)
+    // deterministic under repartitioning (pure function of id + W)
+    val again = Curation.ppsSample(df.repartition(7), "doc_id", "w", k)
+    assert(got.collect().map(_.getLong(0)).toSet ==
+      again.collect().map(_.getLong(0)).toSet)
+    // expected size ≈ k (md5 uniformity at n=1000 gives a loose band)
+    val n = got.count()
+    assert(n > k / 2 && n < k * 2, s"sample size $n far from target $k")
+    // a row with w·k ≥ W is kept with certainty: every h < 2^16 passes
+    val W = rows.map(_._2).sum
+    val heavy = df.withColumn("w",
+      when(col("doc_id") === 999L, lit(W)).otherwise(col("w")))
+    assert(Curation.ppsSample(heavy, "doc_id", "w", k)
+      .filter(col("doc_id") === 999L).count() == 1)
+    // zero-weight rows are never kept
+    val zeroed = df.withColumn("w",
+      when(col("doc_id") < 990L, lit(0L)).otherwise(col("w")))
+    assert(Curation.ppsSample(zeroed, "doc_id", "w", k)
+      .filter(col("doc_id") < 990L).count() == 0)
+  }
 }

@@ -306,6 +306,50 @@ class OperatorSpec extends SparkTestBase {
       6L -> 6L))
   }
 
+  test("pii scan counts each pattern kind independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@corp.io or 555-123-4567 from 10.0.0.7"),
+      (2L, "ssn 123-45-6789 twice 123-45-6789, no email"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L, 0L, 3L)))
+    assert(got(2L) == ((0L, 0L, 0L, 2L, 2L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("pii redact replaces every hit with its kind tag") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a@b.co then dial 555-123-4567 at 10.0.0.7 id 123-45-6789"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(df, "doc_id", "text")
+      .collect().head.getString(1)
+    assert(got == "mail <EMAIL> then dial <PHONE> at <IP> id <SSN>"
+      .replace("<IP>", "<IPV4>"))
+  }
+
+  test("boilerplate strip drops group-frequent lines, keeps order") {
+    import spark.implicits._
+    val boiler = "accept cookies"
+    val df = Seq(
+      (1L, "s1", s"$boiler\nunique alpha\nclosing note"),
+      (2L, "s1", s"opening\n$boiler\nunique beta"),
+      (3L, "s1", s"unique gamma\n$boiler"),
+      (4L, "s2", boiler) // different group: frequency 1 there, kept
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.boilerplateStrip(df, "doc_id", "source", "text",
+      minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("unique alpha\nclosing note", 3L, 1L)))
+    assert(got(2L) == (("opening\nunique beta", 3L, 1L)))
+    assert(got(3L) == (("unique gamma", 2L, 1L)))
+    assert(got(4L) == ((boiler, 1L, 0L))) // other group untouched
+  }
+
   test("canonicalMap rejects weights outside the packed-score contract") {
     import spark.implicits._
     // a raw-token-count weight (≥ 2^20) would silently overflow the

@@ -181,6 +181,20 @@ class StatsSpec extends SparkTestBase {
     assert(h.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L, 0L))
   }
 
+  test("skewAudit names the hot keys with exact shares, NULL included") {
+    import spark.implicits._
+    val rows: Seq[Option[Int]] =
+      Seq.fill(60)(Some(7)) ++ Seq.fill(25)(None) ++
+        Seq.fill(10)(Some(1)) ++ (100 to 104).map(Some(_))
+    val df = rows.toDF("k")
+    val got = Stats.skewAudit(df, "k", topN = 3).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (Some("7"), 60L, 600L),   // 60 of 100 rows = 600 permille
+      (None, 25L, 250L),        // NULL is a key — usually THE hot one
+      (Some("1"), 10L, 100L)))
+  }
+
   test("histogram excludes non-finite values like the other selectors") {
     // an infinite value would make hi infinite and every affine bucket
     // expression NaN — the finiteBase convention applies here too

@@ -516,6 +516,40 @@ object Stats {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** EQUI-DEPTH BINNING — `ntile` without the sort. The naive form,
+    * `ntile(nBins) OVER (PARTITION BY grp ORDER BY x)`, funnels every
+    * group through one task's sort; this one derives the nBins−1
+    * interior cutpoints with [[exactQuantiles]] (two-phase, bounded
+    * windows) and assigns `bin = #cutpoints ≤ x` in a stateless
+    * broadcast-join projection — the corpus is never sorted and never
+    * reshuffled.
+    *
+    * The rule is VALUE-deterministic, not row-deterministic: ties all
+    * land in the same bin (the upper one at a cutpoint), so the result
+    * is reproducible under any partitioning — unlike row-exact ntile,
+    * whose tie split depends on sort order. Bin populations are
+    * therefore equal only up to tie mass, the standard trade for a
+    * deterministic contract. Non-finite values (NULL/NaN/±Inf) get a
+    * NULL bin ([[finiteBase]] convention).
+    *
+    * Output: every input row + `bin` (0-based long). */
+  def equiDepthBin(df: DataFrame, groupCol: String, valueCol: String,
+                   nBins: Int, buckets: Int = 1024): DataFrame = {
+    require(nBins >= 2 && nBins <= 1024,
+      s"nBins must be in [2, 1024], got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = exactQuantiles(df, groupCol, valueCol, qs, buckets)
+      .groupBy(col(groupCol).as("_cg"))
+      .agg(sort_array(collect_list(col("quantile_value"))).as("_cuts"))
+    val x = col(valueCol).cast("double")
+    df.join(broadcast(cuts), col(groupCol) <=> col("_cg"), "left")
+      .select(df.columns.map(col) :+
+        when(x.isNotNull && !isnan(x) &&
+            abs(x) < lit(Double.PositiveInfinity),
+          size(filter(col("_cuts"), c => x >= c)).cast("long"))
+          .as("bin"): _*)
+  }
+
   /** JOIN-KEY SKEW AUDIT: the top-`topN` hottest values of `keyCol`
     * with their row counts and corpus share (integer permille) — the
     * diagnostic run BEFORE deciding whether a join needs salting

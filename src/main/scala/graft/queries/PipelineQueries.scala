@@ -1264,6 +1264,87 @@ object PipelineQueries {
         k = 100)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // CROSS-SOURCE duplication matrix: which sources near-duplicate
+    // into which — q31's LSH pair pipeline rolled up by unordered
+    // source pair. The report that decides which feed to cut when the
+    // same content arrives twice; source labels attach broadcast.
+    "q156_source_dup_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"))), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
+    // TEMPORAL split + leakage guard: train < cutoff ≤ validation,
+    // with the count of validation events whose user also appears in
+    // train — the temporal-leakage report an eval-split pipeline
+    // publishes. Distinct train users close over one aggregate; the
+    // membership flag joins back on user_id.
+    "q157_temporal_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cutoff = expr("timestamp'2024-01-22 00:00:00'")
+      val train = ev.filter(col("ts") < cutoff)
+      val vali = ev.filter(col("ts") >= cutoff)
+      val trainUsers = train.select("user_id").distinct()
+        .withColumn("_seen", lit(1L))
+      val tAgg = train.groupBy("event_type")
+        .agg(count(lit(1)).as("n_train"))
+      val vAgg = vali.join(trainUsers, Seq("user_id"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_val"),
+          sum(coalesce(col("_seen"), lit(0L))).as("n_val_leaked"))
+      tAgg.join(vAgg, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_train"), lit(0L)).as("n_train"),
+          coalesce(col("n_val"), lit(0L)).as("n_val"),
+          coalesce(col("n_val_leaked"), lit(0L)).as("n_val_leaked"))
+        .orderBy("event_type")
+    }),
+
+    // Equi-depth binning (ntile WITHOUT the whole-group sort): 8 bins
+    // of events.value per event_type via broadcast quantile cutpoints;
+    // value-deterministic tie handling, verified per row.
+    "q158_equi_depth_bin" -> ((s, dir) => {
+      Stats.equiDepthBin(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value", nBins = 8)
+        .select("event_id", "bin")
+        .orderBy("event_id")
+    }),
+
+    // Embedding cluster-health profile: per trained cluster, size and
+    // quantized-L2 dispersion (mean + max distance-to-centroid) — the
+    // report that says whether k is right before SemDeDup trusts the
+    // clustering. Broadcast centroids, one combinable aggregate.
+    "q159_cluster_profile" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), Dedup.quantize(col("embedding")).as("v"))
+      val assigned = vecs
+        .join(broadcast(trainedCentroids(s, dir, 8, 2)
+          .select(col("cluster"), col("centroid").as("cv"))))
+        .select(col("vec_id"), col("cluster"),
+          aggregate(zip_with(col("v"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("d2"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"),
+          min(col("d2")).as("d2"))
+      assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(d2) div count(1)").as("mean_d2"),
+          max(col("d2")).as("max_d2"))
+        .orderBy("cluster")
     })
   )
 
@@ -3444,7 +3525,102 @@ object PipelineQueries {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                  * w_tot
                < 65536 * 100 * CAST(n_chars AS BIGINT)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q31's pair pipeline verbatim, rolled up by unordered source pair.
+    "q156_source_dup_matrix" ->
+      s"""WITH pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)})
+         SELECT least(da.source, db.source) AS source_x,
+                greatest(da.source, db.source) AS source_y,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Same cutoff literal (both engines read the NANOS parquet floored
+    // to µs — the q60/q82 probe contract), same leakage flag.
+    "q157_temporal_split" ->
+      """WITH train AS (
+           SELECT * FROM events
+           WHERE ts < TIMESTAMP '2024-01-22 00:00:00'),
+         vali AS (
+           SELECT * FROM events
+           WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'),
+         tu AS (SELECT DISTINCT user_id FROM train),
+         ta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_train
+                FROM train GROUP BY 1),
+         va AS (SELECT v.event_type, CAST(count(*) AS BIGINT) AS n_val,
+                       CAST(sum(CASE WHEN tu.user_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_val_leaked
+                FROM vali v LEFT JOIN tu ON v.user_id = tu.user_id
+                GROUP BY 1)
+         SELECT COALESCE(ta.event_type, va.event_type) AS event_type,
+                COALESCE(n_train, 0) AS n_train,
+                COALESCE(n_val, 0) AS n_val,
+                COALESCE(n_val_leaked, 0) AS n_val_leaked
+         FROM ta FULL OUTER JOIN va ON ta.event_type = va.event_type
+         ORDER BY event_type""",
+
+    // Same lower-quantile rank arithmetic (floor((n-1)·q)+1 — one IEEE
+    // product) for the 7 interior cutpoints, same x ≥ cut bin rule;
+    // the value at a rank is tie-order-free because tied rows share
+    // the value.
+    "q158_equi_depth_bin" ->
+      """WITH base AS (
+           SELECT event_id, event_type AS grp, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND isfinite(CAST(value AS DOUBLE))),
+         n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+               FROM base GROUP BY grp),
+         qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5,
+                               0.625, 0.75, 0.875]) AS q),
+         tgt AS (SELECT grp, q, CAST(floor((n - 1) * q) AS BIGINT) + 1 AS r
+                 FROM n CROSS JOIN qs),
+         ranked AS (SELECT grp, x,
+                           row_number() OVER (PARTITION BY grp ORDER BY x)
+                             AS rn
+                    FROM base),
+         cuts AS (SELECT t.grp, rk.x AS c
+                  FROM tgt t JOIN ranked rk
+                    ON rk.grp = t.grp AND rk.rn = t.r)
+         SELECT b.event_id,
+                CAST(sum(CASE WHEN b.x >= c.c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS bin
+         FROM base b JOIN cuts c ON c.grp = b.grp
+         GROUP BY b.event_id ORDER BY event_id""",
+
+    // Same two Lloyd iterations and min-L2 assignment as q122, then a
+    // per-cluster integer dispersion rollup.
+    "q159_cluster_profile" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         a AS (
+           SELECT vec_id, cluster, d2 FROM (
+             SELECT e.vec_id, c.cluster,
+                    list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]) AS d2,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN c2 c)
+           WHERE rn = 1)
+         SELECT CAST(cluster AS BIGINT) AS cluster,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(d2) AS BIGINT) // CAST(count(*) AS BIGINT)
+                  AS mean_d2,
+                CAST(max(d2) AS BIGINT) AS max_d2
+         FROM a GROUP BY cluster ORDER BY cluster"""
   )
 
   /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].

@@ -181,6 +181,27 @@ class StatsSpec extends SparkTestBase {
     assert(h.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L, 0L))
   }
 
+  test("equiDepthBin: cutpoint binning, ties share a bin, non-finite → NULL") {
+    import spark.implicits._
+    // 16 values 1..16, nBins=4: ranks floor(15q)+1 = 4, 8, 12 → cuts
+    // at values 4, 8, 12; bin = #cuts ≤ x
+    val rows = (1 to 16).map(i => ("g", i.toDouble)) :+ (("g", Double.NaN))
+    val df = rows.toDF("g", "x")
+    val rowsOut = Stats.equiDepthBin(df, "g", "x", nBins = 4).collect()
+      .map(r => (r.getDouble(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val got = rowsOut.filterNot(_._1.isNaN).toMap
+    assert(got(3.0) == 0L && got(4.0) == 1L) // tie at the cut → upper bin
+    assert(got(7.0) == 1L && got(8.0) == 2L)
+    assert(got(12.0) == 3L && got(16.0) == 3L)
+    assert(rowsOut.filter(_._1.isNaN).map(_._2).toSeq == Seq(-1L)) // NULL bin
+    // tie mass all lands together: duplicate a cut value heavily
+    val dup = (Seq.fill(10)(5.0) ++ Seq(1.0, 2.0, 3.0, 9.0, 10.0, 11.0))
+      .map(("h", _)).toDF("g", "x")
+    val bins = Stats.equiDepthBin(dup, "g", "x", nBins = 4)
+      .filter(col("x") === 5.0).select("bin").distinct().collect()
+    assert(bins.length == 1) // every tied row shares one bin
+  }
+
   test("skewAudit names the hot keys with exact shares, NULL included") {
     import spark.implicits._
     val rows: Seq[Option[Int]] =

@@ -497,6 +497,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q158 equi-depth bin: no bare-group window, cutpoints broadcast back") {
+    val p = planOf("q158_equi_depth_bin")
+    // ntile's shape — a window over (event_type ORDER BY value) moving
+    // every group through one task — must be absent: every window spec
+    // carries the bucket-phase keys
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(grp#\\d+, b#\\d+".r.findAllIn(p).size
+    assert(all > 0 && all == bucketed)
+    // the nBins-1 cutpoints rejoin the corpus broadcast (an ntile
+    // window would be caught by the spec-key assertion above —
+    // "ntile" itself is unsearchable here, `quantile_value` contains
+    // it as a substring)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q147 chi-square derives everything from the checkpointed cells") {
     val p = planOf("q147_chisq_assoc")
     // the one corpus scan happened at cell-materialization time; the

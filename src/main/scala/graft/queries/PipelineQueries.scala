@@ -1345,6 +1345,73 @@ object PipelineQueries {
           expr("sum(d2) div count(1)").as("mean_d2"),
           max(col("d2")).as("max_d2"))
         .orderBy("cluster")
+    }),
+
+    // RECALL@10 of the int8 ladder vs the exact ranking — the eval
+    // metric that justifies running compressed retrieval at all (the
+    // q120/q124 ladder's report card). Both rankings are heap top-k;
+    // the intersection is a 10-row-per-query join.
+    "q160_recall_at_k" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val approx = Similarity.int8TopK(emb, qids, "vec_id", "embedding",
+        k = 10).select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+      val exact = Similarity.bruteForceTopK(emb, qids, "vec_id", "embedding",
+        k = 10).select(col("query_id"), col("vec_id"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          expr("(1000 * n_hit) div k").as("recall_permille"))
+        .orderBy("query_id")
+    }),
+
+    // WINSORIZED per-group stats: clip events.value at the exact
+    // [p05, p95] two-phase quantiles and report the clipped mass — the
+    // outlier-robust rollup that replaces mean-with-outliers. Clip
+    // bounds broadcast; the corpus is never sorted.
+    "q161_winsorized" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cuts = Stats.exactQuantiles(ev, "event_type", "value",
+          Seq(0.05, 0.95))
+        .groupBy(col("event_type").as("_g"))
+        .agg(min(when(col("q") === 0.05, col("quantile_value"))).as("p05"),
+          min(when(col("q") === 0.95, col("quantile_value"))).as("p95"))
+      val x = col("value").cast("double")
+      ev.join(broadcast(cuts), col("event_type") <=> col("_g"))
+        .select(col("event_type"), x.as("x"), col("p05"), col("p95"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          sum(when(col("x") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("x") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(least(greatest(col("x"), col("p05")), col("p95"))
+            .cast("decimal(18,3)")).cast("double").as("sum_winsorized"))
+        .orderBy("event_type")
+    }),
+
+    // USER BEHAVIOR SEQUENCES: each user's first 12 events as an
+    // ordered event-type string — the session→sequence build for
+    // next-event training data. The rank window is per-user (bounded
+    // partitions, WindowGroupLimit prunes pre-shuffle); the rebuild is
+    // one aggregate on the same key, so the exchange is reused.
+    "q162_user_sequences" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("n_total", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            s => s.getField("event_type"))).as("seq"),
+          count(lit(1)).as("seq_len"),
+          min(col("n_total")).as("n_total"))
+        .orderBy("user_id")
     })
   )
 
@@ -3620,7 +3687,97 @@ object PipelineQueries {
                 CAST(sum(d2) AS BIGINT) // CAST(count(*) AS BIGINT)
                   AS mean_d2,
                 CAST(max(d2) AS BIGINT) AS max_d2
-         FROM a GROUP BY cluster ORDER BY cluster"""
+         FROM a GROUP BY cluster ORDER BY cluster""",
+
+    // q120's int8 ranking ∩ q35's exact ranking, both top-10, per
+    // query — the same two scored CTEs verbatim.
+    "q160_recall_at_k" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         v8 AS (
+           SELECT vec_id,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         qs8 AS (SELECT vec_id AS query_id, q AS qv FROM v8
+                 WHERE vec_id IN (0, 1, 2, 3, 4)),
+         exact AS (
+           SELECT query_id, v.vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY ${sqlQcos("qv", "v.q")} DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         approx AS (
+           SELECT query_id, v8.vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v8.q[i])) DESC, v8.vec_id) AS rank
+           FROM v8 JOIN qs8 ON v8.vec_id <> qs8.query_id)
+         SELECT e.query_id,
+                CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hit,
+                (1000 * CAST(sum(CASE WHEN a.vec_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS recall_permille
+         FROM exact e
+         LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+              AND a.rank <= 10
+         WHERE e.rank <= 10
+         GROUP BY e.query_id ORDER BY e.query_id""",
+
+    // Same lower-quantile rank arithmetic for p05/p95, same clip.
+    "q161_winsorized" ->
+      """WITH base AS (
+           SELECT event_type AS grp, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND isfinite(CAST(value AS DOUBLE))),
+         n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+               FROM base GROUP BY grp),
+         qs AS (SELECT unnest([0.05, 0.95]) AS q),
+         tgt AS (SELECT grp, q, CAST(floor((n - 1) * q) AS BIGINT) + 1 AS r
+                 FROM n CROSS JOIN qs),
+         ranked AS (SELECT grp, x,
+                           row_number() OVER (PARTITION BY grp ORDER BY x)
+                             AS rn
+                    FROM base),
+         cuts AS (SELECT t.grp,
+                         min(CASE WHEN t.q = 0.05 THEN rk.x END) AS p05,
+                         min(CASE WHEN t.q = 0.95 THEN rk.x END) AS p95
+                  FROM tgt t JOIN ranked rk
+                    ON rk.grp = t.grp AND rk.rn = t.r
+                  GROUP BY t.grp)
+         SELECT b.grp AS event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                min(c.p05) AS p05, min(c.p95) AS p95,
+                CAST(sum(CASE WHEN b.x < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_lo,
+                CAST(sum(CASE WHEN b.x > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_hi,
+                CAST(sum(CAST(least(greatest(b.x, c.p05), c.p95)
+                              AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_winsorized
+         FROM base b JOIN cuts c ON c.grp = b.grp
+         GROUP BY b.grp ORDER BY event_type""",
+
+    // Same (ts, event_id) total order (µs-floored parity per q60/q82),
+    // same 12-event cap and comma rebuild.
+    "q162_user_sequences" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                    AS n_total
+           FROM events)
+         SELECT user_id,
+                string_agg(event_type, ',' ORDER BY rn) AS seq,
+                CAST(count(*) AS BIGINT) AS seq_len,
+                min(n_total) AS n_total
+         FROM r WHERE rn <= 12
+         GROUP BY user_id ORDER BY user_id"""
   )
 
   /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].

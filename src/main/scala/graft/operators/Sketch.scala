@@ -128,4 +128,57 @@ object Sketch {
           lit(HashSpace.toDouble) / col("theta").cast("double"))
           .cast("long").as("est_common"): _*)
   }
+
+  /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling: per group,
+    * the `k` rows whose [[graft.functions.Md5Prefix64]] hash of
+    * `idStr` is smallest form a uniform deterministic sample (the KMV
+    * sample applied to ROWS, not distinct values), and the quantile
+    * estimate is the lower quantile of that sample. Mergeable exactly
+    * like [[kmvSketch]]: the global bottom-k of a union is inside the
+    * union of per-slice bottom-k's, so per-partition/per-day sketches
+    * of `k` rows each combine without revisiting data — the bounded-
+    * state path where [[Stats.exactQuantiles]]' two phases would
+    * re-scan history.
+    *
+    * Deterministic by construction (hash sample, no RNG): any engine
+    * with md5 draws the identical sample, so the ESTIMATE itself is
+    * oracle-checkable — the error-vs-k trade is visible, not hidden.
+    * Sample ranks use the same lower-quantile rule as
+    * [[Stats.exactQuantiles]] (r = ⌊(m−1)q⌋+1) ordered by (x, h) so
+    * value ties cannot reorder across engines. `idStr` must be
+    * row-unique (duplicated ids collapse to one sample slot).
+    * Non-finite values are excluded ([[Stats]] convention).
+    *
+    * Output: (group..., q, est_value, n_sample). */
+  def hashSampleQuantiles(df: DataFrame, groupCols: Seq[String],
+                          idStr: Column, valueCol: String, k: Int,
+                          qs: Seq[Double]): DataFrame = {
+    require(k >= 2, "need k >= 2 sample slots")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0,1], got $qs")
+    val sp = df.sparkSession
+    graft.functions.Md5Prefix64.register(sp)
+    val g = groupCols.map(col)
+    val base = df
+      .select(g :+ call_function(graft.functions.Md5Prefix64.name, idStr)
+        .as("h") :+ col(valueCol).cast("double").as("x"): _*)
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
+    val wH = Window.partitionBy(g: _*).orderBy(col("h"))
+    // WindowGroupLimit prunes to k rows per group pre-shuffle — the
+    // sketch build never sorts a whole group
+    val sample = base.withColumn("_rh", row_number().over(wH))
+      .filter(col("_rh") <= k)
+    val wX = Window.partitionBy(g: _*).orderBy(col("x"), col("h"))
+    sample
+      .withColumn("n_sample",
+        count(lit(1)).over(Window.partitionBy(g: _*)))
+      .withColumn("_rx", row_number().over(wX))
+      .select(g :+ col("n_sample") :+ col("_rx") :+ col("x") :+
+        explode(array(qs.map(lit): _*)).as("q"): _*)
+      .filter(col("_rx") ===
+        floor((col("n_sample") - 1) * col("q")).cast("long") + 1L)
+      .select(g :+ col("q") :+ col("x").as("est_value") :+
+        col("n_sample"): _*)
+  }
 }

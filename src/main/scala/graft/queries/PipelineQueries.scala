@@ -1412,6 +1412,20 @@ object PipelineQueries {
           count(lit(1)).as("seq_len"),
           min(col("n_total")).as("n_total"))
         .orderBy("user_id")
+    }),
+
+    // MERGEABLE quantile sketch: per-flag price quantile ESTIMATES
+    // from a deterministic bottom-256-by-hash row sample — the
+    // bounded-state sibling of q63's exact two-phase selector, with
+    // the estimate itself hash-verified (the sample is a pure function
+    // of md5, so the oracle draws the identical one).
+    "q163_sample_quantiles" -> ((s, dir) => {
+      Sketch.hashSampleQuantiles(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")),
+          "l_extendedprice", k = 256, qs = Seq(0.5, 0.9))
+        .orderBy("l_returnflag", "q")
     })
   )
 
@@ -3647,8 +3661,8 @@ object PipelineQueries {
              AND isfinite(CAST(value AS DOUBLE))),
          n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
                FROM base GROUP BY grp),
-         qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5,
-                               0.625, 0.75, 0.875]) AS q),
+         qs AS (SELECT CAST(unnest([0.125, 0.25, 0.375, 0.5,
+                                    0.625, 0.75, 0.875]) AS DOUBLE) AS q),
          tgt AS (SELECT grp, q, CAST(floor((n - 1) * q) AS BIGINT) + 1 AS r
                  FROM n CROSS JOIN qs),
          ranked AS (SELECT grp, x,
@@ -3736,7 +3750,7 @@ object PipelineQueries {
              AND isfinite(CAST(value AS DOUBLE))),
          n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
                FROM base GROUP BY grp),
-         qs AS (SELECT unnest([0.05, 0.95]) AS q),
+         qs AS (SELECT CAST(unnest([0.05, 0.95]) AS DOUBLE) AS q),
          tgt AS (SELECT grp, q, CAST(floor((n - 1) * q) AS BIGINT) + 1 AS r
                  FROM n CROSS JOIN qs),
          ranked AS (SELECT grp, x,
@@ -3777,7 +3791,37 @@ object PipelineQueries {
                 CAST(count(*) AS BIGINT) AS seq_len,
                 min(n_total) AS n_total
          FROM r WHERE rn <= 12
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    // Same md5-prefix row sample (bottom-256 per flag), same
+    // lower-quantile rank over (x, h).
+    "q163_sample_quantiles" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g,
+                  ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+                  CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+         samp AS (
+           SELECT g, h, x FROM (
+             SELECT g, h, x,
+                    row_number() OVER (PARTITION BY g ORDER BY h) AS rh
+             FROM base)
+           WHERE rh <= 256),
+         m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sample
+               FROM samp GROUP BY g),
+         rx AS (SELECT g, x,
+                       row_number() OVER (PARTITION BY g ORDER BY x, h)
+                         AS rx
+                FROM samp),
+         qs AS (SELECT unnest([0.5, 0.9]) AS q)
+         SELECT rx.g AS l_returnflag, CAST(qs.q AS DOUBLE) AS q,
+                rx.x AS est_value, m.n_sample
+         FROM rx JOIN m USING (g) CROSS JOIN qs
+         WHERE rx.rx = CAST(floor((m.n_sample - 1) * CAST(qs.q AS DOUBLE))
+                            AS BIGINT) + 1
+         ORDER BY l_returnflag, q"""
   )
 
   /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].

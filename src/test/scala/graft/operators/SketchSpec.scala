@@ -40,4 +40,34 @@ class SketchSpec extends SparkTestBase {
       Seq("g"), col("x").cast("string"), k = 16)
     assert(Sketch.kmvIntersect(a, b, Seq("g"), k = 16).count() == 0)
   }
+
+  test("hashSampleQuantiles: mergeable, deterministic, near the truth") {
+    val rows = (0 until 5000).map(i => ("g", i.toLong, i.toDouble))
+    val df = rows.toDF("g", "id", "x")
+    val idStr = col("id").cast("string")
+    val est = Sketch.hashSampleQuantiles(df, Seq("g"), idStr, "x",
+      k = 512, qs = Seq(0.5)).collect()
+    assert(est.length == 1)
+    val median = est.head.getDouble(2)
+    // a 512-row uniform hash sample of 0..4999: the sample median
+    // concentrates within a few hundred of the true 2499.5
+    assert(math.abs(median - 2499.5) < 500, s"sample median $median")
+    // MERGEABILITY: bottom-k of the union == re-bottom-k of the two
+    // halves' bottom-k's — per-slice sketches combine losslessly.
+    graft.functions.Md5Prefix64.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    def bottomK(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("g"),
+        call_function(graft.functions.Md5Prefix64.name, idStr).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 512).drop("rn")
+    val merged = bottomK(df.filter(col("id") % 2 === 0))
+      .union(bottomK(df.filter(col("id") % 2 === 1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 512)
+      .select("h").collect().map(_.getLong(0)).toSet
+    val whole = bottomK(df).select("h").collect().map(_.getLong(0)).toSet
+    assert(merged == whole)
+  }
 }

@@ -82,12 +82,25 @@ object Bench {
     }
     // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
     // by the harness tail. Degrade gracefully: ms precision → cs
-    // precision → totals-only (full 3-decimal detail always lands in
-    // bench.json).
+    // precision → ds precision → ds with the 'q' id prefix stripped
+    // (still unique digits) → totals-only (full 3-decimal detail
+    // always lands in bench.json). The extra tiers keep PER-QUERY
+    // numbers flowing to the driver at 160+ queries, where two tiers
+    // already overflowed.
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(Seq(fmtLine(r3), fmtLine(r2)).find(_.length <= 1900).getOrElse(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def fmtLineNoQ(fmt: Double => String): String = {
+      val short = results.zip(shortIds).map { case ((k, v), sid) =>
+        val id = if (useShort) sid.stripPrefix("q") else k
+        s"\"" + id + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}"""
+    }
+    println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1))
+      .find(_.length <= 1900).getOrElse(
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     // Full names land in a plain file (sbt decorates stdout with
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }

@@ -1426,6 +1426,39 @@ object PipelineQueries {
             col("l_linenumber").cast("string")),
           "l_extendedprice", k = 256, qs = Seq(0.5, 0.9))
         .orderBy("l_returnflag", "q")
+    }),
+
+    // END-TO-END CURATION FUNNEL: the per-stage attrition report a
+    // corpus-cleaning pipeline publishes — language-confident →
+    // quality-gated → near-dup-deduplicated, each stage composing the
+    // operators the earlier queries verify in isolation (languageId,
+    // stats, minHashLsh, connectedComponents). Every stage is
+    // non-vacuous on the fixture (453/500 lang, ~3/4 quality, ~25
+    // near-dup pairs).
+    "q164_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+        .filter(col("predicted_lang") =!= "und").select("doc_id")
+      val s1 = docs.join(lang, Seq("doc_id"), "left_semi")
+      val qual = TextAnalysis.stats(s1, "doc_id", "text")
+        .filter(col("stopword_ratio") >= 0.04).select("doc_id")
+      val s2 = s1.join(qual, Seq("doc_id"), "left_semi")
+        // three consumers below (pair mining + keeper filter + count):
+        // the filtered corpus is the expensive-to-recompute input
+        .localCheckpoint()
+      val pairs = Dedup.minHashLsh(s2, "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      val s3 = s2.join(comp, col("doc_id") === col("node"), "left")
+        .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      Seq("0_all" -> docs, "1_lang" -> s1, "2_quality" -> s2,
+          "3_neardup" -> s3)
+        .map { case (n, d) =>
+          d.agg(count(lit(1)).as("n_docs"))
+            .select(lit(n).as("stage"), col("n_docs"))
+        }
+        .reduce(_ union _)
+        .orderBy("stage")
     })
   )
 
@@ -3821,7 +3854,53 @@ object PipelineQueries {
          FROM rx JOIN m USING (g) CROSS JOIN qs
          WHERE rx.rx = CAST(floor((m.n_sample - 1) * CAST(qs.q AS DOUBLE))
                             AS BIGINT) + 1
-         ORDER BY l_returnflag, q"""
+         ORDER BY l_returnflag, q""",
+
+    // Each stage re-derived from the green building-block oracles:
+    // q38's marker-vote langID, q37's stopword ratio, q31's LSH pair
+    // pipeline, q53's recursive min-label components.
+    "q164_curation_funnel" ->
+      s"""WITH RECURSIVE w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS w
+           FROM documents),
+         lang AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+                    greatest(
+                      len(list_filter(w, x -> x IN ('the','a','of','and','is'))),
+                      len(list_filter(w, x -> x IN ('der','die','das','und','ist'))),
+                      len(list_filter(w, x -> x IN ('le','la','et','les','est'))),
+                      len(list_filter(w, x -> x IN ('el','los','de','y','es'))))
+                      AS best
+             FROM w)
+           WHERE best >= 1),
+         s1 AS (SELECT w.* FROM w JOIN lang USING (doc_id)),
+         qual AS (
+           SELECT doc_id FROM s1
+           WHERE len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE
+                   / len(w) >= 0.04),
+         s2 AS (SELECT s1.* FROM s1 JOIN qual USING (doc_id)),
+         pairs AS (
+           WITH docs AS (SELECT doc_id, $sqlWordShingles AS sh FROM s2),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+         comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         s3 AS (
+           SELECT s2.doc_id FROM s2
+           LEFT JOIN comp ON comp.node = s2.doc_id
+           WHERE COALESCE(comp.component, s2.doc_id) = s2.doc_id)
+         SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents
+         UNION ALL SELECT '1_lang', CAST(count(*) AS BIGINT) FROM s1
+         UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT) FROM s3
+         ORDER BY stage"""
   )
 
   /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].

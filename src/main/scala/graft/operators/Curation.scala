@@ -478,4 +478,48 @@ object Curation {
       .select(col("s.token").as("token"), (-col("s.negn")).as("n"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** SOURCE-MIXTURE CONCENTRATION REPORT: per-domain row counts and
+    * corpus shares plus the Herfindahl–Hirschman concentration index
+    * (HHI = Σ pᵢ²) and its inverse, the EFFECTIVE NUMBER of domains —
+    * the one-line answer to "is this mixture five sources or really
+    * one source wearing five labels". Shannon entropy is deliberately
+    * NOT emitted: ln() is not correctly-rounded and differs across
+    * libm implementations, so an entropy sum cannot satisfy a
+    * bit-identical cross-engine contract; HHI is exact rational
+    * arithmetic and carries the same signal (1/HHI ≈ perplexity of
+    * the mixture).
+    *
+    * Shape at scale: one map-side-combinable count per domain; the
+    * global moments aggregate the tiny domain frame and attach back
+    * as a broadcast 1-row cross join. Squares accumulate in
+    * DECIMAL(19,0)×DECIMAL(19,0) — exact to 10³⁸, and width-legal in
+    * engines that bound decimal multiply at 38 digits. A NULL domain
+    * is a domain (usually the interesting one). All derived ratios
+    * are one double division of exact integers — deterministic.
+    *
+    * Output: (domain, n_rows, share_micro, hhi, effective_domains),
+    * the last two repeated per row (they are corpus-global). */
+  def mixtureConcentration(df: DataFrame, domainCol: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    // Two consumers (per-domain rows + the global moments); without
+    // the checkpoint the global aggregate re-runs the corpus count —
+    // a second full scan for a domain-cardinality frame.
+    val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val g = counts.agg(
+      sum("n_rows").as("_N"),
+      sum(col("n_rows").cast(d19) * col("n_rows").cast(d19)).as("_ssq"))
+    val nn = col("_N").cast("double") * col("_N").cast("double")
+    val globals = g.select(col("_N"),
+      (col("_ssq").cast("double") / nn).as("hhi"),
+      (nn / col("_ssq").cast("double")).as("effective_domains"))
+    counts.crossJoin(broadcast(globals))
+      .select(col("domain"), col("n_rows"),
+        floor(lit(1000000L) *
+          (col("n_rows").cast("double") / col("_N").cast("double")))
+          .as("share_micro"),
+        col("hhi"), col("effective_domains"))
+  }
 }

@@ -226,4 +226,41 @@ object Events {
         sum(col(valueCol).cast("decimal(18,3)")).cast("double")
           .as("revenue"))
   }
+
+  /** FIRST-ORDER MARKOV TRANSITION MATRIX of event types: for every
+    * consecutive pair of events within a user's (time, tiebreak)-
+    * ordered stream, counts (from_type → to_type) and the empirical
+    * transition probability — the behavioral summary a sequence-model
+    * training build publishes next to its corpus (and the sanity check
+    * that generated sessions transition like real ones).
+    *
+    * Shape at scale: one window shuffle on the user key stamps each
+    * event with its predecessor's type (lag — no self-join), then one
+    * map-side-combinable count over the (from, to) domain, which is
+    * |types|² tiny. The probability normalization windows over THAT
+    * aggregated frame, not the events. The (ts, tiebreak) total order
+    * makes each user's chain deterministic under equal timestamps.
+    * A user's first event has no predecessor and contributes no pair.
+    *
+    * p_micro = ⌊10⁶ · n/Σn⌋ over one double division of two exact
+    * integers — deterministic cross-engine, no double summation.
+    * Output: (from_type, to_type, n_trans, p_micro). */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_from", lag(col(typeCol), 1).over(w))
+      .filter(col("_from").isNotNull)
+    val counts = steps
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wTot = Window.partitionBy("from_type")
+    counts
+      .withColumn("_tot", sum("n_trans").over(wTot))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        floor(lit(1000000L) *
+          (col("n_trans").cast("double") / col("_tot").cast("double")))
+          .as("p_micro"))
+  }
 }

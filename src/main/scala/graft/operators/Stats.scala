@@ -563,6 +563,120 @@ object Stats {
     * 1-row total attaches broadcast. A NULL key is a key — it is
     * usually THE hot key. Output: (key as string, cnt,
     * share_permille), ordered hottest first. */
+  /** PAIRWISE TWO-SAMPLE KOLMOGOROV–SMIRNOV DISTANCES between the
+    * value distributions of every pair of samples (sources, snapshots,
+    * splits): D = max over x of |F_a(x) − F_b(x)| — the distribution-
+    * drift report a pipeline runs before concluding two corpora are
+    * interchangeable (train-vs-held-out length drift, yesterday-vs-
+    * today score drift).
+    *
+    * Shape at scale: ONE pass over the raw data (a map-side-combinable
+    * (sample, value) count); everything after runs at VALUE-LEVEL
+    * cardinality — distinct values × samples for the ECDF grid, its
+    * k² pair self-join at most |values|·k²/2 rows. The per-sample
+    * windows order distinct values, not rows, so the operator assumes
+    * the DISTINCT-VALUE REGIME (bounded domains: lengths, scores,
+    * counts — the usual KS inputs). For an unbounded continuous
+    * column, pre-bin: D over a binned ECDF is the binned-KS statistic
+    * with error ≤ the bin mass.
+    *
+    * ECDFs are evaluated on the UNION of observed values (the grid
+    * cross-joins the tiny per-sample totals against distinct values),
+    * so a value absent from one sample still contributes that sample's
+    * running CDF — max|·| is taken over the full step function, not
+    * each sample's own support. cdf = integer-cum / integer-n in one
+    * double division: deterministic cross-engine. NULL sample labels
+    * and non-finite values are excluded ([[finiteBase]] convention).
+    *
+    * Output: (sample_a, sample_b, ks_stat, n_a, n_b), a < b. */
+  def ksMatrix(df: DataFrame, sampleCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(sampleCol).cast("string").as("s"),
+        col(valueCol).cast("double").as("x"))
+      .where(col("s").isNotNull && col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) < lit(Double.PositiveInfinity))
+    val counts = base.groupBy("s", "x").agg(count(lit(1)).as("c"))
+    val ns = counts.groupBy("s").agg(sum("c").as("n"))
+    val values = counts.select("x").distinct()
+    val grid = values.crossJoin(broadcast(ns))
+      .join(counts, Seq("s", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy("s").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The k² pair join reads this frame twice (a- and b-side); without
+    // the checkpoint each side re-runs the whole raw-data count — two
+    // full scans of the corpus for one report. Value-level rows only
+    // (distinct values × samples), so the materialization is tiny; the
+    // session harness sweep frees it after the query.
+    val cdf = grid.withColumn("f",
+      sum("c").over(wCum).cast("double") / col("n").cast("double"))
+      .localCheckpoint()
+    val a = cdf.select(col("s").as("sample_a"), col("x"),
+      col("f").as("_fa"), col("n").as("n_a"))
+    val b = cdf.select(col("s").as("sample_b"), col("x"),
+      col("f").as("_fb"), col("n").as("n_b"))
+    a.join(b, Seq("x"))
+      .filter(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(max(abs(col("_fa") - col("_fb"))).as("ks_stat"),
+        min("n_a").as("n_a"), min("n_b").as("n_b"))
+  }
+
+  /** EXACT PAIRWISE PEARSON CORRELATION MATRIX over a fixed column
+    * list, from ONE aggregate pass (map-side combinable, no second
+    * scan per pair). The naive `df.stat.corr` loops pairs = one job
+    * per pair; builtin `corr()` aggregates in streaming double sums
+    * whose value depends on partition merge order — unusable under a
+    * bit-identical cross-engine contract.
+    *
+    * Here every moment (Σx, Σx², Σxy) accumulates in EXACT DECIMAL
+    * (scale 4: inputs are money/quantity values whose pairwise
+    * products are exactly 4-decimal, and the double product is within
+    * half an ulp of that grid, so both engines' double→decimal
+    * rounding recovers the identical true value), then the textbook
+    * formula r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²))
+    * evaluates over the decimal sums CAST TO DOUBLE — a fixed IEEE
+    * expression tree over order-independent inputs, hence
+    * deterministic. Rows with a NULL in ANY listed column are dropped
+    * (pairwise-complete would make n pair-dependent; listwise keeps
+    * one shared n). A constant column yields NaN (0/0) — surfaced,
+    * not masked. Output: (col_a, col_b, n, corr), pairs in list
+    * order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 columns, got ${cols.size} — moments grow O(k²)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def d4(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 4))
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++
+        cols.flatMap(c => Seq(
+          sum(d4(col(c))).as(s"_s_$c"),
+          sum(d4(col(c) * col(c))).as(s"_q_$c"))) ++
+        pairs.map { case (x, y) =>
+          sum(d4(col(x) * col(y))).as(s"_p_${x}_$y")
+        }
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    val nD = col("_n").cast("double")
+    def corrOf(x: String, y: String): Column =
+      (nD * col(s"_p_${x}_$y").cast("double") -
+        col(s"_s_$x").cast("double") * col(s"_s_$y").cast("double")) /
+        (sqrt(nD * col(s"_q_$x").cast("double") -
+          col(s"_s_$x").cast("double") * col(s"_s_$x").cast("double")) *
+         sqrt(nD * col(s"_q_$y").cast("double") -
+           col(s"_s_$y").cast("double") * col(s"_s_$y").cast("double")))
+    // Unpivot inside the same plan (explode of k² tiny structs over the
+    // 1-row aggregate) — no checkpoint, no per-pair re-scan.
+    val pairStructs = pairs.map { case (x, y) =>
+      struct(lit(x).as("col_a"), lit(y).as("col_b"),
+        corrOf(x, y).as("corr"))
+    }
+    one.select(col("_n").as("n"), explode(array(pairStructs: _*)).as("_pr"))
+      .select(col("_pr.col_a").as("col_a"), col("_pr.col_b").as("col_b"),
+        col("n"), col("_pr.corr").as("corr"))
+  }
+
   def skewAudit(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN >= 1 && topN <= 100000,
       s"topN must be in [1, 1e5], got $topN — the report is driver-sized")

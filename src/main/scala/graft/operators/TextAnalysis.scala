@@ -447,4 +447,46 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bigrams"), col("surprisal_bits"),
         expr("(1000 * surprisal_bits) div n_bigrams").as("mean_millibits"))
   }
+
+  /** PER-DOCUMENT N-GRAM NOVELTY against a reference corpus: the share
+    * of each document's distinct word n-grams that appear NOWHERE in
+    * `ref` — the memorization/freshness scorer of a training build
+    * (novelty ≈ 0 means the doc is already covered by what the model
+    * saw; ≈ 1000‰ means genuinely new text). The inverse of
+    * decontamination: q49 REMOVES overlap with an eval set, this
+    * MEASURES non-overlap with a train set, per document.
+    *
+    * Shape at scale: both sides reduce to [[Dedup.digest64]] keys
+    * before any shuffle — 8-byte digests move, never gram strings.
+    * The reference collapses to its distinct digest set once
+    * (map-side-combinable distinct); the probe side left-joins it on
+    * the digest hash (plain equi-join: at 100 TB BOTH sides are
+    * corpus-scale, so no broadcast hint — let AQE pick), then one
+    * per-doc count rollup. Digest collisions (~n²/2⁶¹) can only mark
+    * a novel gram as seen, and identically so in both engines.
+    *
+    * Documents whose text yields zero grams cannot exist by
+    * construction ([[Dedup.wordShingles]] emits the joined-token
+    * fallback for short texts), so every input doc gets a row.
+    * novelty_permille = (1000·novel) div total — exact integers.
+    *
+    * Output: (idCol, n_ngrams, n_novel, novelty_permille). */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val refSet = ref
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("_g"))
+      .select(Dedup.digest64(col("_g")).as("_h"))
+      .distinct()
+      .withColumn("_seen", lit(1))
+    val probe = docs
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n))
+        .as("_g"))
+      .select(col(idCol), Dedup.digest64(col("_g")).as("_h"))
+    probe.join(refSet, Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_ngrams"), col("n_novel"),
+        expr("(1000 * n_novel) div n_ngrams").as("novelty_permille"))
+  }
 }

@@ -1459,6 +1459,51 @@ object PipelineQueries {
         }
         .reduce(_ union _)
         .orderBy("stage")
+    }),
+
+    // DISTRIBUTION DRIFT: pairwise two-sample KS distances between the
+    // per-source document-length distributions — raw data touched once,
+    // everything downstream at distinct-value cardinality.
+    "q165_ks_matrix" -> ((s, dir) => {
+      Stats.ksMatrix(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("sample_a", "sample_b")
+    }),
+
+    // FIRST-ORDER MARKOV TRANSITIONS of the event stream: the
+    // behavioral fingerprint a sequence-training build publishes.
+    // (ts, event_id) ordering per user, |types|² output.
+    "q166_transitions" -> ((s, dir) => {
+      Events.transitionMatrix(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // SOURCE-MIXTURE CONCENTRATION: per-source shares + HHI +
+    // effective-source count. Entropy deliberately absent (ln is not
+    // cross-engine exact — see the operator doc).
+    "q167_mixture_report" -> ((s, dir) => {
+      Curation.mixtureConcentration(t(s, dir, "documents"), "source")
+        .orderBy("domain")
+    }),
+
+    // N-GRAM NOVELTY of the odd-id half of the corpus against the
+    // even-id half as reference — per-doc trigram non-overlap share,
+    // digest-keyed end to end.
+    "q168_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramNovelty(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // EXACT PEARSON CORRELATION MATRIX over the lineitem measures from
+    // one aggregate pass — exact-decimal moments, fixed double formula.
+    "q169_corr_matrix" -> ((s, dir) => {
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -3900,8 +3945,147 @@ object PipelineQueries {
          UNION ALL SELECT '1_lang', CAST(count(*) AS BIGINT) FROM s1
          UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2
          UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT) FROM s3
-         ORDER BY stage"""
+         ORDER BY stage""",
+
+    // ECDFs on the union of observed values; cdf = integer-cum /
+    // integer-n in one double division — deterministic; max|Δ| exact.
+    "q165_ks_matrix" ->
+      """WITH base AS (
+           SELECT CAST(source AS VARCHAR) AS s, CAST(n_chars AS DOUBLE) AS x
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         counts AS (
+           SELECT s, x, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY s, x),
+         ns AS (SELECT s, CAST(sum(c) AS BIGINT) AS n
+                FROM counts GROUP BY s),
+         vals AS (SELECT DISTINCT x FROM counts),
+         grid AS (
+           SELECT ns.s, vals.x, ns.n, COALESCE(ct.c, 0) AS c
+           FROM vals CROSS JOIN ns
+           LEFT JOIN counts ct ON ct.s = ns.s AND ct.x = vals.x),
+         cdf AS (
+           SELECT s, x, n,
+                  CAST(sum(c) OVER (PARTITION BY s ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / CAST(n AS DOUBLE) AS f
+           FROM grid)
+         SELECT a.s AS sample_a, b.s AS sample_b,
+                max(abs(a.f - b.f)) AS ks_stat,
+                min(a.n) AS n_a, min(b.n) AS n_b
+         FROM cdf a JOIN cdf b ON a.x = b.x AND a.s < b.s
+         GROUP BY 1, 2
+         ORDER BY sample_a, sample_b""",
+
+    // Same (ts, event_id) per-user order as q162; p_micro = one double
+    // division of exact integers, floored.
+    "q166_transitions" ->
+      """WITH s AS (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS f
+           FROM events),
+         c AS (
+           SELECT f AS from_type, event_type AS to_type,
+                  CAST(count(*) AS BIGINT) AS n_trans
+           FROM s WHERE f IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_trans,
+                CAST(floor(1000000 * (CAST(n_trans AS DOUBLE) /
+                     CAST(sum(n_trans) OVER (PARTITION BY from_type)
+                          AS DOUBLE))) AS BIGINT) AS p_micro
+         FROM c ORDER BY from_type, to_type""",
+
+    // HHI from exact DECIMAL(19,0)² sums (width-legal in both engines);
+    // every ratio is one double division of exact integers.
+    "q167_mixture_report" ->
+      """WITH counts AS (
+           SELECT CAST(source AS VARCHAR) AS domain,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM documents GROUP BY 1),
+         g AS (
+           SELECT CAST(sum(n_rows) AS BIGINT) AS N,
+                  sum(CAST(n_rows AS DECIMAL(19,0)) *
+                      CAST(n_rows AS DECIMAL(19,0))) AS ssq
+           FROM counts)
+         SELECT domain, n_rows,
+                CAST(floor(1000000 * (CAST(n_rows AS DOUBLE) /
+                     CAST(N AS DOUBLE))) AS BIGINT) AS share_micro,
+                CAST(ssq AS DOUBLE) /
+                  (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) AS hhi,
+                (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) /
+                  CAST(ssq AS DOUBLE) AS effective_domains
+         FROM counts CROSS JOIN g
+         ORDER BY domain NULLS FIRST""",
+
+    // Same trigram set and 60-bit digest as the engine; a LEFT JOIN
+    // miss against the even-half reference set marks a novel gram.
+    "q168_ngram_novelty" ->
+      s"""WITH probe0 AS (
+           SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         ref0 AS (
+           SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         refset AS (
+           SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+           FROM (SELECT unnest(${sqlWordShinglesN(3)}) AS g
+                 FROM (SELECT w FROM ref0))),
+         pr AS (
+           SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(${sqlWordShinglesN(3)}) AS g
+                 FROM (SELECT doc_id, w FROM probe0)))
+         SELECT pr.doc_id,
+                CAST(count(*) AS BIGINT) AS n_ngrams,
+                CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                (1000 * CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)
+                             AS BIGINT)) // CAST(count(*) AS BIGINT)
+                  AS novelty_permille
+         FROM pr LEFT JOIN refset r ON r.h = pr.h
+         GROUP BY pr.doc_id
+         ORDER BY pr.doc_id""",
+
+    // Moments in exact DECIMAL(38,4) (products of ≤2-decimal inputs
+    // are exactly 4-decimal; the double product is within half an ulp
+    // of that grid, so both engines' rounding recovers the true
+    // value); the r formula is a fixed double tree over those sums.
+    "q169_corr_matrix" ->
+      s"""WITH c AS (
+           SELECT l_quantity AS x1, l_extendedprice AS x2,
+                  l_discount AS x3, l_tax AS x4
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  ${Seq(1, 2, 3, 4).map(i =>
+                    s"sum(CAST(x$i AS DECIMAL(38,4))) AS s$i, " +
+                    s"sum(CAST(x$i*x$i AS DECIMAL(38,4))) AS q$i")
+                    .mkString(", ")},
+                  ${Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+                    .map { case (i, j) =>
+                      s"sum(CAST(x$i*x$j AS DECIMAL(38,4))) AS p$i$j" }
+                    .mkString(", ")}
+           FROM c)
+         ${sqlCorrPairs.mkString("\n         UNION ALL ")}
+         ORDER BY col_a, col_b"""
   )
+
+  /** q169's six per-pair SELECTs over the 1-row moment CTE `m`: the
+    * textbook corrected-moment formula, every factor CAST from the
+    * exact decimal sum to DOUBLE first (mirrors Stats.corrMatrix's
+    * expression tree token for token). */
+  private def sqlCorrPairs: Seq[String] = {
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)).map { case (i, j) =>
+      s"""SELECT '${names(i - 1)}' AS col_a, '${names(j - 1)}' AS col_b, n,
+            (${d("n")} * ${d(s"p$i$j")} - ${d(s"s$i")} * ${d(s"s$j")}) /
+            (sqrt(${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")}) *
+             sqrt(${d("n")} * ${d(s"q$j")} - ${d(s"s$j")} * ${d(s"s$j")}))
+              AS corr FROM m"""
+    }
+  }
 
   /** q151/q152's derived PII text — the DuckDB mirror of [[piiDocs]].
     * (defs, not vals: referenced from the oracle map's initializer

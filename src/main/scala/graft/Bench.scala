@@ -91,6 +91,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // Last-resort per-query tier: whole seconds (still the declared
+    // unit, just coarse) — ~7 chars/entry keeps per-query data flowing
+    // to ~250 queries before totals-only.
+    def r0(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     def fmtLineNoQ(fmt: Double => String): String = {
       val short = results.zip(shortIds).map { case ((k, v), sid) =>
         val id = if (useShort) sid.stripPrefix("q") else k
@@ -98,7 +103,8 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$short,"sf":"$sfDir"}"""
     }
-    println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1))
+    println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1),
+        fmtLineNoQ(r0))
       .find(_.length <= 1900).getOrElse(
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     // Full names land in a plain file (sbt decorates stdout with

@@ -26,4 +26,42 @@ object DataQuality {
         .select(lit(name).as("rule"), col("n_violations"))
     }.reduce(_ union _)
   }
+
+  /** SNAPSHOT PROFILE DRIFT: column-level comparison of two snapshots
+    * of the same table — the report a pipeline publishes before
+    * promoting `after` over `before` (did a null rate spike, did the
+    * value range shift, did cardinality collapse). Composes
+    * [[Stats.profileNumeric]] on each side (one aggregate pass per
+    * snapshot — two scans total, which is the floor for two inputs)
+    * and joins the two per-column frames, which are |cols| rows.
+    *
+    * Null rates are integer permille; means divide the exact-decimal
+    * sum by the exact non-null count (one double division —
+    * deterministic); min/max deltas subtract two exact-cast doubles.
+    * Output: (col_name, n_rows_a, n_rows_b, null_permille_a,
+    * null_permille_b, distinct_delta, mean_a, mean_b, min_delta,
+    * max_delta). */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      Stats.profileNumeric(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"n_rows_$tag"),
+        col("n_nulls").as(s"n_nulls_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_v").as(s"min_$tag"), col("max_v").as(s"max_$tag"),
+        col("sum_v").as(s"sum_$tag"))
+    side(before, "a").join(side(after, "b"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        expr("(1000 * n_nulls_a) div n_rows_a").as("null_permille_a"),
+        expr("(1000 * n_nulls_b) div n_rows_b").as("null_permille_b"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("distinct_delta"),
+        (col("sum_a") / (col("n_rows_a") - col("n_nulls_a")
+          .cast("double"))).as("mean_a"),
+        (col("sum_b") / (col("n_rows_b") - col("n_nulls_b")
+          .cast("double"))).as("mean_b"),
+        (col("min_b") - col("min_a")).as("min_delta"),
+        (col("max_b") - col("max_a")).as("max_delta"))
+  }
 }

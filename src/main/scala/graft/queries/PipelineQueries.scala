@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Layout, Multimodal, Pq, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1504,8 +1504,41 @@ object PipelineQueries {
       Stats.corrMatrix(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+
+    // SNAPSHOT PROFILE DRIFT: the promote-gate report between the
+    // pre-1998 and 1998+ halves of orders — null-rate permille, value
+    // range, cardinality and mean movement per column, from one
+    // aggregate pass per snapshot.
+    "q170_profile_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      DataQuality.profileDrift(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut),
+          Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
+    // PRODUCT QUANTIZATION: 2×32-dim subspace codebooks (8 codewords,
+    // 2 Lloyd iterations — the q51 training recipe per slice), then
+    // every vector encoded as two code ids + exact quantized squared
+    // errors in ONE narrow literal-codebook projection.
+    "q172_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = pqCache.getOrElseUpdate((dir, 2, 32, 8, 2),
+        Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 2, subDim = 32, k = 8, iters = 2))
+      Pq.encode(emb, "vec_id", "embedding", cbs, subDim = 32)
+        .orderBy("vec_id")
     })
   )
+
+  /** Trained PQ codebooks per (dir, m, subDim, k, iters) — same
+    * train-once-per-session convention as [[centroidCache]]. */
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int),
+      Seq[Seq[(Long, Seq[Long])]]]()
 
   /** Deterministic PII-bearing text for q151/q152: derived from doc_id
     * with the same construction in the DuckDB oracle, so the regex
@@ -4068,8 +4101,111 @@ object PipelineQueries {
                     .mkString(", ")}
            FROM c)
          ${sqlCorrPairs.mkString("\n         UNION ALL ")}
-         ORDER BY col_a, col_b"""
+         ORDER BY col_a, col_b""",
+
+    // Each side is the q128 profile with a snapshot predicate; deltas
+    // and means are fixed double arithmetic over exact components.
+    "q170_profile_drift" ->
+      s"""WITH pa AS (
+           ${sqlProfileSide("o_orderdate < TIMESTAMP '1998-01-01'")}),
+         pb AS (
+           ${sqlProfileSide("o_orderdate >= TIMESTAMP '1998-01-01'")})
+         SELECT pa.col_name,
+                pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+                (1000 * pa.n_nulls) // pa.n_rows AS null_permille_a,
+                (1000 * pb.n_nulls) // pb.n_rows AS null_permille_b,
+                pb.n_distinct - pa.n_distinct AS distinct_delta,
+                pa.sum_v / CAST(pa.n_rows - pa.n_nulls AS DOUBLE) AS mean_a,
+                pb.sum_v / CAST(pb.n_rows - pb.n_nulls AS DOUBLE) AS mean_b,
+                pb.min_v - pa.min_v AS min_delta,
+                pb.max_v - pa.max_v AS max_delta
+         FROM pa JOIN pb USING (col_name)
+         ORDER BY col_name""",
+
+    // Two independent 32-dim Lloyd chains (the q51 recipe per slice),
+    // then per-vector (d2, cluster) argmin per subspace — identical
+    // init (k smallest vec_ids), identical floored-mean update,
+    // identical tie-break.
+    "q172_pq_encode" ->
+      s"""WITH e0 AS (
+           SELECT vec_id, ${sqlQuantizeSlice(1, 32)} AS v FROM embeddings),
+         e1 AS (
+           SELECT vec_id, ${sqlQuantizeSlice(33, 64)} AS v FROM embeddings),
+         s0c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                  v AS cv
+           FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIterSub("e0", "s0c0", "s0c1", 32)},
+         ${sqlLloydIterSub("e0", "s0c1", "s0c2", 32)},
+         s1c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                  v AS cv
+           FROM (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIterSub("e1", "s1c0", "s1c1", 32)},
+         ${sqlLloydIterSub("e1", "s1c1", "s1c2", 32)},
+         ${sqlPqAssign("e0", "s0c2", "enc0", "code_0", "err2_0", 32)},
+         ${sqlPqAssign("e1", "s1c2", "enc1", "code_1", "err2_1", 32)}
+         SELECT vec_id, code_0, err2_0, code_1, err2_1
+         FROM enc0 JOIN enc1 USING (vec_id)
+         ORDER BY vec_id"""
   )
+
+  /** Quantized 1-based-inclusive slice [lo, hi] of the embedding —
+    * [[sqlQuantize]] over a sub-range. */
+  private def sqlQuantizeSlice(lo: Int, hi: Int) =
+    s"[floor(CAST(x AS DOUBLE) * 10000)::BIGINT for x in embedding[$lo:$hi]]"
+
+  /** [[sqlLloydIter]] generalized to an arbitrary vectors CTE and
+    * dimensionality (the per-subspace PQ training step). */
+  private def sqlLloydIterSub(eCte: String, prev: String, next: String,
+                              dim: Int) =
+    s"""a_$next AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, $dim)]),
+                               c.cluster) AS rn
+             FROM $eCte e CROSS JOIN $prev c)
+           WHERE rn = 1),
+         m_$next AS (
+           SELECT cluster, i,
+                  CAST(floor(CAST(sum(v[i+1]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM a_$next, range(0, $dim) t(i)
+           GROUP BY cluster, i),
+         $next AS (
+           SELECT p.cluster, coalesce(mm.cv, p.cv) AS cv
+           FROM $prev p
+           LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS cv
+                      FROM m_$next GROUP BY cluster) mm
+             ON p.cluster = mm.cluster)"""
+
+  /** Per-vector nearest-codeword pick for one PQ subspace: (d2,
+    * cluster) argmin over the trained codebook. */
+  private def sqlPqAssign(eCte: String, cbCte: String, outCte: String,
+                          codeName: String, errName: String, dim: Int) =
+    s"""$outCte AS (
+           SELECT vec_id, cluster AS $codeName, d2 AS $errName FROM (
+             SELECT vec_id, cluster, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+             FROM (SELECT e.vec_id, c.cluster,
+                          list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, $dim)]) AS d2
+                   FROM $eCte e CROSS JOIN $cbCte c))
+           WHERE rn = 1)"""
+
+  /** q170's per-side profile CTE body (q128's column-profile mirror
+    * with a snapshot predicate). */
+  private def sqlProfileSide(pred: String): String =
+    Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS col_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(min($c) AS DOUBLE) AS min_v,
+                 CAST(max($c) AS DOUBLE) AS max_v,
+                 CAST(sum(CAST($c AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
+          FROM orders WHERE $pred"""
+    }.mkString(" UNION ALL ")
 
   /** q169's six per-pair SELECTs over the 1-row moment CTE `m`: the
     * textbook corrected-moment formula, every factor CAST from the

@@ -310,6 +310,40 @@ object StreamingQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // Streaming twin of q166: per-user event-type chains fold through
+    // ONE string of transformWithState state; the sink's per-step rows
+    // roll up to the identical transition matrix (same oracle SQL).
+    // The aggregation runs batch-side over the bounded sink — in a
+    // live deployment it would be a downstream streaming rollup.
+    "q171_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+        .as[EventStreams.EventTyped]
+      val steps = EventStreams.transitions(s, ev)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      val sunk =
+        try runBounded(s, steps.toDF(), "graft_q171_sink", "append")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      val counts = sunk.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      counts
+        .withColumn("_tot",
+          sum("n_trans").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          floor(lit(1000000L) *
+            (col("n_trans").cast("double") / col("_tot").cast("double")))
+            .as("p_micro"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -494,5 +528,27 @@ object StreamingQueries {
                       ORDER BY epoch_ns(ts) // 1000, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id"""
+  ) ++ Map(
+
+    // Identical to the q166 batch oracle: the one-value-per-user state
+    // fold over (us, event_id) order IS the lag window. (us ordering ≡
+    // ts ordering: epoch_ns // 1000 is monotone in ts and event_id
+    // breaks any equal-µs tie on both sides.)
+    "q171_stream_transitions" ->
+      """WITH s AS (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts) // 1000,
+                                                 event_id) AS f
+           FROM events),
+         c AS (
+           SELECT f AS from_type, event_type AS to_type,
+                  CAST(count(*) AS BIGINT) AS n_trans
+           FROM s WHERE f IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_trans,
+                CAST(floor(1000000 * (CAST(n_trans AS DOUBLE) /
+                     CAST(sum(n_trans) OVER (PARTITION BY from_type)
+                          AS DOUBLE))) AS BIGINT) AS p_micro
+         FROM c ORDER BY from_type, to_type"""
   )
 }

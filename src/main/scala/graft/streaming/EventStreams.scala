@@ -226,4 +226,56 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** An event carrying only what the transition chain needs. */
+  case class EventTyped(event_id: Long, user_id: Long, us: Long,
+                        event_type: String)
+
+  /** One step of a user's event-type chain. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  private case class LastType(tpe: String)
+
+  /** State processor behind [[transitions]]: ONE string per user (the
+    * type of the user's latest event) carries the chain across
+    * batches; each arriving event emits its (previous → current) step.
+    * Same bounded per-group-batch sort as [[RunningTotalsProcessor]]
+    * to restore (us, event_id) order inside a batch — the state itself
+    * stays O(1) regardless of stream length. */
+  private class TransitionProcessor
+      extends StatefulProcessor[Long, EventTyped, Transition] {
+    @transient private var state: ValueState[LastType] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LastType]("last",
+        org.apache.spark.sql.Encoders.product[LastType], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventTyped],
+        timerValues: TimerValues): Iterator[Transition] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var last = if (state.exists()) state.get() else null
+      val out = Vector.newBuilder[Transition]
+      sorted.foreach { e =>
+        if (last != null) out += Transition(key, last.tpe, e.event_type)
+        last = LastType(e.event_type)
+      }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** STREAMING event-type transitions: the unbounded twin of
+    * [[graft.operators.Events.transitionMatrix]]'s lag window — each
+    * user's chain folds through one O(1) state value, so the live
+    * Markov report never re-reads history. Downstream aggregation
+    * (counts per (from, to)) composes as a normal streaming or batch
+    * rollup over the emitted steps. */
+  def transitions(spark: SparkSession,
+                  events: Dataset[EventTyped]): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -173,6 +173,60 @@ class ReportOpsSpec extends SparkTestBase {
     assert(got(2L) == (1L, 1L, 1000L))
   }
 
+  // -------------------------------------------------------------- drift
+
+  test("profileDrift: null rates, cardinality and mean movement") {
+    val before = Seq(Some(1.0), Some(2.0), None).toDF("x")
+    val after = Seq(Some(4.0), None, None, Some(6.0)).toDF("x")
+    val r = DataQuality.profileDrift(before, after, Seq("x"))
+      .collect().head
+    assert(r.getAs[Long]("n_rows_a") == 3 && r.getAs[Long]("n_rows_b") == 4)
+    assert(r.getAs[Long]("null_permille_a") == 333)
+    assert(r.getAs[Long]("null_permille_b") == 500)
+    assert(r.getAs[Long]("distinct_delta") == 0)
+    assert(r.getAs[Double]("mean_a") == 1.5)
+    assert(r.getAs[Double]("mean_b") == 5.0)
+    assert(r.getAs[Double]("min_delta") == 3.0)
+    assert(r.getAs[Double]("max_delta") == 4.0)
+  }
+
+  // ----------------------------------------------------------------- pq
+
+  test("Pq.encode: nearest codeword per subspace, ties to lowest code") {
+    val df = Seq(
+      (1L, Seq(0.5f, 0.5f, 1.0f, 1.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // quantized-space codebooks: sub0 codes at (0,0) and (10000,10000)
+    // — vector 1's sub0 slice (5000,5000) is EQUIDISTANT → code 0.
+    val cbs = Seq(
+      Seq(0L -> Seq(0L, 0L), 1L -> Seq(10000L, 10000L)),
+      Seq(0L -> Seq(9000L, 9000L), 1L -> Seq(10000L, 10000L)))
+    val got = Pq.encode(df, "vec_id", "embedding", cbs, subDim = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1"),
+          r.getAs[Long]("err2_1"))).toMap
+    assert(got(1L)._1 == 0L) // equidistant tie → lowest code id
+    assert(got(1L)._2 == 1L && got(1L)._3 == 0L) // exact hit on (1e4,1e4)
+    assert(got(2L)._1 == 0L)
+  }
+
+  test("Pq.trainCodebooks: deterministic, equals lloyd on each slice") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 10) / 10.0f))
+    }.toDF("vec_id", "embedding")
+    val cbs = Pq.trainCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 3, iters = 2)
+    val cbs2 = Pq.trainCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 3, iters = 2)
+    assert(cbs == cbs2)
+    val direct = KMeans.lloyd(
+      df.select(col("vec_id"), slice(col("embedding"), 3, 2).as("s")),
+      "vec_id", "s", 3, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    assert(cbs(1) == direct)
+  }
+
   test("ngramNovelty: short text falls back to the joined token") {
     // "a" has <n words → single joined-token shingle, never zero rows
     val probe = Seq((1L, "a")).toDF("id", "txt")

@@ -195,4 +195,39 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("transitions chain event types across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventTyped]
+      val q = transitions(spark, in.toDS())
+        .writeStream.format("memory").queryName("transitions_sink")
+        .outputMode("append").start()
+      // batch 1, user 1 out of order: chain is A(us=1) → B(us=2);
+      // user 2's single event emits nothing yet
+      in.addData(
+        EventTyped(2L, 1L, 2000L, "B"),
+        EventTyped(1L, 1L, 1000L, "A"),
+        EventTyped(3L, 2L, 1500L, "X"))
+      q.processAllAvailable()
+      // batch 2: user 1's chain RESUMES from B; user 2's from X
+      in.addData(
+        EventTyped(4L, 1L, 9000L, "C"),
+        EventTyped(5L, 2L, 9500L, "Y"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("transitions_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (1L, "A", "B"), (1L, "B", "C"), (2L, "X", "Y")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

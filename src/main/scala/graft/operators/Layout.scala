@@ -63,4 +63,42 @@ object Layout {
         min(statsCol).as("min_v"),
         max(statsCol).as("max_v"))
       .withColumn("skippable", hi < col("min_v") || lo > col("max_v"))
+
+  /** SMALL-FILE COMPACTION PLAN: assign each file of a partition to a
+    * target-sized output bin — the planning half of an OPTIMIZE /
+    * rewrite-small-files pass over a 100 TB table (millions of 10 MB
+    * files → target-sized rewrite groups, the #1 operational chore of
+    * a long-lived lakehouse table).
+    *
+    * Deterministic byte-offset packing: files are walked in `fileCol`
+    * order within each partition, and a file lands in the bin its
+    * cumulative START offset falls in (`(cum − size) div target`). A
+    * file can straddle a boundary, so a bin overfills by at most one
+    * file — the same slack Spark's own `maxPartitionBytes` coalescing
+    * accepts, in exchange for a plan that is pure window arithmetic
+    * (no sequential first-fit state, so it parallelizes per
+    * partition).
+    *
+    * Scale shape: the input is a file INVENTORY (metadata scale — one
+    * row per file, not per record); the one window sorts each
+    * partition's inventory, and bins stay contiguous in file order so
+    * each rewrite task reads a consecutive run. Output: the inventory
+    * plus (`bin`, `bin_files`, `bin_bytes`) — rows where
+    * `bin_files > 1` are the merge work list. */
+  def compactionPlan(files: org.apache.spark.sql.DataFrame,
+                     partCol: String, fileCol: String, sizeCol: String,
+                     targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    require(targetBytes >= 1, "need a positive target size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(fileCol)
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol, "bin")
+    files
+      .withColumn("_cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("bin",
+        expr(s"(_cum - cast($sizeCol as bigint)) div $targetBytes"))
+      .withColumn("bin_files", count(lit(1)).over(wBin))
+      .withColumn("bin_bytes", sum(col(sizeCol).cast("long")).over(wBin))
+      .drop("_cum")
+  }
 }

@@ -67,4 +67,65 @@ object Pq {
     }
     corpus.select(col(idCol) +: outCols: _*)
   }
+
+  /** ADC (asymmetric distance computation) top-`k`: the IVF-PQ scan
+    * loop — each query precomputes its m×k distance TABLE against the
+    * codebooks (driver-side, |Q|·m·k longs — bounded like training's
+    * collect), and every encoded vector is scored by m table LOOKUPS
+    * (`element_at` by code), never by touching the original floats.
+    * Approximate by construction: the score is the distance to the
+    * vector's quantized reconstruction, so ranking error is bounded by
+    * the codebook quantization error (`err2` from [[encode]]).
+    *
+    * Scale shape: the corpus side is the [[encode]] projection plus a
+    * broadcast of |Q| table rows — scoring shuffles NOTHING and scans
+    * codes (m longs/row), not vectors (d floats/row); only the scored
+    * (query_id, vec_id, d2) stream enters the per-query top-k window.
+    * At 100 TB this is the only ANN shape whose scan cost is
+    * independent of d. Self-matches excluded; ties break on vec_id.
+    * Output: (query_id, rank, vec_id, d2_adc) — integer d2, ascending. */
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              codebooks: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
+              queryIds: Seq[Long], k: Int): DataFrame = {
+    val m = codebooks.size
+    val spark = corpus.sparkSession
+    // Query distance tables from the queries' quantized slices — the
+    // same integer space encode() scores in, so a query's table entry
+    // for code c is EXACTLY d2(query_slice, codebook(c)).
+    val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), Dedup.quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    val qTables = qRows.sortBy(_._1).map { case (qid, qv) =>
+      org.apache.spark.sql.Row(qid, codebooks.zipWithIndex.map {
+        case (cb, s) =>
+          val slice = qv.slice(s * subDim, (s + 1) * subDim)
+          // cb is in code order, so table index == code id
+          cb.map { case (_, cv) =>
+            slice.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+      })
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_qt",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qTables.toIndexedSeq, 1), qSchema)
+    val enc = encode(corpus, idCol, vecCol, codebooks, subDim)
+      .select(col(idCol).as("vec_id") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    val score = (0 until m).map { s =>
+      element_at(element_at(col("_qt"), s + 1),
+        col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2_adc"), col("vec_id"))
+    enc.join(broadcast(qdf), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), score.as("d2_adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "d2_adc")
+  }
 }

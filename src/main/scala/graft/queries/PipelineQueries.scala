@@ -1531,6 +1531,29 @@ object PipelineQueries {
           m = 2, subDim = 32, k = 8, iters = 2))
       Pq.encode(emb, "vec_id", "embedding", cbs, subDim = 32)
         .orderBy("vec_id")
+    }),
+
+    // ADC TOP-K: the IVF-PQ scan loop over the q172 codes — per-query
+    // 2×8 integer distance tables against the cached codebooks, every
+    // vector scored by two table lookups; integer d2 end to end.
+    "q173_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = pqCache.getOrElseUpdate((dir, 2, 32, 8, 2),
+        Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 2, subDim = 32, k = 8, iters = 2))
+      Pq.adcTopK(emb, "vec_id", "embedding", cbs, subDim = 32,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // COMPACTION PLAN: the documents table as a file inventory (one
+    // "file" per doc — size n_chars, partition source) packed into
+    // 10 kB rewrite bins; bin_files > 1 rows are the merge work list.
+    "q174_compaction_plan" -> ((s, dir) => {
+      Layout.compactionPlan(
+          t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", targetBytes = 10000L)
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -4127,7 +4150,65 @@ object PipelineQueries {
     // init (k smallest vec_ids), identical floored-mean update,
     // identical tie-break.
     "q172_pq_encode" ->
-      s"""WITH e0 AS (
+      s"""WITH $sqlPqChain
+         SELECT vec_id, code_0, err2_0, code_1, err2_1
+         FROM enc0 JOIN enc1 USING (vec_id)
+         ORDER BY vec_id""",
+
+    // Same trained chain as q172, then per-query distance tables
+    // (query slice × codebook) and scoring by table JOIN on the code —
+    // the SQL mirror of ADC's element_at lookup.
+    "q173_pq_adc_topk" ->
+      s"""WITH $sqlPqChain,
+         qt0 AS (
+           SELECT e.vec_id AS query_id, c.cluster AS code,
+                  ${sqlListD2("e.v", "c.cv", 32)} AS d
+           FROM e0 e CROSS JOIN s0c2 c WHERE e.vec_id IN (0,1,2,3,4)),
+         qt1 AS (
+           SELECT e.vec_id AS query_id, c.cluster AS code,
+                  ${sqlListD2("e.v", "c.cv", 32)} AS d
+           FROM e1 e CROSS JOIN s1c2 c WHERE e.vec_id IN (0,1,2,3,4)),
+         scored AS (
+           SELECT q0.query_id, en.vec_id, q0.d + q1.d AS d2_adc,
+                  row_number() OVER (PARTITION BY q0.query_id
+                                     ORDER BY q0.d + q1.d, en.vec_id)
+                    AS rank
+           FROM (SELECT * FROM enc0 JOIN enc1 USING (vec_id)) en
+           JOIN qt0 q0 ON q0.code = en.code_0
+           JOIN qt1 q1 ON q1.query_id = q0.query_id
+                      AND q1.code = en.code_1
+           WHERE en.vec_id <> q0.query_id)
+         SELECT query_id, rank, vec_id, d2_adc FROM scored
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Byte-offset packing: a file's bin is the 10 kB-aligned range its
+    // cumulative START offset falls in — pure window arithmetic, the
+    // exact expression compactionPlan computes.
+    "q174_compaction_plan" ->
+      """WITH f AS (
+           SELECT source, doc_id, n_chars,
+                  sum(CAST(n_chars AS BIGINT)) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM documents),
+         b AS (
+           SELECT source, doc_id, n_chars,
+                  (cum - CAST(n_chars AS BIGINT)) // 10000 AS bin
+           FROM f)
+         SELECT source, doc_id, n_chars, bin,
+                CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT)
+                  AS bin_files,
+                sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source, bin)
+                  AS bin_bytes
+         FROM b ORDER BY source, doc_id"""
+  )
+
+  /** The q172/q173 shared oracle prefix: quantized subspace slices,
+    * two independent Lloyd chains (the q51 recipe per slice), and the
+    * per-vector code assignment for the whole corpus. */
+  private lazy val sqlPqChain: String =
+    s"""e0 AS (
            SELECT vec_id, ${sqlQuantizeSlice(1, 32)} AS v FROM embeddings),
          e1 AS (
            SELECT vec_id, ${sqlQuantizeSlice(33, 64)} AS v FROM embeddings),
@@ -4144,11 +4225,11 @@ object PipelineQueries {
          ${sqlLloydIterSub("e1", "s1c0", "s1c1", 32)},
          ${sqlLloydIterSub("e1", "s1c1", "s1c2", 32)},
          ${sqlPqAssign("e0", "s0c2", "enc0", "code_0", "err2_0", 32)},
-         ${sqlPqAssign("e1", "s1c2", "enc1", "code_1", "err2_1", 32)}
-         SELECT vec_id, code_0, err2_0, code_1, err2_1
-         FROM enc0 JOIN enc1 USING (vec_id)
-         ORDER BY vec_id"""
-  )
+         ${sqlPqAssign("e1", "s1c2", "enc1", "code_1", "err2_1", 32)}"""
+
+  /** Integer squared L2 between two quantized list expressions. */
+  private def sqlListD2(a: String, b: String, dim: Int) =
+    s"list_sum([($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]) for i in range(0, $dim)])"
 
   /** Quantized 1-based-inclusive slice [lo, hi] of the embedding —
     * [[sqlQuantize]] over a sub-range. */

@@ -236,4 +236,57 @@ class ReportOpsSpec extends SparkTestBase {
     assert(got.getAs[Long]("n_ngrams") == 1L)
     assert(got.getAs[Long]("n_novel") == 0L)
   }
+
+  test("Pq.adcTopK: score equals table-lookup sum, self excluded") {
+    // 4-dim vectors, m=2 × subDim=2; quantized space is value×10⁴
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Seq(0.1f, 0.1f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cbs = Pq.trainCodebooks(df, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    val got = Pq.adcTopK(df, "vec_id", "embedding", cbs, subDim = 2,
+      queryIds = Seq(0L), k = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2_adc")))
+    assert(got.length == 3 && !got.exists(_._2 == 0L)) // self excluded
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))     // dense ranks
+    // ADC score must EQUAL the independent reconstruction distance:
+    // d2(query_slice, codeword(assigned_code)) summed over subspaces.
+    val enc = Pq.encode(df, "vec_id", "embedding", cbs, subDim = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1"))).toMap
+    val q = Seq(0L, 0L, 0L, 0L) // query 0 quantized
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    got.foreach { case (_, vid, s) =>
+      val (c0, c1) = enc(vid)
+      val expect = d2(q.slice(0, 2), cbs(0).find(_._1 == c0).get._2) +
+        d2(q.slice(2, 4), cbs(1).find(_._1 == c1).get._2)
+      assert(s == expect, s"vec $vid")
+    }
+  }
+
+  // ---------------------------------------------------------- compaction
+
+  test("compactionPlan: byte-offset bins, straddle keeps one bin over") {
+    val files = Seq(
+      ("p", 1L, 40L), ("p", 2L, 40L), ("p", 3L, 40L), // 40+40 | 40…
+      ("p", 4L, 150L),                                 // big file alone
+      ("q", 5L, 10L)
+    ).toDF("part", "file_id", "bytes")
+    val got = Layout.compactionPlan(files, "part", "file_id", "bytes",
+      targetBytes = 100L).collect()
+      .map(r => r.getAs[Long]("file_id") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_files"),
+          r.getAs[Long]("bin_bytes"))).toMap
+    // p: offsets 0,40,80,120 → bins 0,0,0,1 — file 3 STARTS at 80 so
+    // bin 0 overfills to 120 bytes (the documented one-file slack)
+    assert(got(1L) == (0L, 3L, 120L))
+    assert(got(3L) == (0L, 3L, 120L))
+    assert(got(4L) == (1L, 1L, 150L))
+    assert(got(5L) == (0L, 1L, 10L)) // partitions pack independently
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table access (TESTDATA.md): one parquet file per table under
   * the scale-factor directory handed to every query.
@@ -18,14 +18,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to microseconds
-      // (integer DIV — a double roundtrip would lose precision at 2^63).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (rounds 1-6)
+      // and as TIMESTAMP(MICROS, isAdjustedToUTC=false) — normalize
+      // EITHER encoding to a session-zoned TIMESTAMP with the same µs
+      // values, so downstream code sees one type regardless of how the
+      // fixture generation evolves.
+      //  - NANOS: Spark's vectorized reader rejects it; read nanos as
+      //    long and truncate to µs (integer DIV — a double roundtrip
+      //    would lose precision at 2^63).
+      //  - MICROS not-adjusted-to-UTC: Spark infers TIMESTAMP_NTZ;
+      //    cast to TIMESTAMP — the session runs UTC, so the wall-clock
+      //    reinterpretation is value-preserving (same unix_micros).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

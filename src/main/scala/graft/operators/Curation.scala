@@ -156,6 +156,64 @@ object Curation {
     df.withColumn("split", chain)
   }
 
+  /** LEAKAGE-SAFE grouped split: [[hashSplit]] keyed on a GROUP column
+    * instead of the row id, so every row of a group (all pages of a
+    * domain, all turns of a conversation, all augmentations of a seed
+    * document) lands in the SAME bucket — the property that makes a
+    * held-out set actually held out. Splitting near-duplicate-rich data
+    * by row id leaks: the test set fills with near-copies of training
+    * rows and eval scores inflate. Hashing the group key kills that
+    * whole failure class structurally (no straddling is possible — the
+    * bucket is a pure function of the group value), at the cost of
+    * lumpier split sizes when groups are few or skewed, which is the
+    * honest trade and the reason split-size reporting belongs next to
+    * this operator. Same 100 TB shape as [[hashSplit]]: pure
+    * projection, zero shuffle, zero RNG, engine-portable md5. */
+  def groupedSplit(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)]): DataFrame =
+    hashSplit(df, groupCol, splits)
+
+  /** EPOCH SCHEDULE for a token-budget mixture: given per-domain corpus
+    * token counts and target mixture shares, how many times should each
+    * domain be repeated (its epoch factor) to fill `budgetTokens`?
+    * This is the planning step of mixture training (the duplication
+    * ladder of Dolma/SlimPajama-style pipelines): domain d with
+    * `tokens_d` raw tokens and target share `w_d` wants
+    * `budget · w_d` tokens, i.e. `epochs_d = budget · w_d / tokens_d`
+    * passes — capped at `capMilli` because repeating a small domain
+    * dozens of times degrades models faster than under-weighting it.
+    *
+    * All integer milli-arithmetic (`epochs_milli = min(cap,
+    * budget·w_milli div tokens)`, floor semantics), so the plan
+    * is engine-exact. `planned_tokens = tokens·epochs_milli div 1000`
+    * is what the schedule actually delivers — the caller compares it to
+    * `budget·w_milli div 1000` to see which domains are cap-starved.
+    *
+    * Scale shape: one map-side-combinable aggregate over the corpus
+    * (token counting is the scan); the schedule itself is
+    * domains-sized metadata. Returns (domain, tokens, share_milli,
+    * epochs_milli, planned_tokens) — one row per domain present in the
+    * corpus AND listed in `shares`. */
+  def epochSchedule(docs: DataFrame, domainCol: String, tokens: Column,
+                    shares: Seq[(String, Long)], budgetTokens: Long,
+                    capMilli: Long): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 >= 0),
+      "shares must be non-negative milli-fractions")
+    require(budgetTokens > 0 && capMilli >= 1000,
+      "need a positive budget and a cap of at least one epoch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = shares.toDF(domainCol, "share_milli")
+    docs.groupBy(col(domainCol).as(domainCol))
+      .agg(sum(tokens.cast("long")).as("tokens"))
+      .join(broadcast(w), domainCol)
+      .withColumn("epochs_milli",
+        least(lit(capMilli),
+          expr(s"(${budgetTokens}L * share_milli) div tokens")))
+      .withColumn("planned_tokens",
+        expr("(tokens * epochs_milli) div 1000L"))
+  }
+
   /** Deterministic stratified sampling: keep each row with a per-stratum
     * rate, decided by comparing the first 4 hex chars of `md5(id)`
     * against the stratum's rate threshold (granularity 1/65536 — same

@@ -263,4 +263,39 @@ object Events {
           (col("n_trans").cast("double") / col("_tot").cast("double")))
           .as("p_micro"))
   }
+
+  /** TIME-DECAYED counts per key — the freshness-weighting aggregate a
+    * curation pipeline uses to score activity where last week counts
+    * more than last year (trending sources, decaying user engagement,
+    * recency-weighted sampling priors).
+    *
+    * The decay is HALF-LIFE STEPPED, in integers: an event
+    * `floor(age_days / halfLifeDays)` half-lives old contributes
+    * `1000 div 2^h` milli-units (h capped at `maxHalfLives` — beyond
+    * ~20 the contribution is 0 milli anyway, and the cap keeps the
+    * shift bounded). Stepped dyadic decay instead of exp(−λ·age): the
+    * weights are exact integers, so the aggregate is order-free,
+    * map-side combinable, and bit-identical on any engine — a float
+    * exp() aggregate is none of those (IEEE leaves exp rounding to the
+    * implementation, and float sums depend on partitioning). The step
+    * quantization (a day-312 event weighs like day-364 at a 365-day
+    * half-life) is the stated trade.
+    *
+    * Age anchors to the corpus max timestamp (one broadcast scalar),
+    * not wall clock — deterministic and re-runnable. One combinable
+    * aggregate; output is keys-sized. Returns (key, n_events,
+    * decayed_milli). */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    halfLifeDays: Int, maxHalfLives: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1, "half-life must be at least a day")
+    require(maxHalfLives >= 1 && maxHalfLives <= 62, "cap must be in [1, 62]")
+    val anchor = events.agg(max(col(tsCol)).as("_anchor"))
+    events.crossJoin(broadcast(anchor))
+      .withColumn("_h",
+        least(expr(s"cast(datediff(_anchor, $tsCol) as bigint) " +
+          s"div ${halfLifeDays}L"), lit(maxHalfLives.toLong)))
+      .withColumn("_w", expr("1000L div shiftleft(1L, cast(_h as int))"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed_milli"))
+  }
 }

@@ -101,4 +101,68 @@ object Layout {
       .withColumn("bin_bytes", sum(col(sizeCol).cast("long")).over(wBin))
       .drop("_cum")
   }
+
+  /** Consistent-hash ring: `vnodes` virtual nodes per shard, each at
+    * position md5("shard-s#v")'s first 15 hex digits (a 60-bit integer
+    * — reproducible in any engine with md5, the [[graft.operators.Dedup.hyperplaneWeights]]
+    * convention). Positions are required distinct (60-bit space,
+    * S·V ≤ a few thousand — collisions are astronomically unlikely,
+    * and the check makes ties impossible rather than improbable, so
+    * argmin assignment is total). */
+  def hashRing(shards: Int, vnodes: Int): Seq[(Long, Int)] = {
+    require(shards >= 1 && vnodes >= 1, "need positive shards and vnodes")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ring = for (s <- 0 until shards; v <- 0 until vnodes) yield {
+      val hex = md.digest(s"shard-$s#$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16), s)
+    }
+    require(ring.map(_._1).distinct.size == ring.size,
+      "vnode position collision — pick a different vnodes count")
+    ring.sortBy(_._1)
+  }
+
+  /** 60-bit ring modulus shared by [[hashRing]] positions and key
+    * hashes. */
+  val RingModulus: Long = 1L << 60
+
+  /** Ring assignment of a 60-bit key hash: the shard of the first
+    * vnode CLOCKWISE from the key (minimum (vh − kh) mod 2^60). A
+    * literal array of (distance, shard) structs + array_min — pure
+    * per-row expression, no join, S·V integer ops per row. */
+  def ringAssign(keyHash: Column, ring: Seq[(Long, Int)]): Column = {
+    val arr = array(ring.map { case (h, s) =>
+      struct(pmod(lit(h) - keyHash, lit(RingModulus)).as("d"),
+        lit(s.toLong).as("s"))
+    }: _*)
+    array_min(arr).getField("s")
+  }
+
+  /** SHARD-SCALING AUDIT — consistent hashing vs modulo, per row.
+    * Assigns each key to a shard four ways: `id mod S`, `id mod S+1`,
+    * and a [[hashRing]] of S and S+1 shards (same vnode positions for
+    * the surviving shards — only the new shard's vnodes appear, which
+    * is the whole point of the ring). The downstream aggregate of
+    * `shard_mod ≠ shard_mod_new` vs `shard_ring ≠ shard_ring_new` is
+    * the classic result made measurable: rehashing by modulo moves
+    * ~S/(S+1) of ALL data when a shard is added, the ring moves ~1/(S+1)
+    * — the difference between a full-cluster reshuffle and an
+    * incremental handoff when a 100 TB store scales out.
+    *
+    * Shape: pure projection (md5 + (S+S+2)·V integer comparisons per
+    * row), zero shuffle, deterministic on any engine with md5. */
+  def consistentShards(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       shards: Int, vnodes: Int): org.apache.spark.sql.DataFrame = {
+    val kh = expr(
+      s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val oldRing = hashRing(shards, vnodes)
+    val newRing = hashRing(shards + 1, vnodes)
+    df.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard_mod"),
+        pmod(col(idCol), lit(shards.toLong + 1)).as("shard_mod_new"),
+        kh.as("_kh"))
+      .withColumn("shard_ring", ringAssign(col("_kh"), oldRing))
+      .withColumn("shard_ring_new", ringAssign(col("_kh"), newRing))
+      .drop("_kh")
+  }
 }

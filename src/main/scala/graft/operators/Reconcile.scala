@@ -30,4 +30,53 @@ object Reconcile {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("digest"))
   }
+
+  /** ROW-LEVEL SNAPSHOT DIFF — the repair pass [[digest]] localizes:
+    * given two versions of a keyed table, classify every key as added /
+    * removed / changed / same and count, per compared column, how many
+    * surviving rows changed it. This is the "what actually moved
+    * between yesterday's snapshot and today's" report — the first
+    * question after a drift alarm, and the regression gate before
+    * promoting a rebuilt 100 TB table (an unexpected `col_changed:price
+    * = 40M` blocks the swap; `added ≈ yesterday's ingest` clears it).
+    *
+    * Comparison is null-safe (`<=>`): NULL→value and value→NULL count
+    * as changes, NULL→NULL does not. Keys are assumed unique per
+    * snapshot (a keyed table contract — violations would fan the join
+    * out); columns are compared on their native types, so float columns
+    * inherit float equality — quantize first if that matters.
+    *
+    * Shape: ONE full-outer shuffle join on the key (co-partition or
+    * bucket both snapshots by the key at scale and it is shuffle-free),
+    * then a single map-side-combinable aggregate to a metadata-sized
+    * result (4 + |cols| rows). Returns (metric, n) ordered by metric:
+    * `added`, `removed`, `rows_changed`, `rows_same`,
+    * `col_changed:<col>` per compared column. */
+  def rowDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+              cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to compare")
+    val a = oldDf.select(col(keyCol).as("_k") +: lit(1L).as("_pa") +:
+      cols.map(c => col(c).as(s"_a_$c")): _*)
+    val b = newDf.select(col(keyCol).as("_k") +: lit(1L).as("_pb") +:
+      cols.map(c => col(c).as(s"_b_$c")): _*)
+    val j = a.join(b, Seq("_k"), "full_outer")
+    val both = col("_pa").isNotNull && col("_pb").isNotNull
+    val anyChange = cols.map(c => !(col(s"_a_$c") <=> col(s"_b_$c")))
+      .reduce(_ || _)
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val aggCols = Seq(
+      n(col("_pa").isNull).as("added"),
+      n(col("_pb").isNull).as("removed"),
+      n(both && anyChange).as("rows_changed"),
+      n(both && !anyChange).as("rows_same")) ++
+      cols.map(c =>
+        n(both && !(col(s"_a_$c") <=> col(s"_b_$c"))).as(s"_cc_$c"))
+    val agg = j.agg(aggCols.head, aggCols.tail: _*)
+    val pairs = Seq("added", "removed", "rows_changed", "rows_same")
+      .map(m => s"'$m', $m") ++
+      cols.map(c => s"'col_changed:$c', `_cc_$c`")
+    agg.select(expr(
+        s"stack(${pairs.size}, ${pairs.mkString(", ")}) as (metric, n)"))
+      .orderBy("metric")
+  }
 }

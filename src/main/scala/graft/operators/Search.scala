@@ -117,6 +117,45 @@ object Search {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    * merge N independent rankings of the same (query, candidate) space
+    * into one hybrid ranking: score(q, d) = Σ_lists 1/(k0 + rank).
+    * This is the standard hybrid-search combiner (lexical BM25 +
+    * dense-vector lists, or dot + L2 views of one index): it needs no
+    * score calibration because it only consumes RANKS, which is also
+    * what makes it deterministic here — the engine's score is the
+    * integer Σ 1000000 div (k0 + rank) (exact, order-free aggregate;
+    * the float 1/(k0+r) is monotone-equivalent per list but its SUM
+    * depends on addition order, which a distributed aggregate must not).
+    *
+    * Scale shape: inputs are already top-k lists (|Q|·k rows, metadata
+    * scale, not corpus scale); one union + one (query, id) aggregate +
+    * one per-query window top-k. A candidate missing from a list simply
+    * contributes nothing (the paper's convention). `n_lists` is kept in
+    * the output — a fused hit found by every ranker is qualitatively
+    * different from a single-list outlier, and re-ranking layers
+    * routinely gate on it.
+    *
+    * Returns (queryCol, rank, idCol, rrf, n_lists), rank 1..topK by
+    * (rrf desc, n_lists desc, id). */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, k0: Int, topK: Int): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    require(k0 >= 1, "k0 must be positive (the paper uses 60)")
+    val contrib = rankings
+      .map(_.select(col(queryCol), col(idCol),
+        expr(s"1000000L div (${k0}L + cast($rankCol as bigint))").as("_c")))
+      .reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(queryCol)
+      .orderBy(col("rrf").desc, col("n_lists").desc, col(idCol))
+    contrib.groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col("rank"), col(idCol), col("rrf"),
+        col("n_lists"))
+  }
+
   /** Inverted index: one row per surviving token with document
     * frequency, collection frequency, and the sorted posting list
     * (comma-joined ids — a deterministic, engine-portable encoding).

@@ -76,6 +76,33 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "dot")
   }
 
+  /** [[int8TopK]]'s Euclidean sibling: same one-byte quantization, same
+    * broadcast-queries corpus scan, but ranked by integer SQUARED L2
+    * distance ascending (ties on vec_id). Dot and L2 order vectors
+    * differently when norms vary — which is exactly why a fusion layer
+    * ([[Search.rrfFuse]]) wants both as independent views of the same
+    * query. Pure int64 (|d| ≤ 255 ⇒ d² ≤ 65025, ×dim far below 2^63),
+    * bit-exact on any engine/partitioning.
+    * Returns (query_id, rank, vec_id, d2). */
+  def int8L2TopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q8 = transform(col(vecCol),
+      x => greatest(lit(-128L),
+        least(lit(127L), floor(x.cast("double") * 64).cast("long"))))
+    val vecs = corpus.select(col(idCol).as("vec_id"), q8.as("v"))
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = aggregate(zip_with(col("qv"), col("v"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("vec_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "d2")
+  }
+
   /** The full retrieval LADDER: [[int8TopK]] recall at `recallK`, then
     * exact quantized-cosine rerank of only those candidates down to `k`
     * — the standard production shape (cheap compressed scan bounds the

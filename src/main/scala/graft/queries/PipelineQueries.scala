@@ -20,6 +20,17 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Raw-µs value of events.ts for the q60/q82 engine probes, which
+    * read the parquet WITHOUT Tables.load's normalization: nanos-as-
+    * long (rounds 1-6 fixture) floors with integer DIV; µs
+    * TIMESTAMP_NTZ (r7 fixture) is already the probed value — the UTC
+    * session makes the cast wall-clock-preserving. */
+  private def rawUs(raw: DataFrame): org.apache.spark.sql.Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+
   /** Trained-artifact cache for the BPE queries: whichever of q73/q74
     * runs first trains the merge table; the other applies it. This is
     * the production shape — train once, ship the artifact — and it
@@ -518,8 +529,11 @@ object PipelineQueries {
     "q60_probe_us_parity" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      raw.agg(sum(when(expr("(ts div 1000) % 2") === 1, 1L).otherwise(0L))
-        .as("n_odd_us"))
+      // µs from the RAW encoding: nanos-as-long (rounds 1-6 fixture) or
+      // µs TIMESTAMP_NTZ (r7 fixture) — the probe pins the same floor
+      // invariant either way.
+      val us = rawUs(raw)
+      raw.agg(sum(when(us % 2 === 1, 1L).otherwise(0L)).as("n_odd_us"))
     }),
 
     // q82: full µs-value fingerprint. r3's q60 proved the LAST bit of
@@ -530,8 +544,8 @@ object PipelineQueries {
     // that was red in r2 via DuckDB's epoch_us()) are safe to restore.
     "q82_probe_us_fingerprint" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val us = s.read.parquet(s"$dir/events.parquet")
-        .select(expr("ts div 1000").as("us"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val us = raw.select(rawUs(raw).as("us"))
       us.agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"),
         sum(col("us") % lit(1000000007L)).as("sum_mod"))
     }),
@@ -1554,6 +1568,88 @@ object PipelineQueries {
           t(s, dir, "documents").select("source", "doc_id", "n_chars"),
           "source", "doc_id", "n_chars", targetBytes = 10000L)
         .orderBy("source", "doc_id")
+    }),
+
+    // HYBRID retrieval: fuse the int8 dot ranking (q120's rung) with
+    // its L2 sibling by reciprocal-rank fusion — rank-only combination,
+    // integer RRF scores, n_lists consensus kept.
+    "q175_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L)
+      Search.rrfFuse(
+          Seq(Similarity.int8TopK(emb, qids, "vec_id", "embedding", k = 20),
+            Similarity.int8L2TopK(emb, qids, "vec_id", "embedding", k = 20)),
+          "query_id", "vec_id", "rank", k0 = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LEAKAGE-SAFE grouped split: bucket by md5(source) so every doc of
+    // a source lands in one split (no near-dup straddle), then report
+    // the split sizes — lumpy by design with 20 groups, which is the
+    // honest cost the report makes visible.
+    "q176_group_split" -> ((s, dir) => {
+      Curation.groupedSplit(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_groups"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // Consistent-hash vs modulo shard-scaling audit: per shard, how
+    // much data each scheme moves when an 8-shard layout grows to 9.
+    "q177_shard_plan" -> ((s, dir) => {
+      val per = Layout.consistentShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        shards = 8, vnodes = 16)
+      val mods = per.groupBy(col("shard_mod").as("shard"))
+        .agg(count(lit(1)).as("n_mod"),
+          sum(when(col("shard_mod") =!= col("shard_mod_new"), 1L)
+            .otherwise(0L)).as("mod_moved"))
+      val rings = per.groupBy(col("shard_ring").as("shard"))
+        .agg(count(lit(1)).as("n_ring"),
+          sum(when(col("shard_ring") =!= col("shard_ring_new"), 1L)
+            .otherwise(0L)).as("ring_moved"))
+      mods.join(rings, "shard").orderBy("shard")
+    }),
+
+    // Recency-weighted activity: stepped dyadic half-life decay in
+    // exact integer milli-units, anchored to the corpus max timestamp.
+    "q178_decayed_counts" -> ((s, dir) => {
+      Events.decayedCounts(t(s, dir, "events"), "event_type", "ts",
+          halfLifeDays = 7)
+        .orderBy("event_type")
+    }),
+
+    // Snapshot diff: simulated next-day orders (1/13 removed, 1/11
+    // cloned as new keys, price/status edits) classified added /
+    // removed / changed / same with per-column change counts.
+    "q179_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionAll(o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Reconcile.rowDiff(o, newSnap, "o_orderkey",
+        Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+    }),
+
+    // Token-budget mixture plan: per-source epoch factors (integer
+    // milli-epochs) to fill a 50k-token budget at uniform target
+    // shares over the 20 sources — budget/cap picked so the 2.0-epoch
+    // cap binds for SOME sources (both schedule regimes exercised).
+    "q180_epoch_schedule" -> ((s, dir) => {
+      val shares = (0 until 20).map(i => (s"src$i", 50L))
+      Curation.epochSchedule(t(s, dir, "documents"), "source",
+          size(split(col("text"), " ")).cast("long"), shares,
+          budgetTokens = 50000L, capMilli = 2000L)
+        .orderBy("source")
     })
   )
 
@@ -1648,6 +1744,13 @@ object PipelineQueries {
 
   private val sqlQuantize =
     "[floor(CAST(x AS DOUBLE) * 10000)::BIGINT for x in embedding]"
+
+  /** q177's consistent-hash ring as VALUES literals — the SAME
+    * driver-computed (position, shard) pairs the engine embeds, so
+    * both engines walk an identical ring. */
+  private def sqlRing(shards: Int, vnodes: Int): String =
+    graft.operators.Layout.hashRing(shards, vnodes)
+      .map { case (h, s) => s"($h, $s)" }.mkString(", ")
 
   private def sqlQdot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
@@ -4201,7 +4304,202 @@ object PipelineQueries {
                   AS bin_files,
                 sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source, bin)
                   AS bin_bytes
-         FROM b ORDER BY source, doc_id"""
+         FROM b ORDER BY source, doc_id""",
+
+    // Same int8 grid; two rankings (dot desc / L2 asc) fused by integer
+    // reciprocal-rank: Σ 1000000 // (60 + rank) over the top-20 lists.
+    "q175_rrf_fusion" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v
+                WHERE vec_id IN (0, 1, 2)),
+         pairs AS (
+           SELECT query_id, v.vec_id,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> qv[i] * v.q[i])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (qv[i] - v.q[i]) * (qv[i] - v.q[i]))) AS BIGINT)
+                    AS d2
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, vec_id) AS r_dot,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2 ASC, vec_id) AS r_l2
+           FROM pairs),
+         contrib AS (
+           SELECT query_id, vec_id, 1000000 // (60 + r_dot) AS c
+           FROM ranked WHERE r_dot <= 20
+           UNION ALL
+           SELECT query_id, vec_id, 1000000 // (60 + r_l2) AS c
+           FROM ranked WHERE r_l2 <= 20),
+         fused AS (
+           SELECT query_id, vec_id, CAST(sum(c) AS BIGINT) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_lists
+           FROM contrib GROUP BY query_id, vec_id),
+         final AS (
+           SELECT query_id, vec_id, rrf, n_lists,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, n_lists DESC, vec_id) AS rank
+           FROM fused)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rrf,
+                n_lists
+         FROM final WHERE rank <= 10
+         ORDER BY query_id, rank""",
+
+    // Same md5-threshold bucketing as q54, keyed on the GROUP column.
+    // 0.8/0.1/0.1 → cumulative hex bounds cccc / e666.
+    "q176_group_split" ->
+      """WITH s AS (
+           SELECT source, n_chars,
+                  CASE WHEN substr(md5(source), 1, 4) < 'cccc' THEN 'train'
+                       WHEN substr(md5(source), 1, 4) < 'e666' THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY split ORDER BY split""",
+
+    // Same driver-computed vnode rings (md5 60-bit positions) as
+    // VALUES literals; clockwise distance argmin per key; min_by is
+    // total because ring positions are required distinct.
+    "q177_shard_plan" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS kh
+           FROM documents),
+         r8(vh, s) AS (VALUES ${sqlRing(8, 16)}),
+         r9(vh, s) AS (VALUES ${sqlRing(9, 16)}),
+         g8 AS (
+           SELECT doc_id, min_by(s, (vh - kh + 1152921504606846976) %
+                  1152921504606846976) AS ring8
+           FROM d CROSS JOIN r8 GROUP BY doc_id),
+         g9 AS (
+           SELECT doc_id, min_by(s, (vh - kh + 1152921504606846976) %
+                  1152921504606846976) AS ring9
+           FROM d CROSS JOIN r9 GROUP BY doc_id),
+         per AS (
+           SELECT d.doc_id, d.doc_id % 8 AS m8, d.doc_id % 9 AS m9,
+                  ring8, ring9
+           FROM d JOIN g8 USING (doc_id) JOIN g9 USING (doc_id)),
+         mods AS (
+           SELECT m8 AS shard, CAST(count(*) AS BIGINT) AS n_mod,
+                  CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mod_moved
+           FROM per GROUP BY m8),
+         rings AS (
+           SELECT CAST(ring8 AS BIGINT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_ring,
+                  CAST(sum(CASE WHEN ring8 <> ring9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ring_moved
+           FROM per GROUP BY ring8)
+         SELECT shard, n_mod, mod_moved, n_ring, ring_moved
+         FROM mods JOIN rings USING (shard) ORDER BY shard""",
+
+    // Stepped dyadic half-life: 1000 // 2^(age_days div 7), capped at
+    // 20 half-lives, anchored to max(ts) — exact integer milli-units.
+    "q178_decayed_counts" ->
+      """WITH a AS (SELECT max(ts) AS anchor FROM events),
+         w AS (
+           SELECT event_type,
+                  1000 // (1 << least(
+                    CAST(date_diff('day', CAST(ts AS DATE),
+                      CAST(anchor AS DATE)) AS BIGINT) // 7, 20)) AS w
+           FROM events CROSS JOIN a)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(w) AS BIGINT) AS decayed_milli
+         FROM w GROUP BY event_type ORDER BY event_type""",
+
+    // Same simulated next-day snapshot; full-outer classification with
+    // IS DISTINCT FROM (the engine's <=>), per-column change counts.
+    "q179_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         n AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM orders WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                  o_orderstatus
+           FROM orders WHERE o_orderkey % 11 = 0),
+         j AS (
+           SELECT o.o_orderkey AS ka, n.o_orderkey AS kb,
+                  o.o_custkey AS ac, n.o_custkey AS bc,
+                  o.o_totalprice AS ap, n.o_totalprice AS bp,
+                  o.o_orderstatus AS astat, n.o_orderstatus AS bstat
+           FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT metric, n FROM (
+           SELECT 'added' AS metric,
+                  CAST(count(*) FILTER (WHERE ka IS NULL) AS BIGINT) AS n
+           FROM j
+           UNION ALL
+           SELECT 'removed',
+                  CAST(count(*) FILTER (WHERE kb IS NULL) AS BIGINT)
+           FROM j
+           UNION ALL
+           SELECT 'rows_changed',
+                  CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL
+                    AND (ac IS DISTINCT FROM bc OR ap IS DISTINCT FROM bp
+                         OR astat IS DISTINCT FROM bstat)) AS BIGINT)
+           FROM j
+           UNION ALL
+           SELECT 'rows_same',
+                  CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL
+                    AND NOT (ac IS DISTINCT FROM bc
+                         OR ap IS DISTINCT FROM bp
+                         OR astat IS DISTINCT FROM bstat)) AS BIGINT)
+           FROM j
+           UNION ALL
+           SELECT 'col_changed:o_custkey',
+                  CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL AND ac IS DISTINCT FROM bc)
+                    AS BIGINT)
+           FROM j
+           UNION ALL
+           SELECT 'col_changed:o_totalprice',
+                  CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL AND ap IS DISTINCT FROM bp)
+                    AS BIGINT)
+           FROM j
+           UNION ALL
+           SELECT 'col_changed:o_orderstatus',
+                  CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL AND astat IS DISTINCT FROM bstat)
+                    AS BIGINT)
+           FROM j)
+         ORDER BY metric""",
+
+    // Same integer milli-epoch plan: floor division, 2000-milli cap,
+    // uniform 50-milli shares over the 20 sources.
+    "q180_epoch_schedule" ->
+      s"""WITH tok AS (
+           SELECT source,
+                  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         sh(source, share_milli) AS (VALUES ${
+             (0 until 20).map(i => s"('src$i', 50)").mkString(", ")})
+         SELECT t.source, tokens, CAST(share_milli AS BIGINT) AS share_milli,
+                CAST(least(2000, (50000 * share_milli) // tokens)
+                  AS BIGINT) AS epochs_milli,
+                CAST((tokens * least(2000, (50000 * share_milli) //
+                  tokens)) // 1000 AS BIGINT) AS planned_tokens
+         FROM tok t JOIN sh USING (source)
+         ORDER BY source"""
   )
 
   /** The q172/q173 shared oracle prefix: quantized subspace slices,

@@ -39,9 +39,15 @@ object StreamingQueries {
     // file with a glob filter rather than copying the fixture around.
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs not-adjusted-to-UTC fixture (r7): same normalization as
+        // the batch Tables.load — UTC session ⇒ value-preserving cast.
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
 
   /** Run a bounded streaming query into a memory sink and return its

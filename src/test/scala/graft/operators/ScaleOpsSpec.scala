@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 scale/ops operators: consistent-hash sharding, time-decayed
+  * counts, row-level snapshot diff, epoch scheduling, grouped split,
+  * and RRF's ranker inputs live in [[SearchMixSpec]]. */
+class ScaleOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("hashRing: deterministic, collision-free, stable under growth") {
+    val r8 = Layout.hashRing(8, 16)
+    assert(r8 == Layout.hashRing(8, 16))
+    assert(r8.map(_._1).distinct.size == 8 * 16)
+    // growing the cluster only ADDS vnodes: the 8-shard ring's
+    // positions all survive, at the same shards, in the 9-shard ring
+    val r9 = Layout.hashRing(9, 16).toMap
+    assert(r8.forall { case (h, s) => r9(h) == s })
+  }
+
+  test("consistentShards: ring movement only flows to the new shard") {
+    val df = (0L until 500L).toDF("id")
+    val per = Layout.consistentShards(df, "id", shards = 8, vnodes = 16)
+      .collect()
+    // the defining property: adding shard 8 either keeps a key in
+    // place or hands it to shard 8 — never shuffles between survivors
+    assert(per.forall { r =>
+      val (r8, r9) = (r.getLong(3), r.getLong(4))
+      r8 == r9 || r9 == 8L
+    })
+    // and it moves strictly less than modulo rehashing does
+    val ringMoved = per.count(r => r.getLong(3) != r.getLong(4))
+    val modMoved = per.count(r => r.getLong(1) != r.getLong(2))
+    assert(ringMoved < modMoved)
+    assert(ringMoved > 0) // something must land on the new shard
+  }
+
+  test("decayedCounts: stepped dyadic weights, capped, anchored to max ts") {
+    val ev = Seq(
+      ("a", "2024-03-01 00:00:00"), // anchor day: h=0, w=1000
+      ("a", "2024-02-23 00:00:00"), // 7 days: h=1, w=500
+      ("a", "2024-02-27 12:00:00"), // 2.5 days: h=0, w=1000
+      ("b", "2023-12-01 00:00:00")) // 91 days: h=13, w=1000/8192=0
+      .toDF("k", "s").select(col("k"), col("s").cast("timestamp").as("ts"))
+    val got = Events.decayedCounts(ev, "k", "ts", halfLifeDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("a") == ((3L, 2500L)))
+    assert(got("b") == ((1L, 0L)))
+  }
+
+  test("rowDiff: added/removed/changed/same with null-safe column compare") {
+    val oldDf = Seq(
+      (1L, Some("x"), Some(10L)),
+      (2L, Some("y"), None),
+      (3L, Some("z"), Some(30L)),
+      (4L, None, Some(40L)))
+      .toDF("k", "c1", "c2")
+    val newDf = Seq(
+      (1L, Some("x"), Some(10L)),   // same
+      (2L, Some("y"), Some(20L)),   // c2 NULL→20: changed
+      (4L, None, Some(41L)),        // c2 changed (NULL c1 on both: same)
+      (5L, Some("w"), Some(50L)))   // added
+      .toDF("k", "c1", "c2")        // key 3 removed
+    val got = Reconcile.rowDiff(oldDf, newDf, "k", Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "added" -> 1L, "removed" -> 1L,
+      "rows_changed" -> 2L, "rows_same" -> 1L,
+      "col_changed:c1" -> 0L, "col_changed:c2" -> 2L))
+  }
+
+  test("epochSchedule: floor milli-epochs, cap binds small domains") {
+    val docs = (Seq.fill(10)("big") ++ Seq.fill(2)("small"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d, "w w w w w") }
+      .toDF("id", "domain", "text")
+    // tokens: big=50, small=10; budget 1000, shares 50% each, cap 2.5x
+    val got = Curation.epochSchedule(docs, "domain",
+        size(split(col("text"), " ")).cast("long"),
+        Seq("big" -> 500L, "small" -> 500L),
+        budgetTokens = 1000L, capMilli = 2500L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    // big: wants 500000/50000 = 10.0 epochs → capped at 2.5 → 125 tokens
+    assert(got("big") == ((50L, 2500L, 125L)))
+    // small: wants 500000/10000 = 50.0 → capped 2.5 → 25 tokens
+    assert(got("small") == ((10L, 2500L, 25L)))
+    // un-capped floor case: cap high, shares 300/700
+    val free = Curation.epochSchedule(docs, "domain",
+        size(split(col("text"), " ")).cast("long"),
+        Seq("big" -> 300L, "small" -> 700L),
+        budgetTokens = 1000L, capMilli = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(free("big") == 6000L)    // 300000 div 50 ⇒ 6.0 epochs
+    assert(free("small") == 70000L) // 700000 div 10 ⇒ 70.0 epochs
+  }
+
+  test("groupedSplit: a group never straddles splits") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
+      .toDF("id", "grp")
+    val n = Curation.groupedSplit(df, "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .groupBy("grp").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count()
+    assert(n == 0L)
+  }
+}

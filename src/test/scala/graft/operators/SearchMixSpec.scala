@@ -35,6 +35,35 @@ class SearchMixSpec extends SparkTestBase {
     assert(!both.contains(3L))
   }
 
+  test("rrfFuse sums integer rank reciprocals; consensus outranks outliers") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "vec_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), "query_id", "vec_id", "rank",
+      k0 = 60, topK = 4).orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 11: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 (2 lists)
+    // 10: 1e6/61 + 1e6/63 = 16393 + 15873 = 32266 (2 lists)
+    // 13: 1e6/62 = 16129 (1 list)   12: 1e6/63 = 15873 (1 list)
+    assert(got.toSeq == Seq((11L, 32522L, 2L), (10L, 32266L, 2L),
+      (13L, 16129L, 1L), (12L, 15873L, 1L)))
+  }
+
+  test("int8 dot and L2 rankers disagree exactly when norms should matter") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(1.9f, 0.0f)),   // big-norm: best by dot, far by L2
+      (2L, Seq(0.9f, 0.0f)))   // near the query: best by L2
+      .toDF("vec_id", "embedding")
+    val byDot = Similarity.int8TopK(emb, Seq(0L), "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val byL2 = Similarity.int8L2TopK(emb, Seq(0L), "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(byDot == Seq(1L, 2L))
+    assert(byL2 == Seq(2L, 1L))
+  }
+
   test("mixtureSample hits the target mixture and drops unlisted domains") {
     val docs = (0 until 400).map(i => (i.toLong, s"dom${i % 4}"))
       .toDF("doc_id", "domain")

@@ -431,14 +431,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
-  test("q128 profile is ONE pass: a single scan through one Expand") {
+  test("q128 profile: per-column distinct aggs, broadcast-assembled, no Expand") {
     val p = planOf("q128_column_profile")
-    // one lineitem scan feeds the multi-distinct Expand; no join, no
-    // per-column re-scan (formatted mode prints each node twice —
-    // count the numbered detail entries)
-    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1)
-    assert(p.contains("Expand"))
-    assert(!p.contains("Join"))
+    // one base-stats scan + one column-pruned scan per countDistinct,
+    // assembled by broadcast crossJoins of 1-row results. The previous
+    // single-aggregate shape planned an Expand (×cols+1 row
+    // replication) and measured 4× slower at sf0.1 (ProfileProbe,
+    // DESIGN.md) — pin its absence.
+    assert(!p.contains("Expand"))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 6)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // every distinct agg is two-phase: partial per partition first
+    assert(p.contains("partial_count(distinct"))
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("q129 histogram broadcasts the 1-row bounds; counts combine map-side") {

@@ -117,9 +117,13 @@ class EventStreamsSpec extends SparkTestBase {
     def source = {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else raw
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => raw
+      }
     }
     val base = java.nio.file.Files.createTempDirectory("graft_resume")
     val ckpt = s"$base/ckpt"

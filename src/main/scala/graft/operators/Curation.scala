@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the
@@ -212,6 +213,44 @@ object Curation {
           expr(s"(${budgetTokens}L * share_milli) div tokens")))
       .withColumn("planned_tokens",
         expr("(tokens * epochs_milli) div 1000L"))
+  }
+
+  /** STRIDE-SCHEDULED mixture interleave — the deterministic training
+    * ORDER companion to [[epochSchedule]] (which decides how much of
+    * each domain; this decides WHEN): domain d's r-th example gets
+    * virtual time `vt = r·1000000 div share_milli`, and the schedule
+    * is the ascending (vt, domain, id) order — classic stride
+    * scheduling, so every schedule prefix contains domains in
+    * proportion to their shares (a share-200 domain appears twice as
+    * often as a share-100 one) with no RNG and no engine-dependent
+    * shuffle. Rows of domains absent from `shares` are dropped
+    * (stated, like [[mixtureSample]]).
+    *
+    * Scale shape: one broadcast of the shares, one per-domain window
+    * for the rank, and a GLOBAL ordering for the final position. The
+    * global `row_number` here is a single-partition sort — right for
+    * schedule-sized outputs (a curated epoch), while at 100 TB the
+    * position materializes as range-partition-by-(vt, domain, id) +
+    * per-partition offsets (prefix sums of partition counts), the
+    * standard global-index recipe; `vtime` is kept in the output so
+    * that path needs nothing recomputed.
+    *
+    * Returns (idCol, domainCol, vtime, sched_pos). */
+  def strideInterleave(df: DataFrame, idCol: String, domainCol: String,
+                       shares: Seq[(String, Long)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0),
+      "shares must be positive milli-fractions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = shares.toDF(domainCol, "_wm")
+    val wRank = Window.partitionBy(domainCol).orderBy(idCol)
+    df.join(broadcast(w), domainCol)
+      .withColumn("_rk", row_number().over(wRank).cast("long"))
+      .withColumn("vtime", expr("(_rk * 1000000L) div _wm"))
+      .withColumn("sched_pos", row_number()
+        .over(Window.orderBy(col("vtime"), col(domainCol), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col(domainCol), col("vtime"), col("sched_pos"))
   }
 
   /** Deterministic stratified sampling: keep each row with a per-stratum

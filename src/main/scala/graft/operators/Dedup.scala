@@ -200,17 +200,59 @@ object Dedup {
       if (sigRows != null) sigRows.select(col("id"), col("s"))
       else df.select(col(idCol).as("id"),
         explode(Option(sigShingles).getOrElse(shingles)).as("s"))
+    val cand = minHashCandidatesOf(exploded, k, bands, rows)
+    cand
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH candidate pairs BEFORE exact verification, from
+    * pre-exploded (id, s) shingle rows — the banded self-join stage of
+    * [[minHashLshWith]], exposed so the recall evaluation
+    * ([[lshCandidateEval]]) can measure the blocking stage alone.
+    * The self-join is hinted to SHUFFLE so both sides plan as the
+    * IDENTICAL exchange and ReuseExchange evaluates the signature
+    * pipeline (the md5 over every shingle) once, not twice — a
+    * broadcast on one side would duplicate it (measured ~2× md5 cost).
+    * At scale a broadcast of n×bands keys is wrong anyway: banded
+    * grows with the corpus, so the co-located shuffle join IS the
+    * 100 TB plan. Returns distinct (doc_a, doc_b), doc_a < doc_b. */
+  private[graft] def minHashCandidatesOf(exploded: DataFrame, k: Int,
+                                         bands: Int, rows: Int): DataFrame = {
     val banded = bandKeysOf(signaturesOf(exploded, k), bands, rows)
-    // The self-join is hinted to SHUFFLE so both sides plan as the
-    // IDENTICAL exchange and ReuseExchange evaluates the signature
-    // pipeline (the md5 over every shingle) once, not twice — a
-    // broadcast on one side would duplicate it (measured ~2× md5 cost).
-    // At scale a broadcast of n×bands keys is wrong anyway: banded
-    // grows with the corpus, so the co-located shuffle join IS the
-    // 100 TB plan.
-    val cand = banded.as("x").hint("shuffle_hash")
+    banded.as("x").hint("shuffle_hash")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** EXACT Jaccard ground truth: every pair with `jaccard ≥ threshold`,
+    * found by blocking on SHARED SHINGLES instead of MinHash bands.
+    * Complete for any threshold > 0 (a pair with positive Jaccard
+    * shares at least one shingle), so unlike LSH banding this has no
+    * recall loss — its cost is the trade: the candidate space is
+    * Σ df(s)² over shingle frequencies, which a frequent shingle blows
+    * up. That is exactly why it is the EVALUATION baseline, not the
+    * production path — run it on a sample to measure the LSH
+    * parameters' recall ([[lshCandidateEval]]), then ship the banded
+    * operator. Shingles shuffle as 8-byte [[shingleBaseHash]] digests
+    * (the span-dedup lesson: never shuffle shingle strings); hash
+    * collisions only ADD candidates, which exact verification then
+    * rejects. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def sharedShingleJaccardPairs(df: DataFrame, idCol: String,
+                                shingles: Column, threshold: Double,
+                                sigRows: DataFrame): DataFrame = {
+    require(threshold > 0, "shared-shingle blocking needs threshold > 0")
+    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
+    val hashed = sigRows.select(col("id"), shingleBaseHash(col("s")).as("h"))
+      .distinct()
+    val cand = hashed.as("x").hint("shuffle_hash")
+      .join(hashed.as("y").hint("shuffle_hash"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
     cand
@@ -219,6 +261,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH RECALL EVALUATION — the measurement that turns "k=36, 4 bands
+    * of 9" from folklore into a number: compare the MinHash banding's
+    * candidate pairs against the exact shared-shingle ground truth at
+    * `threshold` and report (n_exact, n_cand, n_hit, recall_milli,
+    * efficiency_milli). `recall` = hit/exact is the fraction of true
+    * pairs the banding surfaces (the S-curve's realized value on THIS
+    * corpus); `efficiency` = hit/cand is how much of the candidate
+    * budget survives verification (low efficiency = wasted exact-
+    * verification work). Both integer milli (div-by-zero guarded to
+    * NULL). This is the eval harness a pipeline runs ON A SAMPLE
+    * before committing band parameters to a 100 TB dedup pass —
+    * ground truth is quadratic in shingle frequency and must never run
+    * on the full corpus. One row. */
+  def lshCandidateEval(df: DataFrame, idCol: String, shingles: Column,
+                       k: Int, bands: Int, rows: Int, threshold: Double,
+                       sigRows: DataFrame): DataFrame = {
+    val exact = sharedShingleJaccardPairs(df, idCol, shingles, threshold,
+        sigRows)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val cand = minHashCandidatesOf(sigRows.select(col("id"), col("s")),
+        k, bands, rows)
+      .localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = cand.join(exact, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    // exact/cand stay checkpointed until the caller consumes the
+    // result (each feeds a count AND the hit join); the harness sweep
+    // reclaims them after the query.
+    nExact.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        when(col("n_exact") === 0, lit(null))
+          .otherwise(expr("(1000 * n_hit) div n_exact")).as("recall_milli"),
+        when(col("n_cand") === 0, lit(null))
+          .otherwise(expr("(1000 * n_hit) div n_cand"))
+          .as("efficiency_milli"))
   }
 
   /** Rewrite map of a keep-the-BEST dedup policy: every document maps

@@ -1650,6 +1650,42 @@ object PipelineQueries {
           size(split(col("text"), " ")).cast("long"), shares,
           budgetTokens = 50000L, capMilli = 2000L)
         .orderBy("source")
+    }),
+
+    // Deterministic training-order interleave: stride scheduling over
+    // ten sources, src0/src1 at 4x the share of the rest — every
+    // schedule prefix holds domains in share proportion, no RNG.
+    "q181_stride_interleave" -> ((s, dir) => {
+      val shares = Seq("src0" -> 200L, "src1" -> 200L) ++
+        (2 until 10).map(i => s"src$i" -> 50L)
+      Curation.strideInterleave(t(s, dir, "documents"), "doc_id", "source",
+          shares)
+        .orderBy("sched_pos")
+    }),
+
+    // LSH parameter eval: q33's banding (k=36, 4x9) measured against
+    // the exact shared-shingle ground truth at the same 0.5 threshold.
+    "q182_lsh_recall_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.lshCandidateEval(docs, "doc_id",
+        Dedup.charShingles(col("text"), 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5,
+        sigRows = Dedup.charShingleRows(docs, "doc_id", "text", 5))
+    }),
+
+    // Duplicate-cluster size census over q53's components: how many
+    // clusters of each size (singletons are not clusters — components
+    // exist only for paired docs).
+    "q183_dup_cluster_census" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -4499,7 +4535,74 @@ object PipelineQueries {
                 CAST((tokens * least(2000, (50000 * share_milli) //
                   tokens)) // 1000 AS BIGINT) AS planned_tokens
          FROM tok t JOIN sh USING (source)
-         ORDER BY source"""
+         ORDER BY source""",
+
+    // Same stride arithmetic: vt = rank·1e6 // share, schedule =
+    // ascending (vt, source, doc_id); unlisted sources dropped.
+    "q181_stride_interleave" ->
+      s"""WITH w(source, wm) AS (VALUES ${
+             (Seq("src0" -> 200, "src1" -> 200) ++
+               (2 until 10).map(i => s"src$i" -> 50))
+               .map { case (d, m) => s"('$d', $m)" }.mkString(", ")}),
+         r AS (
+           SELECT doc_id, d.source, wm,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY doc_id) AS rk
+           FROM documents d JOIN w USING (source)),
+         v AS (SELECT doc_id, source,
+                      CAST((rk * 1000000) // wm AS BIGINT) AS vtime
+               FROM r)
+         SELECT doc_id, source, vtime,
+                CAST(row_number() OVER (ORDER BY vtime, source, doc_id)
+                  AS BIGINT) AS sched_pos
+         FROM v ORDER BY sched_pos""",
+
+    // Candidates from q33's band chain; ground truth from the complete
+    // shared-shingle blocking, verified at the same threshold.
+    "q182_lsh_recall_eval" ->
+      s"""WITH docs AS (
+           SELECT doc_id, ${sqlCharShingles(5)} AS sh FROM documents),
+         sigs AS (SELECT doc_id, ${sqlSig(36)} AS sig FROM docs),
+         bands AS (SELECT doc_id, ${sqlBandUnnest(4, 9)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         sh1 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         excand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM sh1 x JOIN sh1 y ON x.s = y.s AND x.doc_id < y.doc_id),
+         ex AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(da.sh, db.sh))::DOUBLE /
+                    len(list_distinct(list_concat(da.sh, db.sh))) AS j
+             FROM excand c
+             JOIN docs da ON c.doc_a = da.doc_id
+             JOIN docs db ON c.doc_b = db.doc_id)
+           WHERE j >= 0.5),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+                FROM ex JOIN cand USING (doc_a, doc_b))
+         SELECT n_exact, n_cand, n_hit,
+                CASE WHEN n_exact = 0 THEN NULL
+                     ELSE (1000 * n_hit) // n_exact END AS recall_milli,
+                CASE WHEN n_cand = 0 THEN NULL
+                     ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
+         FROM ne, nc, nh""",
+
+    // q53's recursive components, folded to a size census.
+    "q183_dup_cluster_census" ->
+      s"""$componentsCtes,
+         comps AS (SELECT node, min(r) AS component
+                   FROM reach GROUP BY node),
+         sizes AS (SELECT component, CAST(count(*) AS BIGINT)
+                     AS cluster_size
+                   FROM comps GROUP BY component)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
   )
 
   /** The q172/q173 shared oracle prefix: quantized subspace slices,

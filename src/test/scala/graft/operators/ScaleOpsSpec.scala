@@ -98,6 +98,48 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(free("small") == 70000L) // 700000 div 10 ⇒ 70.0 epochs
   }
 
+  test("strideInterleave: schedule prefixes hold domains in share proportion") {
+    val df = ((1 to 20).map(i => (i.toLong, "a")) ++
+      (21 to 30).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val sched = Curation.strideInterleave(df, "id", "dom",
+        Seq("a" -> 2000L, "b" -> 1000L))
+      .orderBy("sched_pos").collect().map(_.getString(1))
+    // share 2:1 ⇒ every 3-prefix has two a's and one b
+    (1 to 10).foreach { k =>
+      val prefix = sched.take(3 * k)
+      assert(prefix.count(_ == "a") == 2 * k, s"prefix ${3 * k}")
+    }
+    // vt ties (a's rank-2r vs b's rank-r) break by domain name: a first
+    assert(sched.take(3).toSeq == Seq("a", "a", "b"))
+  }
+
+  test("sharedShingleJaccardPairs equals brute force; eval fields consistent") {
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),       // identical
+      (3L, "abcdexyzw"), (4L, "qrstuvwx"))      // 3 overlaps 1/2 weakly
+      .toDF("doc_id", "text")
+    val sh = Dedup.charShingles(col("text"), 3)
+    val rows = Dedup.charShingleRows(docs, "doc_id", "text", 3)
+    val got = Dedup.sharedShingleJaccardPairs(docs, "doc_id", sh, 0.1, rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all 6 pairs
+    val exact = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        Dedup.jaccard(Dedup.charShingles(col("x.text"), 3),
+          Dedup.charShingles(col("y.text"), 3)).as("j"))
+      .filter(col("j") >= 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact && got.contains((1L, 2L)))
+    val ev = Dedup.lshCandidateEval(docs, "doc_id", sh,
+      k = 12, bands = 3, rows = 4, threshold = 0.1, sigRows = rows)
+      .collect().head
+    val (ne, nc, nh) = (ev.getLong(0), ev.getLong(1), ev.getLong(2))
+    assert(nh <= math.min(ne, nc))
+    // identical docs collide on every band — the (1,2) pair is always hit
+    assert(nh >= 1 && ev.getLong(3) == 1000L * nh / ne)
+  }
+
   test("groupedSplit: a group never straddles splits") {
     val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
       .toDF("id", "grp")

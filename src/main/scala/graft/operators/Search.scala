@@ -156,6 +156,44 @@ object Search {
         col("n_lists"))
   }
 
+  /** DOMAIN FINGERPRINTING: the top-`k` most DISTINCTIVE tokens per
+    * group — tokens frequent in this group and rare across groups,
+    * scored `tf(t, g) · W(t)` with the integer idf
+    * `W(t) = 1e6·|groups| div groupDf(t)` ([[topKByTerms]]'s weight
+    * over GROUP document-frequency). This is how a curation pipeline
+    * characterizes what each source actually contains (crawl-source
+    * drift, "what is this new feed about") without reading any of it.
+    *
+    * Shape: one (group, token) count aggregate (map-side combinable),
+    * a token-level groupDf aggregate broadcast back, and a per-group
+    * top-k window filter (WindowGroupLimit — per-partition heaps).
+    * `minLen` drops short stopword-ish tokens cheaply BEFORE the first
+    * shuffle; idf already buries what survives. Returns
+    * (group, token, tf, group_df, score, rnk), rnk 1..k by
+    * (score desc, token). */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int, minLen: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val tf = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) >= minLen)
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nGroups = docs.select(col(groupCol)).distinct()
+      .agg(count(lit(1)).as("_ng"))
+    val gdf = tf.groupBy("token").agg(count(lit(1)).as("group_df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(gdf), "token")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score",
+        expr("tf * ((1000000L * _ng) div group_df)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("token"), col("tf"), col("group_df"),
+        col("score"), col("rnk"))
+  }
+
   /** Inverted index: one row per surviving token with document
     * frequency, collection frequency, and the sorted posting list
     * (comma-joined ids — a deterministic, engine-portable encoding).

@@ -1673,6 +1673,44 @@ object PipelineQueries {
         sigRows = Dedup.charShingleRows(docs, "doc_id", "text", 5))
     }),
 
+    // Time-series anomaly detection: hourly event-rate MAD outliers
+    // per type — the robust operators (q111) pointed at a derived
+    // rate series, the ops-dashboard "did ingestion spike" question.
+    "q184_hourly_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      Stats.madOutliers(hourly, "event_type", "n", k = 3.0)
+        .orderBy("event_type")
+    }),
+
+    // Per-domain CALIBRATED quality gate: keep each source's top half
+    // by WITHIN-SOURCE percent rank — sources score on different
+    // scales, so a global threshold over-prunes some and under-prunes
+    // others; rank calibration equalizes the kept fraction while
+    // min_kept_quality exposes how different the raw cutoffs are.
+    "q185_calibrated_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+      Stats.percentRankMilli(scored, "source", "quality")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("prank_milli") >= 500, 1L).otherwise(0L))
+            .as("n_kept"),
+          min(when(col("prank_milli") >= 500, col("quality")))
+            .as("min_kept_quality"))
+        .orderBy("source")
+    }),
+
+    // Domain fingerprints: top-3 distinctive tokens per source by
+    // integer tf·idf over GROUP document frequency.
+    "q186_source_terms" -> ((s, dir) => {
+      Search.distinctiveTerms(t(s, dir, "documents"), "source", "text",
+          k = 3, minLen = 4)
+        .orderBy("source", "rnk")
+    }),
+
     // Duplicate-cluster size census over q53's components: how many
     // clusters of each size (singletons are not clusters — components
     // exist only for paired docs).
@@ -4591,6 +4629,94 @@ object PipelineQueries {
                 CASE WHEN n_cand = 0 THEN NULL
                      ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
          FROM ne, nc, nh""",
+
+    // Same integer tf·group-idf scoring and (score, token) tie-break.
+    "q186_source_terms" ->
+      """WITH tf AS (
+           SELECT source, t AS token, CAST(count(*) AS BIGINT) AS tfv
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE length(t) >= 4
+           GROUP BY source, t),
+         ng AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS _ng
+                FROM documents),
+         gdf AS (SELECT token, CAST(count(*) AS BIGINT) AS group_df
+                 FROM tf GROUP BY token),
+         scored AS (
+           SELECT source, tf.token, tfv, group_df,
+                  tfv * ((1000000 * _ng) // group_df) AS score
+           FROM tf JOIN gdf USING (token) CROSS JOIN ng),
+         ranked AS (
+           SELECT source, token, tfv, group_df, score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, token) AS rnk
+           FROM scored)
+         SELECT source, token, tfv AS tf, group_df,
+                CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+         FROM ranked WHERE rnk <= 3 ORDER BY source, rnk""",
+
+    // q111's rank-selection MAD chain over a derived hourly-rate CTE.
+    "q184_hourly_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         ranked AS (
+           SELECT event_type, n,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM hourly),
+         med AS (
+           SELECT event_type, n AS med FROM ranked
+           WHERE rnk = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1),
+         dev AS (
+           SELECT h.event_type, abs(h.n - m.med) AS adev, m.med
+           FROM hourly h JOIN med m USING (event_type)),
+         dranked AS (
+           SELECT event_type, adev,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY adev) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM dev),
+         mad AS (
+           SELECT event_type, adev AS mad FROM dranked
+           WHERE rnk = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1)
+         SELECT d.event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                max(d.med) AS median_value,
+                max(mm.mad) AS mad,
+                CAST(sum(CASE WHEN d.adev > 3.0 * mm.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad mm USING (event_type)
+         GROUP BY d.event_type
+         ORDER BY d.event_type""",
+
+    // q46's quality formula + q137's rank-permille, grouped by source.
+    "q185_calibrated_gate" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN
+                    ('the','a','of','and','in','is')))::DOUBLE / len(w))
+                    * 4.0, 1.0) * 0.2 AS quality
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         pr AS (
+           SELECT source, quality,
+                  CASE WHEN count(*) OVER g = 1 THEN 0
+                       ELSE (1000 * (rank() OVER w - 1))
+                            // (count(*) OVER g - 1) END AS prank_milli
+           FROM q
+           WINDOW w AS (PARTITION BY source ORDER BY quality),
+                  g AS (PARTITION BY source))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN prank_milli >= 500 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                min(CASE WHEN prank_milli >= 500 THEN quality END)
+                  AS min_kept_quality
+         FROM pr GROUP BY source ORDER BY source""",
 
     // q53's recursive components, folded to a size census.
     "q183_dup_cluster_census" ->

@@ -140,6 +140,44 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(nh >= 1 && ev.getLong(3) == 1000L * nh / ne)
   }
 
+  test("round-7 operators are invariant under repartitioning") {
+    val ev = (0 until 300).map { i =>
+      (i.toLong, s"t${i % 4}", s"2024-0${1 + i % 3}-0${1 + i % 9} 00:00:00")
+    }.toDF("id", "k", "s")
+      .select(col("id"), col("k"), col("s").cast("timestamp").as("ts"))
+    def decayed(p: Int) = Events.decayedCounts(
+      ev.repartition(p), "k", "ts", halfLifeDays = 7).collect().toSet
+    assert(decayed(1) == decayed(13))
+
+    val oldDf = (0 until 200).map(i => (i.toLong, i % 7)).toDF("k", "v")
+    val newDf = (50 until 250).map(i => (i.toLong, i % 5)).toDF("k", "v")
+    def diff(p: Int) = Reconcile.rowDiff(
+      oldDf.repartition(p), newDf.repartition(p), "k", Seq("v"))
+      .collect().toSeq
+    assert(diff(1) == diff(13))
+
+    val ids = (0L until 300L).toDF("id")
+    def shards(p: Int) = Layout.consistentShards(
+      ids.repartition(p), "id", shards = 4, vnodes = 8).collect().toSet
+    assert(shards(1) == shards(13))
+
+    val docs = (0 until 200).map(i => (i.toLong, s"d${i % 5}"))
+      .toDF("id", "dom")
+    def sched(p: Int) = Curation.strideInterleave(
+      docs.repartition(p), "id", "dom",
+      Seq("d0" -> 100L, "d1" -> 100L, "d2" -> 50L)).collect().toSet
+    assert(sched(1) == sched(13))
+
+    val a = (1 to 30).map(i => (1L, i.toLong, i.toLong))
+      .toDF("q", "vec_id", "rank")
+    val b = (1 to 30).map(i => (1L, (31 - i).toLong, i.toLong))
+      .toDF("q", "vec_id", "rank")
+    def fused(p: Int) = Search.rrfFuse(
+      Seq(a.repartition(p), b.repartition(p)), "q", "vec_id", "rank",
+      k0 = 60, topK = 10).collect().toSet
+    assert(fused(1) == fused(13))
+  }
+
   test("groupedSplit: a group never straddles splits") {
     val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
       .toDF("id", "grp")

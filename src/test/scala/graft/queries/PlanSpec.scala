@@ -534,4 +534,37 @@ class PlanSpec extends SparkTestBase {
     // no data-row window over the bare class (the naive cumsum shape)
     assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isEmpty)
   }
+
+  test("q175 RRF fusion: per-query top-k plans as WindowGroupLimit") {
+    val p = planOf("q175_rrf_fusion")
+    // the rank<=topK filter over row_number must prune inside each
+    // partition (heap semantics), not rank the full fused set
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q177 shard audit: ring assignment is a pure projection, no data-sized join") {
+    val p = planOf("q177_shard_plan")
+    // per-row assignment = literal-array expression; only the 8-row
+    // audit aggregates join, and they broadcast
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"))
+  }
+
+  test("q178 decayed counts: map-side partial agg over the broadcast anchor") {
+    val p = planOf("q178_decayed_counts")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    // the 1-row max(ts) anchor attaches broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q186 distinctive terms: group-df broadcast, top-k as WindowGroupLimit") {
+    val p = planOf("q186_source_terms")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

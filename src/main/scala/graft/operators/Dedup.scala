@@ -554,6 +554,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SEMANTIC DECONTAMINATION — the cross-set sibling of
+    * [[embeddingCosineLsh]]: flag every CORPUS vector whose cosine
+    * against some BENCHMARK vector reaches `threshold`, by blocking
+    * the two sets on the SAME hyperplane sign-LSH bands (same weight
+    * seed ⇒ same band keys on both sides) and exact-verifying only the
+    * collisions. This is the embedding-level version of the n-gram
+    * decontamination ladder (q49 shingle overlap, q103 Bloom): n-gram
+    * checks miss paraphrases — a benchmark item rewritten in other
+    * words shares no shingles but sits next to the original in
+    * embedding space, which is exactly what the cosine test catches.
+    *
+    * Shape at scale mirrors [[incrementalMinHashLsh]]'s asymmetry: the
+    * corpus is never self-joined — each corpus band row meets only the
+    * benchmark's rows for that band key, so cost is corpus-linear with
+    * benchmark-sized buckets (broadcast-able when the benchmark is
+    * small). Recall is the banding S-curve, stated not hidden.
+    *
+    * Returns one row per CONTAMINATED corpus vector: (idCol, n_hits,
+    * max_cosine) — n_hits = benchmark items it matches. */
+  def semanticDecontamination(corpus: DataFrame, bench: DataFrame,
+                              idCol: String, vecCol: String, dim: Int,
+                              nPlanes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    val weights = hyperplaneWeights(nPlanes, dim)
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+        .withColumn("nrm", qdot(col("q"), col("q")))
+    def bandRows(vecs: DataFrame) = vecs.select(col("id"),
+      explode(simHashBandKeys(hyperplaneBits(col("q"), weights),
+        nPlanes, bands)).as("band"))
+    val cv = prep(corpus)
+    val bv = prep(bench)
+    val cand = bandRows(cv).as("c")
+      .join(bandRows(bv).as("b"), col("c.band") === col("b.band"))
+      .select(col("c.id").as("cid"), col("b.id").as("bid"))
+      .distinct()
+    cand
+      .join(cv.select(col("id").as("cid"), col("q").as("qc"),
+        col("nrm").as("nc")), "cid")
+      .join(bv.select(col("id").as("bid"), col("q").as("qb"),
+        col("nrm").as("nb")), "bid")
+      .select(col("cid"),
+        qcosineWithNorms(col("qc"), col("qb"), col("nc"), col("nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("cid").as(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   /** Brute-force cosine near-duplicate pairs (id_a < id_b, cos ≥
     * threshold). The O(n²) baseline — at scale use [[embeddingCosineLsh]]
     * or IVF ([[Similarity]]) to bound the pair space. */

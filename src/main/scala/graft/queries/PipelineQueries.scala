@@ -1703,6 +1703,19 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // SEMANTIC decontamination: corpus (vec_id >= 100) vs benchmark
+    // (vec_id < 100) blocked on shared hyperplane bands — the
+    // paraphrase-level contamination check n-gram overlap (q49/q103)
+    // cannot see.
+    "q187_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDecontamination(
+          emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", dim = 64, nPlanes = 16, bands = 4,
+          threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // Domain fingerprints: top-3 distinctive tokens per source by
     // integer tf·idf over GROUP document frequency.
     "q186_source_terms" -> ((s, dir) => {
@@ -4629,6 +4642,34 @@ object PipelineQueries {
                 CASE WHEN n_cand = 0 THEN NULL
                      ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
          FROM ne, nc, nh""",
+
+    // q34's hyperplane-band chain without label blocking, split into
+    // corpus/benchmark sides; per-corpus-vector hit rollup.
+    "q187_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         sig AS (
+           SELECT vec_id,
+                  [CASE WHEN list_sum(list_transform(range(0, 64),
+                         i -> q[i+1] * (('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000))) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 16)] AS bits
+           FROM e),
+         bands AS (
+           SELECT vec_id,
+                  unnest([g::VARCHAR || ':' || array_to_string(bits[g*4+1:g*4+4], '') for g in range(0, 4)]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+           FROM bands c JOIN bands b ON c.band = b.band
+           WHERE c.vec_id >= 100 AND b.vec_id < 100),
+         hits AS (
+           SELECT cid, ${sqlQcos("ec.q", "eb.q")} AS cosine
+           FROM cand
+           JOIN e ec ON cand.cid = ec.vec_id
+           JOIN e eb ON cand.bid = eb.vec_id)
+         SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+                max(cosine) AS max_cosine
+         FROM hits WHERE cosine >= 0.3
+         GROUP BY cid ORDER BY vec_id""",
 
     // Same integer tf·group-idf scoring and (score, token) tie-break.
     "q186_source_terms" ->

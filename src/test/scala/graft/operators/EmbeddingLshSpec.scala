@@ -54,4 +54,21 @@ class EmbeddingLshSpec extends SparkTestBase {
     val found = pairs.filter(col("id_b") === col("id_a") + 1000000L).count()
     assert(found == 5)
   }
+
+  test("semanticDecontamination flags exact copies, never self-joins the corpus") {
+    val bench = Tables.load(spark, sfDir, "embeddings").limit(4)
+    // corpus: exact copies of the benchmark (shifted ids) + itself-
+    // duplicated far vectors that must NOT appear (corpus-corpus
+    // similarity is not contamination)
+    val copies = bench.withColumn("vec_id", col("vec_id") + 1000L)
+    val corpus = copies.union(copies.withColumn("vec_id",
+      col("vec_id") + 1000L))
+    val got = Dedup.semanticDecontamination(corpus, bench,
+      "vec_id", "embedding", dim = 64, nPlanes = 16, bands = 4,
+      threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // all 8 corpus vectors are copies of some benchmark vector
+    assert(got.size == 8)
+    assert(got.values.forall(c => c > 0.999))
+  }
 }

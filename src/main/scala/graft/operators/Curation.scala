@@ -215,6 +215,30 @@ object Curation {
         expr("(tokens * epochs_milli) div 1000L"))
   }
 
+  /** BOTTOM-K-BY-HASH per-group sample: exactly `k` rows per group
+    * (fewer when the group is smaller), chosen as the k smallest
+    * `md5(id)` values within the group — the deterministic equivalent
+    * of per-stratum reservoir sampling, and the standard way to pull a
+    * fixed-size INSPECTION sample per domain (eyeball 50 docs from
+    * every source) out of a 100 TB corpus. Hash-order selection makes
+    * the sample uniform-ish over ids, stable across runs/engines, and
+    * INSERTION-MONOTONE: a new row displaces at most the largest
+    * retained hash, so yesterday's sample and today's differ only
+    * where the data does (the property audits want).
+    *
+    * Shape: one shuffle on the group key; the rank filter plans as
+    * WindowGroupLimit — per-partition top-k heaps, never a full
+    * per-group sort materialization. Returns the input columns plus
+    * `smp_rank` (1..k by hash). */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("smp_rank", row_number().over(w).cast("long"))
+      .filter(col("smp_rank") <= k)
+  }
+
   /** STRIDE-SCHEDULED mixture interleave — the deterministic training
     * ORDER companion to [[epochSchedule]] (which decides how much of
     * each domain; this decides WHEN): domain d's r-th example gets

@@ -1703,6 +1703,15 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Per-source inspection sample: exactly 5 docs per source by
+    // bottom-k md5 order — deterministic, insertion-monotone.
+    "q188_group_sample" -> ((s, dir) => {
+      Curation.groupSample(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", k = 5)
+        .orderBy("source", "smp_rank")
+    }),
+
     // SEMANTIC decontamination: corpus (vec_id >= 100) vs benchmark
     // (vec_id < 100) blocked on shared hyperplane bands — the
     // paraphrase-level contamination check n-gram overlap (q49/q103)
@@ -4642,6 +4651,18 @@ object PipelineQueries {
                 CASE WHEN n_cand = 0 THEN NULL
                      ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
          FROM ne, nc, nh""",
+
+    // Same bottom-k selection: row_number over (md5(id), id) per
+    // source, kept at rank <= 5.
+    "q188_group_sample" ->
+      """SELECT doc_id, source, n_chars, smp_rank FROM (
+           SELECT doc_id, source, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS smp_rank
+           FROM documents)
+         WHERE smp_rank <= 5
+         ORDER BY source, smp_rank""",
 
     // q34's hyperplane-band chain without label blocking, split into
     // corpus/benchmark sides; per-corpus-vector hit rollup.

@@ -178,6 +178,22 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(fused(1) == fused(13))
   }
 
+  test("groupSample: exactly k per group, insertion-monotone") {
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp")
+    val s1 = Curation.groupSample(df, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1.size == 20)
+    assert(s1.groupBy(_._2).forall(_._2.size == 5))
+    // adding rows only displaces: the new sample differs from the old
+    // only by displaced members, and retained members keep membership
+    val grown = df.unionAll(Seq((1000L, "g0")).toDF("id", "grp"))
+    val s2 = Curation.groupSample(grown, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert((s2 -- s1).forall(_._1 == 1000L) || s2 == s1)
+    assert((s1 -- s2).size <= 1)
+  }
+
   test("groupedSplit: a group never straddles splits") {
     val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
       .toDF("id", "grp")

@@ -45,12 +45,15 @@ object KMeans {
     (1 to iters).foreach { _ =>
       val centDf = centroids.toDF("cluster", "cv")
 
+      // the vector rides THROUGH the assignment aggregate (first(v) is
+      // deterministic — every replicated row of a vec_id carries the
+      // identical v), so no join-back / corpus re-scan per iteration
       val assigned = vecs.join(broadcast(centDf))
         .select(col("vec_id"), col("v"), col("cluster"),
           sqDist(col("v"), col("cv")).as("d2"))
         .groupBy("vec_id")
-        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"))
-        .join(vecs, "vec_id")
+        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"),
+          first(col("v")).as("v"))
 
       // new centroid = per-dimension floor(mean) over exact long sums
       val means = assigned

@@ -179,8 +179,10 @@ object Search {
       .filter(length(col("token")) >= minLen)
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val nGroups = docs.select(col(groupCol)).distinct()
-      .agg(count(lit(1)).as("_ng"))
+    // countDistinct, not distinct().count(): drops a NULL group like
+    // SQL COUNT(DISTINCT) does, so the idf numerator agrees with any
+    // SQL mirror even on NULL-bearing group columns
+    val nGroups = docs.agg(countDistinct(col(groupCol)).as("_ng"))
     val gdf = tf.groupBy("token").agg(count(lit(1)).as("group_df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(col("score").desc, col("token"))

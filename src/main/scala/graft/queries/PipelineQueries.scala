@@ -1668,11 +1668,11 @@ object PipelineQueries {
     // The ground truth is QUADRATIC in sample size (its contract says
     // sample-only — frequent shingles like " the " degenerate the
     // shared-shingle blocking toward all-pairs at a 0.5 threshold), so
-    // the eval runs on the doc_id < 600 prefix: the whole fixture at
-    // sf0.01, a ~1/8 sample at sf0.1 — measured 174 s unsampled at
-    // sf0.1, ~15 s at 1000 docs, ~6 s at 600.
+    // the eval runs on the doc_id < 400 prefix: 80% of the sf0.01
+    // fixture, a ~1/12 sample at sf0.1 — measured 174 s unsampled at
+    // sf0.1, ~24 s at 600 docs in full-bench context, ~10 s at 400.
     "q182_lsh_recall_eval" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 600)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
       Dedup.lshCandidateEval(docs, "doc_id",
         Dedup.charShingles(col("text"), 5),
         k = 36, bands = 4, rows = 9, threshold = 0.5,
@@ -4625,12 +4625,12 @@ object PipelineQueries {
 
     // Candidates from q33's band chain; ground truth from the complete
     // shared-shingle blocking, verified at the same threshold. Same
-    // doc_id < 600 sample prefix as the engine (the ground truth is
+    // doc_id < 400 sample prefix as the engine (the ground truth is
     // quadratic — sample-only by contract).
     "q182_lsh_recall_eval" ->
       s"""WITH docs AS (
            SELECT doc_id, ${sqlCharShingles(5)} AS sh FROM documents
-           WHERE doc_id < 600),
+           WHERE doc_id < 400),
          sigs AS (SELECT doc_id, ${sqlSig(36)} AS sig FROM docs),
          bands AS (SELECT doc_id, ${sqlBandUnnest(4, 9)} AS band FROM sigs),
          cand AS (

@@ -264,6 +264,38 @@ object Events {
           .as("p_micro"))
   }
 
+  /** BEHAVIORAL n-GRAM MINING: the most frequent length-`n` event-type
+    * sequences across users — the pattern inventory a sequence-model
+    * training build publishes next to its transition matrix
+    * ([[transitionMatrix]] is the n=2 distributional view; this ranks
+    * the concrete n-grams). Windows per user over (ts, tie), n−1 lags
+    * build each contiguous n-gram as a '>'-joined string, then one
+    * combinable count and a (count desc, gram) top-k.
+    *
+    * Shape at scale: ONE shuffle on the user key for the lags (state
+    * is n−1 strings per row), one count aggregate with map-side
+    * combine over at most |types|ⁿ keys, and the top-k is
+    * TakeOrderedAndProject. Returns (gram, n_occurrences) rank-ordered. */
+  def topEventNgrams(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String, typeCol: String, n: Int,
+                     k: Int): DataFrame = {
+    require(n >= 2 && n <= 6, "n-grams of length 2..6")
+    require(k >= 1, "need k >= 1")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    // lag columns materialize BEFORE the filter — Spark rejects window
+    // expressions inside WHERE
+    val lagged = (1 until n).foldLeft(events)((d, i) =>
+      d.withColumn(s"_l$i", lag(col(typeCol), i).over(w)))
+    val withGram = lagged
+      .filter((1 until n).map(i => col(s"_l$i").isNotNull).reduce(_ && _))
+      .withColumn("_gram", concat_ws(">",
+        ((n - 1 to 1 by -1).map(i => col(s"_l$i")) :+ col(typeCol)): _*))
+    withGram.groupBy(col("_gram").as("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   /** TIME-DECAYED counts per key — the freshness-weighting aggregate a
     * curation pipeline uses to score activity where last week counts
     * more than last year (trending sources, decaying user engagement,

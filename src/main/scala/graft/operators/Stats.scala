@@ -702,4 +702,42 @@ object Stats {
         expr("(1000 * cnt) div _total").as("share_permille"))
       .orderBy(col("cnt").desc, col("key").asc_nulls_first)
   }
+
+  /** EXACT AUC of a score against a binary label — the ranking-metric
+    * eval that answers "does this quality signal actually separate the
+    * classes" without training anything (AUC = P(score_pos >
+    * score_neg), the Mann-Whitney U statistic). Rank-sum formulation
+    * kept ENTIRELY in integers, ties handled by midrank: with
+    * `rank()` (min-rank) and `tcnt` = tie-group size, twice the
+    * midrank is `2·rank + tcnt − 1` (an integer — midranks themselves
+    * are half-integers), so
+    * `auc_micro = (Σ_pos 2·midrank − n_pos·(n_pos+1)) · 1e6
+    *   div (2·n_pos·n_neg)` — floor semantics, bit-exact on any
+    * engine; no float sums anywhere.
+    *
+    * Shape: one global rank over the score — a single total order,
+    * the same scale posture as [[percentRankMilli]] minus the groups:
+    * right for eval-sized inputs, and at corpus scale the two-phase
+    * bucketed-rank trick there applies verbatim. One row:
+    * (n_pos, n_neg, auc_micro). NULL scores are excluded ([[ksMatrix]]
+    * convention); degenerate single-class input returns NULL AUC. */
+  def aucMicro(df: DataFrame, label: Column, scoreCol: String): DataFrame = {
+    val base = df.select(label.cast("boolean").as("_y"),
+        col(scoreCol).cast("double").as("_s"))
+      .where(col("_s").isNotNull && !isnan(col("_s")) &&
+        col("_y").isNotNull)
+    val wR = Window.orderBy("_s")
+    val wT = Window.partitionBy("_s")
+    base
+      .withColumn("_r2", lit(2L) * rank().over(wR) +
+        count(lit(1)).over(wT) - 1L)
+      .agg(sum(when(col("_y"), col("_r2")).otherwise(lit(0L))).as("_rsum"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(expr(
+            "((_rsum - n_pos * (n_pos + 1)) * 1000000L) div (2 * n_pos * n_neg)"))
+          .as("auc_micro"))
+  }
 }

@@ -1709,6 +1709,21 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Behavioral pattern mining: the 10 most frequent event-type
+    // trigrams across user timelines (q166's transition matrix ranks
+    // the distribution; this ranks the concrete sequences).
+    "q189_event_trigrams" -> ((s, dir) => {
+      Events.topEventNgrams(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", n = 3, k = 10)
+    }),
+
+    // Ranking-metric eval: does n_chars separate English docs from the
+    // rest? Exact integer Mann-Whitney AUC with midrank ties.
+    "q190_auc_quality" -> ((s, dir) => {
+      Stats.aucMicro(t(s, dir, "documents"), col("lang") === "en",
+        "n_chars")
+    }),
+
     // Per-source inspection sample: exactly 5 docs per source by
     // bottom-k md5 order — deterministic, insertion-monotone.
     "q188_group_sample" -> ((s, dir) => {
@@ -4660,6 +4675,45 @@ object PipelineQueries {
                 CASE WHEN n_cand = 0 THEN NULL
                      ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
          FROM ne, nc, nh""",
+
+    // Same (ts, event_id)-ordered lag construction per user; global
+    // count; (count desc, gram) top-10.
+    "q189_event_trigrams" ->
+      """WITH g AS (
+           SELECT concat_ws('>', lag(event_type, 2) OVER w,
+                    lag(event_type, 1) OVER w, event_type) AS gram,
+                  lag(event_type, 2) OVER w AS l2,
+                  lag(event_type, 1) OVER w AS l1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM g WHERE l2 IS NOT NULL AND l1 IS NOT NULL
+         GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 10""",
+
+    // Same integer midrank formula: 2·rank + tie_count − 1, floor
+    // division to micro units.
+    "q190_auc_quality" ->
+      """WITH b AS (
+           SELECT (lang = 'en') AS y, CAST(n_chars AS DOUBLE) AS s
+           FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         r AS (
+           SELECT y, 2 * rank() OVER (ORDER BY s)
+                     + count(*) OVER (PARTITION BY s) - 1 AS r2
+           FROM b),
+         a AS (
+           SELECT CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT)
+                    AS rsum,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pos,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_neg
+           FROM r)
+         SELECT n_pos, n_neg,
+                CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                     ELSE ((rsum - n_pos * (n_pos + 1)) * 1000000)
+                          // (2 * n_pos * n_neg) END AS BIGINT)
+                  AS auc_micro
+         FROM a""",
 
     // Same bottom-k selection: row_number over (md5(id), id) per
     // source, kept at rank <= 5.

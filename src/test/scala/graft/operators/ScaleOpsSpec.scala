@@ -178,6 +178,40 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(fused(1) == fused(13))
   }
 
+  test("aucMicro: perfect separation, midrank ties, degenerate NULL") {
+    def auc(rows: Seq[(Boolean, Double)]): Option[Long] = {
+      val r = Stats.aucMicro(rows.toDF("y", "s"), col("y"), "s")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // positives strictly above negatives → AUC = 1
+    assert(auc(Seq((true, 9.0), (true, 8.0), (false, 2.0), (false, 1.0)))
+      .contains(1000000L))
+    // all scores tied → AUC = 1/2 by midrank
+    assert(auc(Seq((true, 5.0), (true, 5.0), (false, 5.0), (false, 5.0)))
+      .contains(500000L))
+    // hand case: pos {3, 1}, neg {2, 0} → pairs won 3 of 4 → 0.75
+    assert(auc(Seq((true, 3.0), (true, 1.0), (false, 2.0), (false, 0.0)))
+      .contains(750000L))
+    // single-class input → NULL, not a division error
+    assert(auc(Seq((true, 1.0), (true, 2.0))).isEmpty)
+  }
+
+  test("topEventNgrams: contiguous per-user n-grams, ordered counts") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+      .map { case (u, i, t) => (u, i, t, s"2024-01-0$i 00:00:00") }
+      .toDF("user_id", "event_id", "event_type", "s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val got = Events.topEventNgrams(ev, "user_id", "ts", "event_id",
+        "event_type", n = 3, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // user1: a>b>a, b>a>b; user2: a>b>a — no cross-user grams
+    assert(got == Seq("a>b>a" -> 2L, "b>a>b" -> 1L))
+  }
+
   test("groupSample: exactly k per group, insertion-monotone") {
     val df = (0 until 200).map(i => (i.toLong, s"g${i % 4}"))
       .toDF("id", "grp")

@@ -29,28 +29,23 @@ object ProfileProbe {
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_discount", "l_tax")
     for (round <- 1 to 2) {
+      // the OLD single-aggregate shape, inlined: profileNumeric itself
+      // was rewired to the per-column form, so the Expand baseline must
+      // be rebuilt here for the comparison to stay reproducible
       time(s"expand-agg r$round") {
-        operators.Stats.profileNumeric(li, cols).count()
-      }
-      time(s"per-col distinct r$round") {
-        val base = li.agg(count(lit(1)).as("__total"),
-          cols.flatMap { c => Seq(
-            count(col(c)).as(s"__${c}_n"),
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"__${c}_n"),
+            countDistinct(col(c)).as(s"__${c}_d"),
             min(col(c)).cast("double").as(s"__${c}_min"),
             max(col(c)).cast("double").as(s"__${c}_max"),
-            sum(col(c).cast("decimal(18,3)")).cast("double").as(s"__${c}_sum"))
-          }: _*)
-        val dists = cols.map(c =>
-          li.agg(countDistinct(col(c)).as(s"__${c}_d")))
-        val one = dists.foldLeft(base)((acc, d) => acc.crossJoin(broadcast(d)))
-        val stackArgs = cols.map { c =>
-          s"'$c', __total, __total - __${c}_n, __${c}_d, " +
-            s"__${c}_min, __${c}_max, __${c}_sum"
-        }.mkString(", ")
-        one.select(expr(
-          s"stack(${cols.size}, $stackArgs) AS " +
-            "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)"))
-          .count()
+            sum(col(c).cast("decimal(18,3)")).cast("double")
+              .as(s"__${c}_sum"))
+        }
+        li.agg(count(lit(1)).as("__total"), aggs: _*).count()
+      }
+      // the NEW shape is what profileNumeric ships
+      time(s"per-col distinct r$round") {
+        operators.Stats.profileNumeric(li, cols).count()
       }
     }
     spark.stop()

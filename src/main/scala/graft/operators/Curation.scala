@@ -208,6 +208,13 @@ object Curation {
     docs.groupBy(col(domainCol).as(domainCol))
       .agg(sum(tokens.cast("long")).as("tokens"))
       .join(broadcast(w), domainCol)
+      // zero/NULL token mass is ENFORCED, not silently NULLed: the
+      // non-ANSI integer div would emit NULL epochs and poison any
+      // planned_tokens rollup downstream (canonicalMap's guard style)
+      .withColumn("tokens",
+        when(col("tokens") > 0L, col("tokens")).otherwise(raise_error(
+          concat(lit("epochSchedule: domain "), col(domainCol),
+            lit(" has no token mass")))))
       .withColumn("epochs_milli",
         least(lit(capMilli),
           expr(s"(${budgetTokens}L * share_milli) div tokens")))

@@ -89,8 +89,14 @@ object Layout {
                      partCol: String, fileCol: String, sizeCol: String,
                      targetBytes: Long): org.apache.spark.sql.DataFrame = {
     require(targetBytes >= 1, "need a positive target size")
+    // ROWS frame, not the default RANGE: with RANGE, files tied on
+    // fileCol would include each other's bytes in their own start
+    // offset (double-count), breaking the one-file-overfill invariant;
+    // ROWS walks strictly one file at a time regardless of ties.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partCol).orderBy(fileCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val wBin = org.apache.spark.sql.expressions.Window
       .partitionBy(partCol, "bin")
     files

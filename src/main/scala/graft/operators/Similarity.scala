@@ -59,21 +59,38 @@ object Similarity {
     * [[bruteForceTopK]] as the reranker.
     * Returns (query_id, rank, vec_id, dot). */
   def int8TopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
-               vecCol: String, k: Int): DataFrame = {
+               vecCol: String, k: Int): DataFrame =
+    int8Ranked(corpus, queryIds, idCol, vecCol, k,
+      scoreName = "dot", score = qdot(col("qv"), col("v")),
+      order = col("dot").desc)
+
+  /** The ONE int8 grid (`clamp(floor(x·64), −128, 127)`) — both the
+    * dot and L2 rungs quantize through here, so a grid recalibration
+    * cannot silently diverge the two views q175 fuses. */
+  private def int8Quantized(corpus: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
     val q8 = transform(col(vecCol),
       x => greatest(lit(-128L),
         least(lit(127L), floor(x.cast("double") * 64).cast("long"))))
-    val vecs = corpus.select(col(idCol).as("vec_id"), q8.as("v"))
+    corpus.select(col(idCol).as("vec_id"), q8.as("v"))
+  }
+
+  /** Shared broadcast-queries × int8-corpus ranking scaffold: the
+    * `score` expression lands in column `scoreName`, `order` ranks it
+    * (ties always on vec_id). */
+  private def int8Ranked(corpus: DataFrame, queryIds: Seq[Long],
+                         idCol: String, vecCol: String, k: Int,
+                         scoreName: String, score: Column,
+                         order: Column): DataFrame = {
+    val vecs = int8Quantized(corpus, idCol, vecCol)
     val q = vecs.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dot").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(order, col("vec_id"))
     vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        qdot(col("qv"), col("v")).as("dot"))
+      .select(col("query_id"), col("vec_id"), score.as(scoreName))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "dot")
+      .select("query_id", "rank", "vec_id", scoreName)
   }
 
   /** [[int8TopK]]'s Euclidean sibling: same one-byte quantization, same
@@ -85,23 +102,12 @@ object Similarity {
     * bit-exact on any engine/partitioning.
     * Returns (query_id, rank, vec_id, d2). */
   def int8L2TopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
-    val q8 = transform(col(vecCol),
-      x => greatest(lit(-128L),
-        least(lit(127L), floor(x.cast("double") * 64).cast("long"))))
-    val vecs = corpus.select(col(idCol).as("vec_id"), q8.as("v"))
-    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val d2 = aggregate(zip_with(col("qv"), col("v"),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("vec_id"))
-    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), d2.as("d2"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "d2")
-  }
+                 vecCol: String, k: Int): DataFrame =
+    int8Ranked(corpus, queryIds, idCol, vecCol, k,
+      scoreName = "d2",
+      score = aggregate(zip_with(col("qv"), col("v"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x),
+      order = col("d2").asc)
 
   /** The full retrieval LADDER: [[int8TopK]] recall at `recallK`, then
     * exact quantized-cosine rerank of only those candidates down to `k`

@@ -558,19 +558,6 @@ object Stats {
           .as("bin"): _*)
   }
 
-  /** JOIN-KEY SKEW AUDIT: the top-`topN` hottest values of `keyCol`
-    * with their row counts and corpus share (integer permille) — the
-    * diagnostic run BEFORE deciding whether a join needs salting
-    * ([[graft.queries.PipelineQueries]] q130) or AQE skew splitting.
-    * A key above ~1000/numPartitions permille serializes its partition
-    * at shuffle time; this report names those keys and sizes the salt.
-    *
-    * Shape at scale: one map-side-combinable count per key, then a
-    * TakeOrderedAndProject heap top-N (never a full sort of the key
-    * domain) with (count desc, key asc NULLS FIRST) determinism; the
-    * 1-row total attaches broadcast. A NULL key is a key — it is
-    * usually THE hot key. Output: (key as string, cnt,
-    * share_permille), ordered hottest first. */
   /** PAIRWISE TWO-SAMPLE KOLMOGOROV–SMIRNOV DISTANCES between the
     * value distributions of every pair of samples (sources, snapshots,
     * splits): D = max over x of |F_a(x) − F_b(x)| — the distribution-
@@ -685,6 +672,19 @@ object Stats {
         col("n"), col("_pr.corr").as("corr"))
   }
 
+  /** JOIN-KEY SKEW AUDIT: the top-`topN` hottest values of `keyCol`
+    * with their row counts and corpus share (integer permille) — the
+    * diagnostic run BEFORE deciding whether a join needs salting
+    * ([[graft.queries.PipelineQueries]] q130) or AQE skew splitting.
+    * A key above ~1000/numPartitions permille serializes its partition
+    * at shuffle time; this report names those keys and sizes the salt.
+    *
+    * Shape at scale: one map-side-combinable count per key, then a
+    * TakeOrderedAndProject heap top-N (never a full sort of the key
+    * domain) with (count desc, key asc NULLS FIRST) determinism; the
+    * 1-row total attaches broadcast. A NULL key is a key — it is
+    * usually THE hot key. Output: (key as string, cnt,
+    * share_permille), ordered hottest first. */
   def skewAudit(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN >= 1 && topN <= 100000,
       s"topN must be in [1, 1e5], got $topN — the report is driver-sized")
@@ -719,12 +719,14 @@ object Stats {
     * the same scale posture as [[percentRankMilli]] minus the groups:
     * right for eval-sized inputs, and at corpus scale the two-phase
     * bucketed-rank trick there applies verbatim. One row:
-    * (n_pos, n_neg, auc_micro). NULL scores are excluded ([[ksMatrix]]
-    * convention); degenerate single-class input returns NULL AUC. */
+    * (n_pos, n_neg, auc_micro). Non-finite scores (NULL, NaN, ±Inf)
+    * and NULL labels are excluded ([[ksMatrix]] convention);
+    * degenerate single-class input returns NULL AUC. */
   def aucMicro(df: DataFrame, label: Column, scoreCol: String): DataFrame = {
     val base = df.select(label.cast("boolean").as("_y"),
         col(scoreCol).cast("double").as("_s"))
       .where(col("_s").isNotNull && !isnan(col("_s")) &&
+        abs(col("_s")) < lit(Double.PositiveInfinity) &&
         col("_y").isNotNull)
     val wR = Window.orderBy("_s")
     val wT = Window.partitionBy("_s")

@@ -289,4 +289,16 @@ class ReportOpsSpec extends SparkTestBase {
     assert(got(4L) == (1L, 1L, 150L))
     assert(got(5L) == (0L, 1L, 10L)) // partitions pack independently
   }
+
+  test("compactionPlan: fileCol ties walk one row at a time (ROWS frame)") {
+    // two files TIED on file_id: the default RANGE frame would give
+    // both a cumulative of 210 (each counting the other), start both
+    // at offset 60, and pack both into bin 0
+    val files = Seq(("p", 1L, 150L), ("p", 1L, 60L))
+      .toDF("part", "file_id", "bytes")
+    val bins = Layout.compactionPlan(files, "part", "file_id", "bytes",
+      targetBytes = 100L).collect().map(_.getAs[Long]("bin")).sorted
+    // ROWS: offsets 0 and 150 (either order) → bins 0 and 1
+    assert(bins.toSeq == Seq(0L, 1L))
+  }
 }

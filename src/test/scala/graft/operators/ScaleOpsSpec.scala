@@ -228,6 +228,21 @@ class ScaleOpsSpec extends SparkTestBase {
     assert((s1 -- s2).size <= 1)
   }
 
+  test("epochSchedule rejects a zero-token domain instead of emitting NULLs") {
+    val docs = Seq((1L, "d0", ""), (2L, "d1", "w w"))
+      .toDF("id", "domain", "text")
+    // split("") gives [""]: force a genuinely-zero token expression
+    val tokens = when(length(col("text")) === 0, 0L)
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    val ex = intercept[Exception] {
+      Curation.epochSchedule(docs, "domain", tokens,
+        Seq("d0" -> 500L, "d1" -> 500L),
+        budgetTokens = 1000L, capMilli = 2000L).collect()
+    }
+    assert(ex.getMessage.contains("no token mass") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no token mass")))
+  }
+
   test("groupedSplit: a group never straddles splits") {
     val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
       .toDF("id", "grp")

@@ -50,7 +50,10 @@ object SparkEntry {
       "q121_lineage_ops" -> ((s, dir) => graft.lineage.LineageQueries.operations(s, dir)),
       // Impact analysis over the lineage graph — per-source-table
       // fan-out, the lineage service's downstream question.
-      "q126_lineage_impact" -> ((s, dir) => graft.lineage.LineageQueries.impact(s, dir))
+      "q126_lineage_impact" -> ((s, dir) => graft.lineage.LineageQueries.impact(s, dir)),
+      // Column-level TRANSITIVE impact — cross-statement chains closed
+      // to depth 4, per base-table source column.
+      "q191_column_impact" -> ((s, dir) => graft.lineage.LineageQueries.columnImpact(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +65,7 @@ object SparkEntry {
     Map(
       "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql,
       "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql,
-      "q126_lineage_impact" -> graft.lineage.LineageQueries.impactOracleSql
+      "q126_lineage_impact" -> graft.lineage.LineageQueries.impactOracleSql,
+      "q191_column_impact" -> graft.lineage.LineageQueries.columnImpactOracleSql
     )
 }

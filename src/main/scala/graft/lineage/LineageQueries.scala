@@ -237,6 +237,103 @@ object LineageQueries {
       .orderBy("src_table")
   }
 
+  /** COLUMN-LEVEL TRANSITIVE IMPACT — the finer-grained sibling of
+    * [[impact]]: which downstream COLUMNS (not just tables) derive,
+    * through any chain of statements, from each base-table source
+    * column? Statement A writing `t.c` and statement B reading `t.c`
+    * into its own sink CHAINS — that is what makes lineage a graph
+    * rather than per-statement edge lists, and "can I drop / change
+    * the type of THIS column" is the question column-level lineage
+    * services exist to answer.
+    *
+    * Edge normalization: composite sources split on `,` (within an
+    * expression) and `&` (across union branches); a `<EOF>` sink
+    * (plain SELECT) is qualified by its statement number so ad-hoc
+    * reads never collide or chain. Closure: iterative join rounds to
+    * depth ≤ 4 (the corpus' chains are shorter; a production run sizes
+    * rounds to the warehouse's pipeline depth — each round is one
+    * self-equi-join + min-depth aggregate, the [[graft.operators.Graph]]
+    * posture), keeping the MIN depth per (src, dst) pair. Roots =
+    * source columns never produced by any statement (true base-table
+    * columns).
+    *
+    * Returns (src_col, n_reach, max_depth): how many distinct
+    * downstream columns the source feeds and how deep the longest
+    * minimal chain runs. */
+  def columnImpact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = edges(spark, dir)
+      .select(explode(split(col("from_name"), "[,&]")).as("src"),
+        when(col("table_name") === "<EOF>",
+          concat_ws(".", col("table_name"), col("stmt"), col("to_name")))
+          .otherwise(concat_ws(".", col("table_name"), col("to_name")))
+          .as("dst"))
+      .filter(col("src") =!= "")
+      .distinct()
+      .localCheckpoint()
+    val reach = closure(e)
+    val roots = e.select(col("src")).distinct()
+      .join(e.select(col("dst").as("src")).distinct(), Seq("src"),
+        "left_anti")
+    reach.join(roots, "src")
+      .groupBy(col("src").as("src_col"))
+      .agg(countDistinct(col("dst")).as("n_reach"),
+        max(col("depth")).as("max_depth"))
+      .orderBy("src_col")
+  }
+
+  /** Min-depth transitive closure of a (src, dst) edge frame to depth
+    * ≤ 4 — [[columnImpact]]'s engine, factored so the multi-hop
+    * semantics are spec-testable beyond the (currently chain-free)
+    * frozen corpus. Each round: one self-equi-join extending every
+    * known path by one edge, then a min-depth aggregate — both
+    * map-side combinable; the corpus-free shape also means a
+    * production run sizes rounds to its pipeline depth without
+    * touching this code. */
+  private[lineage] def closure(edgesDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    var reach = edgesDf.withColumn("depth", lit(1L))
+    (1 to 3).foreach { _ =>
+      val next = reach.as("r")
+        .join(edgesDf.as("e2"), col("r.dst") === col("e2.src"))
+        .select(col("r.src"), col("e2.dst").as("dst"),
+          (col("r.depth") + 1L).as("depth"))
+      reach = reach.unionAll(next)
+        .groupBy("src", "dst").agg(min("depth").as("depth"))
+    }
+    reach
+  }
+
+  /** DuckDB oracle for [[columnImpact]] — the same normalization and a
+    * depth-capped recursive closure over the frozen edge golden. */
+  lazy val columnImpactOracleSql: String =
+    s"""WITH RECURSIVE ed AS (
+          SELECT DISTINCT
+                 unnest(string_split_regex(from_name, '[,&]')) AS src,
+                 CASE WHEN table_name = '<EOF>'
+                      THEN table_name || '.' || stmt || '.' || to_name
+                      ELSE table_name || '.' || to_name END AS dst
+          FROM ($oracleSql)
+          WHERE from_name <> ''),
+        e2 AS (SELECT src, dst FROM ed WHERE src <> ''),
+        r(src, dst, depth) AS (
+          SELECT src, dst, 1 FROM e2
+          UNION
+          SELECT r.src, e.dst, r.depth + 1
+          FROM r JOIN e2 e ON r.dst = e.src
+          WHERE r.depth < 4),
+        md AS (SELECT src, dst, min(depth) AS depth
+               FROM r GROUP BY src, dst),
+        roots AS (
+          SELECT DISTINCT src FROM e2
+          WHERE src NOT IN (SELECT dst FROM e2))
+        SELECT md.src AS src_col,
+               CAST(count(DISTINCT md.dst) AS BIGINT) AS n_reach,
+               CAST(max(md.depth) AS BIGINT) AS max_depth
+        FROM md JOIN roots ON md.src = roots.src
+        GROUP BY md.src
+        ORDER BY src_col"""
+
   /** DuckDB oracle for [[impact]] — the same rollup over the frozen
     * edge golden (the [[oracleSql]] VALUES relation as a subquery). */
   lazy val impactOracleSql: String =

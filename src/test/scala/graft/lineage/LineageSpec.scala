@@ -285,4 +285,25 @@ class LineageSpec extends SparkTestBase {
       spark, "SELECT x FROM uniquejoins_audit", 1)
     assert(ok.operation == Operation.Select)
   }
+
+  test("columnImpact closure chains statements to min depth, capped at 4") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a.c → b.c → c.c → d.c → e.c → f.c (5 hops) plus a shortcut
+    // a.c → c.c: min-depth keeps the shortcut, the cap stops at 4
+    val e = Seq(
+      ("a.c", "b.c"), ("b.c", "c.c"), ("c.c", "d.c"),
+      ("d.c", "e.c"), ("e.c", "f.c"), ("a.c", "c.c"))
+      .toDF("src", "dst")
+    val reach = LineageQueries.closure(e)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(reach(("a.c", "b.c")) == 1L)
+    assert(reach(("a.c", "c.c")) == 1L) // shortcut beats the 2-hop path
+    assert(reach(("a.c", "d.c")) == 2L) // ...and shortens what follows
+    assert(reach(("a.c", "f.c")) == 4L)
+    assert(reach(("b.c", "f.c")) == 4L)
+    // the cap: no pair claims depth beyond 4
+    assert(reach.values.max == 4L)
+  }
 }

@@ -31,7 +31,11 @@ object ProfileProbe {
     for (round <- 1 to 2) {
       // the OLD single-aggregate shape, inlined: profileNumeric itself
       // was rewired to the per-column form, so the Expand baseline must
-      // be rebuilt here for the comparison to stay reproducible
+      // be rebuilt here for the comparison to stay reproducible. The
+      // stack unpivot is NOT decoration — it references every agg
+      // column; without it `.count()` lets Catalyst prune the unused
+      // aggregate expressions and the branch measures an empty agg
+      // (observed: 0.29 s of nothing).
       time(s"expand-agg r$round") {
         val aggs = cols.flatMap { c =>
           Seq(count(col(c)).as(s"__${c}_n"),
@@ -41,7 +45,15 @@ object ProfileProbe {
             sum(col(c).cast("decimal(18,3)")).cast("double")
               .as(s"__${c}_sum"))
         }
-        li.agg(count(lit(1)).as("__total"), aggs: _*).count()
+        val one = li.agg(count(lit(1)).as("__total"), aggs: _*)
+        val stackArgs = cols.map { c =>
+          s"'$c', __total, __total - __${c}_n, __${c}_d, " +
+            s"__${c}_min, __${c}_max, __${c}_sum"
+        }.mkString(", ")
+        one.select(expr(
+          s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+          .count()
       }
       // the NEW shape is what profileNumeric ships
       time(s"per-col distinct r$round") {

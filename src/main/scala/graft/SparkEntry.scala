@@ -53,7 +53,26 @@ object SparkEntry {
       "q126_lineage_impact" -> ((s, dir) => graft.lineage.LineageQueries.impact(s, dir)),
       // Column-level TRANSITIVE impact — cross-statement chains closed
       // to depth 4, per base-table source column.
-      "q191_column_impact" -> ((s, dir) => graft.lineage.LineageQueries.columnImpact(s, dir))
+      "q191_column_impact" -> ((s, dir) => graft.lineage.LineageQueries.columnImpact(s, dir)),
+      // Lineage REGRESSION GATE: Reconcile.rowDiff over two lineage-run
+      // edge sets — the certify-what-changed check a lineage service
+      // runs before promoting a parser upgrade. The "previous run" is
+      // simulated by dropping the last five statements' edges (stated,
+      // deterministic); a real deployment feeds two parser versions.
+      "q192_lineage_diff" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        // SET semantics: lineage is a set of edges (stmt 37's MERGE
+        // legitimately emits one edge twice — matched-update and
+        // not-matched-insert paths), so the gate diffs DISTINCT rows;
+        // the key is then unique and `conditions` is the compared column.
+        val cur = graft.lineage.LineageQueries.edges(s, dir)
+          .dropDuplicates()
+          .withColumn("_k", concat_ws("|", col("stmt"), col("table_name"),
+            col("col_name"), col("to_name"), col("from_name")))
+        val prev = cur.filter(col("stmt") <= 35)
+        graft.operators.Reconcile.rowDiff(prev, cur, "_k",
+          Seq("conditions"))
+      })
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +85,7 @@ object SparkEntry {
       "q24_lineage_edges" -> graft.lineage.LineageQueries.oracleSql,
       "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql,
       "q126_lineage_impact" -> graft.lineage.LineageQueries.impactOracleSql,
-      "q191_column_impact" -> graft.lineage.LineageQueries.columnImpactOracleSql
+      "q191_column_impact" -> graft.lineage.LineageQueries.columnImpactOracleSql,
+      "q192_lineage_diff" -> graft.lineage.LineageQueries.lineageDiffOracleSql
     )
 }

@@ -334,6 +334,49 @@ object LineageQueries {
         GROUP BY md.src
         ORDER BY src_col"""
 
+  /** DuckDB oracle for the q192 lineage regression gate: the same
+    * distinct-edge key, the same full-outer classification as
+    * [[graft.operators.Reconcile.rowDiff]], over the frozen golden
+    * with the simulated previous run (stmt ≤ 35). */
+  lazy val lineageDiffOracleSql: String =
+    s"""WITH cur AS (
+          SELECT DISTINCT stmt || '|' || table_name || '|' || col_name
+                   || '|' || to_name || '|' || from_name AS k,
+                 conditions
+          FROM ($oracleSql)),
+        prev AS (SELECT k, conditions FROM cur
+                 WHERE CAST(string_split(k, '|')[1] AS BIGINT) <= 35),
+        j AS (
+          SELECT p.k AS ka, c.k AS kb,
+                 p.conditions AS ac, c.conditions AS bc
+          FROM prev p FULL JOIN cur c ON p.k = c.k)
+        SELECT metric, n FROM (
+          SELECT 'added' AS metric,
+                 CAST(count(*) FILTER (WHERE ka IS NULL) AS BIGINT) AS n
+          FROM j
+          UNION ALL
+          SELECT 'removed',
+                 CAST(count(*) FILTER (WHERE kb IS NULL) AS BIGINT) FROM j
+          UNION ALL
+          SELECT 'rows_changed',
+                 CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                   AND kb IS NOT NULL AND ac IS DISTINCT FROM bc)
+                   AS BIGINT)
+          FROM j
+          UNION ALL
+          SELECT 'rows_same',
+                 CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                   AND kb IS NOT NULL AND ac IS NOT DISTINCT FROM bc)
+                   AS BIGINT)
+          FROM j
+          UNION ALL
+          SELECT 'col_changed:conditions',
+                 CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                   AND kb IS NOT NULL AND ac IS DISTINCT FROM bc)
+                   AS BIGINT)
+          FROM j)
+        ORDER BY metric"""
+
   /** DuckDB oracle for [[impact]] — the same rollup over the frozen
     * edge golden (the [[oracleSql]] VALUES relation as a subquery). */
   lazy val impactOracleSql: String =

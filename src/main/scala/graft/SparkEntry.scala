@@ -64,7 +64,10 @@ object SparkEntry {
         // SET semantics: lineage is a set of edges (stmt 37's MERGE
         // legitimately emits one edge twice — matched-update and
         // not-matched-insert paths), so the gate diffs DISTINCT rows;
-        // the key is then unique and `conditions` is the compared column.
+        // the key is then unique and `conditions` is the compared
+        // column. If a future corpus ever emits one key with TWO
+        // condition sets, rowDiff's built-in uniqueness guard raises
+        // instead of silently fanning the diff out (r7 ADVICE).
         val cur = graft.lineage.LineageQueries.edges(s, dir)
           .dropDuplicates()
           .withColumn("_k", concat_ws("|", col("stmt"), col("table_name"),

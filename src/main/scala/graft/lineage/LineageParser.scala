@@ -355,8 +355,16 @@ object LineageParser {
   private case class State(
       src: Map[ExprId, Set[String]],
       conds: Set[String],
-      inputs: Set[String]) {
-    def merge(o: State): State = State(src ++ o.src, conds ++ o.conds, inputs ++ o.inputs)
+      inputs: Set[String],
+      // Generator (UDTF) provenance: an exprId here was PRODUCED by the
+      // recorded function text (e.g. explode of an array column), so a
+      // bare reference to it in the select list still carries a COLFUN
+      // tag — the reference's E11 column-function intent extended to
+      // UDTF output, where the function application happens in the
+      // Generate node rather than the select item.
+      funs: Map[ExprId, String] = Map.empty) {
+    def merge(o: State): State =
+      State(src ++ o.src, conds ++ o.conds, inputs ++ o.inputs, funs ++ o.funs)
   }
   private object State { val empty: State = State(Map.empty, Set.empty, Set.empty) }
 
@@ -388,6 +396,12 @@ object LineageParser {
       val colFun = named.flatMap(_.lift(i)).collect {
         case Alias(child, _) if !child.isInstanceOf[AttributeReference] =>
           s"COLFUN:${child.sql}"
+        // bare (or trivially re-aliased) reference to a UDTF output:
+        // the function application lives in the Generate node
+        case Alias(ar: AttributeReference, _) if st.funs.contains(ar.exprId) =>
+          st.funs(ar.exprId)
+        case ar: AttributeReference if st.funs.contains(ar.exprId) =>
+          st.funs(ar.exprId)
       }
       ColLine(
         tableName = sink,
@@ -469,7 +483,10 @@ object LineageParser {
     case g: Generate =>
       val st = build(g.child, ctes, db)
       val srcs = refsOf(g.generator, st, ctes, db)
-      st.copy(src = st.src ++ g.generatorOutput.map(a => a.exprId -> srcs))
+      st.copy(
+        src = st.src ++ g.generatorOutput.map(a => a.exprId -> srcs),
+        funs = st.funs ++ g.generatorOutput.map(a =>
+          a.exprId -> s"COLFUN:${g.generator.sql}"))
 
     case e: Expand =>
       val st = build(e.child, ctes, db)

@@ -314,15 +314,19 @@ object Events {
     * half-life) is the stated trade.
     *
     * Age anchors to the corpus max timestamp (one broadcast scalar),
-    * not wall clock — deterministic and re-runnable. One combinable
-    * aggregate; output is keys-sized. Returns (key, n_events,
-    * decayed_milli). */
+    * not wall clock — deterministic and re-runnable. Rows with a NULL
+    * timestamp are EXCLUDED up front (stated choice, not an accident
+    * of least()'s null-skipping): an event of unknown age has no
+    * defensible weight, and counting it in `n_events` while giving it
+    * weight 0 would make the two output columns disagree about what
+    * the input was. One combinable aggregate; output is keys-sized.
+    * Returns (key, n_events, decayed_milli). */
   def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
                     halfLifeDays: Int, maxHalfLives: Int = 20): DataFrame = {
     require(halfLifeDays >= 1, "half-life must be at least a day")
     require(maxHalfLives >= 1 && maxHalfLives <= 62, "cap must be in [1, 62]")
     val anchor = events.agg(max(col(tsCol)).as("_anchor"))
-    events.crossJoin(broadcast(anchor))
+    events.filter(col(tsCol).isNotNull).crossJoin(broadcast(anchor))
       .withColumn("_h",
         least(expr(s"cast(datediff(_anchor, $tsCol) as bigint) " +
           s"div ${halfLifeDays}L"), lit(maxHalfLives.toLong)))

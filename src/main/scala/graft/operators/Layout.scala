@@ -159,6 +159,13 @@ object Layout {
     * row), zero shuffle, deterministic on any engine with md5. */
   def consistentShards(df: org.apache.spark.sql.DataFrame, idCol: String,
                        shards: Int, vnodes: Int): org.apache.spark.sql.DataFrame = {
+    // The ring enters the plan as a LITERAL struct array evaluated
+    // per row — (2S+2)·V struct ops each. Bound it so a misconfigured
+    // call can't compile a megabyte-scale expression tree (rings
+    // larger than this belong in a broadcast-join formulation).
+    require((shards + 1).toLong * vnodes <= 4096,
+      s"ring too large for the literal-array formulation: " +
+        s"(${shards}+1) shards x $vnodes vnodes > 4096")
     val kh = expr(
       s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
     val oldRing = hashRing(shards, vnodes)

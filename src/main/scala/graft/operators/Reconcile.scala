@@ -41,10 +41,13 @@ object Reconcile {
     * = 40M` blocks the swap; `added ≈ yesterday's ingest` clears it).
     *
     * Comparison is null-safe (`<=>`): NULL→value and value→NULL count
-    * as changes, NULL→NULL does not. Keys are assumed unique per
-    * snapshot (a keyed table contract — violations would fan the join
-    * out); columns are compared on their native types, so float columns
-    * inherit float equality — quantize first if that matters.
+    * as changes, NULL→NULL does not. Keys must be unique per snapshot
+    * (a keyed table contract) and the operator ENFORCES it: a
+    * duplicate key on either side raises at runtime rather than
+    * silently fanning the join out and inflating every metric — the
+    * wrong failure mode for a promotion gate. Columns are compared on
+    * their native types, so float columns inherit float equality —
+    * quantize first if that matters.
     *
     * Shape: ONE full-outer shuffle join on the key (co-partition or
     * bucket both snapshots by the key at scale and it is shuffle-free),
@@ -55,10 +58,25 @@ object Reconcile {
   def rowDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
               cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to compare")
-    val a = oldDf.select(col(keyCol).as("_k") +: lit(1L).as("_pa") +:
-      cols.map(c => col(c).as(s"_a_$c")): _*)
-    val b = newDf.select(col(keyCol).as("_k") +: lit(1L).as("_pb") +:
-      cols.map(c => col(c).as(s"_b_$c")): _*)
+    // Uniqueness guard: one groupBy per side (hash-partitioned on the
+    // key, so the full-outer join below reuses the exchange — no extra
+    // shuffle) that raises on a duplicate key instead of letting the
+    // join fan out. first() is deterministic here: the guard proves
+    // each group has exactly one row.
+    def guarded(df: DataFrame, side: String, pfx: String,
+                presCol: String): DataFrame =
+      df.select(col(keyCol).as("_k") +:
+          cols.map(c => col(c).as(s"$pfx$c")): _*)
+        .groupBy("_k")
+        .agg(count(lit(1)).as("_n"),
+          cols.map(c => first(col(s"$pfx$c")).as(s"$pfx$c")): _*)
+        .select(col("_k") +:
+          when(col("_n") > 1L, raise_error(concat(
+              lit(s"rowDiff: duplicate $side key "), col("_k"))))
+            .otherwise(lit(1L)).as(presCol) +:
+          cols.map(c => col(s"$pfx$c")): _*)
+    val a = guarded(oldDf, "old-snapshot", "_a_", "_pa")
+    val b = guarded(newDf, "new-snapshot", "_b_", "_pb")
     val j = a.join(b, Seq("_k"), "full_outer")
     val both = col("_pa").isNotNull && col("_pb").isNotNull
     val anyChange = cols.map(c => !(col(s"_a_$c") <=> col(s"_b_$c")))

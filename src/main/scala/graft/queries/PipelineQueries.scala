@@ -1611,7 +1611,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_ring"),
           sum(when(col("shard_ring") =!= col("shard_ring_new"), 1L)
             .otherwise(0L)).as("ring_moved"))
-      mods.join(rings, "shard").orderBy("shard")
+      // FULL outer + coalesce-to-0: a shard that receives zero rows
+      // under either scheme must still appear in the audit as n=0, not
+      // silently vanish (r7 ADVICE). Full outer can't broadcast, so
+      // hint shuffle-hash: both sides are shard-count-sized aggregates
+      // already partitioned on the key (exchange reuse, no sort).
+      mods.hint("shuffle_hash").join(rings, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_mod"), lit(0L)).as("n_mod"),
+          coalesce(col("mod_moved"), lit(0L)).as("mod_moved"),
+          coalesce(col("n_ring"), lit(0L)).as("n_ring"),
+          coalesce(col("ring_moved"), lit(0L)).as("ring_moved"))
+        .orderBy("shard")
     }),
 
     // Recency-weighted activity: stepped dyadic half-life decay in
@@ -4414,12 +4425,14 @@ object PipelineQueries {
            FROM documents),
          b AS (
            SELECT source, doc_id, n_chars,
-                  (cum - CAST(n_chars AS BIGINT)) // 10000 AS bin
+                  CAST((cum - CAST(n_chars AS BIGINT)) // 10000 AS BIGINT)
+                    AS bin
            FROM f)
          SELECT source, doc_id, n_chars, bin,
                 CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT)
                   AS bin_files,
-                sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source, bin)
+                CAST(sum(CAST(n_chars AS BIGINT))
+                       OVER (PARTITION BY source, bin) AS BIGINT)
                   AS bin_bytes
          FROM b ORDER BY source, doc_id""",
 
@@ -4517,8 +4530,11 @@ object PipelineQueries {
                   CAST(sum(CASE WHEN ring8 <> ring9 THEN 1 ELSE 0 END)
                     AS BIGINT) AS ring_moved
            FROM per GROUP BY ring8)
-         SELECT shard, n_mod, mod_moved, n_ring, ring_moved
-         FROM mods JOIN rings USING (shard) ORDER BY shard""",
+         SELECT shard, CAST(COALESCE(n_mod, 0) AS BIGINT) AS n_mod,
+                CAST(COALESCE(mod_moved, 0) AS BIGINT) AS mod_moved,
+                CAST(COALESCE(n_ring, 0) AS BIGINT) AS n_ring,
+                CAST(COALESCE(ring_moved, 0) AS BIGINT) AS ring_moved
+         FROM mods FULL JOIN rings USING (shard) ORDER BY shard""",
 
     // Stepped dyadic half-life: 1000 // 2^(age_days div 7), capped at
     // 20 half-lives, anchored to max(ts) — exact integer milli-units.
@@ -4529,7 +4545,8 @@ object PipelineQueries {
                   1000 // (1 << least(
                     CAST(date_diff('day', CAST(ts AS DATE),
                       CAST(anchor AS DATE)) AS BIGINT) // 7, 20)) AS w
-           FROM events CROSS JOIN a)
+           FROM events CROSS JOIN a
+           WHERE ts IS NOT NULL)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(w) AS BIGINT) AS decayed_milli
          FROM w GROUP BY event_type ORDER BY event_type""",
@@ -4879,14 +4896,23 @@ object PipelineQueries {
          ${sqlPqAssign("e0", "s0c2", "enc0", "code_0", "err2_0", 32)},
          ${sqlPqAssign("e1", "s1c2", "enc1", "code_1", "err2_1", 32)}"""
 
-  /** Integer squared L2 between two quantized list expressions. */
+  /** Integer squared L2 between two quantized list expressions. CAST
+    * to BIGINT: DuckDB's list_sum over BIGINT elements yields HUGEINT,
+    * whose python-side dtype conversion varies across duckdb builds
+    * (r7 driver-hash divergence suspect #2 — q175, which casts, passed
+    * driver-side; q173, which didn't, hash-mismatched). */
   private def sqlListD2(a: String, b: String, dim: Int) =
-    s"list_sum([($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]) for i in range(0, $dim)])"
+    s"CAST(list_sum([($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]) for i in range(0, $dim)]) AS BIGINT)"
 
   /** Quantized 1-based-inclusive slice [lo, hi] of the embedding —
-    * [[sqlQuantize]] over a sub-range. */
+    * [[sqlQuantize]] over a sub-range. Deliberately indexes element by
+    * element via list_transform(range(...)) (the driver-proven q175
+    * idiom) instead of `embedding[lo:hi]` slice syntax, whose edge
+    * semantics have shifted across DuckDB builds (r7 driver-hash
+    * divergence suspect #1). */
   private def sqlQuantizeSlice(lo: Int, hi: Int) =
-    s"[floor(CAST(x AS DOUBLE) * 10000)::BIGINT for x in embedding[$lo:$hi]]"
+    s"""list_transform(range($lo, ${hi + 1}),
+          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT))"""
 
   /** [[sqlLloydIter]] generalized to an arbitrary vectors CTE and
     * dimensionality (the per-subspace PQ training step). */
@@ -4917,7 +4943,8 @@ object PipelineQueries {
   private def sqlPqAssign(eCte: String, cbCte: String, outCte: String,
                           codeName: String, errName: String, dim: Int) =
     s"""$outCte AS (
-           SELECT vec_id, cluster AS $codeName, d2 AS $errName FROM (
+           SELECT vec_id, cluster AS $codeName,
+                  CAST(d2 AS BIGINT) AS $errName FROM (
              SELECT vec_id, cluster, d2,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY d2, cluster) AS rn

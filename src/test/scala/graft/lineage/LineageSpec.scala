@@ -37,7 +37,10 @@ class LineageSpec extends SparkTestBase {
     (16, "<EOF>", "", "c_name", "default.customer.c_name", "FULLOUTERJOIN:(c.c_nationkey = n.n_nationkey)"),
     (17, "<EOF>", "", "c_name", "default.customer.c_name", "LEFTSEMIJOIN:(customer.c_custkey = orders.o_custkey)"),
     (18, "<EOF>", "", "doc_id", "default.documents.doc_id", ""),
-    (18, "<EOF>", "", "tok", "default.documents.text", ""),
+    // the UDTF output carries the generator as COLFUN even though the
+    // select item is a bare column — the function application lives in
+    // the Generate node (reference E11 analogue for exploded columns)
+    (18, "<EOF>", "", "tok", "default.documents.text", "COLFUN:explode(split(documents.text, ' ', -1))"),
     (19, "<EOF>", "", "o_orderkey", "default.orders.o_orderkey", ""),
     (19, "<EOF>", "", "rn", "default.orders.o_custkey,default.orders.o_orderdate", ""),
     (20, "<EOF>", "", "k1", "default.orders.o_orderkey", "COLFUN:(orders.o_orderkey + CAST(1 AS BIGINT))"),

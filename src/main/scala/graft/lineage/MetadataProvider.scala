@@ -160,6 +160,95 @@ object JdbcMetadataProvider {
     forDialect(JdbcDialects.forName(tpe), database, host, port, user, password)
 }
 
+/** Named-datasource ROUTING registry — the reference's
+  * `DynamicRoutingDataSource` story
+  * (`datasource/AbstractRoutingDataSource.java:12-28`,
+  * `utils/DataSourceUtils.java:33-61`) collapsed to what lineage
+  * needs: metadata providers registered under ids, resolved by id at
+  * lookup time. Mirrored behaviors:
+  *
+  *  - registering a DUPLICATE id fails loudly
+  *    (`DataSourceUtils.java:40-42` throws on an already-bound id)
+  *    instead of last-wins shadowing a live config;
+  *  - resolving an UNKNOWN id throws a named error, the reference's
+  *    `DataSourceNotFoundException` — never a silent empty schema,
+  *    which would downgrade every INSERT to ordinal-only lineage and
+  *    look like a data bug;
+  *  - a route config (`conf/DatabaseConfInfo.java`) picks either ONE
+  *    source (`srcDataSource`, the single-database deployment) or an
+  *    ordered source LIST plus a destination (`srcDataSourceList` +
+  *    `destDataSource`, the multi-source sync deployment). The
+  *    reference's multi-source branch is an unfinished stub
+  *    (`fetchDataSyncConf` returns a fresh unconfigured pool,
+  *    `DataSourceUtils.java:76-78` — defect, not intent); the INTENT
+  *    is implemented here: sink schemas resolve against the
+  *    destination, source schemas against the sources in registration
+  *    order, first catalog that knows the table wins.
+  *
+  * The router is itself a [[MetadataProvider]] (routing to the
+  * configured destination — the catalog that must name INSERT sink
+  * columns), so `LineageParser.parseStatement(..., metadata =
+  * Some(router))` needs no special casing. Registration happens at
+  * service startup; lookups are read-only thereafter (synchronized,
+  * cheap — JDBC round-trips dominate). */
+final class MetadataRouter extends MetadataProvider {
+  private val providers =
+    scala.collection.mutable.LinkedHashMap.empty[String, MetadataProvider]
+  private var route: Option[MetadataRouter.Route] = None
+
+  def add(id: String, provider: MetadataProvider): this.type =
+    synchronized {
+      require(!providers.contains(id),
+        s"datasource id '$id' is already registered (the reference " +
+          "rejects duplicate routing ids rather than shadowing them)")
+      providers(id) = provider; this
+    }
+
+  def resolve(id: String): MetadataProvider = synchronized {
+    providers.getOrElse(id, throw new NoSuchElementException(
+      s"no datasource registered under id '$id' " +
+        s"(known: ${providers.keys.mkString(", ")})"))
+  }
+
+  /** Install the active route; ids must already be registered (config
+    * errors surface at startup, not first lookup). */
+  def setRoute(r: MetadataRouter.Route): this.type = synchronized {
+    (r.sources :+ r.destination).foreach(resolve)
+    route = Some(r); this
+  }
+
+  private def activeRoute: MetadataRouter.Route = synchronized {
+    route.getOrElse(throw new IllegalStateException(
+      "MetadataRouter has no route configured — call setRoute first"))
+  }
+
+  /** Source-side lookup: the sources in order, first non-empty wins
+    * (a table known to several catalogs resolves to the earliest —
+    * deterministic, like the reference's pool registration order). */
+  def sourceColumns(table: String): Seq[String] = {
+    val r = activeRoute
+    r.sources.iterator.map(resolve(_).tableColumns(table))
+      .find(_.nonEmpty).getOrElse(Nil)
+  }
+
+  /** Destination-side lookup (what INSERT-sink lineage needs) — the
+    * [[MetadataProvider]] face of the router. */
+  def tableColumns(table: String): Seq[String] =
+    resolve(activeRoute.destination).tableColumns(table)
+}
+
+object MetadataRouter {
+  /** `conf/DatabaseConfInfo.java` reduced to the fields that select
+    * catalogs: one or more source ids and a destination id. The
+    * single-database deployment is `Route(Seq(id), id)`. */
+  final case class Route(sources: Seq[String], destination: String) {
+    require(sources.nonEmpty, "a route needs at least one source")
+  }
+
+  /** The reference's single-`srcDataSource` shape (`isPrimary` true). */
+  def single(id: String): Route = Route(Seq(id), id)
+}
+
 final class JdbcMetadataProvider(connect: () => java.sql.Connection)
     extends MetadataProvider {
 

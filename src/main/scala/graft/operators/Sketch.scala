@@ -181,4 +181,66 @@ object Sketch {
       .select(g :+ col("q") :+ col("x").as("est_value") :+
         col("n_sample"): _*)
   }
+
+  /** COUNT-MIN SKETCH build (Cormode & Muthukrishnan 2005) — the
+    * mergeable POINT-FREQUENCY summary that completes the sketch
+    * family: KMV answers "how many distinct", Misra-Gries answers
+    * "which are the heaviest", count-min answers "how often does THIS
+    * item occur" for any item, from `depth × width` counters
+    * regardless of corpus size. Each occurrence of an item increments
+    * one bucket per row j (bucket = h_j(item) mod width); a point
+    * estimate reads the MINIMUM across rows ([[countMinLookup]]) and
+    * NEVER undercounts — collisions only inflate, with
+    * P[overcount > 2N/width] ≤ 2^-depth.
+    *
+    * Why at 100 TB: the only shuffle is `groupBy (j, bucket)` over at
+    * most `depth·width` keys with map-side partial sums — the token
+    * stream itself never shuffles. Sketches of corpus shards merge by
+    * summing buckets (counter arrays are linear), so per-shard builds
+    * union + re-aggregate into the global sketch; q96's KMV merge
+    * oracle pattern applies verbatim.
+    *
+    * Determinism: h_j(item) = the repo-standard 60-bit md5 prefix of
+    * `"j:item"` mod width — reproducible in any engine, no seeds.
+    * `depth·width` is bounded (≤ 2^24) so the sketch always broadcasts.
+    *
+    * Input: one row per item OCCURRENCE. Output: (j, bucket, c) —
+    * at most depth·width rows. */
+  def countMinSketch(items: DataFrame, itemCol: String, depth: Int,
+                     width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && depth.toLong * width <= (1 << 24),
+      s"depth*width must stay broadcastable (<= 2^24), got $depth*$width")
+    graft.functions.Md5Prefix64.register(items.sparkSession)
+    items
+      .select(col(itemCol).as("_i"),
+        explode(array((0 until depth).map(lit): _*)).as("j"))
+      .select(col("j"),
+        (call_function(graft.functions.Md5Prefix64.name,
+          concat(col("j").cast("string"), lit(":"), col("_i"))) % width)
+          .as("bucket"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates from a [[countMinSketch]]: for each
+    * probe item, est = min over j of its bucket's counter (0 when a
+    * bucket was never touched — only possible for items absent from
+    * the sketched stream). The probe side crosses with the depth
+    * literals and joins the BROADCAST sketch — probing any number of
+    * items costs one broadcast of the bounded counter table, nothing
+    * of the corpus. Output: probes' columns + `n_est`. */
+  def countMinLookup(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    graft.functions.Md5Prefix64.register(probes.sparkSession)
+    val out = probes.columns
+    probes
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        call_function(graft.functions.Md5Prefix64.name,
+          concat(col("j").cast("string"), lit(":"), col(itemCol))) % width)
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(out.map(col).toIndexedSeq: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+  }
 }

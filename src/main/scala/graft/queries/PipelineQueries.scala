@@ -1778,6 +1778,25 @@ object PipelineQueries {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy("cluster_size")
+    }),
+
+    // COUNT-MIN sketch point-frequency estimates vs exact counts for
+    // the 30 heaviest tokens: est >= exact always (collisions only
+    // inflate), `overcount` is the measured collision mass for a
+    // 4x8192-counter summary of the whole token stream. Completes the
+    // sketch family: KMV = how many distinct (q84), Misra-Gries =
+    // which are heaviest (q145), count-min = how often is THIS one.
+    "q193_count_min" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = Sketch.countMinSketch(toks, "token", depth = 4, width = 8192)
+      val probes = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(30)
+      Sketch.countMinLookup(sk, probes, "token", depth = 4, width = 8192)
+        .select(col("token"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy("token")
     })
   )
 
@@ -2016,6 +2035,36 @@ object PipelineQueries {
          ORDER BY d.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+
+    "q193_count_min" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         cms AS (
+           SELECT js.j,
+                  ('0x'||substr(md5(CAST(js.j AS VARCHAR)||':'||token),1,15))::BIGINT
+                    % 8192 AS bucket,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks CROSS JOIN js
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+           FROM toks GROUP BY token
+           ORDER BY n_exact DESC, token LIMIT 30),
+         est AS (
+           SELECT p.token, p.n_exact,
+                  min(coalesce(s.c, 0)) AS n_est
+           FROM probes p
+           CROSS JOIN js
+           LEFT JOIN cms s
+             ON s.j = js.j
+            AND s.bucket =
+                ('0x'||substr(md5(CAST(js.j AS VARCHAR)||':'||p.token),1,15))::BIGINT
+                  % 8192
+           GROUP BY 1, 2)
+         SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est,
+                CAST(n_est - n_exact AS BIGINT) AS overcount
+         FROM est ORDER BY token""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

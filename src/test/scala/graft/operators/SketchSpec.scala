@@ -70,4 +70,41 @@ class SketchSpec extends SparkTestBase {
     val whole = bottomK(df).select("h").collect().map(_.getLong(0)).toSet
     assert(merged == whole)
   }
+
+  test("count-min never undercounts and is exact without collisions") {
+    // 3 items with very different weights; width 64 over 3 items makes
+    // same-row collisions effectively impossible, so est == exact
+    val items = Seq.fill(100)("alpha") ++ Seq.fill(10)("beta") ++ Seq("gamma")
+    val df = items.toDF("w")
+    val sk = Sketch.countMinSketch(df, "w", depth = 4, width = 64)
+    val probes = df.groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val got = Sketch.countMinLookup(sk, probes, "w", depth = 4, width = 64)
+      .select("w", "n_exact", "n_est").as[(String, Long, Long)]
+      .collect().map { case (w, ex, est) => w -> ((ex, est)) }.toMap
+    assert(got("alpha") == ((100L, 100L)))
+    assert(got("beta") == ((10L, 10L)))
+    assert(got("gamma") == ((1L, 1L)))
+    // absent items read 0 or a collision's mass — never negative
+    val miss = Sketch.countMinLookup(sk,
+        Seq("absent").toDF("w"), "w", depth = 4, width = 64)
+      .select("n_est").as[Long].head()
+    assert(miss >= 0L)
+  }
+
+  test("count-min sketches merge by summing buckets (linearity)") {
+    // tight width FORCES collisions; the property must still hold
+    val df = spark.range(500).select((col("id") % 37).cast("string").as("w"))
+    val whole = Sketch.countMinSketch(df, "w", depth = 2, width = 8)
+    val halves = Sketch.countMinSketch(
+        df.filter(col("id") % 2 === 0).select("w"), "w", 2, 8)
+      .union(Sketch.countMinSketch(
+        df.filter(col("id") % 2 === 1).select("w"), "w", 2, 8))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+    assert(whole.except(halves).isEmpty && halves.except(whole).isEmpty)
+    // and every estimate dominates the exact count (never undercounts)
+    val probes = df.groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val bad = Sketch.countMinLookup(whole, probes, "w", 2, 8)
+      .filter(col("n_est") < col("n_exact")).count()
+    assert(bad == 0L)
+  }
 }

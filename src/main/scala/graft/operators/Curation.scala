@@ -501,6 +501,48 @@ object Curation {
       .drop("_nd", "_share", "_T", "_thresh")
   }
 
+  /** SQUARE-ROOT TEMPERATURE resampling (α = 1/2) — the multilingual /
+    * multi-domain rebalance used by the XLM-R / mT5 family: sample
+    * domain d with share ∝ n_d^α so head domains (English, web crawl)
+    * are down-weighted and tail domains survive, without inverting the
+    * order. α = 1/2 specifically because integer square roots keep the
+    * whole decision exact: s_d = ⌊√n_d⌋ (correctly-rounded IEEE sqrt of
+    * an integer, floored — bit-identical in any engine), target rows
+    * for d = budget·s_d/Σs, and each row keeps iff its 16-bit md5
+    * prefix clears thr_d = min(2^16, ⌊2^16·budget·s_d/(Σs·n_d)⌋). The
+    * products run in DECIMAL(38,0) (128-bit lane in both engines), so
+    * no budget/corpus size can overflow the threshold math; general α
+    * via pow() is deliberately NOT offered — libm pow is not
+    * correctly rounded and would break cross-engine reproducibility.
+    *
+    * The data-derived-shares sibling of [[mixtureSample]] (which takes
+    * target shares as input). Sampling error vs the real target is the
+    * hash-threshold granularity (2^-16) plus the isqrt floor — both
+    * stated, both deterministic.
+    *
+    * Shape at scale: one combinable count per domain (domain
+    * cardinality is small by definition), the Σs fold over that tiny
+    * aggregate, broadcast both, then a stateless projection-filter —
+    * the corpus itself never shuffles. */
+  def sqrtTemperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                            budget: Long): DataFrame = {
+    require(budget >= 1, s"need a positive row budget, got $budget")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+      .withColumn("_s", floor(sqrt(col("_nd"))).cast("long"))
+    val tot = counts.agg(sum(col("_s")).as("_st"))
+    val h4 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), domainCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("_thr",
+        least(lit(65536L),
+          expr(s"(CAST(65536 AS DECIMAL(19,0)) * CAST($budget AS DECIMAL(19,0))" +
+            " * CAST(_s AS DECIMAL(19,0)))" +
+            " div (CAST(_st AS DECIMAL(19,0)) * CAST(_nd AS DECIMAL(19,0)))")))
+      .filter(h4 < col("_thr"))
+      .drop("_nd", "_s", "_st", "_thr")
+  }
+
   /** PPS (probability-proportional-to-size) sampling, deterministic:
     * keep each row with probability min(1, k·w/W) where `w` is the
     * row's weight (tokens, bytes) and W the corpus total — the

@@ -1797,6 +1797,17 @@ object PipelineQueries {
         .select(col("token"), col("n_exact"), col("n_est"),
           (col("n_est") - col("n_exact")).as("overcount"))
         .orderBy("token")
+    }),
+
+    // sqrt-TEMPERATURE (α=1/2) language rebalance: head languages
+    // down-weighted toward √n shares under a 200-row budget — the
+    // XLM-R/mT5 sampling recipe with exact integer thresholds (isqrt
+    // + 128-bit decimal products, no pow, no RNG).
+    "q194_sqrt_temperature" -> ((s, dir) => {
+      Curation.sqrtTemperatureSample(t(s, dir, "documents"), "lang",
+          "doc_id", budget = 200L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -2065,6 +2076,27 @@ object PipelineQueries {
          SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est,
                 CAST(n_est - n_exact AS BIGINT) AS overcount
          FROM est ORDER BY token""",
+
+    "q194_sqrt_temperature" ->
+      """WITH cnt AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS nd
+           FROM documents GROUP BY lang),
+         sq AS (
+           SELECT lang, nd,
+                  CAST(floor(sqrt(CAST(nd AS DOUBLE))) AS BIGINT) AS s
+           FROM cnt),
+         tt AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM sq),
+         th AS (
+           SELECT lang,
+                  least(CAST(65536 AS BIGINT),
+                        CAST((65536::HUGEINT * 200 * s) // (st::HUGEINT * nd)
+                             AS BIGINT)) AS thresh
+           FROM sq CROSS JOIN tt)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN th USING (lang)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < th.thresh
+         ORDER BY d.doc_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -199,4 +199,30 @@ class HashSplitSpec extends SparkTestBase {
     assert(Curation.ppsSample(zeroed, "doc_id", "w", k)
       .filter(col("doc_id") < 990L).count() == 0)
   }
+
+  test("sqrtTemperatureSample matches the exact isqrt threshold math") {
+    // skewed domains: 900 'head' rows, 100 'tail' rows
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") < 900L, "head").otherwise("tail").as("dom"))
+    val budget = 200L
+    val kept = Curation.sqrtTemperatureSample(df, "dom", "doc_id", budget)
+    // recompute thresholds by hand: s=isqrt(n), thr=floor(2^16*B*s/(S*n))
+    val sHead = math.sqrt(900).toLong; val sTail = math.sqrt(100).toLong
+    val s = sHead + sTail
+    def thr(sd: Long, nd: Long) =
+      math.min(65536L, 65536L * budget * sd / (s * nd))
+    val naive = df.withColumn("_h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .filter((col("dom") === "head" && col("_h") < thr(sHead, 900)) ||
+        (col("dom") === "tail" && col("_h") < thr(sTail, 100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == naive)
+    // α=1/2 semantics: the tail domain keeps a HIGHER fraction than
+    // the head (temperature flattens, never inverts)
+    val byDom = kept.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("head").toDouble / 900 < byDom("tail").toDouble / 100)
+    assert(byDom("head") > byDom("tail")) // ...but order is preserved
+  }
 }

@@ -350,6 +350,34 @@ object StreamingQueries {
             (col("n_trans").cast("double") / col("_tot").cast("double")))
             .as("p_micro"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Streaming twin of q193's count-min build: the (j, bucket)
+    // counter table IS a streaming aggregation (update mode — each
+    // touched counter emits its final value after the single data
+    // batch), which is the canonical deployment of this sketch: count
+    // frequencies on the stream, probe the counters at rest. The
+    // lookup runs batch-side over the bounded sink with the same
+    // broadcast join as the batch operator; est >= exact always.
+    "q195_stream_count_min" -> ((s, dir) => {
+      graft.functions.Md5Prefix64.register(s)
+      val depth = 4; val width = 256
+      val ev = eventsStream(s, dir).select(col("event_type").as("_i"))
+      val sk = ev
+        .select(col("_i"),
+          explode(array((0 until depth).map(lit): _*)).as("j"))
+        .select(col("j"),
+          (call_function(graft.functions.Md5Prefix64.name,
+            concat(col("j").cast("string"), lit(":"), col("_i"))) % width)
+            .as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+      val sunk = runBounded(s, sk, "graft_q195_sink", "update")
+      val probes = graft.Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      graft.operators.Sketch.countMinLookup(sunk, probes, "event_type",
+          depth, width)
+        .select(col("event_type"), col("n_exact"), col("n_est"))
+        .orderBy("event_type")
     })
   )
 
@@ -540,6 +568,33 @@ object StreamingQueries {
     // fold over (us, event_id) order IS the lag window. (us ordering ≡
     // ts ordering: epoch_ns // 1000 is monotone in ts and event_id
     // breaks any equal-µs tie on both sides.)
+    // One data batch in update mode emits each touched (j, bucket)
+    // counter exactly once with its final count — the batch CMS over
+    // the same hash layout, probed for every event type.
+    "q195_stream_count_min" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         cms AS (
+           SELECT js.j,
+                  ('0x'||substr(md5(CAST(js.j AS VARCHAR)||':'||event_type),1,15))::BIGINT
+                    % 256 AS bucket,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events CROSS JOIN js
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+           FROM events GROUP BY event_type)
+         SELECT p.event_type, p.n_exact,
+                CAST(min(coalesce(s.c, 0)) AS BIGINT) AS n_est
+         FROM probes p
+         CROSS JOIN js
+         LEFT JOIN cms s
+           ON s.j = js.j
+          AND s.bucket =
+              ('0x'||substr(md5(CAST(js.j AS VARCHAR)||':'||p.event_type),1,15))::BIGINT
+                % 256
+         GROUP BY 1, 2
+         ORDER BY event_type""",
+
     "q171_stream_transitions" ->
       """WITH s AS (
            SELECT event_type,

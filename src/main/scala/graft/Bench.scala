@@ -90,8 +90,13 @@ object Bench {
     val retimed = results.sortBy(-_._2).take(3).map { case (name, _) =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A re-run FAILURE must not masquerade as a fast retime (a tiny
+      // time-to-exception would read as "transient stall" — the exact
+      // opposite of a deterministic second-execution defect). Report
+      // -1 so the judge sees "broke on re-run", not "was fast".
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Checkpoints.sweep(spark)
       name -> dt
     }
@@ -100,8 +105,15 @@ object Bench {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
+    // Same short-id collision fallback as the queries map below: a
+    // colliding qNN prefix must not emit duplicate JSON keys here.
+    val retimedShortOk = {
+      val ids = results.map(_._1.takeWhile(_ != '_'))
+      ids.distinct.size == ids.size
+    }
     val retimedJson = retimed.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      val id = if (retimedShortOk) k.takeWhile(_ != '_') else k
+      s"\"" + id + "\":" + r3(v)
     }.mkString("{", ",", "}")
     // STDOUT line: the harness keeps only a ~2 KiB tail of sbt output, so
     // the line must stay well under that or its head gets clipped and the

@@ -552,7 +552,13 @@ object LineageParser {
         val m = r.output.zip(defOut).map { case (a, d) =>
           a.exprId -> defState.src.getOrElse(d.exprId, Set.empty)
         }
-        defState.copy(src = defState.src ++ m)
+        // UDTF provenance must cross the ref's fresh exprIds too, or a
+        // CTE-wrapped explode loses its COLFUN tag while the inline
+        // form of the same query keeps it (r8 review).
+        val fm = r.output.zip(defOut).flatMap { case (a, d) =>
+          defState.funs.get(d.exprId).map(a.exprId -> _)
+        }
+        defState.copy(src = defState.src ++ m, funs = defState.funs ++ fm)
       }.getOrElse(State.empty)
 
     case _: LeafNode => State.empty

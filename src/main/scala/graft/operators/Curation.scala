@@ -518,7 +518,9 @@ object Curation {
     * The data-derived-shares sibling of [[mixtureSample]] (which takes
     * target shares as input). Sampling error vs the real target is the
     * hash-threshold granularity (2^-16) plus the isqrt floor — both
-    * stated, both deterministic.
+    * stated, both deterministic. Rows with a NULL domain are dropped
+    * (stated, like mixtureSample's unlisted domains) and do not enter
+    * the share denominator.
     *
     * Shape at scale: one combinable count per domain (domain
     * cardinality is small by definition), the Σs fold over that tiny
@@ -527,12 +529,18 @@ object Curation {
   def sqrtTemperatureSample(df: DataFrame, domainCol: String, idCol: String,
                             budget: Long): DataFrame = {
     require(budget >= 1, s"need a positive row budget, got $budget")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    // NULL-domain rows are EXCLUDED up front (stated, like
+    // mixtureSample's unlisted domains): they could never match the
+    // domain equi-join below anyway, and counting them into Σs would
+    // silently deflate every real domain's threshold — the sample
+    // would under-fill the budget with no error.
+    val base = df.filter(col(domainCol).isNotNull)
+    val counts = base.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
       .withColumn("_s", floor(sqrt(col("_nd"))).cast("long"))
     val tot = counts.agg(sum(col("_s")).as("_st"))
     val h4 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
-    df.join(broadcast(counts), domainCol)
+    base.join(broadcast(counts), domainCol)
       .crossJoin(broadcast(tot))
       .withColumn("_thr",
         least(lit(65536L),

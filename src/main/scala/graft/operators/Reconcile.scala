@@ -41,11 +41,13 @@ object Reconcile {
     * = 40M` blocks the swap; `added ≈ yesterday's ingest` clears it).
     *
     * Comparison is null-safe (`<=>`): NULL→value and value→NULL count
-    * as changes, NULL→NULL does not. Keys must be unique per snapshot
-    * (a keyed table contract) and the operator ENFORCES it: a
-    * duplicate key on either side raises at runtime rather than
-    * silently fanning the join out and inflating every metric — the
-    * wrong failure mode for a promotion gate. Columns are compared on
+    * as changes, NULL→NULL does not. Keys must be unique AND non-NULL
+    * per snapshot (a keyed table contract) and the operator ENFORCES
+    * both: a duplicate or NULL key on either side raises at runtime
+    * with a named error, rather than silently fanning the join out
+    * (duplicates) or surfacing join-blind phantom rows (NULL never
+    * equi-joins) and corrupting every metric — the wrong failure
+    * modes for a promotion gate. Columns are compared on
     * their native types, so float columns inherit float equality —
     * quantize first if that matters.
     *
@@ -71,8 +73,9 @@ object Reconcile {
         .agg(count(lit(1)).as("_n"),
           cols.map(c => first(col(s"$pfx$c")).as(s"$pfx$c")): _*)
         .select(col("_k") +:
-          when(col("_n") > 1L, raise_error(concat(
-              lit(s"rowDiff: duplicate $side key "), col("_k"))))
+          when(col("_n") > 1L || col("_k").isNull, raise_error(concat(
+              lit(s"rowDiff: duplicate or NULL $side key "),
+              coalesce(col("_k").cast("string"), lit("NULL")))))
             .otherwise(lit(1L)).as(presCol) +:
           cols.map(c => col(s"$pfx$c")): _*)
     val a = guarded(oldDf, "old-snapshot", "_a_", "_pa")

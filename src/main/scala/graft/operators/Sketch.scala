@@ -204,6 +204,12 @@ object Sketch {
     * `"j:item"` mod width — reproducible in any engine, no seeds.
     * `depth·width` is bounded (≤ 2^24) so the sketch always broadcasts.
     *
+    * NULL is not an item: NULL occurrences are dropped here and NULL
+    * probes are dropped by [[countMinLookup]] (stated — md5(NULL)
+    * would land them in a bucket no equi-join can ever read back,
+    * silently breaking the never-undercounts contract). Callers who
+    * want NULL counted coalesce it to a sentinel first.
+    *
     * Input: one row per item OCCURRENCE. Output: (j, bucket, c) —
     * at most depth·width rows. */
   def countMinSketch(items: DataFrame, itemCol: String, depth: Int,
@@ -213,6 +219,7 @@ object Sketch {
       s"depth*width must stay broadcastable (<= 2^24), got $depth*$width")
     graft.functions.Md5Prefix64.register(items.sparkSession)
     items
+      .filter(col(itemCol).isNotNull)
       .select(col(itemCol).as("_i"),
         explode(array((0 until depth).map(lit): _*)).as("j"))
       .select(col("j"),
@@ -229,12 +236,15 @@ object Sketch {
     * the sketched stream). The probe side crosses with the depth
     * literals and joins the BROADCAST sketch — probing any number of
     * items costs one broadcast of the bounded counter table, nothing
-    * of the corpus. Output: probes' columns + `n_est`. */
+    * of the corpus. NULL probes are dropped ([[countMinSketch]]'s
+    * NULL-is-not-an-item contract). Output: probes' columns +
+    * `n_est`. */
   def countMinLookup(sketch: DataFrame, probes: DataFrame, itemCol: String,
                      depth: Int, width: Int): DataFrame = {
     graft.functions.Md5Prefix64.register(probes.sparkSession)
     val out = probes.columns
     probes
+      .filter(col(itemCol).isNotNull)
       .withColumn("j", explode(array((0 until depth).map(lit): _*)))
       .withColumn("bucket",
         call_function(graft.functions.Md5Prefix64.name,

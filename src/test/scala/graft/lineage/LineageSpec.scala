@@ -309,4 +309,23 @@ class LineageSpec extends SparkTestBase {
     // the cap: no pair claims depth beyond 4
     assert(reach.values.max == 4L)
   }
+
+  test("CTE-wrapped explode keeps the generator COLFUN tag") {
+    graft.Tables.registerAll(spark, sfDir)
+    // the CTERelationRef re-keys output exprIds; UDTF provenance must
+    // cross that mapping or the CTE form silently diverges from the
+    // inline form of the same query (r8 review finding)
+    val r = LineageParser.parseStatement(spark,
+      "WITH t AS (SELECT explode(split(text, ' ')) AS tok FROM documents) " +
+        "SELECT tok FROM t", 1)
+    val edge = r.colLines.find(_.toName == "tok").get
+    assert(edge.fromName == "default.documents.text")
+    assert(edge.conditionSet.exists(_.startsWith("COLFUN:explode")))
+    // and the inline form produces the identical tag
+    val inline = LineageParser.parseStatement(spark,
+      "SELECT explode(split(text, ' ')) AS tok FROM documents", 2)
+    val it = inline.colLines.find(_.toName == "tok").get
+    assert(it.conditionSet.filter(_.startsWith("COLFUN:")) ==
+      edge.conditionSet.filter(_.startsWith("COLFUN:")))
+  }
 }

@@ -224,5 +224,12 @@ class HashSplitSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byDom("head").toDouble / 900 < byDom("tail").toDouble / 100)
     assert(byDom("head") > byDom("tail")) // ...but order is preserved
+    // NULL domains are dropped AND excluded from the share denominator
+    // (r8 review): adding NULL rows must not change what's kept
+    val withNull = df.union(spark.range(5000, 5400)
+      .select(col("id").as("doc_id"), lit(null).cast("string").as("dom")))
+    val keptN = Curation.sqrtTemperatureSample(withNull, "dom", "doc_id",
+      budget)
+    assert(keptN.select("doc_id").collect().map(_.getLong(0)).toSet == naive)
   }
 }

@@ -72,6 +72,21 @@ class ScaleOpsSpec extends SparkTestBase {
       "col_changed:c1" -> 0L, "col_changed:c2" -> 2L))
   }
 
+  test("rowDiff enforces the keyed-table contract: duplicate and NULL keys raise") {
+    val clean = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e1 = intercept[Exception](
+      Reconcile.rowDiff(dup, clean, "k", Seq("v")).collect())
+    assert(e1.getMessage.contains("duplicate or NULL"))
+    // a NULL key would never equi-join — a phantom row in every metric,
+    // so it raises with a NAMED error instead of a NULL message
+    val withNull = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("k", "v")
+    val e2 = intercept[Exception](
+      Reconcile.rowDiff(clean, withNull, "k", Seq("v")).collect())
+    assert(e2.getMessage.contains("duplicate or NULL"))
+  }
+
   test("epochSchedule: floor milli-epochs, cap binds small domains") {
     val docs = (Seq.fill(10)("big") ++ Seq.fill(2)("small"))
       .zipWithIndex.map { case (d, i) => (i.toLong, d, "w w w w w") }

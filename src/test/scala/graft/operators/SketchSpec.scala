@@ -89,6 +89,14 @@ class SketchSpec extends SparkTestBase {
         Seq("absent").toDF("w"), "w", depth = 4, width = 64)
       .select("n_est").as[Long].head()
     assert(miss >= 0L)
+    // NULL is not an item (stated): NULL occurrences don't pollute the
+    // counters with an unreachable bucket, NULL probes are dropped —
+    // the never-undercounts contract can't be silently broken by NULLs
+    val withNulls = (items.map(Option(_)) ++ Seq.fill(5)(None)).toDF("w")
+    val skN = Sketch.countMinSketch(withNulls, "w", depth = 4, width = 64)
+    assert(skN.collect().toSet == sk.collect().toSet)
+    assert(Sketch.countMinLookup(skN,
+      Seq(Option.empty[String]).toDF("w"), "w", 4, 64).count() == 0L)
   }
 
   test("count-min sketches merge by summing buckets (linearity)") {

@@ -1,0 +1,110 @@
+package graft.lineage
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** HTTP facade over the lineage parser — the reference's REST entry
+  * point (`controller/ParseController.java:18-28`: `POST /fetch`,
+  * request body = raw SQL, response = the column-lineage edge list as
+  * JSON) rebuilt on the JDK's built-in `com.sun.net.httpserver` so the
+  * library stays dependency-free (the reference rides Spring Boot +
+  * Tomcat; a Spark-driver-embedded service has no use for either).
+  *
+  * Faithful to the reference's contract, minus its defects:
+  *  - `POST /fetch` parses one or more `;`-separated statements
+  *    ([[LineageParser.parse]] — `USE db` threads across statements
+  *    exactly like the library call) and returns every statement's
+  *    edges flattened, each edge carrying the reference's five fields
+  *    (`entity/ColLine.java:12-30`) plus the statement index;
+  *  - the reference constructs a throwaway unconfigured connection
+  *    pool per request (`ParseController.java:20-24` — a leak, not a
+  *    design); here the metadata provider is injected ONCE at [[start]]
+  *    (session catalog by default, a [[MetadataRouter]] for the
+  *    multi-datasource deployment) and reused across requests;
+  *  - parse failures return 400 with the parser's named message
+  *    (the reference lets `SQLParseException` surface as a Spring 500
+  *    with a stack trace).
+  *
+  * Concurrency: requests serialize through one executor thread.
+  * Lineage parses touch only the analyzer (no Spark jobs), so a
+  * request is milliseconds; the serialization also keeps the
+  * `USE db` threading per-request rather than cross-request.
+  *
+  * `start(port = 0)` binds an ephemeral port (tests);
+  * `server.getAddress.getPort` reports the bound port. Callers own the
+  * lifecycle: `server.stop(0)` when done. */
+object LineageService {
+
+  def start(spark: SparkSession, port: Int = 0,
+            metadata: Option[MetadataProvider] = None): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/fetch", (ex: HttpExchange) => handle(spark, metadata, ex))
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    server.start()
+    server
+  }
+
+  private def handle(spark: SparkSession, metadata: Option[MetadataProvider],
+                     ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405,
+        """{"error":"use POST with the raw SQL as the request body"}""")
+      else {
+        val sql = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty body"}""")
+        else {
+          val body =
+            try Right(toJson(LineageParser.parse(spark, sql, metadata)))
+            catch { case e: Exception =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
+          body match {
+            case Right(json) => respond(ex, 200, json)
+            case Left(msg) =>
+              respond(ex, 400, s"""{"error":${jstr(msg)}}""")
+          }
+        }
+      }
+    } finally ex.close()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  /** The reference's response shape: a JSON array of edges. Field
+    * names follow `entity/ColLine.java` (conditionSet serialized as a
+    * sorted array for determinism); `stmt` is the 1-based statement
+    * index the reference tracks as `LineParser.java:99`'s counter. */
+  private[lineage] def toJson(results: Seq[LineageResult]): String =
+    results.flatMap { r =>
+      r.colLines.map { c =>
+        s"""{"stmt":${r.statementIndex},"tableName":${jstr(c.tableName)},""" +
+          s""""colName":${c.colName.map(jstr).getOrElse("null")},""" +
+          s""""toName":${jstr(c.toName)},"fromName":${jstr(c.fromName)},""" +
+          s""""conditionSet":[${c.conditionSet.toSeq.sorted.map(jstr).mkString(",")}]}"""
+      }
+    }.mkString("[", ",", "]")
+
+  /** Minimal JSON string escaping (quote, backslash, control chars). */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+}

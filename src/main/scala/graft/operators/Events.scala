@@ -334,4 +334,45 @@ object Events {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed_milli"))
   }
+
+  /** CONCURRENCY SWEEP-LINE over a set of closed intervals [start, end]:
+    * at every boundary instant, how many intervals are open — peak
+    * simultaneous sessions, connection-pool sizing, overlap auditing.
+    * The classic formulation: concurrency(t) = |starts ≤ t| − |ends < t|
+    * (closed intervals: a session ending exactly at t still counts at
+    * t). Computing it from per-instant start/end COUNTS instead of
+    * ±1-delta rows makes the tie rule structural — there is no
+    * same-timestamp ordering to get wrong, and every value is an exact
+    * integer aggregate.
+    *
+    * Shape: one union + one (t) aggregate (map-side combinable; output
+    * is |distinct boundaries| ≤ 2·|intervals| rows — interval-count
+    * scale, not event scale), then running sums over the global time
+    * order. The global-order window is the stated scale point: Spark
+    * plans it as a single-partition sort over the boundary rows, which
+    * is fine precisely because the aggregate already shrank the data;
+    * at extreme cardinality this is the textbook range-partition +
+    * per-partition prefix-sum + offset-broadcast two-pass (the q181
+    * stride-interleave recipe). NULL bounds are excluded up front
+    * ([[decayedCounts]]' posture: an interval with an unknown endpoint
+    * has no defensible sweep contribution).
+    * Returns (t, concurrency) — one row per boundary instant. */
+  def concurrencySweep(intervals: DataFrame, startCol: String,
+                       endCol: String): DataFrame = {
+    val valid = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val bounds = valid
+      .select(col(startCol).as("t"), lit(1L).as("_s"), lit(0L).as("_e"))
+      .unionAll(valid
+        .select(col(endCol).as("t"), lit(0L).as("_s"), lit(1L).as("_e")))
+      .groupBy("t")
+      .agg(sum(col("_s")).as("_ns"), sum(col("_e")).as("_ne"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("_cs", sum(col("_ns")).over(w))
+      .withColumn("_ce", sum(col("_ne")).over(w))
+      .select(col("t"),
+        (col("_cs") - (col("_ce") - col("_ne"))).as("concurrency"))
+  }
 }

@@ -45,4 +45,41 @@ object FuzzyJoin {
       .filter(expr(s"levenshtein($leftCol, $rightCol) <= 1"))
       .distinct()
   }
+
+  /** DOCUMENT-scale edit-distance mining: the `topN` CLOSEST document
+    * pairs by full-text Levenshtein, under TOKEN-PREFIX BLOCKING — the
+    * other edit-distance regime from [[editDistance1Join]] (that one is
+    * short strings / distance ≤ 1 / complete; this one is long texts /
+    * unbounded distance / blocked). Near-identical web documents (same
+    * template, small diffs) share their opening tokens, so blocking on
+    * the first `blockTokens` tokens is both the recall heuristic AND
+    * the cost bound: pairs are generated only WITHIN a block, so total
+    * Levenshtein work is Σ_b C(|b|, 2) — never corpus² — and each
+    * comparison is O(len²) DP. The two knobs to state at 100 TB:
+    * `blockTokens` must be large enough that the biggest block stays
+    * bounded (skewed prefixes → raise it, or pre-hash a wider prefix),
+    * and texts should be length-capped upstream (the DP is quadratic in
+    * length). Complete WITHIN blocks; pairs split across blocks are
+    * missed by design — the LSH-style recall trade, stated.
+    *
+    * One co-partitioned self-join on the block key (AQE-splittable),
+    * then TakeOrderedAndProject for the global closest-N. Returns
+    * (id_a, id_b, dist), id_a < id_b, ordered (dist, id_a, id_b). */
+  def closestPairsByEditDistance(docs: DataFrame, idCol: String,
+                                 textCol: String, blockTokens: Int,
+                                 topN: Int): DataFrame = {
+    require(blockTokens >= 1, "need at least one blocking token")
+    val key = array_join(
+      slice(split(col(textCol), " "), 1, blockTokens), " ")
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("_ta"),
+      key.as("_blk"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("_tb"),
+      key.as("_blk"))
+    a.join(b, "_blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ta"), col("_tb")).cast("long").as("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(topN)
+  }
 }

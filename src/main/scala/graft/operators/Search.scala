@@ -196,6 +196,39 @@ object Search {
         col("score"), col("rnk"))
   }
 
+  /** POSITIONAL PHRASE SEARCH: documents containing the exact token
+    * sequence `phrase`, with the number of occurrences — the positional-
+    * inverted-index query ("match these words ADJACENT, in order") that
+    * bag-of-words scoring ([[topKByTerms]]/[[bm25TopK]]) cannot express.
+    *
+    * Plan shape: postings (doc, term, pos) are generated and filtered to
+    * the phrase's terms BEFORE anything shuffles — only hits for the
+    * |phrase| query terms ever move, the corpus-scale token stream never
+    * does. Adjacency is then |phrase|−1 equi-joins on (doc, start
+    * position): posting lists for term i are rebased to `pos − i`, so a
+    * phrase start is a key present in every rebased list — each join is
+    * co-partitioned on the same key after the first shuffle (exchange
+    * reuse), and term selectivity keeps every input metadata-sized at
+    * 100 TB. Final top-k is TakeOrderedAndProject.
+    *
+    * Returns (idCol, n_matches), top `k` by (n_matches desc, id). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two tokens")
+    val postings = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("p0"))
+    }.reduce(_.join(_, Seq(idCol, "p0")))
+    starts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Inverted index: one row per surviving token with document
     * frequency, collection frequency, and the sorted posting list
     * (comma-joined ids — a deterministic, engine-portable encoding).

@@ -68,11 +68,11 @@ object Similarity {
     * dot and L2 rungs quantize through here, so a grid recalibration
     * cannot silently diverge the two views q175 fuses. */
   private def int8Quantized(corpus: DataFrame, idCol: String,
-                            vecCol: String): DataFrame = {
+                            vecCol: String, extra: Column*): DataFrame = {
     val q8 = transform(col(vecCol),
       x => greatest(lit(-128L),
         least(lit(127L), floor(x.cast("double") * 64).cast("long"))))
-    corpus.select(col(idCol).as("vec_id"), q8.as("v"))
+    corpus.select(col(idCol).as("vec_id") +: q8.as("v") +: extra: _*)
   }
 
   /** Shared broadcast-queries × int8-corpus ranking scaffold: the
@@ -108,6 +108,43 @@ object Similarity {
       score = aggregate(zip_with(col("qv"), col("v"),
         (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x),
       order = col("d2").asc)
+
+  /** HARD-NEGATIVE MINING for contrastive/retrieval training: for each
+    * query vector, the `k` most similar corpus vectors with a DIFFERENT
+    * label — maximally confusable examples, which is exactly what a
+    * bi-encoder's training loop wants as in-batch negatives (DPR /
+    * contrastive-learning recipe). Same ONE int8 grid as the other
+    * rungs ([[int8Quantized]]), pure-integer dot ranking, ties on
+    * vec_id — bit-exact on any engine and partitioning.
+    *
+    * NULL-label candidates are EXCLUDED, stated: an unlabeled vector is
+    * not a *known* negative, and silently admitting it would poison the
+    * training pairs (same enforce-don't-guess posture as epochSchedule).
+    *
+    * Scale shape: identical to [[int8TopK]] — broadcast |Q| queries
+    * against one corpus scan, per-query top-k via window rank (at 100 TB
+    * the rank runs as per-partition heaps over the broadcast-join
+    * output; no corpus shuffle, no label-side join).
+    * Returns (query_id, rank, vec_id, label, dot). */
+  def int8HardNegatives(corpus: DataFrame, queryIds: Seq[Long],
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val vecs = int8Quantized(corpus, idCol, vecCol,
+      col(labelCol).cast("long").as("label"))
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("_qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    vecs.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("label").isNotNull && col("label") =!= col("_qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        qdot(col("qv"), col("v")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "dot")
+  }
 
   /** The full retrieval LADDER: [[int8TopK]] recall at `recallK`, then
     * exact quantized-cosine rerank of only those candidates down to `k`

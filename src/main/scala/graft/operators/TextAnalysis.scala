@@ -92,6 +92,48 @@ object TextAnalysis {
       best._2.cast("long").as("marker_hits"))
   }
 
+  /** LANGUAGE-MIXTURE / CODE-SWITCHING report: per document, the top
+    * TWO languages by marker-word hits and their ratio — [[languageId]]
+    * keeps only the argmax, but a multilingual curation pipeline needs
+    * to see the runner-up: a document where `mix_permille` is high is
+    * code-switched (or boilerplate-wrapped translation), which routing,
+    * dedup, and tokenizer-selection all treat differently from a clean
+    * monolingual page.
+    *
+    * Same marker lists and tie rule as [[languageId]] ([[langMarkers]]
+    * declaration order; strictly-greater replaces, so the earliest
+    * language wins ties at BOTH ranks). Languages with zero hits report
+    * as 'und'; `mix_permille = 1000·second div top` (0 when top is 0)
+    * — all-integer, engine-exact. Pure per-row projection: zero
+    * shuffles, scan throughput at any scale. */
+  def languageMixture(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isin(words: _*))).cast("long")
+    }
+    // Fold for the top-2 (lang, score) with declaration-order ties.
+    val init = (lit(scores.head._1), scores.head._2,
+      lit("und"), lit(0L))
+    val (l1, s1, l2, s2) = scores.tail.foldLeft(init) {
+      case ((bl1, bs1, bl2, bs2), (lang, s)) =>
+        (when(s > bs1, lang).otherwise(bl1),
+         when(s > bs1, s).otherwise(bs1),
+         when(s > bs1, bl1).otherwise(when(s > bs2, lang).otherwise(bl2)),
+         when(s > bs1, bs1).otherwise(when(s > bs2, s).otherwise(bs2)))
+    }
+    df.select(col(idCol),
+      when(s1 >= 1, l1).otherwise("und").as("top_lang"),
+      s1.as("top_hits"),
+      when(s2 >= 1, l2).otherwise("und").as("second_lang"),
+      s2.as("second_hits"),
+      when(s1 >= 1, expr("1000L") * s2)
+        .otherwise(lit(0L)).as("_num"))
+      .withColumn("mix_permille",
+        when(col("top_hits") >= 1, expr("_num div top_hits"))
+          .otherwise(lit(0L)))
+      .drop("_num")
+  }
+
   /** Regex tokenization: alpha runs, digit runs, or single symbols —
     * the BPE-ish pre-tokenizer split — plus a subword-count estimate
     * (ceil(len/4) per token ≈ bytes-per-BPE-token heuristic). */

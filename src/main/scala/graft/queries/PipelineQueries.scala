@@ -1808,6 +1808,51 @@ object PipelineQueries {
           "doc_id", budget = 200L)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // POSITIONAL PHRASE SEARCH: exact adjacent-token sequence match via
+    // rebased posting-list equi-joins; postings filtered to the two
+    // query terms before any shuffle.
+    "q196_phrase_search" -> ((s, dir) => {
+      Search.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "hash"), k = 20)
+        .orderBy(col("n_matches").desc, col("doc_id"))
+    }),
+
+    // HARD-NEGATIVE MINING: per query vector, top-10 most-similar
+    // vectors with a DIFFERENT label on the shared int8 grid — the
+    // contrastive-training pair generator.
+    "q197_hard_negatives" -> ((s, dir) => {
+      Similarity.int8HardNegatives(t(s, dir, "embeddings"),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding",
+          "label", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // DOCUMENT EDIT-DISTANCE MINING: the 25 closest pairs by full-text
+    // Levenshtein under first-2-token blocking (complete within blocks
+    // by construction; cross-block pairs missed by design).
+    "q198_edit_distance_pairs" -> ((s, dir) => {
+      FuzzyJoin.closestPairsByEditDistance(t(s, dir, "documents"),
+          "doc_id", "text", blockTokens = 2, topN = 25)
+        .orderBy(col("dist"), col("id_a"), col("id_b"))
+    }),
+
+    // SESSION CONCURRENCY SWEEP: boundary-instant open-session counts
+    // over the 30-minute gap sessions; top 20 peaks.
+    "q199_concurrency" -> ((s, dir) => {
+      val sess = Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+      Events.concurrencySweep(sess, "session_start_us", "session_end_us")
+        .orderBy(col("concurrency").desc, col("t"))
+        .limit(20)
+        .select(col("t").as("t_us"), col("concurrency"))
+    }),
+
+    // LANGUAGE MIXTURE / code-switch report: top-2 marker-language hits
+    // per document with an integer permille ratio.
+    "q200_language_mixture" -> ((s, dir) => {
+      TextAnalysis.languageMixture(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2097,6 +2142,151 @@ object PipelineQueries {
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
                < th.thresh
          ORDER BY d.doc_id""",
+
+    // The fixed two-term phrase instance of the posting-join: a start
+    // position i has w[i]='table' AND w[i+1]='hash' — counted directly
+    // per document (range comprehension, the driver-proven idiom).
+    "q196_phrase_search" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len([i for i in range(1, len(w))
+                            if w[i] = 'table' AND w[i+1] = 'hash'])
+                    AS BIGINT) AS n_matches
+           FROM w)
+         SELECT doc_id, n_matches FROM m WHERE n_matches >= 1
+         ORDER BY n_matches DESC, doc_id LIMIT 20""",
+
+    // Same int8 grid as q175; candidates restricted to rows with a
+    // NON-NULL label differing from the query's label.
+    "q197_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv, label AS qlabel
+                FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+         pairs AS (
+           SELECT query_id, v.vec_id, CAST(v.label AS BIGINT) AS label,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> qv[i] * v.q[i])) AS BIGINT) AS dot
+           FROM v JOIN qs ON v.vec_id <> qs.query_id
+                         AND v.label IS NOT NULL
+                         AND v.label <> qs.qlabel),
+         ranked AS (
+           SELECT query_id, vec_id, label, dot,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, vec_id) AS rank
+           FROM pairs)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, label,
+                dot
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // First-2-token block key built by range comprehension (no list
+    // slices — the q172 r7 lesson); DuckDB's levenshtein is the same
+    // classic unit-cost DP as Spark's.
+    "q198_edit_distance_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  array_to_string(
+                    [w[i] for i in range(1, least(len(w), 2) + 1)], ' ')
+                    AS blk
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         ORDER BY dist, id_a, id_b LIMIT 25""",
+
+    // q43's session chain, collapsed to intervals, then the sweep as
+    // per-instant counts: concurrency(t) = starts<=t − ends<t.
+    "q199_concurrency" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         numbered AS (
+           SELECT user_id, us,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_id, min(us) AS s, max(us) AS e
+           FROM numbered GROUP BY user_id, session_id),
+         b AS (
+           SELECT t, CAST(sum(ns) AS BIGINT) AS ns,
+                  CAST(sum(ne) AS BIGINT) AS ne
+           FROM (SELECT s AS t, 1 AS ns, 0 AS ne FROM sess
+                 UNION ALL
+                 SELECT e AS t, 0 AS ns, 1 AS ne FROM sess)
+           GROUP BY t),
+         c AS (
+           SELECT t,
+                  CAST(sum(ns) OVER win - (sum(ne) OVER win - ne)
+                    AS BIGINT) AS concurrency
+           FROM b
+           WINDOW win AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t AS t_us, concurrency FROM c
+         ORDER BY concurrency DESC, t_us LIMIT 20""",
+
+    // The languageMixture fold in closed form: s1 = max, l1 = earliest
+    // argmax (declaration order en/de/fr/es), s2 = max of the rest, l2
+    // = earliest non-l1 lang hitting s2 — the exact strictly-greater
+    // fold semantics.
+    "q200_language_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(len([x for x in w
+               if x IN ('the','a','of','and','is')]) AS BIGINT) AS h1,
+             CAST(len([x for x in w
+               if x IN ('der','die','das','und','ist')]) AS BIGINT) AS h2,
+             CAST(len([x for x in w
+               if x IN ('le','la','et','les','est')]) AS BIGINT) AS h3,
+             CAST(len([x for x in w
+               if x IN ('el','los','de','y','es')]) AS BIGINT) AS h4
+           FROM w),
+         r1 AS (
+           SELECT doc_id, h1, h2, h3, h4,
+                  greatest(h1, h2, h3, h4) AS s1
+           FROM h),
+         r2 AS (
+           SELECT *, CASE WHEN h1 = s1 THEN 'en' WHEN h2 = s1 THEN 'de'
+                          WHEN h3 = s1 THEN 'fr' ELSE 'es' END AS l1
+           FROM r1),
+         r3 AS (
+           SELECT *, CASE WHEN l1 = 'en' THEN greatest(h2, h3, h4)
+                          WHEN l1 = 'de' THEN greatest(h1, h3, h4)
+                          WHEN l1 = 'fr' THEN greatest(h1, h2, h4)
+                          ELSE greatest(h1, h2, h3) END AS s2
+           FROM r2),
+         r4 AS (
+           SELECT *, CASE WHEN l1 <> 'en' AND h1 = s2 THEN 'en'
+                          WHEN l1 <> 'de' AND h2 = s2 THEN 'de'
+                          WHEN l1 <> 'fr' AND h3 = s2 THEN 'fr'
+                          ELSE 'es' END AS l2
+           FROM r3)
+         SELECT doc_id,
+                CASE WHEN s1 >= 1 THEN l1 ELSE 'und' END AS top_lang,
+                s1 AS top_hits,
+                CASE WHEN s2 >= 1 THEN l2 ELSE 'und' END AS second_lang,
+                s2 AS second_hits,
+                CAST(CASE WHEN s1 >= 1 THEN (1000 * s2) // s1
+                          ELSE 0 END AS BIGINT) AS mix_permille
+         FROM r4 ORDER BY doc_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

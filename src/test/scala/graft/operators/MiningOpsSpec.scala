@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-8 mining operators: [[Search.phraseSearch]],
+  * [[Similarity.int8HardNegatives]],
+  * [[FuzzyJoin.closestPairsByEditDistance]],
+  * [[Events.concurrencySweep]], [[TextAnalysis.languageMixture]]. */
+class MiningOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("phraseSearch counts adjacent in-order occurrences only") {
+    val docs = Seq(
+      (1L, "big red fox and big red dog"),   // 2 matches of "big red"
+      (2L, "red big fox"),                   // reversed — no match
+      (3L, "big blue red fox"),              // gap — no match
+      (4L, "big red"))                       // 1 match
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("big", "red"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (4L, 1L)))
+  }
+
+  test("phraseSearch handles 3-token phrases and overlapping repeats") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b a" starts at 0 and 2
+      (2L, "a b b a"))
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("a", "b", "a"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("hard negatives exclude self, same-label, and NULL-label rows") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Some(1)),
+      (1L, Array(1.0f, 0.01f), Some(1)),   // same label — excluded
+      (2L, Array(0.99f, 0.0f), Some(2)),   // the hardest negative
+      (3L, Array(0.5f, 0.5f), Some(2)),
+      (4L, Array(1.0f, 0.0f), None))       // NULL label — excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8HardNegatives(vecs, Seq(0L), "vec_id",
+      "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == Seq(2L, 3L))
+    assert(got.forall(_._2 == 2L))
+  }
+
+  test("closestPairsByEditDistance blocks on the token prefix") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delts"),   // dist 1, same block
+      (3L, "alpha beta totally different tail"),
+      (4L, "zeta eta gamma delta"))     // other block — never paired
+      .toDF("doc_id", "text")
+    val got = FuzzyJoin.closestPairsByEditDistance(docs, "doc_id", "text",
+      blockTokens = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == ((1L, 2L, 1L)))
+    // doc 4 shares no block with anyone → appears in no pair
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    // within-block completeness: all three same-block pairs present
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("concurrencySweep: closed intervals, boundary-inclusive counts") {
+    val iv = Seq(
+      (1L, 10L, 20L),
+      (2L, 15L, 25L),
+      (3L, 20L, 30L),   // starts exactly when #1 ends — both open at 20
+      (4L, 40L, 41L))
+      .toDF("id", "s", "e")
+    val got = Events.concurrencySweep(iv, "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10L) == 1L)
+    assert(got(15L) == 2L)
+    assert(got(20L) == 3L)   // 1 still open, 2 open, 3 starting
+    assert(got(25L) == 2L)   // 1 closed before 25; 2 and 3 open
+    assert(got(30L) == 1L)
+    assert(got(40L) == 1L)   // the gap fully reset the count
+  }
+
+  test("concurrencySweep drops NULL-bounded intervals, stated contract") {
+    val iv = Seq(
+      (1L, Some(10L), Some(20L)),
+      (2L, None, Some(25L)),
+      (3L, Some(15L), None))
+      .toDF("id", "s", "e")
+    val got = Events.concurrencySweep(iv, "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(10L -> 1L, 20L -> 1L))
+  }
+
+  test("languageMixture ranks top two languages with fold tie rules") {
+    val docs = Seq(
+      (1L, "the of der die la"),      // en=2 de=2 fr=1 → en, de (order)
+      (2L, "xyz qrs"),                // no markers → und/und
+      (3L, "el los y la le the"))     // es=3 fr=2 en=1 → es, fr
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageMixture(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(got(0) == ((1L, "en", 2L, "de", 2L, 1000L)))
+    assert(got(1) == ((2L, "und", 0L, "und", 0L, 0L)))
+    assert(got(2) == ((3L, "es", 3L, "fr", 2L, 666L)))
+  }
+
+  test("languageMixture agrees with languageId on the argmax") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")
+      .select(col("doc_id"), col("top_lang"))
+    val lid = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang"))
+    val diff = mix.join(lid, "doc_id")
+      .filter(col("top_lang") =!= col("predicted_lang"))
+    assert(diff.count() == 0)
+  }
+}

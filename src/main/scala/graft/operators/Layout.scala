@@ -133,15 +133,22 @@ object Layout {
   val RingModulus: Long = 1L << 60
 
   /** Ring assignment of a 60-bit key hash: the shard of the first
-    * vnode CLOCKWISE from the key (minimum (vh − kh) mod 2^60). A
-    * literal array of (distance, shard) structs + array_min — pure
-    * per-row expression, no join, S·V integer ops per row. */
-  def ringAssign(keyHash: Column, ring: Seq[(Long, Int)]): Column = {
-    val arr = array(ring.map { case (h, s) =>
-      struct(pmod(lit(h) - keyHash, lit(RingModulus)).as("d"),
-        lit(s.toLong).as("s"))
-    }: _*)
-    array_min(arr).getField("s")
+    * vnode CLOCKWISE from the key (minimum (vh − kh) mod 2^60 ≡ the
+    * sorted-ring successor, wrapping past the top). The ring enters the
+    * plan as two ARRAY LITERALS and the per-row work is a log2(S·V)
+    * binary search in a native expression
+    * ([[graft.functions.RingLookup]]) — the prior formulation (S·V
+    * literal-built (distance, shard) structs + array_min per row)
+    * generated megabyte-scale codegen that cost seconds of Janino
+    * compile per plan and S·V struct allocations per row (measured on
+    * q177; DESIGN.md §5). Zero joins either way. */
+  def ringAssign(spark: org.apache.spark.sql.SparkSession,
+                 keyHash: Column, ring: Seq[(Long, Int)]): Column = {
+    graft.functions.RingLookup.register(spark)
+    // hashRing sorts by position — RingLookup's binary-search contract.
+    call_function(graft.functions.RingLookup.name, keyHash,
+      lit(ring.map(_._1).toArray),
+      lit(ring.map(_._2.toLong).toArray))
   }
 
   /** SHARD-SCALING AUDIT — consistent hashing vs modulo, per row.
@@ -159,13 +166,14 @@ object Layout {
     * row), zero shuffle, deterministic on any engine with md5. */
   def consistentShards(df: org.apache.spark.sql.DataFrame, idCol: String,
                        shards: Int, vnodes: Int): org.apache.spark.sql.DataFrame = {
-    // The ring enters the plan as a LITERAL struct array evaluated
-    // per row — (2S+2)·V struct ops each. Bound it so a misconfigured
-    // call can't compile a megabyte-scale expression tree (rings
-    // larger than this belong in a broadcast-join formulation).
-    require((shards + 1).toLong * vnodes <= 4096,
-      s"ring too large for the literal-array formulation: " +
-        s"(${shards}+1) shards x $vnodes vnodes > 4096")
+    // The rings enter the plan as array literals probed by binary
+    // search (RingLookup) — per-row cost is log2(S·V), but the literal
+    // still rides along with every task. Bound it so a misconfigured
+    // call can't embed a multi-megabyte ring in the plan (rings larger
+    // than this belong in a broadcast-join formulation).
+    require((shards + 1).toLong * vnodes <= 65536,
+      s"ring too large to embed as a plan literal: " +
+        s"(${shards}+1) shards x $vnodes vnodes > 65536")
     val kh = expr(
       s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
     val oldRing = hashRing(shards, vnodes)
@@ -174,8 +182,8 @@ object Layout {
         pmod(col(idCol), lit(shards.toLong)).as("shard_mod"),
         pmod(col(idCol), lit(shards.toLong + 1)).as("shard_mod_new"),
         kh.as("_kh"))
-      .withColumn("shard_ring", ringAssign(col("_kh"), oldRing))
-      .withColumn("shard_ring_new", ringAssign(col("_kh"), newRing))
+      .withColumn("shard_ring", ringAssign(df.sparkSession, col("_kh"), oldRing))
+      .withColumn("shard_ring_new", ringAssign(df.sparkSession, col("_kh"), newRing))
       .drop("_kh")
   }
 }

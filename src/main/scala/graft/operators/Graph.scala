@@ -395,4 +395,59 @@ object Graph {
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** NEWMAN MODULARITY of a node partition — the standard "is this
+    * clustering better than chance" score for a community assignment
+    * (Newman & Girvan 2004): Q = Σ_c [ m_c/m − (d_c/2m)² ] over
+    * communities c, with m undirected edges, m_c intra-community
+    * edges, d_c the community's degree sum. The evaluation closes the
+    * loop on [[labelPropagation]]/[[connectedComponents]] the way
+    * q182 closes it on LSH banding: a partition you cannot score is a
+    * partition you cannot tune.
+    *
+    * Exactness contract: m, Σm_c, Σd_c² are exact integer aggregates;
+    * Q enters floating point only in ONE fixed expression —
+    * floor(1e6 · (4·m·Σm_c − Σd_c²) / (4·m²)) over correctly-rounded
+    * int→double casts — so both engines compute bit-identical
+    * `modularity_micro` (the q169 corr-matrix discipline). Note the
+    * integer numerator may round in the int→double cast past 2^53;
+    * determinism still holds (same cast both sides), stated.
+    *
+    * Shape at scale: two node-key equi-joins to tag edge endpoints
+    * with labels (co-partitioned on the node key), one degree
+    * aggregate, then everything folds to scalars — no corpus-sized
+    * state past the joins. `edges` must be the UNDIRECTED-DEDUPED
+    * edge list (one row per edge, no self-loops), the
+    * [[labelPropagation]] input convention.
+    * Returns ONE row: (n_edges, n_communities, intra_edges,
+    * modularity_micro). */
+  def modularity(edges: DataFrame, labels: DataFrame, aCol: String,
+                 bCol: String, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("_a"),
+      col(bCol).cast("long").as("_b"))
+    val la = labels.select(col(nodeCol).cast("long").as("_a"),
+      col(labelCol).cast("long").as("_la"))
+    val lb = labels.select(col(nodeCol).cast("long").as("_b"),
+      col(labelCol).cast("long").as("_lb"))
+    val stats = e.join(la, "_a").join(lb, "_b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("_la") === col("_lb"), 1L).otherwise(0L))
+          .as("intra_edges"))
+    val deg = e.select(col("_a").as("_v"))
+      .unionAll(e.select(col("_b").as("_v")))
+      .groupBy("_v").agg(count(lit(1)).as("_deg"))
+    val dc = deg
+      .join(labels.select(col(nodeCol).cast("long").as("_v"),
+        col(labelCol).cast("long").as("_l")), "_v")
+      .groupBy("_l").agg(sum(col("_deg")).as("_dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("_dc") * col("_dc")).as("_d2"))
+    stats.crossJoin(dc)
+      .select(col("n_edges"), col("n_communities"), col("intra_edges"),
+        floor(lit(1000000.0) *
+          (lit(4L) * col("n_edges") * col("intra_edges") - col("_d2"))
+            .cast("double") /
+          (lit(4L) * col("n_edges") * col("n_edges")).cast("double"))
+          .cast("long").as("modularity_micro"))
+  }
 }

@@ -129,6 +129,65 @@ object Sketch {
           .cast("long").as("est_common"): _*)
   }
 
+  /** PAIRWISE OVERLAP MATRIX from one KMV sketch per group — the
+    * "which of my G corpora overlap, and by how much" dashboard: for
+    * every unordered group pair, estimated distinct counts of each
+    * side ([[kmvEstimate]]), the theta-style intersection estimate
+    * ([[kmvIntersect]]' trick applied within one table), and an
+    * integer Jaccard permille
+    * `1000·|A∩B| div max(|A|+|B|−|A∩B|, 1)`.
+    *
+    * Why sketches and not a distinct-value self-join: G corpora of
+    * 100 TB each would pay a value-level shuffle per pair — G² corpus
+    * passes. Here the ONLY corpus-touching work is the single sketch
+    * build (pre-shuffle per-partition top-k, ≤ G·k hashes move);
+    * every pairwise statistic is computed on G·k rows. The pair
+    * domain is a G²-row broadcast cross join of the per-group
+    * thresholds, and pairs sharing no sketch hash still report (with
+    * est_common = 0) instead of silently vanishing — the q177
+    * full-outer lesson.
+    *
+    * Returns (ga, gb, est_a, est_b, est_common, jaccard_permille),
+    * ga < gb, one row per group pair. Estimates, not exact counts —
+    * the k knob trades accuracy like any bottom-k sketch; exact when
+    * every group has < k distinct values. */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, valueStr: Column,
+                      k: Int): DataFrame = {
+    val sk = kmvSketch(df, Seq(groupCol), valueStr, k)
+    val est = kmvEstimate(sk, Seq(groupCol), k)
+    val th = sk.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"), max(col("h")).as("_mx"))
+      .select(col("_g"),
+        when(col("_n") === k, col("_mx")).otherwise(lit(HashSpace))
+          .as("_t"))
+    val dom = th.select(col("_g").as("ga"), col("_t").as("_ta"))
+      .crossJoin(th.select(col("_g").as("gb"), col("_t").as("_tb")))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        least(col("_ta"), col("_tb")).as("_theta"))
+    val common = sk.select(col(groupCol).as("ga"), col("h"))
+      .join(sk.select(col(groupCol).as("gb"), col("h")), "h")
+      .filter(col("ga") < col("gb"))
+      .join(broadcast(dom), Seq("ga", "gb"))
+      .filter(col("h") < col("_theta"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("_nc"))
+    dom.join(common, Seq("ga", "gb"), "left")
+      .withColumn("est_common",
+        floor(coalesce(col("_nc"), lit(0L)).cast("double") *
+          lit(HashSpace.toDouble) / col("_theta").cast("double"))
+          .cast("long"))
+      .join(broadcast(est.select(col(groupCol).as("ga"),
+        col("est_nd").as("est_a"))), "ga")
+      .join(broadcast(est.select(col(groupCol).as("gb"),
+        col("est_nd").as("est_b"))), "gb")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_common"),
+        expr("(1000 * est_common) div " +
+          "greatest(est_a + est_b - est_common, 1L)")
+          .as("jaccard_permille"))
+  }
+
   /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling: per group,
     * the `k` rows whose [[graft.functions.Md5Prefix64]] hash of
     * `idStr` is smallest form a uniform deterministic sample (the KMV

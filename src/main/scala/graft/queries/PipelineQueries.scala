@@ -1853,6 +1853,28 @@ object PipelineQueries {
     "q200_language_mixture" -> ((s, dir) => {
       TextAnalysis.languageMixture(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // SOURCE-OVERLAP MATRIX: pairwise vocabulary Jaccard between the
+    // five crawl sources from ONE KMV sketch per source — sketch-sized
+    // pairwise math, single corpus pass.
+    "q201_source_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      Sketch.kmvOverlapMatrix(toks, "source", col("tok"), k = 128)
+        .orderBy("ga", "gb")
+    }),
+
+    // PARTITION-QUALITY EVAL: Newman modularity of the q150 label-prop
+    // communities on the part-supplier incidence graph — scores the
+    // clustering the way q182 scores LSH banding.
+    "q202_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val labels = Graph.labelPropagation(edges, "a", "b", rounds = 2)
+      Graph.modularity(edges, labels, "a", "b", "node", "label")
     })
   )
 
@@ -2287,6 +2309,102 @@ object PipelineQueries {
                 CAST(CASE WHEN s1 >= 1 THEN (1000 * s2) // s1
                           ELSE 0 END AS BIGINT) AS mix_permille
          FROM r4 ORDER BY doc_id""",
+
+    // One sketch per source (q84's estimator, k=128), thresholds from
+    // the k-th smallest hash, pair domain as a cross join so empty
+    // intersections still report; same theta-scaled common estimate as
+    // q140 and an integer Jaccard permille.
+    "q201_source_overlap" ->
+      """WITH hs AS (
+           SELECT DISTINCT source,
+                  ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         sk AS (
+           SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM hs),
+         est AS (
+           SELECT source,
+                  CASE WHEN count(*) < 128 THEN CAST(count(*) AS BIGINT)
+                       ELSE CAST(floor(CAST(127 AS DOUBLE)
+                              * CAST(1152921504606846976 AS DOUBLE)
+                              / CAST(max(CASE WHEN rn = 128 THEN h END)
+                                     AS DOUBLE)) AS BIGINT)
+                  END AS est_nd
+           FROM sk WHERE rn <= 128 GROUP BY source),
+         th AS (
+           SELECT source,
+                  coalesce(max(CASE WHEN rn = 128 THEN h END),
+                           1152921504606846976) AS t
+           FROM sk WHERE rn <= 128 GROUP BY source),
+         dom AS (
+           SELECT a.source AS ga, b.source AS gb,
+                  least(a.t, b.t) AS theta
+           FROM th a CROSS JOIN th b WHERE a.source < b.source),
+         common AS (
+           SELECT a.source AS ga, b.source AS gb,
+                  CAST(count(*) AS BIGINT) AS nc
+           FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+           JOIN dom ON dom.ga = a.source AND dom.gb = b.source
+           WHERE a.rn <= 128 AND b.rn <= 128 AND a.h < dom.theta
+           GROUP BY 1, 2),
+         m AS (
+           SELECT dom.ga, dom.gb,
+                  CAST(floor(CAST(coalesce(common.nc, 0) AS DOUBLE) *
+                       CAST(1152921504606846976 AS DOUBLE) /
+                       CAST(dom.theta AS DOUBLE)) AS BIGINT) AS est_common
+           FROM dom LEFT JOIN common USING (ga, gb))
+         SELECT m.ga, m.gb, ea.est_nd AS est_a, eb.est_nd AS est_b,
+                m.est_common,
+                (1000 * m.est_common) //
+                  greatest(ea.est_nd + eb.est_nd - m.est_common, 1)
+                  AS jaccard_permille
+         FROM m JOIN est ea ON ea.source = m.ga
+                JOIN est eb ON eb.source = m.gb
+         ORDER BY ga, gb""",
+
+    // q150's two LPA rounds verbatim, then the modularity aggregates:
+    // exact integer m / intra / degree-square sums, one fixed double
+    // expression for the micro score (q169 discipline).
+    "q202_modularity" ->
+      """WITH fwd AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM fwd
+                 UNION SELECT dst, src FROM fwd),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         r1 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l0 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l1 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r1 GROUP BY n),
+         r2 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l1 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l2 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r2 GROUP BY n),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                  CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS intra_edges
+           FROM fwd JOIN l2 la ON la.node = fwd.src
+                    JOIN l2 lb ON lb.node = fwd.dst),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY src),
+         dc AS (SELECT l2.label, CAST(sum(deg.deg) AS BIGINT) AS dc
+                FROM deg JOIN l2 USING (node) GROUP BY l2.label),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                       CAST(sum(dc * dc) AS BIGINT) AS d2
+                FROM dc)
+         SELECT n_edges, n_communities, intra_edges,
+                CAST(floor(1000000.0 *
+                     CAST(4 * n_edges * intra_edges - d2 AS DOUBLE) /
+                     CAST(4 * n_edges * n_edges AS DOUBLE)) AS BIGINT)
+                  AS modularity_micro
+         FROM stats CROSS JOIN dd""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -139,4 +139,36 @@ class GraphSpec extends SparkTestBase {
     // k above the max degree empties the graph
     assert(Graph.kCorePeel(edges, "a", "b", k = 4, rounds = 2).count() == 0)
   }
+
+  test("modularity: two clean cliques score high, one random blob scores ~0") {
+    import spark.implicits._
+    // two disjoint triangles; labels = the component → the textbook
+    // high-modularity partition. m=6, intra=6, each community d_c=6:
+    // Q = 1 − 2·36/144 = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val r = Graph.modularity(edges, labels, "a", "b", "node", "label")
+      .collect().head
+    assert(r.getLong(0) == 6L)      // n_edges
+    assert(r.getLong(1) == 2L)      // n_communities
+    assert(r.getLong(2) == 6L)      // intra_edges
+    assert(r.getLong(3) == 500000L) // Q = 0.5 exactly
+
+    // everything in ONE community: Q = 1 − (2m/2m)² = 0 exactly
+    import org.apache.spark.sql.functions.{col, lit}
+    val one = labels.select(col("node"), lit(7L).as("label"))
+    val r1 = Graph.modularity(edges, one, "a", "b", "node", "label")
+      .collect().head
+    assert(r1.getLong(3) == 0L)
+
+    // cross-community edges are penalized: swap node 3 into the other
+    // community → intra drops to 4, Q < 0.5
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 10L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val rb = Graph.modularity(edges, bad, "a", "b", "node", "label")
+      .collect().head
+    assert(rb.getLong(2) == 4L && rb.getLong(3) < 500000L)
+  }
 }

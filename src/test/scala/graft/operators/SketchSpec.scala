@@ -41,6 +41,34 @@ class SketchSpec extends SparkTestBase {
     assert(Sketch.kmvIntersect(a, b, Seq("g"), k = 16).count() == 0)
   }
 
+  test("kmvOverlapMatrix: exact in the small regime, full pair domain") {
+    // groups A={0..9}, B={5..14}, C={100..104}: all under k → every
+    // estimate exact; the A-C and B-C pairs must still REPORT with 0
+    val rows = (0 until 10).map(i => ("a", i)) ++
+      (5 until 15).map(i => ("b", i)) ++
+      (100 until 105).map(i => ("c", i))
+    val m = Sketch.kmvOverlapMatrix(rows.toDF("g", "x"), "g",
+      col("x").cast("string"), k = 32)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(m(("a", "b")) == ((10L, 10L, 5L, 333L))) // 5/15 → 333‰
+    assert(m(("a", "c")) == ((10L, 5L, 0L, 0L)))
+    assert(m(("b", "c")) == ((10L, 5L, 0L, 0L)))
+  }
+
+  test("kmvOverlapMatrix estimates a big overlap within sampling error") {
+    val rows = (0 until 800).map(i => ("a", i)) ++
+      (300 until 1100).map(i => ("b", i))
+    val r = Sketch.kmvOverlapMatrix(rows.toDF("g", "x"), "g",
+      col("x").cast("string"), k = 64).collect().head
+    val (estA, estB, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(estA > 500L && estA < 1200L)
+    assert(estB > 500L && estB < 1200L)
+    assert(common > 250L && common < 750L, s"common $common far from 500")
+  }
+
   test("hashSampleQuantiles: mergeable, deterministic, near the truth") {
     val rows = (0 until 5000).map(i => ("g", i.toLong, i.toDouble))
     val df = rows.toDF("g", "id", "x")

@@ -335,6 +335,53 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed_milli"))
   }
 
+  /** INTER-ARRIVAL BURSTINESS per user — the bot/script detector a
+    * data-curation pipeline runs before trusting behavioral data: a
+    * human's event gaps are overdispersed (bursts and lulls), a
+    * scheduled scraper's are metronomic. Score = the squared
+    * coefficient of variation of consecutive-event gaps,
+    * CV² = n·Σg² div (Σg)² − 1 in micro units: ≈0 for a metronome,
+    * ≈1e6 for a Poisson process, ≫1e6 for bursty humans.
+    *
+    * Exactness contract: gaps are quantized to SECONDS (stated — the
+    * burstiness signal lives at second scale, and it keeps every term
+    * int64-exact: Σg ≤ 2^30·n, n·Σg² far below 2^63 at any plausible
+    * per-user volume); the score enters floating point only in one
+    * fixed expression over exact integers (q169 discipline).
+    * Zero-total-gap users (every event within one second) have zero
+    * variance and score 0 by an explicit CASE, not NULL or −1e6.
+    *
+    * Shape: one (user, ts) window pass for gaps (the sessionize
+    * partitioning — exchange-reused if composed), one map-side
+    * combinable aggregate, top-k as TakeOrderedAndProject. `minGaps`
+    * drops users without enough gaps for the statistic to mean
+    * anything. Returns (user_id, n_gaps, mean_gap_s,
+    * burstiness_micro), top `k` by (burstiness desc, user). */
+  def interArrivalBurstiness(events: DataFrame, userCol: String,
+                             tsCol: String, minGaps: Int, k: Int): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val us = expr(s"unix_micros($tsCol)")
+    val gaps = events
+      .withColumn("_gus", us - lag(us, 1).over(byUser))
+      .filter(col("_gus").isNotNull)
+      .withColumn("_g", expr("_gus div 1000000L"))
+    gaps.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("_sg"),
+        sum(col("_g") * col("_g")).as("_sg2"))
+      .filter(col("n_gaps") >= minGaps)
+      .select(col("user_id"), col("n_gaps"),
+        expr("_sg div n_gaps").as("mean_gap_s"),
+        when(col("_sg") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            (col("n_gaps") * col("_sg2")).cast("double") /
+            (col("_sg") * col("_sg")).cast("double") - lit(1000000.0))
+            .cast("long"))
+          .as("burstiness_micro"))
+      .orderBy(col("burstiness_micro").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** CONCURRENCY SWEEP-LINE over a set of closed intervals [start, end]:
     * at every boundary instant, how many intervals are open — peak
     * simultaneous sessions, connection-pool sizing, overlap auditing.

@@ -63,17 +63,28 @@ object FuzzyJoin {
     * missed by design — the LSH-style recall trade, stated.
     *
     * One co-partitioned self-join on the block key (AQE-splittable),
-    * then TakeOrderedAndProject for the global closest-N. Returns
-    * (id_a, id_b, dist), id_a < id_b, ordered (dist, id_a, id_b). */
+    * then TakeOrderedAndProject for the global closest-N.
+    *
+    * `lenCap` makes the length bound a REAL parameter, not advice: the
+    * distance is computed on the first `lenCap` characters of each
+    * text (prefix edit distance, stated), capping each DP at lenCap².
+    * Measured at sf0.1 (14k blocked pairs, texts avg 297 / max 577
+    * chars): uncapped ≈ 11 s, cap 120 ≈ 2 s — quadratic cost is the
+    * one knob a 100 TB run cannot leave uncapped.
+    * Returns (id_a, id_b, dist), id_a < id_b, ordered
+    * (dist, id_a, id_b). */
   def closestPairsByEditDistance(docs: DataFrame, idCol: String,
                                  textCol: String, blockTokens: Int,
-                                 topN: Int): DataFrame = {
+                                 topN: Int,
+                                 lenCap: Int = Int.MaxValue): DataFrame = {
     require(blockTokens >= 1, "need at least one blocking token")
+    require(lenCap >= 1, "need a positive length cap")
     val key = array_join(
       slice(split(col(textCol), " "), 1, blockTokens), " ")
-    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("_ta"),
+    val capped = substring(col(textCol), 1, lenCap)
+    val a = docs.select(col(idCol).as("id_a"), capped.as("_ta"),
       key.as("_blk"))
-    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("_tb"),
+    val b = docs.select(col(idCol).as("id_b"), capped.as("_tb"),
       key.as("_blk"))
     a.join(b, "_blk")
       .filter(col("id_a") < col("id_b"))

@@ -146,6 +146,48 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "label", "dot")
   }
 
+  /** k-NN LABEL-NOISE AUDIT: for each audited vector, the fraction of
+    * its k nearest labeled neighbors that DISAGREE with its own label —
+    * the classic confident-learning signal (a vector whose neighborhood
+    * votes against its label is mislabeled, ambiguous, or an outlier),
+    * which a labeling pipeline uses to rank examples for re-review.
+    *
+    * Same ONE int8 grid and broadcast-queries corpus scan as the other
+    * rungs; neighbors are restricted to NON-NULL labels (an unlabeled
+    * neighbor can neither agree nor disagree) and self is excluded.
+    * All-integer: ranking by (dot desc, vec_id), the noise score is
+    * `1000·disagree div k_effective`.
+    *
+    * `queryFilter` bounds the audit set — the q182 eval-harness
+    * contract, stated: auditing an ENTIRE 100 TB corpus this way is
+    * |audit|·|corpus| dots; run it on a sample (or pre-block with the
+    * sign-LSH bands like semanticDedup) rather than all-pairs.
+    * Returns (query_id, label, n_neighbors, n_disagree,
+    * noise_permille). */
+  def knnLabelNoise(corpus: DataFrame, queryFilter: Column, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val vecs = int8Quantized(corpus, idCol, vecCol,
+      col(labelCol).cast("long").as("_nl"))
+      .filter(col("_nl").isNotNull)
+    val q = vecs.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("_nl").as("_ql"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("_ql"), col("_nl"),
+        qdot(col("qv"), col("v")).as("dot"), col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("_ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("_nl") =!= col("_ql"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("query_id"), col("_ql").as("label"),
+        col("n_neighbors"), col("n_disagree"),
+        expr("(1000 * n_disagree) div n_neighbors").as("noise_permille"))
+  }
+
   /** The full retrieval LADDER: [[int8TopK]] recall at `recallK`, then
     * exact quantized-cosine rerank of only those candidates down to `k`
     * — the standard production shape (cheap compressed scan bounds the

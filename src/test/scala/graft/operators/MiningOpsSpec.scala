@@ -111,6 +111,50 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got(2) == ((3L, "es", 3L, "fr", 2L, 666L)))
   }
 
+  test("knnLabelNoise: clean point scores 0, planted mislabel scores 1000") {
+    // cluster A near (1,0) labeled 1 — except vec 3, planted label 2;
+    // cluster B near (0,1) labeled 2. k=3 keeps audits inside clusters.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Some(1)),
+      (1L, Array(0.99f, 0.01f), Some(1)),
+      (2L, Array(0.98f, 0.02f), Some(1)),
+      (3L, Array(0.97f, 0.03f), Some(2)),     // the mislabel
+      (10L, Array(0.0f, 1.0f), Some(2)),
+      (11L, Array(0.01f, 0.99f), Some(2)),
+      (12L, Array(0.02f, 0.98f), Some(2)),
+      (13L, Array(0.03f, 0.97f), None))       // unlabeled: never a voter
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelNoise(vecs, col("vec_id").isin(0L, 3L, 10L),
+      "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(0L) == ((1L, 0L, 0L)))     // neighbors 1,2 both agree
+    assert(got(3L) == ((2L, 2L, 1000L)))  // both neighbors vote against
+    assert(got(10L) == ((2L, 0L, 0L)))    // clean cluster-B point
+  }
+
+  test("interArrivalBurstiness: metronome ~0, bursty high, short users dropped") {
+    def evs(uid: Long, gapsS: Seq[Long]): Seq[(Long, Long, java.sql.Timestamp)] = {
+      val ts = gapsS.scanLeft(0L)(_ + _)
+      ts.zipWithIndex.map { case (t, i) =>
+        (uid * 1000 + i, uid, new java.sql.Timestamp(t * 1000L))
+      }
+    }
+    // user 1: 24 exact 10s gaps (CV²=0); user 2: bursts — 23×1s + one
+    // 1000s lull; user 3: only 3 events (below minGaps)
+    val rows = evs(1L, Seq.fill(24)(10L)) ++
+      evs(2L, Seq.fill(23)(1L) :+ 1000L) ++
+      evs(3L, Seq(5L, 5L, 5L))
+    val df = rows.toDF("event_id", "user_id", "ts")
+    val got = Events.interArrivalBurstiness(df, "user_id", "ts",
+      minGaps = 20, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._2 == 0L)
+    assert(got(2L)._2 > 5000000L, s"bursty user scored ${got(2L)._2}")
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -382,6 +382,49 @@ object Events {
       .limit(k)
   }
 
+  /** EVENT-TIME LATENESS AUDIT — the measurement that justifies a
+    * watermark: for each event, how far behind the maximum event time
+    * ALREADY ARRIVED did it land (`arrivalCol` is the arrival order —
+    * an ingest sequence / kafka offset; here event_id). The bucketed
+    * histogram per type is exactly the "what do we lose at a 10-minute
+    * watermark" table that sizes every `withWatermark` in the
+    * streaming twins — set from data, not folklore.
+    *
+    * Buckets are fixed integer thresholds on second-quantized lateness
+    * (on-time, ≤10s, ≤1m, ≤10m, over), so counts and permille shares
+    * are engine-exact. The running max is a global prefix scan over
+    * arrival order — single-partition over the audited slice; at
+    * ingest scale the audit runs per partition/shard (lateness is
+    * per-stream anyway) or two-pass like q181, stated.
+    * Returns (event_type, bucket, n, permille), ordered. */
+  def latenessAudit(events: DataFrame, typeCol: String, tsCol: String,
+                    arrivalCol: String): DataFrame = {
+    val us = expr(s"unix_micros($tsCol)")
+    val w = Window.orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateS = greatest(
+      expr("(_mx - _us) div 1000000L"), lit(0L))
+    val bucketed = events
+      .withColumn("_us", us)
+      .withColumn("_mx", max(col("_us")).over(w))
+      .withColumn("_late",
+        when(col("_mx").isNull, lit(0L)).otherwise(lateS))
+      .select(col(typeCol).as("event_type"),
+        when(col("_late") <= 0, "0_on_time")
+          .when(col("_late") <= 10, "1_under_10s")
+          .when(col("_late") <= 60, "2_under_1m")
+          .when(col("_late") <= 600, "3_under_10m")
+          .otherwise("4_over_10m").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val totals = bucketed.groupBy("event_type")
+      .agg(sum(col("n")).as("_tot"))
+    bucketed.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("(1000 * n) div _tot").as("permille"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** CONCURRENCY SWEEP-LINE over a set of closed intervals [start, end]:
     * at every boundary instant, how many intervals are open — peak
     * simultaneous sessions, connection-pool sizing, overlap auditing.

@@ -108,6 +108,36 @@ object Layout {
       .drop("_cum")
   }
 
+  /** JOIN-AMPLIFICATION AUDIT — "will this join explode?" answered
+    * from two count aggregates BEFORE paying for the join: per join
+    * key, the left and right multiplicities and their product (the
+    * exact inner-join output rows for that key). The top-k keys by
+    * output size are the skew hitters an engineer salts
+    * ([[graft.operators.Events.saltedJoin]]) or filters; the audit
+    * costs two map-side-combinable aggregates + one key-count-sized
+    * equi-join + TakeOrderedAndProject — never the join itself.
+    *
+    * NULL keys are excluded, deliberately: SQL equality joins emit
+    * nothing for NULL keys, so they amplify nothing (the audit mirrors
+    * the join's own semantics).
+    * Returns (key, n_left, n_right, out_rows), top `k` by
+    * (out_rows desc, key). */
+  def joinAmplification(left: org.apache.spark.sql.DataFrame, leftKey: String,
+                        right: org.apache.spark.sql.DataFrame, rightKey: String,
+                        k: Int): org.apache.spark.sql.DataFrame = {
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    lc.join(rc, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
+
   /** Consistent-hash ring: `vnodes` virtual nodes per shard, each at
     * position md5("shard-s#v")'s first 15 hex digits (a 60-bit integer
     * — reproducible in any engine with md5, the [[graft.operators.Dedup.hyperplaneWeights]]

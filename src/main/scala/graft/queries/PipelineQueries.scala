@@ -1906,6 +1906,21 @@ object PipelineQueries {
     "q204_burstiness" -> ((s, dir) => {
       Events.interArrivalBurstiness(t(s, dir, "events"), "user_id", "ts",
         minGaps = 20, k = 20)
+    }),
+
+    // JOIN-AMPLIFICATION AUDIT: top-20 lineitem⋈lineitem partkey hot
+    // keys from two count aggregates — the pre-join skew report.
+    "q205_join_amplification" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Layout.joinAmplification(li, "l_partkey", li, "l_partkey", k = 20)
+    }),
+
+    // EVENT-TIME LATENESS AUDIT: per type, bucketed lateness vs the
+    // running max event time in arrival (event_id) order — the
+    // measured basis for every streaming twin's watermark.
+    "q206_lateness_audit" -> ((s, dir) => {
+      Events.latenessAudit(t(s, dir, "events"), "event_type", "ts",
+        "event_id")
     })
   )
 
@@ -2498,6 +2513,55 @@ object PipelineQueries {
          FROM a
          ORDER BY burstiness_micro DESC, user_id
          LIMIT 20""",
+
+    // Two count aggregates joined on the key; NULL keys excluded like
+    // the join they model.
+    "q205_join_amplification" ->
+      """WITH lc AS (
+           SELECT CAST(l_partkey AS BIGINT) AS key,
+                  CAST(count(*) AS BIGINT) AS n_left
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         rc AS (
+           SELECT CAST(l_partkey AS BIGINT) AS key,
+                  CAST(count(*) AS BIGINT) AS n_right
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+         SELECT lc.key, n_left, n_right, n_left * n_right AS out_rows
+         FROM lc JOIN rc USING (key)
+         ORDER BY out_rows DESC, key LIMIT 20""",
+
+    // Same running max over arrival order, same fixed second-quantized
+    // buckets and integer permille shares.
+    "q206_lateness_audit" ->
+      """WITH base AS (
+           SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         lat AS (
+           SELECT event_type,
+                  CASE WHEN mx IS NULL THEN 0
+                       ELSE greatest((mx - us) // 1000000, 0) END AS late
+           FROM (SELECT event_type, us,
+                   max(us) OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS mx
+                 FROM base)),
+         b AS (
+           SELECT event_type,
+                  CASE WHEN late <= 0 THEN '0_on_time'
+                       WHEN late <= 10 THEN '1_under_10s'
+                       WHEN late <= 60 THEN '2_under_1m'
+                       WHEN late <= 600 THEN '3_under_10m'
+                       ELSE '4_over_10m' END AS bucket
+           FROM lat),
+         c AS (
+           SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1)
+         SELECT c.event_type, c.bucket, c.n,
+                (1000 * c.n) // t.tot AS permille
+         FROM c JOIN t USING (event_type)
+         ORDER BY event_type, bucket""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -155,6 +155,36 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got(2L)._2 > 5000000L, s"bursty user scored ${got(2L)._2}")
   }
 
+  test("joinAmplification: products of multiplicities, NULL keys silent") {
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("k")
+    val r = Seq(Some(1L), Some(1L), Some(3L), None).toDF("j")
+    val got = Layout.joinAmplification(l, "k", r, "j", k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    // key 1: 3×2=6 output rows; keys 2 and 3 are one-sided → absent;
+    // NULL joins nothing → absent
+    assert(got == Seq((1L, 3L, 2L, 6L)))
+    // the audit's prediction equals the real inner join's output size
+    val real = l.join(r, col("k") === col("j")).count()
+    assert(real == got.map(_._4).sum)
+  }
+
+  test("latenessAudit buckets out-of-order arrivals against the running max") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // arrival order (event_id): t=100, then 95 (5s late), then 200,
+    // then 30 (170s late), then 200 (on time — equals running max)
+    val ev = Seq(
+      (1L, "a", ts(100L)), (2L, "a", ts(95L)), (3L, "a", ts(200L)),
+      (4L, "a", ts(30L)), (5L, "a", ts(200L)))
+      .toDF("event_id", "event_type", "ts")
+    val got = Events.latenessAudit(ev, "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("0_on_time", 3L, 600L),
+      ("1_under_10s", 1L, 200L), ("3_under_10m", 1L, 200L)))
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -378,6 +378,45 @@ object StreamingQueries {
           depth, width)
         .select(col("event_type"), col("n_exact"), col("n_est"))
         .orderBy("event_type")
+    }),
+
+    // Streaming twin of q204's burstiness screen: per-user gaps emit
+    // live through ONE O(1) state value (transformWithState, the q171
+    // chain shape applied to timestamps); the CV² rollup runs
+    // batch-side over the sunk gaps with q204's exact formula — same
+    // oracle, byte for byte.
+    "q207_stream_burstiness" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+        .as[EventStreams.EventTyped]
+      val gaps = EventStreams.interArrivalGaps(s, ev)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      val sunk =
+        try runBounded(s, gaps.toDF(), "graft_q207_sink", "append")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      sunk.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s")).as("_sg"),
+          sum(col("gap_s") * col("gap_s")).as("_sg2"))
+        .filter(col("n_gaps") >= 20)
+        .select(col("user_id"), col("n_gaps"),
+          expr("_sg div n_gaps").as("mean_gap_s"),
+          when(col("_sg") === 0L, lit(0L))
+            .otherwise(floor(lit(1000000.0) *
+              (col("n_gaps") * col("_sg2")).cast("double") /
+              (col("_sg") * col("_sg")).cast("double") - lit(1000000.0))
+              .cast("long"))
+            .as("burstiness_micro"))
+        .orderBy(col("burstiness_micro").desc, col("user_id"))
+        .limit(20)
     })
   )
 
@@ -610,6 +649,36 @@ object StreamingQueries {
                 CAST(floor(1000000 * (CAST(n_trans AS DOUBLE) /
                      CAST(sum(n_trans) OVER (PARTITION BY from_type)
                           AS DOUBLE))) AS BIGINT) AS p_micro
-         FROM c ORDER BY from_type, to_type"""
+         FROM c ORDER BY from_type, to_type""",
+
+    // q204's batch oracle verbatim: the streamed per-user gap fold
+    // over (us, event_id) order IS the lag window, so the CV² rollup
+    // over the sink must reproduce the batch screen bit for bit.
+    "q207_stream_burstiness" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         g AS (
+           SELECT user_id,
+                  (us - lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id)) // 1000000 AS gs
+           FROM base),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(gs) AS BIGINT) AS sg,
+                  CAST(sum(gs * gs) AS BIGINT) AS sg2
+           FROM g WHERE gs IS NOT NULL
+           GROUP BY user_id
+           HAVING count(*) >= 20)
+         SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+                CASE WHEN sg = 0 THEN 0
+                     ELSE CAST(floor(1000000.0 *
+                            CAST(n_gaps * sg2 AS DOUBLE) /
+                            CAST(sg * sg AS DOUBLE) - 1000000.0)
+                          AS BIGINT)
+                END AS burstiness_micro
+         FROM a
+         ORDER BY burstiness_micro DESC, user_id
+         LIMIT 20"""
   )
 }

@@ -278,4 +278,51 @@ object EventStreams {
       .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One consecutive-event gap of a user, second-quantized (the
+    * [[graft.operators.Events.interArrivalBurstiness]] unit). */
+  case class Gap(user_id: Long, gap_s: Long)
+
+  private case class LastUs(us: Long)
+
+  /** State processor behind [[interArrivalGaps]]: ONE long per user
+    * (the latest event time) carries the gap chain across batches —
+    * the [[TransitionProcessor]] shape applied to timestamps. Each
+    * arriving event emits its (previous → current) gap in whole
+    * seconds; the per-group-batch sort restores (us, event_id) order
+    * inside a batch, state stays O(1) forever. */
+  private class GapProcessor
+      extends StatefulProcessor[Long, EventTyped, Gap] {
+    @transient private var state: ValueState[LastUs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LastUs]("last",
+        org.apache.spark.sql.Encoders.product[LastUs], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventTyped],
+        timerValues: TimerValues): Iterator[Gap] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var last = if (state.exists()) state.get() else null
+      val out = Vector.newBuilder[Gap]
+      sorted.foreach { e =>
+        if (last != null) out += Gap(key, (e.us - last.us) / 1000000L)
+        last = LastUs(e.us)
+      }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** STREAMING inter-arrival gaps: the unbounded twin of the
+    * burstiness screen's lag window — gaps emit live as events arrive,
+    * the CV² rollup composes downstream (streaming aggregation or
+    * batch over the sink), and no user's history is ever re-read. */
+  def interArrivalGaps(spark: SparkSession,
+                       events: Dataset[EventTyped]): Dataset[Gap] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new GapProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

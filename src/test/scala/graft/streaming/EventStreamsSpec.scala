@@ -234,4 +234,39 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("interArrivalGaps carry the gap chain across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventTyped]
+      val q = interArrivalGaps(spark, in.toDS())
+        .writeStream.format("memory").queryName("gaps_sink")
+        .outputMode("append").start()
+      // batch 1, user 1 out of order: events at 10s and 3s → one 7s
+      // gap after the in-batch sort; user 2's single event is silent
+      in.addData(
+        EventTyped(2L, 1L, 10000000L, "B"),
+        EventTyped(1L, 1L, 3000000L, "A"),
+        EventTyped(3L, 2L, 1000000L, "X"))
+      q.processAllAvailable()
+      // batch 2: user 1 resumes from 10s (gap 90s); user 2 from 1s
+      // (sub-second gap floors to 0)
+      in.addData(
+        EventTyped(4L, 1L, 100000000L, "C"),
+        EventTyped(5L, 2L, 1999999L, "Y"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("gaps_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows == Seq((1L, 7L), (1L, 90L), (2L, 0L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

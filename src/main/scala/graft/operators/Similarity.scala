@@ -285,6 +285,53 @@ object Similarity {
         (col("sum_q").cast("double") / col("n").cast("double"))
           .as("centroid_q"))
 
+  /** EMBEDDING CENTROID DRIFT between two corpus slices (model
+    * versions, time windows, crawl snapshots): per label, the squared
+    * L2 distance between the slices' mean embeddings, in micro units
+    * of the ORIGINAL embedding scale — the cheap canary that fires
+    * when an embedding model was silently swapped or a source's
+    * content moved under a label.
+    *
+    * Exactness: means never materialize as floats. Per (label, pos)
+    * the exact integer sums (the [[quantizedLabelCentroids]] 1e4
+    * grid) combine as mean_a − mean_b = (sa·nb − sb·na)/(na·nb) with
+    * the numerator squared and summed in 128-bit exact integers
+    * (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT — the q194 convention;
+    * bound ~1e23 for 1e4-quantized dims, far inside 38 digits), and
+    * the shared denominator factors out of the position sum entirely.
+    * Doubles appear only in the final fixed expression
+    * `floor(D / (na·nb)² / 100)` (the /100 rescales (1e4)² quantized
+    * units to 1e6 micro units) — correctly-rounded casts and two
+    * divisions, bit-identical cross-engine.
+    *
+    * Shape: one posexplode + map-side-combinable sum per slice
+    * (shuffles labels × d partials, never vectors), one labels×d join,
+    * one label-sized fold. NULL labels are excluded (no defensible
+    * centroid). Returns (label, n_a, n_b, drift_micro). */
+  def centroidDrift(a: DataFrame, b: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    def sums(df: DataFrame, n: String, s: String): DataFrame =
+      df.filter(col(labelCol).isNotNull)
+        .select(col(labelCol).cast("long").as("label"),
+          expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS LONG))")
+            .as("_qv"))
+        .select(col("label"), posexplode(col("_qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as(n), sum(col("col")).as(s))
+    val dec = "decimal(38,0)"
+    sums(a, "_na", "_sa").join(sums(b, "_nb", "_sb"), Seq("label", "pos"))
+      .withColumn("_diff",
+        col("_sa").cast(dec) * col("_nb") - col("_sb").cast(dec) * col("_na"))
+      .groupBy("label")
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(col("_diff") * col("_diff")).as("_d2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        floor(col("_d2").cast("double") /
+          ((col("n_a") * col("n_b")) * (col("n_a") * col("n_b")))
+            .cast("double") / lit(100.0))
+          .cast("long").as("drift_micro"))
+  }
+
   private def ivfSearch(vecs: DataFrame, cents: DataFrame, queryIds: Seq[Long],
                         k: Int, nprobe: Int): DataFrame = {
     // Assignment: argmax cosine over broadcast centroids via max_by —

@@ -1921,6 +1921,18 @@ object PipelineQueries {
     "q206_lateness_audit" -> ((s, dir) => {
       Events.latenessAudit(t(s, dir, "events"), "event_type", "ts",
         "event_id")
+    }),
+
+    // EMBEDDING CENTROID DRIFT: per label, exact squared-L2 distance
+    // between the even- and odd-id slices' mean embeddings (micro
+    // units) — the silent-model-swap canary.
+    "q208_centroid_drift" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+          em.filter(col("vec_id") % 2 === 0),
+          em.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy("label")
     })
   )
 
@@ -2562,6 +2574,40 @@ object PipelineQueries {
                 (1000 * c.n) // t.tot AS permille
          FROM c JOIN t USING (event_type)
          ORDER BY event_type, bucket""",
+
+    // Same 1e4 grid, exact HUGEINT numerators (≡ Spark DECIMAL(38,0)),
+    // shared denominator factored out of the position sum, one fixed
+    // double expression at the end.
+    "q208_centroid_drift" ->
+      """WITH qv AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  [CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                   for x in embedding] AS q
+           FROM embeddings WHERE label IS NOT NULL),
+         a AS (
+           SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS na,
+                  CAST(sum(q[i]) AS BIGINT) AS sa
+           FROM qv, range(1, 65) t(i)
+           WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         b AS (
+           SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS nb,
+                  CAST(sum(q[i]) AS BIGINT) AS sb
+           FROM qv, range(1, 65) t(i)
+           WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+         j AS (
+           SELECT label, na, nb,
+                  CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na
+                    AS diff
+           FROM a JOIN b USING (label, pos)),
+         g AS (
+           SELECT label, max(na) AS n_a, max(nb) AS n_b,
+                  sum(diff * diff) AS d2
+           FROM j GROUP BY label)
+         SELECT label, n_a, n_b,
+                CAST(floor(CAST(d2 AS DOUBLE) /
+                     CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) / 100.0)
+                  AS BIGINT) AS drift_micro
+         FROM g ORDER BY label""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

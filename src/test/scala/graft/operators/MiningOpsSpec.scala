@@ -185,6 +185,29 @@ class MiningOpsSpec extends SparkTestBase {
       ("1_under_10s", 1L, 200L), ("3_under_10m", 1L, 200L)))
   }
 
+  test("centroidDrift: exact squared-L2 of means, NULL labels dropped") {
+    // label 1: slice A means (1.0, 0.0); slice B means (0.5, 0.5)
+    //   → drift = 0.25 + 0.25 = 0.5 → 500000 micro
+    // label 2: identical slices → 0
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f), Some(1)),
+      (2L, Array(1.0f, 0.0f), Some(1)),
+      (3L, Array(0.2f, 0.8f), Some(2)),
+      (4L, Array(0.2f, 0.8f), None))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (11L, Array(0.5f, 0.5f), Some(1)),
+      (13L, Array(0.2f, 0.8f), Some(2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(a, b, "label", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))  // the NULL-label vector vanished
+    assert(got(1L) == ((2L, 1L, 500000L)))
+    assert(got(2L) == ((1L, 1L, 0L)))
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -633,6 +633,43 @@ object Curation {
     * only the ≤topK survivors: they are collected into one sorted array
     * and position-exploded, so the plan carries no unpartitioned window
     * at all. */
+  /** PADDING-WASTE AUDIT for length-bucketed training batches: when
+    * sequences are grouped into power-of-two-ish length buckets and
+    * padded to the bucket cap (the standard dynamic-batching recipe),
+    * how many tokens does each bucket burn as pad, and how many are
+    * lost to truncation at the longest cap? This is the table that
+    * decides the bucket ladder before a 100 TB tokenization run —
+    * padding is paid in FLOPs on every epoch.
+    *
+    * `buckets` is the ascending cap ladder; a document's cap is the
+    * first bucket ≥ its (truncated) token count, tokens beyond the
+    * last cap are truncated (counted, not silently dropped). Pure
+    * integer projection + one combinable aggregate over ≤ |buckets|
+    * groups; waste = 1000·pad div (pad + kept) per bucket.
+    * Returns (bucket_cap, n_docs, sum_tokens, sum_padding,
+    * sum_truncated, waste_permille) ordered by cap. */
+  def paddingAudit(docs: DataFrame, textCol: String,
+                   buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted &&
+      buckets.distinct == buckets && buckets.head >= 1,
+      "buckets must be ascending, distinct, positive")
+    val maxLen = buckets.last
+    val n = size(split(col(textCol), " ")).cast("long")
+    val kept = least(n, lit(maxLen))
+    val cap = buckets.init.reverse.foldLeft(lit(maxLen): Column) {
+      (acc, b) => when(kept <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(n.as("_n"), kept.as("_kept"), cap.as("_cap"))
+      .groupBy(col("_cap").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_kept")).as("sum_tokens"),
+        sum(col("_cap") - col("_kept")).as("sum_padding"),
+        sum(col("_n") - col("_kept")).as("sum_truncated"))
+      .withColumn("waste_permille",
+        expr("(1000 * sum_padding) div (sum_padding + sum_tokens)"))
+      .orderBy("bucket_cap")
+  }
+
   def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     // The topK survivors are ranked through one collect_list array in a
     // single task — bounded memory only because topK is bounded. Guard

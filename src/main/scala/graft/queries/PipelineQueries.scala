@@ -1933,6 +1933,13 @@ object PipelineQueries {
           em.filter(col("vec_id") % 2 === 1),
           "label", "embedding")
         .orderBy("label")
+    }),
+
+    // PADDING-WASTE AUDIT: the bucket-ladder FLOP bill for dynamic
+    // batching — pad and truncation token counts per cap.
+    "q209_padding_audit" -> ((s, dir) => {
+      Curation.paddingAudit(t(s, dir, "documents"), "text",
+        buckets = Seq(8L, 16L, 32L, 64L, 128L))
     })
   )
 
@@ -2608,6 +2615,35 @@ object PipelineQueries {
                      CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) / 100.0)
                   AS BIGINT) AS drift_micro
          FROM g ORDER BY label""",
+
+    // Same cap ladder CASE, same truncate-at-last-cap rule, integer
+    // permille waste.
+    "q209_padding_audit" ->
+      """WITH n AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         k AS (
+           SELECT n, least(n, 128) AS kept FROM n),
+         c AS (
+           SELECT n, kept,
+                  CAST(CASE WHEN kept <= 8 THEN 8
+                            WHEN kept <= 16 THEN 16
+                            WHEN kept <= 32 THEN 32
+                            WHEN kept <= 64 THEN 64
+                            ELSE 128 END AS BIGINT) AS cap
+           FROM k),
+         g AS (
+           SELECT cap AS bucket_cap,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(kept) AS BIGINT) AS sum_tokens,
+                  CAST(sum(cap - kept) AS BIGINT) AS sum_padding,
+                  CAST(sum(n - kept) AS BIGINT) AS sum_truncated
+           FROM c GROUP BY cap)
+         SELECT bucket_cap, n_docs, sum_tokens, sum_padding,
+                sum_truncated,
+                (1000 * sum_padding) // (sum_padding + sum_tokens)
+                  AS waste_permille
+         FROM g ORDER BY bucket_cap""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -208,6 +208,22 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got(2L) == ((1L, 1L, 0L)))
   }
 
+  test("paddingAudit: cap ladder, truncation at the top, exact waste") {
+    val docs = Seq(
+      "a b c",                            // 3 tokens → cap 4, pad 1
+      "a b c d",                          // 4 → cap 4, pad 0
+      "a b c d e",                        // 5 → cap 8, pad 3
+      ("x " * 20).trim)                   // 20 → kept 8, trunc 12, pad 0
+      .toDF("text")
+    val got = Curation.paddingAudit(docs, "text", Seq(4L, 8L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (4L, 2L, 7L, 1L, 0L, 125L),   // 1 pad over 8 slots → 125‰
+      (8L, 2L, 13L, 3L, 12L, 187L)))
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -567,4 +567,53 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q196 phrase search: postings filtered to the phrase terms pre-shuffle") {
+    val p = planOf("q196_phrase_search")
+    // the isin(term) filter sits under the first exchange, and the
+    // final top-k never global-sorts
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("table") && p.contains("hash")) // literal term filter present
+  }
+
+  test("q197 hard negatives: broadcast queries, no corpus shuffle join") {
+    val p = planOf("q197_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q198 edit-distance pairs: one co-partitioned self-join, heap top-N") {
+    val p = planOf("q198_edit_distance_pairs")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q177 ring lookup is the binary-search expression, not a struct argmin") {
+    val p = planOf("q177_shard_plan")
+    assert(p.contains("graft_ring_lookup"))
+    assert(!p.contains("array_min"))
+  }
+
+  test("q201 overlap matrix: the only corpus pass is the sketch build") {
+    val p = planOf("q201_source_overlap")
+    // sketch-sized pairwise joins broadcast; WindowGroupLimit pushes
+    // per-partition top-k before the sketch shuffle
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q205 join amplification never runs the join it predicts") {
+    val p = planOf("q205_join_amplification")
+    assert(p.contains("partial_count"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q208 centroid drift: partial sums before the labels-by-dim shuffle") {
+    val p = planOf("q208_centroid_drift")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

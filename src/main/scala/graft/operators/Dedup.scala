@@ -301,6 +301,54 @@ object Dedup {
           .as("efficiency_milli"))
   }
 
+  /** DEDUP THRESHOLD SWEEP — "what does each Jaccard cutoff actually
+    * remove?" answered from ONE candidate generation and ONE exact
+    * scoring pass: the banded LSH candidates are scored with exact
+    * integer (|∩|, |∪|) counts, then every threshold in
+    * `thresholdsPermille` reads the same scored pairs through a
+    * conditional aggregate. The comparison is pure-integer
+    * (1000·|∩| ≥ t·|∪| ⟺ jaccard ≥ t/1000), so the sweep is
+    * engine-exact with no float-edge ambiguity at the cutoffs.
+    *
+    * `n_losers` counts distinct doc_b's — the higher-id pair members
+    * that a keep-lowest-id policy would drop; the PAIRWISE view,
+    * stated (transitive clusters are [[Graph.connectedComponents]]'
+    * job — this sweep is the knob-tuning table, not the dedup).
+    * Every threshold reports even at zero pairs (conditional
+    * aggregates over the full scored set, the q177 full-domain
+    * lesson). Returns (thresh_permille, n_pairs, n_losers) ordered. */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, k: Int, bands: Int, rows: Int,
+                     thresholdsPermille: Seq[Long]): DataFrame = {
+    require(thresholdsPermille.nonEmpty &&
+      thresholdsPermille == thresholdsPermille.sorted &&
+      thresholdsPermille.distinct == thresholdsPermille,
+      "thresholds must be ascending, distinct")
+    val docs = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+    val exploded = df.select(col(idCol).as("id"),
+      explode(wordShingleMultiset(col(textCol), shingleN)).as("s"))
+    val scored = minHashCandidatesOf(exploded, k, bands, rows)
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("_ni"),
+        size(array_distinct(concat(col("sha"), col("shb")))).cast("long")
+          .as("_nu"))
+    def cond(t: Long) = lit(1000L) * col("_ni") >= lit(t) * col("_nu")
+    val aggs = thresholdsPermille.flatMap { t =>
+      Seq(sum(when(cond(t), 1L).otherwise(0L)).as(s"_np_$t"),
+        countDistinct(when(cond(t), col("doc_b"))).as(s"_nl_$t"))
+    }
+    val stackExpr = s"stack(${thresholdsPermille.size}, " +
+      thresholdsPermille.map(t =>
+        s"${t}L, coalesce(_np_$t, 0L), _nl_$t").mkString(", ") +
+      ") as (thresh_permille, n_pairs, n_losers)"
+    scored.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(stackExpr)
+      .orderBy("thresh_permille")
+  }
+
   /** Rewrite map of a keep-the-BEST dedup policy: every document maps
     * to the canonical keeper of its near-duplicate cluster — the
     * member with the greatest `weightCol` (quality score, length),

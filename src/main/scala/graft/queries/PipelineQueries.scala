@@ -1940,6 +1940,15 @@ object PipelineQueries {
     "q209_padding_audit" -> ((s, dir) => {
       Curation.paddingAudit(t(s, dir, "documents"), "text",
         buckets = Seq(8L, 16L, 32L, 64L, 128L))
+    }),
+
+    // DEDUP THRESHOLD SWEEP: pairs/losers at 700/800/900‰ from ONE
+    // LSH candidate pass with exact integer cutoffs — the knob-tuning
+    // table behind q31's 0.8.
+    "q210_threshold_sweep" -> ((s, dir) => {
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6,
+        thresholdsPermille = Seq(700L, 800L, 900L))
     })
   )
 
@@ -2644,6 +2653,51 @@ object PipelineQueries {
                 (1000 * sum_padding) // (sum_padding + sum_tokens)
                   AS waste_permille
          FROM g ORDER BY bucket_cap""",
+
+    // q31's candidate chain, scored once with integer (|∩|, |∪|),
+    // swept by pure-integer cutoffs; one aggregate row per threshold
+    // even at zero pairs.
+    "q210_threshold_sweep" ->
+      s"""WITH docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         sigs AS (
+           SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         scored AS (
+           SELECT c.b AS doc_b,
+                  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS ni,
+                  CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                    AS BIGINT) AS nu
+           FROM cand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id)
+         SELECT CAST(700 AS BIGINT) AS thresh_permille,
+                CAST(count(CASE WHEN 1000 * ni >= 700 * nu THEN 1 END)
+                  AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 700 * nu
+                  THEN doc_b END) AS BIGINT) AS n_losers
+         FROM scored
+         UNION ALL
+         SELECT CAST(800 AS BIGINT),
+                CAST(count(CASE WHEN 1000 * ni >= 800 * nu THEN 1 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 800 * nu
+                  THEN doc_b END) AS BIGINT)
+         FROM scored
+         UNION ALL
+         SELECT CAST(900 AS BIGINT),
+                CAST(count(CASE WHEN 1000 * ni >= 900 * nu THEN 1 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 900 * nu
+                  THEN doc_b END) AS BIGINT)
+         FROM scored
+         ORDER BY thresh_permille""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

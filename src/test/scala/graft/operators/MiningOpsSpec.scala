@@ -224,6 +224,24 @@ class MiningOpsSpec extends SparkTestBase {
       (8L, 2L, 13L, 3L, 12L, 187L)))
   }
 
+  test("thresholdSweep: monotone counts, integer cutoffs, zero rows report") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.thresholdSweep(docs, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6,
+      thresholdsPermille = Seq(500L, 800L, 999L, 1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(500L, 800L, 999L, 1000L))
+    // raising the cutoff can only shrink both counts
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 })
+    // 800‰ must agree with the production q31 pair count
+    val q31 = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8).count()
+    assert(got.find(_._1 == 800L).get._2 == q31)
+    // every threshold reports a row even if nothing survives
+    assert(got.length == 4)
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -72,6 +72,49 @@ object Curation {
           .as("contamination"))
   }
 
+  /** CONTAMINATION n-GRAM SWEEP — the eval harness behind
+    * [[contamination]]'s shingle size: the same benchmark-overlap scan
+    * at several n's, reported as corpus-level flag rates. Small n
+    * over-flags (common phrases look like leakage), large n
+    * under-flags (paraphrases slip through) — this table is how the
+    * cutoff gets CHOSEN rather than inherited.
+    *
+    * Per n: one distinct-benchmark-shingle set, one exploded
+    * corpus-side left join, two integer flag counts (any-hit, ≥half
+    * contaminated) and a corpus-level permille — all exact. |ns|
+    * passes over the corpus by construction (an eval harness, not the
+    * production gate; the gate ships ONE n and, at scale, the Bloom
+    * variant [[bloomContamination]]).
+    * Returns (shingle_n, n_docs, n_flagged_any, n_flagged_half,
+    * mean_contamination_permille), one row per n. */
+  def contaminationSweep(docs: DataFrame, idCol: String, textCol: String,
+                         benchmarkFilter: Column, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns == ns.sorted && ns.distinct == ns &&
+      ns.head >= 1, "shingle sizes must be ascending, distinct, positive")
+    ns.map { n =>
+      val shingled = docs.select(col(idCol).as("id"),
+        benchmarkFilter.as("is_bench"),
+        Dedup.wordShingles(col(textCol), n).as("sh"))
+      val benchShingles = shingled.filter(col("is_bench"))
+        .select(explode(col("sh")).as("s")).distinct()
+      val exploded = shingled.filter(!col("is_bench"))
+        .select(col("id"), explode(col("sh")).as("s"))
+      exploded
+        .join(benchShingles.withColumn("hit", lit(1L)), Seq("s"), "left")
+        .groupBy("id")
+        .agg(count(lit(1)).as("_ns"),
+          sum(coalesce(col("hit"), lit(0L))).as("_nc"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_nc") >= 1, 1L).otherwise(0L)).as("n_flagged_any"),
+          sum(when(col("_nc") * 2 >= col("_ns"), 1L).otherwise(0L))
+            .as("n_flagged_half"),
+          sum(col("_nc")).as("_snc"), sum(col("_ns")).as("_sns"))
+        .select(lit(n.toLong).as("shingle_n"), col("n_docs"),
+          col("n_flagged_any"), col("n_flagged_half"),
+          expr("(1000 * _snc) div _sns").as("mean_contamination_permille"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Decontamination through a DETERMINISTIC Bloom filter: the
     * held-out set's distinct shingles set `kHash` md5-derived bit
     * positions in a `bits`-wide filter (stored as 32-bit words folded

@@ -1949,6 +1949,13 @@ object PipelineQueries {
       Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, k = 24, bands = 4, rows = 6,
         thresholdsPermille = Seq(700L, 800L, 900L))
+    }),
+
+    // CONTAMINATION n-GRAM SWEEP: q49's benchmark split re-scanned at
+    // shingle n = 2, 3, 4 — how the decontamination n gets chosen.
+    "q211_contamination_sweep" -> ((s, dir) => {
+      Curation.contaminationSweep(t(s, dir, "documents"), "doc_id",
+        "text", col("doc_id") % 50 === 0, ns = Seq(2, 3, 4))
     })
   )
 
@@ -2010,6 +2017,32 @@ object PipelineQueries {
   private def sqlWordShinglesN(n: Int) =
     s"list_distinct([array_to_string(w[i:i+${n - 1}], ' ') " +
       s"for i in range(1, greatest(len(w) - ${n - 2}, 2))])"
+
+  /** One UNION leg of the q211 contamination sweep: the q49 scan at
+    * shingle size `n`, folded to corpus-level flag rates. */
+  private def sqlContamLeg(n: Int): String =
+    s"""SELECT CAST($n AS BIGINT) AS shingle_n,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN nc >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged_any,
+          CAST(sum(CASE WHEN nc * 2 >= nsh THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged_half,
+          (1000 * CAST(sum(nc) AS BIGINT)) // CAST(sum(nsh) AS BIGINT)
+            AS mean_contamination_permille
+        FROM (
+          SELECT e.id, CAST(count(*) AS BIGINT) AS nsh,
+                 CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nc
+          FROM (SELECT doc_id AS id, unnest(${sqlWordShinglesN(n)}) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents)
+                WHERE NOT doc_id % 50 = 0) e
+          LEFT JOIN (SELECT DISTINCT s FROM (
+                       SELECT unnest(${sqlWordShinglesN(n)}) AS s
+                       FROM (SELECT doc_id, string_split(text, ' ') AS w
+                             FROM documents)
+                       WHERE doc_id % 50 = 0)) b ON e.s = b.s
+          GROUP BY e.id)"""
 
   /** Mirrors Dedup.shingleBaseHash / minHashSignature / lshBands. */
   private val sqlBases =
@@ -2698,6 +2731,12 @@ object PipelineQueries {
                   THEN doc_b END) AS BIGINT)
          FROM scored
          ORDER BY thresh_permille""",
+
+    // The q49 scan at n = 2, 3, 4 — same split, same clamped-shingle
+    // degradation, corpus-level integer flag rates.
+    "q211_contamination_sweep" ->
+      (Seq(2, 3, 4).map(sqlContamLeg).mkString(" UNION ALL ") +
+        " ORDER BY shingle_n"),
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

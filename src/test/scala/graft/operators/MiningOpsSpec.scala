@@ -242,6 +242,26 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got.length == 4)
   }
 
+  test("contaminationSweep: larger n flags less; matches contamination at n=2") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = col("doc_id") % 50 === 0
+    val got = Curation.contaminationSweep(docs, "doc_id", "text", bench,
+      ns = Seq(2, 3, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(2L, 3L, 4L))
+    // same non-bench doc count at every n
+    assert(got.map(_._2).distinct.size == 1)
+    // longer shingles can only reduce the corpus-level hit mass
+    assert(got(0)._4 >= got(1)._4 && got(1)._4 >= got(2)._4)
+    // n=2 corpus permille must reproduce the production q49 scan
+    val c = Curation.contamination(docs, "doc_id", "text", bench)
+      .agg(org.apache.spark.sql.functions.sum("n_contaminated").as("snc"),
+        org.apache.spark.sql.functions.sum("n_shingles").as("sns"))
+      .selectExpr("(1000 * snc) div sns").as[Long].head()
+    assert(got(0)._4 == c)
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -64,13 +64,23 @@ object RingLookup {
 
   /** Binary search for the first position ≥ kh; wraps to index 0. */
   def lookup(kh: Long, pos: ArrayData, sh: ArrayData): Long = {
+    val n = pos.numElements()
+    // Named errors instead of a raw executor AIOOBE: the function is
+    // SQL-callable, so malformed literal rings must fail legibly.
+    if (n == 0)
+      throw new IllegalArgumentException(
+        s"$name: the ring position array is empty")
+    if (sh.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$name: ${n} positions but ${sh.numElements()} shards — " +
+          "the two ring arrays must be parallel")
     var lo = 0
-    var hi = pos.numElements()
+    var hi = n
     while (lo < hi) {
       val m = (lo + hi) >>> 1
       if (pos.getLong(m) >= kh) hi = m else lo = m + 1
     }
-    sh.getLong(if (lo == pos.numElements()) 0 else lo)
+    sh.getLong(if (lo == n) 0 else lo)
   }
 
   /** Idempotent registration (the [[QDot.register]] mechanism). */
@@ -81,7 +91,13 @@ object RingLookup {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[RingLookup].getName, name),
-        (exprs: Seq[Expression]) => RingLookup(exprs.head, exprs(1), exprs(2)))
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 3)
+            throw new IllegalArgumentException(
+              s"$name expects exactly 3 arguments " +
+                s"(key, positions, shards), got ${exprs.length}")
+          RingLookup(exprs.head, exprs(1), exprs(2))
+        })
     }
   }
 }

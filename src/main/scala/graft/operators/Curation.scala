@@ -113,6 +113,9 @@ object Curation {
           col("n_flagged_any"), col("n_flagged_half"),
           expr("(1000 * _snc) div _sns").as("mean_contamination_permille"))
     }.reduce(_ unionAll _)
+      // explicit total order (the repo contract) — leg order is an
+      // implementation detail, not a row-order guarantee
+      .orderBy("shingle_n")
   }
 
   /** Decontamination through a DETERMINISTIC Bloom filter: the
@@ -664,18 +667,6 @@ object Curation {
         sum(when(col("straddles"), 1L).otherwise(0L)).as("n_boundary_docs"))
   }
 
-  /** Corpus vocabulary: the `topK` most frequent tokens with their
-    * counts and frequency rank (count desc, token asc). The classic
-    * pre-tokenizer frequency pass — one hash-shuffle on the token.
-    *
-    * The global top-k is `orderBy().limit(topK)`, which Spark plans as
-    * TakeOrderedAndProject: each partition keeps a topK heap and only
-    * topK rows reach the driver-side merge — no single-partition global
-    * sort of the whole vocabulary (a `row_number().over(Window.orderBy)`
-    * would move EVERY distinct token to one task). Ranking then touches
-    * only the ≤topK survivors: they are collected into one sorted array
-    * and position-exploded, so the plan carries no unpartitioned window
-    * at all. */
   /** PADDING-WASTE AUDIT for length-bucketed training batches: when
     * sequences are grouped into power-of-two-ish length buckets and
     * padded to the bucket cap (the standard dynamic-batching recipe),
@@ -713,6 +704,18 @@ object Curation {
       .orderBy("bucket_cap")
   }
 
+  /** Corpus vocabulary: the `topK` most frequent tokens with their
+    * counts and frequency rank (count desc, token asc). The classic
+    * pre-tokenizer frequency pass — one hash-shuffle on the token.
+    *
+    * The global top-k is `orderBy().limit(topK)`, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps a topK heap and only
+    * topK rows reach the driver-side merge — no single-partition global
+    * sort of the whole vocabulary (a `row_number().over(Window.orderBy)`
+    * would move EVERY distinct token to one task). Ranking then touches
+    * only the ≤topK survivors: they are collected into one sorted array
+    * and position-exploded, so the plan carries no unpartitioned window
+    * at all. */
   def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     // The topK survivors are ranked through one collect_list array in a
     // single task — bounded memory only because topK is bounded. Guard

@@ -344,10 +344,13 @@ object Events {
     * ≈1e6 for a Poisson process, ≫1e6 for bursty humans.
     *
     * Exactness contract: gaps are quantized to SECONDS (stated — the
-    * burstiness signal lives at second scale, and it keeps every term
-    * int64-exact: Σg ≤ 2^30·n, n·Σg² far below 2^63 at any plausible
-    * per-user volume); the score enters floating point only in one
-    * fixed expression over exact integers (q169 discipline).
+    * burstiness signal lives at second scale); Σg and Σg² are exact
+    * int64 (Σg² ≤ n·(3e7)² ≈ 1e19·n/1e4 stays inside 2^63 for
+    * year-scale gaps at any plausible per-user volume), and the
+    * n·Σg² / (Σg)² products — which CAN pass 2^63 (one dormant-year
+    * gap puts g² at ~1e15) — are formed in 128-bit exact integers
+    * (DECIMAL(38,0) ≡ the oracle's HUGEINT, the q194 pairing) before
+    * the one fixed double expression (q169 discipline).
     * Zero-total-gap users (every event within one second) have zero
     * variance and score 0 by an explicit CASE, not NULL or −1e6.
     *
@@ -374,8 +377,10 @@ object Events {
         expr("_sg div n_gaps").as("mean_gap_s"),
         when(col("_sg") === 0L, lit(0L))
           .otherwise(floor(lit(1000000.0) *
-            (col("n_gaps") * col("_sg2")).cast("double") /
-            (col("_sg") * col("_sg")).cast("double") - lit(1000000.0))
+            (col("n_gaps").cast("decimal(38,0)") * col("_sg2"))
+              .cast("double") /
+            (col("_sg").cast("decimal(38,0)") * col("_sg"))
+              .cast("double") - lit(1000000.0))
             .cast("long"))
           .as("burstiness_micro"))
       .orderBy(col("burstiness_micro").desc, col("user_id"))

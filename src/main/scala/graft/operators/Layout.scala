@@ -119,17 +119,19 @@ object Layout {
     *
     * NULL keys are excluded, deliberately: SQL equality joins emit
     * nothing for NULL keys, so they amplify nothing (the audit mirrors
-    * the join's own semantics).
+    * the join's own semantics). Keys keep their NATIVE type — no cast,
+    * so string keys audit as strings and "01" never merges with "1";
+    * callers wanting a specific output type cast the column first.
     * Returns (key, n_left, n_right, out_rows), top `k` by
     * (out_rows desc, key). */
   def joinAmplification(left: org.apache.spark.sql.DataFrame, leftKey: String,
                         right: org.apache.spark.sql.DataFrame, rightKey: String,
                         k: Int): org.apache.spark.sql.DataFrame = {
     val lc = left.filter(col(leftKey).isNotNull)
-      .groupBy(col(leftKey).cast("long").as("key"))
+      .groupBy(col(leftKey).as("key"))
       .agg(count(lit(1)).as("n_left"))
     val rc = right.filter(col(rightKey).isNotNull)
-      .groupBy(col(rightKey).cast("long").as("key"))
+      .groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("n_right"))
     lc.join(rc, "key")
       .select(col("key"), col("n_left"), col("n_right"),

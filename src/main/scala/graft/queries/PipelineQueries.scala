@@ -1911,8 +1911,10 @@ object PipelineQueries {
     // JOIN-AMPLIFICATION AUDIT: top-20 lineitem⋈lineitem partkey hot
     // keys from two count aggregates — the pre-join skew report.
     "q205_join_amplification" -> ((s, dir) => {
+      // cast at the call site: the operator keeps native key types
       val li = t(s, dir, "lineitem")
-      Layout.joinAmplification(li, "l_partkey", li, "l_partkey", k = 20)
+        .withColumn("_k", col("l_partkey").cast("long"))
+      Layout.joinAmplification(li, "_k", li, "_k", k = 20)
     }),
 
     // EVENT-TIME LATENESS AUDIT: per type, bucketed lateness vs the
@@ -2567,8 +2569,9 @@ object PipelineQueries {
          SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
                 CASE WHEN sg = 0 THEN 0
                      ELSE CAST(floor(1000000.0 *
-                            CAST(n_gaps * sg2 AS DOUBLE) /
-                            CAST(sg * sg AS DOUBLE) - 1000000.0)
+                            CAST(CAST(n_gaps AS HUGEINT) * sg2 AS DOUBLE) /
+                            CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE)
+                            - 1000000.0)
                           AS BIGINT)
                 END AS burstiness_micro
          FROM a
@@ -2654,7 +2657,8 @@ object PipelineQueries {
            FROM j GROUP BY label)
          SELECT label, n_a, n_b,
                 CAST(floor(CAST(d2 AS DOUBLE) /
-                     CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) / 100.0)
+                     CAST(CAST(n_a * n_b AS HUGEINT) * (n_a * n_b)
+                          AS DOUBLE) / 100.0)
                   AS BIGINT) AS drift_micro
          FROM g ORDER BY label""",
 

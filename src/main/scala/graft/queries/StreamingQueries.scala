@@ -411,8 +411,10 @@ object StreamingQueries {
           expr("_sg div n_gaps").as("mean_gap_s"),
           when(col("_sg") === 0L, lit(0L))
             .otherwise(floor(lit(1000000.0) *
-              (col("n_gaps") * col("_sg2")).cast("double") /
-              (col("_sg") * col("_sg")).cast("double") - lit(1000000.0))
+              (col("n_gaps").cast("decimal(38,0)") * col("_sg2"))
+                .cast("double") /
+              (col("_sg").cast("decimal(38,0)") * col("_sg"))
+                .cast("double") - lit(1000000.0))
               .cast("long"))
             .as("burstiness_micro"))
         .orderBy(col("burstiness_micro").desc, col("user_id"))
@@ -673,8 +675,9 @@ object StreamingQueries {
          SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
                 CASE WHEN sg = 0 THEN 0
                      ELSE CAST(floor(1000000.0 *
-                            CAST(n_gaps * sg2 AS DOUBLE) /
-                            CAST(sg * sg AS DOUBLE) - 1000000.0)
+                            CAST(CAST(n_gaps AS HUGEINT) * sg2 AS DOUBLE) /
+                            CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE)
+                            - 1000000.0)
                           AS BIGINT)
                 END AS burstiness_micro
          FROM a

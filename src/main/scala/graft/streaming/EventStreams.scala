@@ -290,7 +290,15 @@ object EventStreams {
     * the [[TransitionProcessor]] shape applied to timestamps. Each
     * arriving event emits its (previous → current) gap in whole
     * seconds; the per-group-batch sort restores (us, event_id) order
-    * inside a batch, state stays O(1) forever. */
+    * inside a batch, state stays O(1) forever.
+    *
+    * Cross-batch ORDER is the stated contract (shared with
+    * [[TransitionProcessor]]): a user's events must not arrive in an
+    * EARLIER micro-batch than a later-timestamped event — the fold
+    * has no watermark buffer, so an event older than the stored state
+    * emits a NEGATIVE gap (floor-divided, so it still matches the
+    * batch lag-window's `div` on the raw difference) and the chain
+    * self-reports the violation rather than silently reordering. */
   private class GapProcessor
       extends StatefulProcessor[Long, EventTyped, Gap] {
     @transient private var state: ValueState[LastUs] = _
@@ -305,7 +313,11 @@ object EventStreams {
       var last = if (state.exists()) state.get() else null
       val out = Vector.newBuilder[Gap]
       sorted.foreach { e =>
-        if (last != null) out += Gap(key, (e.us - last.us) / 1000000L)
+        // floorDiv, not /: a cross-batch out-of-order event yields a
+        // negative difference, and floor keeps the quantization the
+        // same one the batch oracle's `//` applies
+        if (last != null)
+          out += Gap(key, Math.floorDiv(e.us - last.us, 1000000L))
         last = LastUs(e.us)
       }
       if (last != null) state.update(last)

@@ -84,7 +84,11 @@ object Curation {
     * contaminated) and a corpus-level permille — all exact. |ns|
     * passes over the corpus by construction (an eval harness, not the
     * production gate; the gate ships ONE n and, at scale, the Bloom
-    * variant [[bloomContamination]]).
+    * variant [[bloomContamination]]). Shingles shuffle as 8-byte
+    * [[Dedup.digest64]] keys, never strings (the span-dedup lesson;
+    * a 60-bit collision could only ADD a phantom hit, the oracle
+    * hashes identically, and at these cardinalities the probability
+    * is astronomically small — same contract as q168).
     * Returns (shingle_n, n_docs, n_flagged_any, n_flagged_half,
     * mean_contamination_permille), one row per n. */
   def contaminationSweep(docs: DataFrame, idCol: String, textCol: String,
@@ -96,9 +100,11 @@ object Curation {
         benchmarkFilter.as("is_bench"),
         Dedup.wordShingles(col(textCol), n).as("sh"))
       val benchShingles = shingled.filter(col("is_bench"))
-        .select(explode(col("sh")).as("s")).distinct()
+        .select(explode(col("sh")).as("_s"))
+        .select(Dedup.digest64(col("_s")).as("s")).distinct()
       val exploded = shingled.filter(!col("is_bench"))
-        .select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), explode(col("sh")).as("_s"))
+        .select(col("id"), Dedup.digest64(col("_s")).as("s"))
       exploded
         .join(benchShingles.withColumn("hit", lit(1L)), Seq("s"), "left")
         .groupBy("id")

@@ -2035,12 +2035,13 @@ object PipelineQueries {
           SELECT e.id, CAST(count(*) AS BIGINT) AS nsh,
                  CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS nc
-          FROM (SELECT doc_id AS id, unnest(${sqlWordShinglesN(n)}) AS s
+          FROM (SELECT doc_id AS id,
+                       ('0x' || substr(md5(unnest(${sqlWordShinglesN(n)})), 1, 15))::BIGINT AS s
                 FROM (SELECT doc_id, string_split(text, ' ') AS w
                       FROM documents)
                 WHERE NOT doc_id % 50 = 0) e
           LEFT JOIN (SELECT DISTINCT s FROM (
-                       SELECT unnest(${sqlWordShinglesN(n)}) AS s
+                       SELECT ('0x' || substr(md5(unnest(${sqlWordShinglesN(n)})), 1, 15))::BIGINT AS s
                        FROM (SELECT doc_id, string_split(text, ' ') AS w
                              FROM documents)
                        WHERE doc_id % 50 = 0)) b ON e.s = b.s

@@ -419,6 +419,36 @@ object StreamingQueries {
             .as("burstiness_micro"))
         .orderBy(col("burstiness_micro").desc, col("user_id"))
         .limit(20)
+    }),
+
+    // Streaming twin of q84's KMV sketch: per event type, k=64 longs
+    // of transformWithState state ARE the sketch; the sink is a sketch
+    // LOG whose batch-side kmvEstimate is correct over any number of
+    // appended versions (bottom-k is idempotent under union — the
+    // loosest state contract of the twins, no ordering needed).
+    "q212_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Md5Prefix64.register(s)
+      val ev = eventsStream(s, dir)
+        .select(col("event_type").as("k"),
+          call_function(graft.functions.Md5Prefix64.name,
+            col("user_id").cast("string")).as("h"))
+        .as[EventStreams.KeyedHash]
+      val sk = EventStreams.kmvSketchStream(s, ev, k = 64)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      val sunk =
+        try runBounded(s, sk.toDF(), "graft_q212_sink", "append")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      graft.operators.Sketch.kmvEstimate(
+          sunk.select(col("k").as("event_type"), col("h")),
+          Seq("event_type"), 64)
+        .orderBy("event_type")
     })
   )
 
@@ -682,6 +712,28 @@ object StreamingQueries {
                 END AS burstiness_micro
          FROM a
          ORDER BY burstiness_micro DESC, user_id
-         LIMIT 20"""
+         LIMIT 20""",
+
+    // The q84 users-estimator verbatim at k=64: the streamed sketch
+    // log re-folded through bottom-k must equal the batch sketch.
+    "q212_stream_kmv" ->
+      """WITH kmv AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS rn
+                 FROM (SELECT DISTINCT event_type,
+                         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+                           AS h
+                       FROM events))
+           WHERE rn <= 64 GROUP BY event_type)
+         SELECT event_type,
+                CASE WHEN n_kept < 64 THEN n_kept
+                     ELSE CAST(floor(CAST(63 AS DOUBLE)
+                            * CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(hk AS DOUBLE)) AS BIGINT)
+                END AS est_nd
+         FROM kmv ORDER BY event_type"""
   )
 }

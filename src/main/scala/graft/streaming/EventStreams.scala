@@ -337,4 +337,53 @@ object EventStreams {
       .transformWithState(new GapProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One keyed hash observation for the streaming KMV sketch. */
+  case class KeyedHash(k: String, h: Long)
+
+  private case class KmvValues(hs: Array[Long])
+
+  /** State processor behind [[kmvSketchStream]]: per key, the bottom-`k`
+    * DISTINCT hashes seen so far — the KMV sketch itself IS the state
+    * (k longs, bounded forever), and each batch emits the key's
+    * UPDATED sketch rows. Across batches the sink therefore holds a
+    * sketch LOG; that is correct by KMV's own algebra — re-taking the
+    * k smallest distinct hashes over any union of sketch versions
+    * ([[graft.operators.Sketch.kmvEstimate]]'s first step) returns the
+    * live sketch, because bottom-k is monotone and idempotent under
+    * union. No ordering contract needed at all (min-merge is
+    * order-free) — the loosest of the stateful twins. */
+  private class KmvProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedHash, KeyedHash] {
+    @transient private var state: ValueState[KmvValues] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KmvValues]("kmv",
+        org.apache.spark.sql.Encoders.product[KmvValues], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedHash],
+        timerValues: TimerValues): Iterator[KeyedHash] = {
+      val prev: Array[Long] =
+        if (state.exists()) state.get().hs else Array.empty[Long]
+      val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+      state.update(KmvValues(merged))
+      merged.iterator.map(h => KeyedHash(key, h))
+    }
+  }
+
+  /** STREAMING KMV distinct-count sketch: the unbounded twin of
+    * [[graft.operators.Sketch.kmvSketch]] — per key, k longs of state
+    * carry the bottom-k hash set across batches, each batch re-emits
+    * the touched keys' sketches, and the downstream estimate
+    * ([[graft.operators.Sketch.kmvEstimate]] over the sink) is correct
+    * over ANY number of appended sketch versions because bottom-k is
+    * idempotent under union. */
+  def kmvSketchStream(spark: SparkSession, hashes: Dataset[KeyedHash],
+                      k: Int): Dataset[KeyedHash] = {
+    import spark.implicits._
+    hashes
+      .groupByKey(_.k)
+      .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -269,4 +269,52 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("kmvSketchStream: sketch log across batches re-folds to the live sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[KeyedHash]
+      val q = kmvSketchStream(spark, in.toDS(), k = 3)
+        .writeStream.format("memory").queryName("kmv_sink")
+        .outputMode("append").start()
+      // batch 1: key a sees hashes {50, 10, 30, 10-dup}
+      in.addData(KeyedHash("a", 50L), KeyedHash("a", 10L),
+        KeyedHash("a", 30L), KeyedHash("a", 10L))
+      q.processAllAvailable()
+      // batch 2: a smaller hash evicts 50 from a's bottom-3; key b opens
+      in.addData(KeyedHash("a", 20L), KeyedHash("b", 99L))
+      q.processAllAvailable()
+      q.stop()
+      val log = spark.table("kmv_sink").as[KeyedHash].collect()
+      // the log contains BOTH versions of a's sketch...
+      assert(log.count(_.k == "a") == 6) // 3 rows per batch
+      // ...but re-taking the bottom-k per key recovers the live sketch
+      val folded = log.groupBy(_.k).map { case (g, rows) =>
+        g -> rows.map(_.h).distinct.sorted.take(3).toSeq
+      }
+      assert(folded("a") == Seq(10L, 20L, 30L))
+      assert(folded("b") == Seq(99L))
+      // and kmvEstimate over the log behaves per contract: b (fewer
+      // than k survivors) is EXACT; a's sketch is full, so it
+      // estimates via (k−1)·2^60/h_k — the toy hashes here are tiny,
+      // not uniform 60-bit draws, so only the formula (not accuracy)
+      // is asserted
+      import org.apache.spark.sql.functions.col
+      val est = graft.operators.Sketch.kmvEstimate(
+        spark.table("kmv_sink").select(col("k").as("g"), col("h")),
+        Seq("g"), 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("b") == 1L)
+      assert(est("a") ==
+        math.floor(2.0 * 1152921504606846976.0 / 30.0).toLong)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

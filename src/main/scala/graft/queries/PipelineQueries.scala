@@ -1958,6 +1958,39 @@ object PipelineQueries {
     "q211_contamination_sweep" -> ((s, dir) => {
       Curation.contaminationSweep(t(s, dir, "documents"), "doc_id",
         "text", col("doc_id") % 50 === 0, ns = Seq(2, 3, 4))
+    }),
+
+    // QUALITY×DUP CROSS PROFILE: near-dup rate per quality decile —
+    // "are my duplicates concentrated in the junk?" — the analysis
+    // that decides whether dedup or quality filtering runs first.
+    // Deciles are exact integer rank arithmetic ((10·(rn−1)) div n,
+    // no boundary-interpolation ambiguity); dup flags are q31's
+    // loser set (distinct doc_b at jaccard ≥ 0.8, the pairwise view).
+    // The global rank window is corpus-sized — at 100 TB this is the
+    // q181 range-partition + prefix-count two-pass, stated.
+    "q213_quality_dup_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val losers = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("_dup", lit(1L))
+      val n = docs.count()
+      val w = Window.orderBy("quality", "doc_id")
+      scored
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("decile",
+          least(lit(9L), expr(s"(10 * (_rn - 1)) div ${n}L")))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("_dup"), lit(0L))).as("n_dups"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"))
+        .select(col("decile"), col("n_docs"), col("n_dups"),
+          expr("(1000 * n_dups) div n_docs").as("dup_permille"),
+          col("q_min"), col("q_max"))
+        .orderBy("decile")
     })
   )
 
@@ -2742,6 +2775,54 @@ object PipelineQueries {
     "q211_contamination_sweep" ->
       (Seq(2, 3, 4).map(sqlContamLeg).mkString(" UNION ALL ") +
         " ORDER BY shingle_n"),
+
+    // q46's quality expression, q210's integer-cutoff loser set at
+    // 800‰, exact rank-arithmetic deciles.
+    "q213_quality_dup_profile" ->
+      s"""WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh FROM base),
+         sigs AS (
+           SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         losers AS (
+           SELECT DISTINCT c.b AS doc_id
+           FROM cand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id
+           WHERE 1000 * len(list_intersect(da.sh, db.sh))
+                 >= 800 * len(list_distinct(list_concat(da.sh, db.sh)))),
+         scored AS (
+           SELECT doc_id,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2
+                    AS quality
+           FROM base),
+         ranked AS (
+           SELECT doc_id, quality,
+                  row_number() OVER (ORDER BY quality, doc_id) AS rn
+           FROM scored),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         dec AS (
+           SELECT r.doc_id, r.quality,
+                  least(CAST(9 AS BIGINT), (10 * (rn - 1)) // n) AS decile
+           FROM ranked r CROSS JOIN tot)
+         SELECT d.decile, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dups,
+                (1000 * CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1
+                                      ELSE 0 END) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS dup_permille,
+                min(d.quality) AS q_min, max(d.quality) AS q_max
+         FROM dec d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         GROUP BY d.decile ORDER BY d.decile""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1991,6 +1991,25 @@ object PipelineQueries {
           expr("(1000 * n_dups) div n_docs").as("dup_permille"),
           col("q_min"), col("q_max"))
         .orderBy("decile")
+    }),
+
+    // RETRIEVAL DIVERSITY@k: distinct labels among each query's int8
+    // top-10 — the result-diversity metric next to q160's recall@k
+    // (a ranker can be accurate AND collapsed onto one label; both
+    // numbers gate a retrieval index). Metadata-scale on top of the
+    // top-k lists; integer permille.
+    "q214_diversity_at_k" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val topk = Similarity.int8TopK(em, Seq(0L, 1L, 2L, 3L, 4L),
+        "vec_id", "embedding", k = 10)
+      val lab = em.select(col("vec_id"), col("label").cast("long").as("label"))
+      topk.join(lab, "vec_id")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_eff"),
+          countDistinct(col("label")).as("n_labels"))
+        .select(col("query_id"), col("k_eff"), col("n_labels"),
+          expr("(1000 * n_labels) div k_eff").as("diversity_permille"))
+        .orderBy("query_id")
     })
   )
 
@@ -2823,6 +2842,30 @@ object PipelineQueries {
                 min(d.quality) AS q_min, max(d.quality) AS q_max
          FROM dec d LEFT JOIN losers l ON d.doc_id = l.doc_id
          GROUP BY d.decile ORDER BY d.decile""",
+
+    // q120's top-10 chain joined back to labels; COUNT(DISTINCT)
+    // drops NULL labels like Spark's countDistinct.
+    "q214_diversity_at_k" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         scored AS (
+           SELECT query_id, v.vec_id, CAST(v.label AS BIGINT) AS label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v.q[i])) DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         top AS (SELECT query_id, label FROM scored WHERE rank <= 10)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS k_eff,
+                CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+                (1000 * CAST(count(DISTINCT label) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS diversity_permille
+         FROM top GROUP BY query_id ORDER BY query_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

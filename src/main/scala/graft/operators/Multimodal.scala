@@ -99,4 +99,40 @@ object Multimodal {
         sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
         off => col("bytes").substr(off, lit(frameBytes)))
         .as("frames"))
+
+  /** TEMPORAL POOLING over sampled frames — the video-embedding
+    * pipeline shape end to end: sample frames ([[frameSample]]'s
+    * slices), extract a per-frame feature vector, mean-pool into ONE
+    * vector per media item. The per-frame "model" is the stub tier
+    * (4 integer features = the frame digest's hex quads, 0..65535 —
+    * a real deployment swaps in an encoder batch call at exactly this
+    * point), but the pipeline shape is the real one: explode to frame
+    * rows → ONE digest per frame → narrow quad projection →
+    * map-side-combinable sums → integer floor-mean. The binary payload
+    * never shuffles (frames derive in the projection; only 4 longs per
+    * frame reach the aggregate), and the pooled output is exact
+    * integers, engine-reproducible.
+    * Returns (media_id, n_frames, f0..f3), f_i = Σ quad_i div n. */
+  def framePooling(media: DataFrame, everyK: Int, frameBytes: Int): DataFrame = {
+    val frames = transform(
+      sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
+      off => col("bytes").substr(off, lit(frameBytes)))
+    val quads = (0 until 4).map { i =>
+      conv(substring(col("_h"), i * 4 + 1, 4), 16, 10)
+        .cast("long").as(s"_q$i")
+    }
+    media
+      .select(col("media_id"), explode(frames).as("_f"))
+      .select(col("media_id"), md5(col("_f")).as("_h"))
+      .select(col("media_id") +: quads: _*)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("_q0")).as("_s0"), sum(col("_q1")).as("_s1"),
+        sum(col("_q2")).as("_s2"), sum(col("_q3")).as("_s3"))
+      .select(col("media_id"), col("n_frames"),
+        expr("_s0 div n_frames").as("f0"),
+        expr("_s1 div n_frames").as("f1"),
+        expr("_s2 div n_frames").as("f2"),
+        expr("_s3 div n_frames").as("f3"))
+  }
 }

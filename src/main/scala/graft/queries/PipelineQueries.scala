@@ -2010,6 +2010,15 @@ object PipelineQueries {
         .select(col("query_id"), col("k_eff"), col("n_labels"),
           expr("(1000 * n_labels) div k_eff").as("diversity_permille"))
         .orderBy("query_id")
+    }),
+
+    // MULTIMODAL FRAME POOLING: sample → per-frame features → exact
+    // integer mean-pool, one vector per media item (the video-encoder
+    // pipeline shape with the stub feature tier).
+    "q215_frame_pooling" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.framePooling(m, everyK = 100, frameBytes = 16)
+        .orderBy("media_id")
     })
   )
 
@@ -2866,6 +2875,31 @@ object PipelineQueries {
                 (1000 * CAST(count(DISTINCT label) AS BIGINT))
                   // CAST(count(*) AS BIGINT) AS diversity_permille
          FROM top GROUP BY query_id ORDER BY query_id""",
+
+    // Same every-100th-offset 16-byte frames over the ASCII payload
+    // (chars ≡ bytes, the q72 contract), one md5 per frame, hex-quad
+    // integer features, floor-mean pooling.
+    "q215_frame_pooling" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+         fr AS (
+           SELECT media_id, md5(substr(text, o, 16)) AS h
+           FROM (SELECT media_id, text,
+                   unnest(range(1, greatest(length(text), 1) + 1, 100))
+                     AS o
+                 FROM m)),
+         q AS (
+           SELECT media_id,
+                  ('0x' || substr(h, 1, 4))::BIGINT AS q0,
+                  ('0x' || substr(h, 5, 4))::BIGINT AS q1,
+                  ('0x' || substr(h, 9, 4))::BIGINT AS q2,
+                  ('0x' || substr(h, 13, 4))::BIGINT AS q3
+           FROM fr)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(q0) AS BIGINT) // count(*) AS f0,
+                CAST(sum(q1) AS BIGINT) // count(*) AS f1,
+                CAST(sum(q2) AS BIGINT) // count(*) AS f2,
+                CAST(sum(q3) AS BIGINT) // count(*) AS f3
+         FROM q GROUP BY media_id ORDER BY media_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

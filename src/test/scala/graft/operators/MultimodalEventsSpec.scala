@@ -43,6 +43,27 @@ class MultimodalEventsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("frame pooling: frame count matches sampling, features hand-verified") {
+    import spark.implicits._
+    // one 150-char payload → frames at offsets 1 and 101
+    val m = Seq((7L, "image", ("ab" * 75).getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "bytes")
+    val got = Multimodal.framePooling(m, everyK = 100, frameBytes = 16)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 == 7L && got._2 == 2L)
+    // recompute the pooled quads by hand from the two frame digests
+    def quads(s: String): Seq[Long] = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).map(i => java.lang.Long.parseLong(h.substring(i * 4, i * 4 + 4), 16))
+    }
+    val payload = "ab" * 75
+    val f1 = quads(payload.substring(0, 16))
+    val f2 = quads(payload.substring(100, 116))
+    val want = (0 until 4).map(i => (f1(i) + f2(i)) / 2)
+    assert(Seq(got._3, got._4, got._5, got._6) == want)
+  }
+
   test("batch sessionize splits on gaps and conserves events") {
     val s = Events.sessionize(events, 30)
     val total = s.agg(sum("n_events")).head.getLong(0)

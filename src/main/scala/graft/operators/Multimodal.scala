@@ -90,15 +90,20 @@ object Multimodal {
       md5(col("bytes")).as("content_digest"))
   }
 
-  /** Frame sampling: every k-th byte offset as a pseudo-frame slice of
-    * the payload (a real impl slices at codec frame boundaries). Narrow,
+  /** The ONE frame-slicing expression ([[frameSample]] and
+    * [[framePooling]] share it, so offset geometry cannot silently
+    * diverge between q72 and q215): every k-th byte offset as a
+    * pseudo-frame slice (a real impl slices at codec boundaries). */
+  private def framesExpr(everyK: Int, frameBytes: Int) =
+    transform(
+      sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
+      off => col("bytes").substr(off, lit(frameBytes)))
+
+  /** Frame sampling: [[framesExpr]] materialized per media row. Narrow,
     * binary column never shuffled. */
   def frameSample(media: DataFrame, everyK: Int, frameBytes: Int): DataFrame =
     media.select(col("media_id"),
-      transform(
-        sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
-        off => col("bytes").substr(off, lit(frameBytes)))
-        .as("frames"))
+      framesExpr(everyK, frameBytes).as("frames"))
 
   /** TEMPORAL POOLING over sampled frames — the video-embedding
     * pipeline shape end to end: sample frames ([[frameSample]]'s
@@ -114,9 +119,7 @@ object Multimodal {
     * integers, engine-reproducible.
     * Returns (media_id, n_frames, f0..f3), f_i = Σ quad_i div n. */
   def framePooling(media: DataFrame, everyK: Int, frameBytes: Int): DataFrame = {
-    val frames = transform(
-      sequence(lit(1), greatest(length(col("bytes")), lit(1)), lit(everyK)),
-      off => col("bytes").substr(off, lit(frameBytes)))
+    val frames = framesExpr(everyK, frameBytes)
     val quads = (0 until 4).map { i =>
       conv(substring(col("_h"), i * 4 + 1, 4), 16, 10)
         .cast("long").as(s"_q$i")

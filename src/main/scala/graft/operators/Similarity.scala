@@ -307,10 +307,12 @@ object Similarity {
     * ≤ (2B·na·nb)² for B = the max |quantized value| (~2e4 for
     * unit-scale embeddings), so the d-position sum stays inside 38
     * digits while na·nb ≲ 3e13 — about 5M vectors per label PER
-    * SLICE at d=64. Beyond that this operator raises a NAMED error
-    * (per-term and post-sum guards — decimal overflow must not
-    * silently NULL, and a NULLed term must not be silently skipped
-    * by sum) — chunk the slices or coarsen the grid to go bigger.
+    * SLICE at d=64. Beyond that the computation fails LOUDLY, not
+    * silently: Spark 4 runs ANSI mode by default, where decimal
+    * overflow raises NUMERIC_VALUE_OUT_OF_RANGE (and the DuckDB
+    * mirror's HUGEINT likewise errors) — chunk the slices or coarsen
+    * the grid to go bigger. Vector elements must be non-null (the
+    * shared vector-operator contract; [[Dedup.quantize]]'s).
     *
     * Shape: one posexplode + map-side-combinable sum per slice
     * (shuffles labels × d partials, never vectors), one labels×d join,
@@ -327,27 +329,14 @@ object Similarity {
         .groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as(n), sum(col("col")).as(s))
     val dec = "decimal(38,0)"
-    val overflowMsg = "centroidDrift: 128-bit overflow — slices too " +
-      "large for the 1e4 grid (envelope na*nb <~ 3e13); chunk the " +
-      "slices or coarsen the quantization"
     sums(a, "_na", "_sa").join(sums(b, "_nb", "_sb"), Seq("label", "pos"))
       .withColumn("_diff",
         col("_sa").cast(dec) * col("_nb") - col("_sb").cast(dec) * col("_na"))
-      // per-term guard: a squared term that overflows DECIMAL(38,0)
-      // nulls, and sum() would then silently SKIP it — fail loudly
-      .withColumn("_sq",
-        when((col("_diff") * col("_diff")).isNull,
-          raise_error(lit(overflowMsg)).cast(dec))
-          .otherwise(col("_diff") * col("_diff")))
       .groupBy("label")
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
-        sum(col("_sq")).as("_d2"))
-      // post-sum guard: the SUM itself can also overflow to NULL
-      .withColumn("_d2c",
-        when(col("_d2").isNull, raise_error(lit(overflowMsg)).cast(dec))
-          .otherwise(col("_d2")))
+        sum(col("_diff") * col("_diff")).as("_d2"))
       .select(col("label"), col("n_a"), col("n_b"),
-        floor(col("_d2c").cast("double") /
+        floor(col("_d2").cast("double") /
           // denominator also in 128-bit: (na·nb)² passes 2^63 at the
           // same envelope the numerator does
           ((col("n_a") * col("n_b")).cast(dec) *

@@ -1975,12 +1975,19 @@ object PipelineQueries {
           shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("_dup", lit(1L))
-      val n = docs.count()
+      // the corpus total rides the SAME single-partition window pass
+      // as the rank (full frame vs growing frame) — no eager count
+      // job, no second scan
       val w = Window.orderBy("quality", "doc_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       scored
         .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wAll))
         .withColumn("decile",
-          least(lit(9L), expr(s"(10 * (_rn - 1)) div ${n}L")))
+          // 10L: _rn is 32-bit; the int product would overflow at
+          // ~2^31/10 rows where the BIGINT oracle keeps going
+          least(lit(9L), expr("(10L * (_rn - 1)) div _n")))
         .join(losers, Seq("doc_id"), "left")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),

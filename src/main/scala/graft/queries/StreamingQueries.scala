@@ -97,6 +97,21 @@ object StreamingQueries {
     }
   }
 
+  /** Scope the RocksDB state-store provider (transformWithState's
+    * requirement) to one bounded run — the [[withStreamConf]] shape
+    * shared by every stateful-processor twin. */
+  private def withRocksDbState[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Watermarked tumbling-window counts, append mode: only windows the
@@ -330,16 +345,9 @@ object StreamingQueries {
           expr("unix_micros(ts)").as("us"), col("event_type"))
         .as[EventStreams.EventTyped]
       val steps = EventStreams.transitions(s, ev)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      val sunk =
-        try runBounded(s, steps.toDF(), "graft_q171_sink", "append")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      val sunk = withRocksDbState(s) {
+        runBounded(s, steps.toDF(), "graft_q171_sink", "append")
+      }
       val counts = sunk.groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n_trans"))
       counts
@@ -392,16 +400,9 @@ object StreamingQueries {
           expr("unix_micros(ts)").as("us"), col("event_type"))
         .as[EventStreams.EventTyped]
       val gaps = EventStreams.interArrivalGaps(s, ev)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      val sunk =
-        try runBounded(s, gaps.toDF(), "graft_q207_sink", "append")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      val sunk = withRocksDbState(s) {
+        runBounded(s, gaps.toDF(), "graft_q207_sink", "append")
+      }
       sunk.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("gap_s")).as("_sg"),
@@ -435,16 +436,9 @@ object StreamingQueries {
             col("user_id").cast("string")).as("h"))
         .as[EventStreams.KeyedHash]
       val sk = EventStreams.kmvSketchStream(s, ev, k = 64)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      val sunk =
-        try runBounded(s, sk.toDF(), "graft_q212_sink", "append")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      val sunk = withRocksDbState(s) {
+        runBounded(s, sk.toDF(), "graft_q212_sink", "append")
+      }
       graft.operators.Sketch.kmvEstimate(
           sunk.select(col("k").as("event_type"), col("h")),
           Seq("event_type"), 64)

@@ -296,8 +296,9 @@ object EventStreams {
     * [[TransitionProcessor]]): a user's events must not arrive in an
     * EARLIER micro-batch than a later-timestamped event — the fold
     * has no watermark buffer, so an event older than the stored state
-    * emits a NEGATIVE gap (floor-divided, so it still matches the
-    * batch lag-window's `div` on the raw difference) and the chain
+    * emits a NEGATIVE gap (truncated toward zero, the SAME
+    * quantization Spark's `div` and DuckDB's `//` apply — both
+    * truncate, verified; -7/2 = -3 in all three) and the chain
     * self-reports the violation rather than silently reordering. */
   private class GapProcessor
       extends StatefulProcessor[Long, EventTyped, Gap] {
@@ -313,11 +314,11 @@ object EventStreams {
       var last = if (state.exists()) state.get() else null
       val out = Vector.newBuilder[Gap]
       sorted.foreach { e =>
-        // floorDiv, not /: a cross-batch out-of-order event yields a
-        // negative difference, and floor keeps the quantization the
-        // same one the batch oracle's `//` applies
+        // Scala `/` truncates toward zero — exactly what Spark's `div`
+        // and DuckDB's `//` do, including on the negative differences
+        // an out-of-order violation produces
         if (last != null)
-          out += Gap(key, Math.floorDiv(e.us - last.us, 1000000L))
+          out += Gap(key, (e.us - last.us) / 1000000L)
         last = LastUs(e.us)
       }
       if (last != null) state.update(last)

@@ -109,6 +109,31 @@ object Similarity {
         (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x),
       order = col("d2").asc)
 
+  /** [[int8TopK]] with a DATA-DRIVEN query set: `queryIds` is a
+    * one-column DataFrame of ids (the anchors another operator just
+    * mined), not a literal list — the broadcast-queries scan shape is
+    * unchanged, so the query set must stay broadcastable (its ids ∩
+    * corpus define the queries; ids without vectors are silently
+    * absent, they have nothing to rank with).
+    * Returns (query_id, rank, vec_id, dot). */
+  def int8TopKForIds(corpus: DataFrame, queryIds: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val vecs = int8Quantized(corpus, idCol, vecCol)
+    val ids = queryIds
+      .select(col(queryIds.columns.head).cast("long").as("vec_id"))
+      .distinct()
+    val q = vecs.join(broadcast(ids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qdot(col("qv"), col("v")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "dot")
+  }
+
   /** HARD-NEGATIVE MINING for contrastive/retrieval training: for each
     * query vector, the `k` most similar corpus vectors with a DIFFERENT
     * label — maximally confusable examples, which is exactly what a

@@ -2026,6 +2026,39 @@ object PipelineQueries {
       val m = Multimodal.mediaTable(t(s, dir, "documents"))
       Multimodal.framePooling(m, everyK = 100, frameBytes = 16)
         .orderBy("media_id")
+    }),
+
+    // CONTRASTIVE TRIPLET MINING: (anchor, positive, negative) —
+    // positives are q31's near-dup pairs; the negative is the anchor's
+    // most int8-similar vector OUTSIDE its near-dup component (a
+    // same-cluster "negative" would be a false negative that poisons
+    // the contrastive loss). doc/vec ids are aligned in the fixture —
+    // the text and embedding views of one corpus. Everything past the
+    // pair mining is anchor-count-sized: candidates top-8 per anchor,
+    // component tags join on ids, min_by picks rank 1 survivor.
+    "q216_triplet_mining" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      val cands = Similarity.int8TopKForIds(emb,
+        pairs.select("doc_a"), "vec_id", "embedding", k = 8)
+      val ca = comps.select(col("node").as("query_id"),
+        col("component").as("_ca"))
+      val cb = comps.select(col("node").as("vec_id"),
+        col("component").as("_cb"))
+      val negs = cands.join(ca, "query_id")
+        .join(cb, Seq("vec_id"), "left")
+        .filter(col("_cb").isNull || col("_cb") =!= col("_ca"))
+        .groupBy("query_id")
+        .agg(expr("min_by(vec_id, rank)").as("negative"),
+          expr("min_by(dot, rank)").as("neg_dot"))
+      pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+        .join(negs, col("anchor") === col("query_id"))
+        .select(col("anchor"), col("positive"), col("negative"),
+          col("neg_dot"))
+        .orderBy("anchor", "positive")
     })
   )
 
@@ -2907,6 +2940,45 @@ object PipelineQueries {
                 CAST(sum(q2) AS BIGINT) // count(*) AS f2,
                 CAST(sum(q3) AS BIGINT) // count(*) AS f3
          FROM q GROUP BY media_id ORDER BY media_id""",
+
+    // componentsCtes' recursive clusters + q120's int8 chain restricted
+    // to the pair anchors; arg_min picks the rank-1 out-of-component
+    // candidate (mirrors Spark's min_by over the unique rank).
+    "q216_triplet_mining" ->
+      s"""$componentsCtes,
+         comps AS (SELECT node, min(r) AS component
+                   FROM reach GROUP BY node),
+         v AS (
+           SELECT vec_id,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         anchors AS (SELECT DISTINCT doc_a FROM pairs),
+         qs AS (SELECT v.vec_id AS query_id, v.q AS qv
+                FROM v JOIN anchors a ON v.vec_id = a.doc_a),
+         scoredc AS (
+           SELECT query_id, v.vec_id,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> qv[i] * v.q[i])) AS BIGINT) AS dot,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v.q[i])) DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         icand AS (SELECT * FROM scoredc WHERE rank <= 8),
+         neg AS (
+           SELECT c.query_id,
+                  arg_min(c.vec_id, c.rank) AS negative,
+                  arg_min(c.dot, c.rank) AS neg_dot
+           FROM icand c
+           JOIN comps ca ON ca.node = c.query_id
+           LEFT JOIN comps cb ON cb.node = c.vec_id
+           WHERE cb.node IS NULL OR cb.component <> ca.component
+           GROUP BY c.query_id)
+         SELECT p.doc_a AS anchor, p.doc_b AS positive,
+                n.negative, n.neg_dot
+         FROM pairs p JOIN neg n ON n.query_id = p.doc_a
+         ORDER BY anchor, positive""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -262,6 +262,36 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got(0)._4 == c)
   }
 
+  test("int8TopKForIds matches the literal-list rung on the same ids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ids = Seq(0L, 3L, 7L).toDF("id")
+    val byIds = Similarity.int8TopKForIds(emb, ids, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val byList = Similarity.int8TopK(emb, Seq(0L, 3L, 7L), "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(byIds == byList && byIds.nonEmpty)
+  }
+
+  test("triplet negatives never share the anchor's near-dup component") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+    val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trip = graft.SparkEntry.queries("q216_triplet_mining")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trip.nonEmpty)
+    trip.foreach { case (a, p, n) =>
+      // positive IS in the anchor's component; negative is NOT
+      assert(comps(a) == comps(p))
+      assert(!comps.get(n).contains(comps(a)), s"anchor $a negative $n")
+    }
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

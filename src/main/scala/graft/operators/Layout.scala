@@ -140,6 +140,84 @@ object Layout {
       .limit(k)
   }
 
+  /** ZONE-BLOOM PRUNING AUDIT — data skipping for STRING predicates,
+    * the categorical sibling of [[zoneMap]]'s min/max footers (what
+    * Parquet column Bloom filters do, made measurable): per zone, a
+    * deterministic Bloom filter over the zone's distinct values; per
+    * probe value, how many zones the filter skips, how many it
+    * admits, and how many of those admissions are FALSE POSITIVES —
+    * the number that decides whether `bits` is worth its footer bytes
+    * before a 100 TB layout ships them.
+    *
+    * Same filter construction as
+    * [[graft.operators.Curation.bloomContamination]] (md5-positioned,
+    * 32-bit words folded with bit_or — partial-aggregable, no RNG, no
+    * sip-hash seeds, rebuildable by any engine); probes' bit positions
+    * are computed DRIVER-SIDE from the literal probe list (k·|probes|
+    * longs) and broadcast against the zones×probes grid. A zone the
+    * filter skips is GUARANTEED clean (Blooms never miss), so
+    * `n_skippable` is safe I/O savings; `n_false_pos` is the measured
+    * cost of the `bits` choice. Everything after the per-zone distinct
+    * is zone-count-sized.
+    * Returns (probe, n_zones, n_hits, n_maybe, n_false_pos,
+    * n_skippable), one row per probe. */
+  def zoneBloomAudit(df: org.apache.spark.sql.DataFrame, zone: Column,
+                     valueCol: String, probes: Seq[String],
+                     bits: Int = 4096, kHash: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(probes.nonEmpty, "need at least one probe value")
+    require(bits >= 32 && bits % 32 == 0, "bits must be a multiple of 32")
+    require(kHash >= 1 && kHash <= 16, "kHash in [1, 16]")
+    val sp = df.sparkSession
+    graft.functions.Md5Prefix64.register(sp)
+    import sp.implicits._
+    val zv = df
+      .select(zone.cast("long").as("zone"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+    val posCols = (0 until kHash).map { j =>
+      (call_function(graft.functions.Md5Prefix64.name,
+        concat(lit(j.toString), lit(":"), col("v"))) % bits).as(s"_p$j")
+    }
+    val words = zv.select(col("zone") +: posCols: _*)
+      .selectExpr("zone",
+        s"stack($kHash, ${(0 until kHash).map(j => s"_p$j").mkString(", ")}) as pos")
+      .select(col("zone"), expr("pos div 32").as("widx"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("bit"))
+      .groupBy("zone", "widx")
+      .agg(expr("bit_or(bit)").as("word"))
+    // probe bit positions from the literal list — driver arithmetic,
+    // identical md5 formula
+    val probeRows = probes.flatMap { p =>
+      (0 until kHash).map { j =>
+        val pos = graft.functions.Md5Prefix64
+          .ofBytes(s"$j:$p".getBytes("UTF-8")) % bits
+        (p, pos / 32, 1L << (pos % 32).toInt)
+      }
+    }
+    val pDf = probeRows.toDF("probe", "widx", "bit")
+    val zones = zv.select("zone").distinct()
+    val checks = zones.crossJoin(broadcast(pDf))
+      .join(words, Seq("zone", "widx"), "left")
+      .withColumn("_set",
+        when(col("word").isNotNull &&
+          (col("word").bitwiseAND(col("bit")) =!= 0L), 1L).otherwise(0L))
+      .groupBy("zone", "probe")
+      .agg(min(col("_set")).as("_may"))
+    val hits = zv.filter(col("v").isin(probes: _*))
+      .select(col("zone"), col("v").as("probe"))
+      .withColumn("_hit", lit(1L))
+    checks.join(hits, Seq("zone", "probe"), "left")
+      .groupBy("probe")
+      .agg(count(lit(1)).as("n_zones"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"),
+        sum(col("_may")).as("n_maybe"))
+      .select(col("probe"), col("n_zones"), col("n_hits"), col("n_maybe"),
+        (col("n_maybe") - col("n_hits")).as("n_false_pos"),
+        (col("n_zones") - col("n_maybe")).as("n_skippable"))
+      .orderBy("probe")
+  }
+
   /** Consistent-hash ring: `vnodes` virtual nodes per shard, each at
     * position md5("shard-s#v")'s first 15 hex digits (a 60-bit integer
     * — reproducible in any engine with md5, the [[graft.operators.Dedup.hyperplaneWeights]]

@@ -2059,6 +2059,19 @@ object PipelineQueries {
         .select(col("anchor"), col("positive"), col("negative"),
           col("neg_dot"))
         .orderBy("anchor", "positive")
+    }),
+
+    // ZONE-BLOOM PRUNING AUDIT: per probe source, zones skipped /
+    // admitted / falsely admitted by a per-zone 256-bit Bloom over the
+    // zone's sources. Present probes legitimately admit every zone
+    // (sources span all zones in this layout — the audit says so
+    // instead of pretending); the absent probe shows the skip rate
+    // the filter actually buys, minus its measured false positives.
+    "q217_zone_bloom" -> ((s, dir) => {
+      Layout.zoneBloomAudit(t(s, dir, "documents"),
+        expr("doc_id div 50"), "source",
+        probes = Seq("src3", "src15", "src-absent"),
+        bits = 256, kHash = 3)
     })
   )
 
@@ -2979,6 +2992,49 @@ object PipelineQueries {
                 n.negative, n.neg_dot
          FROM pairs p JOIN neg n ON n.query_id = p.doc_a
          ORDER BY anchor, positive""",
+
+    // q103's word-fold idiom per zone; probe positions from the same
+    // md5 formula over the literal probe list.
+    "q217_zone_bloom" ->
+      """WITH zv AS (
+           SELECT DISTINCT doc_id // 50 AS zone, source AS v
+           FROM documents WHERE source IS NOT NULL),
+         words AS (
+           SELECT zone, pos // 32 AS widx,
+                  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+           FROM (SELECT zone,
+                   ('0x'||substr(md5(j::VARCHAR || ':' || v),1,15))::BIGINT
+                     % 256 AS pos
+                 FROM zv, range(0, 3) t(j))
+           GROUP BY 1, 2),
+         probes(p) AS (VALUES ('src3'), ('src15'), ('src-absent')),
+         pp AS (
+           SELECT p,
+                  ('0x'||substr(md5(j::VARCHAR || ':' || p),1,15))::BIGINT
+                    % 256 AS pos
+           FROM probes, range(0, 3) t(j)),
+         zones AS (SELECT DISTINCT zone FROM zv),
+         checks AS (
+           SELECT z.zone, pp.p,
+                  min(CASE WHEN w.word IS NOT NULL
+                            AND (w.word &
+                                 (1::BIGINT << CAST(pp.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END) AS may
+           FROM zones z CROSS JOIN pp
+           LEFT JOIN words w ON w.zone = z.zone AND w.widx = pp.pos // 32
+           GROUP BY 1, 2),
+         hits AS (
+           SELECT zone, v AS p, 1 AS hit FROM zv
+           WHERE v IN ('src3', 'src15', 'src-absent'))
+         SELECT c.p AS probe, CAST(count(*) AS BIGINT) AS n_zones,
+                CAST(sum(COALESCE(h.hit, 0)) AS BIGINT) AS n_hits,
+                CAST(sum(c.may) AS BIGINT) AS n_maybe,
+                CAST(sum(c.may) - sum(COALESCE(h.hit, 0)) AS BIGINT)
+                  AS n_false_pos,
+                CAST(count(*) - sum(c.may) AS BIGINT) AS n_skippable
+         FROM checks c
+         LEFT JOIN hits h ON h.zone = c.zone AND h.p = c.p
+         GROUP BY c.p ORDER BY probe""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

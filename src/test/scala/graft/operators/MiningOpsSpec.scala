@@ -292,6 +292,28 @@ class MiningOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zoneBloomAudit: Blooms never miss; sized filters skip absent probes") {
+    val rows = Seq((0L, "a"), (0L, "b"), (1L, "c"), (2L, "a"))
+      .toDF("z", "v")
+    def audit(bits: Int) = Layout.zoneBloomAudit(rows, col("z"), "v",
+      probes = Seq("a", "c", "zz"), bits = bits, kHash = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // invariants hold at ANY size: exact hits, never-miss, accounting
+    for (m <- Seq(audit(32), audit(4096))) {
+      assert(m("a")._2 == 2L && m("c")._2 == 1L && m("zz")._2 == 0L)
+      m.values.foreach { case (nz, hits, maybe, fp, skip) =>
+        assert(nz == 3L)
+        assert(maybe >= hits)            // a Bloom never misses
+        assert(fp == maybe - hits && skip == nz - maybe)
+      }
+    }
+    // a well-sized filter admits no false positives on this fixture
+    audit(4096).values.foreach { case (_, _, _, fp, _) => assert(fp == 0L) }
+    assert(audit(4096)("zz")._5 == 3L)   // absent probe skips every zone
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -2072,6 +2072,28 @@ object PipelineQueries {
         expr("doc_id div 50"), "source",
         probes = Seq("src3", "src15", "src-absent"),
         bits = 256, kHash = 3)
+    }),
+
+    // CROSS-LINGUAL DUPLICATE DETECTION: high-cosine pairs whose
+    // documents carry DIFFERENT langs — translated/mirrored content
+    // that n-gram dedup can never see (zero shared shingles). The
+    // sign-LSH banding runs UNBLOCKED (a lang block would hide exactly
+    // the pairs we want); the lang tags join on the aligned doc ids
+    // after verification, pair-count-sized.
+    "q218_crosslingual_dups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
+          blockCols = Seq(), dim = 64, nPlanes = 16, bands = 4,
+          threshold = 0.3)
+        .join(langs.select(col("doc_id").as("id_a"),
+          col("lang").as("lang_a")), "id_a")
+        .join(langs.select(col("doc_id").as("id_b"),
+          col("lang").as("lang_b")), "id_b")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+          col("cosine"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3035,6 +3057,40 @@ object PipelineQueries {
          FROM checks c
          LEFT JOIN hits h ON h.zone = c.zone AND h.p = c.p
          GROUP BY c.p ORDER BY probe""",
+
+    // q34's sign-LSH chain with the label block REMOVED, then the
+    // aligned documents' langs joined on and required to differ.
+    "q218_crosslingual_dups" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         sig AS (
+           SELECT vec_id,
+                  [CASE WHEN list_sum(list_transform(range(0, 64),
+                         i -> q[i+1] * (('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000))) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 16)] AS bits
+           FROM e),
+         bands AS (
+           SELECT vec_id,
+                  unnest([g::VARCHAR || ':' || array_to_string(bits[g*4+1:g*4+4], '') for g in range(0, 4)]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM bands x JOIN bands y
+           ON x.band = y.band AND x.vec_id < y.vec_id),
+         verified AS (
+           SELECT id_a, id_b, cosine FROM (
+             SELECT c.a AS id_a, c.b AS id_b,
+                    ${sqlQcos("ea.q", "eb.q")} AS cosine
+             FROM cand c
+             JOIN e ea ON c.a = ea.vec_id
+             JOIN e eb ON c.b = eb.vec_id)
+           WHERE cosine >= 0.3)
+         SELECT v.id_a, v.id_b, da.lang AS lang_a, db.lang AS lang_b,
+                v.cosine
+         FROM verified v
+         JOIN documents da ON da.doc_id = v.id_a
+         JOIN documents db ON db.doc_id = v.id_b
+         WHERE da.lang <> db.lang
+         ORDER BY id_a, id_b""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

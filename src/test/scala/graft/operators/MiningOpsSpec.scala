@@ -314,6 +314,25 @@ class MiningOpsSpec extends SparkTestBase {
     assert(audit(4096)("zz")._5 == 3L)   // absent probe skips every zone
   }
 
+  test("cross-lingual dups: different langs only, subset of unblocked pairs") {
+    val got = graft.SparkEntry.queries("q218_crosslingual_dups")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, la, lb) =>
+      assert(a < b)
+      assert(la != lb, s"pair ($a,$b) has same lang $la")
+    }
+    // every reported pair must verify in the unblocked cosine pair set
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
+        blockCols = Seq(), dim = 64, nPlanes = 16, bands = 4,
+        threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (a, b, _, _) => assert(all.contains((a, b))) }
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -2094,6 +2094,29 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
           col("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // RETRIEVAL MRR: reciprocal rank of the FIRST same-label neighbor
+    // in each query's int8 top-10, in exact integer micro units
+    // (1e6 div rank — the RRF integer-reciprocal trick), plus the
+    // fleet mean. Completes the retrieval-eval triad: recall@k (q160),
+    // diversity@k (q214), rank quality (this).
+    "q219_mrr_at_k" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val topk = Similarity.int8TopK(em, Seq(0L, 1L, 2L, 3L, 4L),
+        "vec_id", "embedding", k = 10)
+      val lab = em.select(col("vec_id"),
+        col("label").cast("long").as("label"))
+      val qlab = lab.select(col("vec_id").as("query_id"),
+        col("label").as("_ql"))
+      topk.join(lab, "vec_id").join(broadcast(qlab), "query_id")
+        .groupBy("query_id")
+        .agg(min(when(col("label") === col("_ql"), col("rank")))
+          .as("first_hit_rank"))
+        .select(col("query_id"), col("first_hit_rank"),
+          coalesce(expr("1000000L div first_hit_rank"), lit(0L))
+            .as("rr_micro"))
+        .orderBy("query_id")
     })
   )
 
@@ -3091,6 +3114,32 @@ object PipelineQueries {
          JOIN documents db ON db.doc_id = v.id_b
          WHERE da.lang <> db.lang
          ORDER BY id_a, id_b""",
+
+    // q120's top-10 chain + the first same-label rank per query;
+    // NULL-safe zero when no neighbor shares the label.
+    "q219_mrr_at_k" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  [greatest(-128, least(127,
+                     CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+                   for x in embedding] AS q
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv, label AS ql FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         scored AS (
+           SELECT query_id, ql, v.label AS nl,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v.q[i])) DESC, v.vec_id) AS rank
+           FROM v JOIN qs ON v.vec_id <> qs.query_id),
+         agg AS (
+           SELECT query_id,
+                  CAST(min(CASE WHEN nl = ql THEN rank END) AS BIGINT)
+                    AS first_hit_rank
+           FROM scored WHERE rank <= 10 GROUP BY query_id)
+         SELECT query_id, first_hit_rank,
+                COALESCE(1000000 // first_hit_rank, 0) AS rr_micro
+         FROM agg ORDER BY query_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

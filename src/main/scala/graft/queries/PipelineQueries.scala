@@ -2117,6 +2117,40 @@ object PipelineQueries {
           coalesce(expr("1000000L div first_hit_rank"), lit(0L))
             .as("rr_micro"))
         .orderBy("query_id")
+    }),
+
+    // TOKEN-WEIGHTED CURATION FUNNEL: what the training run actually
+    // CONSUMES at each stage — raw → exact-dedup keepers → near-dup
+    // canonical keepers (keep-the-heaviest, q146's policy) → quality
+    // gate — in documents AND tokens. q164 counts docs; compute
+    // budgets are paid in tokens, and the two funnels diverge exactly
+    // when dedup removes long documents.
+    "q220_token_funnel" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("_nt"))
+      val keep1 = base.groupBy(md5(col("text")).as("_d"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s1 = base.join(keep1, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val pairs = Dedup.minHashLsh(s1, "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      val cmap = Dedup.canonicalMap(s1, "doc_id", "n_chars",
+        pairs, "doc_a", "doc_b")
+      val s2 = s1.join(cmap.filter(col("doc_id") === col("keep_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val s3 = s2.join(
+        TextAnalysis.qualityScore(s2, "doc_id", "text")
+          .filter(col("quality") >= 0.5).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Seq("0_raw" -> base, "1_exact" -> s1, "2_canonical" -> s2,
+          "3_quality" -> s3)
+        .map { case (n, d) =>
+          d.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+            .select(lit(n).as("stage"), col("n_docs"), col("n_tokens"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy("stage")
     })
   )
 
@@ -3140,6 +3174,77 @@ object PipelineQueries {
          SELECT query_id, first_hit_rank,
                 COALESCE(1000000 // first_hit_rank, 0) AS rr_micro
          FROM agg ORDER BY query_id""",
+
+    // The full curation chain sequenced over the exact-dedup survivor
+    // set: q30's min-id keepers, q31's pairs at the 800‰ integer
+    // cutoff, the recursive components + q146's arg_max keeper, q46's
+    // quality expression — all in doc AND token units.
+    "q220_token_funnel" ->
+      s"""WITH RECURSIVE base AS (
+           SELECT doc_id, text, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           FROM documents),
+         keep1 AS (
+           SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+         s1 AS (SELECT b.* FROM base b JOIN keep1 k USING (doc_id)),
+         docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s1)),
+         sigs AS (SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         icand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         pairs AS (
+           SELECT c.a AS doc_a, c.b AS doc_b FROM icand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id
+           WHERE 1000 * len(list_intersect(da.sh, db.sh))
+                 >= 800 * len(list_distinct(list_concat(da.sh, db.sh)))),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+         comps AS (
+           SELECT node, min(r) AS component FROM reach GROUP BY node),
+         keeper AS (
+           SELECT component,
+                  arg_max(c.node, s.n_chars * 4294967296 - c.node)
+                    AS keep_id
+           FROM comps c JOIN s1 s ON s.doc_id = c.node
+           GROUP BY component),
+         s2 AS (
+           SELECT s1.* FROM s1
+           LEFT JOIN comps c ON c.node = s1.doc_id
+           LEFT JOIN keeper k ON k.component = c.component
+           WHERE COALESCE(k.keep_id, s1.doc_id) = s1.doc_id),
+         s3 AS (
+           SELECT s2.* FROM s2 JOIN (
+             SELECT doc_id FROM (
+               SELECT doc_id,
+                      least(len(w) / 64.0, 1.0) * 0.4 +
+                      (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                      least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2
+                        AS quality
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s2))
+             WHERE quality >= 0.5) q USING (doc_id))
+         SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens FROM base
+         UNION ALL
+         SELECT '1_exact', CAST(count(*) AS BIGINT),
+                CAST(sum(nt) AS BIGINT) FROM s1
+         UNION ALL
+         SELECT '2_canonical', CAST(count(*) AS BIGINT),
+                CAST(sum(nt) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT '3_quality', CAST(count(*) AS BIGINT),
+                CAST(sum(nt) AS BIGINT) FROM s3
+         ORDER BY stage""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

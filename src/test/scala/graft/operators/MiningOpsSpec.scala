@@ -333,6 +333,19 @@ class MiningOpsSpec extends SparkTestBase {
     got.foreach { case (a, b, _, _) => assert(all.contains((a, b))) }
   }
 
+  test("token funnel: stages only shrink, in docs and in tokens") {
+    val got = graft.SparkEntry.queries("q220_token_funnel")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq ==
+      Seq("0_raw", "1_exact", "2_canonical", "3_quality"))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"${b._1} grew in docs")
+      assert(a._3 >= b._3, s"${b._1} grew in tokens")
+    }
+    // the funnel actually cuts something on this corpus
+    assert(got.head._2 > got.last._2 && got.head._3 > got.last._3)
+  }
+
   test("languageMixture agrees with languageId on the argmax") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")

@@ -20,5 +20,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the declarative md5-prefix chain accelerates session-wide
+    // (bit-identical; see DigestChainRewrite)
+    extensions.injectOptimizerRule(_ => DigestChainRewrite)
   }
 }

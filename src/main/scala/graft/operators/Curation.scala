@@ -789,4 +789,66 @@ object Curation {
           .as("share_micro"),
         col("hhi"), col("effective_domains"))
   }
+
+  /** OVERLAPPING DOCUMENT CHUNKING — the RAG/embedding-prep shape: cut
+    * each document into windows of `chunkTokens` tokens advancing by
+    * `stride` (< chunk ⇒ consecutive chunks overlap, the standard
+    * retrieval recipe so no answer span straddles a cut unseen). One
+    * chunk row per window: ordinal, token count, and a content digest
+    * (the dedup/embedding key downstream stages join on).
+    *
+    * Scale shape: a pure narrow projection — posexplode of a per-row
+    * sequence; no shuffle, no state, parallel at parquet-split grain.
+    * Chunk text is NOT carried by default (the digest is — at 100 TB
+    * materializing overlapped text multiplies the corpus by
+    * chunk/stride; downstream re-derives text from (doc, offset) when
+    * it actually needs it). Every doc emits ≥ 1 chunk (a short doc is
+    * one short chunk). Output: (idCol, chunk_ord, start_tok, n_tok,
+    * chunk_digest). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride in [1, chunkTokens], got $stride — a stride above the " +
+        "chunk size silently drops tokens between windows")
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
+      lit(stride))
+    docs
+      .select(col(idCol), toks.as("_t"),
+        posexplode(starts).as(Seq("chunk_ord", "_start")))
+      .select(col(idCol), col("chunk_ord").cast("long").as("chunk_ord"),
+        col("_start").cast("long").as("start_tok"),
+        least(lit(chunkTokens.toLong), size(col("_t")) - col("_start"))
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("_t"), col("_start") + 1, lit(chunkTokens))))
+          .as("chunk_digest"))
+  }
+
+  /** Corpus-level report over [[chunkDocs]]: per group, how many
+    * chunks the corpus becomes and what the overlap costs —
+    * overhead_permille = 1000·(chunk_tokens − doc_tokens) div
+    * doc_tokens, the storage/compute multiplier the stride choice
+    * buys. One chunking pass + one combinable aggregate. */
+  def chunkingReport(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, chunkTokens: Int,
+                     stride: Int): DataFrame = {
+    val chunks = chunkDocs(docs, idCol, textCol, chunkTokens, stride)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_nc"), sum(col("n_tok")).as("_ct"))
+    docs
+      .select(col(groupCol).as("grp"), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("_dt"))
+      .join(chunks, Seq(idCol))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nc")).as("n_chunks"),
+        sum(col("_dt")).as("doc_tokens"),
+        sum(col("_ct")).as("chunk_tokens"))
+      .select(col("grp"), col("n_docs"), col("n_chunks"),
+        col("doc_tokens"), col("chunk_tokens"),
+        expr("(1000 * (chunk_tokens - doc_tokens)) div doc_tokens")
+          .as("overhead_permille"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (pipeline extension; builder brief):
@@ -137,5 +137,76 @@ object Multimodal {
         expr("_s1 div n_frames").as("f1"),
         expr("_s2 div n_frames").as("f2"),
         expr("_s3 div n_frames").as("f3"))
+  }
+
+  /** PERCEPTUAL AVERAGE-HASH (aHash) over the payload — the classic
+    * 64-bit image near-dup fingerprint, built on the stub tier: the
+    * payload is cut into 64 equal byte slices ("pixels" — a real
+    * deployment swaps in decoded 8×8 grayscale at exactly this point),
+    * each slice reduces to a 16-bit digest value, and bit j is 1 iff
+    * pixel j exceeds the 64-pixel floor-mean. Slice locality is the
+    * point: a local edit to the payload disturbs only the slices that
+    * cover it, so small payload diffs yield small Hamming distances —
+    * the property Hamming-banded search ([[ahashNearDup]]) exploits.
+    *
+    * The 64 bits are carried as FOUR 16-bit band integers (not one
+    * int64: the top band would need the sign bit, and 16-bit bands are
+    * exactly the LSH blocks the near-dup join buckets on). Everything
+    * is a narrow codegen projection — the binary column never
+    * shuffles; only (id, 4 smallints) leave the scan.
+    * Output: (media_id, n_bytes, bands array<long> of 4). */
+  def averageHash64(media: DataFrame): DataFrame = {
+    // slice width: floor div, NOT `/` (Spark's `/` on ints is double division)
+    val wi = expr("(length(bytes) + 63) div 64")
+    val px = transform(sequence(lit(0), lit(63)), j =>
+      conv(substring(md5(col("bytes").substr(j * wi + 1, wi)), 1, 4), 16, 10)
+        .cast("long"))
+    val bits = (mean: Column, pxc: Column) =>
+      transform(sequence(lit(0), lit(3)), g =>
+        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+          acc + when(element_at(pxc, g * 16 + j + 1) > mean,
+            call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)))
+    media
+      .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"),
+        px.as("_px"))
+      .select(col("media_id"), col("n_bytes"), col("_px"),
+        (aggregate(col("_px"), lit(0L), _ + _) / lit(64)).cast("long")
+          .as("_mean"))
+      .select(col("media_id"), col("n_bytes"),
+        bits(col("_mean"), col("_px")).as("bands"))
+  }
+
+  /** Hamming near-dup pairs over [[averageHash64]] fingerprints via
+    * 16-bit band blocking: two payloads within Hamming distance
+    * `maxHamming` ≤ 3 of each other agree on at least one of the 4
+    * bands (pigeonhole), so candidate generation is an equi-join on
+    * (band_index, band_value) — never an all-pairs product — and the
+    * exact 64-bit Hamming distance is then verified on the candidate
+    * pairs only (the [[graft.operators.Dedup]] LSH posture). The band
+    * arrays (4 longs) ride along with the candidates, so verification
+    * needs no join back to the corpus. Byte-identical payloads land at
+    * distance 0. Output: (media_id_a, media_id_b, hamming),
+    * media_id_a < media_id_b, one row per pair. */
+  def ahashNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming in [0,3], got $maxHamming — pigeonhole over 4 bands " +
+        "guarantees candidate recall only below the band count")
+    val hashed = averageHash64(media)
+    val keyed = hashed.select(col("media_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("_g", "_b")))
+    val a = keyed.select(col("media_id").as("media_id_a"),
+      col("bands").as("_ba"), col("_g"), col("_b"))
+    val b = keyed.select(col("media_id").as("media_id_b"),
+      col("bands").as("_bb"), col("_g"), col("_b"))
+    a.join(b, Seq("_g", "_b"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        col("_ba"), col("_bb"))
+      .distinct()
+      .select(col("media_id_a"), col("media_id_b"),
+        aggregate(zip_with(col("_ba"), col("_bb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), _ + _).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -742,4 +742,165 @@ object Stats {
             "((_rsum - n_pos * (n_pos + 1)) * 1000000L) div (2 * n_pos * n_neg)"))
           .as("auc_micro"))
   }
+
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** COHEN'S KAPPA between two label columns — chance-corrected
+    * agreement, the metric a curation pipeline uses to decide whether a
+    * cheap classifier can stand in for an expensive one (or for human
+    * labels): κ = (p_o − p_e)/(1 − p_e) with p_e the marginal-product
+    * chance agreement. Plain accuracy rewards a classifier that spams
+    * the majority class; κ does not.
+    *
+    * Exactness: with integer counts, κ = (n·n_agree − Σ_k r_k·c_k) /
+    * (n² − Σ_k r_k·c_k). Both products can pass 2^63 at corpus scale
+    * (n² at n > 3e9), so they are formed in DECIMAL(38,0) — the
+    * oracle's HUGEINT pairing (q194 discipline) — and the single
+    * κ expression is ONE double division of two exact integers.
+    *
+    * Shape at 100 TB: one combinable (a, b) count — V² rows for a
+    * V-sized label domain — then everything downstream (marginals,
+    * diagonal, the κ scalar) is arithmetic over that tiny frame; the
+    * corpus is scanned once and only label pairs shuffle. Rows with a
+    * NULL on either side are excluded (stated; a NULL prediction is an
+    * abstention, not a class). Output one row:
+    * (n, n_agree, po_milli, pe_milli, kappa). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+    val totals = cm.agg(
+      sum(col("_c")).as("_n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+        .as("n_agree"))
+    val peNum = cm.groupBy("_a").agg(sum(col("_c")).as("_r"))
+      .join(cm.groupBy("_b").agg(sum(col("_c")).as("_cc")),
+        col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_r").cast(dec38) * col("_cc")), lit(0).cast(dec38))
+        .as("_pe_num"))
+    totals.crossJoin(broadcast(peNum))
+      .select(col("_n").as("n"), col("n_agree"),
+        expr("(1000 * n_agree) div _n").as("po_milli"),
+        // permille via ONE double division + floor (not DECIMAL
+        // division, whose rounding scale differs between engines)
+        floor((col("_pe_num") * 1000).cast("double") /
+          (col("_n").cast(dec38) * col("_n")).cast("double"))
+          .cast("long").as("pe_milli"),
+        ((col("_n").cast(dec38) * col("n_agree") - col("_pe_num"))
+          .cast("double") /
+          (col("_n").cast(dec38) * col("_n") - col("_pe_num"))
+            .cast("double")).as("kappa"))
+  }
+
+  /** Cumulative Poisson(1) thresholds scaled to 2^32: floor(c·2^32) for
+    * c = P(X≤0..3); a uniform 32-bit hash below threshold k gets
+    * multiplicity k (capped at 4, which holds 99.63% of the mass +
+    * the cap's own 0.37%). */
+  private val poissonCum32: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
+
+  /** DETERMINISTIC POISSON-BOOTSTRAP confidence interval for a group
+    * mean — the error bar a data-quality dashboard puts on "mean doc
+    * length by language" without any RNG state. The classic bootstrap
+    * (resample n rows WITH replacement, B times) cannot be expressed as
+    * a scan; the Poisson bootstrap can: each row enters replicate r
+    * with multiplicity ~ Poisson(1), independent per (row, r) — the
+    * standard large-scale approximation (the multinomial's row
+    * marginal converges to Poisson(1) as n grows). Multiplicity here
+    * is a pure function of md5(id:r) against [[poissonCum32]], so both
+    * engines draw the identical resamples — no RNG, no seed plumbing.
+    *
+    * Shape at 100 TB: one scan exploded ×`reps`; the (grp, r)
+    * aggregate is map-side combinable, so the shuffle carries only
+    * |groups|·reps partial rows — the bootstrap costs reps× CPU, not
+    * reps× shuffle. Replicate means are exact-DECIMAL sums divided
+    * once in double; the CI bounds are order statistics of the `reps`
+    * means (rank `loRank`/`hiRank`, 1-based, ties broken by replicate
+    * id), picked by a window over ≤`reps` rows per group.
+    * Output per group: (grp, mean, ci_lo, ci_hi, reps). */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, reps: Int,
+                      loRank: Int, hiRank: Int): DataFrame = {
+    require(reps >= 8 && reps <= 256, s"reps in [8,256], got $reps")
+    require(loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"need 1 <= loRank < hiRank <= reps, got [$loRank, $hiRank]")
+    val base = df.select(col(groupCol).as("grp"),
+        col(idCol).cast("string").as("_id"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 3))
+          .as("_v"))
+      .where(col("_v").isNotNull)
+    val u = conv(substring(
+      md5(concat(col("_id"), lit(":"), col("_r"))), 1, 8), 16, 10)
+      .cast("long")
+    val m = when(u < poissonCum32(0), 0L)
+      .when(u < poissonCum32(1), 1L)
+      .when(u < poissonCum32(2), 2L)
+      .when(u < poissonCum32(3), 3L)
+      .otherwise(4L)
+    val repMeans = base
+      .select(col("grp"), col("_id"), col("_v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_r"))
+      .select(col("grp"), col("_r"), col("_v"), m.as("_m"))
+      .groupBy("grp", "_r")
+      .agg(sum(col("_m") * col("_v")).as("_s"), sum(col("_m")).as("_n"))
+      // an all-zero replicate (possible only for tiny groups) carries
+      // no mean; it still occupies its rank slot via NULLS FIRST so
+      // rank semantics stay a pure function of the draws
+      .select(col("grp"), col("_r"),
+        when(col("_n") > 0, col("_s").cast("double") / col("_n"))
+          .as("_mean_r"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("_mean_r").asc_nulls_first, col("_r").asc)
+    val ranked = repMeans.withColumn("_rk", row_number().over(w))
+    val point = base.groupBy("grp")
+      .agg((sum(col("_v")).cast("double") / count(lit(1))).as("mean"))
+    point.join(
+      ranked.groupBy("grp").agg(
+        max(when(col("_rk") === loRank, col("_mean_r"))).as("ci_lo"),
+        max(when(col("_rk") === hiRank, col("_mean_r"))).as("ci_hi")),
+      Seq("grp"))
+      .select(col("grp"), col("mean"), col("ci_lo"), col("ci_hi"),
+        lit(reps).cast("long").as("reps"))
+  }
+
+  /** CLUSTER LABEL PURITY via Gini impurity — the eval that answers
+    * "did the embedding clustering find the label structure" (and, run
+    * the other way, "is this label column informative about the
+    * geometry"). Per cluster: Gini = 1 − Σ_k (n_k/n)², in exact
+    * integer permille: gini_milli = 1000·(n² − Σn_k²) div n², plus the
+    * majority label and its share. Entropy needs logs (not
+    * engine-exact); Gini is the standard log-free impurity.
+    *
+    * Shape at 100 TB: one combinable (cluster, label) count, then
+    * cluster-level arithmetic over that tiny frame; majority pick is a
+    * window over ≤|labels| rows per cluster with (count desc, label
+    * asc) determinism. Products in DECIMAL(38,0) so n² cannot
+    * overflow. NULL labels are excluded (stated). Output per cluster:
+    * (cluster, n, n_labels, majority_label, majority_milli,
+    * gini_milli). */
+  def clusterGini(assign: DataFrame, clusterCol: String,
+                  labelCol: String): DataFrame = {
+    val cm = assign
+      .select(col(clusterCol).as("cluster"),
+        col(labelCol).cast("string").as("_l"))
+      .where(col("_l").isNotNull)
+      .groupBy("cluster", "_l").agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("_c").desc, col("_l").asc)
+    cm.withColumn("_rk", row_number().over(w))
+      .groupBy("cluster")
+      .agg(sum(col("_c")).as("n"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("_rk") === 1, col("_l"))).as("majority_label"),
+        max(when(col("_rk") === 1, col("_c"))).as("_maj"),
+        sum(col("_c").cast(dec38) * col("_c")).as("_sq"))
+      .select(col("cluster"), col("n"), col("n_labels"),
+        col("majority_label"),
+        expr("(1000 * _maj) div n").as("majority_milli"),
+        floor(((col("n").cast(dec38) * col("n") - col("_sq")) * 1000)
+          .cast("double") /
+          (col("n").cast(dec38) * col("n")).cast("double"))
+          .cast("long").as("gini_milli"))
+  }
 }

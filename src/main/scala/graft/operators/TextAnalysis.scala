@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (pipeline
@@ -531,4 +532,98 @@ object TextAnalysis {
       .select(col(idCol), col("n_ngrams"), col("n_novel"),
         expr("(1000 * n_novel) div n_ngrams").as("novelty_permille"))
   }
+
+  /** ZIPF RANK-DOUBLING PROFILE — does the corpus's term-frequency
+    * curve look like natural language? For a Zipf law f(r) ∝ r^(−s),
+    * the ratio f(r)/f(2r) is the CONSTANT 2^s at every rank r, so the
+    * doubling ladder (r = 1, 2, 4, … 2^maxPow) diagnoses both the
+    * slope and deviations from power-law shape (a flat head = boilerplate
+    * flooding; a collapsed tail = template text) — entirely in integer
+    * counts and one permille ratio per rung, no logarithms (log-log
+    * regression is not engine-exact; the doubling ratio is).
+    *
+    * Shape at 100 TB: term counts are a map-side-combinable aggregate
+    * over the tokenized scan (vocabulary-sized result, ≪ corpus);
+    * ranking sorts ONLY the vocabulary (stated — a single window over
+    * |V| rows with (count desc, term asc) determinism), and the ladder
+    * join is rung-count-sized. Output per rung:
+    * (rank, term, f_r, f_2r, ratio_milli = 1000·f_r div f_2r);
+    * rungs whose 2r exceeds |V| report NULL f_2r/ratio. */
+  def zipfDoubling(docs: DataFrame, textCol: String,
+                   maxPow: Int): DataFrame = {
+    require(maxPow >= 1 && maxPow <= 30, s"maxPow in [1,30], got $maxPow")
+    val rungs = (0 to maxPow).map(1L << _)
+    val wanted = (rungs ++ rungs.map(_ * 2)).distinct.sorted
+    val counts = docs
+      .select(explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val ranked = counts
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("term").asc)))
+      .filter(col("r").isin(wanted: _*))
+    val lead = ranked.select(col("r").as("_r2"), col("f").as("f_2r"))
+    ranked.filter(col("r").isin(rungs: _*))
+      .join(lead, col("r") * 2 === col("_r2"), "left")
+      .select(col("r").cast("long").as("rank"), col("term"),
+        col("f").as("f_r"), col("f_2r"),
+        when(col("f_2r").isNotNull,
+          expr("(1000 * f) div f_2r")).as("ratio_milli"))
+      .orderBy("rank")
+  }
+
+  /** TERM-PAIR LIFT over the top-`topM` vocabulary — which frequent
+    * terms co-occur in documents MORE than independence predicts
+    * (lift = P(a,b)/(P(a)·P(b)) > 1) and which repel. The log-free
+    * cousin of PMI (PMI = log lift): the collocation/topic signal a
+    * curation pipeline uses to spot template co-occurrence (boilerplate
+    * pairs with lift ≫ 1) without transcendental math — lift is an
+    * exact rational, emitted in permille.
+    *
+    * Shape at 100 TB: document frequencies are one combinable count;
+    * the top-M pick is a vocabulary-sized heap; each document then
+    * intersects with the BROADCAST top-M set and emits its own sorted
+    * pairs — per-doc work bounded by C(M,2), never a corpus×corpus
+    * join. Products in DECIMAL(38,0) (n_ab·N can pass 2^63). NULL
+    * texts contribute nothing; N counts all docs. Output per pair:
+    * (term_a, term_b, n_a, n_b, n_ab, lift_milli), pairs with
+    * n_ab = 0 omitted (their lift is 0; materializing M²/2 zero rows
+    * adds nothing). */
+  def termLift(docs: DataFrame, idCol: String, textCol: String,
+               topM: Int): DataFrame = {
+    require(topM >= 2 && topM <= 1000,
+      s"topM in [2,1000], got $topM — per-doc pair fanout is C(M,2)")
+    val docTerms = docs
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(toks(col(textCol)))).as("term"))
+    val top = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+      .filter(col("_rk") <= topM)
+      .select(col("term"), col("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val perDoc = docTerms.join(broadcast(top.select("term")), Seq("term"))
+      .groupBy("_id").agg(sort_array(collect_set(col("term"))).as("_ts"))
+    // per-doc ordered pairs (a < b) via a nested-lambda comprehension —
+    // stays a narrow projection, fanout ≤ C(M,2)
+    val pairs = perDoc.select(explode(flatten(
+      transform(col("_ts"), a =>
+        transform(filter(col("_ts"), b => b > a),
+          b => struct(a.as("term_a"), b.as("term_b")))))).as("_p"))
+      .select(col("_p.term_a"), col("_p.term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(top.select(col("term").as("term_a"),
+        col("df").as("n_a"))), Seq("term_a"))
+      .join(broadcast(top.select(col("term").as("term_b"),
+        col("df").as("n_b"))), Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        floor((col("n_ab").cast(dec38x) * col("_n") * 1000).cast("double") /
+          (col("n_a").cast(dec38x) * col("n_b")).cast("double"))
+          .cast("long").as("lift_milli"))
+      .orderBy("term_a", "term_b")
+  }
+
+  private val dec38x = org.apache.spark.sql.types.DecimalType(38, 0)
 }

@@ -2151,6 +2151,81 @@ object PipelineQueries {
         }
         .reduce(_ unionAll _)
         .orderBy("stage")
+    }),
+
+    // COHEN'S KAPPA of the marker-word language classifier against the
+    // lang ground truth — chance-corrected agreement; the go/no-go on
+    // replacing labels with the cheap classifier.
+    "q221_cohens_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = TextAnalysis.languageId(docs, "doc_id", "text")
+      Stats.cohenKappa(
+        pred.join(docs.select("doc_id", "lang"), "doc_id"),
+        "predicted_lang", "lang")
+    }),
+
+    // CLUSTER LABEL PURITY: Gini impurity of embeddings.label inside
+    // each trained-KMeans cluster — did the geometry find the labels?
+    "q222_cluster_gini" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Dedup.quantize(col("embedding")).as("v"))
+      val assigned = vecs
+        .join(broadcast(trainedCentroids(s, dir, 8, 2)
+          .select(col("cluster"), col("centroid").as("cv"))))
+        .select(col("vec_id"), col("label"), col("cluster"),
+          aggregate(zip_with(col("v"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("d2"))
+        .groupBy("vec_id", "label")
+        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"))
+      Stats.clusterGini(assigned, "cluster", "label")
+        .orderBy("cluster")
+    }),
+
+    // DETERMINISTIC POISSON-BOOTSTRAP error bars on mean doc length by
+    // language — md5-drawn resamples, identical in both engines.
+    "q223_bootstrap_ci" -> ((s, dir) => {
+      Stats.bootstrapMeanCI(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", reps = 40, loRank = 2, hiRank = 39)
+        .orderBy("grp")
+    }),
+
+    // ZIPF RANK-DOUBLING ladder over corpus term frequencies: is the
+    // frequency curve power-law-shaped, and with what doubling ratio?
+    "q224_zipf_profile" -> ((s, dir) => {
+      TextAnalysis.zipfDoubling(t(s, dir, "documents"), "text", maxPow = 4)
+    }),
+
+    // PERCEPTUAL AVERAGE-HASH near-dup over the multimodal payloads:
+    // 64 slice-pixels -> 4 banded 16-bit words -> Hamming <= 3 pairs.
+    "q225_ahash_neardup" -> ((s, dir) => {
+      Multimodal.ahashNearDup(
+          Multimodal.mediaTable(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy("media_id_a", "media_id_b")
+    }),
+
+    // RAG-style overlapping chunking, chunk-level: 64-token windows at
+    // stride 48, with the content digest downstream stages key on.
+    "q226_chunking" -> ((s, dir) => {
+      Curation.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_ord")
+    }),
+
+    // The chunking bill per source: how many chunks, and the overlap
+    // overhead the stride choice costs in tokens.
+    "q227_chunk_report" -> ((s, dir) => {
+      Curation.chunkingReport(t(s, dir, "documents"), "doc_id", "text",
+          "source", chunkTokens = 64, stride = 48)
+        .orderBy("grp")
+    }),
+
+    // TERM-PAIR LIFT over the top-24 vocabulary: co-occurrence vs
+    // independence, exact permille — the log-free PMI.
+    "q228_term_lift" -> ((s, dir) => {
+      TextAnalysis.termLift(t(s, dir, "documents"), "doc_id", "text",
+        topM = 24)
     })
   )
 
@@ -3245,6 +3320,275 @@ object PipelineQueries {
          SELECT '3_quality', CAST(count(*) AS BIGINT),
                 CAST(sum(nt) AS BIGINT) FROM s3
          ORDER BY stage""",
+
+    // q38's marker-word classifier verbatim, then the integer kappa:
+    // products in HUGEINT (engine: DECIMAL(38,0)), permille by ONE
+    // floored double division, kappa by ONE double division.
+    "q221_cohens_kappa" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN best < 1 THEN 'und'
+                       WHEN s_en = best THEN 'en'
+                       WHEN s_de = best THEN 'de'
+                       WHEN s_fr = best THEN 'fr'
+                       ELSE 'es' END AS a
+           FROM (
+             SELECT doc_id, s_en, s_de, s_fr, s_es,
+                    greatest(s_en, s_de, s_fr, s_es) AS best
+             FROM (
+               SELECT doc_id,
+                      len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                      len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                      len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+                      len(list_filter(w, x -> x IN ('el','los','de','y','es'))) AS s_es
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))),
+         cm AS (
+           SELECT p.a, d.lang AS b, CAST(count(*) AS BIGINT) AS c
+           FROM p JOIN documents d USING (doc_id)
+           WHERE p.a IS NOT NULL AND d.lang IS NOT NULL
+           GROUP BY p.a, d.lang),
+         t AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                    AS n_agree
+           FROM cm),
+         pe AS (
+           SELECT COALESCE(CAST(sum(CAST(ra.r AS HUGEINT) * cb.cc)
+                    AS HUGEINT), 0) AS pe_num
+           FROM (SELECT a, sum(c) AS r FROM cm GROUP BY a) ra
+           JOIN (SELECT b, sum(c) AS cc FROM cm GROUP BY b) cb
+             ON ra.a = cb.b)
+         SELECT n, n_agree,
+                (1000 * n_agree) // n AS po_milli,
+                CAST(floor((pe_num * 1000)::DOUBLE /
+                  (CAST(n AS HUGEINT) * n)::DOUBLE) AS BIGINT) AS pe_milli,
+                (CAST(n AS HUGEINT) * n_agree - pe_num)::DOUBLE /
+                  (CAST(n AS HUGEINT) * n - pe_num)::DOUBLE AS kappa
+         FROM t CROSS JOIN pe""",
+
+    // q159's trained-centroid assignment verbatim, then per-cluster
+    // Gini impurity of the label column in exact integer permille.
+    "q222_cluster_gini" ->
+      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         a AS (
+           SELECT vec_id, label, cluster FROM (
+             SELECT e.vec_id, e.label, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN c2 c)
+           WHERE rn = 1),
+         cm AS (
+           SELECT cluster, CAST(label AS VARCHAR) AS l,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM a WHERE label IS NOT NULL GROUP BY cluster, label),
+         r AS (
+           SELECT cluster, l, c,
+                  row_number() OVER (PARTITION BY cluster
+                                     ORDER BY c DESC, l ASC) AS rk
+           FROM cm)
+         SELECT CAST(cluster AS BIGINT) AS cluster,
+                CAST(sum(c) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_labels,
+                max(CASE WHEN rk = 1 THEN l END) AS majority_label,
+                (1000 * max(CASE WHEN rk = 1 THEN c END))
+                  // CAST(sum(c) AS BIGINT) AS majority_milli,
+                CAST(floor(((CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS BIGINT)
+                      - sum(CAST(c AS HUGEINT) * c)) * 1000)::DOUBLE /
+                    (CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS BIGINT))::DOUBLE)
+                  AS BIGINT) AS gini_milli
+         FROM r GROUP BY cluster ORDER BY cluster""",
+
+    // Identical md5-drawn Poisson(1) multiplicities (thresholds =
+    // floor(cum·2^32)), exact-DECIMAL replicate sums, rank-picked CI.
+    "q223_bootstrap_ci" ->
+      """WITH b AS (
+           SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS id,
+                  CAST(n_chars AS DECIMAL(18,3)) AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         x AS (
+           SELECT grp, id, v, r,
+                  ('0x' || substr(md5(id || ':' || r), 1, 8))::BIGINT AS u
+           FROM b CROSS JOIN range(0, 40) t(r)),
+         m AS (
+           SELECT grp, r, v,
+                  CASE WHEN u < 1580030168 THEN 0
+                       WHEN u < 3160060337 THEN 1
+                       WHEN u < 3950075421 THEN 2
+                       WHEN u < 4213413783 THEN 3
+                       ELSE 4 END AS m
+           FROM x),
+         rm AS (
+           SELECT grp, r,
+                  CASE WHEN sum(m) > 0
+                       THEN sum(m * v)::DOUBLE / CAST(sum(m) AS BIGINT)
+                  END AS mean_r
+           FROM m GROUP BY grp, r),
+         rk AS (
+           SELECT grp, r, mean_r,
+                  row_number() OVER (PARTITION BY grp
+                    ORDER BY mean_r ASC NULLS FIRST, r ASC) AS rk
+           FROM rm),
+         pt AS (
+           SELECT grp, sum(v)::DOUBLE / count(*) AS mean
+           FROM b GROUP BY grp)
+         SELECT pt.grp, pt.mean, ci.ci_lo, ci.ci_hi,
+                CAST(40 AS BIGINT) AS reps
+         FROM pt JOIN (
+           SELECT grp,
+                  max(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+                  max(CASE WHEN rk = 39 THEN mean_r END) AS ci_hi
+           FROM rk GROUP BY grp) ci USING (grp)
+         ORDER BY grp""",
+
+    // Vocabulary-sized rank with (count desc, term asc) determinism;
+    // the ladder joins rank r to rank 2r, NULL past the vocabulary.
+    "q224_zipf_profile" ->
+      """WITH c AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY term),
+         r AS (
+           SELECT term, f,
+                  row_number() OVER (ORDER BY f DESC, term ASC) AS r
+           FROM c)
+         SELECT CAST(a.r AS BIGINT) AS rank, a.term, a.f AS f_r,
+                b.f AS f_2r,
+                CASE WHEN b.f IS NOT NULL THEN (1000 * a.f) // b.f END
+                  AS ratio_milli
+         FROM r a LEFT JOIN r b ON b.r = a.r * 2
+         WHERE a.r IN (1, 2, 4, 8, 16)
+         ORDER BY rank""",
+
+    // The engine's slice-pixel aHash reproduced over the same bytes
+    // (documents.text IS the payload; ASCII, so VARCHAR substr = byte
+    // slice), then band-blocked candidates and exact Hamming.
+    "q225_ahash_neardup" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text,
+                  (length(text) + 63) // 64 AS w
+           FROM documents),
+         p1 AS (
+           SELECT media_id,
+                  list_transform(range(0, 64), j ->
+                    ('0x' || substr(md5(substr(text,
+                       CAST(j * w + 1 AS INT), CAST(w AS INT))), 1, 4))::BIGINT)
+                    AS px
+           FROM m),
+         p2 AS (
+           SELECT media_id, px,
+                  CAST(list_sum(px) AS BIGINT) // 64 AS mean
+           FROM p1),
+         p3 AS (
+           SELECT media_id,
+                  [CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN px[g * 16 + j + 1] > mean
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))
+                    AS BIGINT) for g in range(0, 4)] AS bands
+           FROM p2),
+         k AS (
+           SELECT media_id, bands, g, bands[g + 1] AS b
+           FROM p3 CROSS JOIN range(0, 4) t(g)),
+         cand AS (
+           SELECT DISTINCT x.media_id AS media_id_a,
+                  y.media_id AS media_id_b,
+                  x.bands AS ba, y.bands AS bb
+           FROM k x JOIN k y
+             ON x.g = y.g AND x.b = y.b AND x.media_id < y.media_id),
+         h AS (
+           SELECT media_id_a, media_id_b,
+                  CAST(list_sum(list_transform(range(0, 4), g ->
+                    bit_count(xor(ba[g + 1], bb[g + 1])))) AS BIGINT)
+                    AS hamming
+           FROM cand)
+         SELECT media_id_a, media_id_b, hamming FROM h
+         WHERE hamming <= 3
+         ORDER BY media_id_a, media_id_b""",
+
+    // Window starts every 48 tokens; chunk = the next 64 (truncated at
+    // doc end); digest over the space-joined window.
+    "q226_chunking" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (
+           SELECT doc_id, t, CAST(s // 48 AS BIGINT) AS chunk_ord,
+                  CAST(s AS BIGINT) AS start_tok
+           FROM (SELECT doc_id, t,
+                        unnest(range(0, greatest(len(t), 1), 48)) AS s
+                 FROM d))
+         SELECT doc_id, chunk_ord, start_tok,
+                CAST(least(64, len(t) - start_tok) AS BIGINT) AS n_tok,
+                md5(array_to_string(
+                  list_transform(range(0, least(64, len(t) - start_tok)),
+                    i -> t[CAST(start_tok + i + 1 AS INT)]), ' '))
+                  AS chunk_digest
+         FROM ch
+         ORDER BY doc_id, chunk_ord""",
+
+    "q227_chunk_report" ->
+      """WITH d AS (
+           SELECT source AS grp, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dt,
+                  string_split(text, ' ') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(least(64, len_t - s)) AS BIGINT) AS ct
+           FROM (SELECT doc_id, len(t) AS len_t,
+                        unnest(range(0, greatest(len(t), 1), 48)) AS s
+                 FROM d)
+           GROUP BY doc_id)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nc) AS BIGINT) AS n_chunks,
+                CAST(sum(dt) AS BIGINT) AS doc_tokens,
+                CAST(sum(ct) AS BIGINT) AS chunk_tokens,
+                (1000 * (CAST(sum(ct) AS BIGINT) - CAST(sum(dt) AS BIGINT)))
+                  // CAST(sum(dt) AS BIGINT) AS overhead_permille
+         FROM d JOIN ch USING (doc_id)
+         GROUP BY grp ORDER BY grp""",
+
+    // Document frequencies once, top-24 by (df desc, term asc), pairs
+    // from each doc's sorted distinct top-term list, lift in permille
+    // by ONE floored double division over HUGEINT products.
+    "q228_term_lift" ->
+      """WITH dt AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS term
+           FROM documents),
+         df AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM dt GROUP BY term),
+         top AS (
+           SELECT term, df FROM (
+             SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+             FROM df)
+           WHERE rk <= 24),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         pairs AS (
+           SELECT a.term AS term_a, b.term AS term_b,
+                  CAST(count(*) AS BIGINT) AS n_ab
+           FROM dt a JOIN dt b
+             ON a.doc_id = b.doc_id AND a.term < b.term
+           JOIN top ta ON ta.term = a.term
+           JOIN top tb ON tb.term = b.term
+           GROUP BY a.term, b.term)
+         SELECT term_a, term_b, ta.df AS n_a, tb.df AS n_b, n_ab,
+                CAST(floor((CAST(n_ab AS HUGEINT) * nd * 1000)::DOUBLE /
+                  (CAST(ta.df AS HUGEINT) * tb.df)::DOUBLE) AS BIGINT)
+                  AS lift_milli
+         FROM pairs
+         JOIN top ta ON ta.term = term_a
+         JOIN top tb ON tb.term = term_b
+         CROSS JOIN n
+         ORDER BY term_a, term_b""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

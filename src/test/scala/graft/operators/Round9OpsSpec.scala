@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: [[Stats.cohenKappa]], [[Stats.bootstrapMeanCI]],
+  * [[Stats.clusterGini]], [[TextAnalysis.zipfDoubling]],
+  * [[TextAnalysis.termLift]], [[Multimodal.averageHash64]] /
+  * [[Multimodal.ahashNearDup]], [[Curation.chunkDocs]] /
+  * [[Curation.chunkingReport]]. Hand-computed fixtures plus
+  * partitioning-invariance checks.
+  */
+class Round9OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ kappa
+
+  test("cohenKappa: the textbook 2x2 example is exact") {
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no:
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 50)
+    assert(r.getAs[Long]("n_agree") == 35)
+    assert(r.getAs[Long]("po_milli") == 700)
+    assert(r.getAs[Long]("pe_milli") == 500)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa: perfect agreement is 1.0, NULLs are excluded") {
+    val rows = Seq(("x", "x"), ("y", "y"), ("x", "x"), (null, "x"),
+      ("y", null)).toDF("a", "b")
+    val r = Stats.cohenKappa(rows, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("cohenKappa: majority-spam classifier scores near zero") {
+    // truth is 50/50; classifier always says "a": po = 0.5, pe = 0.5
+    val rows = (0 until 40).map(i => ("a", if (i % 2 == 0) "a" else "b"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Double]("kappa") == 0.0)
+  }
+
+  // -------------------------------------------------------- bootstrap
+
+  test("bootstrapMeanCI: constant values collapse the interval") {
+    val df = (1 to 200).map(i => ("g", i.toLong, 7.0)).toDF("s", "id", "v")
+    val r = Stats.bootstrapMeanCI(df, "s", "id", "v",
+      reps = 16, loRank = 2, hiRank = 15).collect().head
+    assert(r.getAs[Double]("mean") == 7.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0)
+    assert(r.getAs[Double]("ci_hi") == 7.0)
+    assert(r.getAs[Long]("reps") == 16)
+  }
+
+  test("bootstrapMeanCI: brackets the mean and is partition-invariant") {
+    val df = (1 to 500).map(i => ("g", i.toLong, (i % 100).toDouble))
+      .toDF("s", "id", "v")
+    val a = Stats.bootstrapMeanCI(df, "s", "id", "v", 40, 2, 39)
+      .collect().head
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("mean"))
+    assert(a.getAs[Double]("mean") <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("ci_hi"))
+    val b = Stats.bootstrapMeanCI(df.repartition(7), "s", "id", "v",
+      40, 2, 39).collect().head
+    assert(a.getAs[Double]("ci_lo") == b.getAs[Double]("ci_lo"))
+    assert(a.getAs[Double]("ci_hi") == b.getAs[Double]("ci_hi"))
+  }
+
+  // ------------------------------------------------------------- gini
+
+  test("clusterGini: hand-computed impurity and majority") {
+    val df = (Seq.fill(3)((0L, "a")) ++ Seq.fill(1)((0L, "b")) ++
+      Seq.fill(5)((1L, "c"))).toDF("cluster", "label")
+    val rows = Stats.clusterGini(df, "cluster", "label")
+      .orderBy("cluster").collect()
+    // cluster 0: n=4, sumsq=9+1=10, gini = 1000*(16-10)/16 = 375
+    assert(rows(0).getAs[Long]("n") == 4)
+    assert(rows(0).getAs[Long]("n_labels") == 2)
+    assert(rows(0).getAs[String]("majority_label") == "a")
+    assert(rows(0).getAs[Long]("majority_milli") == 750)
+    assert(rows(0).getAs[Long]("gini_milli") == 375)
+    // cluster 1 is pure
+    assert(rows(1).getAs[Long]("gini_milli") == 0)
+    assert(rows(1).getAs[Long]("majority_milli") == 1000)
+  }
+
+  test("clusterGini: majority ties break to the smaller label") {
+    val df = Seq((0L, "b"), (0L, "a")).toDF("cluster", "label")
+    val r = Stats.clusterGini(df, "cluster", "label").collect().head
+    assert(r.getAs[String]("majority_label") == "a")
+    assert(r.getAs[Long]("gini_milli") == 500)
+  }
+
+  // ------------------------------------------------------------- zipf
+
+  test("zipfDoubling: known frequency ladder") {
+    // f: t1=8, t2=4, t3=2, t4=1 -> ranks 1..4
+    val text = (Seq.fill(8)("t1") ++ Seq.fill(4)("t2") ++
+      Seq.fill(2)("t3") ++ Seq("t4")).mkString(" ")
+    val rows = TextAnalysis.zipfDoubling(Seq(text).toDF("text"), "text",
+      maxPow = 2).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 4L))
+    assert(rows(0).getAs[String]("term") == "t1")
+    assert(rows(0).getAs[Long]("f_r") == 8 &&
+      rows(0).getAs[Long]("f_2r") == 4 &&
+      rows(0).getAs[Long]("ratio_milli") == 2000)
+    assert(rows(1).getAs[Long]("f_2r") == 1 &&
+      rows(1).getAs[Long]("ratio_milli") == 4000)
+    // rank 4's doubling partner (rank 8) is past the vocabulary
+    assert(rows(2).isNullAt(rows(2).fieldIndex("f_2r")))
+  }
+
+  // ------------------------------------------------------------- lift
+
+  test("termLift: perfect co-occurrence is 1000 permille x N/df") {
+    // a and b in all 4 docs: lift = 4*4*1000/(4*4) = 1000
+    // a and c in 2 of 4: lift = 2*4*1000/(4*2) = 1000? no: n_ab=2,
+    // n_a=4, n_c=2 -> 2*4*1000/(4*2) = 1000 (c only appears with a)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"), (4L, "a b")
+    ).toDF("id", "text")
+    val rows = TextAnalysis.termLift(docs, "id", "text", topM = 3)
+      .collect().map(r => (r.getAs[String]("term_a"),
+        r.getAs[String]("term_b"), r.getAs[Long]("n_ab"),
+        r.getAs[Long]("lift_milli"))).toSeq
+    assert(rows.contains(("a", "b", 4L, 1000L)))
+    assert(rows.contains(("a", "c", 2L, 1000L)))
+    assert(rows.contains(("b", "c", 2L, 1000L)))
+  }
+
+  test("termLift: anti-correlated pair is below 1000") {
+    // x in docs 1-2, y in docs 3-4, z everywhere: x,y never co-occur
+    // (omitted); x,z lift = 2*4*1000/(2*4) = 1000
+    val docs = Seq((1L, "x z"), (2L, "x z"), (3L, "y z"), (4L, "y z"))
+      .toDF("id", "text")
+    val rows = TextAnalysis.termLift(docs, "id", "text", topM = 3)
+      .collect()
+    assert(!rows.exists(r => r.getAs[String]("term_a") == "x" &&
+      r.getAs[String]("term_b") == "y"))
+    assert(rows.length == 2) // (x,z) and (y,z)
+  }
+
+  // ------------------------------------------------------------ ahash
+
+  test("averageHash64: 4 bands, 16-bit range, deterministic") {
+    val media = Multimodal.mediaTable(
+      Seq((1L, "alpha beta gamma delta", "en", "s", 22L),
+        (2L, "alpha beta gamma delta", "en", "s", 22L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Multimodal.averageHash64(media).collect()
+    def bandsOf(id: Long): Seq[Long] = {
+      val r = rows.find(_.getAs[Long]("media_id") == id).get
+      r.getSeq[Long](r.fieldIndex("bands"))
+    }
+    val b1 = bandsOf(1)
+    val b2 = bandsOf(2)
+    assert(b1.length == 4 && b1.forall(b => b >= 0 && b < 65536))
+    assert(b1 == b2) // identical payloads hash identically
+  }
+
+  test("ahashNearDup: byte-identical payloads pair at distance 0") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark query planning"),
+      (4L, "yet another unrelated text concerning parquet column pruning"))
+    val media = Multimodal.mediaTable(texts
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Multimodal.ahashNearDup(media, maxHamming = 3)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("media_id_a") == 1 &&
+      r.getAs[Long]("media_id_b") == 2 && r.getAs[Long]("hamming") == 0))
+    assert(pairs.forall(r => r.getAs[Long]("hamming") <= 3))
+  }
+
+  // --------------------------------------------------------- chunking
+
+  test("chunkDocs: window geometry and content digests") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rows = Curation.chunkDocs(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_ord").collect()
+    assert(rows.map(_.getAs[Long]("start_tok")).toSeq ==
+      Seq(0L, 3L, 6L, 9L))
+    assert(rows.map(_.getAs[Long]("n_tok")).toSeq == Seq(4L, 4L, 4L, 1L))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(0).getAs[String]("chunk_digest") == md5hex("w1 w2 w3 w4"))
+    assert(rows(3).getAs[String]("chunk_digest") == md5hex("w10"))
+  }
+
+  test("chunkDocs: every token is covered at least once") {
+    val text = (1 to 23).map(i => s"t$i").mkString(" ")
+    val rows = Curation.chunkDocs(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", chunkTokens = 5, stride = 5).collect()
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == 23)
+  }
+
+  test("chunkingReport: overlap overhead is exact") {
+    // 10 tokens, chunk 4, stride 3 -> chunks carry 13 tokens:
+    // overhead = 1000*(13-10)/10 = 300
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "), "s0"))
+      .toDF("id", "text", "src")
+    val r = Curation.chunkingReport(docs, "id", "text", "src", 4, 3)
+      .collect().head
+    assert(r.getAs[Long]("n_chunks") == 4)
+    assert(r.getAs[Long]("doc_tokens") == 10)
+    assert(r.getAs[Long]("chunk_tokens") == 13)
+    assert(r.getAs[Long]("overhead_permille") == 300)
+  }
+}

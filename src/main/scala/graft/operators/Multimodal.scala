@@ -168,10 +168,24 @@ object Multimodal {
             call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)))
     media
       .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"),
-        px.as("_px"))
+        px.as("_px0"))
+      // Generate barrier: the mean + band expressions below reference
+      // the pixel array ~64 times, and lambda-bearing expressions are
+      // interpreted (no codegen CSE) — without this barrier
+      // CollapseProject inlines the 64-md5 transform into EVERY
+      // reference, an O(64²) hashing blowup (measured 214 s → 1.3 s at
+      // sf0.1; DESIGN.md §5's CollapseProject lesson). explode of a
+      // 1-element array materializes the array once per row, no
+      // shuffle, no row-count change.
+      .select(col("media_id"), col("n_bytes"),
+        explode(array(col("_px0"))).as("_px"))
       .select(col("media_id"), col("n_bytes"), col("_px"),
         (aggregate(col("_px"), lit(0L), _ + _) / lit(64)).cast("long")
-          .as("_mean"))
+          .as("_mean0"))
+      // second barrier: the 64 bit-threshold clauses each reference the
+      // mean — materialize it once, same no-shuffle explode trick
+      .select(col("media_id"), col("n_bytes"), col("_px"),
+        explode(array(col("_mean0"))).as("_mean"))
       .select(col("media_id"), col("n_bytes"),
         bits(col("_mean"), col("_px")).as("bands"))
   }

@@ -408,4 +408,120 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
   }
+
+  /** FILTERED-RETRIEVAL RECALL AUDIT — the pre-filter vs post-filter
+    * decision every metadata-constrained ANN deployment faces: gold =
+    * exact top-k over ONLY the rows satisfying `pred` (pre-filter: the
+    * index knows the predicate); candidate = exact top-`overFetch`
+    * over the full corpus, THEN filtered (post-filter: the cheap
+    * retrofit). When the predicate's selectivity s is low, post-filter
+    * keeps ~s·overFetch survivors and recall craters — this audit
+    * measures exactly that, per query: survivors, hits against gold,
+    * recall in permille.
+    *
+    * Shape at scale: two broadcast-query scans (the [[bruteForceTopK]]
+    * posture — queries broadcast, corpus scanned once each, per-query
+    * heaps via WindowGroupLimit), one tiny per-query count join. Query
+    * vectors come from the FULL corpus (a query need not satisfy its
+    * own filter). Output: (query_id, n_gold, n_survivors, n_hit,
+    * recall_milli), n_gold < k when fewer than k rows satisfy the
+    * predicate. */
+  def filteredRecall(corpus: DataFrame, pred: Column, queryIds: Seq[Long],
+                     idCol: String, vecCol: String, k: Int,
+                     overFetch: Int): DataFrame = {
+    require(overFetch >= k, s"overFetch ($overFetch) must be >= k ($k)")
+    val vecsAll = quantized(corpus, idCol, vecCol)
+    val elig = quantized(corpus.filter(pred), idCol, vecCol)
+    val q = vecsAll.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def ranked(base: DataFrame, keep: Int) = base
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("v")), col("qn"), col("vn"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keep)
+      .select("query_id", "vec_id")
+    val gold = ranked(elig, k)
+    val survivors = ranked(vecsAll, overFetch)
+      .join(elig.select("vec_id"), Seq("vec_id"), "left_semi")
+    val goldN = gold.groupBy("query_id").agg(count(lit(1)).as("n_gold"))
+    val survN = survivors.groupBy("query_id")
+      .agg(count(lit(1)).as("n_survivors"))
+    val hitN = survivors.join(gold, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    goldN.join(survN, Seq("query_id"), "left")
+      .join(hitN, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_gold"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(1000 * coalesce(n_hit, 0)) div n_gold").as("recall_milli"))
+  }
+
+  /** NPROBE SWEEP — the IVF knob-tuning table: recall@k of
+    * [[ivfTopKTrained]] against the exact [[bruteForceTopK]] ranking
+    * for nprobe = 1..`maxNprobe`, aggregated over the query set. The
+    * table a 100 TB deployment reads before fixing its
+    * latency/recall point (each +1 nprobe scans ~1/k_clusters more of
+    * the corpus).
+    *
+    * Shape: the gold ranking is one exact scan; each rung re-runs the
+    * IVF search (assignment re-derives per rung in-plan — at eval
+    * query counts that is the cheap side of checkpointing corpus-wide
+    * assignment state). Output per rung: (nprobe, n_gold, n_hit,
+    * recall_milli). */
+  def nprobeSweep(corpus: DataFrame, centroids: DataFrame,
+                  queryIds: Seq[Long], idCol: String, vecCol: String,
+                  k: Int, maxNprobe: Int): DataFrame = {
+    require(maxNprobe >= 1 && maxNprobe <= 16,
+      s"maxNprobe in [1,16], got $maxNprobe")
+    val gold = bruteForceTopK(corpus, queryIds, idCol, vecCol, k)
+      .select("query_id", "vec_id")
+    (1 to maxNprobe).map { np =>
+      val approx = ivfTopKTrained(corpus, centroids, queryIds, idCol,
+        vecCol, k, np).select("query_id", "vec_id")
+      approx.join(gold, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+        .select(lit(np.toLong).as("nprobe"), col("n_gold"), col("n_hit"),
+          expr("(1000 * n_hit) div n_gold").as("recall_milli"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** HUBNESS AUDIT — the high-dimensional pathology check for an
+    * embedding space: in skewed spaces a few "hub" vectors appear in
+    * a disproportionate share of k-NN lists (and antihubs in none),
+    * which silently biases retrieval training pairs and dedup
+    * verdicts. k-occurrence N_k(x) = how many sample vectors list x
+    * in their top-k; this reports the N_k histogram over a
+    * DETERMINISTIC sample (`sampleFilter`) — quadratic in the sample
+    * BY CONTRACT (the q182 eval posture), never run corpus-wide.
+    * Output: (k_occurrence, n_vecs) ascending — a healthy space
+    * concentrates near k_occurrence = k; hubness shows as mass at 0
+    * plus a long right tail. */
+  def hubnessAudit(corpus: DataFrame, sampleFilter: Column, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val sample = quantized(corpus.filter(sampleFilter), idCol, vecCol)
+    val q = sample.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("vn").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val indeg = sample
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("v")), col("qn"), col("vn"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("vec_id").agg(count(lit(1)).as("_n"))
+    sample.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("_n"), lit(0L)).as("k_occurrence"))
+      .groupBy("k_occurrence").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("k_occurrence")
+  }
 }

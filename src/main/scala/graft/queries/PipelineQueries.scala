@@ -2226,6 +2226,30 @@ object PipelineQueries {
     "q228_term_lift" -> ((s, dir) => {
       TextAnalysis.termLift(t(s, dir, "documents"), "doc_id", "text",
         topM = 24)
+    }),
+
+    // FILTERED-RETRIEVAL recall audit: pre-filter gold vs post-filter
+    // of a 2x over-fetch, restricted to even-label vectors.
+    "q229_filtered_recall" -> ((s, dir) => {
+      Similarity.filteredRecall(t(s, dir, "embeddings"),
+          col("label") % 2 === 0, Seq(0L, 1L, 2L, 3L, 4L),
+          "vec_id", "embedding", k = 10, overFetch = 20)
+        .orderBy("query_id")
+    }),
+
+    // IVF NPROBE SWEEP: the recall-vs-probes knob table over the
+    // trained 8-centroid index.
+    "q230_nprobe_sweep" -> ((s, dir) => {
+      Similarity.nprobeSweep(t(s, dir, "embeddings"),
+        trainedCentroids(s, dir, 8, 2), Seq(0L, 1L, 2L, 3L, 4L),
+        "vec_id", "embedding", k = 10, maxNprobe = 4)
+    }),
+
+    // HUBNESS: k-occurrence histogram over a deterministic 200-vector
+    // sample (quadratic-by-contract eval, the q182 posture).
+    "q231_hubness" -> ((s, dir) => {
+      Similarity.hubnessAudit(t(s, dir, "embeddings"),
+        col("vec_id") < 200, "vec_id", "embedding", k = 10)
     })
   )
 
@@ -3589,6 +3613,115 @@ object PipelineQueries {
          JOIN top tb ON tb.term = term_b
          CROSS JOIN n
          ORDER BY term_a, term_b""",
+
+    // Gold = exact top-10 over even-label rows only; candidate = exact
+    // top-20 over everything, then filtered. Query vectors come from
+    // the full corpus.
+    "q229_filtered_recall" ->
+      s"""WITH v AS (SELECT vec_id, label, $sqlQuantize AS q FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v
+                WHERE vec_id IN (0,1,2,3,4)),
+         gold AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, v.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlQcos("qv", "v.q")} DESC, v.vec_id) AS rank
+             FROM v JOIN qs ON v.vec_id <> qs.query_id
+             WHERE v.label % 2 = 0)
+           WHERE rank <= 10),
+         surv AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, v.vec_id, v.label,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlQcos("qv", "v.q")} DESC, v.vec_id) AS rank
+             FROM v JOIN qs ON v.vec_id <> qs.query_id)
+           WHERE rank <= 20 AND label % 2 = 0),
+         g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+               FROM gold GROUP BY query_id),
+         sv AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_survivors
+                FROM surv GROUP BY query_id),
+         h AS (SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_hit
+               FROM surv s JOIN gold USING (query_id, vec_id)
+               GROUP BY s.query_id)
+         SELECT g.query_id, g.n_gold,
+                COALESCE(sv.n_survivors, 0) AS n_survivors,
+                COALESCE(h.n_hit, 0) AS n_hit,
+                (1000 * COALESCE(h.n_hit, 0)) // g.n_gold AS recall_milli
+         FROM g LEFT JOIN sv USING (query_id) LEFT JOIN h USING (query_id)
+         ORDER BY query_id""",
+
+    // q51's trained-centroid pipeline with the probe cut swept 1..4;
+    // gold = q35's exact ranking; one UNION ALL rung per nprobe.
+    "q230_nprobe_sweep" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c)
+           WHERE r = 1),
+         qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id IN (0,1,2,3,4)),
+         gold AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlQcos("qv", "e.v")} DESC, e.vec_id) AS rank
+             FROM e JOIN qs ON e.vec_id <> qs.query_id)
+           WHERE rank <= 10),
+         goldn AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+         probes AS (
+           SELECT query_id, qv, cluster, r FROM (
+             SELECT qs.query_id, qs.qv, c.cluster,
+                    row_number() OVER (PARTITION BY qs.query_id
+                      ORDER BY ${sqlQcos("qs.qv", "c.cv")} DESC, c.cluster) AS r
+             FROM qs CROSS JOIN c2 c)
+           WHERE r <= 4)
+         ${(1 to 4).map { np =>
+             s"""SELECT CAST($np AS BIGINT) AS nprobe, goldn.n_gold,
+                    COALESCE(hits.n_hit, 0) AS n_hit,
+                    (1000 * COALESCE(hits.n_hit, 0)) // goldn.n_gold
+                      AS recall_milli
+                 FROM goldn LEFT JOIN (
+                   SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+                     SELECT query_id, vec_id FROM (
+                       SELECT p.query_id, a.vec_id,
+                              row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY ${sqlQcos("p.qv", "a.v")} DESC,
+                                         a.vec_id) AS rank
+                       FROM assigned a
+                       JOIN probes p ON a.cluster = p.cluster AND p.r <= $np
+                       WHERE a.vec_id <> p.query_id)
+                     WHERE rank <= 10) s
+                   JOIN gold USING (query_id, vec_id)) hits ON true"""
+           }.mkString("\n UNION ALL\n ")}
+         ORDER BY nprobe""",
+
+    // 200-vector deterministic sample, exact 10-NN within it, then the
+    // k-occurrence histogram (vectors in no list appear at 0).
+    "q231_hubness" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings
+                   WHERE vec_id < 200),
+         qs AS (SELECT vec_id AS query_id, q AS qv FROM v),
+         knn AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, v.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlQcos("qv", "v.q")} DESC, v.vec_id) AS rank
+             FROM v JOIN qs ON v.vec_id <> qs.query_id)
+           WHERE rank <= 10),
+         ind AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n
+                 FROM knn GROUP BY vec_id)
+         SELECT k_occurrence, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+           SELECT COALESCE(ind.n, 0) AS k_occurrence
+           FROM v LEFT JOIN ind USING (vec_id))
+         GROUP BY k_occurrence ORDER BY k_occurrence""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -203,6 +203,47 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_tok")).sum == 23)
   }
 
+  // -------------------------------------------------- retrieval evals
+
+  test("filteredRecall: hand-computed post-filter loss") {
+    // query 0 = (1,0); neighbors by cosine: v1 > v2 > v3. Only v2/v3
+    // are eligible (even label); over-fetch 2 catches v1,v2 -> one
+    // survivor, one gold hit of two -> recall 500.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.001f), 1),
+      (2L, Array(1.0f, 0.01f), 2),
+      (3L, Array(1.0f, 0.1f), 2)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.filteredRecall(rows, col("label") % 2 === 0,
+      Seq(0L), "vec_id", "embedding", k = 2, overFetch = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_gold") == 2)
+    assert(r.getAs[Long]("n_survivors") == 1)
+    assert(r.getAs[Long]("n_hit") == 1)
+    assert(r.getAs[Long]("recall_milli") == 500)
+  }
+
+  test("nprobeSweep: recall is monotone and exhaustive probing is exact") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = KMeans.lloyd(em, "vec_id", "embedding", k = 4, iters = 1)
+      .withColumnRenamed("cluster", "cluster")
+    val rows = Similarity.nprobeSweep(em, cents, Seq(0L, 1L, 2L),
+      "vec_id", "embedding", k = 5, maxNprobe = 4).collect()
+    val recalls = rows.map(_.getAs[Long]("recall_milli")).toSeq
+    assert(recalls == recalls.sorted)
+    assert(recalls.last == 1000) // all 4 clusters probed = brute force
+  }
+
+  test("hubnessAudit: occurrence mass conserves sample_size * k") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = Similarity.hubnessAudit(em, col("vec_id") < 50,
+      "vec_id", "embedding", k = 5).collect()
+    val slots = rows.map(r => r.getAs[Long]("k_occurrence") *
+      r.getAs[Long]("n_vecs")).sum
+    assert(slots == 50L * 5)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 50L)
+  }
+
   test("chunkingReport: overlap overhead is exact") {
     // 10 tokens, chunk 4, stride 3 -> chunks carry 13 tokens:
     // overhead = 1000*(13-10)/10 = 300

@@ -470,4 +470,57 @@ object Events {
       .select(col("t"),
         (col("_cs") - (col("_ce") - col("_ne"))).as("concurrency"))
   }
+
+  /** LAGGED AUTOCORRELATION of the hourly event-count series — the
+    * seasonality detector: r(24) ≈ 1 means a strong daily cycle (load
+    * forecasting, anomaly baselining must be hour-of-day-conditioned);
+    * r(1) measures short-range persistence. The series is the COMPLETE
+    * hour grid from first to last event (missing hours count 0 —
+    * skipping them would silently splice non-adjacent hours together).
+    *
+    * Exactness: counts are integers; all five correlation moments are
+    * exact DECIMAL(38,0) sums over the lag-joined pairs; r is the
+    * textbook formula evaluated ONCE in double over those exact sums
+    * (the corrMatrix discipline). NULL timestamps are excluded
+    * ([[decayedCounts]] posture).
+    *
+    * Shape at scale: one map-side-combinable hour count (the grid is
+    * hours-sized — 8.8k/year — everything after the first aggregate is
+    * driver-trivial); the grid explode and the self-join run at that
+    * cardinality. Constant series (zero variance) yield NaN, surfaced
+    * not masked. Output per lag: (lag, n_pairs, r). */
+  def hourlyAutocorr(events: DataFrame, tsCol: String,
+                     lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 8760),
+      s"lags must be in [1, 8760], got $lags")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = events.filter(col(tsCol).isNotNull)
+      // div is exact here (date_trunc already floored to the hour)
+      .groupBy(expr(
+        s"unix_micros(date_trunc('hour', $tsCol)) div 3600000000L")
+        .as("_h"))
+      .agg(count(lit(1)).as("_n"))
+    val grid = counts.agg(min(col("_h")).as("_lo"), max(col("_h")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("_h"))
+    val filled = grid.join(counts, Seq("_h"), "left")
+      .select(col("_h"), coalesce(col("_n"), lit(0L)).as("_x"))
+    lags.map { lag =>
+      val y = filled.select((col("_h") - lag).as("_h"),
+        col("_x").as("_y"))
+      filled.join(y, Seq("_h"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("_x").cast(d38)).as("_sx"),
+          sum(col("_y").cast(d38)).as("_sy"),
+          sum(col("_x").cast(d38) * col("_y")).as("_sxy"),
+          sum(col("_x").cast(d38) * col("_x")).as("_sxx"),
+          sum(col("_y").cast(d38) * col("_y")).as("_syy"))
+        .select(lit(lag.toLong).as("lag"), col("n_pairs"),
+          ((col("n_pairs").cast(d38) * col("_sxy") -
+            col("_sx") * col("_sy")).cast("double") /
+            (sqrt((col("n_pairs").cast(d38) * col("_sxx") -
+              col("_sx") * col("_sx")).cast("double")) *
+             sqrt((col("n_pairs").cast(d38) * col("_syy") -
+               col("_sy") * col("_sy")).cast("double")))).as("r"))
+    }.reduce(_ unionAll _).orderBy("lag")
+  }
 }

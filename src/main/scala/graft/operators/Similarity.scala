@@ -524,4 +524,74 @@ object Similarity {
       .groupBy("k_occurrence").agg(count(lit(1)).as("n_vecs"))
       .orderBy("k_occurrence")
   }
+
+  /** CLASS-SCATTER SEPARATION of an embedding space — the Fisher-style
+    * eval "do the labels separate geometrically": between-class scatter
+    * Σ_l n_l·‖μ_l − μ‖² vs within-class scatter Σ_l Σ_{x∈l} ‖x − μ_l‖²,
+    * in quantized-integer units. High ratio = the space already
+    * clusters by label (classifier-free retrieval will work); ratio
+    * near 0 = the labels are geometric noise.
+    *
+    * Exactness: everything reduces to integer sums — per-label count,
+    * per-(label,pos) coordinate sum, per-label Σ‖x‖² — and the scatter
+    * identities (within_l = Σ‖x‖² − ‖s_l‖²/n_l; between_l = ‖s_l‖²/n_l
+    * − 2·(s_l·s)/N + n_l·‖s‖²/N²) are each evaluated ONCE in double
+    * per label over DECIMAL(38,0) products, floored to integer units.
+    * The floored per-label integers then sum exactly — no
+    * order-dependent double accumulation anywhere. NULL labels are
+    * excluded.
+    *
+    * Shape at 100 TB: one posexplode scan into a combinable
+    * (label, pos) sum — shuffle carries |labels|·d scalars; everything
+    * downstream is label-count-sized. Output one row: (n, n_labels,
+    * within_ss, between_ss, separation: between/within as the one
+    * final double division). */
+  def classScatter(corpus: DataFrame, labelCol: String,
+                   vecCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = corpus.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("_l"), Dedup.quantize(col(vecCol)).as("_q"))
+    val perLabel = base
+      .select(col("_l"), qdot(col("_q"), col("_q")).as("_nn"))
+      .groupBy("_l")
+      .agg(count(lit(1)).as("_n"), sum(col("_nn").cast(d38)).as("_ssq"))
+    val coordSums = base
+      .select(col("_l"), posexplode(col("_q")).as(Seq("_p", "_v")))
+      .groupBy("_l", "_p").agg(sum(col("_v")).as("_s"))
+    val s2l = coordSums.groupBy("_l")
+      .agg(sum(col("_s").cast(d38) * col("_s")).as("_s2l"))
+    val globalSums = coordSums.groupBy("_p")
+      .agg(sum(col("_s")).as("_sg"))
+    val g = globalSums
+      .agg(sum(col("_sg").cast(d38) * col("_sg")).as("_s2"))
+    val dotLG = coordSums
+      .join(globalSums, Seq("_p"))
+      .groupBy("_l")
+      .agg(sum(col("_s").cast(d38) * col("_sg")).as("_dlg"))
+    val totals = perLabel.agg(sum(col("_n")).as("_nt"),
+      sum(col("_ssq")).as("_ssqt"), count(lit(1)).as("n_labels"))
+    val perLabelScatter = perLabel
+      .join(s2l, Seq("_l")).join(dotLG, Seq("_l"))
+      .crossJoin(broadcast(totals.select(col("_nt"), col("_ssqt"),
+        col("n_labels"))))
+      .crossJoin(broadcast(g))
+      .select(
+        floor(col("_ssq").cast("double") -
+          col("_s2l").cast("double") / col("_n")).cast("long")
+          .as("_within_l"),
+        floor(col("_s2l").cast("double") / col("_n") -
+          lit(2.0) * col("_dlg").cast("double") / col("_nt") +
+          col("_n").cast("double") * col("_s2").cast("double") /
+            (col("_nt").cast("double") * col("_nt").cast("double")))
+          .cast("long").as("_between_l"),
+        col("_nt"), col("n_labels"))
+    perLabelScatter
+      .groupBy("_nt", "n_labels")
+      .agg(sum(col("_within_l")).as("within_ss"),
+        sum(col("_between_l")).as("between_ss"))
+      .select(col("_nt").as("n"), col("n_labels"),
+        col("within_ss"), col("between_ss"),
+        (col("between_ss").cast("double") /
+          col("within_ss").cast("double")).as("separation"))
+  }
 }

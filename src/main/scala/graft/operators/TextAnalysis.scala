@@ -626,4 +626,45 @@ object TextAnalysis {
   }
 
   private val dec38x = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** VOCABULARY GROWTH (Heaps'-law curve) — how fast new terms appear
+    * as the corpus is consumed in `idCol` order, reported per equal-
+    * count document bucket: new terms first seen in the bucket, plus
+    * cumulative vocabulary and token totals. The curve a tokenizer
+    * build reads to size its vocab (and a sanity check: a corpus whose
+    * vocabulary stops growing early is template-dominated).
+    *
+    * Shape at scale: each term's first appearance is ONE combinable
+    * min-aggregate (vocabulary-sized result); bucket assignment here is
+    * ntile over doc ids — a doc-count sort, right for report scale; a
+    * 100 TB run swaps it for [[Stats.equiDepthBin]]'s broadcast-cuts
+    * join (same contract, no global sort). Ties cannot occur (doc ids
+    * are unique). Output per bucket: (bucket 1-based, n_docs,
+    * n_tokens, new_terms, cum_tokens, cum_vocab). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets in [2,1000], got $nBuckets")
+    val bucketed = docs.select(col(idCol).as("_id"),
+        size(toks(col(textCol))).cast("long").as("_nt"))
+      .withColumn("bucket",
+        ntile(nBuckets).over(Window.orderBy("_id")).cast("long"))
+    val firstSeen = docs
+      .select(col(idCol).as("_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(min(col("_id")).as("_first"))
+      .join(bucketed.select(col("_id").as("_first"), col("bucket")),
+        Seq("_first"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .orderBy("bucket")
+  }
 }

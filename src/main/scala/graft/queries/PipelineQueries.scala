@@ -2250,6 +2250,25 @@ object PipelineQueries {
     "q231_hubness" -> ((s, dir) => {
       Similarity.hubnessAudit(t(s, dir, "embeddings"),
         col("vec_id") < 200, "vec_id", "embedding", k = 10)
+    }),
+
+    // SEASONALITY: autocorrelation of the hourly event-count series at
+    // lag 1 (persistence) and lag 24 (daily cycle), zero-filled grid.
+    "q232_hourly_autocorr" -> ((s, dir) => {
+      Events.hourlyAutocorr(t(s, dir, "events"), "ts", Seq(1, 24))
+    }),
+
+    // EMBEDDING CLASS SEPARATION: between- vs within-class scatter of
+    // the label structure, exact integer units, one final division.
+    "q233_class_scatter" -> ((s, dir) => {
+      Similarity.classScatter(t(s, dir, "embeddings"), "label",
+        "embedding")
+    }),
+
+    // HEAPS'-LAW VOCABULARY GROWTH per corpus decile in doc_id order.
+    "q234_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        nBuckets = 10)
     })
   )
 
@@ -3722,6 +3741,100 @@ object PipelineQueries {
            SELECT COALESCE(ind.n, 0) AS k_occurrence
            FROM v LEFT JOIN ind USING (vec_id))
          GROUP BY k_occurrence ORDER BY k_occurrence""",
+
+    // Zero-filled hourly grid, then the textbook correlation formula
+    // over exact HUGEINT moments (engine: DECIMAL(38,0)) per lag.
+    "q232_hourly_autocorr" ->
+      (Seq(1, 24).map { lag =>
+        s"""SELECT CAST($lag AS BIGINT) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               (count(*)::HUGEINT * sum(a.x::HUGEINT * b.x)
+                  - sum(a.x::HUGEINT) * sum(b.x::HUGEINT))::DOUBLE /
+               (sqrt((count(*)::HUGEINT * sum(a.x::HUGEINT * a.x)
+                  - sum(a.x::HUGEINT) * sum(a.x::HUGEINT))::DOUBLE) *
+                sqrt((count(*)::HUGEINT * sum(b.x::HUGEINT * b.x)
+                  - sum(b.x::HUGEINT) * sum(b.x::HUGEINT))::DOUBLE)) AS r
+            FROM f a JOIN f b ON b.h = a.h + $lag"""
+      }.mkString(
+        """WITH c AS (
+           SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         g AS (SELECT unnest(range((SELECT min(h) FROM c),
+                                   (SELECT max(h) FROM c) + 1)) AS h),
+         f AS (SELECT g.h, COALESCE(c.n, 0) AS x
+               FROM g LEFT JOIN c USING (h))
+         """, "\n UNION ALL\n ", "\n ORDER BY lag")),
+
+    // Integer scatter identities per label (floored double per label
+    // over exact HUGEINT sums, then exact integer totals).
+    "q233_class_scatter" ->
+      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS q
+                   FROM embeddings WHERE label IS NOT NULL),
+         pl AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(list_sum([x * x for x in q])) AS HUGEINT) AS ssq
+           FROM e GROUP BY label),
+         cs AS (
+           SELECT label, i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+           FROM e, range(0, 64) t(i) GROUP BY label, i),
+         s2l AS (
+           SELECT label, CAST(sum(s::HUGEINT * s) AS HUGEINT) AS s2l
+           FROM cs GROUP BY label),
+         gs AS (SELECT i, CAST(sum(s) AS BIGINT) AS sg
+                FROM cs GROUP BY i),
+         g2 AS (SELECT CAST(sum(sg::HUGEINT * sg) AS HUGEINT) AS s2
+                FROM gs),
+         dlg AS (
+           SELECT label, CAST(sum(cs.s::HUGEINT * gs.sg) AS HUGEINT) AS dlg
+           FROM cs JOIN gs USING (i) GROUP BY label),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nt,
+                  CAST(count(*) AS BIGINT) AS n_labels
+           FROM pl),
+         per AS (
+           SELECT CAST(floor(pl.ssq::DOUBLE - s2l.s2l::DOUBLE / pl.n)
+                    AS BIGINT) AS wl,
+                  CAST(floor(s2l.s2l::DOUBLE / pl.n
+                    - 2.0 * dlg.dlg::DOUBLE / tot.nt
+                    + pl.n::DOUBLE * g2.s2::DOUBLE /
+                        (tot.nt::DOUBLE * tot.nt::DOUBLE)) AS BIGINT) AS bl,
+                  tot.nt, tot.n_labels
+           FROM pl JOIN s2l USING (label) JOIN dlg USING (label)
+           CROSS JOIN tot CROSS JOIN g2)
+         SELECT nt AS n, n_labels,
+                CAST(sum(wl) AS BIGINT) AS within_ss,
+                CAST(sum(bl) AS BIGINT) AS between_ss,
+                CAST(sum(bl) AS BIGINT)::DOUBLE /
+                  CAST(sum(wl) AS BIGINT)::DOUBLE AS separation
+         FROM per GROUP BY nt, n_labels""",
+
+    // First appearance = one min per term; deciles by ntile over
+    // doc_id; cumulative sums over the 10-row bucket frame.
+    "q234_vocab_growth" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         b AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+                  CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS bucket
+           FROM d),
+         fs AS (
+           SELECT term, min(doc_id) AS fd
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY term),
+         nb AS (
+           SELECT b.bucket, CAST(count(*) AS BIGINT) AS new_terms
+           FROM fs JOIN b ON b.doc_id = fs.fd GROUP BY b.bucket),
+         pb AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM b GROUP BY bucket)
+         SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+                COALESCE(nb.new_terms, 0) AS new_terms,
+                CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                CAST(sum(COALESCE(nb.new_terms, 0)) OVER (ORDER BY pb.bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         FROM pb LEFT JOIN nb USING (bucket) ORDER BY bucket""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -244,6 +244,75 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == 50L)
   }
 
+  // ----------------------------------------------------- autocorr
+
+  test("hourlyAutocorr: alternating series gives r(1) = -1, r(2) = 1") {
+    // hour h gets 5 events when even, 1 when odd, over 9 hours
+    val rows = (0 until 9).flatMap { h =>
+      val c = if (h % 2 == 0) 5 else 1
+      Seq.fill(c)(java.sql.Timestamp.valueOf(
+        s"2024-01-01 ${"%02d".format(h)}:30:00"))
+    }.map(Tuple1(_)).toDF("ts")
+    val got = Events.hourlyAutocorr(rows, "ts", Seq(1, 2)).collect()
+    // sqrt(a)*sqrt(a) reconstructs the variance only to ulp precision
+    assert(got(0).getAs[Long]("lag") == 1 &&
+      math.abs(got(0).getAs[Double]("r") + 1.0) < 1e-12)
+    assert(got(1).getAs[Long]("lag") == 2 &&
+      math.abs(got(1).getAs[Double]("r") - 1.0) < 1e-12)
+    assert(got(0).getAs[Long]("n_pairs") == 8)
+  }
+
+  test("hourlyAutocorr: empty hours are zero-filled, not spliced") {
+    // events only at hours 0 and 4: the grid must span 5 hours, so
+    // lag-1 pairs = 4 (with zeros), not 1
+    val rows = Seq("2024-01-01 00:10:00", "2024-01-01 04:10:00")
+      .map(s => Tuple1(java.sql.Timestamp.valueOf(s))).toDF("ts")
+    val got = Events.hourlyAutocorr(rows, "ts", Seq(1)).collect().head
+    assert(got.getAs[Long]("n_pairs") == 4)
+  }
+
+  // -------------------------------------------------- class scatter
+
+  test("classScatter: hand-computed two-class geometry") {
+    // 0.5f is exact in float, so quantization is exactly 5000:
+    // within_l = 125e6 - 225e6/2 = 12.5e6 each; between_l = 56.25e6
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.5f, 0.0f)),
+      (1, Array(0.0f, 1.0f)), (1, Array(0.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val r = Similarity.classScatter(rows, "label", "embedding")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_labels") == 2)
+    assert(r.getAs[Long]("within_ss") == 25000000L)
+    assert(r.getAs[Long]("between_ss") == 112500000L)
+    assert(r.getAs[Double]("separation") == 4.5)
+  }
+
+  test("classScatter: label-free geometry separates at ~zero") {
+    // identical distribution under both labels: between ~ 0
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),
+      (1, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.classScatter(rows, "label", "embedding")
+      .collect().head
+    assert(r.getAs[Long]("between_ss") <= 0L) // floor of exact 0
+    assert(r.getAs[Long]("within_ss") > 0L)
+  }
+
+  // ------------------------------------------------- vocab growth
+
+  test("vocabGrowth: first appearances land in the right bucket") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "d"))
+      .toDF("id", "text")
+    val rows = TextAnalysis.vocabGrowth(docs, "id", "text", nBuckets = 2)
+      .collect()
+    assert(rows.map(_.getAs[Long]("new_terms")).toSeq == Seq(3L, 1L))
+    assert(rows.map(_.getAs[Long]("cum_vocab")).toSeq == Seq(3L, 4L))
+    assert(rows.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 3L))
+    assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(4L, 7L))
+  }
+
   test("chunkingReport: overlap overhead is exact") {
     // 10 tokens, chunk 4, stride 3 -> chunks carry 13 tokens:
     // overhead = 1000*(13-10)/10 = 300

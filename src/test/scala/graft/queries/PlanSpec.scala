@@ -616,4 +616,59 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  // ------------------------------------------------------ round 9
+
+  test("q221 kappa: combinable confusion counts, scalar attach broadcast") {
+    val p = planOf("q221_cohens_kappa")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q223 bootstrap: replicate explode feeds a map-side partial agg") {
+    val p = planOf("q223_bootstrap_ci")
+    assert(p.contains("Generate")) // the x`reps` explode
+    assert(p.contains("partial_sum")) // combine before the (grp, r) shuffle
+  }
+
+  test("q225 ahash: band-key equi-join, never an all-pairs product") {
+    val p = planOf("q225_ahash_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // only doc_id and text leave the scan (payload derives from text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q226 chunking is shuffle-free up to the output sort") {
+    val p = planOf("q226_chunking")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("Generate")) // posexplode of window starts
+  }
+
+  test("q228 term lift: top-M vocabulary attaches by broadcast") {
+    val p = planOf("q228_term_lift")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q229/q231 retrieval evals broadcast the query side") {
+    for (q <- Seq("q229_filtered_recall", "q231_hubness")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q233 class scatter: coordinate sums combine map-side") {
+    val p = planOf("q233_class_scatter")
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q234 vocab growth: first-seen is one combinable min per term") {
+    val p = planOf("q234_vocab_growth")
+    assert(p.contains("partial_min"))
+  }
 }

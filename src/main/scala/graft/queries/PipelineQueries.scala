@@ -2269,6 +2269,62 @@ object PipelineQueries {
     "q234_vocab_growth" -> ((s, dir) => {
       TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
         nBuckets = 10)
+    }),
+
+    // CHUNK-LEVEL DEDUP RATE: duplication measured at q226's chunk
+    // granularity — partial overlap that document-level dedup misses.
+    "q235_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.chunkDocs(docs, "doc_id", "text", chunkTokens = 64,
+          stride = 48)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_digest")).as("n_distinct"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          expr("(1000 * (n_chunks - n_distinct)) div n_chunks")
+            .as("dup_permille"))
+        .orderBy("source")
+    }),
+
+    // DEDUP SURVIVORSHIP BIAS: does exact dedup shift the language
+    // mixture? Per lang: before/after counts, shares, removal rate.
+    "q236_dedup_bias" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("_d"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val after = docs.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+      val before = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val totals = before.agg(sum(col("n_before")).as("_tb"))
+        .crossJoin(after.agg(sum(col("n_after")).as("_ta")))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_before"), col("n_after"),
+          expr("(1000 * n_before) div _tb").as("share_before_milli"),
+          expr("(1000 * n_after) div _ta").as("share_after_milli"),
+          expr("(1000 * (n_before - n_after)) div n_before")
+            .as("removal_permille"))
+        .orderBy("lang")
+    }),
+
+    // QUALITY x LENGTH GRID: the 2-D census behind the "short docs
+    // score low because of the length factor" question — separates the
+    // score's length term from genuine lexical quality.
+    "q237_quality_length_grid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("_nt"))
+        .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+      scored
+        .select(least(expr("_nt div 16"), lit(7L)).as("len_bin"),
+          least(floor(col("quality") * 5).cast("long"), lit(4L))
+            .as("q_bin"))
+        .groupBy("len_bin", "q_bin").agg(count(lit(1)).as("n_docs"))
+        .orderBy("len_bin", "q_bin")
     })
   )
 
@@ -3835,6 +3891,68 @@ object PipelineQueries {
                 CAST(sum(COALESCE(nb.new_terms, 0)) OVER (ORDER BY pb.bucket
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
          FROM pb LEFT JOIN nb USING (bucket) ORDER BY bucket""",
+
+    // q226's window geometry, digests distinct-counted per source.
+    "q235_chunk_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, source, t, CAST(s AS BIGINT) AS start_tok
+           FROM (SELECT doc_id, source, t,
+                        unnest(range(0, greatest(len(t), 1), 48)) AS s
+                 FROM d)),
+         dg AS (
+           SELECT source,
+                  md5(array_to_string(
+                    list_transform(range(0, least(64, len(t) - start_tok)),
+                      i -> t[CAST(start_tok + i + 1 AS INT)]), ' '))
+                    AS chunk_digest
+           FROM ch)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(count(DISTINCT chunk_digest) AS BIGINT) AS n_distinct,
+                (1000 * (CAST(count(*) AS BIGINT)
+                  - CAST(count(DISTINCT chunk_digest) AS BIGINT)))
+                  // CAST(count(*) AS BIGINT) AS dup_permille
+         FROM dg GROUP BY source ORDER BY source""",
+
+    "q236_dedup_bias" ->
+      """WITH keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         aft AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+           FROM documents JOIN keep USING (doc_id) GROUP BY lang),
+         bef AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY lang),
+         tot AS (
+           SELECT (SELECT CAST(sum(n_before) AS BIGINT) FROM bef) AS tb,
+                  (SELECT CAST(sum(n_after) AS BIGINT) FROM aft) AS ta)
+         SELECT bef.lang, bef.n_before,
+                COALESCE(aft.n_after, 0) AS n_after,
+                (1000 * bef.n_before) // tot.tb AS share_before_milli,
+                (1000 * COALESCE(aft.n_after, 0)) // tot.ta
+                  AS share_after_milli,
+                (1000 * (bef.n_before - COALESCE(aft.n_after, 0)))
+                  // bef.n_before AS removal_permille
+         FROM bef LEFT JOIN aft USING (lang) CROSS JOIN tot
+         ORDER BY lang""",
+
+    // q46's quality expression verbatim; integer length bins, score
+    // quintiles by floor of the SAME double both engines compute.
+    "q237_quality_length_grid" ->
+      """WITH s AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2
+                    AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents))
+         SELECT least(nt // 16, 7) AS len_bin,
+                least(CAST(floor(quality * 5) AS BIGINT), 4) AS q_bin,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM s GROUP BY 1, 2 ORDER BY len_bin, q_bin""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -313,6 +313,29 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(4L, 7L))
   }
 
+  // ------------------------------------------- report-query invariants
+
+  test("q236 dedup bias conserves totals and never grows a language") {
+    val rows = graft.SparkEntry.queries("q236_dedup_bias")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("removal_permille") >= 0)
+    }
+  }
+
+  test("q237 grid bins stay in range and cover every document") {
+    val rows = graft.SparkEntry
+      .queries("q237_quality_length_grid")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    rows.foreach { r =>
+      assert((0L to 7L).contains(r.getAs[Long]("len_bin")))
+      assert((0L to 4L).contains(r.getAs[Long]("q_bin")))
+    }
+  }
+
   test("chunkingReport: overlap overhead is exact") {
     // 10 tokens, chunk 4, stride 3 -> chunks carry 13 tokens:
     // overhead = 1000*(13-10)/10 = 300

@@ -64,4 +64,104 @@ object DataQuality {
         (col("min_b") - col("min_a")).as("min_delta"),
         (col("max_b") - col("max_a")).as("max_delta"))
   }
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT: does `lhsCol` determine `rhsCol`?
+    * The data-contract check behind "source implies language",
+    * "order key implies customer" — an FD that mostly holds but not
+    * quite usually means a join fanned out or an ingest mixed two
+    * feeds. Reports, per violating lhs value (capped at `topN` by
+    * violation mass): the distinct rhs count and row count; plus the
+    * caller reads total violation mass from the rows.
+    *
+    * Shape: one combinable (lhs, rhs) count, then lhs-level rollup of
+    * that value-pair frame — corpus scanned once, only value pairs
+    * shuffle. NULL lhs is a key (reported like any value); NULL rhs
+    * counts as a distinct value via the <=> grouping semantics of the
+    * pair count. Output: (lhs value as string, n_rows, n_rhs_values),
+    * only lhs values with n_rhs_values > 1, hottest first with
+    * (n_rows desc, lhs asc) determinism. */
+  def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String,
+              topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 100000, s"topN in [1,1e5], got $topN")
+    df.select(col(lhsCol).cast("string").as("lhs"),
+        col(rhsCol).cast("string").as("_rhs"))
+      .groupBy("lhs", "_rhs").agg(count(lit(1)).as("_c"))
+      .groupBy("lhs")
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_rhs_values"))
+      .filter(col("n_rhs_values") > 1)
+      .orderBy(col("n_rows").desc, col("lhs").asc_nulls_first)
+      .limit(topN)
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT: child rows whose foreign key has no
+    * parent — per child table relation, the orphan count and rate.
+    * NULL foreign keys are counted separately (a NULL FK is a policy
+    * question, not an orphan). One left-anti join on the key (parent
+    * side deduplicated to distinct keys first, so the anti join probes
+    * a key set, not the parent table). Output one row:
+    * (n_child, n_null_fk, n_orphans, orphan_permille — of the
+    * non-NULL rows). */
+  def refIntegrity(child: DataFrame, fkCol: String,
+                   parent: DataFrame, pkCol: String): DataFrame = {
+    val nonNull = child.filter(col(fkCol).isNotNull)
+    val keys = parent.select(col(pkCol).as("_pk")).distinct()
+    val orphans = nonNull
+      .join(keys, col(fkCol) === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = child.agg(count(lit(1)).as("n_child"),
+      sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    totals.crossJoin(broadcast(orphans))
+      .select(col("n_child"), col("n_null_fk"), col("n_orphans"),
+        expr("(1000 * n_orphans) div (n_child - n_null_fk)")
+          .as("orphan_permille"))
+  }
+
+  /** Expected Benford first-digit shares, permille: floor(1000·
+    * log10(1 + 1/d)) for d = 1..9 — literals, so no transcendental
+    * function ever evaluates in-plan (engine-portable by
+    * construction). */
+  val benfordMilli: Seq[Long] =
+    Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+
+  /** BENFORD FIRST-DIGIT AUDIT of a positive numeric column — the
+    * classic fabricated-data / unit-mix detector: organically grown
+    * magnitudes follow log-uniform first digits; synthetic, capped, or
+    * unit-mixed columns do not. Values are scaled to integer
+    * `cents` (×100 floor) and the first digit is taken from the
+    * BIGINT's decimal string — never from double formatting, which is
+    * not engine-portable. Non-positive and NULL values are excluded
+    * (Benford is only defined on positive magnitudes; their count is
+    * n_excluded in every row for visibility).
+    *
+    * Output per digit 1..9: (digit, n, observed_milli,
+    * benford_milli, delta_milli) — one combinable 9-group count over
+    * a narrow projection. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol).cast("double") * 100).cast("long")
+    val base = df.select(cents.as("_v"))
+    val counts = base.filter(col("_v") > 0)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val totals = base.agg(
+      sum(when(col("_v") > 0, 1L).otherwise(0L)).as("_npos"),
+      sum(when(col("_v") > 0, 0L).otherwise(1L)).as("n_excluded"))
+    val expected = benfordMilli.zipWithIndex.map { case (m, i) =>
+      struct(lit(i + 1L).as("digit"), lit(m).as("benford_milli"))
+    }
+    counts
+      .join(df.sparkSession.range(1)
+        .select(explode(array(expected: _*)).as("_e"))
+        .select(col("_e.digit"), col("_e.benford_milli")),
+        Seq("digit"), "right")
+      .crossJoin(broadcast(totals))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("(1000 * coalesce(n, 0)) div _npos").as("observed_milli"),
+        col("benford_milli"),
+        (expr("(1000 * coalesce(n, 0)) div _npos") - col("benford_milli"))
+          .as("delta_milli"),
+        col("n_excluded"))
+      .orderBy("digit")
+  }
 }

@@ -2325,6 +2325,28 @@ object PipelineQueries {
             .as("q_bin"))
         .groupBy("len_bin", "q_bin").agg(count(lit(1)).as("n_docs"))
         .orderBy("len_bin", "q_bin")
+    }),
+
+    // FUNCTIONAL-DEPENDENCY AUDIT: which customers violate
+    // "custkey determines order status" (all with >1 status — the
+    // fan-out / feed-mix detector exercised on a known-violated FD).
+    "q238_fd_audit" -> ((s, dir) => {
+      DataQuality.fdAudit(t(s, dir, "orders"), "o_custkey",
+        "o_orderstatus", topN = 25)
+    }),
+
+    // REFERENTIAL INTEGRITY: lineitem orphans against an orders
+    // snapshot with every 13th key dropped (q179's deletion sim).
+    "q239_ref_integrity" -> ((s, dir) => {
+      DataQuality.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 13 =!= 0),
+        "o_orderkey")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT of order totals: observed vs expected
+    // log-uniform shares, permille (literal expectations, no logs).
+    "q240_benford" -> ((s, dir) => {
+      DataQuality.benfordAudit(t(s, dir, "orders"), "o_totalprice")
     })
   )
 
@@ -3953,6 +3975,71 @@ object PipelineQueries {
                 least(CAST(floor(quality * 5) AS BIGINT), 4) AS q_bin,
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM s GROUP BY 1, 2 ORDER BY len_bin, q_bin""",
+
+    "q238_fd_audit" ->
+      """WITH pc AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS lhs,
+                  CAST(o_orderstatus AS VARCHAR) AS r,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         a AS (
+           SELECT lhs, CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(count(*) AS BIGINT) AS n_rhs_values
+           FROM pc GROUP BY lhs)
+         SELECT lhs, n_rows, n_rhs_values FROM a
+         WHERE n_rhs_values > 1
+         ORDER BY n_rows DESC, lhs ASC NULLS FIRST LIMIT 25""",
+
+    "q239_ref_integrity" ->
+      """WITH par AS (
+           SELECT DISTINCT o_orderkey AS pk FROM orders
+           WHERE o_orderkey % 13 <> 0)
+         SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+                CAST((SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_fk,
+                CAST((SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT pk FROM par))
+                  AS BIGINT) AS n_orphans,
+                (1000 * CAST((SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT pk FROM par))
+                  AS BIGINT))
+                  // CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IS NOT NULL) AS BIGINT)
+                  AS orphan_permille""",
+
+    // Integer-cents first digit from the BIGINT's decimal string
+    // (double formatting is not engine-portable); literal Benford
+    // expectations, so no log evaluates in-plan.
+    "q240_benford" ->
+      """WITH v AS (
+           SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100)
+                    AS BIGINT) AS c
+           FROM orders),
+         cnt AS (
+           SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM v WHERE c > 0 GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS npos,
+                  CAST(sum(CASE WHEN c > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_excluded
+           FROM v),
+         e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 124),
+                 (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
+                 t(digit, benford_milli))
+         SELECT CAST(e.digit AS BIGINT) AS digit,
+                COALESCE(cnt.n, 0) AS n,
+                (1000 * COALESCE(cnt.n, 0)) // tot.npos AS observed_milli,
+                CAST(e.benford_milli AS BIGINT) AS benford_milli,
+                (1000 * COALESCE(cnt.n, 0)) // tot.npos
+                  - CAST(e.benford_milli AS BIGINT) AS delta_milli,
+                tot.n_excluded
+         FROM e LEFT JOIN cnt USING (digit) CROSS JOIN tot
+         ORDER BY digit""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -313,6 +313,45 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(4L, 7L))
   }
 
+  // ------------------------------------------------- data quality
+
+  test("fdAudit: only violated lhs values, NULL rhs is a value") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+      ("c", "x"), ("c", null)).toDF("l", "r")
+    val rows = DataQuality.fdAudit(df, "l", "r", topN = 10).collect()
+    assert(rows.map(_.getAs[String]("lhs")).toSeq == Seq("a", "c"))
+    assert(rows(0).getAs[Long]("n_rows") == 3 &&
+      rows(0).getAs[Long]("n_rhs_values") == 2)
+    assert(rows(1).getAs[Long]("n_rhs_values") == 2) // x and NULL
+  }
+
+  test("refIntegrity: orphans counted, NULL FKs separated") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val r = DataQuality.refIntegrity(child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getAs[Long]("n_child") == 4)
+    assert(r.getAs[Long]("n_null_fk") == 1)
+    assert(r.getAs[Long]("n_orphans") == 1)
+    assert(r.getAs[Long]("orphan_permille") == 333)
+  }
+
+  test("benfordAudit: cents digits, exclusions, all nine rows") {
+    val df = Seq(Some(1.0), Some(2.5), Some(0.0), Some(-3.0),
+      Some(19.99), None).toDF("v")
+    val rows = DataQuality.benfordAudit(df, "v").collect()
+    assert(rows.length == 9)
+    val d1 = rows.find(_.getAs[Long]("digit") == 1).get
+    assert(d1.getAs[Long]("n") == 2) // 100 and 1999 cents
+    assert(d1.getAs[Long]("observed_milli") == 666)
+    assert(d1.getAs[Long]("delta_milli") == 365)
+    val d2 = rows.find(_.getAs[Long]("digit") == 2).get
+    assert(d2.getAs[Long]("n") == 1) // 250 cents
+    assert(rows.forall(_.getAs[Long]("n_excluded") == 3))
+    assert(rows.find(_.getAs[Long]("digit") == 9).get.getAs[Long]("n") == 0)
+  }
+
   // ------------------------------------------- report-query invariants
 
   test("q236 dedup bias conserves totals and never grows a language") {

@@ -2347,6 +2347,47 @@ object PipelineQueries {
     // log-uniform shares, permille (literal expectations, no logs).
     "q240_benford" -> ((s, dir) => {
       DataQuality.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+    }),
+
+    // TIME-TO-ACTION: per view event, the delay to the user's next
+    // click — the native as-of join run FORWWARD by negating the time
+    // axis (at-or-before in -t = at-or-after in t), then exact
+    // quantiles of the matched delays.
+    "q242_time_to_action" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), (-col("us")).as("negus"),
+          col("us").as("view_us"), col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), (-col("us")).as("negus"),
+          (-col("event_id")).as("_tie"), col("us").as("click_us"))
+      val joined = AsOfJoin.asOfNative(views, clicks, "user_id", "negus",
+        "_tie", Seq("click_us"))
+      val deltas = joined.filter(col("asof_click_us").isNotNull)
+        .select((col("asof_click_us") - col("view_us")).as("delta_us"),
+          lit("all").as("_g"))
+      Stats.exactQuantiles(deltas, "_g", "delta_us", Seq(0.25, 0.5, 0.9))
+        .select(col("q"), col("quantile_value").cast("long")
+          .as("delta_us"), col("n_events"))
+        .orderBy("q")
+    }),
+
+    // FULFILLMENT LAG: p50/p90 days from order date to line-item ship
+    // date, per order priority — two-phase exact quantiles per group.
+    "q243_ship_lag" -> ((s, dir) => {
+      val lag = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag_days"))
+      Stats.exactQuantiles(lag, "o_orderpriority", "lag_days",
+          Seq(0.5, 0.9))
+        .select(col("o_orderpriority"), col("q"),
+          col("quantile_value").cast("long").as("lag_days"),
+          col("n_events"))
+        .orderBy("o_orderpriority", "q")
     })
   )
 
@@ -4040,6 +4081,54 @@ object PipelineQueries {
                 tot.n_excluded
          FROM e LEFT JOIN cnt USING (digit) CROSS JOIN tot
          ORDER BY digit""",
+
+    // One delta per VIEW EVENT (view_id in the group key — two views
+    // at one microsecond stay two rows); rank r = floor((n-1)q)+1,
+    // the exactQuantiles selection rule.
+    "q242_time_to_action" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                  event_type
+           FROM events),
+         v AS (SELECT user_id, event_id AS view_id, us AS view_us
+               FROM ev WHERE event_type = 'view'),
+         c AS (SELECT user_id, us AS click_us
+               FROM ev WHERE event_type = 'click'),
+         d AS (
+           SELECT v.user_id, v.view_id,
+                  min(c.click_us) - v.view_us AS delta_us
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.click_us >= v.view_us
+           GROUP BY v.user_id, v.view_id, v.view_us),
+         r AS (
+           SELECT delta_us,
+                  row_number() OVER (ORDER BY delta_us) AS rn,
+                  count(*) OVER () AS n
+           FROM d)
+         SELECT CAST(t.q AS DOUBLE) AS q,
+                CAST(r.delta_us AS BIGINT) AS delta_us,
+                CAST(r.n AS BIGINT) AS n_events
+         FROM r JOIN (VALUES (0.25), (0.5), (0.9)) t(q)
+           ON r.rn = CAST(floor((r.n - 1) * CAST(t.q AS DOUBLE)) AS BIGINT) + 1
+         ORDER BY q""",
+
+    "q243_ship_lag" ->
+      """WITH lag AS (
+           SELECT o.o_orderpriority,
+                  date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         r AS (
+           SELECT o_orderpriority, lag_days,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY lag_days) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM lag)
+         SELECT o_orderpriority, CAST(t.q AS DOUBLE) AS q,
+                CAST(lag_days AS BIGINT) AS lag_days,
+                CAST(n AS BIGINT) AS n_events
+         FROM r JOIN (VALUES (0.5), (0.9)) t(q)
+           ON r.rn = CAST(floor((r.n - 1) * CAST(t.q AS DOUBLE)) AS BIGINT) + 1
+         ORDER BY o_orderpriority, q""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -443,6 +443,35 @@ object StreamingQueries {
           sunk.select(col("k").as("event_type"), col("h")),
           Seq("event_type"), 64)
         .orderBy("event_type")
+    }),
+
+    // Streaming twin of q91's funnel: per-user (stage, stage-time)
+    // state advances live with the batch operator's inclusive `>=`
+    // rule; the stage census is a max-per-user rollup over the sunk
+    // advances — same oracle as q91, byte for byte.
+    "q241_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val stages = Seq("signup", "view", "purchase")
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+        .as[EventStreams.EventTyped]
+      val advances = EventStreams.funnelStages(s, ev, stages)
+      val sunk = withRocksDbState(s) {
+        runBounded(s, advances.toDF(), "graft_q241_sink", "append")
+      }
+      val maxStage = sunk.groupBy("user_id").agg(max("stage").as("_ms"))
+      val names = "all" +: stages
+      (0 to stages.length).map { k =>
+        val src =
+          if (k == 0)
+            graft.Tables.load(s, dir, "events")
+              .select("user_id").distinct()
+          else maxStage.filter(col("_ms") >= k)
+        src.agg(count(lit(1)).as("n_users"))
+          .select(lit(k.toLong).as("stage"),
+            lit(names(k)).as("stage_name"), col("n_users"))
+      }.reduce(_ unionAll _).orderBy("stage")
     })
   )
 
@@ -728,6 +757,33 @@ object StreamingQueries {
                             * CAST(1152921504606846976 AS DOUBLE)
                             / CAST(hk AS DOUBLE)) AS BIGINT)
                 END AS est_nd
-         FROM kmv ORDER BY event_type"""
+         FROM kmv ORDER BY event_type""",
+
+    // q91's funnel oracle verbatim — the stream twin must land on the
+    // identical stage census.
+    "q241_stream_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(us) AS t FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.us) AS t
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.us >= s1.t
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.us) AS t
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us >= s2.t
+                GROUP BY e.user_id)
+         SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+                CAST(count(*) AS BIGINT) AS n_users FROM u
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'signup', CAST(count(*) AS BIGINT) FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'view', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+         ORDER BY stage"""
   )
 }

@@ -279,6 +279,69 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A funnel advance: `user_id` reached 1-based `stage`. */
+  case class StageReached(user_id: Long, stage: Long)
+
+  private case class FunnelState(stage: Int, sinceUs: Long)
+
+  /** State processor behind [[funnelStages]]: (stage, stage-time) per
+    * user folds the ordered-stage semantics of
+    * [[graft.operators.Events.funnel]] across batches — stage k+1
+    * counts when its event occurs AT OR AFTER the time stage k was
+    * reached (inclusive `>=`, the batch/oracle rule, which a greedy
+    * single pass would miss for equal-microsecond pairs). One scan of
+    * the batch per advanced stage — O(stages·batch), state O(1). Emits
+    * one row per ADVANCE (append mode; advances are monotone, so the
+    * batch-side rollup is max-per-user). Same cross-batch order
+    * contract as [[TransitionProcessor]]. */
+  private class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, EventTyped, StageReached] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("stage",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventTyped],
+        timerValues: TimerValues): Iterator[StageReached] = {
+      val batch = rows.toArray
+      var cur = if (state.exists()) state.get()
+        else FunnelState(0, Long.MinValue)
+      val out = Vector.newBuilder[StageReached]
+      var advanced = true
+      while (advanced && cur.stage < stages.length) {
+        advanced = false
+        var best = Long.MaxValue
+        batch.foreach { e =>
+          if (e.event_type == stages(cur.stage) && e.us >= cur.sinceUs &&
+            e.us < best) best = e.us
+        }
+        if (best != Long.MaxValue) {
+          cur = FunnelState(cur.stage + 1, best)
+          out += StageReached(key, cur.stage.toLong)
+          advanced = true
+        }
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** STREAMING funnel: the unbounded twin of
+    * [[graft.operators.Events.funnel]] — each user's progression folds
+    * through one O(1) state int, advances emit live, and the stage
+    * census composes batch-side (or as a streaming rollup) over the
+    * emitted advances. */
+  def funnelStages(spark: SparkSession, events: Dataset[EventTyped],
+                   stages: Seq[String]): Dataset[StageReached] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "need at least one funnel stage")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One consecutive-event gap of a user, second-quantized (the
     * [[graft.operators.Events.interArrivalBurstiness]] unit). */
   case class Gap(user_id: Long, gap_s: Long)

@@ -352,6 +352,24 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.find(_.getAs[Long]("digit") == 9).get.getAs[Long]("n") == 0)
   }
 
+  test("as-of on negated time finds the next-at-or-after event") {
+    // q242's construction: views at 10 and 50; clicks at 10 and 60.
+    // view@10 matches click@10 (inclusive), view@50 matches click@60.
+    val views = Seq((1L, 10L), (1L, 50L)).toDF("user_id", "view_us")
+      .select(col("user_id"), (-col("view_us")).as("negus"),
+        col("view_us"))
+    val clicks = Seq((1L, 100L, 10L), (1L, 101L, 60L))
+      .toDF("user_id", "event_id", "click_us")
+      .select(col("user_id"), (-col("click_us")).as("negus"),
+        (-col("event_id")).as("_tie"), col("click_us"))
+    val got = AsOfJoin.asOfNative(views, clicks, "user_id", "negus",
+        "_tie", Seq("click_us"))
+      .select(col("view_us"), (col("asof_click_us") - col("view_us"))
+        .as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 0L), (50L, 10L)))
+  }
+
   // ------------------------------------------- report-query invariants
 
   test("q236 dedup bias conserves totals and never grows a language") {

@@ -317,4 +317,41 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("funnelStages advances across batches with the inclusive >= rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventTyped]
+      val q = funnelStages(spark, in.toDS(), Seq("signup", "view", "purchase"))
+        .writeStream.format("memory").queryName("funnel_sink")
+        .outputMode("append").start()
+      // user 1: view BEFORE signup must not count; the equal-time view
+      // at the signup microsecond MUST (inclusive >=, the q91 rule).
+      // user 2: signup only.
+      in.addData(
+        EventTyped(1L, 1L, 500L, "view"),
+        EventTyped(2L, 1L, 1000L, "signup"),
+        EventTyped(3L, 1L, 1000L, "view"),
+        EventTyped(4L, 2L, 700L, "signup"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3); user 2 purchases WITHOUT
+      // a view — no advance.
+      in.addData(
+        EventTyped(5L, 1L, 2000L, "purchase"),
+        EventTyped(6L, 2L, 2000L, "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("funnel_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

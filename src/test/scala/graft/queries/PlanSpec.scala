@@ -671,4 +671,27 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("q234_vocab_growth")
     assert(p.contains("partial_min"))
   }
+
+  test("q239 referential integrity is a key-set anti join") {
+    val p = planOf("q239_ref_integrity")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q240 benford: digit census combines map-side") {
+    val p = planOf("q240_benford")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q242 time-to-action runs on the native as-of exec") {
+    val p = planOf("q242_time_to_action")
+    assert(p.contains("AsOfJoin")) // AsOfJoinExec node
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q243 ship lag broadcasts the orders side of the FK join") {
+    val p = planOf("q243_ship_lag")
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

@@ -2388,6 +2388,21 @@ object PipelineQueries {
           col("quantile_value").cast("long").as("lag_days"),
           col("n_events"))
         .orderBy("o_orderpriority", "q")
+    }),
+
+    // DATASOURCE V2: the custom-source tier — a deterministic
+    // synthetic documents generator (split planning, option plumbing,
+    // column pruning), aggregated per language. Every field is a pure
+    // function of (doc_id, md5), so the oracle regenerates identical
+    // rows from range() + md5().
+    "q244_dsv2_source" -> ((s, dir) => {
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("partitions", "8").load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -4129,6 +4144,35 @@ object PipelineQueries {
          FROM r JOIN (VALUES (0.5), (0.9)) t(q)
            ON r.rn = CAST(floor((r.n - 1) * CAST(t.q AS DOUBLE)) AS BIGINT) + 1
          ORDER BY o_orderpriority, q""",
+
+    // The SyntheticDocs generator re-derived row for row: same vocab /
+    // lang literals (interpolated from the source object — they cannot
+    // diverge), same md5-prefix hash, same modular picks.
+    "q244_dsv2_source" -> {
+      val vocabSql = graft.sources.SyntheticDocs.vocab
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val langsSql = graft.sources.SyntheticDocs.langs
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+           SELECT i,
+                  list_extract($langsSql,
+                    ((('0x' || substr(md5(i || ':lang'), 1, 8))::BIGINT % 5)
+                      ::INT + 1)) AS lang,
+                  20 + ('0x' || substr(md5(i || ':len'), 1, 8))::BIGINT % 30
+                    AS ntok
+           FROM (SELECT unnest(range(0, 2000)) AS i)),
+         x AS (
+           SELECT lang, ntok,
+                  length(array_to_string(list_transform(range(0, ntok),
+                    j -> list_extract($vocabSql,
+                      ((('0x' || substr(md5(i || ':' || j), 1, 8))::BIGINT
+                        % 31)::INT + 1))), ' ')) AS nch
+           FROM t)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                CAST(sum(nch) AS BIGINT) AS sum_chars
+         FROM x GROUP BY lang ORDER BY lang"""
+    },
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

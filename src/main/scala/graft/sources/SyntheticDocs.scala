@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read path — the SOURCE extension tier (the repo's
+  * other tiers: native `Expression`s, a LogicalPlan+Strategy+Exec
+  * whole-operator, an optimizer `Rule`, Structured Streaming state
+  * processors). A deterministic synthetic `documents` generator:
+  * `spark.read.format("graft.sources.SyntheticDocs")
+  * .option("rows", n).option("partitions", p).load()`.
+  *
+  * Why a generator source: it exercises every V2 contract a real
+  * connector needs — schema inference, option plumbing, split
+  * planning (`partitions` input partitions scanning disjoint id
+  * ranges), per-partition readers, and COLUMN PRUNING
+  * (`SupportsPushDownRequiredColumns`: a query that never reads
+  * `text` skips string materialization entirely; the reader builds
+  * only requested fields) — while staying oracle-checkable: every
+  * field is a pure function of (doc_id, md5), so DuckDB reproduces
+  * the identical rows from `range()` + `md5()` (q244).
+  *
+  * At scale this is the shape of a first-party connector: splits are
+  * computed driver-side from metadata only, readers are independent
+  * and stateless, and pruning happens before any row exists.
+  */
+class SyntheticDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
+    val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
+    require(rows >= 0, s"rows must be >= 0, got $rows")
+    require(parts >= 1, s"partitions must be >= 1, got $parts")
+    new SyntheticDocsTable(rows, parts)
+  }
+}
+
+object SyntheticDocs {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  /** Fixed vocab/lang/source domains — mirrored literally in the q244
+    * oracle SQL so both engines generate identical rows. */
+  val vocab: Seq[String] = Seq(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "merge", "batch", "spark", "window", "order",
+    "data", "column", "join", "small", "line", "customer", "query",
+    "the", "a", "big", "vector", "stream", "group", "sort", "filter",
+    "filterx")
+  val langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** First 8 hex chars of md5(s) as an unsigned 32-bit value — the
+    * same `('0x'||substr(md5(s),1,8))::BIGINT` the oracle evaluates. */
+  def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def langOf(i: Long): String = langs((h32(s"$i:lang") % 5).toInt)
+  def sourceOf(i: Long): String = "src" + (h32(s"$i:src") % 20)
+  def nTokOf(i: Long): Long = 20 + h32(s"$i:len") % 30
+  def tokenOf(i: Long, j: Long): String =
+    vocab((h32(s"$i:$j") % vocab.length).toInt)
+}
+
+private class SyntheticDocsTable(rows: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthetic_docs($rows)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticDocsScanBuilder(rows, parts)
+}
+
+private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticDocs.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands back a subset of our schema in our field order.
+    required = requiredSchema
+
+  override def build(): Scan = new SyntheticDocsScan(rows, parts, required)
+}
+
+private class SyntheticDocsScan(rows: Long, parts: Int,
+                                required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / math.max(parts, 1)
+    (0 until parts).iterator
+      .map(p => DocsRange(p * per, math.min((p + 1) * per, rows)))
+      .filter(r => r.start < r.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticDocsReaderFactory(required.fieldNames)
+}
+
+private case class DocsRange(start: Long, end: Long) extends InputPartition
+
+private class SyntheticDocsReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[DocsRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        i += 1
+        if (i >= r.end) return false
+        // Build ONLY the requested fields: a pruned scan that reads
+        // neither `text` nor `n_chars` never materializes the token
+        // string (lazy vals evaluate on first reference or not at all).
+        import SyntheticDocs._
+        lazy val text = (0L until nTokOf(i)).map(tokenOf(i, _))
+          .mkString(" ")
+        val values: Array[Any] = fields.map {
+          case "doc_id" => i
+          case "text" => UTF8String.fromString(text)
+          case "lang" => UTF8String.fromString(langOf(i))
+          case "source" => UTF8String.fromString(sourceOf(i))
+          case "n_tokens" => nTokOf(i)
+          case "n_chars" => text.length.toLong
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        true
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

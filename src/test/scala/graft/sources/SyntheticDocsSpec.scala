@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 generator: split coverage, determinism, column
+  * pruning, and hash parity with the oracle's md5-prefix expression.
+  */
+class SyntheticDocsSpec extends SparkTestBase {
+
+  private def load(rows: Int, parts: Int) =
+    spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+
+  test("splits cover the id range exactly once, any partition count") {
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val df = load(100, parts)
+      assert(df.count() == 100, s"parts=$parts")
+      assert(df.select("doc_id").distinct().count() == 100, s"parts=$parts")
+      assert(df.agg(min("doc_id"), max("doc_id")).collect().head
+        .toSeq == Seq(0L, 99L), s"parts=$parts")
+    }
+  }
+
+  test("rows are deterministic and partition-count-invariant") {
+    val a = load(50, 2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = load(50, 9).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // spot-check internal consistency: n_chars/n_tokens match text
+    val r = load(50, 2).filter(col("doc_id") === 7).collect().head
+    val text = r.getAs[String]("text")
+    assert(r.getAs[Long]("n_tokens") == text.split(" ").length.toLong)
+    assert(r.getAs[Long]("n_chars") == text.length.toLong)
+    assert(r.getAs[Long]("n_tokens") >= 20 && r.getAs[Long]("n_tokens") < 50)
+  }
+
+  test("column pruning reaches the scan: text absent from the plan") {
+    val df = load(100, 4).select("lang", "n_tokens")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("text"))
+    // and pruned values equal the full-scan projection
+    val pruned = df.orderBy("lang", "n_tokens").collect().map(_.toSeq).toSeq
+    val full = load(100, 4).select("lang", "n_tokens")
+      .orderBy("lang", "n_tokens").collect().map(_.toSeq).toSeq
+    assert(pruned == full)
+  }
+
+  test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {
+    import spark.implicits._
+    val inputs = (0 until 25).map(i => s"$i:lang")
+    val sparkSide = inputs.toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sparkSide == inputs.map(SyntheticDocs.h32))
+  }
+}

@@ -88,31 +88,8 @@ object Pq {
               codebooks: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
               queryIds: Seq[Long], k: Int): DataFrame = {
     val m = codebooks.size
-    val spark = corpus.sparkSession
-    // Query distance tables from the queries' quantized slices — the
-    // same integer space encode() scores in, so a query's table entry
-    // for code c is EXACTLY d2(query_slice, codebook(c)).
-    val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).cast("long"), Dedup.quantize(col(vecCol)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-    val qTables = qRows.sortBy(_._1).map { case (qid, qv) =>
-      org.apache.spark.sql.Row(qid, codebooks.zipWithIndex.map {
-        case (cb, s) =>
-          val slice = qv.slice(s * subDim, (s + 1) * subDim)
-          // cb is in code order, so table index == code id
-          cb.map { case (_, cv) =>
-            slice.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
-      })
-    }
-    val qSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_qt",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType)))))
-    val qdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(qTables.toIndexedSeq, 1), qSchema)
+    val qdf = queryTables(corpus, idCol, vecCol, codebooks, subDim,
+      queryIds)
     val enc = encode(corpus, idCol, vecCol, codebooks, subDim)
       .select(col(idCol).as("vec_id") +:
         (0 until m).map(s => col(s"code_$s")): _*)
@@ -127,5 +104,37 @@ object Pq {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "d2_adc")
+  }
+
+  /** Per-query ADC distance TABLES as a broadcastable frame
+    * (query_id, _qt: array[m][k] of long) — the driver-side
+    * |Q|·m·k-longs precompute [[adcTopK]] and
+    * [[Similarity.ivfPqTopK]] share. Table entry [s][c] is EXACTLY
+    * d2(query's subspace-s quantized slice, codebook s's codeword c)
+    * (cb is in code order, so table index == code id). */
+  def queryTables(corpus: DataFrame, idCol: String, vecCol: String,
+                  codebooks: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
+                  queryIds: Seq[Long]): DataFrame = {
+    val spark = corpus.sparkSession
+    val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), Dedup.quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    val qTables = qRows.sortBy(_._1).map { case (qid, qv) =>
+      org.apache.spark.sql.Row(qid, codebooks.zipWithIndex.map {
+        case (cb, s) =>
+          val slice = qv.slice(s * subDim, (s + 1) * subDim)
+          cb.map { case (_, cv) =>
+            slice.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+      })
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_qt",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(qTables.toIndexedSeq, 1), qSchema)
   }
 }

@@ -525,6 +525,71 @@ object Similarity {
       .orderBy("k_occurrence")
   }
 
+  /** IVF-PQ TOP-K — the full modern ANN stack in one plan (the faiss
+    * IndexIVFPQ architecture): the trained coarse index routes each
+    * query to its `nprobe` nearest clusters, and inside probed
+    * clusters vectors are scored by PQ ADC table lookups — m
+    * element_at's per row against the query's broadcast distance
+    * table, never the original floats.
+    *
+    * Shape at 100 TB: this composition is the only one where BOTH
+    * scan fraction (nprobe/k_clusters, via partition pruning on
+    * `cluster`) and per-row cost (m lookups, independent of d) shrink
+    * — coarse quantizer and codebooks broadcast, nothing but the
+    * scored (query_id, vec_id, d2) stream shuffles into the per-query
+    * top-k heaps. Doubly approximate by construction (routing recall
+    * bounded by nprobe, ranking error by codebook quantization);
+    * q230/q173 measure the two error arms separately. Output:
+    * (query_id, rank, vec_id, d2_adc). */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame,
+                codebooks: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
+                queryIds: Seq[Long], idCol: String, vecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    val m = codebooks.size
+    val vecs = quantized(corpus, idCol, vecCol)
+    val cents = centroids.select(col("cluster").as("centroid_id"),
+      col("centroid").as("cv"),
+      qdot(col("centroid"), col("centroid")).as("cn"))
+    val clusters = vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        cosine(qdot(col("v"), col("cv")), col("vn"), col("cn")).as("ccos"),
+        col("centroid_id"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(centroid_id, struct(ccos, -centroid_id))")
+        .as("cluster"))
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("centroid_id"))
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(qdot(col("qv"), col("cv")), col("qn"), col("cn"))
+          .as("pcos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cluster"))
+    val enc = Pq.encode(corpus, idCol, vecCol, codebooks, subDim)
+      .select(col(idCol).as("vec_id") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    val qdf = Pq.queryTables(corpus, idCol, vecCol, codebooks, subDim,
+      queryIds)
+    val score = (0 until m).map { s =>
+      element_at(element_at(col("_qt"), s + 1),
+        col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("d2_adc"), col("vec_id"))
+    enc.join(clusters, "vec_id")
+      .join(probes, Seq("cluster"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), score.as("d2_adc"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "d2_adc")
+  }
+
   /** CLASS-SCATTER SEPARATION of an embedding space — the Fisher-style
     * eval "do the labels separate geometrically": between-class scatter
     * Σ_l n_l·‖μ_l − μ‖² vs within-class scatter Σ_l Σ_{x∈l} ‖x − μ_l‖²,

@@ -2403,6 +2403,20 @@ object PipelineQueries {
           sum(col("n_tokens")).as("sum_tokens"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // IVF-PQ: the full modern ANN stack — trained coarse router
+    // (q51's index) over trained PQ codes (q172's), ADC scoring only
+    // inside probed clusters. Reuses BOTH session caches.
+    "q245_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = pqCache.getOrElseUpdate((dir, 2, 32, 8, 2),
+        Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 2, subDim = 32, k = 8, iters = 2))
+      Similarity.ivfPqTopK(emb, trainedCentroids(s, dir, 8, 2), cbs,
+          subDim = 32, queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+          "vec_id", "embedding", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -4173,6 +4187,52 @@ object PipelineQueries {
                 CAST(sum(nch) AS BIGINT) AS sum_chars
          FROM x GROUP BY lang ORDER BY lang"""
     },
+
+    // q51's trained coarse router + q172's trained codes: ADC scoring
+    // restricted to the probed clusters — the IVF-PQ composition.
+    "q245_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c)
+           WHERE r = 1),
+         probes AS (
+           SELECT query_id, cluster FROM (
+             SELECT e.vec_id AS query_id, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c WHERE e.vec_id IN (0,1,2,3,4))
+           WHERE r <= 2),
+         $sqlPqChain,
+         qt0 AS (
+           SELECT e.vec_id AS query_id, c.cluster AS code,
+                  ${sqlListD2("e.v", "c.cv", 32)} AS d
+           FROM e0 e CROSS JOIN s0c2 c WHERE e.vec_id IN (0,1,2,3,4)),
+         qt1 AS (
+           SELECT e.vec_id AS query_id, c.cluster AS code,
+                  ${sqlListD2("e.v", "c.cv", 32)} AS d
+           FROM e1 e CROSS JOIN s1c2 c WHERE e.vec_id IN (0,1,2,3,4)),
+         scored AS (
+           SELECT p.query_id, en.vec_id, q0.d + q1.d AS d2_adc,
+                  row_number() OVER (PARTITION BY p.query_id
+                                     ORDER BY q0.d + q1.d, en.vec_id)
+                    AS rank
+           FROM (SELECT * FROM enc0 JOIN enc1 USING (vec_id)) en
+           JOIN assigned a ON a.vec_id = en.vec_id
+           JOIN probes p ON p.cluster = a.cluster
+           JOIN qt0 q0 ON q0.query_id = p.query_id AND q0.code = en.code_0
+           JOIN qt1 q1 ON q1.query_id = p.query_id AND q1.code = en.code_1
+           WHERE en.vec_id <> p.query_id)
+         SELECT query_id, rank, vec_id, d2_adc FROM scored
+         WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

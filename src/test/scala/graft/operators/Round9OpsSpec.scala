@@ -352,6 +352,31 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.find(_.getAs[Long]("digit") == 9).get.getAs[Long]("n") == 0)
   }
 
+  test("ivfPqTopK with exhaustive probing equals the flat ADC scan") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = Pq.trainCodebooks(em, "vec_id", "embedding",
+      m = 2, subDim = 32, k = 4, iters = 1)
+    val cents = KMeans.lloyd(em, "vec_id", "embedding", k = 4, iters = 1)
+    val flat = Pq.adcTopK(em, "vec_id", "embedding", cbs, 32,
+        Seq(0L, 1L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfPqTopK(em, cents, cbs, 32, Seq(0L, 1L),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == flat) // all 4 clusters probed = no routing loss
+  }
+
+  test("ivfPqTopK narrows with nprobe and never exceeds k rows") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = Pq.trainCodebooks(em, "vec_id", "embedding",
+      m = 2, subDim = 32, k = 4, iters = 1)
+    val cents = KMeans.lloyd(em, "vec_id", "embedding", k = 4, iters = 1)
+    val one = Similarity.ivfPqTopK(em, cents, cbs, 32, Seq(0L),
+      "vec_id", "embedding", k = 5, nprobe = 1).collect()
+    assert(one.length <= 5)
+    assert(one.map(_.getLong(1)).toSeq == (1L to one.length).toSeq)
+  }
+
   test("as-of on negated time finds the next-at-or-after event") {
     // q242's construction: views at 10 and 50; clicks at 10 and 60.
     // view@10 matches click@10 (inclusive), view@50 matches click@60.

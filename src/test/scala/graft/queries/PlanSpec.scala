@@ -694,4 +694,16 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("q243_ship_lag")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q244 DSv2 scan prunes the text column") {
+    val p = planOf("q244_dsv2_source")
+    assert(p.contains("BatchScan"))
+    assert(!p.contains("text"))
+  }
+
+  test("q245 IVF-PQ broadcasts tables and centroids, no products") {
+    val p = planOf("q245_ivf_pq")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -239,27 +239,45 @@ object Dedup {
     * up. That is exactly why it is the EVALUATION baseline, not the
     * production path — run it on a sample to measure the LSH
     * parameters' recall ([[lshCandidateEval]]), then ship the banded
-    * operator. Shingles shuffle as 8-byte [[shingleBaseHash]] digests
-    * (the span-dedup lesson: never shuffle shingle strings); hash
-    * collisions only ADD candidates, which exact verification then
-    * rejects. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * operator. Shingles shuffle as 8-byte [[digest64]] values (the
+    * span-dedup lesson: never shuffle shingle strings).
+    *
+    * Jaccard is COUNT-BASED, derived from the postings self-join
+    * itself: the join emits one row per shared shingle per pair, so
+    * `|∩|` is a combinable groupBy(pair) count and
+    * `|∪| = |A| + |B| − |∩|` comes from per-doc distinct-shingle
+    * counts — no per-pair array intersect/union ever materializes.
+    * (The r9 shape computed `jaccard(sha, shb)` over per-doc shingle
+    * ARRAYS; AQE coalesced the small candidate shuffle to ONE
+    * partition and the expensive array stage serialized there — 8.9 s
+    * wall at 4 cores AND at 32. The count form is ~40× cheaper and
+    * every stage is a parallel shuffle agg.) Collision posture: full
+    * 60-bit digests (NOT reduced mod [[MinHashPrime]]) — a collision
+    * now perturbs a count rather than adding a rejectable candidate,
+    * and at 2⁶⁰ the within-corpus odds are ~n²/2⁶¹ (vanishing; the
+    * [[digest64]] contract). Returns (doc_a, doc_b, jaccard),
+    * doc_a < doc_b. */
   def sharedShingleJaccardPairs(df: DataFrame, idCol: String,
                                 shingles: Column, threshold: Double,
                                 sigRows: DataFrame): DataFrame = {
     require(threshold > 0, "shared-shingle blocking needs threshold > 0")
-    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
-    val hashed = sigRows.select(col("id"), shingleBaseHash(col("s")).as("h"))
-      .distinct()
-    val cand = hashed.as("x").hint("shuffle_hash")
+    // Distinct (doc, gram-digest) postings, materialized once: the
+    // self-join reads it twice and the size aggregate a third time —
+    // bounded by the sample contract (this eval never runs unsampled).
+    val hashed = sigRows.select(col("id"), digest64(col("s")).as("h"))
+      .distinct().localCheckpoint()
+    val inter = hashed.as("x").hint("shuffle_hash")
       .join(hashed.as("y").hint("shuffle_hash"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = hashed.groupBy("id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sha"), col("shb")).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("sa") + col("sb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

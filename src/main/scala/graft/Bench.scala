@@ -87,8 +87,14 @@ object Bench {
     // so per-query spikes need an in-run discriminator, not an
     // after-the-fact guess. Untimed for the total; reported as
     // "retimed" so the judge can separate plan from noise mechanically.
+    // CACHE-AWARENESS (r9 verdict item 3): a query backed by a warm
+    // trained-artifact cache retimes as playback, not as honest
+    // first-run cost — flag it so "retimed ≪ in-run" can't be misread
+    // as a transient host stall.
     val retimed = results.sortBy(-_._2).take(3).map { case (name, _) =>
       val fn = SparkEntry.queries(name)
+      val warm = graft.queries.PipelineQueries.artifactBacked
+        .get(name).exists(_.apply())
       val t0 = System.nanoTime()
       // A re-run FAILURE must not masquerade as a fast retime (a tiny
       // time-to-exception would read as "transient stall" — the exact
@@ -98,7 +104,7 @@ object Bench {
                catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Checkpoints.sweep(spark)
-      name -> dt
+      (name, dt, warm)
     }
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
     // f"%.3f" would emit "0,123" and corrupt the JSON.
@@ -111,9 +117,12 @@ object Bench {
       val ids = results.map(_._1.takeWhile(_ != '_'))
       ids.distinct.size == ids.size
     }
-    val retimedJson = retimed.map { case (k, v) =>
+    // Each retimed entry is {"sec": t, "warm": bool}: `warm` = the
+    // query's trained-artifact cache was already populated by the
+    // in-run pass, so the retime measures playback, not plan cost.
+    val retimedJson = retimed.map { case (k, v, warm) =>
       val id = if (retimedShortOk) k.takeWhile(_ != '_') else k
-      s"\"" + id + "\":" + r3(v)
+      s"\"" + id + "\":{\"sec\":" + r3(v) + ",\"warm\":" + warm + "}"
     }.mkString("{", ",", "}")
     // STDOUT line: the harness keeps only a ~2 KiB tail of sbt output, so
     // the line must stay well under that or its head gets clipped and the
@@ -160,8 +169,28 @@ object Bench {
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // DURABILITY (r9 verdict item 4): bench.json used to be silently
+    // overwritten by any targeted SPARK_GRAFT_ONLY run, and at 244
+    // queries the stdout line is totals-only — making bench.json the
+    // sole per-query record. Targeted runs now land in
+    // bench_partial.json; full runs write bench.json AND a timestamped
+    // archive under bench_runs/ so no later run can destroy the record.
+    if (only.isDefined) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_partial.json"), fullJson)
+    } else {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench.json"), fullJson)
+      val dir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss")
+        .format(java.time.LocalDateTime.now())
+      java.nio.file.Files.writeString(
+        dir.resolve(s"bench_$stamp.json"), fullJson)
+    }
     spark.stop()
   }
 }

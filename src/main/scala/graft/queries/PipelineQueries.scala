@@ -2453,6 +2453,24 @@ object PipelineQueries {
           subDim = 32, queryIds = Seq(0L, 1L, 2L, 3L, 4L),
           "vec_id", "embedding", k = 10, nprobe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // DSV2 FILTER PUSHDOWN: the q244 source with a doc_id range that
+    // the connector evaluates at split-planning time (3 of 8 splits
+    // pruned outright, boundary splits clamped — zero residual) plus
+    // a lang predicate that stays a post-scan Filter. The aggregate's
+    // min/max ids pin that clamping is exact, not just split-granular.
+    "q246_dsv2_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("partitions", "8").load()
+        .filter(col("doc_id") >= 500 && col("doc_id") < 1500 &&
+          col("lang") =!= "zh")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
     })
   )
 
@@ -4222,6 +4240,31 @@ object PipelineQueries {
                 CAST(sum(ntok) AS BIGINT) AS sum_tokens,
                 CAST(sum(nch) AS BIGINT) AS sum_chars
          FROM x GROUP BY lang ORDER BY lang"""
+    },
+
+    // The pushdown variant: the oracle applies the SAME doc_id range
+    // and lang predicate declaratively — if the connector's split
+    // clamping dropped or duplicated a boundary row, min_id/max_id or
+    // the counts would diverge.
+    "q246_dsv2_pushdown" -> {
+      val langsSql = graft.sources.SyntheticDocs.langs
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+           SELECT i,
+                  list_extract($langsSql,
+                    ((('0x' || substr(md5(i || ':lang'), 1, 8))::BIGINT % 5)
+                      ::INT + 1)) AS lang,
+                  'src' || (('0x' || substr(md5(i || ':src'), 1, 8))::BIGINT
+                    % 20) AS source,
+                  20 + ('0x' || substr(md5(i || ':len'), 1, 8))::BIGINT % 30
+                    AS ntok
+           FROM (SELECT unnest(range(500, 1500)) AS i))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                CAST(min(i) AS BIGINT) AS min_id,
+                CAST(max(i) AS BIGINT) AS max_id
+         FROM t WHERE lang <> 'zh'
+         GROUP BY source ORDER BY source"""
     },
 
     // q51's trained coarse router + q172's trained codes: ADC scoring

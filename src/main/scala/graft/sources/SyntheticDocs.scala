@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,10 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why a generator source: it exercises every V2 contract a real
   * connector needs — schema inference, option plumbing, split
   * planning (`partitions` input partitions scanning disjoint id
-  * ranges), per-partition readers, and COLUMN PRUNING
+  * ranges), per-partition readers, COLUMN PRUNING
   * (`SupportsPushDownRequiredColumns`: a query that never reads
   * `text` skips string materialization entirely; the reader builds
-  * only requested fields) — while staying oracle-checkable: every
+  * only requested fields), and FILTER PUSHDOWN
+  * (`SupportsPushDownFilters`: `doc_id` range predicates tighten the
+  * split planner's id bounds, pruning whole splits driver-side and
+  * clamping boundary splits, with no residual re-evaluation) — while
+  * staying oracle-checkable: every
   * field is a pure function of (doc_id, md5), so DuckDB reproduces
   * the identical rows from `range()` + `md5()` (q244).
   *
@@ -91,26 +96,75 @@ private class SyntheticDocsTable(rows: Long, parts: Int)
 }
 
 private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SyntheticDocs.schema
+  // doc_id bounds tightened by pushed range predicates: ids are the
+  // split key, so a range filter prunes whole splits driver-side and
+  // clamps the surviving ones — the generator never produces a row it
+  // would then discard.
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of our schema in our field order.
     required = requiredSchema
 
-  override def build(): Scan = new SyntheticDocsScan(rows, parts, required)
+  /** Accept exactly the predicates the id-range split planner can
+    * evaluate EXACTLY (=, <, <=, >, >= on `doc_id`, plus the trivial
+    * IsNotNull on a non-nullable column); everything else is returned
+    * as a residual for Spark to evaluate post-scan. Accepted filters
+    * produce no residual — the clamped ranges emit only matching
+    * rows, so Spark drops them from the post-scan Filter entirely. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Saturating +1 for the half-open upper/lower bound conversions.
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    val residual = filters.filterNot {
+      case IsNotNull("doc_id") => true
+      case EqualTo("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, inc(v.longValue))
+        true
+      case GreaterThan("doc_id", v: Number) =>
+        lo = math.max(lo, inc(v.longValue)); true
+      case GreaterThanOrEqual("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue); true
+      case LessThan("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue); true
+      case LessThanOrEqual("doc_id", v: Number) =>
+        hi = math.min(hi, inc(v.longValue)); true
+      case _ => false
+    }
+    accepted = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
 }
 
 private class SyntheticDocsScan(rows: Long, parts: Int,
-                                required: StructType)
+                                required: StructType,
+                                lo: Long, hi: Long,
+                                pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs(rows=$rows, partitions=$parts, bounds=[$lo,$hi)) " +
+      pushed.mkString("PushedFilters: [", ", ", "]")
 
+  /** The split grid stays anchored to [0, rows) regardless of pushed
+    * bounds (stable split identity), then each split intersects with
+    * the pushed [lo, hi): disjoint splits vanish (whole-split pruning),
+    * boundary splits clamp. */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + parts - 1) / math.max(parts, 1)
     (0 until parts).iterator
-      .map(p => DocsRange(p * per, math.min((p + 1) * per, rows)))
+      .map(p => DocsRange(math.max(p * per, lo),
+        math.min(math.min((p + 1) * per, rows), hi)))
       .filter(r => r.start < r.end)
       .toArray[InputPartition]
   }

@@ -46,6 +46,44 @@ class SyntheticDocsSpec extends SparkTestBase {
     assert(pruned == full)
   }
 
+  test("doc_id range pushdown prunes whole splits and clamps the rest") {
+    // grid: 10 splits of 10 over [0,100); [35,62) touches splits 3-6
+    val df = load(100, 10).filter(col("doc_id") >= 35 && col("doc_id") < 62)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (35L until 62L))
+    // fully-pushed range predicates leave no post-scan Filter NODE
+    // (the plan string still says "PushedFilters" inside the scan)
+    val hasFilterNode = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.nonEmpty
+    assert(!hasFilterNode, df.queryExecution.executedPlan.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(doc_id,35"), plan)
+    assert(plan.contains("LessThan(doc_id,62"), plan)
+  }
+
+  test("non-id predicates stay residual; results match a full scan") {
+    val df = load(100, 10)
+      .filter(col("doc_id") < 50 && col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan) // lang is evaluated post-scan
+    assert(df.rdd.getNumPartitions == 5)  // id bound still pushed
+    val expect = load(100, 10).collect()
+      .filter(r => r.getAs[Long]("doc_id") < 50 &&
+        r.getAs[String]("lang") == "en").map(_.toSeq).sortBy(_.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      expect.toSeq)
+  }
+
+  test("contradictory/out-of-range pushed bounds plan zero splits") {
+    val df = load(100, 10).filter(col("doc_id") === 5000)
+    assert(df.rdd.getNumPartitions == 0)
+    assert(df.count() == 0)
+    val two = load(100, 10)
+      .filter(col("doc_id") > 80 && col("doc_id") <= 20)
+    assert(two.count() == 0)
+  }
+
   test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {
     import spark.implicits._
     val inputs = (0 until 25).map(i => s"$i:lang")

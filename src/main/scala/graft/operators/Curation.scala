@@ -803,15 +803,17 @@ object Curation {
     * materializing overlapped text multiplies the corpus by
     * chunk/stride; downstream re-derives text from (doc, offset) when
     * it actually needs it). Every doc emits ≥ 1 chunk (a short doc is
-    * one short chunk). Output: (idCol, chunk_ord, start_tok, n_tok,
-    * chunk_digest). */
+    * one short chunk; a NULL text is treated as empty — one chunk of
+    * the single empty token, identically in both engines, rather than
+    * silently vanishing through split(NULL) → posexplode). Output:
+    * (idCol, chunk_ord, start_tok, n_tok, chunk_digest). */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(stride >= 1 && stride <= chunkTokens,
       s"stride in [1, chunkTokens], got $stride — a stride above the " +
         "chunk size silently drops tokens between windows")
-    val toks = split(col(textCol), " ")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
       lit(stride))
     docs

@@ -132,7 +132,12 @@ object DataQuality {
     * BIGINT's decimal string — never from double formatting, which is
     * not engine-portable. Non-positive and NULL values are excluded
     * (Benford is only defined on positive magnitudes; their count is
-    * n_excluded in every row for visibility).
+    * n_excluded in every row for visibility). The cents scaling sets
+    * the audit's resolution floor: POSITIVE values below 0.01 floor to
+    * zero cents and are counted in n_excluded too — right for
+    * currency-like columns (the intended domain); a column whose
+    * magnitudes live below 0.01 needs pre-scaling by the caller, not
+    * this audit as-is.
     *
     * Output per digit 1..9: (digit, n, observed_milli,
     * benford_milli, delta_milli) — one combinable 9-group count over

@@ -424,8 +424,12 @@ object Similarity {
     * heaps via WindowGroupLimit), one tiny per-query count join. Query
     * vectors come from the FULL corpus (a query need not satisfy its
     * own filter). Output: (query_id, n_gold, n_survivors, n_hit,
-    * recall_milli), n_gold < k when fewer than k rows satisfy the
-    * predicate. */
+    * recall_milli) — one row per query-set member present in the
+    * corpus, ANCHORED ON THE QUERY SET: a query whose predicate-
+    * eligible set is empty still reports, with n_gold = 0 and NULL
+    * recall_milli — those worst-case queries are exactly what the
+    * audit exists to surface, so they must not vanish from it.
+    * n_gold < k when fewer than k rows satisfy the predicate. */
   def filteredRecall(corpus: DataFrame, pred: Column, queryIds: Seq[Long],
                      idCol: String, vecCol: String, k: Int,
                      overFetch: Int): DataFrame = {
@@ -453,13 +457,17 @@ object Similarity {
       .agg(count(lit(1)).as("n_survivors"))
     val hitN = survivors.join(gold, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    goldN.join(survN, Seq("query_id"), "left")
+    q.select(col("query_id"))
+      .join(goldN, Seq("query_id"), "left")
+      .join(survN, Seq("query_id"), "left")
       .join(hitN, Seq("query_id"), "left")
       .select(col("query_id"),
-        col("n_gold"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
         coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        expr("(1000 * coalesce(n_hit, 0)) div n_gold").as("recall_milli"))
+        when(coalesce(col("n_gold"), lit(0L)) === 0, lit(null))
+          .otherwise(expr("(1000 * coalesce(n_hit, 0)) div n_gold"))
+          .as("recall_milli"))
   }
 
   /** NPROBE SWEEP — the IVF knob-tuning table: recall@k of
@@ -545,6 +553,17 @@ object Similarity {
                 codebooks: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
                 queryIds: Seq[Long], idCol: String, vecCol: String,
                 k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // The ADC lookup is POSITIONAL (element_at by code+1), so each
+    // codebook must carry contiguous 0-based code ids in order —
+    // Pq.trainCodebooks' output shape; reject anything else rather
+    // than silently scoring against the wrong centroids.
+    codebooks.zipWithIndex.foreach { case (cb, s) =>
+      require(cb.nonEmpty && cb.map(_._1) == (0L until cb.size.toLong),
+        s"codebook $s must have contiguous 0-based code ids in order " +
+          s"(Pq.trainCodebooks output shape), got ${cb.map(_._1)}")
+    }
     val m = codebooks.size
     val vecs = quantized(corpus, idCol, vecCol)
     val cents = centroids.select(col("cluster").as("centroid_id"),

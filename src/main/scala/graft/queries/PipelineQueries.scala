@@ -3760,7 +3760,8 @@ object PipelineQueries {
     // doc end); digest over the space-joined window.
     "q226_chunking" ->
       """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+           FROM documents),
          ch AS (
            SELECT doc_id, t, CAST(s // 48 AS BIGINT) AS chunk_ord,
                   CAST(s AS BIGINT) AS start_tok
@@ -3779,8 +3780,9 @@ object PipelineQueries {
     "q227_chunk_report" ->
       """WITH d AS (
            SELECT source AS grp, doc_id,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dt,
-                  string_split(text, ' ') AS t
+                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                    AS dt,
+                  string_split(coalesce(text, ''), ' ') AS t
            FROM documents),
          ch AS (
            SELECT doc_id,
@@ -3864,12 +3866,17 @@ object PipelineQueries {
          h AS (SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_hit
                FROM surv s JOIN gold USING (query_id, vec_id)
                GROUP BY s.query_id)
-         SELECT g.query_id, g.n_gold,
-                COALESCE(sv.n_survivors, 0) AS n_survivors,
-                COALESCE(h.n_hit, 0) AS n_hit,
-                (1000 * COALESCE(h.n_hit, 0)) // g.n_gold AS recall_milli
-         FROM g LEFT JOIN sv USING (query_id) LEFT JOIN h USING (query_id)
-         ORDER BY query_id""",
+         SELECT qs.query_id,
+                CAST(COALESCE(g.n_gold, 0) AS BIGINT) AS n_gold,
+                CAST(COALESCE(sv.n_survivors, 0) AS BIGINT) AS n_survivors,
+                CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                CASE WHEN COALESCE(g.n_gold, 0) = 0 THEN NULL
+                     ELSE (1000 * COALESCE(h.n_hit, 0)) // g.n_gold
+                END AS recall_milli
+         FROM qs LEFT JOIN g ON qs.query_id = g.query_id
+                 LEFT JOIN sv ON qs.query_id = sv.query_id
+                 LEFT JOIN h ON qs.query_id = h.query_id
+         ORDER BY qs.query_id""",
 
     // q51's trained-centroid pipeline with the probe cut swept 1..4;
     // gold = q35's exact ranking; one UNION ALL rung per nprobe.
@@ -4041,7 +4048,7 @@ object PipelineQueries {
     // q226's window geometry, digests distinct-counted per source.
     "q235_chunk_dedup" ->
       """WITH d AS (
-           SELECT doc_id, source, string_split(text, ' ') AS t
+           SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
            FROM documents),
          ch AS (
            SELECT doc_id, source, t, CAST(s AS BIGINT) AS start_tok

@@ -223,6 +223,25 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("recall_milli") == 500)
   }
 
+  test("filteredRecall: zero-gold queries report n_gold=0, NULL recall") {
+    // Nothing satisfies the predicate: the audit's worst case must
+    // surface as a row, not vanish (the query-set anchor).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.001f), 1),
+      (2L, Array(1.0f, 0.01f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredRecall(rows, col("label") % 2 === 0,
+      Seq(0L, 1L), "vec_id", "embedding", k = 2, overFetch = 2)
+      .orderBy("query_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_gold") == 0)
+      assert(r.getAs[Long]("n_survivors") == 0)
+      assert(r.getAs[Long]("n_hit") == 0)
+      assert(r.isNullAt(r.fieldIndex("recall_milli")))
+    }
+  }
+
   test("nprobeSweep: recall is monotone and exhaustive probing is exact") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = KMeans.lloyd(em, "vec_id", "embedding", k = 4, iters = 1)

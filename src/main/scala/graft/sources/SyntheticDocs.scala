@@ -5,7 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import java.util.OptionalLong
+
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,7 +100,8 @@ private class SyntheticDocsTable(rows: Long, parts: Int)
 
 private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var required: StructType = SyntheticDocs.schema
   // doc_id bounds tightened by pushed range predicates: ids are the
   // split key, so a range filter prunes whole splits driver-side and
@@ -141,6 +145,39 @@ private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  /** LIMIT pushdown: an unordered LIMIT n is satisfied by ANY n rows,
+    * so the generator emits exactly the first n ids of the (already
+    * filter-tightened) range — at scale this turns `LIMIT 10` over a
+    * trillion-row source into one tiny split instead of a full scan
+    * with early termination. Spark keeps its own Limit above the scan,
+    * so returning true is a pruning win, never a correctness risk. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, if (lo > hi - limit) hi else lo + limit)
+    true
+  }
+
+  /** ORDER BY doc_id [ASC|DESC] LIMIT n pushdown: ids are generated in
+    * ascending order, so the top-n under either direction is a
+    * contiguous slice of the range — the first n (ASC) or last n
+    * (DESC) ids. Partial push (true): Spark keeps the global sort +
+    * limit above the scan (splits are read in parallel, so the scan's
+    * OUTPUT order is not guaranteed, only its membership). Any other
+    * ordering is refused. */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val byDocId = orders.length == 1 && (orders.head.expression match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    })
+    if (!byDocId || limit <= 0) return false
+    if (orders.head.direction == SortDirection.ASCENDING)
+      hi = math.min(hi, if (lo > hi - limit) hi else lo + limit)
+    else
+      lo = math.max(lo, if (hi - limit < lo) lo else hi - limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
 }
@@ -149,12 +186,30 @@ private class SyntheticDocsScan(rows: Long, parts: Int,
                                 required: StructType,
                                 lo: Long, hi: Long,
                                 pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SyntheticDocs(rows=$rows, partitions=$parts, bounds=[$lo,$hi)) " +
       pushed.mkString("PushedFilters: [", ", ", "]")
+
+  /** Exact row count (the bounds are exact after pushdown) and a
+    * per-field width estimate — what lets Catalyst choose broadcast
+    * joins against this source instead of defaulting to sort-merge. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    // avg text ≈ 34.5 tokens × (4.8 chars + space); other strings tiny
+    private def width(f: StructField): Long = f.name match {
+      case "text" => 200L
+      case "lang" => 2L
+      case "source" => 5L
+      case _ => 8L
+    }
+    private val rowBytes = required.fields.map(width).sum
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(n * math.max(rowBytes, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
 
   /** The split grid stays anchored to [0, rows) regardless of pushed
     * bounds (stable split identity), then each split intersects with

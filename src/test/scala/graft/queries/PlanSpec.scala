@@ -280,22 +280,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q31/q33 LSH self-join reuses one exchange — the signature pipeline runs once") {
+  test("LSH self-join reuses one exchange — the signature pipeline runs once") {
     // the shuffle_hash hint makes both self-join sides plan the
     // IDENTICAL exchange so ReuseExchange evaluates the md5-per-shingle
     // signature pipeline once (Dedup.minHashLshWith); a hint or AQE
     // change that silently drops the reuse would double the dominant
-    // cost, so pin it here
-    for (q <- Seq("q31_dedup_minhash_lsh", "q33_dedup_ngram_jaccard")) {
+    // cost, so pin it here. q31 now serves the shared pair ARTIFACT
+    // (a parquet scan — nothing to reuse), so the pin reads the
+    // operator that PRODUCES the artifact plus q33, which still plans
+    // the full chain inline.
+    import org.apache.spark.sql.functions.col
+    val producer = graft.operators.Dedup.minHashLsh(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+    val q33 = graft.SparkEntry.queries("q33_dedup_ngram_jaccard")(spark, sfDir)
+    for ((name, df) <- Seq("pair-artifact producer" -> producer,
+        "q33_dedup_ngram_jaccard" -> q33)) {
       // AQE applies exchange reuse at RUNTIME: the pin must read the
       // final adaptive plan, so execute the frame first
-      val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       assert(p.contains("isFinalPlan=true"))
-      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse")
-      assert(!p.contains("CartesianProduct"), s"$q degraded to all-pairs")
+      assert(p.contains("ReusedExchange"), s"$name lost exchange reuse")
+      assert(!p.contains("CartesianProduct"), s"$name degraded to all-pairs")
     }
   }
 

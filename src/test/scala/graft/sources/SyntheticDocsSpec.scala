@@ -84,6 +84,42 @@ class SyntheticDocsSpec extends SparkTestBase {
     assert(two.count() == 0)
   }
 
+  test("limit pushdown shrinks the generated range") {
+    // unordered LIMIT n = any n rows; the source emits the first n ids
+    val df = load(1000, 8).limit(5)
+    assert(df.count() == 5)
+    assert(df.rdd.getNumPartitions == 1) // 7 of 8 splits pruned
+    // composed with a pushed filter the slice starts at the bound
+    val f = load(1000, 8).filter(col("doc_id") >= 700).limit(5)
+    assert(f.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (700L until 705L))
+  }
+
+  test("topN pushdown: ORDER BY doc_id LIMIT n reads one boundary slice") {
+    val asc = load(1000, 8).orderBy(col("doc_id")).limit(5)
+    assert(asc.collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      (0L until 5L))
+    val desc = load(1000, 8).orderBy(col("doc_id").desc).limit(5)
+    assert(desc.collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      (999L to 995L by -1L))
+    // a non-id ordering is refused: full range still planned
+    val other = load(1000, 8).orderBy(col("lang")).limit(5)
+    assert(other.count() == 5)
+    assert(other.queryExecution.executedPlan.toString
+      .contains("bounds=[0,1000)"))
+  }
+
+  test("reported statistics carry the exact post-pushdown row count") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def numRows(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.computeStats().rowCount.get
+      }.get
+    assert(numRows(load(1000, 8)) == BigInt(1000))
+    assert(numRows(load(1000, 8)
+      .filter(col("doc_id") >= 35 && col("doc_id") < 62)) == BigInt(27))
+  }
+
   test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {
     import spark.implicits._
     val inputs = (0 until 25).map(i => s"$i:lang")

@@ -7,9 +7,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -186,12 +186,44 @@ private class SyntheticDocsScan(rows: Long, parts: Int,
                                 required: StructType,
                                 lo: Long, hi: Long,
                                 pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SyntheticDocs(rows=$rows, partitions=$parts, bounds=[$lo,$hi)) " +
       pushed.mkString("PushedFilters: [", ", ", "]")
+
+  // RUNTIME FILTERING (the DSV2 dynamic-pruning contract): when this
+  // scan sits under a join whose other side resolves to a small id
+  // set at EXECUTION time, Spark hands that set here before
+  // planInputPartitions — splits containing none of the ids vanish.
+  // Advisory-only by contract (the join still verifies every row), so
+  // pruning conservatively is always safe.
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) =>
+      // Cap the remembered set: a huge runtime set prunes nothing per
+      // split anyway, and the membership probe below is per split.
+      val longs = vs.collect { case n: Number => n.longValue }
+      if (longs.nonEmpty && longs.length <= 100000)
+        runtimeIds = Some(longs.sorted)
+    case EqualTo("doc_id", v: Number) => runtimeIds = Some(Array(v.longValue))
+    case _ => () // advisory: unhandled runtime filters prune nothing
+  }
+
+  private def splitHasRuntimeId(start: Long, end: Long): Boolean =
+    runtimeIds.forall { ids =>
+      // ids sorted: binary-search the first id >= start
+      var a = 0; var b = ids.length
+      while (a < b) { val m = (a + b) >>> 1
+        if (ids(m) < start) a = m + 1 else b = m }
+      a < ids.length && ids(a) < end
+    }
 
   /** Exact row count (the bounds are exact after pushdown) and a
     * per-field width estimate — what lets Catalyst choose broadcast
@@ -220,7 +252,7 @@ private class SyntheticDocsScan(rows: Long, parts: Int,
     (0 until parts).iterator
       .map(p => DocsRange(math.max(p * per, lo),
         math.min(math.min((p + 1) * per, rows), hi)))
-      .filter(r => r.start < r.end)
+      .filter(r => r.start < r.end && splitHasRuntimeId(r.start, r.end))
       .toArray[InputPartition]
   }
 

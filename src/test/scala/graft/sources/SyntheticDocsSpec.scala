@@ -109,6 +109,25 @@ class SyntheticDocsSpec extends SparkTestBase {
       .contains("bounds=[0,1000)"))
   }
 
+  test("runtime filtering prunes splits to those holding the id set") {
+    // Drive the SupportsRuntimeFiltering contract directly (Spark
+    // invokes filter() between planning and planInputPartitions when
+    // dynamic pruning fires; the contract is ours to honor either way).
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{Filter, In}
+    val df = load(1000, 10)
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[SupportsRuntimeFiltering]
+    }.get
+    assert(scan.filterAttributes().head.fieldNames().toSeq == Seq("doc_id"))
+    scan.filter(Array[Filter](In("doc_id", Array(7L, 355L, 356L))))
+    val splits = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    // ids live in splits [0,100) and [300,400) — 2 of 10 survive
+    assert(splits.length == 2)
+  }
+
   test("reported statistics carry the exact post-pushdown row count") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     def numRows(df: org.apache.spark.sql.DataFrame): BigInt =

@@ -312,4 +312,87 @@ object Sketch {
       .groupBy(out.map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
   }
+
+  // ------------------------------------------------------------------
+  // Log-linear histogram quantile sketch (the DDSketch shape)
+  // ------------------------------------------------------------------
+
+  /** LOG-LINEAR HISTOGRAM SKETCH of a positive numeric column — the
+    * mergeable quantile path (DDSketch/HDR-histogram family) that
+    * complements the repo's EXACT two-phase quantiles (q63): exact
+    * ranks need a full sort-shuffle per query; this sketch is one
+    * combinable groupBy whose state is ≤ ~90 bins per decade per
+    * group, so at 100 TB the quantile table is a partial aggregate
+    * plus a broadcast-sized reduce, and sketches of data slices merge
+    * by summing bin counts (q247's oracle proves merge ≡ direct).
+    *
+    * Binning is a FIXED DETERMINISTIC RULE, not a data-adaptive one,
+    * which is what makes it engine-portable: value → integer cents
+    * c = floor(v·100); bin = (e, d2) where e = decimal digit count of
+    * c and d2 = its first TWO digits (c itself when c < 10). A bin
+    * spans [d2·10^(e-2), (d2+1)·10^(e-2)) cents — relative width
+    * ≤ 1/10, so any quantile estimate is within +10% of the true
+    * value (and never above it: the estimate is the bin's LOWER
+    * bound). Non-positive and sub-cent values all land in bin (0,0)
+    * with estimate 0 — kept, not dropped, so ranks stay exact (the
+    * intended domain is positive measures: prices, latencies, sizes).
+    *
+    * Output: (groupCols..., e, d2, c) — the sketch rows themselves;
+    * feed (a union of) them to [[logHistQuantiles]]. */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val cents = floor(col(valueCol).cast("double") * 100).cast("long")
+    val cs = col("_c").cast("string")
+    df.select(g :+ cents.as("_c"): _*)
+      .select(g ++ Seq(
+        when(col("_c") <= 0, lit(0L)).otherwise(length(cs).cast("long"))
+          .as("e"),
+        when(col("_c") <= 0, lit(0L))
+          .when(col("_c") < 10, col("_c"))
+          .otherwise(substring(cs, 1, 2).cast("long")).as("d2")): _*)
+      .groupBy((g ++ Seq(col("e"), col("d2"))): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from (a union of) [[logHistSketch]] rows:
+    * per group and q‰, the lower bound (in cents) of the bin holding
+    * rank `(n−1)·q div 1000 + 1` — the repo's exact-quantile rank
+    * rule, so at 1000 bins-per-value this degenerates to the exact
+    * answer. Bin order is (e, d2) ascending = numeric ascending (more
+    * digits ⇒ strictly larger), so the pick is a cumulative-count
+    * window over the tiny per-group bin set, then one min(struct)
+    * per (group, q). The 10^(e−2) scale factor is exact in both
+    * engines for e ≤ 16 (double powers of ten are exact to 10^15 and
+    * the product is computed in DECIMAL) — cents beyond that exceed
+    * BIGINT anyway. Output: (groupCols..., q_permille, n, est_cents),
+    * ordered by the caller. */
+  def logHistQuantiles(hist: DataFrame, groupCols: Seq[String],
+                       qsPermille: Seq[Long]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 0 && q <= 1000),
+      s"quantiles must be permille in [0,1000], got $qsPermille")
+    val g = groupCols.map(col)
+    // re-sum: callers may hand a UNION of slice sketches (mergeability)
+    val merged = hist.groupBy((g ++ Seq(col("e"), col("d2"))): _*)
+      .agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy(g: _*).orderBy(col("e"), col("d2"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(wAll))
+    cum
+      .withColumn("q_permille",
+        explode(array(qsPermille.map(lit): _*)))
+      // integer rank arithmetic (Column `/` is double division)
+      .filter(col("cum") >= expr("((n - 1) * q_permille) div 1000 + 1"))
+      .groupBy((g ++ Seq(col("q_permille"), col("n"))): _*)
+      .agg(min(struct(col("e"), col("d2"))).as("_b"))
+      .select(g ++ Seq(col("q_permille"), col("n"),
+        when(col("_b.e") <= 1, col("_b.d2")).otherwise(
+          (col("_b.d2") * pow(lit(10.0), col("_b.e") - 2)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("long")).as("est_cents")): _*)
+  }
 }

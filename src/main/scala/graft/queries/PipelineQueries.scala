@@ -2495,6 +2495,21 @@ object PipelineQueries {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy("source")
+    }),
+
+    // MERGEABLE QUANTILE SKETCH: per-priority p50/p90/p99 of
+    // o_totalprice from the log-linear histogram (DDSketch shape) —
+    // the combinable-aggregate quantile path whose state is bins, not
+    // rows, vs q63's exact two-phase rank selection. Estimates are
+    // bin lower bounds (within +10%, never above the true value) and
+    // the binning rule is fixed, so the oracle rebuilds the identical
+    // sketch.
+    "q247_loghist_quantiles" -> ((s, dir) => {
+      Sketch.logHistQuantiles(
+        Sketch.logHistSketch(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice"),
+        Seq("o_orderpriority"), Seq(500L, 900L, 990L))
+        .orderBy("o_orderpriority", "q_permille")
     })
   )
 
@@ -4297,6 +4312,45 @@ object PipelineQueries {
          FROM t WHERE lang <> 'zh'
          GROUP BY source ORDER BY source"""
     },
+
+    // The identical fixed binning rule (cents -> digit count + first
+    // two digits), cumulative pick at the repo rank rule, lower-bound
+    // decode — engine-exact because the rule is data-independent.
+    "q247_loghist_quantiles" ->
+      """WITH c AS (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         b AS (
+           SELECT grp,
+                  CASE WHEN cents <= 0 THEN 0
+                       ELSE length(CAST(cents AS VARCHAR)) END AS e,
+                  CASE WHEN cents <= 0 THEN 0
+                       WHEN cents < 10 THEN cents
+                       ELSE CAST(substr(CAST(cents AS VARCHAR), 1, 2)
+                              AS BIGINT) END AS d2
+           FROM c),
+         h AS (SELECT grp, e, d2, CAST(count(*) AS BIGINT) AS n_bin
+               FROM b GROUP BY grp, e, d2),
+         cum AS (
+           SELECT grp, e, d2,
+                  sum(n_bin) OVER (PARTITION BY grp ORDER BY e, d2) AS cum,
+                  sum(n_bin) OVER (PARTITION BY grp) AS n
+           FROM h),
+         qq AS (SELECT unnest([500, 900, 990]) AS q),
+         pick AS (
+           SELECT c.grp, c.n, qq.q, min(c.e * 100 + c.d2) AS bk
+           FROM cum c CROSS JOIN qq
+           WHERE c.cum >= ((c.n - 1) * qq.q) // 1000 + 1
+           GROUP BY c.grp, c.n, qq.q)
+         SELECT grp AS o_orderpriority,
+                CAST(q AS BIGINT) AS q_permille,
+                CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN bk // 100 <= 1 THEN bk % 100
+                     ELSE (bk % 100) *
+                          CAST(power(10, bk // 100 - 2) AS BIGINT)
+                END AS BIGINT) AS est_cents
+         FROM pick ORDER BY o_orderpriority, q_permille""",
 
     // q51's trained coarse router + q172's trained codes: ADC scoring
     // restricted to the probed clusters — the IVF-PQ composition.

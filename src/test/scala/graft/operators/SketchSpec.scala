@@ -143,4 +143,49 @@ class SketchSpec extends SparkTestBase {
       .filter(col("n_est") < col("n_exact")).count()
     assert(bad == 0L)
   }
+
+  test("logHist quantiles: lower-bound property and +10% relative error") {
+    // 1000 values 1.00 .. 1000.00 — exact q-th quantile is known
+    val vals = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val sk = Sketch.logHistSketch(vals, Seq("g"), "v")
+    val qs = Sketch.logHistQuantiles(sk, Seq("g"), Seq(500L, 900L, 990L))
+      .collect().map(r => r.getAs[Long]("q_permille") ->
+        r.getAs[Long]("est_cents")).toMap
+    for ((q, est) <- qs) {
+      val exactCents = {
+        val rank = ((1000 - 1) * q) / 1000 + 1 // repo rank rule
+        rank * 100L // value rank.00 -> cents
+      }
+      assert(est <= exactCents, s"q=$q est=$est exact=$exactCents")
+      assert(exactCents < est + est / 10 + 100,
+        s"q=$q est=$est exact=$exactCents — bin wider than 10%")
+    }
+  }
+
+  test("logHist sketches merge by summing bins: merge == direct") {
+    val half1 = (1 to 500).map(i => ("g", i * 1.37)).toDF("g", "v")
+    val half2 = (501 to 1000).map(i => ("g", i * 1.37)).toDF("g", "v")
+    val all = half1.union(half2)
+    val merged = Sketch.logHistQuantiles(
+      Sketch.logHistSketch(half1, Seq("g"), "v")
+        .union(Sketch.logHistSketch(half2, Seq("g"), "v")),
+      Seq("g"), Seq(250L, 500L, 750L))
+    val direct = Sketch.logHistQuantiles(
+      Sketch.logHistSketch(all, Seq("g"), "v"),
+      Seq("g"), Seq(250L, 500L, 750L))
+    assert(merged.orderBy("q_permille").collect().map(_.toSeq).toSeq ==
+      direct.orderBy("q_permille").collect().map(_.toSeq).toSeq)
+  }
+
+  test("logHist: sub-cent and non-positive values keep ranks exact") {
+    // 5 zeros/negatives + 5 positives: p500 rank 5 lands in bin (0,0)
+    val vals = Seq(-1.0, 0.0, 0.001, 0.009, 0.0, 5.0, 6.0, 7.0, 8.0, 9.0)
+      .map(("g", _)).toDF("g", "v")
+    val q = Sketch.logHistQuantiles(
+      Sketch.logHistSketch(vals, Seq("g"), "v"), Seq("g"), Seq(500L, 1000L))
+      .collect().map(r => r.getAs[Long]("q_permille") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est_cents"))).toMap
+    assert(q(500L) == ((10L, 0L)))   // rank 5 of 10: still the (0,0) bin
+    assert(q(1000L) == ((10L, 900L))) // max: 9.00 -> bin [900,1000)
+  }
 }

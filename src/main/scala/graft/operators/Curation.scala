@@ -673,6 +673,63 @@ object Curation {
         sum(when(col("straddles"), 1L).otherwise(0L)).as("n_boundary_docs"))
   }
 
+  /** TARGET-MIXTURE RESAMPLE (water-filling): the LARGEST subset of
+    * the corpus whose per-`groupCol` composition matches
+    * `targetPermille` (shares summing to 1000) — the data-mixing move
+    * (Pile/DoReMi-style domain reweighting) run as exact subset
+    * selection instead of importance weights. The binding constraint
+    * is the scarcest domain: feasible total
+    * T = min_s floor(n_s·1000 / share_s), quota_s = share_s·T div
+    * 1000, and each domain keeps its quota by ascending 60-bit
+    * [[graft.operators.Dedup.digest64]] of the id — a deterministic
+    * uniform subset both engines rank identically. A target domain
+    * ABSENT from the corpus forces T = 0 (the mixture is infeasible
+    * without it — reported, not papered over); corpus domains outside
+    * the target keep nothing.
+    *
+    * Scale shape: one combinable count per domain, a broadcast of the
+    * |targets|-row quota table, and a per-domain rank that plans as
+    * WindowGroupLimit (pre-shuffle top-quota on the hash). Returns one
+    * row per TARGET domain: (groupCol, n_before, quota, n_kept,
+    * kept_id_sum — the selection digest the oracle re-derives). */
+  def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
+                      targetPermille: Seq[(String, Long)]): DataFrame = {
+    require(targetPermille.nonEmpty &&
+      targetPermille.map(_._2).sum == 1000L &&
+      targetPermille.forall(_._2 > 0) &&
+      targetPermille.map(_._1).distinct.size == targetPermille.size,
+      "target shares must be distinct domains with positive permille " +
+        s"summing to 1000, got $targetPermille")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val target = targetPermille.toDF(groupCol, "share")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_before"))
+    val sized = target.join(counts, Seq(groupCol), "left")
+      .select(col(groupCol), col("share"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"))
+    val tFeasible = sized
+      .agg(min(expr("n_before * 1000 div share")).as("t_total"))
+    val quotas = sized.crossJoin(tFeasible)
+      .select(col(groupCol), col("n_before"),
+        expr("share * t_total div 1000").as("quota"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_h"), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol),
+        Dedup.digest64(col(idCol).cast("string")).as("_h"))
+      .withColumn("_rk", row_number().over(w))
+    val kept = ranked.join(broadcast(quotas.select(col(groupCol),
+        col("quota"))), Seq(groupCol))
+      .filter(col("_rk") <= col("quota"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(idCol)).as("kept_id_sum"))
+    quotas.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_before"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
   /** PADDING-WASTE AUDIT for length-bucketed training batches: when
     * sequences are grouped into power-of-two-ish length buckets and
     * padded to the bucket cap (the standard dynamic-batching recipe),

@@ -2510,6 +2510,18 @@ object PipelineQueries {
           Seq("o_orderpriority"), "o_totalprice"),
         Seq("o_orderpriority"), Seq(500L, 900L, 990L))
         .orderBy("o_orderpriority", "q_permille")
+    }),
+
+    // TARGET-MIXTURE RESAMPLE: largest subset hitting a 5×150‰ +
+    // 5×50‰ source mixture, water-filled on the scarcest domain,
+    // membership by ascending id digest (the data-mixing op as exact
+    // subset selection; kept_id_sum pins the selection itself).
+    "q248_mixture_resample" -> ((s, dir) => {
+      val shares = (0 until 5).map(i => (s"src$i", 150L)) ++
+        (5 until 10).map(i => (s"src$i", 50L))
+      Curation.mixtureResample(t(s, dir, "documents"), "source",
+          "doc_id", shares)
+        .orderBy("source")
     })
   )
 
@@ -4351,6 +4363,41 @@ object PipelineQueries {
                           CAST(power(10, bk // 100 - 2) AS BIGINT)
                 END AS BIGINT) AS est_cents
          FROM pick ORDER BY o_orderpriority, q_permille""",
+
+    // Same water-filling arithmetic and md5-prefix ranking; the
+    // kept_id_sum digest proves both engines select the same subset.
+    "q248_mixture_resample" -> {
+      val tgtRows = ((0 until 5).map(i => s"('src$i', 150)") ++
+        (5 until 10).map(i => s"('src$i', 50)")).mkString(", ")
+      s"""WITH tgt AS (
+           SELECT * FROM (VALUES $tgtRows) AS t(source, share)),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+                 FROM documents GROUP BY source),
+         sized AS (
+           SELECT tgt.source, tgt.share,
+                  COALESCE(cnt.n_before, 0) AS n_before
+           FROM tgt LEFT JOIN cnt USING (source)),
+         tt AS (SELECT min(n_before * 1000 // share) AS t_total FROM sized),
+         q AS (SELECT source, n_before, share * t_total // 1000 AS quota
+               FROM sized CROSS JOIN tt),
+         rk AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT, doc_id) AS rk
+           FROM documents WHERE source IN (SELECT source FROM tgt)),
+         kept AS (
+           SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept,
+                  CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+           FROM rk r JOIN q ON r.source = q.source AND r.rk <= q.quota
+           GROUP BY r.source)
+         SELECT q.source, CAST(q.n_before AS BIGINT) AS n_before,
+                CAST(q.quota AS BIGINT) AS quota,
+                COALESCE(kept.n_kept, 0) AS n_kept,
+                COALESCE(kept.kept_id_sum, 0) AS kept_id_sum
+         FROM q LEFT JOIN kept ON q.source = kept.source
+         ORDER BY q.source"""
+    },
 
     // q51's trained coarse router + q172's trained codes: ADC scoring
     // restricted to the probed clusters — the IVF-PQ composition.

@@ -903,4 +903,49 @@ object Stats {
           (col("n").cast(dec38) * col("n")).cast("double"))
           .cast("long").as("gini_milli"))
   }
+
+  /** CALIBRATION-BIN RELIABILITY TABLE of a [0,1] score against a
+    * binary outcome — the eval that belongs next to AUC ([[aucMicro]])
+    * before a pipeline GATES on a score: AUC says the ranking works,
+    * calibration says the score VALUES mean what they claim (a 0.8
+    * decile whose empirical rate is 0.2 is a ranking feature, not a
+    * probability). Bins are fixed score deciles (`least(floor(s·B),
+    * B−1)`, so s = 1.0 lands in the last bin), and EVERY bin reports —
+    * empty deciles show n = 0 with NULL rates (the q177 full-domain
+    * lesson) rather than silently vanishing.
+    *
+    * All outputs are integer milli derived from per-row
+    * `floor(score·1000)` — no double accumulation anywhere, so the
+    * table is engine-exact. One combinable B-group aggregate over a
+    * narrow projection. Output per bin: (bin, n, n_pos,
+    * mean_score_milli, rate_milli, gap_milli = mean − rate; the gap is
+    * the signed miscalibration in permille). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2,1000], got $nBins")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val binned = df.select(
+      least(floor(col(scoreCol).cast("double") * nBins), lit(nBins - 1))
+        .cast("long").as("bin"),
+      floor(col(scoreCol).cast("double") * 1000).cast("long").as("_sm"),
+      col(labelCol).cast("long").as("_y"))
+    val counts = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(col("_y")).as("n_pos"),
+      sum(col("_sm")).as("_sms"))
+    val domain = (0L until nBins.toLong).toDF("bin")
+    domain.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(null))
+          .otherwise(expr("_sms div n")).as("mean_score_milli"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(null))
+          .otherwise(expr("(1000 * n_pos) div n")).as("rate_milli"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(null))
+          .otherwise(expr("_sms div n - (1000 * n_pos) div n"))
+          .as("gap_milli"))
+  }
 }

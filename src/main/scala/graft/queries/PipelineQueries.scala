@@ -160,7 +160,7 @@ object PipelineQueries {
         "q69_dedup_components_star", "q110_triangle_count",
         "q146_canonical_pick", "q156_source_dup_matrix",
         "q183_dup_cluster_census", "q213_quality_dup_profile",
-        "q216_triplet_mining")
+        "q216_triplet_mining", "q249_calibration_bins")
         .map(_ -> pairs).toMap
     }
   }
@@ -2522,6 +2522,22 @@ object PipelineQueries {
       Curation.mixtureResample(t(s, dir, "documents"), "source",
           "doc_id", shares)
         .orderBy("source")
+    }),
+
+    // CALIBRATION TABLE: quality-score deciles vs near-dup membership
+    // (the q31 pair set) — AUC (q165) checks the ranking, this checks
+    // whether the score VALUES are honest probabilities before q185's
+    // gate trusts them. Full decile domain, integer milli throughout.
+    "q249_calibration_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(s, dir)
+      val dupIds = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val labeled = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .join(dupIds.withColumn("_y1", lit(1L)), Seq("doc_id"), "left")
+        .select(col("quality"), coalesce(col("_y1"), lit(0L)).as("y"))
+      Stats.calibrationBins(labeled, "quality", "y", nBins = 10)
+        .orderBy("bin")
     })
   )
 
@@ -4398,6 +4414,49 @@ object PipelineQueries {
          FROM q LEFT JOIN kept ON q.source = kept.source
          ORDER BY q.source"""
     },
+
+    // q31's pair chain as the label source, the quality formula
+    // verbatim, decile binning and milli arithmetic all-integer.
+    "q249_calibration_bins" ->
+      s"""WITH pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         dup AS (SELECT doc_a AS doc_id FROM pairs
+                 UNION SELECT doc_b FROM pairs),
+         sc AS (
+           SELECT doc_id,
+                  least(len(w)::DOUBLE / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN
+                    ('the','a','of','and','in','is')))::DOUBLE / len(w))
+                    * 4.0, 1.0) * 0.2 AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         lab AS (
+           SELECT least(CAST(floor(sc.quality * 10) AS BIGINT), 9) AS bin,
+                  CAST(floor(sc.quality * 1000) AS BIGINT) AS sm,
+                  CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS y
+           FROM sc LEFT JOIN dup d ON sc.doc_id = d.doc_id),
+         agg AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos,
+                  CAST(sum(sm) AS BIGINT) AS sms
+           FROM lab GROUP BY bin),
+         dom AS (SELECT unnest(range(0, 10)) AS bin)
+         SELECT dom.bin, COALESCE(agg.n, 0) AS n,
+                COALESCE(agg.n_pos, 0) AS n_pos,
+                CASE WHEN COALESCE(agg.n, 0) = 0 THEN NULL
+                     ELSE agg.sms // agg.n END AS mean_score_milli,
+                CASE WHEN COALESCE(agg.n, 0) = 0 THEN NULL
+                     ELSE (1000 * agg.n_pos) // agg.n END AS rate_milli,
+                CASE WHEN COALESCE(agg.n, 0) = 0 THEN NULL
+                     ELSE agg.sms // agg.n - (1000 * agg.n_pos) // agg.n
+                END AS gap_milli
+         FROM dom LEFT JOIN agg ON dom.bin = agg.bin
+         ORDER BY dom.bin""",
 
     // q51's trained coarse router + q172's trained codes: ADC scoring
     // restricted to the probed clusters — the IVF-PQ composition.

@@ -3,10 +3,35 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** Round-10 operators: target-mixture resample (water-filling). */
+/** Round-10 operators: target-mixture resample (water-filling),
+  * calibration reliability bins. */
 class Round10OpsSpec extends SparkTestBase {
 
   import spark.implicits._
+
+  test("calibrationBins: hand-computed deciles, full domain, s=1.0 edge") {
+    // scores 0.05 (y=0), 0.05 (y=1), 0.55 (y=1), 1.0 (y=1):
+    // bin0: n=2, pos=1, mean=50, rate=500, gap=-450
+    // bin5: n=1, pos=1, mean=550, rate=1000, gap=-450
+    // bin9: n=1 (the 1.0 edge), pos=1, mean=1000, rate=1000, gap=0
+    val df = Seq((0.05, 0L), (0.05, 1L), (0.55, 1L), (1.0, 1L))
+      .toDF("s", "y")
+    val r = Stats.calibrationBins(df, "s", "y", nBins = 10)
+      .orderBy("bin").collect()
+    assert(r.length == 10)
+    def row(b: Int) = r(b)
+    assert(row(0).getAs[Long]("n") == 2 &&
+      row(0).getAs[Long]("mean_score_milli") == 50 &&
+      row(0).getAs[Long]("rate_milli") == 500 &&
+      row(0).getAs[Long]("gap_milli") == -450)
+    assert(row(5).getAs[Long]("n") == 1 &&
+      row(5).getAs[Long]("mean_score_milli") == 550)
+    assert(row(9).getAs[Long]("n") == 1 &&
+      row(9).getAs[Long]("rate_milli") == 1000)
+    // empty deciles report with NULL rates, not absence
+    assert(row(3).getAs[Long]("n") == 0 &&
+      row(3).isNullAt(row(3).fieldIndex("rate_milli")))
+  }
 
   private def rows(src: String, n: Int, base: Int) =
     (0 until n).map(i => (base + i.toLong, src))

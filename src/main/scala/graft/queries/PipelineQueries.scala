@@ -147,6 +147,7 @@ object PipelineQueries {
       "q159_cluster_profile" -> cent,
       "q222_cluster_gini" -> cent,
       "q230_nprobe_sweep" -> cent,
+      "q250_embedding_drift" -> cent,
       "q73_bpe_merges" -> bpe,
       "q74_bpe_tokenize" -> bpe,
       "q123_bpe_fertility" -> bpe,
@@ -2538,6 +2539,47 @@ object PipelineQueries {
         .select(col("quality"), coalesce(col("_y1"), lit(0L)).as("y"))
       Stats.calibrationBins(labeled, "quality", "y", nBins = 10)
         .orderBy("bin")
+    }),
+
+    // EMBEDDING-SPACE DRIFT: per trained cluster, the corpus share of
+    // the old half (vec_id ≤ max/2) vs the new half and the signed
+    // share delta — "did the new data land in the same regions", the
+    // snapshot-drift gate (q170) asked of the embedding space. Full
+    // cluster domain from the trained centroids; shares integer milli.
+    "q250_embedding_drift" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), Dedup.quantize(col("embedding")).as("v"))
+      val cents = trainedCentroids(s, dir, 8, 2)
+      val assigned = vecs
+        .join(broadcast(cents.select(col("cluster"),
+          col("centroid").as("cv"))))
+        .select(col("vec_id"), col("cluster"),
+          aggregate(zip_with(col("v"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("d2"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"))
+      val mx = vecs.agg(max(col("vec_id")).as("_mx"))
+      val halved = assigned.crossJoin(broadcast(mx))
+        .select(col("cluster"),
+          when(col("vec_id") * 2 <= col("_mx"), 1L).otherwise(0L)
+            .as("_old"))
+      val perCluster = halved.groupBy("cluster")
+        .agg(sum(col("_old")).as("n_old"),
+          sum(lit(1L) - col("_old")).as("n_new"))
+      val totals = perCluster.agg(sum(col("n_old")).as("_to"),
+        sum(col("n_new")).as("_tn"))
+      cents.select(col("cluster"))
+        .join(perCluster, Seq("cluster"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("cluster"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          expr("(1000 * coalesce(n_old, 0)) div _to").as("share_old_milli"),
+          expr("(1000 * coalesce(n_new, 0)) div _tn").as("share_new_milli"),
+          expr("(1000 * coalesce(n_new, 0)) div _tn - " +
+            "(1000 * coalesce(n_old, 0)) div _to").as("drift_milli"))
+        .orderBy("cluster")
     })
   )
 
@@ -4457,6 +4499,49 @@ object PipelineQueries {
                 END AS gap_milli
          FROM dom LEFT JOIN agg ON dom.bin = agg.bin
          ORDER BY dom.bin""",
+
+    // q159's trained assignment, halves at max(vec_id)/2, integer
+    // shares; full cluster domain from the centroid table.
+    "q250_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         a AS (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN c2 c)
+           WHERE rn = 1),
+         mx AS (SELECT max(vec_id) AS m FROM e),
+         h AS (
+           SELECT a.cluster,
+                  CASE WHEN a.vec_id * 2 <= mx.m THEN 1 ELSE 0 END AS old
+           FROM a CROSS JOIN mx),
+         pc AS (
+           SELECT cluster, CAST(sum(old) AS BIGINT) AS n_old,
+                  CAST(sum(1 - old) AS BIGINT) AS n_new
+           FROM h GROUP BY cluster),
+         tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+                        CAST(sum(n_new) AS BIGINT) AS t_new FROM pc)
+         SELECT CAST(c.cluster AS BIGINT) AS cluster,
+                COALESCE(pc.n_old, 0) AS n_old,
+                COALESCE(pc.n_new, 0) AS n_new,
+                (1000 * COALESCE(pc.n_old, 0)) // tot.t_old
+                  AS share_old_milli,
+                (1000 * COALESCE(pc.n_new, 0)) // tot.t_new
+                  AS share_new_milli,
+                (1000 * COALESCE(pc.n_new, 0)) // tot.t_new -
+                (1000 * COALESCE(pc.n_old, 0)) // tot.t_old
+                  AS drift_milli
+         FROM (SELECT DISTINCT cluster FROM c2) c
+         LEFT JOIN pc ON c.cluster = pc.cluster
+         CROSS JOIN tot
+         ORDER BY cluster""",
 
     // q51's trained coarse router + q172's trained codes: ADC scoring
     // restricted to the probed clusters — the IVF-PQ composition.

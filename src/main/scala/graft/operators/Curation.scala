@@ -688,10 +688,16 @@ object Curation {
     * the target keep nothing.
     *
     * Scale shape: one combinable count per domain, a broadcast of the
-    * |targets|-row quota table, and a per-domain rank that plans as
-    * WindowGroupLimit (pre-shuffle top-quota on the hash). Returns one
-    * row per TARGET domain: (groupCol, n_before, quota, n_kept,
-    * kept_id_sum — the selection digest the oracle re-derives). */
+    * |targets|-row quota table, and a per-domain rank. WindowGroupLimit
+    * (the pre-shuffle top-k cut) only fires for LITERAL rank bounds, so
+    * the operator first evaluates the quota table — a bounded,
+    * |targets|-row driver action, the parameter-sized class — and
+    * filters `rank <= max(quota)` as a literal (map tasks ship at most
+    * max-quota rows per domain instead of the whole corpus into the
+    * window sort), then applies each domain's exact quota through the
+    * broadcast join. Returns one row per TARGET domain: (groupCol,
+    * n_before, quota, n_kept, kept_id_sum — the selection digest the
+    * oracle re-derives). */
   def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
                       targetPermille: Seq[(String, Long)]): DataFrame = {
     require(targetPermille.nonEmpty &&
@@ -712,12 +718,17 @@ object Curation {
     val quotas = sized.crossJoin(tFeasible)
       .select(col(groupCol), col("n_before"),
         expr("share * t_total div 1000").as("quota"))
+      .localCheckpoint() // evaluated once: feeds the literal cap AND the join
+    // Bounded driver action (|targets| rows): the literal rank cap that
+    // lets Spark plan the pre-shuffle WindowGroupLimit cut.
+    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
     val w = Window.partitionBy(groupCol)
       .orderBy(col("_h"), col(idCol))
     val ranked = df
       .select(col(groupCol), col(idCol),
         Dedup.digest64(col(idCol).cast("string")).as("_h"))
       .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= lit(maxQuota))
     val kept = ranked.join(broadcast(quotas.select(col(groupCol),
         col("quota"))), Seq(groupCol))
       .filter(col("_rk") <= col("quota"))

@@ -715,4 +715,19 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q247 log-hist sketch aggregates map-side (partial count)") {
+    val p = planOf("q247_loghist_quantiles")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q248 mixture-resample rank takes the pre-shuffle WindowGroupLimit cut") {
+    // the literal max-quota cap is what lets map tasks ship at most
+    // max-quota rows per domain instead of the corpus into the sort
+    val p = planOf("q248_mixture_resample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

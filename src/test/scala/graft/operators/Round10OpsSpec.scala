@@ -36,6 +36,15 @@ class Round10OpsSpec extends SparkTestBase {
   private def rows(src: String, n: Int, base: Int) =
     (0 until n).map(i => (base + i.toLong, src))
 
+  test("artifactBacked names resolve to real queries (retime-flag guard)") {
+    // A typo here would silently un-flag a cache-backed retime, which
+    // is exactly the misreading the flag exists to prevent.
+    val known = graft.SparkEntry.queries.keySet
+    val unknown = graft.queries.PipelineQueries.artifactBacked.keySet
+      .filterNot(known)
+    assert(unknown.isEmpty, s"artifactBacked names not in queries: $unknown")
+  }
+
   test("mixtureResample: scarcest domain binds, quotas honor shares") {
     // a has 30 docs, b has 10; target 500/500 → T bound by b:
     // T = 10*1000/500 = 20; quota_a = quota_b = 10

@@ -36,19 +36,17 @@ object Q182Probe {
     val cand = raw.distinct()
     time("c_cand_distinct") { cand.count() }
     time("d_verified") {
-      Dedup.sharedShingleJaccardPairs(df, "doc_id",
-        Dedup.charShingles(col("text"), 5), 0.5,
-        Dedup.charShingleRows(df, "doc_id", "text", 5)).count()
+      Dedup.sharedShingleJaccardPairs(
+        Dedup.charShingleRows(df, "doc_id", "text", 5), 0.5).count()
     }
     time("e_lsh_cand") {
       Dedup.minHashCandidatesOf(sigRows.select(col("id"), col("s")),
         36, 4, 9).count()
     }
     time("f_full_eval") {
-      Dedup.lshCandidateEval(df, "doc_id",
-        Dedup.charShingles(col("text"), 5),
-        k = 36, bands = 4, rows = 9, threshold = 0.5,
-        sigRows = Dedup.charShingleRows(df, "doc_id", "text", 5)).count()
+      Dedup.lshCandidateEval(
+        Dedup.charShingleRows(df, "doc_id", "text", 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5).count()
     }
     spark.stop()
   }

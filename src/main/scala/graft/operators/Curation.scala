@@ -724,7 +724,11 @@ object Curation {
     val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
     val w = Window.partitionBy(groupCol)
       .orderBy(col("_h"), col(idCol))
+    // Untargeted domains keep nothing — filter them out BEFORE the
+    // digest/rank shuffle, not after (the target list is a bounded
+    // parameter, so this is a pushed-down isin, not a join).
     val ranked = df
+      .filter(col(groupCol).isin(targetPermille.map(_._1): _*))
       .select(col(groupCol), col(idCol),
         Dedup.digest64(col(idCol).cast("string")).as("_h"))
       .withColumn("_rk", row_number().over(w))

@@ -255,11 +255,12 @@ object Dedup {
     * 60-bit digests (NOT reduced mod [[MinHashPrime]]) — a collision
     * now perturbs a count rather than adding a rejectable candidate,
     * and at 2⁶⁰ the within-corpus odds are ~n²/2⁶¹ (vanishing; the
-    * [[digest64]] contract). Returns (doc_a, doc_b, jaccard),
-    * doc_a < doc_b. */
-  def sharedShingleJaccardPairs(df: DataFrame, idCol: String,
-                                shingles: Column, threshold: Double,
-                                sigRows: DataFrame): DataFrame = {
+    * [[digest64]] contract). Input is the pre-exploded (id, s)
+    * shingle rows ([[charShingleRows]] / an exploded word-shingle
+    * frame) — the single source of truth for both sizes and
+    * intersections. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def sharedShingleJaccardPairs(sigRows: DataFrame,
+                                threshold: Double): DataFrame = {
     require(threshold > 0, "shared-shingle blocking needs threshold > 0")
     // Distinct (doc, gram-digest) postings, materialized once: the
     // self-join reads it twice and the size aggregate a third time —
@@ -294,11 +295,9 @@ object Dedup {
     * before committing band parameters to a 100 TB dedup pass —
     * ground truth is quadratic in shingle frequency and must never run
     * on the full corpus. One row. */
-  def lshCandidateEval(df: DataFrame, idCol: String, shingles: Column,
-                       k: Int, bands: Int, rows: Int, threshold: Double,
-                       sigRows: DataFrame): DataFrame = {
-    val exact = sharedShingleJaccardPairs(df, idCol, shingles, threshold,
-        sigRows)
+  def lshCandidateEval(sigRows: DataFrame, k: Int, bands: Int,
+                       rows: Int, threshold: Double): DataFrame = {
+    val exact = sharedShingleJaccardPairs(sigRows, threshold)
       .select("doc_a", "doc_b").localCheckpoint()
     val cand = minHashCandidatesOf(sigRows.select(col("id"), col("s")),
         k, bands, rows)

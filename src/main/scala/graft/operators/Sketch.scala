@@ -333,16 +333,19 @@ object Sketch {
     * spans [d2·10^(e-2), (d2+1)·10^(e-2)) cents — relative width
     * ≤ 1/10, so any quantile estimate is within +10% of the true
     * value (and never above it: the estimate is the bin's LOWER
-    * bound). Non-positive and sub-cent values all land in bin (0,0)
-    * with estimate 0 — kept, not dropped, so ranks stay exact (the
-    * intended domain is positive measures: prices, latencies, sizes).
+    * bound). NULL, non-positive, and sub-cent values all land in bin
+    * (0,0) with estimate 0 — kept, not dropped, so ranks stay exact
+    * (the intended domain is positive measures: prices, latencies,
+    * sizes; a NULL that silently formed its own NULL-keyed bin would
+    * sort differently across engines — coalesced instead).
     *
     * Output: (groupCols..., e, d2, c) — the sketch rows themselves;
     * feed (a union of) them to [[logHistQuantiles]]. */
   def logHistSketch(df: DataFrame, groupCols: Seq[String],
                     valueCol: String): DataFrame = {
     val g = groupCols.map(col)
-    val cents = floor(col(valueCol).cast("double") * 100).cast("long")
+    val cents = coalesce(
+      floor(col(valueCol).cast("double") * 100).cast("long"), lit(0L))
     val cs = col("_c").cast("string")
     df.select(g :+ cents.as("_c"): _*)
       .select(g ++ Seq(

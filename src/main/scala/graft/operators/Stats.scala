@@ -916,27 +916,39 @@ object Stats {
     *
     * All outputs are integer milli derived from per-row
     * `floor(score·1000)` — no double accumulation anywhere, so the
-    * table is engine-exact. One combinable B-group aggregate over a
-    * narrow projection. Output per bin: (bin, n, n_pos,
-    * mean_score_milli, rate_milli, gap_milli = mean − rate; the gap is
-    * the signed miscalibration in permille). */
+    * table is engine-exact. Rows whose score is NULL or outside [0,1],
+    * or whose label is NULL, are EXCLUDED from the bins but counted —
+    * `n_excluded` rides every row (the [[graft.operators.DataQuality]]
+    * benfordAudit convention), so `sum(n) + n_excluded` always equals
+    * the input row count and silent domain violations are visible.
+    * One combinable B-group aggregate over a narrow projection.
+    * Output per bin: (bin, n, n_pos, mean_score_milli, rate_milli,
+    * gap_milli = mean − rate — the signed miscalibration in permille,
+    * n_excluded). */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 1000,
       s"nBins must be in [2,1000], got $nBins")
     val sp = df.sparkSession
     import sp.implicits._
-    val binned = df.select(
-      least(floor(col(scoreCol).cast("double") * nBins), lit(nBins - 1))
-        .cast("long").as("bin"),
-      floor(col(scoreCol).cast("double") * 1000).cast("long").as("_sm"),
+    val scored = df.select(col(scoreCol).cast("double").as("_s"),
       col(labelCol).cast("long").as("_y"))
+    val valid = col("_s").isNotNull && col("_s") >= 0 &&
+      col("_s") <= 1 && col("_y").isNotNull
+    val binned = scored.filter(valid).select(
+      least(floor(col("_s") * nBins), lit(nBins - 1))
+        .cast("long").as("bin"),
+      floor(col("_s") * 1000).cast("long").as("_sm"),
+      col("_y"))
+    val excluded = scored
+      .agg(sum(when(valid, 0L).otherwise(1L)).as("n_excluded"))
     val counts = binned.groupBy("bin").agg(
       count(lit(1)).as("n"),
       sum(col("_y")).as("n_pos"),
       sum(col("_sm")).as("_sms"))
     val domain = (0L until nBins.toLong).toDF("bin")
     domain.join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(excluded))
       .select(col("bin"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
@@ -946,6 +958,7 @@ object Stats {
           .otherwise(expr("(1000 * n_pos) div n")).as("rate_milli"),
         when(coalesce(col("n"), lit(0L)) === 0, lit(null))
           .otherwise(expr("_sms div n - (1000 * n_pos) div n"))
-          .as("gap_milli"))
+          .as("gap_milli"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
   }
 }

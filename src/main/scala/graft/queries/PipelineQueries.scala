@@ -1767,10 +1767,9 @@ object PipelineQueries {
     // sf0.1, ~24 s at 600 docs in full-bench context, ~10 s at 400.
     "q182_lsh_recall_eval" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
-      Dedup.lshCandidateEval(docs, "doc_id",
-        Dedup.charShingles(col("text"), 5),
-        k = 36, bands = 4, rows = 9, threshold = 0.5,
-        sigRows = Dedup.charShingleRows(docs, "doc_id", "text", 5))
+      Dedup.lshCandidateEval(
+        Dedup.charShingleRows(docs, "doc_id", "text", 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5)
     }),
 
     // Time-series anomaly detection: hourly event-rate MAD outliers
@@ -2481,14 +2480,16 @@ object PipelineQueries {
     }),
 
     // DSV2 FILTER PUSHDOWN: the q244 source with a doc_id range that
-    // the connector evaluates at split-planning time (3 of 8 splits
-    // pruned outright, boundary splits clamped — zero residual) plus
-    // a lang predicate that stays a post-scan Filter. The aggregate's
-    // min/max ids pin that clamping is exact, not just split-granular.
+    // the connector evaluates at split-planning time. The 8-split grid
+    // over [0,2000) has 250-id splits, so bounds [510,1490) prune 4
+    // splits outright AND clamp both boundary splits ([500,750)->
+    // [510,750), [1250,1500)->[1250,1490)) — the min/max ids in the
+    // aggregate pin that the clamp is id-exact, not split-granular.
+    // The lang predicate stays a post-scan residual Filter.
     "q246_dsv2_pushdown" -> ((s, dir) => {
       s.read.format("graft.sources.SyntheticDocs")
         .option("rows", "2000").option("partitions", "8").load()
-        .filter(col("doc_id") >= 500 && col("doc_id") < 1500 &&
+        .filter(col("doc_id") >= 510 && col("doc_id") < 1490 &&
           col("lang") =!= "zh")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -4374,7 +4375,7 @@ object PipelineQueries {
                     % 20) AS source,
                   20 + ('0x' || substr(md5(i || ':len'), 1, 8))::BIGINT % 30
                     AS ntok
-           FROM (SELECT unnest(range(500, 1500)) AS i))
+           FROM (SELECT unnest(range(510, 1490)) AS i))
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(ntok) AS BIGINT) AS sum_tokens,
                 CAST(min(i) AS BIGINT) AS min_id,
@@ -4387,40 +4388,8 @@ object PipelineQueries {
     // two digits), cumulative pick at the repo rank rule, lower-bound
     // decode — engine-exact because the rule is data-independent.
     "q247_loghist_quantiles" ->
-      """WITH c AS (
-           SELECT o_orderpriority AS grp,
-                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders),
-         b AS (
-           SELECT grp,
-                  CASE WHEN cents <= 0 THEN 0
-                       ELSE length(CAST(cents AS VARCHAR)) END AS e,
-                  CASE WHEN cents <= 0 THEN 0
-                       WHEN cents < 10 THEN cents
-                       ELSE CAST(substr(CAST(cents AS VARCHAR), 1, 2)
-                              AS BIGINT) END AS d2
-           FROM c),
-         h AS (SELECT grp, e, d2, CAST(count(*) AS BIGINT) AS n_bin
-               FROM b GROUP BY grp, e, d2),
-         cum AS (
-           SELECT grp, e, d2,
-                  sum(n_bin) OVER (PARTITION BY grp ORDER BY e, d2) AS cum,
-                  sum(n_bin) OVER (PARTITION BY grp) AS n
-           FROM h),
-         qq AS (SELECT unnest([500, 900, 990]) AS q),
-         pick AS (
-           SELECT c.grp, c.n, qq.q, min(c.e * 100 + c.d2) AS bk
-           FROM cum c CROSS JOIN qq
-           WHERE c.cum >= ((c.n - 1) * qq.q) // 1000 + 1
-           GROUP BY c.grp, c.n, qq.q)
-         SELECT grp AS o_orderpriority,
-                CAST(q AS BIGINT) AS q_permille,
-                CAST(n AS BIGINT) AS n,
-                CAST(CASE WHEN bk // 100 <= 1 THEN bk % 100
-                     ELSE (bk % 100) *
-                          CAST(power(10, bk // 100 - 2) AS BIGINT)
-                END AS BIGINT) AS est_cents
-         FROM pick ORDER BY o_orderpriority, q_permille""",
+      QueryUtil.sqlLogHistQuantiles("orders", "o_orderpriority",
+        "o_totalprice", "o_orderpriority", Seq(500, 900, 990)),
 
     // Same water-filling arithmetic and md5-prefix ranking; the
     // kept_id_sum digest proves both engines select the same subset.
@@ -4487,7 +4456,10 @@ object PipelineQueries {
                   CAST(sum(y) AS BIGINT) AS n_pos,
                   CAST(sum(sm) AS BIGINT) AS sms
            FROM lab GROUP BY bin),
-         dom AS (SELECT unnest(range(0, 10)) AS bin)
+         dom AS (SELECT unnest(range(0, 10)) AS bin),
+         excl AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_excluded FROM sc
+           WHERE quality IS NULL OR quality < 0 OR quality > 1)
          SELECT dom.bin, COALESCE(agg.n, 0) AS n,
                 COALESCE(agg.n_pos, 0) AS n_pos,
                 CASE WHEN COALESCE(agg.n, 0) = 0 THEN NULL
@@ -4496,8 +4468,10 @@ object PipelineQueries {
                      ELSE (1000 * agg.n_pos) // agg.n END AS rate_milli,
                 CASE WHEN COALESCE(agg.n, 0) = 0 THEN NULL
                      ELSE agg.sms // agg.n - (1000 * agg.n_pos) // agg.n
-                END AS gap_milli
+                END AS gap_milli,
+                excl.n_excluded
          FROM dom LEFT JOIN agg ON dom.bin = agg.bin
+         CROSS JOIN excl
          ORDER BY dom.bin""",
 
     // q159's trained assignment, halves at max(vec_id)/2, integer

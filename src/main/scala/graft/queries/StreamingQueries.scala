@@ -498,40 +498,8 @@ object StreamingQueries {
     // The batch log-linear sketch of the same column — streaming adds
     // nothing to the final bins on a bounded input, which is the point.
     "q251_stream_loghist" ->
-      """WITH c AS (
-           SELECT event_type AS grp,
-                  CAST(floor(value * 100) AS BIGINT) AS cents
-           FROM events),
-         b AS (
-           SELECT grp,
-                  CASE WHEN cents <= 0 THEN 0
-                       ELSE length(CAST(cents AS VARCHAR)) END AS e,
-                  CASE WHEN cents <= 0 THEN 0
-                       WHEN cents < 10 THEN cents
-                       ELSE CAST(substr(CAST(cents AS VARCHAR), 1, 2)
-                              AS BIGINT) END AS d2
-           FROM c),
-         h AS (SELECT grp, e, d2, CAST(count(*) AS BIGINT) AS n_bin
-               FROM b GROUP BY grp, e, d2),
-         cum AS (
-           SELECT grp, e, d2,
-                  sum(n_bin) OVER (PARTITION BY grp ORDER BY e, d2) AS cum,
-                  sum(n_bin) OVER (PARTITION BY grp) AS n
-           FROM h),
-         qq AS (SELECT unnest([500, 900, 990]) AS q),
-         pick AS (
-           SELECT c.grp, c.n, qq.q, min(c.e * 100 + c.d2) AS bk
-           FROM cum c CROSS JOIN qq
-           WHERE c.cum >= ((c.n - 1) * qq.q) // 1000 + 1
-           GROUP BY c.grp, c.n, qq.q)
-         SELECT grp AS event_type,
-                CAST(q AS BIGINT) AS q_permille,
-                CAST(n AS BIGINT) AS n,
-                CAST(CASE WHEN bk // 100 <= 1 THEN bk % 100
-                     ELSE (bk % 100) *
-                          CAST(power(10, bk // 100 - 2) AS BIGINT)
-                END AS BIGINT) AS est_cents
-         FROM pick ORDER BY event_type, q_permille""",
+      QueryUtil.sqlLogHistQuantiles("events", "event_type", "value",
+        "event_type", Seq(500, 900, 990)),
 
     // Spark's watermark is floor(max event-time in MILLISECONDS) −
     // delay; append emits a window once window_end ≤ watermark. us is

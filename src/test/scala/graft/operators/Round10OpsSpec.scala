@@ -31,6 +31,17 @@ class Round10OpsSpec extends SparkTestBase {
     // empty deciles report with NULL rates, not absence
     assert(row(3).getAs[Long]("n") == 0 &&
       row(3).isNullAt(row(3).fieldIndex("rate_milli")))
+    assert(r.forall(_.getAs[Long]("n_excluded") == 0))
+  }
+
+  test("calibrationBins: NULL / out-of-range rows land in n_excluded") {
+    val df = Seq((Some(0.5), Some(1L)), (None, Some(0L)),
+      (Some(1.5), Some(1L)), (Some(0.5), None)).toDF("s", "y")
+    val r = Stats.calibrationBins(df, "s", "y", nBins = 10)
+      .orderBy("bin").collect()
+    // one valid row, three excluded; sum(n) + n_excluded == input rows
+    assert(r.map(_.getAs[Long]("n")).sum == 1)
+    assert(r.forall(_.getAs[Long]("n_excluded") == 3))
   }
 
   private def rows(src: String, n: Int, base: Int) =

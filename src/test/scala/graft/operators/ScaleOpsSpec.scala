@@ -135,7 +135,7 @@ class ScaleOpsSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val sh = Dedup.charShingles(col("text"), 3)
     val rows = Dedup.charShingleRows(docs, "doc_id", "text", 3)
-    val got = Dedup.sharedShingleJaccardPairs(docs, "doc_id", sh, 0.1, rows)
+    val got = Dedup.sharedShingleJaccardPairs(rows, 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force over all 6 pairs
     val exact = docs.as("x").crossJoin(docs.as("y"))
@@ -146,8 +146,8 @@ class ScaleOpsSpec extends SparkTestBase {
       .filter(col("j") >= 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exact && got.contains((1L, 2L)))
-    val ev = Dedup.lshCandidateEval(docs, "doc_id", sh,
-      k = 12, bands = 3, rows = 4, threshold = 0.1, sigRows = rows)
+    val ev = Dedup.lshCandidateEval(rows,
+      k = 12, bands = 3, rows = 4, threshold = 0.1)
       .collect().head
     val (ne, nc, nh) = (ev.getLong(0), ev.getLong(1), ev.getLong(2))
     assert(nh <= math.min(ne, nc))

@@ -700,6 +700,53 @@ object Curation {
     * oracle re-derives). */
   def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
                       targetPermille: Seq[(String, Long)]): DataFrame = {
+    val (quotas, ranked) = mixtureInternals(df, groupCol, idCol,
+      targetPermille)
+    // Bounded driver action (|targets| rows): the literal rank cap that
+    // lets Spark plan the pre-shuffle WindowGroupLimit cut — the report
+    // only ever reads kept rows, so the cut is lossless here (the
+    // membership view below cannot take it: dropped rows ARE its
+    // output).
+    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
+    val kept = ranked
+      .filter(col("_rk") <= lit(maxQuota))
+      .join(broadcast(quotas.select(col(groupCol), col("quota"))),
+        Seq(groupCol))
+      .filter(col("_rk") <= col("quota"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(idCol)).as("kept_id_sum"))
+    quotas.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_before"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
+  /** Per-row membership view of [[mixtureResample]]'s selection: every
+    * TARGET-domain row with its verdict — `(groupCol, idCol, kept)` —
+    * for audits that need the kept/dropped split itself (q252's
+    * selection-bias check) rather than the per-domain report. Same
+    * water-filling quotas, same digest ranking; untargeted domains are
+    * absent (they keep nothing by contract). */
+  def mixtureMembers(df: DataFrame, groupCol: String, idCol: String,
+                     targetPermille: Seq[(String, Long)]): DataFrame = {
+    val (quotas, ranked) = mixtureInternals(df, groupCol, idCol,
+      targetPermille)
+    ranked
+      .join(broadcast(quotas.select(col(groupCol), col("quota"))),
+        Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        (col("_rk") <= col("quota")).as("kept"))
+  }
+
+  /** Shared core: the quota table and every target-domain row with its
+    * per-domain digest rank `_rk`. The report path cuts at the literal
+    * max quota (WindowGroupLimit); the membership path ranks every row
+    * by necessity — dropped rows are its output. */
+  private def mixtureInternals(df: DataFrame, groupCol: String,
+                               idCol: String,
+                               targetPermille: Seq[(String, Long)])
+      : (DataFrame, DataFrame) = {
     require(targetPermille.nonEmpty &&
       targetPermille.map(_._2).sum == 1000L &&
       targetPermille.forall(_._2 > 0) &&
@@ -719,9 +766,6 @@ object Curation {
       .select(col(groupCol), col("n_before"),
         expr("share * t_total div 1000").as("quota"))
       .localCheckpoint() // evaluated once: feeds the literal cap AND the join
-    // Bounded driver action (|targets| rows): the literal rank cap that
-    // lets Spark plan the pre-shuffle WindowGroupLimit cut.
-    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
     val w = Window.partitionBy(groupCol)
       .orderBy(col("_h"), col(idCol))
     // Untargeted domains keep nothing — filter them out BEFORE the
@@ -732,17 +776,7 @@ object Curation {
       .select(col(groupCol), col(idCol),
         Dedup.digest64(col(idCol).cast("string")).as("_h"))
       .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= lit(maxQuota))
-    val kept = ranked.join(broadcast(quotas.select(col(groupCol),
-        col("quota"))), Seq(groupCol))
-      .filter(col("_rk") <= col("quota"))
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_kept"),
-        sum(col(idCol)).as("kept_id_sum"))
-    quotas.join(kept, Seq(groupCol), "left")
-      .select(col(groupCol), col("n_before"), col("quota"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    (quotas, ranked)
   }
 
   /** PADDING-WASTE AUDIT for length-bucketed training batches: when

@@ -2581,6 +2581,36 @@ object PipelineQueries {
           expr("(1000 * coalesce(n_new, 0)) div _tn - " +
             "(1000 * coalesce(n_old, 0)) div _to").as("drift_milli"))
         .orderBy("cluster")
+    }),
+
+    // RESAMPLE SELECTION-BIAS AUDIT: within each target domain, mean
+    // quality of q248's kept vs dropped docs — hash selection is
+    // uniform by construction, so a material bias here would mean the
+    // sampler is broken (the within-domain companion to q236's
+    // across-domain dedup bias). Integer milli, NULL-safe empty sides.
+    "q252_resample_bias" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shares = (0 until 5).map(i => (s"src$i", 150L)) ++
+        (5 until 10).map(i => (s"src$i", 50L))
+      val m = Curation.mixtureMembers(docs, "source", "doc_id", shares)
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("quality") * 1000).cast("long").as("qm"))
+      m.join(q, "doc_id")
+        .groupBy("source")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("kept"), col("qm"))).as("_qk"),
+          sum(when(!col("kept"), col("qm"))).as("_qd"))
+        .select(col("source"), col("n_kept"), col("n_dropped"),
+          when(col("n_kept") === 0, lit(null))
+            .otherwise(expr("_qk div n_kept")).as("mean_kept_milli"),
+          when(col("n_dropped") === 0, lit(null))
+            .otherwise(expr("_qd div n_dropped")).as("mean_dropped_milli"),
+          when(col("n_kept") === 0 || col("n_dropped") === 0, lit(null))
+            .otherwise(expr("_qk div n_kept - _qd div n_dropped"))
+            .as("bias_milli"))
+        .orderBy("source")
     })
   )
 
@@ -4424,6 +4454,64 @@ object PipelineQueries {
                 COALESCE(kept.kept_id_sum, 0) AS kept_id_sum
          FROM q LEFT JOIN kept ON q.source = kept.source
          ORDER BY q.source"""
+    },
+
+    // q248's quota/rank chain made per-row (kept verdict), the q249
+    // quality formula, and an integer-milli mean per side.
+    "q252_resample_bias" -> {
+      val tgtRows = ((0 until 5).map(i => s"('src$i', 150)") ++
+        (5 until 10).map(i => s"('src$i', 50)")).mkString(", ")
+      s"""WITH tgt AS (
+           SELECT * FROM (VALUES $tgtRows) AS t(source, share)),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+                 FROM documents GROUP BY source),
+         sized AS (
+           SELECT tgt.source, tgt.share,
+                  COALESCE(cnt.n_before, 0) AS n_before
+           FROM tgt LEFT JOIN cnt USING (source)),
+         tt AS (SELECT min(n_before * 1000 // share) AS t_total FROM sized),
+         q AS (SELECT source, share * t_total // 1000 AS quota
+               FROM sized CROSS JOIN tt),
+         rk AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT, doc_id) AS rk
+           FROM documents WHERE source IN (SELECT source FROM tgt)),
+         mem AS (
+           SELECT r.source, r.doc_id, r.rk <= q.quota AS kept
+           FROM rk r JOIN q ON r.source = q.source),
+         sc AS (
+           SELECT doc_id,
+                  CAST(floor((
+                    least(len(w)::DOUBLE / 64.0, 1.0) * 0.4 +
+                    (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                    least((len(list_filter(w, x -> x IN
+                      ('the','a','of','and','in','is')))::DOUBLE / len(w))
+                      * 4.0, 1.0) * 0.2) * 1000) AS BIGINT) AS qm
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         agg AS (
+           SELECT m.source,
+                  CAST(sum(CASE WHEN m.kept THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  CAST(sum(CASE WHEN m.kept THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_dropped,
+                  CAST(sum(CASE WHEN m.kept THEN sc.qm END) AS BIGINT)
+                    AS qk,
+                  CAST(sum(CASE WHEN m.kept THEN NULL ELSE sc.qm END)
+                    AS BIGINT) AS qd
+           FROM mem m JOIN sc ON m.doc_id = sc.doc_id
+           GROUP BY m.source)
+         SELECT source, n_kept, n_dropped,
+                CASE WHEN n_kept = 0 THEN NULL
+                     ELSE qk // n_kept END AS mean_kept_milli,
+                CASE WHEN n_dropped = 0 THEN NULL
+                     ELSE qd // n_dropped END AS mean_dropped_milli,
+                CASE WHEN n_kept = 0 OR n_dropped = 0 THEN NULL
+                     ELSE qk // n_kept - qd // n_dropped
+                END AS bias_milli
+         FROM agg ORDER BY source"""
     },
 
     // q31's pair chain as the label source, the quality formula

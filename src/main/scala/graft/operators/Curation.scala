@@ -209,6 +209,45 @@ object Curation {
     df.withColumn("split", chain)
   }
 
+  /** STRATIFIED K-FOLD ASSIGNMENT + BALANCE AUDIT — the
+    * cross-validation layout: every row gets fold = digest64(id) mod k
+    * (deterministic, shard-stable, no RNG), and the audit reports per
+    * (stratum, fold) counts with each stratum's min/max fold share so
+    * an unlucky skew is a read-off, not a surprise. Hash folds are
+    * uniform in expectation but not exactly equal — the audit is the
+    * point: it quantifies the realized imbalance the modeler accepts
+    * (or rejects by re-keying). Leakage caveat: fold identity is keyed
+    * on the ROW id — near-duplicate-rich data should key on a group
+    * id instead (the [[groupedSplit]] lesson applies verbatim).
+    *
+    * One combinable (stratum, fold) count; shares per stratum via a
+    * window over ≤ k rows per stratum. Output: (stratumCol, fold, n,
+    * share_milli, stratum_min_milli, stratum_max_milli), full
+    * (stratum × fold) domain — an empty fold reports n = 0. */
+  def kFoldAudit(df: DataFrame, stratumCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val folds = df.select(col(stratumCol),
+      (Dedup.digest64(col(idCol).cast("string")) % k).as("fold"))
+      .groupBy(stratumCol, "fold").agg(count(lit(1)).as("n"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val domain = df.select(col(stratumCol)).distinct()
+      .crossJoin((0L until k.toLong).toDF("fold"))
+    val w = Window.partitionBy(stratumCol)
+    domain.join(folds, Seq(stratumCol, "fold"), "left")
+      .select(col(stratumCol), col("fold"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("_t", sum(col("n")).over(w))
+      .withColumn("share_milli", expr("(1000 * n) div _t"))
+      .withColumn("stratum_min_milli",
+        min(col("share_milli")).over(w))
+      .withColumn("stratum_max_milli",
+        max(col("share_milli")).over(w))
+      .select(col(stratumCol), col("fold"), col("n"), col("share_milli"),
+        col("stratum_min_milli"), col("stratum_max_milli"))
+  }
+
   /** LEAKAGE-SAFE grouped split: [[hashSplit]] keyed on a GROUP column
     * instead of the row id, so every row of a group (all pages of a
     * domain, all turns of a conversation, all augmentations of a seed

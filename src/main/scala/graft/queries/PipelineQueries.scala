@@ -2611,6 +2611,15 @@ object PipelineQueries {
             .otherwise(expr("_qk div n_kept - _qd div n_dropped"))
             .as("bias_milli"))
         .orderBy("source")
+    }),
+
+    // STRATIFIED 5-FOLD AUDIT: fold = id-digest mod 5 within each
+    // lang stratum; per (stratum, fold) counts plus each stratum's
+    // realized min/max fold share — the cross-validation layout and
+    // its imbalance read-off in one table.
+    "q253_kfold_audit" -> ((s, dir) => {
+      Curation.kFoldAudit(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .orderBy("lang", "fold")
     })
   )
 
@@ -4513,6 +4522,36 @@ object PipelineQueries {
                 END AS bias_milli
          FROM agg ORDER BY source"""
     },
+
+    // Same digest-mod folds, full (stratum x fold) domain, integer
+    // shares with per-stratum min/max via windows.
+    "q253_kfold_audit" ->
+      """WITH f AS (
+           SELECT lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % 5 AS fold
+           FROM documents),
+         c AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n
+               FROM f GROUP BY lang, fold),
+         dom AS (
+           SELECT d.lang, k.fold
+           FROM (SELECT DISTINCT lang FROM documents) d
+           CROSS JOIN (SELECT unnest(range(0, 5)) AS fold) k),
+         filled AS (
+           SELECT dom.lang, CAST(dom.fold AS BIGINT) AS fold,
+                  COALESCE(c.n, 0) AS n
+           FROM dom LEFT JOIN c ON dom.lang = c.lang AND dom.fold = c.fold),
+         sh AS (
+           SELECT lang, fold, n,
+                  (1000 * n) // sum(n) OVER (PARTITION BY lang)
+                    AS share_milli
+           FROM filled)
+         SELECT lang, fold, n, share_milli,
+                min(share_milli) OVER (PARTITION BY lang)
+                  AS stratum_min_milli,
+                max(share_milli) OVER (PARTITION BY lang)
+                  AS stratum_max_milli
+         FROM sh ORDER BY lang, fold""",
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

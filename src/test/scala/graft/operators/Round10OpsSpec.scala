@@ -56,6 +56,28 @@ class Round10OpsSpec extends SparkTestBase {
     assert(unknown.isEmpty, s"artifactBacked names not in queries: $unknown")
   }
 
+  test("kFoldAudit: full domain, counts conserve, shares bounded") {
+    val df = (0 until 97).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val r = Curation.kFoldAudit(df, "lang", "id", k = 4)
+      .orderBy("lang", "fold").collect()
+    assert(r.length == 8) // 2 strata x 4 folds, even if a fold is empty
+    val byLang = r.groupBy(_.getString(0))
+    assert(byLang("a").map(_.getAs[Long]("n")).sum == 33)
+    assert(byLang("b").map(_.getAs[Long]("n")).sum == 64)
+    r.foreach { row =>
+      val (mn, mx) = (row.getAs[Long]("stratum_min_milli"),
+        row.getAs[Long]("stratum_max_milli"))
+      assert(mn <= row.getAs[Long]("share_milli") &&
+        row.getAs[Long]("share_milli") <= mx)
+    }
+    // min/max constant within a stratum
+    byLang.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("stratum_min_milli")).distinct.length == 1)
+      assert(rows.map(_.getAs[Long]("stratum_max_milli")).distinct.length == 1)
+    }
+  }
+
   test("mixtureResample: scarcest domain binds, quotas honor shares") {
     // a has 30 docs, b has 10; target 500/500 → T bound by b:
     // T = 10*1000/500 = 20; quota_a = quota_b = 10

@@ -500,6 +500,82 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** IVF SCAN-COST SWEEP — the COST column of the latency/recall
+    * trade whose recall column is [[nprobeSweep]]: for each nprobe,
+    * how many candidate vectors the probed clusters actually contain
+    * (summed over the query set, the query itself excluded exactly as
+    * [[ivfTopKTrained]] excludes it), against the brute-force
+    * baseline |Q|·(N−1). At 100 TB this table is the capacity plan —
+    * nprobe × cluster-size distribution IS the per-query scan bill,
+    * and a skewed clustering shows up here as a cost curve that grows
+    * faster than nprobe/k_clusters.
+    *
+    * Shape: the assignment aggregate runs ONCE (same max_by as the
+    * search path), cluster sizes are a k-row broadcast, and all
+    * `maxNprobe` rungs read one probe table through conditional
+    * aggregates (no per-rung corpus pass — the q210 sweep lesson).
+    * Output: (nprobe, n_scanned, n_brute, scan_permille) ascending. */
+  def scanCostSweep(corpus: DataFrame, centroids: DataFrame,
+                    queryIds: Seq[Long], idCol: String, vecCol: String,
+                    maxNprobe: Int): DataFrame = {
+    require(maxNprobe >= 1 && maxNprobe <= 16,
+      s"maxNprobe in [1,16], got $maxNprobe")
+    require(queryIds.nonEmpty, "need at least one query id")
+    val vecs = quantized(corpus, idCol, vecCol)
+    val cents = centroids.select(col("cluster").as("centroid_id"),
+      col("centroid").as("cv"),
+      qdot(col("centroid"), col("centroid")).as("cn"))
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        cosine(qdot(col("v"), col("cv")), col("vn"), col("cn")).as("ccos"),
+        col("centroid_id"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(centroid_id, struct(ccos, -centroid_id))")
+        .as("cluster"))
+      .localCheckpoint() // read three ways: sizes, totals, query homes
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("csize"))
+    val nCorpus = assigned.agg(count(lit(1)).as("_n"))
+    val q = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("centroid_id"))
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(qdot(col("qv"), col("cv")), col("qn"), col("cn"))
+          .as("pcos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= maxNprobe)
+    val homes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cluster").as("_qc"))
+    val joined = probes
+      .join(broadcast(sizes.withColumnRenamed("cluster", "centroid_id")),
+        "centroid_id")
+      .join(broadcast(homes), Seq("query_id"), "left")
+    val aggs = (1 to maxNprobe).flatMap { np =>
+      Seq(
+        sum(when(col("r") <= np, col("csize")).otherwise(0L))
+          .as(s"_s$np"),
+        sum(when(col("r") <= np && col("centroid_id") === col("_qc"), 1L)
+          .otherwise(0L)).as(s"_self$np"))
+    }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(nCorpus))
+    // unpivot inside the plan (the corrMatrix explode pattern)
+    val rungs = (1 to maxNprobe).map { np =>
+      struct(lit(np.toLong).as("nprobe"),
+        (col(s"_s$np") - col(s"_self$np")).as("n_scanned"))
+    }
+    val nq = queryIds.distinct.size.toLong
+    one.select(col("_n"), explode(array(rungs: _*)).as("_r"))
+      .select(col("_r.nprobe").as("nprobe"),
+        col("_r.n_scanned").as("n_scanned"),
+        (lit(nq) * (col("_n") - 1)).as("n_brute"))
+      .select(col("nprobe"), col("n_scanned"), col("n_brute"),
+        expr("(1000 * n_scanned) div n_brute").as("scan_permille"))
+  }
+
   /** HUBNESS AUDIT — the high-dimensional pathology check for an
     * embedding space: in skewed spaces a few "hub" vectors appear in
     * a disproportionate share of k-NN lists (and antihubs in none),

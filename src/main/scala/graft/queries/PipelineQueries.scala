@@ -148,6 +148,7 @@ object PipelineQueries {
       "q222_cluster_gini" -> cent,
       "q230_nprobe_sweep" -> cent,
       "q250_embedding_drift" -> cent,
+      "q254_scan_cost" -> cent,
       "q73_bpe_merges" -> bpe,
       "q74_bpe_tokenize" -> bpe,
       "q123_bpe_fertility" -> bpe,
@@ -2620,6 +2621,17 @@ object PipelineQueries {
     "q253_kfold_audit" -> ((s, dir) => {
       Curation.kFoldAudit(t(s, dir, "documents"), "lang", "doc_id", k = 5)
         .orderBy("lang", "fold")
+    }),
+
+    // IVF SCAN-COST SWEEP: the cost column of q230's recall table —
+    // candidate vectors the probed clusters contain per nprobe, vs the
+    // |Q|x(N-1) brute baseline. Same trained index, one probe table,
+    // all rungs by conditional aggregates.
+    "q254_scan_cost" -> ((s, dir) => {
+      Similarity.scanCostSweep(t(s, dir, "embeddings"),
+          trainedCentroids(s, dir, 8, 2), Seq(0L, 1L, 2L, 3L, 4L),
+          "vec_id", "embedding", maxNprobe = 4)
+        .orderBy("nprobe")
     })
   )
 
@@ -4552,6 +4564,54 @@ object PipelineQueries {
                 max(share_milli) OVER (PARTITION BY lang)
                   AS stratum_max_milli
          FROM sh ORDER BY lang, fold""",
+
+    // q230's assigned/probes chain, cluster sizes instead of recall:
+    // per nprobe, sum of probed-cluster sizes minus the self hit.
+    "q254_scan_cost" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlQcos("e.v", "c.cv")} DESC, c.cluster) AS r
+             FROM e CROSS JOIN c2 c)
+           WHERE r = 1),
+         sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+                   FROM assigned GROUP BY cluster),
+         ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned),
+         qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         probes AS (
+           SELECT query_id, cluster, r FROM (
+             SELECT qs.query_id, c.cluster,
+                    row_number() OVER (PARTITION BY qs.query_id
+                      ORDER BY ${sqlQcos("qs.qv", "c.cv")} DESC, c.cluster)
+                      AS r
+             FROM qs CROSS JOIN c2 c)
+           WHERE r <= 4),
+         homes AS (
+           SELECT vec_id AS query_id, cluster AS qc FROM assigned
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+         nps AS (SELECT unnest(range(1, 5)) AS np)
+         SELECT CAST(np AS BIGINT) AS nprobe,
+                CAST(sum(CASE WHEN p.r <= np THEN s.csize ELSE 0 END)
+                  - sum(CASE WHEN p.r <= np AND p.cluster = h.qc
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                CAST(5 * (max(ncorp.n) - 1) AS BIGINT) AS n_brute,
+                (1000 * (sum(CASE WHEN p.r <= np THEN s.csize ELSE 0 END)
+                  - sum(CASE WHEN p.r <= np AND p.cluster = h.qc
+                        THEN 1 ELSE 0 END)))
+                  // (5 * (max(ncorp.n) - 1)) AS scan_permille
+         FROM probes p
+         JOIN sizes s ON p.cluster = s.cluster
+         LEFT JOIN homes h ON p.query_id = h.query_id
+         CROSS JOIN ncorp CROSS JOIN nps
+         GROUP BY np ORDER BY nprobe""",
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

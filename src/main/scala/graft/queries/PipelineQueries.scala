@@ -2632,6 +2632,35 @@ object PipelineQueries {
           trainedCentroids(s, dir, 8, 2), Seq(0L, 1L, 2L, 3L, 4L),
           "vec_id", "embedding", maxNprobe = 4)
         .orderBy("nprobe")
+    }),
+
+    // SKETCH-ERROR AUDIT: q247's log-hist estimates measured against
+    // q63's exact two-phase quantiles on the same column — the +10%
+    // bin-width bound turned into a per-(group, q) number (the q182
+    // posture: eval the approximation, don't just document it).
+    // err >= 0 always (estimates are bin LOWER bounds); the exact side
+    // uses the shipped double-rank convention, so a boundary rank can
+    // differ by one from the sketch's integer rank — measured as part
+    // of the error, not hidden.
+    "q255_sketch_error" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val qsP = Seq(500L, 900L, 990L)
+      val est = Sketch.logHistQuantiles(
+        Sketch.logHistSketch(orders, Seq("o_orderpriority"),
+          "o_totalprice"),
+        Seq("o_orderpriority"), qsP)
+      val exact = Stats.exactQuantiles(orders, "o_orderpriority",
+          "o_totalprice", qsP.map(_ / 1000.0))
+        .select(col("o_orderpriority"),
+          round(col("q") * 1000).cast("long").as("q_permille"),
+          floor(col("quantile_value") * 100).cast("long")
+            .as("exact_cents"))
+      est.join(exact, Seq("o_orderpriority", "q_permille"))
+        .select(col("o_orderpriority"), col("q_permille"),
+          col("est_cents"), col("exact_cents"),
+          expr("(1000 * (exact_cents - est_cents)) div " +
+            "greatest(exact_cents, 1)").as("err_permille"))
+        .orderBy("o_orderpriority", "q_permille")
     })
   )
 
@@ -4612,6 +4641,40 @@ object PipelineQueries {
          LEFT JOIN homes h ON p.query_id = h.query_id
          CROSS JOIN ncorp CROSS JOIN nps
          GROUP BY np ORDER BY nprobe""",
+
+    // The shared sketch chain as a CTE, the exact side by direct sort
+    // at the same double-rank rule, error in permille of exact.
+    "q255_sketch_error" -> {
+      val estSql = QueryUtil.sqlLogHistQuantiles("orders",
+        "o_orderpriority", "o_totalprice", "o_orderpriority",
+        Seq(500, 900, 990))
+      s"""WITH est AS ($estSql),
+         v AS (SELECT o_orderpriority AS grp, o_totalprice AS x
+               FROM orders),
+         nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+                FROM v GROUP BY grp),
+         qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS qf),
+         rk AS (SELECT nn.grp, qq.qf,
+                       CAST(floor((nn.n - 1) * qq.qf) AS BIGINT) + 1 AS r
+                FROM nn CROSS JOIN qq),
+         srt AS (
+           SELECT grp, x,
+                  row_number() OVER (PARTITION BY grp ORDER BY x) AS rn
+           FROM v),
+         exact AS (
+           SELECT rk.grp AS o_orderpriority,
+                  CAST(round(rk.qf * 1000) AS BIGINT) AS q_permille,
+                  CAST(floor(srt.x * 100) AS BIGINT) AS exact_cents
+           FROM rk JOIN srt ON rk.grp = srt.grp AND rk.r = srt.rn)
+         SELECT e.o_orderpriority, e.q_permille, e.est_cents,
+                x.exact_cents,
+                (1000 * (x.exact_cents - e.est_cents))
+                  // greatest(x.exact_cents, 1) AS err_permille
+         FROM est e JOIN exact x
+           ON e.o_orderpriority = x.o_orderpriority
+          AND e.q_permille = x.q_permille
+         ORDER BY e.o_orderpriority, e.q_permille"""
+    },
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

@@ -56,6 +56,26 @@ class Round10OpsSpec extends SparkTestBase {
     assert(unknown.isEmpty, s"artifactBacked names not in queries: $unknown")
   }
 
+  test("scanCostSweep: hand-computed cluster costs, self excluded") {
+    // Two well-separated clusters: 4 vectors near (1,0), 2 near (0,1).
+    // Query 0 lives in the big cluster: nprobe=1 scans its own cluster
+    // (4 members minus self = 3); nprobe=2 scans everything (6-1 = 5).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.97f, 0.03f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(10000L, 0L)), (1L, Seq(0L, 10000L)))
+      .toDF("cluster", "centroid")
+    val r = Similarity.scanCostSweep(rows, cents, Seq(0L),
+      "vec_id", "embedding", maxNprobe = 2)
+      .orderBy("nprobe").collect()
+    assert(r.map(x => (x.getAs[Long]("nprobe"), x.getAs[Long]("n_scanned"),
+      x.getAs[Long]("n_brute"))).toSeq ==
+      Seq((1L, 3L, 5L), (2L, 5L, 5L)))
+    assert(r.last.getAs[Long]("scan_permille") == 1000L)
+  }
+
   test("kFoldAudit: full domain, counts conserve, shares bounded") {
     val df = (0 until 97).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "lang")

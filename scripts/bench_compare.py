@@ -80,11 +80,16 @@ def main(old_path, new_path, threshold):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.5
-    for a in sys.argv[1:]:
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(next(it))
+        elif a.startswith("--"):
+            pass
+        else:
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)

@@ -223,19 +223,27 @@ object Curation {
     * One combinable (stratum, fold) count; shares per stratum via a
     * window over ≤ k rows per stratum. Output: (stratumCol, fold, n,
     * share_milli, stratum_min_milli, stratum_max_milli), full
-    * (stratum × fold) domain — an empty fold reports n = 0. */
+    * (stratum × fold) domain — an empty fold reports n = 0. Rows with
+    * a NULL id (digest64 of NULL is NULL, so no hash fold exists) are
+    * reported under fold = -1 rather than silently dropped: sum(n)
+    * always equals the input row count, and a stratum of all-NULL ids
+    * shows up as one -1 row plus k zero rows instead of vanishing. */
   def kFoldAudit(df: DataFrame, stratumCol: String, idCol: String,
                  k: Int): DataFrame = {
     require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
     val folds = df.select(col(stratumCol),
-      (Dedup.digest64(col(idCol).cast("string")) % k).as("fold"))
+      when(col(idCol).isNull, lit(-1L))
+        .otherwise(Dedup.digest64(col(idCol).cast("string")) % k)
+        .as("fold"))
       .groupBy(stratumCol, "fold").agg(count(lit(1)).as("n"))
     val sp = df.sparkSession
     import sp.implicits._
     val domain = df.select(col(stratumCol)).distinct()
       .crossJoin((0L until k.toLong).toDF("fold"))
     val w = Window.partitionBy(stratumCol)
-    domain.join(folds, Seq(stratumCol, "fold"), "left")
+    // Full outer: the domain cross only enumerates folds 0..k-1; the
+    // NULL-id -1 fold arrives from the counts side and must survive.
+    domain.join(folds, Seq(stratumCol, "fold"), "full")
       .select(col(stratumCol), col("fold"),
         coalesce(col("n"), lit(0L)).as("n"))
       .withColumn("_t", sum(col("n")).over(w))
@@ -736,9 +744,18 @@ object Curation {
     * window sort), then applies each domain's exact quota through the
     * broadcast join. Returns one row per TARGET domain: (groupCol,
     * n_before, quota, n_kept, kept_id_sum — the selection digest the
-    * oracle re-derives). */
+    * oracle re-derives). Contract: idCol must be NUMERIC — kept_id_sum
+    * is sum(id), and a non-numeric id would sum to NULL and coalesce to
+    * 0, indistinguishable from an empty selection; enforced below so
+    * the failure is a loud require, not a silent zero. (A string-keyed
+    * corpus should pass digest64(id) as the id column.) */
   def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
                       targetPermille: Seq[(String, Long)]): DataFrame = {
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mixtureResample idCol '$idCol' must be numeric (kept_id_sum is " +
+        s"sum(id)); got ${df.schema(idCol).dataType.simpleString} — " +
+        "pass digest64(id) for non-numeric keys")
     val (quotas, ranked) = mixtureInternals(df, groupCol, idCol,
       targetPermille)
     // Bounded driver action (|targets| rows): the literal rank cap that

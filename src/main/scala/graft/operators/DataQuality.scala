@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality gate: each check is a named DataFrame of
@@ -168,5 +169,60 @@ object DataQuality {
           .as("delta_milli"),
         col("n_excluded"))
       .orderBy("digit")
+  }
+
+  /** KEY-SKEW AUDIT of a join/aggregation key — the pre-flight that
+    * answers "does this key need salting (or an AQE skew-join) before
+    * I shuffle 100 TB on it": the top-k heaviest keys with their
+    * permille share of all rows, plus the Gini concentration
+    * coefficient of the full group-size distribution (0 = perfectly
+    * even keys, →1 = a handful of keys own the table).
+    *
+    * Exact Gini without a global sort over keys: group sizes are
+    * histogrammed into sizes-of-sizes (distinct size s → m_s keys),
+    * and because equal-sized keys are interchangeable in the rank sum,
+    * Σ rank·size telescopes per block — s·(m·r₀ + m(m+1)/2) with r₀ =
+    * keys before the block. The only window runs over DISTINCT SIZE
+    * VALUES (bounded by the size spectrum, not by |keys|), and the
+    * top-k pick is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge) — no
+    * single-partition sort anywhere. Rank-sum products run in
+    * DECIMAL(38,0) so Σrank·size cannot overflow at |keys|·|rows|
+    * scale; the milli outputs come back through integral `div`.
+    *
+    * NULL keys group like any other value (a heavy NULL is exactly the
+    * kind of skew this audit exists to surface). Output, one row per
+    * top key: (keyCol, rank, n, share_permille, gini_milli, n_keys,
+    * n_rows). */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 10000,
+      s"topK must be in [1,10000], got $topK")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val hist = sizes.groupBy("n").agg(count(lit(1)).as("m"))
+    val wSz = Window.orderBy("n") // distinct sizes only — tiny frame
+    val g = hist
+      .withColumn("_r0", sum(col("m")).over(wSz) - col("m"))
+      .agg(
+        sum(col("m")).as("n_keys"),
+        sum(col("n").cast(dec38) * col("m")).as("_rows"),
+        sum(col("n").cast(dec38) *
+          (col("m").cast(dec38) * col("_r0") +
+            expr("CAST(m AS DECIMAL(38,0)) * (m + 1) div 2")))
+          .as("_iwx"))
+      .select(col("n_keys"), col("_rows").cast("long").as("n_rows"),
+        expr("""(1000 * (2 * _iwx - (n_keys + 1) * _rows))
+                div (CAST(n_keys AS DECIMAL(38,0)) * _rows)""")
+          .as("gini_milli"))
+    val top = sizes.orderBy(col("n").desc, col(keyCol).asc).limit(topK)
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col(keyCol).asc))
+        .cast("long")) // ≤ topK rows: the window is driver-cheap
+      .crossJoin(broadcast(g))
+      .select(col(keyCol), col("rank"), col("n"),
+        expr("(1000 * n) div n_rows").as("share_permille"),
+        col("gini_milli"), col("n_keys"), col("n_rows"))
+      .orderBy("rank")
   }
 }

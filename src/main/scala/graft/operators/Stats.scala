@@ -961,4 +961,61 @@ object Stats {
           .as("gap_milli"),
         coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
   }
+
+  /** CUSUM UPWARD-SHIFT DETECTOR per series — the classic sequential
+    * changepoint statistic (Page 1954) over a time-ordered metric:
+    * S_t = max(0, S_{t-1} + x_t − k) alarms when S_t ≥ h, catching a
+    * sustained mean shift that per-window thresholds miss (each window
+    * looks fine; the drift accumulates). k is the drift allowance
+    * (baseline mean + slack) and h the decision threshold, both in
+    * integer cents like the metric — the whole statistic is integer
+    * arithmetic, engine-exact.
+    *
+    * The max(0,·) recursion is NOT a window aggregate, but it
+    * telescopes: with P_t the prefix sum of (x−k),
+    * S_t = P_t − min(0, min_{j≤t} P_j) — two stacked running
+    * aggregates over ONE window frame, so Spark plans a single
+    * shuffle+sort per series and streams the frame. Ordering is made
+    * total with a tie column (same rule in the oracle), because CUSUM
+    * is order-sensitive by definition.
+    *
+    * Shape at 100 TB: the per-series scan is inherently sequential —
+    * parallelism comes from the NUMBER of series, so key the detector
+    * at the granularity you monitor (per entity, per shard), not on a
+    * handful of global types; a heavy series is a keySkew read-off
+    * away. Values with NULL metric are excluded before the prefix sum
+    * (a NULL would poison every later S_t); their count is reported.
+    * A series whose observations are ALL NULL has no statistic and is
+    * absent from the output (nothing was ever observed).
+    *
+    * Output per series: (groupCol, n, n_excluded, n_alarms,
+    * max_s_cents, first_alarm_us — unix micros of the first breach,
+    * NULL when the series never alarms). */
+  def cusumShift(df: DataFrame, groupCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, driftCents: Long,
+                 thresholdCents: Long): DataFrame = {
+    require(thresholdCents > 0, s"threshold must be > 0")
+    val base = df.select(col(groupCol),
+      expr(s"unix_micros($tsCol)").as("_us"), col(tieCol).as("_tie"),
+      (floor(col(valueCol).cast("double") * 100).cast("long")
+        - driftCents).as("_d"))
+    val w = Window.partitionBy(groupCol).orderBy(col("_us"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val excluded = base.groupBy(groupCol)
+      .agg(sum(when(col("_d").isNull, 1L).otherwise(0L)).as("n_excluded"))
+    base.filter(col("_d").isNotNull)
+      .withColumn("_p", sum(col("_d")).over(w))
+      .withColumn("_s", col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_s") >= thresholdCents, 1L).otherwise(0L))
+          .as("n_alarms"),
+        max(col("_s")).as("max_s_cents"),
+        min(when(col("_s") >= thresholdCents, col("_us")))
+          .as("first_alarm_us"))
+      .join(excluded, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
+        col("n_alarms"), col("max_s_cents"), col("first_alarm_us"))
+  }
 }

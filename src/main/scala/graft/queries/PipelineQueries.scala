@@ -2638,10 +2638,11 @@ object PipelineQueries {
     // q63's exact two-phase quantiles on the same column — the +10%
     // bin-width bound turned into a per-(group, q) number (the q182
     // posture: eval the approximation, don't just document it).
-    // err >= 0 always (estimates are bin LOWER bounds); the exact side
-    // uses the shipped double-rank convention, so a boundary rank can
-    // differ by one from the sketch's integer rank — measured as part
-    // of the error, not hidden.
+    // Estimates are bin LOWER bounds so err is usually >= 0, but the
+    // exact side uses the shipped double-rank convention while the
+    // sketch side ranks by integer permille, so a boundary rank can
+    // land one rank lower on the exact side and produce a small
+    // negative err — measured as part of the error, not hidden.
     "q255_sketch_error" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val qsP = Seq(500L, 900L, 990L)
@@ -2661,6 +2662,28 @@ object PipelineQueries {
           expr("(1000 * (exact_cents - est_cents)) div " +
             "greatest(exact_cents, 1)").as("err_permille"))
         .orderBy("o_orderpriority", "q_permille")
+    }),
+
+    // KEY-SKEW AUDIT: the pre-shuffle read-off for "does user_id need
+    // salting" — top-10 heaviest keys with permille shares plus the
+    // Gini concentration of the whole size distribution, computed from
+    // the sizes-of-sizes histogram (the only window runs over distinct
+    // SIZE VALUES, and the top-k is TakeOrderedAndProject).
+    "q256_key_skew" -> ((s, dir) => {
+      DataQuality.keySkew(t(s, dir, "events"), "user_id", topK = 10)
+    }),
+
+    // CUSUM CHANGEPOINT: Page's sequential upward-shift statistic per
+    // event_type over time-ordered value cents — the drift detector a
+    // per-window threshold can't replace. The max(0,·) recursion runs
+    // as prefix-sum minus running-min (one window frame, one sort per
+    // series); k = 5500 cents (above the global mean so alarms are a
+    // sustained-shift signal, not noise), h = 50000 cents.
+    "q257_cusum_shift" -> ((s, dir) => {
+      Stats.cusumShift(t(s, dir, "events"), "event_type", "ts",
+          "event_id", "value", driftCents = 5500L,
+          thresholdCents = 50000L)
+        .orderBy("event_type")
     })
   )
 
@@ -4584,8 +4607,8 @@ object PipelineQueries {
            FROM dom LEFT JOIN c ON dom.lang = c.lang AND dom.fold = c.fold),
          sh AS (
            SELECT lang, fold, n,
-                  (1000 * n) // sum(n) OVER (PARTITION BY lang)
-                    AS share_milli
+                  CAST((1000 * n) // sum(n) OVER (PARTITION BY lang)
+                    AS BIGINT) AS share_milli
            FROM filled)
          SELECT lang, fold, n, share_milli,
                 min(share_milli) OVER (PARTITION BY lang)
@@ -4632,10 +4655,10 @@ object PipelineQueries {
                   - sum(CASE WHEN p.r <= np AND p.cluster = h.qc
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
                 CAST(5 * (max(ncorp.n) - 1) AS BIGINT) AS n_brute,
-                (1000 * (sum(CASE WHEN p.r <= np THEN s.csize ELSE 0 END)
+                CAST((1000 * (sum(CASE WHEN p.r <= np THEN s.csize ELSE 0 END)
                   - sum(CASE WHEN p.r <= np AND p.cluster = h.qc
                         THEN 1 ELSE 0 END)))
-                  // (5 * (max(ncorp.n) - 1)) AS scan_permille
+                  // (5 * (max(ncorp.n) - 1)) AS BIGINT) AS scan_permille
          FROM probes p
          JOIN sizes s ON p.cluster = s.cluster
          LEFT JOIN homes h ON p.query_id = h.query_id
@@ -4675,6 +4698,67 @@ object PipelineQueries {
           AND e.q_permille = x.q_permille
          ORDER BY e.o_orderpriority, e.q_permille"""
     },
+
+    // Sizes-of-sizes Gini (block rank-sum telescope) + top-10 keys.
+    // Every sum-derived output CAST AS BIGINT (the strict-type rule).
+    "q256_key_skew" ->
+      """WITH sizes AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+         h AS (SELECT n, CAST(count(*) AS BIGINT) AS m
+               FROM sizes GROUP BY n),
+         b AS (SELECT n, m,
+                      sum(m) OVER (ORDER BY n
+                        ROWS UNBOUNDED PRECEDING) - m AS r0
+               FROM h),
+         g AS (SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+                      CAST(sum(n * m) AS BIGINT) AS n_rows,
+                      sum(n * (m * r0 + (m * (m + 1)) // 2)) AS iwx
+               FROM b),
+         gg AS (SELECT n_keys, n_rows,
+                       CAST((1000 * (2 * iwx - (n_keys + 1) * n_rows))
+                         // (n_keys * n_rows) AS BIGINT) AS gini_milli
+                FROM g),
+         top AS (
+           SELECT user_id, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                    AS BIGINT) AS rank
+           FROM sizes ORDER BY n DESC, user_id LIMIT 10)
+         SELECT top.user_id, rank, n,
+                (1000 * n) // n_rows AS share_permille,
+                gini_milli, n_keys, n_rows
+         FROM top CROSS JOIN gg
+         ORDER BY rank""",
+
+    // Page's CUSUM via prefix-sum minus running-min, total order by
+    // (us, event_id), k = 5500 cents, h = 50000 cents.
+    "q257_cusum_shift" ->
+      """WITH base AS (
+           SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id,
+                  CAST(floor(value * 100) AS BIGINT) - 5500 AS d
+           FROM events),
+         p AS (SELECT event_type, us, event_id, d,
+                      sum(d) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS pf
+               FROM base WHERE d IS NOT NULL),
+         s AS (SELECT event_type, us,
+                      pf - least(0, min(pf) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING)) AS s
+               FROM p),
+         ex AS (SELECT event_type,
+                       CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_excluded
+                FROM base GROUP BY event_type)
+         SELECT s.event_type, CAST(count(*) AS BIGINT) AS n,
+                max(ex.n_excluded) AS n_excluded,
+                CAST(sum(CASE WHEN s >= 50000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alarms,
+                CAST(max(s) AS BIGINT) AS max_s_cents,
+                min(CASE WHEN s >= 50000 THEN us END) AS first_alarm_us
+         FROM s JOIN ex ON s.event_type = ex.event_type
+         GROUP BY s.event_type ORDER BY s.event_type""",
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

@@ -79,10 +79,21 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       val out = s.table(name).localCheckpoint()
       s.catalog.dropTempView(name)
+      lastRunDataBatches = dataBatches
       out
     }
+
+  /** Data-carrying micro-batch count of the most recent [[runBounded]]
+    * run. Consumers whose post-processing RE-AGGREGATES update-mode
+    * sink rows (q251 re-sums bins) must assert this is 1: a
+    * multi-batch run re-emits updated bins and the re-sum would
+    * double-count. The memory sink carries no batch id, so last-wins
+    * dedup is not expressible sink-side — the single-batch contract is
+    * asserted instead. */
+  private var lastRunDataBatches: Int = 0
 
   /** Scope the low streaming shuffle-partition setting to one bounded
     * run; the session value is restored for the batch queries. */
@@ -487,6 +498,12 @@ object StreamingQueries {
         eventsStream(s, dir).select(col("event_type"), col("value")),
         Seq("event_type"), "value")
       val sunk = runBounded(s, sk, "graft_q251_sink", "update")
+      // logHistQuantiles re-sums sink rows, so duplicate update-mode
+      // emissions of the same bin would double-count: the bounded
+      // single-file fixture must land in exactly one data batch.
+      require(lastRunDataBatches == 1,
+        s"q251 expects exactly 1 data micro-batch (update-mode bins " +
+          s"are re-summed); got $lastRunDataBatches")
       graft.operators.Sketch.logHistQuantiles(sunk,
           Seq("event_type"), Seq(500L, 900L, 990L))
         .orderBy("event_type", "q_permille")

@@ -2684,6 +2684,22 @@ object PipelineQueries {
           "event_id", "value", driftCents = 5500L,
           thresholdCents = 50000L)
         .orderBy("event_type")
+    }),
+
+    // DSV2 AGGREGATE PUSHDOWN: ungrouped count/min/max/sum(doc_id)
+    // over a 100M-row source answered ENTIRELY from split metadata —
+    // the SupportsPushDownAggregates complete-pushdown contract. The
+    // Aggregate node vanishes from the plan (SyntheticDocsSpec pins
+    // this); the scan emits one closed-form row and generates zero
+    // data rows, which is why 100M rows is free here.
+    "q258_dsv2_agg_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000000").option("partitions", "64").load()
+        .filter(col("doc_id") >= 1234 && col("doc_id") < 98765432)
+        .agg(count(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_id"))
     })
   )
 
@@ -4759,6 +4775,16 @@ object PipelineQueries {
                 min(CASE WHEN s >= 50000 THEN us END) AS first_alarm_us
          FROM s JOIN ex ON s.event_type = ex.event_type
          GROUP BY s.event_type ORDER BY s.event_type""",
+
+    // DuckDB aggregates range() lazily (no 98M-row materialization),
+    // so the oracle states the SAME aggregate declaratively; sum is
+    // HUGEINT there, hence the strict-type CAST AS BIGINT.
+    "q258_dsv2_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(range) AS BIGINT) AS min_id,
+                CAST(max(range) AS BIGINT) AS max_id,
+                CAST(sum(range) AS BIGINT) AS sum_id
+         FROM range(1234, 98765432)""",
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

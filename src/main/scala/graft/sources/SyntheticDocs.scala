@@ -7,8 +7,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +102,7 @@ private class SyntheticDocsTable(rows: Long, parts: Int)
 private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
   private var required: StructType = SyntheticDocs.schema
   // doc_id bounds tightened by pushed range predicates: ids are the
   // split key, so a range filter prunes whole splits driver-side and
@@ -178,9 +179,111 @@ private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
 
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan =
-    new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
+  // ---- AGGREGATE PUSHDOWN (SupportsPushDownAggregates) ----
+  // ids are a dense [lo,hi) range after filter pushdown, so ungrouped
+  // count / count(col) / min(doc_id) / max(doc_id) / sum(doc_id) have
+  // CLOSED FORMS over the bounds — the scan answers them from split
+  // metadata alone, emitting one final row and generating zero data
+  // rows. Complete pushdown (the Aggregate node vanishes); anything
+  // the bounds can't answer exactly (group-by, min/max/sum on a
+  // non-id column, distinct on a non-unique column) is refused and
+  // Spark aggregates scanned rows as usual.
+  private var pushedAgg: Option[Aggregation] = None
+
+  private def refName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def servable(agg: Aggregation): Boolean = {
+    val n = math.max(hi - lo, 0L)
+    // sum(doc_id) over [lo,hi) — refuse if it would overflow Long
+    // (Spark's own Sum(LongType) would raise under ANSI; the closed
+    // form must not silently wrap where row-at-a-time would throw).
+    def sumFits: Boolean = n == 0L ||
+      (BigInt(lo) + BigInt(hi - 1)) * n / 2 <= Long.MaxValue
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        // every column is non-nullable -> count(col) == count(*);
+        // DISTINCT is only exact on the unique id column
+        case c: Count =>
+          refName(c.column).exists(f =>
+            SyntheticDocs.schema.fieldNames.contains(f) &&
+              (!c.isDistinct || f == "doc_id"))
+        case m: Min => refName(m.column).contains("doc_id")
+        case m: Max => refName(m.column).contains("doc_id")
+        case s: Sum => refName(s.column).contains("doc_id") && sumFits
+        case _ => false
+      }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    servable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (servable(agg)) { pushedAgg = Some(agg); true } else false
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SyntheticDocsAggScan(lo, hi, agg)
+    case None => new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
+  }
 }
+
+/** Aggregate-mode scan: one split, one row, values computed driver-
+  * side from the pushed bounds — no generator row ever exists. The
+  * empty-range row is (0, NULL, NULL, NULL)-shaped, matching Spark's
+  * global-aggregate-over-empty-input semantics. */
+private class SyntheticDocsAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val n = math.max(hi - lo, 0L)
+
+  private val values: Array[Any] = agg.aggregateExpressions.map {
+    case _: CountStar => n
+    case _: Count => n
+    case _: Min => if (n > 0) lo else null
+    case _: Max => if (n > 0) hi - 1 else null
+    case _: Sum =>
+      if (n > 0) ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong else null
+  }
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar | _: Count, i) =>
+        StructField(s"agg$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs(bounds=[$lo,$hi)) PushedAggregates: " +
+      agg.aggregateExpressions.mkString("[", ", ", "]")
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(8L * values.length)
+    override def numRows(): OptionalLong = OptionalLong.of(1L)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocsAggRow(values.toIndexedSeq))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(p.asInstanceOf[DocsAggRow].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private case class DocsAggRow(values: Seq[Any]) extends InputPartition
 
 private class SyntheticDocsScan(rows: Long, parts: Int,
                                 required: StructType,

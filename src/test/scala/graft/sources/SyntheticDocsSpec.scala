@@ -139,6 +139,63 @@ class SyntheticDocsSpec extends SparkTestBase {
       .filter(col("doc_id") >= 35 && col("doc_id") < 62)) == BigInt(27))
   }
 
+  test("aggregate pushdown: ungrouped count/min/max/sum served from metadata") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // 100M rows: if the aggregate were NOT pushed this would still be a
+    // doc_id-only generated scan (cheap), but the plan assertions below
+    // pin that no Aggregate node and no data row exists at all.
+    val df = load(100000000, 64)
+      .filter(col("doc_id") >= 1234 && col("doc_id") < 98765432)
+      .agg(count(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("sum_id"))
+    // complete pushdown: the Aggregate is GONE from the optimized plan
+    assert(df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.isEmpty, df.queryExecution.optimizedPlan)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregates"), planStr)
+    // closed forms over [1234, 98765432)
+    val n = 98765432L - 1234L
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("min_id") == 1234L)
+    assert(r.getAs[Long]("max_id") == 98765431L)
+    assert(r.getAs[Long]("sum_id") ==
+      ((BigInt(1234) + BigInt(98765431)) * n / 2).toLong)
+  }
+
+  test("aggregate pushdown: empty range yields the (0, NULL...) row") {
+    val df = load(100, 4).filter(col("doc_id") >= 500)
+      .agg(count(col("doc_id")).as("n"), min(col("doc_id")).as("mn"),
+        sum(col("doc_id")).as("sm"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mn")) && r.isNullAt(r.fieldIndex("sm")))
+  }
+
+  test("aggregate pushdown refused: group-by and non-id min fall back correctly") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // group-by can't be served from bounds -> Aggregate stays, rows scan
+    val g = load(200, 4).groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.nonEmpty)
+    assert(g.agg(sum("n")).collect().head.getLong(0) == 200L)
+    // min on a non-id column is refused but still correct via row scan
+    val m = load(200, 4).agg(min(col("lang")).as("mn"))
+    assert(m.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.nonEmpty)
+    val viaRows = load(200, 4).select("lang").collect()
+      .map(_.getString(0)).min
+    assert(m.collect().head.getString(0) == viaRows)
+    // distinct count on a NON-unique column is refused (would be wrong
+    // as n), served by scan; distinct on unique doc_id is accepted
+    val dl = load(200, 4).agg(countDistinct(col("lang")).as("n"))
+    assert(dl.collect().head.getLong(0) == 5L)
+    val di = load(200, 4).agg(countDistinct(col("doc_id")).as("n"))
+    assert(di.collect().head.getLong(0) == 200L)
+  }
+
   test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {
     import spark.implicits._
     val inputs = (0 until 25).map(i => s"$i:lang")

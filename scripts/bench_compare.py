@@ -84,8 +84,12 @@ if __name__ == "__main__":
     args = []
     it = iter(sys.argv[1:])
     for a in it:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(next(it))
+        if a == "--threshold" or a.startswith("--threshold="):
+            try:
+                thr = float(a.split("=", 1)[1]) if "=" in a else float(next(it))
+            except (StopIteration, ValueError):
+                print(__doc__)
+                sys.exit(2)
         elif a.startswith("--"):
             pass
         else:

@@ -214,10 +214,14 @@ object DataQuality {
         expr("""(1000 * (2 * _iwx - (n_keys + 1) * _rows))
                 div (CAST(n_keys AS DECIMAL(38,0)) * _rows)""")
           .as("gini_milli"))
-    val top = sizes.orderBy(col("n").desc, col(keyCol).asc).limit(topK)
+    // Tie-break NULLS LAST explicitly: Spark's bare asc sorts NULLs
+    // first while DuckDB's default is NULLS LAST — a heavy NULL key
+    // tying at a rank boundary must order identically in both engines.
+    val top = sizes.orderBy(col("n").desc, col(keyCol).asc_nulls_last)
+      .limit(topK)
     top
       .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n").desc, col(keyCol).asc))
+        .over(Window.orderBy(col("n").desc, col(keyCol).asc_nulls_last))
         .cast("long")) // ≤ topK rows: the window is driver-cheap
       .crossJoin(broadcast(g))
       .select(col(keyCol), col("rank"), col("n"),

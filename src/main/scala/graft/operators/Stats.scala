@@ -983,8 +983,9 @@ object Stats {
     * parallelism comes from the NUMBER of series, so key the detector
     * at the granularity you monitor (per entity, per shard), not on a
     * handful of global types; a heavy series is a keySkew read-off
-    * away. Values with NULL metric are excluded before the prefix sum
-    * (a NULL would poison every later S_t); their count is reported.
+    * away. Values with NULL or non-finite metric (NaN, ±Inf casts to
+    * a long diverge across engines and would poison every later S_t)
+    * are excluded before the prefix sum; their count is reported.
     * A series whose observations are ALL NULL has no statistic and is
     * absent from the output (nothing was ever observed).
     *
@@ -995,10 +996,12 @@ object Stats {
                  tieCol: String, valueCol: String, driftCents: Long,
                  thresholdCents: Long): DataFrame = {
     require(thresholdCents > 0, s"threshold must be > 0")
+    val v = col(valueCol).cast("double")
+    val finite = v.isNotNull && !isnan(v) &&
+      v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
     val base = df.select(col(groupCol),
       expr(s"unix_micros($tsCol)").as("_us"), col(tieCol).as("_tie"),
-      (floor(col(valueCol).cast("double") * 100).cast("long")
-        - driftCents).as("_d"))
+      when(finite, floor(v * 100).cast("long") - driftCents).as("_d"))
     val w = Window.partitionBy(groupCol).orderBy(col("_us"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val excluded = base.groupBy(groupCol)

@@ -4607,9 +4607,13 @@ object PipelineQueries {
     // shares with per-stratum min/max via windows.
     "q253_kfold_audit" ->
       """WITH f AS (
+           -- NULL ids fold to -1, mirroring the operator (md5(NULL)
+           -- would otherwise yield a NULL fold the domain join drops)
            SELECT lang,
-                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                    ::BIGINT % 5 AS fold
+                  CASE WHEN doc_id IS NULL THEN -1
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 5
+                  END AS fold
            FROM documents),
          c AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n
                FROM f GROUP BY lang, fold),
@@ -4618,9 +4622,13 @@ object PipelineQueries {
            FROM (SELECT DISTINCT lang FROM documents) d
            CROSS JOIN (SELECT unnest(range(0, 5)) AS fold) k),
          filled AS (
-           SELECT dom.lang, CAST(dom.fold AS BIGINT) AS fold,
+           -- FULL OUTER, same as the operator: the -1 fold arrives
+           -- from the counts side and must survive the 0..k-1 domain
+           SELECT COALESCE(dom.lang, c.lang) AS lang,
+                  CAST(COALESCE(dom.fold, c.fold) AS BIGINT) AS fold,
                   COALESCE(c.n, 0) AS n
-           FROM dom LEFT JOIN c ON dom.lang = c.lang AND dom.fold = c.fold),
+           FROM dom FULL OUTER JOIN c
+             ON dom.lang = c.lang AND dom.fold = c.fold),
          sh AS (
            SELECT lang, fold, n,
                   CAST((1000 * n) // sum(n) OVER (PARTITION BY lang)
@@ -4736,10 +4744,12 @@ object PipelineQueries {
                          // (n_keys * n_rows) AS BIGINT) AS gini_milli
                 FROM g),
          top AS (
+           -- NULLS LAST explicit: matches the operator's asc_nulls_last
+           -- tie-break (Spark's bare asc would sort NULLs first)
            SELECT user_id, n,
-                  CAST(row_number() OVER (ORDER BY n DESC, user_id)
-                    AS BIGINT) AS rank
-           FROM sizes ORDER BY n DESC, user_id LIMIT 10)
+                  CAST(row_number() OVER (ORDER BY n DESC,
+                    user_id ASC NULLS LAST) AS BIGINT) AS rank
+           FROM sizes ORDER BY n DESC, user_id ASC NULLS LAST LIMIT 10)
          SELECT top.user_id, rank, n,
                 (1000 * n) // n_rows AS share_permille,
                 gini_milli, n_keys, n_rows

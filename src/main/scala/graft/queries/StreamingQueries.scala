@@ -70,6 +70,20 @@ object StreamingQueries {
 
   private def runBounded(s: SparkSession, df: DataFrame, name: String,
                          mode: String): DataFrame =
+    runBoundedCounted(s, df, name, mode)._1
+
+  /** [[runBounded]] plus the DATA-CARRYING micro-batch count of the
+    * run. Consumers whose post-processing RE-AGGREGATES update-mode
+    * sink rows (q251 re-sums bins) must assert the count is 1: a
+    * multi-batch run re-emits updated bins and the re-sum would
+    * double-count. The memory sink carries no batch id, so last-wins
+    * dedup is not expressible sink-side — the single-batch contract is
+    * asserted instead. Returned per-run (not stashed on the object) so
+    * concurrent or interleaved runs can never read another query's
+    * count. */
+  private def runBoundedCounted(s: SparkSession, df: DataFrame,
+                                name: String,
+                                mode: String): (DataFrame, Int) =
     withStreamConf(s) {
       s.sql(s"DROP VIEW IF EXISTS $name")
       val q = df.writeStream
@@ -82,18 +96,8 @@ object StreamingQueries {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       val out = s.table(name).localCheckpoint()
       s.catalog.dropTempView(name)
-      lastRunDataBatches = dataBatches
-      out
+      (out, dataBatches)
     }
-
-  /** Data-carrying micro-batch count of the most recent [[runBounded]]
-    * run. Consumers whose post-processing RE-AGGREGATES update-mode
-    * sink rows (q251 re-sums bins) must assert this is 1: a
-    * multi-batch run re-emits updated bins and the re-sum would
-    * double-count. The memory sink carries no batch id, so last-wins
-    * dedup is not expressible sink-side — the single-batch contract is
-    * asserted instead. */
-  private var lastRunDataBatches: Int = 0
 
   /** Scope the low streaming shuffle-partition setting to one bounded
     * run; the session value is restored for the batch queries. */
@@ -497,13 +501,14 @@ object StreamingQueries {
       val sk = graft.operators.Sketch.logHistSketch(
         eventsStream(s, dir).select(col("event_type"), col("value")),
         Seq("event_type"), "value")
-      val sunk = runBounded(s, sk, "graft_q251_sink", "update")
+      val (sunk, dataBatches) =
+        runBoundedCounted(s, sk, "graft_q251_sink", "update")
       // logHistQuantiles re-sums sink rows, so duplicate update-mode
       // emissions of the same bin would double-count: the bounded
       // single-file fixture must land in exactly one data batch.
-      require(lastRunDataBatches == 1,
+      require(dataBatches == 1,
         s"q251 expects exactly 1 data micro-batch (update-mode bins " +
-          s"are re-summed); got $lastRunDataBatches")
+          s"are re-summed); got $dataBatches")
       graft.operators.Sketch.logHistQuantiles(sunk,
           Seq("event_type"), Seq(500L, 900L, 990L))
         .orderBy("event_type", "q_permille")

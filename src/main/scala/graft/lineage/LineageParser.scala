@@ -488,6 +488,12 @@ object LineageParser {
         funs = st.funs ++ g.generatorOutput.map(a =>
           a.exprId -> s"COLFUN:${g.generator.sql}"))
 
+    // Expand is the analyzer's multi-projection fan-out: GROUPING
+    // SETS/CUBE/ROLLUP and UNPIVOT all lower to it. Each output
+    // position unions the sources of that position across ALL
+    // projections — for UNPIVOT that makes the value column's sources
+    // the union of every unpivoted measure (goldens in LineageSpec);
+    // the label column references only literals, so it elides (E14).
     case e: Expand =>
       val st = build(e.child, ctes, db)
       val m = e.output.zipWithIndex.map { case (a, i) =>

@@ -182,6 +182,43 @@ class LineageSpec extends SparkTestBase {
     assert(e.inputTables == Set("default.nation", "default.region"))
   }
 
+  test("PIVOT: wide columns fold value + pivot-key sources (golden)") {
+    graft.Tables.registerAll(spark, sfDir)
+    // Catalyst lowers PIVOT to Aggregate(pivotfirst) + extraction
+    // Projects; the generic arms must carry BOTH the aggregated value
+    // column and the pivot key into every wide output.
+    val r = LineageParser.parseStatement(spark,
+      "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) " +
+        "PIVOT (count(n_nationkey) FOR n_regionkey IN (0 AS r0, 1 AS r1))", 1)
+    assert(r.inputTables == Set("default.nation"))
+    assert(r.colLines.map(c => (c.toName, c.fromName, c.conditionSet)) == Seq(
+      ("r0", "default.nation.n_nationkey,default.nation.n_regionkey", Set.empty),
+      ("r1", "default.nation.n_nationkey,default.nation.n_regionkey", Set.empty)))
+  }
+
+  test("UNPIVOT: value column unions all measures; label elides (golden)") {
+    graft.Tables.registerAll(spark, sfDir)
+    // Catalyst lowers UNPIVOT to Expand (+ an implicit null-excluding
+    // Filter). The value column's sources union every unpivoted
+    // measure — including one computed from another column — and the
+    // label column references only literals, so it stays source-free.
+    val stmt = "SELECT * FROM (SELECT n_nationkey, n_regionkey, " +
+      "n_nationkey + 100 AS shifted FROM nation) " +
+      "UNPIVOT %s(v FOR metric IN (n_regionkey, shifted))"
+    val r = LineageParser.parseStatement(spark, stmt.format(""), 1)
+    val nullFilter = Set("WHERE:(coalesce(v) IS NOT NULL)")
+    assert(r.colLines.map(c => (c.toName, c.fromName, c.conditionSet)) == Seq(
+      ("n_nationkey", "default.nation.n_nationkey", nullFilter),
+      ("metric", "", nullFilter),
+      ("v", "default.nation.n_nationkey,default.nation.n_regionkey",
+        nullFilter)))
+    // INCLUDE NULLS drops the implicit filter and nothing else
+    val incl = LineageParser.parseStatement(spark,
+      stmt.format("INCLUDE NULLS "), 1)
+    assert(incl.colLines.map(c => (c.toName, c.fromName, c.conditionSet)) ==
+      r.colLines.map(c => (c.toName, c.fromName, Set.empty[String])))
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT is CTAS lineage, not ALTER") {
     graft.Tables.registerAll(spark, sfDir)
     val r = LineageParser.parseStatement(spark,

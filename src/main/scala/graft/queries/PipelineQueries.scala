@@ -130,6 +130,44 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
+  /** [[minhashPairs]] restricted to a sub-corpus: pairs whose BOTH
+    * endpoints survive the filter. EXACT, not an approximation —
+    * MinHash signatures and band keys are per-document and the
+    * Jaccard verification is per-pair, so LSH over any subset equals
+    * the full-corpus pair set semi-joined to the subset on both ends.
+    * This is what lets the funnel queries (q164, q220) reuse the
+    * train-once artifact instead of re-running shingle→signature→
+    * band→verify over their stage corpora. */
+  private def minhashPairsWithin(s: SparkSession, dir: String,
+                                 ids: DataFrame): DataFrame = {
+    val keep = ids.select(col("doc_id"))
+    minhashPairs(s, dir)
+      .join(keep.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_semi")
+      .join(keep.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_semi")
+  }
+
+  /** Full-corpus quality scores as a train-once parquet artifact —
+    * same session convention as [[minhashPairs]]; consumers (q185,
+    * q213, q220, q237, q249, q252) read the scan instead of each
+    * re-tokenizing the corpus. qualityScore is a pure per-row
+    * projection, so subset use is exact: score(subset) == artifact
+    * semi-joined to the subset. */
+  private val qualityArtifact =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val path = qualityArtifact.getOrElseUpdate(dir, {
+      val p = "target/graft-artifacts/quality_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Which queries consume a session-level trained-artifact cache, and
     * whether that cache is CURRENTLY warm — consumed by Bench's retime
     * triage so "retimed ≪ in-run" on a cache-backed query reads as
@@ -158,12 +196,17 @@ object PipelineQueries {
       "q173_pq_adc_topk" -> pq,
       "q245_ivf_pq" -> (() => cent() || pq())) ++ {
       val pairs = () => pairArtifact.nonEmpty
+      val quality = () => qualityArtifact.nonEmpty
       Seq("q31_dedup_minhash_lsh", "q53_dedup_components",
         "q69_dedup_components_star", "q110_triangle_count",
         "q146_canonical_pick", "q156_source_dup_matrix",
         "q183_dup_cluster_census", "q213_quality_dup_profile",
-        "q216_triplet_mining", "q249_calibration_bins")
-        .map(_ -> pairs).toMap
+        "q216_triplet_mining", "q249_calibration_bins",
+        "q164_curation_funnel", "q220_token_funnel")
+        .map(_ -> pairs).toMap ++
+        Seq("q185_calibrated_gate", "q237_quality_length_grid",
+          "q252_resample_bias")
+          .map(_ -> quality).toMap
     }
   }
 
@@ -1541,11 +1584,14 @@ object PipelineQueries {
       val qual = TextAnalysis.stats(s1, "doc_id", "text")
         .filter(col("stopword_ratio") >= 0.04).select("doc_id")
       val s2 = s1.join(qual, Seq("doc_id"), "left_semi")
-        // three consumers below (pair mining + keeper filter + count):
-        // the filtered corpus is the expensive-to-recompute input
+        // three consumers below (pair restriction + keeper filter +
+        // count): the filtered corpus is the expensive-to-recompute
+        // input
         .localCheckpoint()
-      val pairs = Dedup.minHashLsh(s2, "doc_id", "text",
-        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      // near-dup pairs come from the shared train-once artifact,
+      // restricted to the surviving corpus — exact, see
+      // minhashPairsWithin (LSH is per-doc/per-pair pure)
+      val pairs = minhashPairsWithin(s, dir, s2)
       val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
       val s3 = s2.join(comp, col("doc_id") === col("node"), "left")
         .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
@@ -1792,7 +1838,7 @@ object PipelineQueries {
     "q185_calibrated_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = docs.select(col("doc_id"), col("source"))
-        .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+        .join(qualityScores(s, dir), "doc_id")
       Stats.percentRankMilli(scored, "source", "quality")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -2034,7 +2080,7 @@ object PipelineQueries {
     // q181 range-partition + prefix-count two-pass, stated.
     "q213_quality_dup_profile" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val scored = qualityScores(s, dir)
       val losers = minhashPairs(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("_dup", lit(1L))
@@ -2194,14 +2240,17 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val s1 = base.join(keep1, Seq("doc_id"), "left_semi")
         .localCheckpoint()
-      val pairs = Dedup.minHashLsh(s1, "doc_id", "text",
-        shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+      // shared pair artifact restricted to the exact-dedup keepers —
+      // exact (per-doc signatures, per-pair verify)
+      val pairs = minhashPairsWithin(s, dir, s1)
       val cmap = Dedup.canonicalMap(s1, "doc_id", "n_chars",
         pairs, "doc_a", "doc_b")
       val s2 = s1.join(cmap.filter(col("doc_id") === col("keep_id"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
+      // quality artifact is per-row pure: the semi-join against s2
+      // restricts it to the stage corpus, same rows as recomputing
       val s3 = s2.join(
-        TextAnalysis.qualityScore(s2, "doc_id", "text")
+        qualityScores(s, dir)
           .filter(col("quality") >= 0.5).select("doc_id"),
         Seq("doc_id"), "left_semi")
       Seq("0_raw" -> base, "1_exact" -> s1, "2_canonical" -> s2,
@@ -2379,7 +2428,7 @@ object PipelineQueries {
       val scored = docs
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("_nt"))
-        .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+        .join(qualityScores(s, dir), "doc_id")
       scored
         .select(least(expr("_nt div 16"), lit(7L)).as("len_bin"),
           least(floor(col("quality") * 5).cast("long"), lit(4L))
@@ -2536,7 +2585,7 @@ object PipelineQueries {
       val pairs = minhashPairs(s, dir)
       val dupIds = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val labeled = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val labeled = qualityScores(s, dir)
         .join(dupIds.withColumn("_y1", lit(1L)), Seq("doc_id"), "left")
         .select(col("quality"), coalesce(col("_y1"), lit(0L)).as("y"))
       Stats.calibrationBins(labeled, "quality", "y", nBins = 10)
@@ -2594,7 +2643,7 @@ object PipelineQueries {
       val shares = (0 until 5).map(i => (s"src$i", 150L)) ++
         (5 until 10).map(i => (s"src$i", 50L))
       val m = Curation.mixtureMembers(docs, "source", "doc_id", shares)
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val q = qualityScores(s, dir)
         .select(col("doc_id"),
           floor(col("quality") * 1000).cast("long").as("qm"))
       m.join(q, "doc_id")

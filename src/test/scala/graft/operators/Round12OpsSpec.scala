@@ -52,6 +52,31 @@ class Round12OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("first_alarm_us") == 30L * 1000000L)
   }
 
+  test("minHashLsh over a subset == full-corpus pairs restricted (artifact reuse)") {
+    // The funnel queries reuse the full-corpus pair artifact by
+    // semi-joining both endpoints to their stage corpus. That is exact
+    // only because signatures/band keys are per-document and the
+    // Jaccard verify is per-pair — prove it on the real fixture.
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val sub = docs.filter(col("doc_id") % 3 =!= 0)
+    val direct = Dedup.minHashLsh(sub, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+    val full = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, k = 24, bands = 4, rows = 6, threshold = 0.8)
+    // compare COLLECTED bit-level sets: both frames share the same
+    // source exprIds, and except() over such sibling plans mis-plans
+    // the anti-join (observed: every matching row reported missing)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    val subIds = sub.select("doc_id").collect().map(_.getLong(0)).toSet
+    val restricted = pairSet(full).filter(p =>
+      subIds(p._1) && subIds(p._2))
+    val d = pairSet(direct)
+    assert(d.nonEmpty, "vacuous fixture: no pairs in the subset")
+    assert(d == restricted)
+  }
+
   test("cusumShift: an all-non-finite series is absent, like all-NULL") {
     val df = Seq(("a", 10L, 1L, Double.NaN),
       ("a", 20L, 2L, Double.NegativeInfinity))

@@ -47,6 +47,37 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    // LOADED-HOST FLAG (r10/r11/r12 verdict item, landed r13): compare
+    // this run's calibration probe against the MEDIAN calibration of
+    // the archived full runs in bench_runs/ — back-to-back probes on a
+    // clean host sit ~0.8–0.95 s here, while co-tenant load has pushed
+    // them past 2.5 s (r11: 3.02, r12: 2.587). A run whose calibration
+    // exceeds 2× that median is marked "loaded_host":true so a noisy
+    // record can't silently become a round headline. Needs >= 3
+    // archives to have a meaningful median; absent that, never flags.
+    val loadedHost: Boolean = {
+      val dir = java.nio.file.Paths.get("bench_runs")
+      val cals: Seq[Double] =
+        if (!java.nio.file.Files.isDirectory(dir)) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          val re = """"calibration":([0-9]+\.?[0-9]*)""".r
+          java.nio.file.Files.list(dir).iterator().asScala
+            .filter(_.toString.endsWith(".json")).toSeq.sorted
+            .flatMap { p =>
+              val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              re.findFirstMatchIn(s).map(_.group(1).toDouble)
+            }
+        }
+      if (cals.size < 3) false
+      else {
+        val sorted = cals.sorted
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        calibration > 2.0 * median
+      }
+    }
     // Same for the streaming machinery (state store, file source,
     // micro-batch engine, memory sink): a 100-row bounded run, so the
     // alphabetically-first STREAMING query doesn't absorb the one-time
@@ -66,9 +97,21 @@ object Bench {
       spark.catalog.dropTempView("graft_warmup_sink")
       Checkpoints.sweep(spark)
     } catch { case _: Throwable => () }
+    // PLAN-PRESERVING SINK (r12 verdict item 1): `.count()` wraps the
+    // query in Aggregate(count(1)) and ColumnPruning then rewrites the
+    // plan under measurement — for q258 it stripped the pushed DSV2
+    // aggregate so the bench timed the 64-task fallback row scan
+    // (4.78 s) for a query whose real plan is ONE metadata-computed
+    // row (~ms). The noop sink executes the query's OWN plan: every
+    // column is consumed, nothing is re-aggregated, nothing collected.
+    // One-time comparability break vs BENCH_r12 and earlier: count()
+    // only had to materialize aggregate-input columns, noop consumes
+    // the full result rows — recorded as "sink":"noop" in the JSON.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // Between-queries hygiene (untimed): each query's result has been
       // fully consumed, so its leftover checkpoints/caches are dead —
@@ -100,7 +143,7 @@ object Bench {
       // time-to-exception would read as "transient stall" — the exact
       // opposite of a deterministic second-execution defect). Report
       // -1 so the judge sees "broke on re-run", not "was fast".
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { consume(fn(spark, sfDir)); true }
                catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Checkpoints.sweep(spark)
@@ -136,7 +179,7 @@ object Bench {
       val short = results.zip(shortIds).map { case ((k, v), sid) =>
         s"\"" + (if (useShort) sid else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
     // by the harness tail. Degrade gracefully: ms precision → cs
@@ -159,18 +202,18 @@ object Bench {
         val id = if (useShort) sid.stripPrefix("q") else k
         s"\"" + id + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1),
         fmtLineNoQ(r0))
       .find(_.length <= 1900).getOrElse(
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""))
     // Full names land in a plain file (sbt decorates stdout with
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
     // DURABILITY (r9 verdict item 4): bench.json used to be silently
     // overwritten by any targeted SPARK_GRAFT_ONLY run, and at 244
     // queries the stdout line is totals-only — making bench.json the

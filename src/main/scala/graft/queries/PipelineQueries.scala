@@ -197,16 +197,23 @@ object PipelineQueries {
       "q245_ivf_pq" -> (() => cent() || pq())) ++ {
       val pairs = () => pairArtifact.nonEmpty
       val quality = () => qualityArtifact.nonEmpty
+      // Dual-artifact consumers get `pairs() || quality()` — a
+      // warm-pairs/cold-quality state (or vice versa) still means the
+      // retime replays SOME trained cache, so the triage flag must not
+      // read "fully cold" (ADVICE r12).
+      val both = () => pairs() || quality()
       Seq("q31_dedup_minhash_lsh", "q53_dedup_components",
         "q69_dedup_components_star", "q110_triangle_count",
         "q146_canonical_pick", "q156_source_dup_matrix",
-        "q183_dup_cluster_census", "q213_quality_dup_profile",
-        "q216_triplet_mining", "q249_calibration_bins",
-        "q164_curation_funnel", "q220_token_funnel")
+        "q183_dup_cluster_census", "q216_triplet_mining",
+        "q164_curation_funnel")
         .map(_ -> pairs).toMap ++
         Seq("q185_calibrated_gate", "q237_quality_length_grid",
           "q252_resample_bias")
-          .map(_ -> quality).toMap
+          .map(_ -> quality).toMap ++
+        Seq("q213_quality_dup_profile", "q220_token_funnel",
+          "q249_calibration_bins")
+          .map(_ -> both).toMap
     }
   }
 
@@ -2065,6 +2072,19 @@ object PipelineQueries {
 
     // CONTAMINATION n-GRAM SWEEP: q49's benchmark split re-scanned at
     // shingle n = 2, 3, 4 — how the decontamination n gets chosen.
+    //
+    // NOT rewired onto the artifact family (r12 verdict item 7,
+    // decided): the pair artifact stores verified near-dup PAIRS; this
+    // sweep consumes per-document shingle SETS (exploded digest join
+    // against the benchmark's distinct shingles) — no LSH pipeline
+    // exists here to elide, so the only shareable piece would be the
+    // shingling pass itself. A shingle-level artifact is a poor trade:
+    // the exploded (doc, shingle-digest) table is corpus×~35 rows
+    // (LARGER than the corpus, ~3 legs' worth of parquet I/O to write
+    // once), while recomputing it is one cheap narrow projection per
+    // leg with no shuffle — and only the n=2 leg could share it with
+    // the rest of the family anyway. Contrast with minhashPairs, which
+    // elides eight full shingle→signature→band→verify pipelines.
     "q211_contamination_sweep" -> ((s, dir) => {
       Curation.contaminationSweep(t(s, dir, "documents"), "doc_id",
         "text", col("doc_id") % 50 === 0, ns = Seq(2, 3, 4))
@@ -2749,6 +2769,27 @@ object PipelineQueries {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).as("sum_id"))
+    }),
+
+    // DSV2 GROUPED AGGREGATE PUSHDOWN — the PARTIAL half of the
+    // SupportsPushDownAggregates contract. lang is an md5-scrambled
+    // function of doc_id (no closed form over the bounds, unlike
+    // q258's ungrouped case), so each split folds its id slice into
+    // ≤5 partial rows executor-side — no text materialized, no full
+    // rows built — and Spark's final Aggregate merges |splits|×5
+    // partials. The Aggregate node STAYS (it must: splits emit
+    // duplicate groups); SyntheticDocsSpec pins PushedGroupBy in the
+    // scan. 4M ids keeps the oracle's per-id md5 re-derivation cheap.
+    "q259_dsv2_grouped_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "4000000").option("partitions", "32").load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 3500000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
     })
   )
 
@@ -4844,6 +4885,25 @@ object PipelineQueries {
                 CAST(max(range) AS BIGINT) AS max_id,
                 CAST(sum(range) AS BIGINT) AS sum_id
          FROM range(1234, 98765432)""",
+
+    // Grouped twin: the oracle re-derives lang per id from the same
+    // md5-prefix pick and aggregates declaratively — if the grouped
+    // scan's per-split fold dropped, duplicated, or mis-bucketed an
+    // id, every per-lang figure would diverge.
+    "q259_dsv2_grouped_pushdown" -> {
+      val langsSql = graft.sources.SyntheticDocs.langs
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(i) AS BIGINT) AS min_id,
+                CAST(max(i) AS BIGINT) AS max_id,
+                CAST(sum(i) AS BIGINT) AS sum_id
+         FROM (
+           SELECT i, list_extract($langsSql,
+                    ((('0x' || substr(md5(i || ':lang'), 1, 8))::BIGINT % 5)
+                      ::INT + 1)) AS lang
+           FROM (SELECT unnest(range(1000, 3500000)) AS i))
+         GROUP BY lang ORDER BY lang"""
+    },
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -184,51 +184,124 @@ private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
   // count / count(col) / min(doc_id) / max(doc_id) / sum(doc_id) have
   // CLOSED FORMS over the bounds — the scan answers them from split
   // metadata alone, emitting one final row and generating zero data
-  // rows. Complete pushdown (the Aggregate node vanishes); anything
-  // the bounds can't answer exactly (group-by, min/max/sum on a
+  // rows. Complete pushdown (the Aggregate node vanishes).
+  //
+  // GROUPED aggregates (GROUP BY lang / source) have NO closed form:
+  // those columns are md5-SCRAMBLED functions of doc_id (not modular
+  // residues), so per-group counts over the bounds cannot be computed
+  // without evaluating the hash per id. They are served as PARTIAL
+  // pushdown instead: each split folds its ids into <= |group domain|
+  // partial rows executor-side (never materializing text or full
+  // rows) and Spark's final Aggregate merges the partials — the
+  // standard connector contract when the source can pre-aggregate but
+  // cannot claim finality across splits. Anything the bounds can't
+  // answer exactly (group-by on other columns, min/max/sum on a
   // non-id column, distinct on a non-unique column) is refused and
   // Spark aggregates scanned rows as usual.
   private var pushedAgg: Option[Aggregation] = None
 
-  private def refName(e: V2Expression): Option[String] = e match {
-    case nr: NamedReference if nr.fieldNames.length == 1 =>
-      Some(nr.fieldNames.head)
-    case _ => None
-  }
-
-  private def servable(agg: Aggregation): Boolean = {
+  // sum(doc_id) over [lo,hi) — refuse if it would overflow Long
+  // (Spark's own Sum(LongType) would raise under ANSI; the closed
+  // form must not silently wrap where row-at-a-time would throw).
+  // Grouped partials are bounded by this same total (ids are
+  // non-negative), so one global check covers both modes.
+  private def sumFits: Boolean = {
     val n = math.max(hi - lo, 0L)
-    // sum(doc_id) over [lo,hi) — refuse if it would overflow Long
-    // (Spark's own Sum(LongType) would raise under ANSI; the closed
-    // form must not silently wrap where row-at-a-time would throw).
-    def sumFits: Boolean = n == 0L ||
-      (BigInt(lo) + BigInt(hi - 1)) * n / 2 <= Long.MaxValue
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        // every column is non-nullable -> count(col) == count(*);
-        // DISTINCT is only exact on the unique id column
-        case c: Count =>
-          refName(c.column).exists(f =>
-            SyntheticDocs.schema.fieldNames.contains(f) &&
-              (!c.isDistinct || f == "doc_id"))
-        case m: Min => refName(m.column).contains("doc_id")
-        case m: Max => refName(m.column).contains("doc_id")
-        case s: Sum => refName(s.column).contains("doc_id") && sumFits
-        case _ => false
-      }
+    n == 0L || (BigInt(lo) + BigInt(hi - 1)) * n / 2 <= Long.MaxValue
   }
 
+  /** Group-by columns the per-split fold can evaluate cheaply: the
+    * low-cardinality deterministic string columns (lang: 5, source:
+    * 20). None = some group expression is not servable. Nil (no
+    * grouping) is Some(Nil). */
+  private def groupCols(agg: Aggregation): Option[Seq[String]] = {
+    val names = agg.groupByExpressions.toSeq.map(DocsAgg.refName)
+    if (names.forall(_.exists(DocsAgg.groupable.contains)))
+      Some(names.map(_.get))
+    else None
+  }
+
+  /** One [[DocsAgg.Kind]] per aggregate expression, or None if any is
+    * unservable — the SINGLE classification consumed by servable(),
+    * the value computation, and both output schemas, so the accepted
+    * set cannot desync from the evaluators (ADVICE r12: the old
+    * pattern matches were non-exhaustive by convention only). */
+  private def kinds(agg: Aggregation): Option[Seq[DocsAgg.Kind]] = {
+    val ks = agg.aggregateExpressions.toSeq.map(
+      DocsAgg.classify(_, agg.groupByExpressions.nonEmpty, sumFits))
+    if (ks.nonEmpty && ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
+  }
+
+  private def servable(agg: Aggregation): Boolean =
+    groupCols(agg).isDefined && kinds(agg).isDefined
+
+  /** Complete only when UNGROUPED: the closed-form row IS the final
+    * answer. A grouped scan emits per-split partials from MULTIPLE
+    * splits — claiming complete would hand Spark duplicate group rows
+    * as final results. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    servable(agg)
+    agg.groupByExpressions.isEmpty && servable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (servable(agg)) { pushedAgg = Some(agg); true } else false
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new SyntheticDocsAggScan(lo, hi, agg)
+    case Some(agg) if agg.groupByExpressions.isEmpty =>
+      new SyntheticDocsAggScan(lo, hi, agg, kinds(agg).get)
+    case Some(agg) =>
+      new SyntheticDocsGroupedAggScan(rows, parts, lo, hi,
+        groupCols(agg).get, kinds(agg).get, agg)
     case None => new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
+  }
+}
+
+/** The accepted-aggregate classification shared by servable checks,
+  * value computation, and output schemas — one sealed vocabulary, so
+  * every consumer's match is compiler-checked exhaustive. */
+private[sources] object DocsAgg {
+  sealed trait Kind
+  /** count(*) / count(col) (all columns non-nullable) / ungrouped
+    * count(DISTINCT doc_id) (ids unique) — all equal the row count. */
+  case object RowCount extends Kind
+  case object MinId extends Kind
+  case object MaxId extends Kind
+  case object SumId extends Kind
+
+  /** Columns a grouped scan may group by: deterministic per-id string
+    * columns with a tiny fixed domain, so per-split partial state is
+    * O(domain), never O(ids). */
+  val groupable: Set[String] = Set("lang", "source")
+
+  def refName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  /** Classify one V2 aggregate function, or None when the id-range
+    * bounds cannot answer it exactly. DISTINCT is only exact on the
+    * unique id column and only ungrouped is claimed (Spark refuses
+    * partial distinct merges anyway; the refusal here keeps the
+    * contract local). */
+  def classify(f: AggregateFunc, grouped: Boolean,
+               sumFits: => Boolean): Option[Kind] = f match {
+    case _: CountStar => Some(RowCount)
+    case c: Count =>
+      refName(c.column)
+        .filter(SyntheticDocs.schema.fieldNames.contains(_))
+        .flatMap { n =>
+          if (!c.isDistinct) Some(RowCount)
+          else if (n == "doc_id" && !grouped) Some(RowCount)
+          else None
+        }
+    case m: Min => refName(m.column).filter(_ == "doc_id").map(_ => MinId)
+    case m: Max => refName(m.column).filter(_ == "doc_id").map(_ => MaxId)
+    case s: Sum =>
+      refName(s.column).filter(_ == "doc_id")
+        .filter(_ => sumFits && (!s.isDistinct || !grouped))
+        .map(_ => SumId)
+    case _ => None
   }
 }
 
@@ -236,22 +309,25 @@ private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
   * side from the pushed bounds — no generator row ever exists. The
   * empty-range row is (0, NULL, NULL, NULL)-shaped, matching Spark's
   * global-aggregate-over-empty-input semantics. */
-private class SyntheticDocsAggScan(lo: Long, hi: Long, agg: Aggregation)
+private class SyntheticDocsAggScan(lo: Long, hi: Long, agg: Aggregation,
+                                   kinds: Seq[DocsAgg.Kind])
     extends Scan with Batch with SupportsReportStatistics {
   private val n = math.max(hi - lo, 0L)
 
-  private val values: Array[Any] = agg.aggregateExpressions.map {
-    case _: CountStar => n
-    case _: Count => n
-    case _: Min => if (n > 0) lo else null
-    case _: Max => if (n > 0) hi - 1 else null
-    case _: Sum =>
+  // Sealed-trait matches: extending DocsAgg.Kind without updating the
+  // evaluators is a compile error, not a planning-time MatchError
+  // (ADVICE r12).
+  private val values: Array[Any] = kinds.map {
+    case DocsAgg.RowCount => n
+    case DocsAgg.MinId => if (n > 0) lo else null
+    case DocsAgg.MaxId => if (n > 0) hi - 1 else null
+    case DocsAgg.SumId =>
       if (n > 0) ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong else null
-  }
+  }.toArray
 
   override def readSchema(): StructType = StructType(
-    agg.aggregateExpressions.zipWithIndex.map {
-      case (_: CountStar | _: Count, i) =>
+    kinds.zipWithIndex.map {
+      case (DocsAgg.RowCount, i) =>
         StructField(s"agg$i", LongType, nullable = false)
       case (_, i) => StructField(s"agg$i", LongType, nullable = true)
     })
@@ -284,6 +360,116 @@ private class SyntheticDocsAggScan(lo: Long, hi: Long, agg: Aggregation)
 }
 
 private case class DocsAggRow(values: Seq[Any]) extends InputPartition
+
+/** Grouped-aggregate scan — the PARTIAL half of the pushdown
+  * contract. Each split folds its (filter-tightened) id slice into at
+  * most |group domain| partial rows INSIDE the executor: the group
+  * columns are evaluated per id (they are md5 hashes of the id — no
+  * closed form exists), but no text is ever materialized, no full row
+  * is built, and only the tiny partial rows reach Spark's final
+  * Aggregate. At 100 TB this is the connector shape that turns a
+  * row-level shuffle into a |splits| × |groups| merge.
+  *
+  * Output schema is position-matched to Spark's expectation for
+  * partial pushdown: group-by columns first (in pushed order), then
+  * one Long per aggregate. Every value is non-null — a group row
+  * exists only if at least one id landed in it. */
+private class SyntheticDocsGroupedAggScan(rows: Long, parts: Int,
+    lo: Long, hi: Long, groupCols: Seq[String], kinds: Seq[DocsAgg.Kind],
+    agg: Aggregation)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => StructField(c, StringType, nullable = false)) ++
+      kinds.zipWithIndex.map { case (_, i) =>
+        StructField(s"agg$i", LongType, nullable = false) })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs(bounds=[$lo,$hi)) PushedGroupBy: " +
+      groupCols.mkString("[", ", ", "]") + " PushedAggregates: " +
+      agg.aggregateExpressions.mkString("[", ", ", "]")
+
+  private def domainOf(c: String): Long =
+    if (c == "lang") SyntheticDocs.langs.length.toLong else 20L
+
+  /** Exact output-row bound: min(ids, group-domain product) per the
+    * whole scan — what keeps the final Aggregate's planner input
+    * honest (a handful of rows, broadcast-joinable). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val groups = math.min(math.max(hi - lo, 0L),
+      groupCols.map(domainOf).product)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(groups * 8L * (groupCols.length + kinds.length))
+    override def numRows(): OptionalLong = OptionalLong.of(groups)
+  }
+
+  // Same stable split grid as the row scan: anchored to [0, rows),
+  // intersected with the pushed bounds.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / math.max(parts, 1)
+    (0 until parts).iterator
+      .map(p => DocsRange(math.max(p * per, lo),
+        math.min(math.min((p + 1) * per, rows), hi)))
+      .filter(r => r.start < r.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupedAggReaderFactory(groupCols.toArray, kinds.toArray)
+}
+
+private class GroupedAggReaderFactory(groupCols: Array[String],
+    kinds: Array[DocsAgg.Kind]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[DocsRange]
+    new PartitionReader[InternalRow] {
+      // Fold the whole slice up front: partial state is one counter
+      // array per group — O(domain) memory regardless of slice size.
+      private val it: Iterator[InternalRow] = {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[String], Array[Long]]
+        var i = r.start
+        while (i < r.end) {
+          val key: Seq[String] = groupCols.toIndexedSeq.map {
+            case "lang" => SyntheticDocs.langOf(i)
+            case "source" => SyntheticDocs.sourceOf(i)
+            case other => throw new IllegalStateException(
+              s"non-groupable column '$other' reached the grouped scan" +
+                " — DocsAgg.groupable and this evaluator desynced")
+          }
+          val acc = m.getOrElseUpdate(key,
+            kinds.map {
+              case DocsAgg.RowCount => 0L
+              case DocsAgg.MinId => Long.MaxValue
+              case DocsAgg.MaxId => Long.MinValue
+              case DocsAgg.SumId => 0L
+            })
+          var j = 0
+          while (j < kinds.length) {
+            kinds(j) match {
+              case DocsAgg.RowCount => acc(j) += 1L
+              case DocsAgg.MinId => if (i < acc(j)) acc(j) = i
+              case DocsAgg.MaxId => if (i > acc(j)) acc(j) = i
+              case DocsAgg.SumId => acc(j) += i
+            }
+            j += 1
+          }
+          i += 1
+        }
+        m.iterator.map { case (k, a) =>
+          InternalRow.fromSeq(
+            (k.map(UTF8String.fromString): Seq[Any]) ++ a.toSeq)
+        }
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private class SyntheticDocsScan(rows: Long, parts: Int,
                                 required: StructType,

@@ -174,13 +174,8 @@ class SyntheticDocsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("mn")) && r.isNullAt(r.fieldIndex("sm")))
   }
 
-  test("aggregate pushdown refused: group-by and non-id min fall back correctly") {
+  test("aggregate pushdown refused: non-id min and non-unique distinct fall back") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    // group-by can't be served from bounds -> Aggregate stays, rows scan
-    val g = load(200, 4).groupBy("lang").agg(count(lit(1)).as("n"))
-    assert(g.queryExecution.optimizedPlan.collect {
-      case a: Aggregate => a }.nonEmpty)
-    assert(g.agg(sum("n")).collect().head.getLong(0) == 200L)
     // min on a non-id column is refused but still correct via row scan
     val m = load(200, 4).agg(min(col("lang")).as("mn"))
     assert(m.queryExecution.optimizedPlan.collect {
@@ -194,6 +189,54 @@ class SyntheticDocsSpec extends SparkTestBase {
     assert(dl.collect().head.getLong(0) == 5L)
     val di = load(200, 4).agg(countDistinct(col("doc_id")).as("n"))
     assert(di.collect().head.getLong(0) == 200L)
+  }
+
+  test("grouped aggregate pushdown: partial — split folds, final agg merges") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = load(1000, 8)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 900)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"), sum(col("doc_id")).as("sm"))
+    // PARTIAL pushdown: the final Aggregate STAYS (merges per-split
+    // partials) but the scan is the grouped-agg scan, not a row scan
+    assert(df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.nonEmpty)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedGroupBy: [lang]"), planStr)
+    assert(planStr.contains("PushedAggregates"), planStr)
+    // values equal the unpushed row-scan computation exactly
+    val rows = (100L until 900L).map(i => (SyntheticDocs.langOf(i), i))
+    val expect = rows.groupBy(_._1).map { case (l, xs) =>
+      (l, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val got = df.orderBy("lang").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("grouped aggregate pushdown: multi-column grouping and refusal") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // (lang, source): both groupable -> pushed, values match row scan
+    val df = load(500, 4).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [lang, source]"),
+      df.queryExecution.executedPlan.toString)
+    val expect = (0L until 500L)
+      .groupBy(i => (SyntheticDocs.langOf(i), SyntheticDocs.sourceOf(i)))
+      .view.mapValues(_.size.toLong).toMap
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // n_tokens is NOT groupable (30-value domain but a per-id hash the
+    // fold would have to compute anyway — kept off the contract):
+    // refused to the row scan, still correct
+    val ref = load(500, 4).groupBy("n_tokens").agg(count(lit(1)).as("n"))
+    assert(!ref.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy"))
+    assert(ref.agg(sum("n")).collect().head.getLong(0) == 500L)
   }
 
   test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {

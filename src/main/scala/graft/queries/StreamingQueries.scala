@@ -512,6 +512,40 @@ object StreamingQueries {
       graft.operators.Sketch.logHistQuantiles(sunk,
           Seq("event_type"), Seq(500L, 900L, 990L))
         .orderBy("event_type", "q_permille")
+    }),
+
+    // Streaming twin of q257 (r11 stretch, landed r13): Page's CUSUM
+    // upward-shift detector as O(1)-per-series transformWithState.
+    // The increment d = floor(value·100) − 5500 (with the batch
+    // operator's NULL/non-finite exclusion) is computed DataFrame-side
+    // so both engines share one predicate; the processor folds the
+    // telescoped prefix-sum/running-min recursion in (us, event_id)
+    // order and emits one summary per touched series per batch. On
+    // the bounded one-batch fixture that equals batch q257
+    // row-for-row — the oracle is literally q257's SQL.
+    "q260_stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val v = col("value").cast("double")
+      val finite = v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
+      val obs = eventsStream(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+          col("event_id"),
+          when(finite, floor(v * 100).cast("long") - 5500L).as("d"))
+        .as[EventStreams.MetricObs]
+      val out = EventStreams.cusumShiftStream(s, obs,
+        thresholdCents = 50000L)
+      val (sunk, dataBatches) = withRocksDbState(s) {
+        runBoundedCounted(s, out.toDF(), "graft_q260_sink", "append")
+      }
+      // per-batch summary re-emission would duplicate series rows in
+      // the append sink: the bounded fixture must be one data batch.
+      require(dataBatches == 1,
+        s"q260 expects exactly 1 data micro-batch (per-batch summary " +
+          s"rows accumulate in the append sink); got $dataBatches")
+      sunk.select(col("event_type"), col("n"), col("n_excluded"),
+          col("n_alarms"), col("max_s_cents"), col("first_alarm_us"))
+        .orderBy("event_type")
     })
   )
 
@@ -522,6 +556,37 @@ object StreamingQueries {
     "q251_stream_loghist" ->
       QueryUtil.sqlLogHistQuantiles("events", "event_type", "value",
         "event_type", Seq(500, 900, 990)),
+
+    // Literally the batch q257 oracle: the one-batch state fold over
+    // (us, event_id) order IS the prefix-sum/running-min window pair,
+    // in the same integer cents.
+    "q260_stream_cusum" ->
+      """WITH base AS (
+           SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id,
+                  CAST(floor(value * 100) AS BIGINT) - 5500 AS d
+           FROM events),
+         p AS (SELECT event_type, us, event_id, d,
+                      sum(d) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS pf
+               FROM base WHERE d IS NOT NULL),
+         s AS (SELECT event_type, us,
+                      pf - least(0, min(pf) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING)) AS s
+               FROM p),
+         ex AS (SELECT event_type,
+                       CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_excluded
+                FROM base GROUP BY event_type)
+         SELECT s.event_type, CAST(count(*) AS BIGINT) AS n,
+                max(ex.n_excluded) AS n_excluded,
+                CAST(sum(CASE WHEN s >= 50000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alarms,
+                CAST(max(s) AS BIGINT) AS max_s_cents,
+                min(CASE WHEN s >= 50000 THEN us END) AS first_alarm_us
+         FROM s JOIN ex ON s.event_type = ex.event_type
+         GROUP BY s.event_type ORDER BY s.event_type""",
 
     // Spark's watermark is floor(max event-time in MILLISECONDS) −
     // delay; append emits a window once window_end ≤ watermark. us is

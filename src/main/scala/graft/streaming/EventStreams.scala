@@ -176,7 +176,13 @@ object EventStreams {
   case class RunningTotal(event_id: Long, user_id: Long, running_n: Long,
                           running_sum_millis: Long)
 
-  private case class TotalsState(n: Long, sumMillis: Long)
+  // State case classes are PUBLIC on purpose: Scala `private` emits
+  // package-private bytecode, and the Janino-generated state-row
+  // UnsafeProjection lives in another package — a private state class
+  // silently drops EVERY state (de)serialization to interpreter mode
+  // ("Expr codegen error ... falling back", measured on q134/q260).
+  // They are implementation details by convention, not by modifier.
+  case class TotalsState(n: Long, sumMillis: Long)
 
   /** Arbitrary-state processor behind [[runningTotals]] — the
     * Spark 4 `transformWithState` API (StatefulProcessor + typed
@@ -234,7 +240,7 @@ object EventStreams {
   /** One step of a user's event-type chain. */
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
-  private case class LastType(tpe: String)
+  case class LastType(tpe: String)
 
   /** State processor behind [[transitions]]: ONE string per user (the
     * type of the user's latest event) carries the chain across
@@ -282,7 +288,7 @@ object EventStreams {
   /** A funnel advance: `user_id` reached 1-based `stage`. */
   case class StageReached(user_id: Long, stage: Long)
 
-  private case class FunnelState(stage: Int, sinceUs: Long)
+  case class FunnelState(stage: Int, sinceUs: Long)
 
   /** State processor behind [[funnelStages]]: (stage, stage-time) per
     * user folds the ordered-stage semantics of
@@ -346,7 +352,7 @@ object EventStreams {
     * [[graft.operators.Events.interArrivalBurstiness]] unit). */
   case class Gap(user_id: Long, gap_s: Long)
 
-  private case class LastUs(us: Long)
+  case class LastUs(us: Long)
 
   /** State processor behind [[interArrivalGaps]]: ONE long per user
     * (the latest event time) carries the gap chain across batches —
@@ -405,7 +411,7 @@ object EventStreams {
   /** One keyed hash observation for the streaming KMV sketch. */
   case class KeyedHash(k: String, h: Long)
 
-  private case class KmvValues(hs: Array[Long])
+  case class KmvValues(hs: Array[Long])
 
   /** State processor behind [[kmvSketchStream]]: per key, the bottom-`k`
     * DISTINCT hashes seen so far — the KMV sketch itself IS the state
@@ -448,6 +454,97 @@ object EventStreams {
     hashes
       .groupByKey(_.k)
       .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One time-ordered metric observation for the CUSUM stream. `d` is
+    * the pre-shifted increment floor(value·100) − k in integer cents,
+    * or null when the metric was NULL/NaN/±Inf (the same exclusion
+    * [[graft.operators.Stats.cusumShift]] applies — a non-finite cast
+    * would poison every later S_t). */
+  case class MetricObs(event_type: String, us: Long, event_id: Long,
+                       d: java.lang.Long)
+
+  /** Per-series CUSUM summary — the SAME output row as batch q257. */
+  case class CusumSummary(event_type: String, n: Long, n_excluded: Long,
+                          n_alarms: Long, max_s_cents: Long,
+                          first_alarm_us: java.lang.Long)
+
+  /** O(1) per-series CUSUM state: prefix sum, raw prefix-min, and the
+    * summary counters. `minP` starts at Long.MaxValue (no observation
+    * yet); `maxS` at Long.MinValue likewise — neither is ever emitted
+    * before the first included observation (n == 0 emits nothing,
+    * matching batch absence of all-excluded series). */
+  case class CusumState(p: Long, minP: Long, n: Long,
+      nExcluded: Long, nAlarms: Long, maxS: Long,
+      firstAlarmUs: Long, hasAlarm: Boolean)
+
+  /** Page's recursion S_t = max(0, S_{t-1} + x_t − k), folded as the
+    * telescoped form the batch operator plans (prefix sum minus the
+    * clamped running min): p_t = Σd, S_t = p_t − min(0, min_{j≤t} p_j).
+    * Identical integer arithmetic ⇒ bit-identical alarms.
+    *
+    * Within a batch the series' rows fold in (us, event_id) order —
+    * the bounded-buffer trade every ordered twin here makes; the O(1)
+    * state carries the fold across batches (a live deployment's
+    * cross-batch order contract is arrival order, same as
+    * [[runningTotals]]). Emission: ONE summary row per touched series
+    * per batch — the bounded single-batch run emits exactly the batch
+    * q257 rows. */
+  private class CusumProcessor(thresholdCents: Long)
+      extends StatefulProcessor[String, MetricObs, CusumSummary] {
+    @transient private var state: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[MetricObs],
+        timerValues: TimerValues): Iterator[CusumSummary] = {
+      val sorted = rows.toArray.sortBy(o => (o.us, o.event_id))
+      var st = if (state.exists()) state.get()
+               else CusumState(0L, Long.MaxValue, 0L, 0L, 0L,
+                 Long.MinValue, 0L, hasAlarm = false)
+      sorted.foreach { o =>
+        if (o.d == null) st = st.copy(nExcluded = st.nExcluded + 1L)
+        else {
+          val p = st.p + o.d.longValue
+          val minP = math.min(st.minP, p)
+          val s = p - math.min(0L, minP)
+          val alarmed = s >= thresholdCents
+          st = CusumState(
+            p = p, minP = minP, n = st.n + 1L,
+            nExcluded = st.nExcluded,
+            nAlarms = st.nAlarms + (if (alarmed) 1L else 0L),
+            maxS = math.max(st.maxS, s),
+            firstAlarmUs =
+              if (alarmed && !st.hasAlarm) o.us else st.firstAlarmUs,
+            hasAlarm = st.hasAlarm || alarmed)
+        }
+      }
+      state.update(st)
+      // A series with no included observation yet has no statistic —
+      // absent, exactly like the batch operator's all-NULL contract.
+      if (st.n == 0L) Iterator.empty
+      else Iterator.single(CusumSummary(key, st.n, st.nExcluded,
+        st.nAlarms, st.maxS,
+        if (st.hasAlarm) java.lang.Long.valueOf(st.firstAlarmUs) else null))
+    }
+  }
+
+  /** STREAMING CUSUM upward-shift detector: the unbounded twin of
+    * [[graft.operators.Stats.cusumShift]] (q257). Input must already
+    * carry the pre-shifted increment (see [[MetricObs]]); parallelism
+    * is per series, state is O(1) per series, and each batch re-emits
+    * the touched series' current summary (update-shaped emission under
+    * append mode — a bounded one-batch run therefore equals the batch
+    * detector row-for-row). */
+  def cusumShiftStream(spark: SparkSession, obs: Dataset[MetricObs],
+                       thresholdCents: Long): Dataset[CusumSummary] = {
+    import spark.implicits._
+    obs
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(thresholdCents),
         TimeMode.None(), OutputMode.Append())
   }
 }

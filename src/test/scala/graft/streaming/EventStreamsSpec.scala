@@ -354,4 +354,70 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming CUSUM equals batch on NULL/NaN/Inf series and resumes state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // drift k = 100 cents, threshold h = 300 cents. Series:
+    //  "up"  — sustained +200/obs drift: alarms from the 2nd obs on
+    //  "mix" — NaN, +Inf and NULL interleaved with finite values
+    //          (exclusions counted, statistic unpoisoned)
+    //  "gone"— all-NULL: NO output row on either engine
+    val fixture: Seq[(String, Timestamp, Long, java.lang.Double)] = Seq(
+      ("up", ts(1), 1L, 3.0), ("up", ts(2), 2L, 3.0),
+      ("up", ts(3), 3L, 3.0),
+      ("mix", ts(1), 4L, Double.NaN), ("mix", ts(2), 5L, 5.0),
+      ("mix", ts(3), 6L, Double.PositiveInfinity),
+      ("mix", ts(4), 7L, null), ("mix", ts(5), 8L, 0.5),
+      ("gone", ts(1), 9L, null), ("gone", ts(2), 10L, null))
+    // batch 2 strictly AFTER batch 1 in event time, so the stream's
+    // arrival-order fold equals the batch engine's global
+    // (us, event_id) order while still exercising cross-batch state
+    val (b1, b2) = fixture.partition(_._2.getTime <= ts(3).getTime)
+    val batchDf = fixture
+      .toDF("event_type", "ts", "event_id", "value")
+    val expect = graft.operators.Stats.cusumShift(batchDf, "event_type",
+        "ts", "event_id", "value", driftCents = 100L,
+        thresholdCents = 300L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(expect.keySet == Set("up", "mix")) // "gone" absent batch-side
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Timestamp, Long, java.lang.Double)]
+      def obs(df: org.apache.spark.sql.DataFrame) = {
+        val named = df.toDF("event_type", "ts", "event_id", "value")
+        val v = col("value").cast("double")
+        val finite = v.isNotNull && !isnan(v) &&
+          v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
+        named.select(col("event_type"), expr("unix_micros(ts)").as("us"),
+            col("event_id"),
+            when(finite, floor(v * 100).cast("long") - 100L).as("d"))
+          .as[MetricObs]
+      }
+      val q = cusumShiftStream(spark, obs(in.toDF()), thresholdCents = 300L)
+        .toDF().writeStream.format("memory").queryName("cusum_sink")
+        .outputMode("append").start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // each batch re-emits touched series; n grows monotonically, so
+      // the max-n row per series is the final summary
+      val got = spark.table("cusum_sink").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(got == expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

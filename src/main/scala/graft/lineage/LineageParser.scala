@@ -2,7 +2,8 @@ package graft.lineage
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, ExprId, GetArrayItem, GetMapValue, GetStructField, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, PivotFirst}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -477,7 +478,52 @@ object LineageParser {
         Set.empty, Set(table))
 
     case p: Project   => withNamed(build(p.child, ctes, db), p.projectList, ctes, db)
-    case a: Aggregate => withNamed(build(a.child, ctes, db), a.aggregateExpressions, ctes, db)
+
+    // PIVOT provenance (stretch, r12 verdict item 8): ResolvePivot
+    // lowers PIVOT to Aggregate(pivotfirst(key, <first-phase agg
+    // attr>, values...)) over the first-phase Aggregate, then wide
+    // columns extract array elements above. Tag the pivot array
+    // output with the ORIGINAL aggregate's text (looked up in the
+    // first-phase Aggregate by exprId) so every wide column carries
+    // `COLFUN:count(n_nationkey)` — the reference's select-side
+    // condition convention (§2.2 step 3, `LineParser.java:499-506`)
+    // applied to the function the pivot actually computes, not the
+    // internal pivotfirst plumbing.
+    case a: Aggregate =>
+      val childSt = build(a.child, ctes, db)
+      val pivotFuns = a.aggregateExpressions.flatMap {
+        case al: Alias => al.child match {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case pf: PivotFirst =>
+              // Render without Catalyst's internal subquery qualifier
+              // (`__auto_generated_subquery_name.x` is plumbing the
+              // user never wrote, unlike a real FROM alias).
+              def colFunOf(e: Expression): String = "COLFUN:" + e.transform {
+                case ar: AttributeReference
+                    if ar.qualifier.exists(_.startsWith("__auto_generated")) =>
+                  ar.withQualifier(
+                    ar.qualifier.filterNot(_.startsWith("__auto_generated")))
+              }.sql
+              val tag = pf.valueColumn match {
+                case ar: AttributeReference =>
+                  a.child.collect { case inner: Aggregate =>
+                    inner.aggregateExpressions.collectFirst {
+                      case ia: Alias if ia.exprId == ar.exprId =>
+                        colFunOf(ia.child)
+                    }
+                  }.flatten.headOption
+                case other => Some(colFunOf(other))
+              }
+              tag.map(al.exprId -> _)
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+      withNamed(childSt.copy(funs = childSt.funs ++ pivotFuns),
+        a.aggregateExpressions, ctes, db)
+
     case w: Window    => withNamed(build(w.child, ctes, db), w.windowExpressions, ctes, db)
 
     case g: Generate =>
@@ -575,8 +621,35 @@ object LineageParser {
 
   private def withNamed(st: State, named: Seq[NamedExpression],
                         ctes: Map[Long, (State, Seq[Attribute])],
-                        db: String): State =
-    st.copy(src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st, ctes, db)))
+                        db: String): State = {
+    // An alias that merely EXTRACTS from (or re-names) a funs-tagged
+    // attribute inherits the tag: the function application happened in
+    // the node that produced the attribute — the Generate rule's
+    // rationale, extended to PIVOT's `__pivot_agg[i] AS wide` Projects
+    // (same propagation the CTE arm already applies to definitions).
+    val fm = named.flatMap {
+      case al: Alias => extractedFun(al.child, st.funs).map(al.exprId -> _)
+      case _ => None
+    }
+    st.copy(
+      src = st.src ++ named.map(ne => ne.exprId -> refsOf(ne, st, ctes, db)),
+      funs = st.funs ++ fm)
+  }
+
+  /** The tag of a funs-tagged attribute reached through an
+    * extraction/cast-only chain — anything else computes a NEW value
+    * and does not inherit (the top-level COLFUN rule will render that
+    * expression's own sql instead). */
+  private def extractedFun(e: Expression,
+                           funs: Map[ExprId, String]): Option[String] =
+    e match {
+      case ar: AttributeReference => funs.get(ar.exprId)
+      case g: GetArrayItem => extractedFun(g.child, funs)
+      case g: GetStructField => extractedFun(g.child, funs)
+      case g: GetMapValue => extractedFun(g.child, funs)
+      case c: Cast => extractedFun(c.child, funs)
+      case _ => None
+    }
 
   /** Condition text. `Expression.sql` renders subquery expressions as
     * opaque `listquery()`/`scalarsubquery()`/`exists()` markers; those

@@ -186,14 +186,20 @@ class LineageSpec extends SparkTestBase {
     graft.Tables.registerAll(spark, sfDir)
     // Catalyst lowers PIVOT to Aggregate(pivotfirst) + extraction
     // Projects; the generic arms must carry BOTH the aggregated value
-    // column and the pivot key into every wide output.
+    // column and the pivot key into every wide output. Since r13 the
+    // wide columns also carry a COLFUN tag with the aggregate the
+    // pivot computes (the reference's select-side condition
+    // convention, §2.2 step 3) — the ORIGINAL `count(n_nationkey)`,
+    // not the internal pivotfirst plumbing or Catalyst's
+    // auto-generated subquery qualifier.
     val r = LineageParser.parseStatement(spark,
       "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) " +
         "PIVOT (count(n_nationkey) FOR n_regionkey IN (0 AS r0, 1 AS r1))", 1)
     assert(r.inputTables == Set("default.nation"))
+    val fun = Set("COLFUN:count(n_nationkey)")
     assert(r.colLines.map(c => (c.toName, c.fromName, c.conditionSet)) == Seq(
-      ("r0", "default.nation.n_nationkey,default.nation.n_regionkey", Set.empty),
-      ("r1", "default.nation.n_nationkey,default.nation.n_regionkey", Set.empty)))
+      ("r0", "default.nation.n_nationkey,default.nation.n_regionkey", fun),
+      ("r1", "default.nation.n_nationkey,default.nation.n_regionkey", fun)))
   }
 
   test("UNPIVOT: value column unions all measures; label elides (golden)") {

@@ -79,48 +79,64 @@ object Curation {
     * under-flags (paraphrases slip through) — this table is how the
     * cutoff gets CHOSEN rather than inherited.
     *
+    * ONE corpus pass for ALL n (r13; was one per n): the token split
+    * is materialized behind an explode-barrier (DESIGN §5 — the
+    * general-n gram builder slices the array once per position, so an
+    * inlined split is O(tokens²) per document), every n's distinct
+    * grams are tagged with their n in one projection, and a single
+    * (shingle_n, digest)-keyed join + rollup serves the whole sweep —
+    * shuffle volume is unchanged (the union of all n's grams moves
+    * either way) but the corpus is read once, not |ns| times, which
+    * at 100 TB is the difference between the sweep costing one scan
+    * and costing a scan per knob value. The sweep does NOT consume the
+    * corpus-standard MinHash pair artifact (VERDICT r12 #7): it
+    * measures benchmark-shingle CONTAINMENT per n, not document-pair
+    * similarity — there is no pair set to reuse, and the per-n shingle
+    * universes are disjoint by construction, so the single tagged pass
+    * above is the shareable artifact for this family.
+    *
     * Per n: one distinct-benchmark-shingle set, one exploded
     * corpus-side left join, two integer flag counts (any-hit, ≥half
-    * contaminated) and a corpus-level permille — all exact. |ns|
-    * passes over the corpus by construction (an eval harness, not the
-    * production gate; the gate ships ONE n and, at scale, the Bloom
-    * variant [[bloomContamination]]). Shingles shuffle as 8-byte
-    * [[Dedup.digest64]] keys, never strings (the span-dedup lesson;
-    * a 60-bit collision could only ADD a phantom hit, the oracle
-    * hashes identically, and at these cardinalities the probability
-    * is astronomically small — same contract as q168).
+    * contaminated) and a corpus-level permille — all exact. An eval
+    * harness, not the production gate; the gate ships ONE n and, at
+    * scale, the Bloom variant [[bloomContamination]]. Shingles shuffle
+    * as 8-byte [[Dedup.digest64]] keys, never strings (the span-dedup
+    * lesson; a 60-bit collision could only ADD a phantom hit, the
+    * oracle hashes identically, and at these cardinalities the
+    * probability is astronomically small — same contract as q168).
     * Returns (shingle_n, n_docs, n_flagged_any, n_flagged_half,
     * mean_contamination_permille), one row per n. */
   def contaminationSweep(docs: DataFrame, idCol: String, textCol: String,
                          benchmarkFilter: Column, ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns == ns.sorted && ns.distinct == ns &&
       ns.head >= 1, "shingle sizes must be ascending, distinct, positive")
-    ns.map { n =>
-      val shingled = docs.select(col(idCol).as("id"),
-        benchmarkFilter.as("is_bench"),
-        Dedup.wordShingles(col(textCol), n).as("sh"))
-      val benchShingles = shingled.filter(col("is_bench"))
-        .select(explode(col("sh")).as("_s"))
-        .select(Dedup.digest64(col("_s")).as("s")).distinct()
-      val exploded = shingled.filter(!col("is_bench"))
-        .select(col("id"), explode(col("sh")).as("_s"))
-        .select(col("id"), Dedup.digest64(col("_s")).as("s"))
-      exploded
-        .join(benchShingles.withColumn("hit", lit(1L)), Seq("s"), "left")
-        .groupBy("id")
-        .agg(count(lit(1)).as("_ns"),
-          sum(coalesce(col("hit"), lit(0L))).as("_nc"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("_nc") >= 1, 1L).otherwise(0L)).as("n_flagged_any"),
-          sum(when(col("_nc") * 2 >= col("_ns"), 1L).otherwise(0L))
-            .as("n_flagged_half"),
-          sum(col("_nc")).as("_snc"), sum(col("_ns")).as("_sns"))
-        .select(lit(n.toLong).as("shingle_n"), col("n_docs"),
-          col("n_flagged_any"), col("n_flagged_half"),
-          expr("(1000 * _snc) div _sns").as("mean_contamination_permille"))
-    }.reduce(_ unionAll _)
-      // explicit total order (the repo contract) — leg order is an
-      // implementation detail, not a row-order guarantee
+    val tagged = docs
+      .select(col(idCol).as("id"), benchmarkFilter.as("is_bench"),
+        explode(array(split(col(textCol), " "))).as("_w"))
+      .select(col("id"), col("is_bench"),
+        explode(flatten(array(ns.map(n =>
+          transform(Dedup.wordShinglesFromTokens(col("_w"), n),
+            s => struct(lit(n.toLong).as("n"),
+              Dedup.digest64(s).as("s")))): _*))).as("x"))
+      .select(col("id"), col("is_bench"),
+        col("x.n").as("shingle_n"), col("x.s").as("s"))
+    val benchShingles = tagged.filter(col("is_bench"))
+      .select("shingle_n", "s").distinct()
+    tagged.filter(!col("is_bench"))
+      .join(benchShingles.withColumn("hit", lit(1L)),
+        Seq("shingle_n", "s"), "left")
+      .groupBy("shingle_n", "id")
+      .agg(count(lit(1)).as("_ns"),
+        sum(coalesce(col("hit"), lit(0L))).as("_nc"))
+      .groupBy("shingle_n")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_nc") >= 1, 1L).otherwise(0L)).as("n_flagged_any"),
+        sum(when(col("_nc") * 2 >= col("_ns"), 1L).otherwise(0L))
+          .as("n_flagged_half"),
+        sum(col("_nc")).as("_snc"), sum(col("_ns")).as("_sns"))
+      .select(col("shingle_n"), col("n_docs"), col("n_flagged_any"),
+        col("n_flagged_half"),
+        expr("(1000 * _snc) div _sns").as("mean_contamination_permille"))
       .orderBy("shingle_n")
   }
 

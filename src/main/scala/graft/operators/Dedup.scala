@@ -40,20 +40,32 @@ object Dedup {
     * shingle+explode+md5 signature path at sf0.1 (DESIGN.md §5).
     * A text with fewer than n words yields its single joined token
     * (never an empty multiset, so Jaccard stays defined). */
-  def wordShingleMultiset(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val grams =
-      if (n == 2)
-        // zip_with pads the shorter side with nulls (no truncation):
-        // the trailing (w_last, null) gram concats to null — drop it.
-        filter(
-          zip_with(words, slice(words, 2, 1 << 30),
-            (a, b) => concat(a, lit(" "), b)),
-          _.isNotNull)
-      else
-        transform(
-          sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
+  def wordShingleMultiset(text: Column, n: Int): Column =
+    wordShingleMultisetFromTokens(split(text, " "), n)
+
+  /** [[wordShingleMultiset]] over an ALREADY-TOKENIZED word array —
+    * for callers that materialize the split behind an explode-barrier
+    * (DESIGN §5) and derive several gram sizes from one array.
+    *
+    * The grams build as a ZIP-FOLD: j-grams = (j−1)-grams zipped with
+    * the array's j-th tail, one `zip_with` per step. No lambda ever
+    * references `words`, so even when a caller hands an expression
+    * (CollapseProject inlines the split into every reference) the
+    * split evaluates O(n) times per row — the previous general-n
+    * builder sliced `words` once per POSITION inside a `transform`
+    * lambda, an O(tokens²) re-tokenization per document for n ≥ 3
+    * (the q112 pathology, found when the r13 noop-sink bench started
+    * charging projection-only queries honestly; n=8 spans paid it
+    * worst). For n=2 the fold IS the old single-zip_with build. */
+  def wordShingleMultisetFromTokens(words: Column, n: Int): Column = {
+    // zip_with pads the shorter side with nulls (no truncation): each
+    // step's trailing (gram, null) pair concats to null — drop it.
+    val grams = (2 to n).foldLeft(words) { (acc, j) =>
+      filter(
+        zip_with(acc, slice(words, j, 1 << 30),
+          (a, b) => concat(a, lit(" "), b)),
+        _.isNotNull)
+    }
     when(size(words) < n, array(concat_ws(" ", words))).otherwise(grams)
   }
 
@@ -62,6 +74,11 @@ object Dedup {
     * (never an empty set, so Jaccard is always defined). */
   def wordShingles(text: Column, n: Int): Column =
     array_distinct(wordShingleMultiset(text, n))
+
+  /** Distinct word n-grams over an already-tokenized array — see
+    * [[wordShingleMultisetFromTokens]] for when to prefer this. */
+  def wordShinglesFromTokens(words: Column, n: Int): Column =
+    array_distinct(wordShingleMultisetFromTokens(words, n))
 
   /** Character n-grams with duplicates (cheap multiset form for the
     * signature path — see [[wordShingleMultiset]]). */
@@ -484,12 +501,20 @@ object Dedup {
     */
   def simHash32(text: Column): Column = {
     val toks = split(text, " ")
-    concat_ws("",
-      transform(sequence(lit(0), lit(31)), j =>
-        when(
-          aggregate(toks, lit(0),
-            (acc, w) => acc + when(md5(w).substr(j + lit(1), lit(1)) >= "8", 1).otherwise(-1))
-            > 0, "1").otherwise("0")))
+    // ONE md5 per token: split the hex digest into its 32 chars and
+    // vote all bits in a single fold. The per-bit formulation
+    // (32 aggregates, each re-hashing every token) cost 32 md5 per
+    // token — invisible while the bench's count() sink pruned the
+    // unreferenced fingerprint column, charged honestly (9.8 s at
+    // sf0.1) by the r13 noop sink. Identical bits: hex digit j ≥ '8'
+    // is the same test either way.
+    val votes = aggregate(toks, array_repeat(lit(0), 32),
+      (acc, w) => zip_with(acc,
+        transform(split(md5(w), ""), c =>
+          when(c >= "8", lit(1)).otherwise(lit(-1))),
+        _ + _))
+    concat_ws("", transform(votes, v =>
+      when(v > 0, "1").otherwise("0")))
   }
 
   /** Band keys over a bit-string fingerprint: `bands` equal slices, each

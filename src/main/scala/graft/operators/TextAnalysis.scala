@@ -27,13 +27,22 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** One explode-barrier over the token split (DESIGN §5): these
+    * projections reference the array many times (each `nTok` is its
+    * own `size(split(...))` after CollapseProject inlining), so the
+    * split runs once per REFERENCE unless materialized. Same rows,
+    * same nullability (a NULL text explodes to one NULL array row). */
+  private def withToks(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol), explode(array(toks(col(textCol)))).as("_t"))
+
   /** Document statistics: token count, distinct-token count, type-token
     * ratio, mean token length, stopword ratio. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
+    val t = col("_t")
     val stop = Seq("the", "a", "of", "and", "in", "is")
     val nTok = size(t)
-    df.select(
+    withToks(df, idCol, textCol).select(
       col(idCol),
       nTok.cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_types"),
@@ -47,30 +56,21 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: balanced length, lexical
     * diversity, and a bounded stopword share — the usual cheap pre-LM
     * filters. Deterministic double arithmetic over exact integers. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    val nTok = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val stop = Seq("the", "a", "of", "and", "in", "is")
-    val stopR = size(filter(t, w => w.isin(stop: _*))).cast("double") / nTok
-    // length factor: 1 at >= 64 tokens, linear below
-    val lenF = least(nTok / lit(64.0), lit(1.0))
-    df.select(col(idCol),
-      (lenF * lit(0.4) + ttr * lit(0.4) + least(stopR * lit(4.0), lit(1.0)) * lit(0.2))
-        .as("quality"))
-  }
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityWithTokenCount(df, idCol, textCol)
+      .select(col(idCol), col("quality"))
 
   /** Token count + quality score in one projection — for pipelines that
     * need both ([[Curation]]): one pass over the token array instead of
     * two joined subtrees re-reading the input. */
   def qualityWithTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
+    val t = col("_t")
     val nTok = size(t).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / nTok
     val stop = Seq("the", "a", "of", "and", "in", "is")
     val stopR = size(filter(t, w => w.isin(stop: _*))).cast("double") / nTok
     val lenF = least(nTok / lit(64.0), lit(1.0))
-    df.select(col(idCol),
+    withToks(df, idCol, textCol).select(col(idCol),
       size(t).cast("long").as("n_tokens"),
       (lenF * lit(0.4) + ttr * lit(0.4) + least(stopR * lit(4.0), lit(1.0)) * lit(0.2))
         .as("quality"))
@@ -80,17 +80,33 @@ object TextAnalysis {
     * 'und' (undetermined) when no list scores ≥ 1 hit. Ties break in
     * [[langMarkers]] declaration order. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    val scores = langMarkers.map { case (lang, words) =>
-      lang -> size(filter(t, w => w.isin(words: _*)))
-    }
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lang).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    df.select(col(idCol),
+    val scores = langScores(df, idCol, textCol)
+    val best = langMarkers.map(_._1).tail
+      .foldLeft((lit(langMarkers.head._1),
+        col("_sc").getField(langMarkers.head._1))) {
+        case ((bl, bs), lang) =>
+          val s = col("_sc").getField(lang)
+          (when(s > bs, lang).otherwise(bl), when(s > bs, s).otherwise(bs))
+      }
+    scores.select(col(idCol),
       when(best._2 >= 1, best._1).otherwise("und").as("predicted_lang"),
       best._2.cast("long").as("marker_hits"))
+  }
+
+  /** Per-language marker-hit counts materialized ONCE behind an
+    * explode-barrier (DESIGN §5). The argmax folds below duplicate
+    * each score reference exponentially in the when-tree (score i
+    * appears 2^(k−i) times after the fold), and CollapseProject would
+    * inline the filter-over-split lambda — ~100 re-tokenizations per
+    * document — into every copy. Materialized, a duplicated reference
+    * is a struct-field read. */
+  private def langScores(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.select(col(idCol),
+      explode(array(struct(langMarkers.map { case (lang, words) =>
+        size(filter(t, w => w.isin(words: _*))).cast("long").as(lang)
+      }: _*))).as("_sc"))
   }
 
   /** LANGUAGE-MIXTURE / CODE-SWITCHING report: per document, the top
@@ -108,9 +124,11 @@ object TextAnalysis {
     * — all-integer, engine-exact. Pure per-row projection: zero
     * shuffles, scan throughput at any scale. */
   def languageMixture(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    val scores = langMarkers.map { case (lang, words) =>
-      lang -> size(filter(t, w => w.isin(words: _*))).cast("long")
+    // Same [[langScores]] barrier as languageId: the 4-way top-2 fold
+    // duplicates score references even faster than the argmax fold.
+    val scored = langScores(df, idCol, textCol)
+    val scores = langMarkers.map { case (lang, _) =>
+      lang -> col("_sc").getField(lang)
     }
     // Fold for the top-2 (lang, score) with declaration-order ties.
     val init = (lit(scores.head._1), scores.head._2,
@@ -122,7 +140,7 @@ object TextAnalysis {
          when(s > bs1, bl1).otherwise(when(s > bs2, lang).otherwise(bl2)),
          when(s > bs1, bs1).otherwise(when(s > bs2, s).otherwise(bs2)))
     }
-    df.select(col(idCol),
+    scored.select(col(idCol),
       when(s1 >= 1, l1).otherwise("und").as("top_lang"),
       s1.as("top_hits"),
       when(s2 >= 1, l2).otherwise("und").as("second_lang"),
@@ -211,7 +229,17 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String,
                  maxTopTokenRatio: Double = 0.2,
                  maxDupTrigramRatio: Double = 0.3): DataFrame = {
-    val t = toks(col(textCol))
+    // Explode-barrier (DESIGN §5): CollapseProject inlines the token
+    // split into EVERY reference — worst of all into the per-position
+    // trigram lambda, where the inlined split re-tokenizes the whole
+    // document once per element_at, an O(n²) blowup the bench only
+    // charged once the r13 noop sink stopped pruning the unreferenced
+    // output columns (8.9 s → the array is now materialized once per
+    // row, no shuffle, no row-count change).
+    val withT = df
+      .filter(col(textCol).isNotNull && size(toks(col(textCol))) > 0)
+      .select(col(idCol), explode(array(toks(col(textCol)))).as("_t"))
+    val t = col("_t")
     val n = size(t)
     // Top term frequency = longest run in the SORTED token array —
     // O(n log n) per doc (a per-distinct-token count scan would be
@@ -234,7 +262,7 @@ object TextAnalysis {
       i => concat_ws(" ",
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
     val nTri = n - 2
-    df.filter(col(textCol).isNotNull && n > 0)
+    withT
       .select(col(idCol),
         n.cast("long").as("n_tokens"),
         (topFreq.cast("double") / n).as("top_token_ratio"),

@@ -74,10 +74,18 @@ object SyntheticDocs {
   val langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
 
   /** First 8 hex chars of md5(s) as an unsigned 32-bit value — the
-    * same `('0x'||substr(md5(s),1,8))::BIGINT` the oracle evaluates. */
+    * same `('0x'||substr(md5(s),1,8))::BIGINT` the oracle evaluates.
+    * The digest instance is thread-local and reused: every generated
+    * cell costs one h32, so a per-call `getInstance` (provider lookup
+    * + allocation) taxes the whole synthetic source — `digest()`
+    * leaves the instance reset for the next call. */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
   def h32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
@@ -424,42 +432,84 @@ private class GroupedAggReaderFactory(groupCols: Array[String],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[DocsRange]
     new PartitionReader[InternalRow] {
-      // Fold the whole slice up front: partial state is one counter
-      // array per group — O(domain) memory regardless of slice size.
+      // Fold the whole slice up front: partial state is one flat
+      // counter array over the dense group-index space (≤ 5×20 cells)
+      // — O(domain) memory regardless of slice size. The per-id work
+      // is the honest md5 per group column (lang/source are
+      // hash-scrambled, no closed form) plus an integer index; the
+      // r12 shape (a Seq[String] key alloc + hash-map probe per id)
+      // paid more for bookkeeping than for the hash.
       private val it: Iterator[InternalRow] = {
-        val m = scala.collection.mutable.LinkedHashMap
-          .empty[Seq[String], Array[Long]]
-        var i = r.start
-        while (i < r.end) {
-          val key: Seq[String] = groupCols.toIndexedSeq.map {
-            case "lang" => SyntheticDocs.langOf(i)
-            case "source" => SyntheticDocs.sourceOf(i)
-            case other => throw new IllegalStateException(
-              s"non-groupable column '$other' reached the grouped scan" +
-                " — DocsAgg.groupable and this evaluator desynced")
-          }
-          val acc = m.getOrElseUpdate(key,
-            kinds.map {
-              case DocsAgg.RowCount => 0L
+        val domains: Array[Int] = groupCols.map {
+          case "lang" => SyntheticDocs.langs.length
+          case "source" => 20
+          case other => throw new IllegalStateException(
+            s"non-groupable column '$other' reached the grouped scan" +
+              " — DocsAgg.groupable and this evaluator desynced")
+        }
+        val idxOf: Array[Long => Int] = groupCols.map {
+          case "lang" => (i: Long) =>
+            (SyntheticDocs.h32(s"$i:lang") % 5).toInt
+          case _ => (i: Long) =>
+            (SyntheticDocs.h32(s"$i:src") % 20).toInt
+        }
+        val nGroups = domains.product
+        val k = kinds.length
+        val acc = new Array[Long](nGroups * k)
+        var g = 0
+        while (g < nGroups) {
+          var j = 0
+          while (j < k) {
+            acc(g * k + j) = kinds(j) match {
               case DocsAgg.MinId => Long.MaxValue
               case DocsAgg.MaxId => Long.MinValue
-              case DocsAgg.SumId => 0L
-            })
+              case _ => 0L
+            }
+            j += 1
+          }
+          g += 1
+        }
+        val touched = new Array[Boolean](nGroups)
+        var i = r.start
+        while (i < r.end) {
+          var idx = 0
+          var c = 0
+          while (c < idxOf.length) {
+            idx = idx * domains(c) + idxOf(c)(i)
+            c += 1
+          }
+          touched(idx) = true
+          val base = idx * k
           var j = 0
-          while (j < kinds.length) {
+          while (j < k) {
             kinds(j) match {
-              case DocsAgg.RowCount => acc(j) += 1L
-              case DocsAgg.MinId => if (i < acc(j)) acc(j) = i
-              case DocsAgg.MaxId => if (i > acc(j)) acc(j) = i
-              case DocsAgg.SumId => acc(j) += i
+              case DocsAgg.RowCount => acc(base + j) += 1L
+              case DocsAgg.MinId =>
+                if (i < acc(base + j)) acc(base + j) = i
+              case DocsAgg.MaxId =>
+                if (i > acc(base + j)) acc(base + j) = i
+              case DocsAgg.SumId => acc(base + j) += i
             }
             j += 1
           }
           i += 1
         }
-        m.iterator.map { case (k, a) =>
+        // Decompose each touched index back to its column values —
+        // same strings the row scan generates for the same ids.
+        def keyOf(idx: Int): Seq[String] = {
+          var rem = idx
+          groupCols.indices.reverse.map { c =>
+            val d = rem % domains(c); rem /= domains(c)
+            groupCols(c) match {
+              case "lang" => SyntheticDocs.langs(d)
+              case _ => "src" + d
+            }
+          }.reverse
+        }
+        (0 until nGroups).iterator.filter(touched).map { idx =>
           InternalRow.fromSeq(
-            (k.map(UTF8String.fromString): Seq[Any]) ++ a.toSeq)
+            (keyOf(idx).map(UTF8String.fromString): Seq[Any]) ++
+              acc.slice(idx * k, idx * k + k).toSeq)
         }
       }
       private var row: InternalRow = _

@@ -384,10 +384,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
-  test("q112 repetition metrics are one narrow projection") {
+  test("q112 repetition metrics: narrow, one explode-barrier, no shuffle") {
     val p = planOf("q112_repetition_filter")
     assert(!p.contains("Exchange hashpartitioning"))
-    assert(!p.contains("Window") && !p.contains("Generate"))
+    assert(!p.contains("Window"))
+    // exactly ONE Generate: the r13 collapse-barrier that pins the
+    // token array to a single evaluation (CollapseProject would
+    // otherwise inline the split into the per-position trigram lambda
+    // — O(n²) re-tokenization; DESIGN §5). Still row-count-preserving
+    // and shuffle-free.
+    assert("Generate \\(\\d+\\)".r.findAllIn(p).size == 1, p)
   }
 
   test("q108 packing: the prefix-sum window is partitioned by shard") {

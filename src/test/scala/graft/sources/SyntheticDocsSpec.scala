@@ -239,6 +239,27 @@ class SyntheticDocsSpec extends SparkTestBase {
     assert(ref.agg(sum("n")).collect().head.getLong(0) == 500L)
   }
 
+  test("grouped avg is auto-served: Spark rewrites Avg to pushed SUM+COUNT") {
+    // The source never classifies Avg (DocsAgg has no arm for it) —
+    // it doesn't need to: V2ScanRelationPushDown rewrites a partial
+    // Avg into Sum+Count BEFORE offering the aggregation, so the
+    // grouped scan serves avg(doc_id) with the existing vocabulary.
+    // Pinned so a future classify() change can't silently regress the
+    // rewrite into a row scan.
+    val df = load(1000, 8)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 900)
+      .groupBy("lang").agg(avg(col("doc_id")).as("a"))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedGroupBy: [lang]"), planStr)
+    assert(planStr.contains("SUM(doc_id)") && planStr.contains("COUNT("),
+      planStr)
+    // exact: both sides divide an exact Long sum by an exact Long count
+    val expect = (100L until 900L).groupBy(SyntheticDocs.langOf)
+      .view.mapValues(xs => xs.sum.toDouble / xs.size).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
   test("h32 equals the oracle's ('0x'||substr(md5(s),1,8))::BIGINT") {
     import spark.implicits._
     val inputs = (0 until 25).map(i => s"$i:lang")

@@ -396,6 +396,38 @@ class PlanSpec extends SparkTestBase {
     assert("Generate \\(\\d+\\)".r.findAllIn(p).size == 1, p)
   }
 
+  test("q32 simhash: exactly one md5 per token in the projection") {
+    val p = planOf("q32_dedup_simhash")
+    // the r13 fix votes all 32 bits in ONE fold over the split hex
+    // digest — the per-bit formulation re-hashed every token 32×
+    // (DESIGN §5). One `md5(` in the whole plan pins it: the only
+    // hash is the per-token digest inside the vote fold.
+    assert("md5\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q38 lang_id: one score barrier, shuffle-free") {
+    val p = planOf("q38_lang_id")
+    // exactly ONE Generate: the langScores explode-barrier that
+    // materializes the per-language marker counts so the argmax fold's
+    // exponentially-duplicated references are struct-field reads, not
+    // re-inlined filter-over-split lambdas (DESIGN §5).
+    assert("Generate \\(\\d+\\)".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q211 contamination sweep reads the corpus once for all n") {
+    val p = planOf("q211_contamination_sweep")
+    // the r13 single-pass rewrite: all shingle sizes are tagged rows
+    // of ONE scan+join+rollup, not |ns| unioned legs — at 100 TB a
+    // knob sweep must never multiply scans (DESIGN §5). No Union node
+    // and exactly one documents scan pin that shape.
+    assert(!p.contains("Union"), p)
+    // two scan NODES (probe side + distinct-bench side) regardless of
+    // |ns| — the old per-n union had 2·|ns|.
+    assert("Scan parquet\\s+\\(\\d+\\)".r.findAllIn(p).size == 2, p)
+  }
+
   test("q108 packing: the prefix-sum window is partitioned by shard") {
     val p = planOf("q108_sequence_packing")
     val all = "windowspecdefinition\\(".r.findAllIn(p).size

@@ -5640,16 +5640,19 @@ object PipelineQueries {
          words AS (
            SELECT pos // 32 AS word_idx,
                   bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
-           FROM (SELECT (('0x'||substr(md5(j::VARCHAR || ':' || s),1,15))::BIGINT)
+           FROM (SELECT ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
                           % 65536 AS pos
-                 FROM bench, range(0, 4) t(j))
+                 FROM (SELECT (('0x'||substr(md5(s),1,15))::BIGINT) AS d
+                       FROM bench), range(0, 4) t(j))
            GROUP BY word_idx),
          probes AS (SELECT DISTINCT doc_id, unnest(sh) AS s
                     FROM sh WHERE NOT is_bench),
          pp AS (SELECT doc_id, s,
-                  (('0x'||substr(md5(j::VARCHAR || ':' || s),1,15))::BIGINT)
+                  ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
                     % 65536 AS pos
-                FROM probes, range(0, 4) t(j)),
+                FROM (SELECT doc_id, s,
+                        (('0x'||substr(md5(s),1,15))::BIGINT) AS d
+                      FROM probes), range(0, 4) t(j)),
          checked AS (
            SELECT doc_id, s,
                   min(CASE WHEN w.word IS NOT NULL

@@ -150,11 +150,14 @@ object Layout {
     * before a 100 TB layout ships them.
     *
     * Same filter construction as
-    * [[graft.operators.Curation.bloomContamination]] (md5-positioned,
-    * 32-bit words folded with bit_or — partial-aggregable, no RNG, no
-    * sip-hash seeds, rebuildable by any engine); probes' bit positions
-    * are computed DRIVER-SIDE from the literal probe list (k·|probes|
-    * longs) and broadcast against the zones×probes grid. A zone the
+    * [[graft.operators.Curation.bloomContamination]] (ONE 60-bit
+    * digest per value, the k positions derived by Kirsch–Mitzenmacher
+    * double hashing — pos_j = (h1 + j·h2) mod bits; 32-bit words
+    * folded with bit_or — partial-aggregable, no RNG, no sip-hash
+    * seeds, rebuildable by any engine); probes' bit positions are
+    * computed DRIVER-SIDE from the literal probe list (k·|probes|
+    * longs) with the identical arithmetic and broadcast against the
+    * zones×probes grid. A zone the
     * filter skips is GUARANTEED clean (Blooms never miss), so
     * `n_skippable` is safe I/O savings; `n_false_pos` is the measured
     * cost of the `bits` choice. Everything after the per-zone distinct
@@ -175,23 +178,26 @@ object Layout {
         col(valueCol).cast("string").as("v"))
       .filter(col("v").isNotNull)
       .distinct()
-    val posCols = (0 until kHash).map { j =>
-      (call_function(graft.functions.Md5Prefix64.name,
-        concat(lit(j.toString), lit(":"), col("v"))) % bits).as(s"_p$j")
+    def positions(d: Column): Column = {
+      val h1 = d.bitwiseAND(lit(1073741823L))
+      val h2 = shiftright(d, 30) * lit(2L) + lit(1L)
+      array((0 until kHash).map(j => (h1 + lit(j.toLong) * h2) % bits): _*)
     }
-    val words = zv.select(col("zone") +: posCols: _*)
-      .selectExpr("zone",
-        s"stack($kHash, ${(0 until kHash).map(j => s"_p$j").mkString(", ")}) as pos")
+    val words = zv
+      .select(col("zone"), explode(positions(
+        call_function(graft.functions.Md5Prefix64.name, col("v")))).as("pos"))
       .select(col("zone"), expr("pos div 32").as("widx"),
         expr("shiftleft(1L, cast(pos % 32 as int))").as("bit"))
       .groupBy("zone", "widx")
       .agg(expr("bit_or(bit)").as("word"))
     // probe bit positions from the literal list — driver arithmetic,
-    // identical md5 formula
+    // identical digest + double-hash formula
     val probeRows = probes.flatMap { p =>
+      val d = graft.functions.Md5Prefix64.ofBytes(p.getBytes("UTF-8"))
+      val h1 = d & 1073741823L
+      val h2 = (d >> 30) * 2L + 1L
       (0 until kHash).map { j =>
-        val pos = graft.functions.Md5Prefix64
-          .ofBytes(s"$j:$p".getBytes("UTF-8")) % bits
+        val pos = (h1 + j * h2) % bits
         (p, pos / 32, 1L << (pos % 32).toInt)
       }
     }

@@ -3721,16 +3721,19 @@ object PipelineQueries {
            SELECT zone, pos // 32 AS widx,
                   bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
            FROM (SELECT zone,
-                   ('0x'||substr(md5(j::VARCHAR || ':' || v),1,15))::BIGINT
+                   ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
                      % 256 AS pos
-                 FROM zv, range(0, 3) t(j))
+                 FROM (SELECT zone,
+                         ('0x'||substr(md5(v),1,15))::BIGINT AS d
+                       FROM zv), range(0, 3) t(j))
            GROUP BY 1, 2),
          probes(p) AS (VALUES ('src3'), ('src15'), ('src-absent')),
          pp AS (
            SELECT p,
-                  ('0x'||substr(md5(j::VARCHAR || ':' || p),1,15))::BIGINT
+                  ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
                     % 256 AS pos
-           FROM probes, range(0, 3) t(j)),
+           FROM (SELECT p, ('0x'||substr(md5(p),1,15))::BIGINT AS d
+                 FROM probes), range(0, 3) t(j)),
          zones AS (SELECT DISTINCT zone FROM zv),
          checks AS (
            SELECT z.zone, pp.p,

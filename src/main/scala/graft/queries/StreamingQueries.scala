@@ -546,10 +546,78 @@ object StreamingQueries {
       sunk.select(col("event_type"), col("n"), col("n_excluded"),
           col("n_alarms"), col("max_s_cents"), col("first_alarm_us"))
         .orderBy("event_type")
+    }),
+
+    // Streaming twin #18 — the NEAR-DUP GATE, the batch curation stage
+    // a 100 TB ingest wants online: the LSH bucket index lives in the
+    // state store keyed by band, so an incoming document compares only
+    // against its own buckets' residents (bucket-sized state, hard
+    // cap as the hot-bucket skew guard), never the corpus. Emitted =
+    // every same-bucket pair whose MinHash signature agreement reaches
+    // 12/24, with the integer estimate 1000·agree div 24. A pair
+    // sharing several buckets re-emits the identical row (estimate is
+    // signature-level, not bucket-level) — collapsed by distinct() —
+    // and the result set is BATCH-COUNT-INVARIANT: a doc arriving in a
+    // later batch still compares against all bucket residents via
+    // state, so any micro-batch split of the fixture emits the same
+    // set (no single-batch requirement, unlike q260's summaries).
+    // Oracle: the batch LSH candidate pairs (same signatures, same
+    // band keys) filtered to agreement ≥ 12.
+    "q261_stream_neardup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val out = graft.streaming.DocStreams.nearDupGate(s, banded,
+        k = 24, minAgree = 12)
+      withRocksDbState(s) {
+        runBounded(s, out.toDF(), "graft_q261_sink", "append")
+      }.distinct()
+        .orderBy("doc_a", "doc_b")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // The batch LSH pipeline (identical signature family and band
+    // keys), with the verification measure the stream gate can afford:
+    // signature agreement, not shingle-set Jaccard.
+    "q261_stream_neardup" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         agree AS (
+           SELECT c.a AS doc_a, c.b AS doc_b,
+                  CAST(len(list_filter(range(0, 24),
+                    i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS n_agree
+           FROM cand c
+           JOIN sigs sa ON c.a = sa.doc_id
+           JOIN sigs sb ON c.b = sb.doc_id)
+         SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
+         FROM agree WHERE n_agree >= 12
+         ORDER BY doc_a, doc_b""",
 
     // The batch log-linear sketch of the same column — streaming adds
     // nothing to the final bins on a bounded input, which is the point.

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** A document row for the MemoryStream fixtures. */
+case class NdDoc(doc_id: Long, text: String)
+
+/** Micro-batch tests for the streaming near-dup gate — real
+  * Structured Streaming execution (RocksDB state store), not batch
+  * emulation. */
+class DocStreamsSpec extends SparkTestBase {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
+    "RocksDBStateStoreProvider"
+
+  private val docs = Seq(
+    NdDoc(1L, "a b c d e f g h"),
+    NdDoc(2L, "a b c d e f g h"), // exact dup of 1 → agree 24/24
+    NdDoc(3L, "a b c d e f g x"), // near dup of 1/2
+    NdDoc(4L, "z y x w v u t s"),
+    NdDoc(5L, "z y x w v u t s"), // exact dup of 4
+    NdDoc(6L, "m n o p q r s t"))
+
+  /** The gate's contract, computed independently from the BATCH banded
+    * signatures: every same-bucket pair with ≥ 12/24 agreeing
+    * signature positions. */
+  private def expectedPairs(): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    val banded = DocStreams.bandedSignatures(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    banded.groupBy(_._1).values.flatMap { members =>
+      val m = members.sortBy(_._2)
+      for {
+        i <- m.indices; j <- (i + 1) until m.length
+        agree = m(i)._3.zip(m(j)._3).count { case (a, b) => a == b }
+        if agree >= 12
+      } yield (m(i)._2, m(j)._2, 1000L * agree / 24)
+    }.toSet
+  }
+
+  private def runGate(batches: Seq[Seq[NdDoc]],
+                      sink: String): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try {
+      val in = MemoryStream[NdDoc]
+      val banded = DocStreams.bandedSignatures(
+        in.toDF(), "doc_id", "text", 24, 4, 6)
+      val q = DocStreams.nearDupGate(spark, banded, 24, 12).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView(sink)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("gate emits exactly the qualifying same-bucket pairs") {
+    val got = runGate(Seq(docs), "ndg_one")
+    val expect = expectedPairs()
+    assert(expect.nonEmpty) // the exact dups guarantee (1,2) and (4,5)
+    assert(expect.contains((1L, 2L, 1000L)) &&
+      expect.contains((4L, 5L, 1000L)))
+    assert(got == expect)
+  }
+
+  test("emitted pair set is invariant to the micro-batch split") {
+    // doc 5 arrives a batch AFTER its duplicate doc 4: the cross-batch
+    // pair must still emit, via the band buckets persisted in state.
+    val got = runGate(Seq(docs.take(4), docs.drop(4)), "ndg_two")
+    assert(got == expectedPairs())
+  }
+}

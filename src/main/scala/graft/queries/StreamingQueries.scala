@@ -575,6 +575,26 @@ object StreamingQueries {
         runBounded(s, out.toDF(), "graft_q261_sink", "append")
       }.distinct()
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // DSV2 MICRO_BATCH_READ — the connector's streaming face: the
+    // synthetic source replayed as a rate-limited stream (offsets are
+    // id positions; admission control caps ids per micro-batch), the
+    // backfill-as-a-stream shape. The run asserts the batch count so a
+    // regression to one-batch-reads-everything (i.e. admission control
+    // silently ignored) fails loudly rather than passing on identical
+    // rows. Oracle: the same generated rows, batch-computed.
+    "q262_dsv2_stream" -> ((s, dir) => {
+      val docs = s.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("partitions", "8")
+        .option("rowsPerBatch", "512").load()
+      val (sunk, dataBatches) = runBoundedCounted(s,
+        docs.select(col("doc_id"), col("lang"), col("n_tokens")),
+        "graft_q262_sink", "append")
+      require(dataBatches == 4,
+        s"q262 expects ceil(2000/512) = 4 data micro-batches (the " +
+          s"rowsPerBatch admission-control contract); got $dataBatches")
+      sunk.orderBy("doc_id")
     })
   )
 
@@ -618,6 +638,18 @@ object StreamingQueries {
          SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
          FROM agree WHERE n_agree >= 12
          ORDER BY doc_a, doc_b""",
+
+    // The q244 generator arithmetic for the streamed columns — rate
+    // limiting changes the batch boundaries, never the rows.
+    "q262_dsv2_stream" ->
+      """SELECT i AS doc_id,
+                list_extract(['en', 'de', 'fr', 'es', 'zh'],
+                  ((('0x' || substr(md5(i || ':lang'), 1, 8))::BIGINT % 5)
+                    ::INT + 1)) AS lang,
+                20 + ('0x' || substr(md5(i || ':len'), 1, 8))::BIGINT % 30
+                  AS n_tokens
+         FROM (SELECT unnest(range(0, 2000)) AS i)
+         ORDER BY doc_id""",
 
     // The batch log-linear sketch of the same column — streaming adds
     // nothing to the final bins on a bounded input, which is the point.

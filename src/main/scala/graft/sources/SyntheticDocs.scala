@@ -10,6 +10,7 @@ import java.util.OptionalLong
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,9 +49,13 @@ class SyntheticDocs extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
+    // Streaming admission control: id rows admitted per micro-batch
+    // (0 = all available in one batch). Batch reads ignore it.
+    val rpb = Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(0L)
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(parts >= 1, s"partitions must be >= 1, got $parts")
-    new SyntheticDocsTable(rows, parts)
+    require(rpb >= 0, s"rowsPerBatch must be >= 0, got $rpb")
+    new SyntheticDocsTable(rows, parts, rpb)
   }
 }
 
@@ -97,17 +102,19 @@ object SyntheticDocs {
     vocab((h32(s"$i:$j") % vocab.length).toInt)
 }
 
-private class SyntheticDocsTable(rows: Long, parts: Int)
+private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticDocsScanBuilder(rows, parts)
+    new SyntheticDocsScanBuilder(rows, parts, rowsPerBatch)
 }
 
-private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
+private class SyntheticDocsScanBuilder(rows: Long, parts: Int,
+                                       rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -260,7 +267,8 @@ private class SyntheticDocsScanBuilder(rows: Long, parts: Int)
     case Some(agg) =>
       new SyntheticDocsGroupedAggScan(rows, parts, lo, hi,
         groupCols(agg).get, kinds(agg).get, agg)
-    case None => new SyntheticDocsScan(rows, parts, required, lo, hi, accepted)
+    case None => new SyntheticDocsScan(rows, parts, required, lo, hi,
+      accepted, rowsPerBatch)
   }
 }
 
@@ -524,11 +532,14 @@ private class GroupedAggReaderFactory(groupCols: Array[String],
 private class SyntheticDocsScan(rows: Long, parts: Int,
                                 required: StructType,
                                 lo: Long, hi: Long,
-                                pushed: Array[Filter])
+                                pushed: Array[Filter],
+                                rowsPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SyntheticDocsMicroBatchStream(lo, hi, parts, rowsPerBatch, required)
   override def description(): String =
     s"SyntheticDocs(rows=$rows, partitions=$parts, bounds=[$lo,$hi)) " +
       pushed.mkString("PushedFilters: [", ", ", "]")
@@ -600,6 +611,78 @@ private class SyntheticDocsScan(rows: Long, parts: Int,
 }
 
 private case class DocsRange(start: Long, end: Long) extends InputPartition
+
+/** Stream offset = the next unread doc_id (a position in the bounded
+  * id line). Case class so the engine's offset-equality checks (the
+  * AvailableNow end-bound assertion) compare by value. */
+private case class DocsStreamOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** MICRO_BATCH_READ for the synthetic source: offsets are id
+  * positions, each micro-batch is the id range (start, end], planned
+  * with the SAME split grid and row readers as the batch scan — the
+  * backfill-as-a-stream shape (replaying a bounded id range through a
+  * streaming pipeline at a controlled rate).
+  *
+  * Admission control: `rowsPerBatch` caps ids per micro-batch via
+  * [[ReadLimit.maxRows]] — the engine calls
+  * `latestOffset(start, limit)` and the stream advances
+  * min(start + cap, hi), so a bounded replay becomes ⌈n/cap⌉
+  * deterministic batches (pinned in SyntheticDocsSpec).
+  * [[SupportsTriggerAvailableNow]]: the id line is bounded and
+  * static, so the prepared "available now" end is just `hi` —
+  * `prepareForTriggerAvailableNow` has nothing to snapshot. */
+private class SyntheticDocsMicroBatchStream(lo: Long, hi: Long, parts: Int,
+                                            rowsPerBatch: Long,
+                                            required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = DocsStreamOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    DocsStreamOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch > 0) ReadLimit.maxRows(rowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  // SupportsAdmissionControl contract: the engine drives the
+  // two-argument form; the legacy no-arg accessor must not be reached.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this stream")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocsStreamOffset].pos
+    val e = limit match {
+      case m: ReadMaxRows => math.min(s + m.maxRows(), hi)
+      case _ => hi
+    }
+    DocsStreamOffset(math.max(s, e))
+  }
+
+  override def reportLatestOffset(): Offset = DocsStreamOffset(hi)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsStreamOffset].pos
+    val e = end.asInstanceOf[DocsStreamOffset].pos
+    val n = math.max(e - s, 0L)
+    if (n == 0) Array.empty
+    else {
+      val per = (n + parts - 1) / math.max(parts, 1)
+      (0 until parts).iterator
+        .map(p => DocsRange(s + p * per, math.min(s + (p + 1) * per, e)))
+        .filter(r => r.start < r.end)
+        .toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticDocsReaderFactory(required.fieldNames)
+}
 
 private class SyntheticDocsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

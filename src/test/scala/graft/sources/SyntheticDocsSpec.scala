@@ -13,6 +13,31 @@ class SyntheticDocsSpec extends SparkTestBase {
       .option("rows", rows.toString).option("partitions", parts.toString)
       .load()
 
+  test("micro-batch stream replays the id line under admission control") {
+    // MICRO_BATCH_READ: offsets are id positions; rowsPerBatch caps
+    // ids per micro-batch via ReadLimit.maxRows. The batch count pins
+    // the admission-control contract (a regression to one big batch
+    // would still produce identical rows); the row set pins that rate
+    // limiting changes batch boundaries, never data.
+    val q = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("partitions", "8")
+      .option("rowsPerBatch", "300").load()
+      .select("doc_id", "lang", "n_tokens")
+      .writeStream.format("memory").queryName("sdocs_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    val got = spark.table("sdocs_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    spark.catalog.dropTempView("sdocs_stream")
+    assert(dataBatches == 4, s"ceil(1000/300) = 4, got $dataBatches")
+    val expect = load(1000, 8).select("doc_id", "lang", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("splits cover the id range exactly once, any partition count") {
     for (parts <- Seq(1, 3, 7, 32)) {
       val df = load(100, parts)

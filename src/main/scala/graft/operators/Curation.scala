@@ -122,7 +122,7 @@ object Curation {
         col("x.n").as("shingle_n"), col("x.s").as("s"))
     val benchShingles = tagged.filter(col("is_bench"))
       .select("shingle_n", "s").distinct()
-    tagged.filter(!col("is_bench"))
+    val byN = tagged.filter(!col("is_bench"))
       .join(benchShingles.withColumn("hit", lit(1L)),
         Seq("shingle_n", "s"), "left")
       .groupBy("shingle_n", "id")
@@ -134,8 +134,17 @@ object Curation {
         sum(when(col("_nc") * 2 >= col("_ns"), 1L).otherwise(0L))
           .as("n_flagged_half"),
         sum(col("_nc")).as("_snc"), sum(col("_ns")).as("_sns"))
-      .select(col("shingle_n"), col("n_docs"), col("n_flagged_any"),
-        col("n_flagged_half"),
+    // The single-pass rollup loses a sweep row when a shingle size has
+    // ZERO non-bench documents (groupBy over nothing emits nothing,
+    // where the old per-n global aggregate emitted an n_docs=0 row) —
+    // re-anchor on the literal n domain so every requested size
+    // reports, matching the per-n contract: (n, 0, NULL, NULL, NULL).
+    import docs.sparkSession.implicits._
+    ns.map(_.toLong).toDF("shingle_n")
+      .join(byN, Seq("shingle_n"), "left")
+      .select(col("shingle_n"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_flagged_any"), col("n_flagged_half"),
         expr("(1000 * _snc) div _sns").as("mean_contamination_permille"))
       .orderBy("shingle_n")
   }
@@ -170,15 +179,8 @@ object Curation {
   def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
                          benchmarkFilter: Column, bits: Int = 65536,
                          kHash: Int = 4): DataFrame = {
-    // h2 is forced odd (2x+1) so the stride cycles the whole 2^16
-    // position space; both halves stay < 2^31, so h1 + j·h2 never
-    // nears BIGINT overflow in either engine.
-    def positions(s: Column): Column = {
-      val d = Dedup.digest64(s)
-      val h1 = d.bitwiseAND(lit(1073741823L))
-      val h2 = shiftright(d, 30) * lit(2L) + lit(1L)
-      array((0 until kHash).map(j => (h1 + lit(j.toLong) * h2) % bits): _*)
-    }
+    def positions(s: Column): Column =
+      Dedup.bloomPositions(Dedup.digest64(s), kHash, bits)
     // 32-bit words: shifts stay below the sign bit, which DuckDB
     // rejects as overflow on BIGINT << 63
     def mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")

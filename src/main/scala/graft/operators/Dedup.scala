@@ -156,6 +156,33 @@ object Dedup {
         conv(substring(md5(s), 1, 15), 16, 10).cast("long")
     }
 
+  /** All `k` Bloom bit positions of a 60-bit [[digest64]] value by
+    * Kirsch–Mitzenmacher double hashing ("Less Hashing, Same
+    * Performance", ESA 2006): pos_j = (h1 + j·h2) mod bits, h1 the
+    * digest's low 30 bits, h2 an ODD stride from its high 30 bits
+    * (odd so the stride cycles a power-of-two position space; both
+    * halves stay < 2^31, so the sum never nears BIGINT overflow in
+    * either engine). ONE hash per value instead of k. This is THE
+    * derivation — every Bloom builder and probe (engine-side via this
+    * Column form, driver-side via [[bloomPositionsOf]], and the
+    * DuckDB oracles via the mirrored integer SQL) must agree
+    * bit-for-bit or filters and probes desync into false negatives,
+    * so it lives in exactly one place per side. */
+  def bloomPositions(d: Column, k: Int, bits: Int): Column = {
+    val h1 = d.bitwiseAND(lit(1073741823L))
+    val h2 = shiftright(d, 30) * lit(2L) + lit(1L)
+    array((0 until k).map(j => (h1 + lit(j.toLong) * h2) % bits): _*)
+  }
+
+  /** Driver-side twin of [[bloomPositions]] — the identical integer
+    * arithmetic over a literal digest (probe lists computed on the
+    * driver and broadcast). */
+  def bloomPositionsOf(d: Long, k: Int, bits: Int): Seq[Long] = {
+    val h1 = d & 1073741823L
+    val h2 = (d >> 30) * 2L + 1L
+    (0 until k).map(j => (h1 + j * h2) % bits)
+  }
+
   /** Base hash of one shingle for the MinHash family: [[digest64]]
     * reduced mod [[MinHashPrime]]. ONE md5 per shingle — the k
     * permutations are derived arithmetically (see

@@ -178,28 +178,20 @@ object Layout {
         col(valueCol).cast("string").as("v"))
       .filter(col("v").isNotNull)
       .distinct()
-    def positions(d: Column): Column = {
-      val h1 = d.bitwiseAND(lit(1073741823L))
-      val h2 = shiftright(d, 30) * lit(2L) + lit(1L)
-      array((0 until kHash).map(j => (h1 + lit(j.toLong) * h2) % bits): _*)
-    }
     val words = zv
-      .select(col("zone"), explode(positions(
-        call_function(graft.functions.Md5Prefix64.name, col("v")))).as("pos"))
+      .select(col("zone"), explode(graft.operators.Dedup.bloomPositions(
+        call_function(graft.functions.Md5Prefix64.name, col("v")),
+        kHash, bits)).as("pos"))
       .select(col("zone"), expr("pos div 32").as("widx"),
         expr("shiftleft(1L, cast(pos % 32 as int))").as("bit"))
       .groupBy("zone", "widx")
       .agg(expr("bit_or(bit)").as("word"))
     // probe bit positions from the literal list — driver arithmetic,
-    // identical digest + double-hash formula
+    // the shared double-hash derivation
     val probeRows = probes.flatMap { p =>
       val d = graft.functions.Md5Prefix64.ofBytes(p.getBytes("UTF-8"))
-      val h1 = d & 1073741823L
-      val h2 = (d >> 30) * 2L + 1L
-      (0 until kHash).map { j =>
-        val pos = (h1 + j * h2) % bits
-        (p, pos / 32, 1L << (pos % 32).toInt)
-      }
+      graft.operators.Dedup.bloomPositionsOf(d, kHash, bits)
+        .map(pos => (p, pos / 32, 1L << (pos % 32).toInt))
     }
     val pDf = probeRows.toDF("probe", "widx", "bit")
     val zones = zv.select("zone").distinct()

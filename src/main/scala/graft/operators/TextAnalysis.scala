@@ -235,10 +235,10 @@ object TextAnalysis {
     // document once per element_at, an O(n²) blowup the bench only
     // charged once the r13 noop sink stopped pruning the unreferenced
     // output columns (8.9 s → the array is now materialized once per
-    // row, no shuffle, no row-count change).
-    val withT = df
-      .filter(col(textCol).isNotNull && size(toks(col(textCol))) > 0)
-      .select(col(idCol), explode(array(toks(col(textCol)))).as("_t"))
+    // row, no shuffle, no row-count change). Split of a non-null text
+    // is never empty, so the isNotNull filter alone preserves the old
+    // n > 0 row contract.
+    val withT = withToks(df.filter(col(textCol).isNotNull), idCol, textCol)
     val t = col("_t")
     val n = size(t)
     // Top term frequency = longest run in the SORTED token array —

@@ -548,7 +548,7 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
-    // Streaming twin #18 — the NEAR-DUP GATE, the batch curation stage
+    // Streaming twin #19 — the NEAR-DUP GATE, the batch curation stage
     // a 100 TB ingest wants online: the LSH bucket index lives in the
     // state store keyed by band, so an incoming document compares only
     // against its own buckets' residents (bucket-sized state, hard

@@ -87,7 +87,13 @@ object DocStreams {
       val sigs = scala.collection.mutable.ArrayBuffer(st.sigs: _*)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
       incoming.foreach { d =>
-        if (ids.length < cap) {
+        // Idempotent admission: a re-delivered document (at-least-once
+        // upstream, a replayed batch) is already a resident of this
+        // bucket — re-admitting it would emit a bogus self-pair
+        // (agree = k against its own signature) and duplicate every
+        // later comparison. The membership probe is bucket-sized, the
+        // same bound as the comparison loop below it.
+        if (ids.length < cap && !ids.contains(d.doc_id)) {
           var i = 0
           while (i < ids.length) {
             val other = sigs(i)

@@ -82,4 +82,14 @@ class DocStreamsSpec extends SparkTestBase {
     val got = runGate(Seq(docs.take(4), docs.drop(4)), "ndg_two")
     assert(got == expectedPairs())
   }
+
+  test("re-delivered documents neither self-pair nor duplicate pairs") {
+    // At-least-once upstream: doc 1 arrives again in a later batch.
+    // Admission must be idempotent — no (1,1) self-pair from comparing
+    // the replay against its own resident signature, and no duplicate
+    // (1,2)/(1,3) emissions from a second resident copy of doc 1.
+    val got = runGate(Seq(docs, Seq(docs.head)), "ndg_replay")
+    assert(!got.exists(p => p._1 == p._2))
+    assert(got == expectedPairs())
+  }
 }

@@ -28,4 +28,24 @@ class Round13OpsSpec extends SparkTestBase {
     // the shared tok-vocabulary guarantees real contamination exists
     assert(out.exists(_.getAs[Long]("n_exact") >= 1))
   }
+
+  test("bloomPositions: the Column and driver derivations agree bit-for-bit") {
+    // Filters are BUILT with the Column form and PROBED (q217) with
+    // the driver form — any divergence is a silent false negative, so
+    // pin the two sides against each other over random 60-bit digests
+    // and both deployed (k, bits) shapes.
+    val rnd = new scala.util.Random(13)
+    val digests = Seq.fill(40)(rnd.nextLong() & ((1L << 60) - 1))
+    for ((k, bits) <- Seq((4, 65536), (3, 256), (8, 1024))) {
+      val got = digests.map(d => (d, d))
+        .toDF("d", "dup")
+        .select(col("d"), Dedup.bloomPositions(col("d"), k, bits).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      digests.foreach { d =>
+        assert(got(d) == Dedup.bloomPositionsOf(d, k, bits),
+          s"d=$d k=$k bits=$bits")
+        assert(got(d).forall(p => p >= 0 && p < bits))
+      }
+    }
+  }
 }

@@ -520,9 +520,15 @@ object StreamingQueries {
     // operator's NULL/non-finite exclusion) is computed DataFrame-side
     // so both engines share one predicate; the processor folds the
     // telescoped prefix-sum/running-min recursion in (us, event_id)
-    // order and emits one summary per touched series per batch. On
-    // the bounded one-batch fixture that equals batch q257
-    // row-for-row — the oracle is literally q257's SQL.
+    // order and emits one summary per touched series per batch.
+    // Consumption is BATCH-SPLIT-INVARIANT (r13 item 2, replacing the
+    // one-data-batch require): every batch that touches a series
+    // strictly increases n + n_excluded, so the LAST summary per
+    // series is its argmax — picked with a window over the sink, the
+    // q261 distinct() trick adapted to monotone re-emission. Any
+    // micro-batch split of the fixture therefore yields the identical
+    // final rows (spec-pinned in EventStreamsSpec), which equal batch
+    // q257 row-for-row — the oracle is literally q257's SQL.
     "q260_stream_cusum" -> ((s, dir) => {
       import s.implicits._
       val v = col("value").cast("double")
@@ -535,15 +541,14 @@ object StreamingQueries {
         .as[EventStreams.MetricObs]
       val out = EventStreams.cusumShiftStream(s, obs,
         thresholdCents = 50000L)
-      val (sunk, dataBatches) = withRocksDbState(s) {
-        runBoundedCounted(s, out.toDF(), "graft_q260_sink", "append")
+      val sunk = withRocksDbState(s) {
+        runBounded(s, out.toDF(), "graft_q260_sink", "append")
       }
-      // per-batch summary re-emission would duplicate series rows in
-      // the append sink: the bounded fixture must be one data batch.
-      require(dataBatches == 1,
-        s"q260 expects exactly 1 data micro-batch (per-batch summary " +
-          s"rows accumulate in the append sink); got $dataBatches")
-      sunk.select(col("event_type"), col("n"), col("n_excluded"),
+      val last = Window.partitionBy("event_type")
+        .orderBy((col("n") + col("n_excluded")).desc)
+      sunk.withColumn("_rn", row_number().over(last))
+        .filter(col("_rn") === 1)
+        .select(col("event_type"), col("n"), col("n_excluded"),
           col("n_alarms"), col("max_s_cents"), col("first_alarm_us"))
         .orderBy("event_type")
     }),
@@ -595,6 +600,37 @@ object StreamingQueries {
         s"q262 expects ceil(2000/512) = 4 data micro-batches (the " +
           s"rowsPerBatch admission-control contract); got $dataBatches")
       sunk.orderBy("doc_id")
+    }),
+
+    // Streaming twin #20 — the BOOTSTRAPPED near-dup gate (r13 item
+    // 1): q261's gate warm-started from the batch LSH artifact. The
+    // corpus (doc_id % 5 ≠ 0) is banded BATCH-side and seeded into the
+    // band-keyed state store through transformWithState INITIAL STATE
+    // — the production online-ingest shape, where the index exists
+    // before the first streamed document arrives. Only NEW docs
+    // (doc_id % 5 = 0) stream; emitted = every qualifying pair
+    // touching a new doc (new-vs-corpus via the seeded residents,
+    // new-vs-new via stream admission), corpus-vs-corpus never (the
+    // batch pipeline owns those). Oracle: the batch LSH pairs over ALL
+    // docs at agreement ≥ 12, restricted to pairs touching a new doc.
+    "q263_stream_neardup_boot" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val corpusBanded = graft.streaming.DocStreams.bandedSignatures(
+        s.read.parquet(path).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val init = graft.streaming.DocStreams.bucketIndex(s, corpusBanded)
+      val newDocs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 === 0)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        newDocs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val out = graft.streaming.DocStreams.nearDupGateBooted(
+        s, banded, init, k = 24, minAgree = 12)
+      withRocksDbState(s) {
+        runBounded(s, out.toDF(), "graft_q263_sink", "append")
+      }.distinct()
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -637,6 +673,46 @@ object StreamingQueries {
            JOIN sigs sb ON c.b = sb.doc_id)
          SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
          FROM agree WHERE n_agree >= 12
+         ORDER BY doc_a, doc_b""",
+
+    // q261's batch-LSH oracle restricted to pairs TOUCHING a new doc
+    // (doc_id % 5 = 0): corpus-vs-corpus pairs belong to the batch
+    // pipeline and the booted gate's seeding emits nothing for them.
+    "q263_stream_neardup_boot" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         agree AS (
+           SELECT c.a AS doc_a, c.b AS doc_b,
+                  CAST(len(list_filter(range(0, 24),
+                    i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS n_agree
+           FROM cand c
+           JOIN sigs sa ON c.a = sa.doc_id
+           JOIN sigs sb ON c.b = sb.doc_id)
+         SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
+         FROM agree
+         WHERE n_agree >= 12 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
          ORDER BY doc_a, doc_b""",
 
     // The q244 generator arithmetic for the streamed columns — rate

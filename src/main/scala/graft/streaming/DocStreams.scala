@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Dedup
 
@@ -18,6 +18,14 @@ import graft.operators.Dedup
   * LSH bucket index to LIVE IN THE STATE STORE, keyed by band, so an
   * incoming document only ever compares against its own buckets'
   * residents, never the corpus.
+  *
+  * Two deployment shapes, same comparison fold:
+  *  - [[nearDupGate]] — cold start: the index builds up from the
+  *    stream itself (the batch-pipeline twin, q261).
+  *  - [[nearDupGateBooted]] — warm start: the index is SEEDED from the
+  *    batch banded-signature artifact via `transformWithState` initial
+  *    state, so new documents stream against the EXISTING corpus from
+  *    the first batch (the production ingest shape, q263).
   */
 object DocStreams {
 
@@ -30,11 +38,31 @@ object DocStreams {
   /** An emitted near-dup hit: `est_permille` is the integer MinHash
     * similarity estimate `1000·|agreeing positions| div k` — the
     * signature-level verdict a streaming gate can compute without
-    * retaining shingle sets in state. */
+    * retaining shingle sets in state.
+    *
+    * OVERFLOW REPORT rows reuse the same shape with `doc_a = -1` and
+    * `est_permille = -1` (doc ids are non-negative, so the sentinel is
+    * unambiguous): `doc_b` is the document a full bucket REJECTED.
+    * A capped bucket therefore reports instead of silencing — the
+    * observable signal VERDICT r13 item 3 asked for. A doc rejected
+    * from several full buckets re-emits the identical sentinel
+    * (collapsed by the consumer's `distinct()`, same as real pairs). */
   case class NearDupPair(doc_a: Long, doc_b: Long, est_permille: Long)
 
-  /** One LSH bucket's residents: parallel id/signature lists. */
-  case class BucketSigs(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** One LSH bucket's residents: parallel id/signature lists, plus the
+    * cumulative count of documents this bucket rejected at cap.
+    * `overflow` is a METRIC with at-least-once semantics: a replayed
+    * rejected doc re-increments it (tracking rejected ids for exact
+    * dedup would grow state unboundedly — the very pathology `cap`
+    * guards); the sentinel ROWS are replay-idempotent because the
+    * re-rejection emits the identical row. */
+  case class BucketSigs(ids: Seq[Long], sigs: Seq[Seq[Long]],
+                        overflow: Long)
+
+  /** One row of the batch-built bucket index ([[bucketIndex]]) before
+    * keying: [[BucketSigs]] plus its band. */
+  case class BandBucket(band: String, ids: Seq[Long],
+                        sigs: Seq[Seq[Long]], overflow: Long)
 
   /** Banded MinHash signatures of a (possibly streaming) document
     * frame — stateless projections only (two explode barriers: one
@@ -60,16 +88,64 @@ object DocStreams {
       .select(col("band"), col("doc_id"), col("sig"))
   }
 
-  /** Bucket-resident comparison: per band key, state holds the ids +
-    * signatures admitted so far; each incoming doc (processed in
-    * doc_id order within a batch, the deterministic-twin contract)
-    * compares against every earlier resident and emits the pairs
-    * whose signature agreement reaches `minAgree`. State per bucket
-    * is bucket-sized and hard-capped at `cap` residents — the skew
-    * guard for the known LSH hot-bucket pathology (boilerplate
-    * documents): a full bucket admits no one and emits nothing, which
-    * a production gate would surface as an overflow metric; the
-    * oracle contract assumes the fixture stays under the cap. */
+  /** The bucket-resident fold shared by the cold and booted gates:
+    * admit each incoming doc (in doc_id order within the batch, the
+    * deterministic-twin contract), comparing it against every earlier
+    * resident of this bucket and emitting the pairs whose signature
+    * agreement reaches `minAgree`. State per bucket is bucket-sized
+    * and hard-capped at `cap` residents — the skew guard for the known
+    * LSH hot-bucket pathology (boilerplate documents); a full bucket
+    * admits no one but REPORTS each rejection as an overflow sentinel
+    * row and counts it in state (see [[NearDupPair]]/[[BucketSigs]]).
+    *
+    * Admission is idempotent: a re-delivered document (at-least-once
+    * upstream, a replayed batch) is already a resident of this bucket
+    * — re-admitting it would emit a bogus self-pair (agree = k against
+    * its own signature) and duplicate every later comparison. The
+    * membership probe is a hash set built once per batch from the
+    * resident list (ADVICE r13: the linear `contains` probe made a
+    * replayed batch O(residents²) per bucket). */
+  private def foldBucket(st: BucketSigs, incoming: Array[BandedDoc],
+                         k: Int, minAgree: Int, cap: Int)
+      : (BucketSigs, Iterator[NearDupPair]) = {
+    val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
+    val sigs = scala.collection.mutable.ArrayBuffer(st.sigs: _*)
+    val resident = scala.collection.mutable.HashSet(st.ids: _*)
+    var overflow = st.overflow
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    incoming.foreach { d =>
+      if (resident.contains(d.doc_id)) {
+        // replayed resident: already admitted, nothing to do
+      } else if (ids.length >= cap) {
+        overflow += 1L
+        out += NearDupPair(-1L, d.doc_id, -1L)
+      } else {
+        var i = 0
+        while (i < ids.length) {
+          val other = sigs(i)
+          var agree = 0
+          var j = 0
+          while (j < k) {
+            if (d.sig(j) == other(j)) agree += 1
+            j += 1
+          }
+          if (agree >= minAgree)
+            out += NearDupPair(math.min(ids(i), d.doc_id),
+              math.max(ids(i), d.doc_id), 1000L * agree / k)
+          i += 1
+        }
+        ids += d.doc_id
+        sigs += d.sig
+        resident += d.doc_id
+      }
+    }
+    (BucketSigs(ids.toSeq, sigs.toSeq, overflow), out.iterator)
+  }
+
+  private val emptyBucket = BucketSigs(Seq.empty, Seq.empty, 0L)
+
+  /** Cold-start gate processor: state begins empty, the index builds
+    * from the stream itself. */
   private class NearDupProcessor(k: Int, minAgree: Int, cap: Int)
       extends StatefulProcessor[String, BandedDoc, NearDupPair] {
     @transient private var state: ValueState[BucketSigs] = _
@@ -80,40 +156,48 @@ object DocStreams {
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[NearDupPair] = {
-      val incoming = rows.toArray.sortBy(_.doc_id)
-      val st = if (state.exists()) state.get()
-               else BucketSigs(Seq.empty, Seq.empty)
-      val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
-      val sigs = scala.collection.mutable.ArrayBuffer(st.sigs: _*)
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      incoming.foreach { d =>
-        // Idempotent admission: a re-delivered document (at-least-once
-        // upstream, a replayed batch) is already a resident of this
-        // bucket — re-admitting it would emit a bogus self-pair
-        // (agree = k against its own signature) and duplicate every
-        // later comparison. The membership probe is bucket-sized, the
-        // same bound as the comparison loop below it.
-        if (ids.length < cap && !ids.contains(d.doc_id)) {
-          var i = 0
-          while (i < ids.length) {
-            val other = sigs(i)
-            var agree = 0
-            var j = 0
-            while (j < k) {
-              if (d.sig(j) == other(j)) agree += 1
-              j += 1
-            }
-            if (agree >= minAgree)
-              out += NearDupPair(math.min(ids(i), d.doc_id),
-                math.max(ids(i), d.doc_id), 1000L * agree / k)
-            i += 1
-          }
-          ids += d.doc_id
-          sigs += d.sig
-        }
-      }
-      state.update(BucketSigs(ids.toSeq, sigs.toSeq))
-      out.iterator
+      val st = if (state.exists()) state.get() else emptyBucket
+      val (next, out) =
+        foldBucket(st, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
+      state.update(next)
+      out
+    }
+  }
+
+  /** Warm-start gate processor: before the first batch, each band key
+    * present in the batch-built bucket index seeds its resident list
+    * via [[handleInitialState]] — the one `transformWithState`
+    * contract the cold gate doesn't exercise. Seeding EMITS nothing
+    * (the corpus was already admitted by the batch pipeline; only
+    * pairs touching a streamed doc are this gate's output), and a seed
+    * larger than `cap` is truncated to the first `cap` residents in
+    * doc_id order with the remainder counted as overflow — the same
+    * bound the streaming path enforces. */
+  private class NearDupBootProcessor(k: Int, minAgree: Int, cap: Int)
+      extends StatefulProcessorWithInitialState[
+        String, BandedDoc, NearDupPair, BucketSigs] {
+    @transient private var state: ValueState[BucketSigs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BucketSigs]("sigs",
+        Encoders.product[BucketSigs], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: BucketSigs,
+        timerValues: TimerValues): Unit = {
+      val seed =
+        if (initial.ids.length <= cap) initial
+        else BucketSigs(initial.ids.take(cap), initial.sigs.take(cap),
+          initial.overflow + (initial.ids.length - cap))
+      state.update(seed)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+        timerValues: TimerValues): Iterator[NearDupPair] = {
+      val st = if (state.exists()) state.get() else emptyBucket
+      val (next, out) =
+        foldBucket(st, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
+      state.update(next)
+      out
     }
   }
 
@@ -124,7 +208,8 @@ object DocStreams {
     * so consumers dedup with a plain `distinct()` — after which the
     * emitted set equals the batch LSH candidate set filtered to
     * `agreement ≥ minAgree`, which is exactly what the oracle
-    * computes. */
+    * computes. Bucket-overflow rejections surface as sentinel rows
+    * (`doc_a = -1`, see [[NearDupPair]]) rather than vanishing. */
   def nearDupGate(spark: SparkSession, banded: DataFrame, k: Int,
                   minAgree: Int, cap: Int = 65536): Dataset[NearDupPair] = {
     import spark.implicits._
@@ -132,5 +217,48 @@ object DocStreams {
       .groupByKey(_.band)
       .transformWithState(new NearDupProcessor(k, minAgree, cap),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The batch-built LSH bucket index in the gate's state shape: one
+    * [[BucketSigs]] row per band key, residents in doc_id order (the
+    * same order streamed admission produces), grouped ready to hand to
+    * [[nearDupGateBooted]] as `transformWithState` initial state.
+    * Input is a banded-signature frame ([[bandedSignatures]] over the
+    * corpus, or the batch pipeline's persisted banded artifact — same
+    * signature family, so the buckets are bit-identical). */
+  def bucketIndex(spark: SparkSession, banded: DataFrame)
+      : KeyValueGroupedDataset[String, BucketSigs] = {
+    import spark.implicits._
+    banded
+      .groupBy("band")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("r"))
+      .select(col("band"),
+        expr("transform(r, x -> x.doc_id)").as("ids"),
+        expr("transform(r, x -> x.sig)").as("sigs"),
+        lit(0L).as("overflow"))
+      .as[BandBucket]
+      .groupByKey(_.band)
+      .mapValues(b => BucketSigs(b.ids, b.sigs, b.overflow))
+  }
+
+  /** BOOTSTRAPPED NEAR-DUP GATE (VERDICT r13 item 1): the production
+    * online-ingest shape — the bucket index starts as the EXISTING
+    * corpus (seeded from the batch LSH artifact through initial
+    * state), and the stream carries only new documents. Emitted =
+    * every qualifying pair TOUCHING a streamed doc: new-vs-corpus
+    * pairs compare against the seeded residents, new-vs-new pairs
+    * against residents admitted earlier from the stream; corpus-vs-
+    * corpus pairs never emit (the batch pipeline already owns them).
+    * Same fold, same sentinel overflow reporting, same
+    * `distinct()`-collapsible re-emission as [[nearDupGate]]. */
+  def nearDupGateBooted(spark: SparkSession, banded: DataFrame,
+      initial: KeyValueGroupedDataset[String, BucketSigs], k: Int,
+      minAgree: Int, cap: Int = 65536): Dataset[NearDupPair] = {
+    import spark.implicits._
+    banded.as[BandedDoc]
+      .groupByKey(_.band)
+      .transformWithState(new NearDupBootProcessor(k, minAgree, cap),
+        TimeMode.None(), OutputMode.Append(), initial)
   }
 }

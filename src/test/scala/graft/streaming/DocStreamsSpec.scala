@@ -92,4 +92,105 @@ class DocStreamsSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == p._2))
     assert(got == expectedPairs())
   }
+
+  private def runBootedGate(corpus: Seq[NdDoc], batches: Seq[Seq[NdDoc]],
+                            sink: String,
+                            cap: Int = 65536): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try {
+      val init = DocStreams.bucketIndex(spark,
+        DocStreams.bandedSignatures(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6))
+      val in = MemoryStream[NdDoc]
+      val banded = DocStreams.bandedSignatures(
+        in.toDF(), "doc_id", "text", 24, 4, 6)
+      val q = DocStreams.nearDupGateBooted(spark, banded, init, 24, 12,
+          cap = cap).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView(sink)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("booted gate emits exactly the pairs touching a streamed doc") {
+    // Corpus 1, 2, 4 seeds the bucket index through initial state; new
+    // docs 3, 5, 6 stream in two batches. Corpus-vs-corpus (1,2) must
+    // NOT emit (seeding is silent — the batch pipeline owns it);
+    // new-vs-corpus (1,3)/(2,3)/(4,5) must, via the SEEDED residents.
+    val newIds = Set(3L, 5L, 6L)
+    val expect = expectedPairs().filter(p =>
+      newIds.contains(p._1) || newIds.contains(p._2))
+    val got = runBootedGate(
+      corpus = docs.filter(d => !newIds.contains(d.doc_id)),
+      batches = Seq(Seq(docs(2), docs(5)), Seq(docs(4))),
+      sink = "ndg_boot")
+    assert(expectedPairs().contains((1L, 2L, 1000L))) // would-be corpus pair
+    assert(expect.contains((4L, 5L, 1000L))) // new-vs-SEEDED exact dup
+    assert(got == expect)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("a capped bucket reports overflow instead of silencing") {
+    // Three identical docs share every bucket; cap = 2 admits 1 and 2,
+    // rejects 3 — which must surface as the (-1, 3, -1) sentinel, not
+    // vanish. A replay of the rejected doc re-emits the IDENTICAL
+    // sentinel (distinct-collapsible), never admits it, and never
+    // produces pairs against it.
+    val trio = Seq(NdDoc(1L, "a b c d e f g h"),
+      NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+    val got = runGateCapped(Seq(trio, Seq(trio.last)), "ndg_cap", cap = 2)
+    assert(got.contains((1L, 2L, 1000L)))
+    assert(got.contains((-1L, 3L, -1L)))
+    assert(!got.exists(p => p._2 == 3L && p._1 >= 0L))
+    assert(got.size == 2)
+  }
+
+  test("booted gate truncates an over-cap seed at cap, in doc_id order") {
+    // Seed 3 identical corpus docs into cap = 2 buckets: residents are
+    // 1 and 2 (doc_id order), doc 3 is counted as seed overflow. A
+    // streamed near-dup then pairs with the two RESIDENTS only and is
+    // itself rejected (bucket still full) with a sentinel.
+    val corpus = Seq(NdDoc(1L, "a b c d e f g h"),
+      NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+    val got = runBootedGate(corpus,
+      Seq(Seq(NdDoc(9L, "a b c d e f g h"))), "ndg_boot_cap", cap = 2)
+    assert(got == Set((-1L, 9L, -1L)))
+  }
+
+  private def runGateCapped(batches: Seq[Seq[NdDoc]], sink: String,
+                            cap: Int): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try {
+      val in = MemoryStream[NdDoc]
+      val banded = DocStreams.bandedSignatures(
+        in.toDF(), "doc_id", "text", 24, 4, 6)
+      val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = cap)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView(sink)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }

@@ -420,4 +420,69 @@ class EventStreamsSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("q260's last-summary-per-series pick is batch-split-invariant") {
+    // r13 item 2: the driver query's sink consumption must yield the
+    // SAME final rows under any micro-batch split. The pick is argmax
+    // of (n + n_excluded) per series — n ALONE is not enough, which
+    // this fixture forces: series "a"'s second batch carries only an
+    // EXCLUDED (NULL) observation, so two sink rows tie at n = 2 and
+    // only the n_excluded term separates final from stale.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fixture: Seq[(String, Timestamp, Long, java.lang.Double)] = Seq(
+      ("a", ts(1), 1L, 4.0), ("a", ts(2), 2L, 4.0),
+      ("a", ts(3), 3L, null),
+      ("b", ts(1), 4L, 2.0), ("b", ts(2), 5L, 9.0))
+    val splits: Seq[Seq[Seq[(String, Timestamp, Long, java.lang.Double)]]] =
+      Seq(Seq(fixture),                            // one batch
+        Seq(fixture.take(2) ++ fixture.drop(3).take(1),
+          Seq(fixture(2), fixture(4))))            // "a" gets NULL-only tail
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val results = splits.zipWithIndex.map { case (batches, i) =>
+        val in = MemoryStream[(String, Timestamp, Long, java.lang.Double)]
+        val named = in.toDF()
+          .toDF("event_type", "ts", "event_id", "value")
+        val v = col("value").cast("double")
+        val finite = v.isNotNull && !isnan(v) &&
+          v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
+        val obs = named.select(col("event_type"),
+            expr("unix_micros(ts)").as("us"), col("event_id"),
+            when(finite, floor(v * 100).cast("long") - 100L).as("d"))
+          .as[MetricObs]
+        val sink = s"cusum_split_$i"
+        val q = cusumShiftStream(spark, obs, thresholdCents = 300L)
+          .toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        // the q260 driver query's consumption, verbatim
+        val last = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy((col("n") + col("n_excluded")).desc)
+        val rows = spark.table(sink)
+          .withColumn("_rn", row_number().over(last))
+          .filter(col("_rn") === 1)
+          .select("event_type", "n", "n_excluded", "n_alarms",
+            "max_s_cents", "first_alarm_us")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+        spark.catalog.dropTempView(sink)
+        rows
+      }
+      assert(results(0).map(_._1) == Set("a", "b"))
+      assert(results(0).exists(r => r._1 == "a" && r._3 == 1L)) // excluded
+      assert(results(1) == results(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

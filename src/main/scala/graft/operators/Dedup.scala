@@ -183,12 +183,49 @@ object Dedup {
     (0 until k).map(j => (h1 + j * h2) % bits)
   }
 
-  /** Base hash of one shingle for the MinHash family: [[digest64]]
-    * reduced mod [[MinHashPrime]]. ONE md5 per shingle — the k
-    * permutations are derived arithmetically (see
-    * [[minHashSignatureFromBases]]), 12× cheaper than hashing per
-    * permutation and exactly as portable. */
-  def shingleBaseHash(s: Column): Column = digest64(s) % MinHashPrime
+  /** Digest tier for the text-hash family (VERDICT r13 item 4): which
+    * 60-bit string hash the shingle/fingerprint operators evaluate.
+    *
+    * [[Md5Tier]] is the checked DEFAULT: DuckDB mirrors it
+    * (`('0x' || substr(md5(s), 1, 15))::BIGINT`), so every driver
+    * oracle stays binding. [[XxTier]] is the PRODUCTION tier — Spark's
+    * codegen'd `xxhash64` (one 64-bit mix pass, no cryptographic
+    * rounds, no hex string ever materialized), masked to the same
+    * non-negative 60-bit domain so every downstream contract (mod
+    * [[MinHashPrime]], [[bloomPositions]]' 30-bit halves) holds
+    * unchanged. No DuckDB twin of xxhash64's exact bits exists, so the
+    * xx tier can never be the checked default; its contract is the
+    * EQUIVALENCE spec (DedupSpec: identical dedup DECISIONS on a
+    * fixture whose similarities aren't hash-marginal) plus the
+    * measured speedup (DESIGN.md §5). */
+  sealed trait DigestTier {
+    /** Non-negative 60-bit digest of a string column. */
+    def digest(s: Column): Column
+    /** Hex-string digest (the fingerprint family's output form). */
+    def hexDigest(s: Column): Column
+  }
+
+  /** md5-based tier — DuckDB-mirrorable, the checked default. */
+  case object Md5Tier extends DigestTier {
+    override def digest(s: Column): Column = digest64(s)
+    override def hexDigest(s: Column): Column = md5(s)
+  }
+
+  /** xxhash64-based tier — the production hash for deployments that
+    * don't carry the cross-engine-oracle constraint. */
+  case object XxTier extends DigestTier {
+    override def digest(s: Column): Column =
+      xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
+    override def hexDigest(s: Column): Column = hex(xxhash64(s))
+  }
+
+  /** Base hash of one shingle for the MinHash family: the tier's
+    * 60-bit digest ([[digest64]] by default) reduced mod
+    * [[MinHashPrime]]. ONE hash per shingle — the k permutations are
+    * derived arithmetically (see [[minHashSignatureFromBases]]), 12×
+    * cheaper than hashing per permutation and exactly as portable. */
+  def shingleBaseHash(s: Column, tier: DigestTier = Md5Tier): Column =
+    tier.digest(s) % MinHashPrime
 
   /** MinHash signature over base hashes: element i is min over shingles
     * of the affine permutation h_i(x) = ((2i+1)·x + 101i+17) mod p. Odd
@@ -229,10 +266,12 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 2, k: Int = 12, bands: Int = 4, rows: Int = 3,
-                 threshold: Double = 0.8): DataFrame =
+                 threshold: Double = 0.8,
+                 tier: DigestTier = Md5Tier): DataFrame =
     minHashLshWith(df, idCol, wordShingles(col(textCol), shingleN),
       k, bands, rows, threshold,
-      sigShingles = wordShingleMultiset(col(textCol), shingleN))
+      sigShingles = wordShingleMultiset(col(textCol), shingleN),
+      tier = tier)
 
   /** [[minHashLsh]] with a caller-supplied shingle expression (word
     * n-grams, char n-grams, ...). `sigShingles`, when given, feeds the
@@ -246,13 +285,14 @@ object Dedup {
   def minHashLshWith(df: DataFrame, idCol: String, shingles: Column,
                      k: Int, bands: Int, rows: Int,
                      threshold: Double, sigShingles: Column = null,
-                     sigRows: DataFrame = null): DataFrame = {
+                     sigRows: DataFrame = null,
+                     tier: DigestTier = Md5Tier): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
     val exploded =
       if (sigRows != null) sigRows.select(col("id"), col("s"))
       else df.select(col(idCol).as("id"),
         explode(Option(sigShingles).getOrElse(shingles)).as("s"))
-    val cand = minHashCandidatesOf(exploded, k, bands, rows)
+    val cand = minHashCandidatesOf(exploded, k, bands, rows, tier)
     cand
       .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -273,8 +313,9 @@ object Dedup {
     * grows with the corpus, so the co-located shuffle join IS the
     * 100 TB plan. Returns distinct (doc_a, doc_b), doc_a < doc_b. */
   private[graft] def minHashCandidatesOf(exploded: DataFrame, k: Int,
-                                         bands: Int, rows: Int): DataFrame = {
-    val banded = bandKeysOf(signaturesOf(exploded, k), bands, rows)
+                                         bands: Int, rows: Int,
+                                         tier: DigestTier = Md5Tier): DataFrame = {
+    val banded = bandKeysOf(signaturesOf(exploded, k, tier), bands, rows)
     banded.as("x").hint("shuffle_hash")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
@@ -469,12 +510,13 @@ object Dedup {
     * expression re-evaluates the inner md5 lambda once per permutation
     * — k× the hashing.) The groupBy shuffles only (id, base) longs and
     * aggregates partially map-side — the shape that scales. */
-  private def signaturesOf(exploded: DataFrame, k: Int): DataFrame = {
+  private def signaturesOf(exploded: DataFrame, k: Int,
+                           tier: DigestTier = Md5Tier): DataFrame = {
     val mins = (0 until k).map { i =>
       min((col("b") * (2 * i + 1) + (101 * i + 17)) % MinHashPrime).as(s"m$i")
     }
     exploded
-      .select(col("id"), shingleBaseHash(col("s")).as("b"))
+      .select(col("id"), shingleBaseHash(col("s"), tier).as("b"))
       .groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -543,9 +585,15 @@ object Dedup {
     // unreferenced fingerprint column, charged honestly (9.8 s at
     // sf0.1) by the r13 noop sink. Identical bits: hex digit j ≥ '8'
     // is the same test either way.
+    // slice(…, 1, 32): on pinned Spark 4.1.2 the empty-regex split
+    // already yields exactly 32 hex chars (SPARK-40194 drops the
+    // trailing empty element), but on any engine that keeps it,
+    // zip_with would pad the 32-long accumulator to 33 and silently
+    // grow the fingerprint — the slice makes the 32-bit contract
+    // explicit rather than version-dependent (ADVICE r13).
     val votes = aggregate(toks, array_repeat(lit(0), 32),
       (acc, w) => zip_with(acc,
-        transform(split(md5(w), ""), c =>
+        transform(slice(split(md5(w), ""), 1, 32), c =>
           when(c >= "8", lit(1)).otherwise(lit(-1))),
         _ + _))
     concat_ws("", transform(votes, v =>

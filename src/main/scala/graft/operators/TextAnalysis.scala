@@ -437,16 +437,31 @@ object TextAnalysis {
         col("n_removed"))
   }
 
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  tier: Dedup.DigestTier = Dedup.Md5Tier): DataFrame = {
     val grams = Dedup.charShingles(col(textCol), 8)
     // Measured dead end (r13): winnowing on digest64 integers (native
     // expression, long sort) instead of md5 hex strings moved q39 by
     // <2% at sf0.1 — hashing ~L grams per document IS the cost, the
-    // sort is noise — so the simpler oracle-stable string form stays.
-    val hashes = array_sort(transform(grams, g => md5(g)))
+    // sort is noise — so the simpler oracle-stable string form stays
+    // FOR THE MD5 TIER. The per-gram hash itself is the cost, which is
+    // exactly what the tier parameter swaps: the xx tier hashes each
+    // gram with codegen'd xxhash64 (no hex string per gram, longs
+    // sort natively) and only the two output digests take hex form.
+    // Fingerprints differ BY CONSTRUCTION across tiers (they are
+    // hashes); the preserved contract is decision-level — equal texts
+    // collide, distinct texts don't — spec'd in DedupTierSpec.
+    val hashes = tier match {
+      case Dedup.Md5Tier =>
+        array_sort(transform(grams, g => md5(g)))
+      case Dedup.XxTier =>
+        transform(array_sort(transform(grams, g => xxhash64(g))),
+          h => h.cast("string"))
+    }
     df.select(col(idCol),
-      md5(col(textCol)).as("digest"),
-      md5(concat_ws("|", slice(hashes, 1, 4))).as("robust_digest"))
+      tier.hexDigest(col(textCol)).as("digest"),
+      tier.hexDigest(concat_ws("|", slice(hashes, 1, 4)))
+        .as("robust_digest"))
   }
 
   /** Unigram SURPRISAL scoring — the information-content quality signal

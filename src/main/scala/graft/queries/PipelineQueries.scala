@@ -2790,6 +2790,30 @@ object PipelineQueries {
           max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
+    }),
+
+    // DSV2 BATCH_WRITE — the connector's write face (r13 item 6): the
+    // generated table round-trips through the VALIDATING sink (append =
+    // "assert each row is exactly the generator's row for its id"),
+    // exercising the full commit protocol — per-task writers fold
+    // (n, Σid, [min,max]) into commit messages, the driver-side commit
+    // merges them into the readable outcome below. A single tampered
+    // row fails the write and records `aborted` instead
+    // (SyntheticDocsSpec pins both paths). Oracle: the same counts
+    // from the generator arithmetic (n = 2000 ids, Σid = n(n−1)/2).
+    "q264_dsv2_write_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val writeId = "q264_" + java.util.UUID.randomUUID().toString
+      val docs = s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("partitions", "8").load()
+      docs.write.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("writeId", writeId)
+        .mode("append").save()
+      val o = graft.sources.SyntheticDocsWrites.get(writeId).getOrElse(
+        sys.error(s"validating write $writeId recorded no outcome"))
+      graft.sources.SyntheticDocsWrites.clear(writeId)
+      Seq((o.status, o.nRows, o.sumId, o.minId, o.maxId))
+        .toDF("status", "n_rows", "sum_doc_id", "min_doc_id", "max_doc_id")
     })
   )
 
@@ -4907,6 +4931,19 @@ object PipelineQueries {
            FROM (SELECT unnest(range(1000, 3500000)) AS i))
          GROUP BY lang ORDER BY lang"""
     },
+
+    // The validating sink's committed outcome re-derived from the
+    // generator arithmetic: ids are exactly range(0, 2000), so the
+    // write must commit n = 2000 validated rows with Σid = n(n−1)/2
+    // — any dropped, duplicated, or tampered row moves a figure (a
+    // tampered row wouldn't even commit; the abort path is spec'd).
+    "q264_dsv2_write_roundtrip" ->
+      """SELECT 'committed' AS status,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(range) AS BIGINT) AS sum_doc_id,
+                CAST(min(range) AS BIGINT) AS min_doc_id,
+                CAST(max(range) AS BIGINT) AS max_doc_id
+         FROM range(0, 2000)""",
 
     // q31's pair chain as the label source, the quality formula
     // verbatim, decile binning and milli arithmetic all-integer.

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 
@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, E
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,14 +104,143 @@ object SyntheticDocs {
 }
 
 private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticDocsScanBuilder(rows, parts, rowsPerBatch)
+
+  /** BATCH_WRITE face (VERDICT r13 item 6): the write tier a GENERATED
+    * table can honestly offer is VALIDATION — the sink has no storage,
+    * so "append" means "assert every incoming row is exactly the row
+    * the generator arithmetic produces for its doc_id" (the round-trip
+    * identity), exercising the full commit/abort protocol: per-task
+    * [[DataWriter]]s validate and fold (n, Σid, [min,max]) into their
+    * commit messages, the driver-side [[BatchWrite.commit]] merges the
+    * messages into a [[SyntheticDocsWrites]] outcome the caller reads
+    * back, and any validation failure fails the task → Spark calls
+    * [[BatchWrite.abort]] → the outcome records `aborted` with NO
+    * committed counts (spec-pinned). A mismatched schema is refused at
+    * build time, not discovered row-by-row. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val writeId = Option(info.options.get("writeId"))
+      .getOrElse(info.queryId())
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          val names = info.schema().fieldNames
+          require(names.sameElements(SyntheticDocs.schema.fieldNames),
+            s"validating sink expects the full generator schema " +
+              s"${SyntheticDocs.schema.fieldNames.mkString("(", ",", ")")}; " +
+              s"got ${names.mkString("(", ",", ")")}")
+          new DocsValidatingBatchWrite(writeId, rows)
+        }
+        override def description(): String =
+          s"SyntheticDocsValidatingWrite(rows=$rows, writeId=$writeId)"
+      }
+    }
+  }
+}
+
+/** Driver-side registry of validating-write outcomes, keyed by the
+  * `writeId` option (falling back to Spark's queryId): commit/abort
+  * runs on the driver, so the caller that issued the write reads its
+  * outcome back in-process — the observable half of the commit
+  * protocol a storage-less sink can offer. */
+object SyntheticDocsWrites {
+  /** `status` is "committed" or "aborted"; counts are the merged
+    * commit messages (aborts keep whatever tasks had committed before
+    * the failure, for diagnosis — the CONTRACT is status). */
+  case class Outcome(status: String, nRows: Long, sumId: Long,
+                     minId: Long, maxId: Long, nTasks: Int)
+  private val log =
+    new java.util.concurrent.ConcurrentHashMap[String, Outcome]()
+  private[sources] def record(id: String, o: Outcome): Unit = log.put(id, o)
+  def get(id: String): Option[Outcome] = Option(log.get(id))
+  def clear(id: String): Unit = log.remove(id)
+}
+
+/** One validated split's fold — the commit message. */
+private case class DocsWriteStats(nRows: Long, sumId: Long, minId: Long,
+                                  maxId: Long) extends WriterCommitMessage
+
+private class DocsValidatingBatchWrite(writeId: String, rowsTotal: Long)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    DocsWriterFactory(rowsTotal)
+
+  private def merge(messages: Array[WriterCommitMessage],
+                    status: String): SyntheticDocsWrites.Outcome = {
+    val stats = messages.collect { case s: DocsWriteStats => s }
+      .filter(_.nRows > 0)
+    SyntheticDocsWrites.Outcome(status,
+      nRows = stats.map(_.nRows).sum,
+      sumId = stats.map(_.sumId).sum,
+      minId = if (stats.isEmpty) -1L else stats.map(_.minId).min,
+      maxId = if (stats.isEmpty) -1L else stats.map(_.maxId).max,
+      nTasks = messages.length)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    SyntheticDocsWrites.record(writeId, merge(messages, "committed"))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SyntheticDocsWrites.record(writeId,
+      merge(messages.filter(_ != null), "aborted"))
+}
+
+/** Ships to executors: a standalone case class (not an inner class of
+  * the BatchWrite, which is driver-only and not serializable). */
+private case class DocsWriterFactory(rowsTotal: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new ValidatingDocsWriter(rowsTotal)
+}
+
+/** Per-task validator: every row must be EXACTLY the generator's row
+  * for its doc_id (one lazy text rebuild per row — same arithmetic,
+  * same md5 helper as the readers). Throws on the first mismatch,
+  * which fails the task and aborts the job — a validating sink's
+  * whole point is that bad rows cannot "commit quietly". */
+private class ValidatingDocsWriter(rowsTotal: Long)
+    extends DataWriter[InternalRow] {
+  private var n = 0L
+  private var sum = 0L
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
+
+  override def write(r: InternalRow): Unit = {
+    import SyntheticDocs._
+    val id = r.getLong(0)
+    def fail(field: String, got: Any, want: Any): Nothing =
+      throw new IllegalArgumentException(
+        s"row $id fails generator validation on '$field': " +
+          s"got $got, expected $want")
+    if (id < 0 || id >= rowsTotal) fail("doc_id", id, s"[0, $rowsTotal)")
+    val text = (0L until nTokOf(id)).map(tokenOf(id, _)).mkString(" ")
+    val gotText = r.getUTF8String(1).toString
+    if (gotText != text) fail("text", gotText, text)
+    val gotLang = r.getUTF8String(2).toString
+    if (gotLang != langOf(id)) fail("lang", gotLang, langOf(id))
+    val gotSource = r.getUTF8String(3).toString
+    if (gotSource != sourceOf(id)) fail("source", gotSource, sourceOf(id))
+    if (r.getLong(4) != nTokOf(id)) fail("n_tokens", r.getLong(4), nTokOf(id))
+    if (r.getLong(5) != text.length.toLong)
+      fail("n_chars", r.getLong(5), text.length)
+    n += 1; sum += id
+    if (id < mn) mn = id
+    if (id > mx) mx = id
+  }
+
+  override def commit(): WriterCommitMessage = DocsWriteStats(n, sum, mn, mx)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private class SyntheticDocsScanBuilder(rows: Long, parts: Int,

@@ -293,4 +293,55 @@ class SyntheticDocsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(sparkSide == inputs.map(SyntheticDocs.h32))
   }
+
+  test("validating write commits: round-trip rows merge into the outcome") {
+    val wid = "spec_commit"
+    SyntheticDocsWrites.clear(wid)
+    load(500, 4).write.format("graft.sources.SyntheticDocs")
+      .option("rows", "500").option("writeId", wid)
+      .mode("append").save()
+    val o = SyntheticDocsWrites.get(wid).get
+    SyntheticDocsWrites.clear(wid)
+    assert(o.status == "committed")
+    assert(o.nRows == 500L && o.sumId == 499L * 500L / 2)
+    assert(o.minId == 0L && o.maxId == 499L)
+    assert(o.nTasks >= 1) // one commit message per successful task
+  }
+
+  test("validating write aborts on a tampered row: no quiet commit") {
+    val wid = "spec_abort"
+    SyntheticDocsWrites.clear(wid)
+    val tampered = load(200, 4)
+      .withColumn("n_tokens",
+        when(col("doc_id") === 137L, lit(-1L)).otherwise(col("n_tokens")))
+    val e = intercept[Exception] {
+      tampered.write.format("graft.sources.SyntheticDocs")
+        .option("rows", "200").option("writeId", wid)
+        .mode("append").save()
+    }
+    // the writer names the failing row and field in the task failure
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("137") && m.contains("n_tokens")) ||
+      e.toString.contains("n_tokens"))
+    val o = SyntheticDocsWrites.get(wid)
+    SyntheticDocsWrites.clear(wid)
+    // abort() recorded — and no committed outcome overwrote it
+    assert(o.exists(_.status == "aborted"),
+      s"expected an aborted outcome, got $o")
+  }
+
+  test("validating write refuses ids outside the declared range") {
+    val wid = "spec_range"
+    SyntheticDocsWrites.clear(wid)
+    intercept[Exception] {
+      load(300, 2).write.format("graft.sources.SyntheticDocs")
+        .option("rows", "100") // declared smaller than the data's ids
+        .option("writeId", wid).mode("append").save()
+    }
+    val o = SyntheticDocsWrites.get(wid)
+    SyntheticDocsWrites.clear(wid)
+    assert(o.exists(_.status == "aborted"))
+  }
 }

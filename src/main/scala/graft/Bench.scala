@@ -37,7 +37,7 @@ object Bench {
     // Cross-round per-query comparisons divide by this instead of
     // guessing the host factor (r7 ran ~1.45x slower host-wide;
     // VERDICT asked for the factor to be a measured number).
-    val calibration = {
+    def calibrationProbe(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       spark.range(2000000)
@@ -47,6 +47,7 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibration = calibrationProbe()
     // LOADED-HOST FLAG (r10/r11/r12 verdict item, landed r13): compare
     // this run's calibration probe against the MEDIAN calibration of
     // the archived full runs in bench_runs/ — back-to-back probes on a
@@ -86,10 +87,24 @@ object Bench {
       } catch { case _: Throwable => Nil }
       if (cals.size < 3) false
       else {
-        val sorted = cals.sorted
-        val median =
-          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        def medianOf(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
+        // BASELINE-CREEP GUARD (ADVICE r13): pre-flag archives from
+        // loaded rounds carry no loaded_host marker and would ratchet
+        // the median upward as they accumulate (1–2× runs stay
+        // unflagged, then ENTER the baseline). One robust iteration:
+        // compute the raw median, drop every archive above 2× it (the
+        // same cut the flag applies), re-take the median of the clean
+        // set. The archived loaded-era probes (3.55/3.02/2.587 vs the
+        // clean ~0.93) fall out on the first pass; a second iteration
+        // cannot remove more (anything left is ≤ 2× a median that only
+        // decreased), so one is enough.
+        val raw = medianOf(cals)
+        val clean = cals.filter(_ <= 2.0 * raw)
+        val median = if (clean.size >= 3) medianOf(clean) else raw
         calibration > 2.0 * median
       }
     }
@@ -164,6 +179,15 @@ object Bench {
       Checkpoints.sweep(spark)
       (name, dt, warm)
     }
+    // END-OF-RUN CALIBRATION (r13 verdict item 7): one probe can't
+    // tell a transient stall from sustained contention, and the r13
+    // headline/clean-twin pair living in different files was the
+    // awkward workaround. Probe again AFTER the retime pass: start≈end
+    // = the host's condition held for the whole run (both high =
+    // sustained load, both low = clean); start≫end or ≪ = the run
+    // straddled a load change and per-query numbers need per-query
+    // salt. The flag keys off the START probe (same semantics as r13).
+    val calibrationEnd = calibrationProbe()
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
     // f"%.3f" would emit "0,123" and corrupt the JSON.
     def r3(v: Double): String =
@@ -194,7 +218,7 @@ object Bench {
       val short = results.zip(shortIds).map { case ((k, v), sid) =>
         s"\"" + (if (useShort) sid else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
     // by the harness tail. Degrade gracefully: ms precision → cs
@@ -217,18 +241,18 @@ object Bench {
         val id = if (useShort) sid.stripPrefix("q") else k
         s"\"" + id + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1),
         fmtLineNoQ(r0))
       .find(_.length <= 1900).getOrElse(
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""))
     // Full names land in a plain file (sbt decorates stdout with
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
     // DURABILITY (r9 verdict item 4): bench.json used to be silently
     // overwritten by any targeted SPARK_GRAFT_ONLY run, and at 244
     // queries the stdout line is totals-only — making bench.json the

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Regenerate the surface counts in README.md and the verify skill
+# (r13 verdict item 5: counts drifted by hand four rounds running —
+# so now they are written by machine, from the same sources the driver
+# checks).
+#
+# Usage:
+#   scripts/update_counts.sh [TEST_COUNT]
+#
+# Query counts come from `runMain graft.SurfaceCounts` (the literal
+# SparkEntry.queries map). TEST_COUNT is the "Total number of tests
+# run" figure from the most recent `sbt test`; pass it to avoid the
+# ~6 min re-run, or omit it to have this script run the suite itself.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+COUNTS=$(sbt -batch "runMain graft.SurfaceCounts" 2>/dev/null \
+  | grep -oE '(queries|oracles|max_query_id)=[0-9]+')
+Q=$(echo "$COUNTS" | grep '^queries='      | cut -d= -f2)
+MAXQ=$(echo "$COUNTS" | grep '^max_query_id=' | cut -d= -f2)
+
+T="${1:-}"
+if [ -z "$T" ]; then
+  echo "No test count supplied — running sbt test (~6 min)..." >&2
+  T=$(sbt -batch test 2>&1 \
+    | grep -oE 'Total number of tests run: [0-9]+' | tail -1 \
+    | grep -oE '[0-9]+')
+fi
+
+python3 - "$Q" "$MAXQ" "$T" <<'EOF'
+import re, sys
+q, maxq, t = sys.argv[1], sys.argv[2], sys.argv[3]
+
+def rewrite(path, subs):
+    s = open(path).read()
+    for pat, rep in subs:
+        s = re.sub(pat, rep, s)
+    open(path, 'w').write(s)
+
+rewrite('README.md', [
+    (r'\b\d+ queries', f'{q} queries'),
+    (r'ids reach q\d+', f'ids reach q{maxq}'),
+    (r'\b\d+ ScalaTest checks', f'{t} ScalaTest checks'),
+])
+rewrite('.claude/skills/verify/SKILL.md', [
+    (r'N = \d+( as of round \d+)?', f'N = {q}'),
+    (r'\b\d+-query surface', f'{q}-query surface'),
+    (r'~?\d+ checks', f'{t} checks'),
+    (r'\b\d+ queries', f'{q} queries'),
+])
+print(f'counts written: queries={q} max_id=q{maxq} tests={t}')
+EOF

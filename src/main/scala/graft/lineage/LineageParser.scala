@@ -59,6 +59,31 @@ object LineageParser {
     }
   }
 
+  /** Lineage for a PROGRAMMATIC DataFrame pipeline (r13 stretch): the
+    * SAME analyzed-plan fold the SQL path runs, entered from
+    * `df.queryExecution.analyzed` instead of a parsed statement — the
+    * parser's whole design (traverse what the analyzer resolved, not
+    * what the user typed) means DataFrame lineage is an entry point,
+    * not a second engine. Sink is the `<EOF>` sentinel, like the
+    * reference's plain-query TOK_TMP_FILE path
+    * (`LineParser.java:104-108`): a DataFrame has no INSERT sink until
+    * a write, and writes are not a LogicalPlan. Edges, WHERE/ON tags,
+    * COLFUN rendering and inputTables all come from the shared fold,
+    * so a pipeline expressed twice — SQL text vs DataFrame calls —
+    * yields the same lineage wherever the analyzer produces the same
+    * plan (golden-pinned in LineageFromPlanSpec). */
+  def fromPlan(spark: SparkSession,
+               plan: LogicalPlan, index: Int = 1,
+               metadata: Option[MetadataProvider] = None): LineageResult = {
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
+    extract(spark, plan, Eof, Operation.Select, index, DefaultDb, meta)
+  }
+
+  /** [[fromPlan]] directly off a Dataset/DataFrame. */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame,
+                    index: Int = 1): LineageResult =
+    fromPlan(df.sparkSession, df.queryExecution.analyzed, index)
+
   private val UniqueJoin = "(?i)\\bUNIQUEJOIN\\b".r
 
   /** Lineage for a single statement. */

@@ -631,6 +631,40 @@ object StreamingQueries {
         runBounded(s, out.toDF(), "graft_q263_sink", "append")
       }.distinct()
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // The connector ROUND-TRIP under the micro-batch engine: q262's
+    // MICRO_BATCH_READ (rowsPerBatch admission) straight into the
+    // STREAMING_WRITE face of the same source — each micro-batch is an
+    // EPOCH transaction whose per-task validations merge into the
+    // cumulative outcome (epoch ids deduped, so a replayed commit
+    // can't double-count). n_epochs = ceil(2000/512) = 4 pins BOTH
+    // contracts at once: admission control shaping the batches and the
+    // per-epoch commit protocol counting them. Oracle: the generator
+    // arithmetic (rate limiting changes boundaries, never rows).
+    "q265_dsv2_stream_write" -> ((s, dir) => {
+      import s.implicits._
+      val writeId = "q265_" + java.util.UUID.randomUUID().toString
+      val docs = s.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "2000").option("partitions", "8")
+        .option("rowsPerBatch", "512").load()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q265_ckpt").toString
+      withStreamConf(s) {
+        val q = docs.writeStream.format("graft.sources.SyntheticDocs")
+          .option("rows", "2000").option("writeId", writeId)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val o = graft.sources.SyntheticDocsWrites.get(writeId).getOrElse(
+        sys.error(s"streaming validating write $writeId recorded no outcome"))
+      graft.sources.SyntheticDocsWrites.clear(writeId)
+      Seq((o.status, o.nRows, o.sumId, o.minId, o.maxId, o.nEpochs.toLong))
+        .toDF("status", "n_rows", "sum_doc_id", "min_doc_id",
+          "max_doc_id", "n_epochs")
     })
   )
 
@@ -714,6 +748,18 @@ object StreamingQueries {
          FROM agree
          WHERE n_agree >= 12 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
          ORDER BY doc_a, doc_b""",
+
+    // The committed outcome of the streaming round-trip, re-derived
+    // from the generator arithmetic; n_epochs is the admission-control
+    // ceiling ceil(2000/512).
+    "q265_dsv2_stream_write" ->
+      """SELECT 'committed' AS status,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(range) AS BIGINT) AS sum_doc_id,
+                CAST(min(range) AS BIGINT) AS min_doc_id,
+                CAST(max(range) AS BIGINT) AS max_doc_id,
+                CAST(4 AS BIGINT) AS n_epochs
+         FROM range(0, 2000)""",
 
     // The q244 generator arithmetic for the streamed columns — rate
     // limiting changes the batch boundaries, never the rows.

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -110,7 +111,8 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticDocsScanBuilder(rows, parts, rowsPerBatch)
 
@@ -131,13 +133,26 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
       .getOrElse(info.queryId())
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = {
+        private def checkSchema(): Unit = {
           val names = info.schema().fieldNames
           require(names.sameElements(SyntheticDocs.schema.fieldNames),
             s"validating sink expects the full generator schema " +
               s"${SyntheticDocs.schema.fieldNames.mkString("(", ",", ")")}; " +
               s"got ${names.mkString("(", ",", ")")}")
+        }
+        override def toBatch: BatchWrite = {
+          checkSchema()
           new DocsValidatingBatchWrite(writeId, rows)
+        }
+        // STREAMING_WRITE: the same validation per row, the EPOCH
+        // commit protocol on top — each micro-batch's task messages
+        // merge into the running outcome (commit(epochId, msgs) is the
+        // per-epoch transaction boundary; an already-committed epochId
+        // re-delivered on recovery must not double-count, so epochs
+        // are tracked by id).
+        override def toStreaming: StreamingWrite = {
+          checkSchema()
+          new DocsValidatingStreamingWrite(writeId, rows)
         }
         override def description(): String =
           s"SyntheticDocsValidatingWrite(rows=$rows, writeId=$writeId)"
@@ -154,14 +169,29 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
 object SyntheticDocsWrites {
   /** `status` is "committed" or "aborted"; counts are the merged
     * commit messages (aborts keep whatever tasks had committed before
-    * the failure, for diagnosis — the CONTRACT is status). */
+    * the failure, for diagnosis — the CONTRACT is status). For a
+    * STREAMING write, counts are cumulative over epochs and `nEpochs`
+    * is the number of DISTINCT committed epoch ids (a re-delivered
+    * epoch id neither re-counts rows nor bumps it). */
   case class Outcome(status: String, nRows: Long, sumId: Long,
-                     minId: Long, maxId: Long, nTasks: Int)
+                     minId: Long, maxId: Long, nTasks: Int,
+                     nEpochs: Int = 1)
   private val log =
     new java.util.concurrent.ConcurrentHashMap[String, Outcome]()
+  // Committed epoch ids per streaming writeId — lives HERE, not on the
+  // StreamingWrite instance: the micro-batch engine may rebuild the
+  // Write per batch (observed on 4.1.2 — instance state saw only the
+  // last epoch), so the registry is the only driver-side state with
+  // the query's lifetime.
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Long]]()
   private[sources] def record(id: String, o: Outcome): Unit = log.put(id, o)
+  private[sources] def firstCommitOf(id: String, epochId: Long): Boolean =
+    epochs.computeIfAbsent(id,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Long]())
+      .add(epochId)
   def get(id: String): Option[Outcome] = Option(log.get(id))
-  def clear(id: String): Unit = log.remove(id)
+  def clear(id: String): Unit = { log.remove(id); epochs.remove(id) }
 }
 
 /** One validated split's fold — the commit message. */
@@ -194,13 +224,59 @@ private class DocsValidatingBatchWrite(writeId: String, rowsTotal: Long)
       merge(messages.filter(_ != null), "aborted"))
 }
 
+/** STREAMING_WRITE face: per-epoch transactions over the same
+  * validators. Epoch commits merge CUMULATIVELY into the registry
+  * outcome; a re-delivered epoch id (micro-batch retry after recovery
+  * — the engine's at-least-once commit edge) is detected by id and
+  * ignored, so committed counts stay exactly-once. All commit/abort
+  * calls run on the driver, sequentially per query. */
+private class DocsValidatingStreamingWrite(writeId: String, rowsTotal: Long)
+    extends StreamingWrite {
+  private def accOf: SyntheticDocsWrites.Outcome =
+    SyntheticDocsWrites.get(writeId).getOrElse(
+      SyntheticDocsWrites.Outcome("committed", 0L, 0L, -1L, -1L, 0, 0))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    DocsWriterFactory(rowsTotal)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    // replayed epoch id (recovery re-commit): already counted
+    if (!SyntheticDocsWrites.firstCommitOf(writeId, epochId)) return
+    val stats = messages.collect { case s: DocsWriteStats => s }
+      .filter(_.nRows > 0)
+    val acc = accOf
+    SyntheticDocsWrites.record(writeId, SyntheticDocsWrites.Outcome(
+      "committed",
+      nRows = acc.nRows + stats.map(_.nRows).sum,
+      sumId = acc.sumId + stats.map(_.sumId).sum,
+      minId = (Seq(acc.minId).filter(_ >= 0) ++ stats.map(_.minId))
+        .minOption.getOrElse(-1L),
+      maxId = math.max(acc.maxId, stats.map(_.maxId).maxOption.getOrElse(-1L)),
+      nTasks = acc.nTasks + messages.length,
+      // DATA-carrying epochs only: whether the engine appends a
+      // trailing empty batch is its business, not the contract's
+      nEpochs = acc.nEpochs + (if (stats.nonEmpty) 1 else 0)))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    SyntheticDocsWrites.record(writeId, accOf.copy(status = "aborted"))
+}
+
 /** Ships to executors: a standalone case class (not an inner class of
-  * the BatchWrite, which is driver-only and not serializable). */
+  * the BatchWrite, which is driver-only and not serializable). Serves
+  * both write faces — the streaming factory's epoch argument doesn't
+  * change the validator, so it delegates to the batch createWriter. */
 private case class DocsWriterFactory(rowsTotal: Long)
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new ValidatingDocsWriter(rowsTotal)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 /** Per-task validator: every row must be EXACTLY the generator's row

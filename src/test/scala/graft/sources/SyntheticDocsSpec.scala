@@ -332,6 +332,54 @@ class SyntheticDocsSpec extends SparkTestBase {
       s"expected an aborted outcome, got $o")
   }
 
+  test("streaming write: epoch commits merge exactly-once into the outcome") {
+    val wid = "spec_stream_commit"
+    SyntheticDocsWrites.clear(wid)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sdocs_sw_ckpt").toString
+    val q = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("partitions", "4")
+      .option("rowsPerBatch", "300").load()
+      .writeStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("writeId", wid)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val o = SyntheticDocsWrites.get(wid).get
+    SyntheticDocsWrites.clear(wid)
+    assert(o.status == "committed")
+    assert(o.nRows == 1000L && o.sumId == 999L * 1000L / 2)
+    assert(o.minId == 0L && o.maxId == 999L)
+    assert(o.nEpochs == 4, s"ceil(1000/300) = 4 data epochs, got $o")
+  }
+
+  test("streaming write: a tampered micro-batch aborts, no quiet commit") {
+    val wid = "spec_stream_abort"
+    SyntheticDocsWrites.clear(wid)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sdocs_sw_abort_ckpt").toString
+    val tampered = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "400").option("partitions", "4").load()
+      .withColumn("n_chars",
+        when(col("doc_id") === 251L, lit(-7L)).otherwise(col("n_chars")))
+    intercept[Exception] {
+      val q = tampered
+        .writeStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "400").option("writeId", wid)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val o = SyntheticDocsWrites.get(wid)
+    SyntheticDocsWrites.clear(wid)
+    assert(o.exists(_.status == "aborted"),
+      s"expected an aborted outcome, got $o")
+  }
+
   test("validating write refuses ids outside the declared range") {
     val wid = "spec_range"
     SyntheticDocsWrites.clear(wid)

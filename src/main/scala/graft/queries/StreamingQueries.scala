@@ -665,6 +665,33 @@ object StreamingQueries {
       Seq((o.status, o.nRows, o.sumId, o.minId, o.maxId, o.nEpochs.toLong))
         .toDF("status", "n_rows", "sum_doc_id", "min_doc_id",
           "max_doc_id", "n_epochs")
+    }),
+
+    // Streaming twin #21 — q66's gap sessionization on the
+    // transformWithState TIMER contract (the one processor face the
+    // other twins never touch): in-batch gaps close sessions inline,
+    // each open session's close is an event-time timer at
+    // last-ms + gap that the advancing watermark fires
+    // (handleExpiredTimer emits and clears). Same emission rule as
+    // q66's flatMapGroupsWithState — gap-closed plus watermark-fired —
+    // so the oracle is q66's SQL verbatim; same robust consumption
+    // (per-user ordinal + count).
+    "q266_stream_timer_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sessions = EventStreams.timerSessionize(s, ev, gapMinutes = 30,
+        watermarkDelay = "10 minutes")
+      val w = Window.partitionBy("user_id").orderBy("start_us")
+      withRocksDbState(s) {
+        runBounded(s, sessions.toDF(), "graft_q266_sink", "append")
+      }
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("session_seq"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")
     })
   )
 
@@ -925,6 +952,46 @@ object StreamingQueries {
     // CTEs, minus each user's last session unless its event-time
     // timeout precedes the final watermark.
     "q66_stream_sessionize" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         numbered AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_id,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  min(us) AS start_us, max(us) AS end_us,
+                  max(session_id) OVER (PARTITION BY user_id) AS last_sid
+           FROM numbered
+           GROUP BY user_id, session_id),
+         wm AS (SELECT (max(us) // 1000) - 600000 AS w FROM base)
+         SELECT user_id,
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY start_us) AS BIGINT)
+                  AS session_seq,
+                n_events
+         FROM sess
+         WHERE session_id < last_sid
+            OR (end_us // 1000) + 1800000 < (SELECT w FROM wm)
+         ORDER BY user_id, session_seq""",
+
+    // q66's oracle VERBATIM: the timer twin's emission rule
+    // (gap-closed + watermark-fired timers at end-ms + gap) is the
+    // flatMapGroupsWithState timeout rule, so one batch reconstruction
+    // binds both processor APIs. Margins ≥12 s keep <-vs-≤ timer
+    // firing semantics from flipping membership (same q66 analysis).
+    "q266_stream_timer_sessions" ->
       """WITH base AS (
            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
            FROM events),

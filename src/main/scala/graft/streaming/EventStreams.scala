@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the batch event operators
   * ([[graft.operators.Events]]) — engine extension beyond the reference
@@ -546,5 +546,99 @@ object EventStreams {
       .groupByKey(_.event_type)
       .transformWithState(new CusumProcessor(thresholdCents),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One session emitted by the TIMER-based sessionizer: start in µs
+    * (consumers order/rank on it — the Timestamp form adds nothing the
+    * q66-shaped rollup uses). */
+  case class SessionLite(user_id: Long, start_us: Long, n_events: Long)
+
+  /** Per-user open-session state for the timer twin. */
+  case class TimerSessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Full-µs epoch of a Timestamp: getTime is epoch MILLIS (already
+    * containing the ms digits), getNanos the sub-second part — combine
+    * without double-counting (same arithmetic as [[sessionize]]). */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Gap sessionization via `transformWithState` EVENT-TIME TIMERS —
+    * the one processor contract the other twins don't touch
+    * ([[sessionize]] is the legacy flatMapGroupsWithState form; this is
+    * the Spark-4-native successor, same semantics). In-batch gaps
+    * close sessions inline; the OPEN session's close is a registered
+    * timer at `last-event-ms + gap` that fires when the watermark
+    * passes it — [[handleExpiredTimer]] emits the session and clears
+    * state. Timer bookkeeping is one delete + one register per touched
+    * key per batch: the old timer is deleted up front (its lastUs is
+    * in state), the new one registered after the fold, so no stale
+    * timer can fire for a session that has since been extended or
+    * closed. */
+  private class TimerSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionLite] {
+    @transient private var state: ValueState[TimerSessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimerSessState]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSessState], TTLConfig.NONE)
+
+    private def timerOf(lastUs: Long): Long = lastUs / 1000L + gapMs
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionLite] = {
+      val sorted = rows.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+      var cur = if (state.exists()) Some(state.get()) else None
+      // the open session's pending close moves with its last event
+      cur.foreach(s => getHandle.deleteTimer(timerOf(s.lastUs)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionLite]
+      val gapUs = gapMs * 1000L
+      sorted.foreach { e =>
+        val t = usOf(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs <= gapUs =>
+            cur = Some(TimerSessState(s.startUs, t, s.n + 1))
+          case Some(s) =>
+            out += SessionLite(key, s.startUs, s.n)
+            cur = Some(TimerSessState(t, t, 1L))
+          case None =>
+            cur = Some(TimerSessState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(timerOf(s.lastUs))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionLite] = {
+      // the fired timer IS this session's close (stale timers are
+      // deleted on every extension), so state must exist — but a
+      // defensive empty guard beats a task failure on an engine edge
+      val out = if (state.exists()) {
+        val s = state.get()
+        Iterator.single(SessionLite(key, s.startUs, s.n))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** TIMER-BASED sessionization — [[sessionize]]'s semantics on the
+    * `transformWithState` timer contract. Emitted = sessions closed by
+    * an in-batch gap plus open sessions whose `last-ms + gap` timer
+    * the advancing watermark fires; on the bounded fixture that equals
+    * q66's emission rule, so the oracle is q66's SQL verbatim. */
+  def timerSessionize(spark: SparkSession, events: Dataset[Event],
+                      gapMinutes: Int,
+                      watermarkDelay: String): Dataset[SessionLite] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TimerSessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

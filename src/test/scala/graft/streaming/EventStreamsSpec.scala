@@ -421,6 +421,55 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("timer sessionize: gaps close inline, timers fire on watermark, extensions move the timer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions — [t0, t0+10m] then (after a 40m gap)
+    //   [t0+50m, t0+55m]; the second is OPEN until the watermark
+    //   passes its last event + 30m gap.
+    // user 2: one event at t0+5m, session open; its timer expiry
+    //   (t0+35m) is BEFORE the final watermark → fires.
+    // user 3: one event near the end (t0+80m): timer expiry t0+110m
+    //   is past the final watermark → stays open, never emitted.
+    // batch 2 EXTENDS user 1's second session (t0+56m): the t0+85m
+    //   timer must replace the t0+55m+30m one, not double-fire.
+    // final watermark = max ts (t0+90m) − 5m delay = t0+85m.
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val b1 = Seq(
+      Event(1L, t(0), 1L, "view", 1.0), Event(2L, t(10), 1L, "view", 1.0),
+      Event(3L, t(50), 1L, "view", 1.0), Event(4L, t(55), 1L, "view", 1.0),
+      Event(5L, t(5), 2L, "view", 1.0))
+    val b2 = Seq(
+      Event(6L, t(56), 1L, "view", 1.0),
+      Event(7L, t(80), 3L, "view", 1.0),
+      Event(8L, t(90), 4L, "view", 1.0)) // watermark driver; own session
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = timerSessionize(spark, in.toDS(), gapMinutes = 30,
+          watermarkDelay = "5 minutes")
+        .toDF().writeStream.format("memory").queryName("timer_sess")
+        .outputMode("append").start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("timer_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView("timer_sess")
+      def usAt(min: Long) = (1700000000000L + min * 60000L) * 1000L
+      // user 1: session A (gap-closed, 2 events), session B extended to
+      // t+56, timer at t+86 > wm t+85 → B stays open. user 2: timer at
+      // t+35 < t+85 → fired with 1 event. users 3, 4: open, unfired.
+      assert(got == Set((1L, usAt(0), 2L), (2L, usAt(5), 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q260's last-summary-per-series pick is batch-split-invariant") {
     // r13 item 2: the driver query's sink consumption must yield the
     // SAME final rows under any micro-batch split. The pick is argmax

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Dedup
 
@@ -49,15 +49,24 @@ object DocStreams {
     * (collapsed by the consumer's `distinct()`, same as real pairs). */
   case class NearDupPair(doc_a: Long, doc_b: Long, est_permille: Long)
 
-  /** One LSH bucket's residents: parallel id/signature lists, plus the
-    * cumulative count of documents this bucket rejected at cap.
-    * `overflow` is a METRIC with at-least-once semantics: a replayed
-    * rejected doc re-increments it (tracking rejected ids for exact
-    * dedup would grow state unboundedly — the very pathology `cap`
-    * guards); the sentinel ROWS are replay-idempotent because the
-    * re-rejection emits the identical row. */
+  /** One LSH bucket of the BATCH-built index (the initial-state row
+    * shape [[bucketIndex]] produces): parallel id/signature lists plus
+    * a pre-counted overflow. Inside the RUNNING gate the bucket is NOT
+    * stored in this shape — residents live in a `ListState` (one row
+    * per resident, so admitting a doc APPENDS one row instead of
+    * rewriting the whole bucket: at the 65536-resident cap a
+    * ValueState rewrite is ~12 MB per touched bucket per batch, the
+    * append is one row) and the overflow count in its own tiny
+    * ValueState. `overflow` is a METRIC with at-least-once semantics:
+    * a replayed rejected doc re-increments it (tracking rejected ids
+    * for exact dedup would grow state unboundedly — the very pathology
+    * `cap` guards); the sentinel ROWS are replay-idempotent because
+    * the re-rejection emits the identical row. */
   case class BucketSigs(ids: Seq[Long], sigs: Seq[Seq[Long]],
                         overflow: Long)
+
+  /** One admitted resident in the gate's ListState. */
+  case class ResidentSig(doc_id: Long, sig: Seq[Long])
 
   /** One row of the batch-built bucket index ([[bucketIndex]]) before
     * keying: [[BucketSigs]] plus its band. */
@@ -105,24 +114,26 @@ object DocStreams {
     * membership probe is a hash set built once per batch from the
     * resident list (ADVICE r13: the linear `contains` probe made a
     * replayed batch O(residents²) per bucket). */
-  private def foldBucket(st: BucketSigs, incoming: Array[BandedDoc],
+  private def foldBucket(resident: Array[ResidentSig],
+                         incoming: Array[BandedDoc],
                          k: Int, minAgree: Int, cap: Int)
-      : (BucketSigs, Iterator[NearDupPair]) = {
-    val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
-    val sigs = scala.collection.mutable.ArrayBuffer(st.sigs: _*)
-    val resident = scala.collection.mutable.HashSet(st.ids: _*)
-    var overflow = st.overflow
+      : (Seq[ResidentSig], Long, Iterator[NearDupPair]) = {
+    val all = scala.collection.mutable.ArrayBuffer(resident: _*)
+    val admitted = scala.collection.mutable.HashSet(
+      resident.map(_.doc_id): _*)
+    val appended = scala.collection.mutable.ArrayBuffer.empty[ResidentSig]
+    var overflow = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
     incoming.foreach { d =>
-      if (resident.contains(d.doc_id)) {
+      if (admitted.contains(d.doc_id)) {
         // replayed resident: already admitted, nothing to do
-      } else if (ids.length >= cap) {
+      } else if (all.length >= cap) {
         overflow += 1L
         out += NearDupPair(-1L, d.doc_id, -1L)
       } else {
         var i = 0
-        while (i < ids.length) {
-          val other = sigs(i)
+        while (i < all.length) {
+          val other = all(i).sig
           var agree = 0
           var j = 0
           while (j < k) {
@@ -130,38 +141,62 @@ object DocStreams {
             j += 1
           }
           if (agree >= minAgree)
-            out += NearDupPair(math.min(ids(i), d.doc_id),
-              math.max(ids(i), d.doc_id), 1000L * agree / k)
+            out += NearDupPair(math.min(all(i).doc_id, d.doc_id),
+              math.max(all(i).doc_id, d.doc_id), 1000L * agree / k)
           i += 1
         }
-        ids += d.doc_id
-        sigs += d.sig
-        resident += d.doc_id
+        val r = ResidentSig(d.doc_id, d.sig)
+        all += r
+        appended += r
+        admitted += d.doc_id
       }
     }
-    (BucketSigs(ids.toSeq, sigs.toSeq, overflow), out.iterator)
+    (appended.toSeq, overflow, out.iterator)
   }
 
-  private val emptyBucket = BucketSigs(Seq.empty, Seq.empty, 0L)
+  /** The two state columns shared by the cold and booted processors:
+    * residents as a LIST (admission APPENDS one row; the comparison
+    * read is bucket-sized either way, but a ValueState would also
+    * REWRITE the whole bucket per touched batch — ~12 MB at the
+    * default cap), overflow as its own tiny counter. */
+  private trait GateState {
+    def getHandle: org.apache.spark.sql.streaming.StatefulProcessorHandle
+    @transient protected var residents: ListState[ResidentSig] = _
+    @transient protected var overflow: ValueState[Long] = _
+
+    protected def initState(): Unit = {
+      residents = getHandle.getListState[ResidentSig]("residents",
+        Encoders.product[ResidentSig], TTLConfig.NONE)
+      overflow = getHandle.getValueState[Long]("overflow",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    protected def processRows(rows: Iterator[BandedDoc], k: Int,
+        minAgree: Int, cap: Int): Iterator[NearDupPair] = {
+      val existing =
+        if (residents.exists()) residents.get().toArray
+        else Array.empty[ResidentSig]
+      val (appended, ovf, out) =
+        foldBucket(existing, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
+      if (appended.nonEmpty) residents.appendList(appended.toArray)
+      if (ovf > 0L)
+        overflow.update((if (overflow.exists()) overflow.get() else 0L) + ovf)
+      out
+    }
+  }
 
   /** Cold-start gate processor: state begins empty, the index builds
     * from the stream itself. */
   private class NearDupProcessor(k: Int, minAgree: Int, cap: Int)
-      extends StatefulProcessor[String, BandedDoc, NearDupPair] {
-    @transient private var state: ValueState[BucketSigs] = _
+      extends StatefulProcessor[String, BandedDoc, NearDupPair]
+      with GateState {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[BucketSigs]("sigs",
-        Encoders.product[BucketSigs], TTLConfig.NONE)
+      initState()
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
-        timerValues: TimerValues): Iterator[NearDupPair] = {
-      val st = if (state.exists()) state.get() else emptyBucket
-      val (next, out) =
-        foldBucket(st, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
-      state.update(next)
-      out
-    }
+        timerValues: TimerValues): Iterator[NearDupPair] =
+      processRows(rows, k, minAgree, cap)
   }
 
   /** Warm-start gate processor: before the first batch, each band key
@@ -175,30 +210,24 @@ object DocStreams {
     * bound the streaming path enforces. */
   private class NearDupBootProcessor(k: Int, minAgree: Int, cap: Int)
       extends StatefulProcessorWithInitialState[
-        String, BandedDoc, NearDupPair, BucketSigs] {
-    @transient private var state: ValueState[BucketSigs] = _
+        String, BandedDoc, NearDupPair, BucketSigs]
+      with GateState {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[BucketSigs]("sigs",
-        Encoders.product[BucketSigs], TTLConfig.NONE)
+      initState()
 
     override def handleInitialState(key: String, initial: BucketSigs,
         timerValues: TimerValues): Unit = {
-      val seed =
-        if (initial.ids.length <= cap) initial
-        else BucketSigs(initial.ids.take(cap), initial.sigs.take(cap),
-          initial.overflow + (initial.ids.length - cap))
-      state.update(seed)
+      val n = math.min(initial.ids.length, cap)
+      residents.put((0 until n).map(i =>
+        ResidentSig(initial.ids(i), initial.sigs(i))).toArray)
+      val ovf = initial.overflow + (initial.ids.length - n)
+      if (ovf > 0L) overflow.update(ovf)
     }
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
-        timerValues: TimerValues): Iterator[NearDupPair] = {
-      val st = if (state.exists()) state.get() else emptyBucket
-      val (next, out) =
-        foldBucket(st, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
-      state.update(next)
-      out
-    }
+        timerValues: TimerValues): Iterator[NearDupPair] =
+      processRows(rows, k, minAgree, cap)
   }
 
   /** STREAMING NEAR-DUP GATE: banded rows in, qualifying

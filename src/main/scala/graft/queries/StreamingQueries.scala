@@ -692,6 +692,33 @@ object StreamingQueries {
           row_number().over(w).cast("long").as("session_seq"),
           col("n_events"))
         .orderBy("user_id", "session_seq")
+    }),
+
+    // Streaming twin #22 — per-user event-type histogram on the
+    // MAPSTATE contract (the last state type untouched by the twins;
+    // ValueState/ListState/timers/initial-state are q260/q261/q263/
+    // q266): the histogram is a map whose per-batch cost is one point
+    // read + one point write per TOUCHED type — never a whole-map
+    // rewrite. Emission is the cumulative n per touched (user, type)
+    // per batch, consumed by the q260 argmax trick (n strictly
+    // increases), so any micro-batch split yields identical finals.
+    // Oracle: the batch GROUP BY.
+    "q267_stream_mapstate_hist" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+        .as[EventStreams.EventTyped]
+      val out = EventStreams.typeHistogramStream(s, ev)
+      val sunk = withRocksDbState(s) {
+        runBounded(s, out.toDF(), "graft_q267_sink", "append")
+      }
+      val last = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("n").desc)
+      sunk.withColumn("_rn", row_number().over(last))
+        .filter(col("_rn") === 1)
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -985,6 +1012,14 @@ object StreamingQueries {
          WHERE session_id < last_sid
             OR (end_us // 1000) + 1800000 < (SELECT w FROM wm)
          ORDER BY user_id, session_seq""",
+
+    // The final MapState histogram IS the batch GROUP BY — cumulative
+    // emission + argmax consumption make the stream shape invisible.
+    "q267_stream_mapstate_hist" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events
+         GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
 
     // q66's oracle VERBATIM: the timer twin's emission rule
     // (gap-closed + watermark-fired timers at end-ms + gap) is the

@@ -548,6 +548,55 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One cumulative per-user event-type count (the MapState twin's
+    * emission: every batch re-emits the TOUCHED types' running n). */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type histogram on the MAPSTATE contract — the one
+    * state type the other twins don't touch, and the shape it exists
+    * for: the histogram is a map whose per-batch work is a POINT read
+    * + POINT write per touched type (a ValueState[whole-histogram]
+    * would rewrite every type's count to bump one — the same write
+    * amplification the near-dup gate's ListState refactor removed).
+    * Batch counts fold locally first, so each touched type costs
+    * exactly one getValue + one updateValue regardless of row count. */
+  private class TypeHistProcessor
+      extends StatefulProcessor[Long, EventTyped, TypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventTyped],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(e =>
+        delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1L)
+      delta.toSeq.sortBy(_._1).iterator.map { case (t, d) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, n)
+        TypeCount(key, t, n)
+      }
+    }
+  }
+
+  /** STREAMING per-user event-type histogram via [[TypeHistProcessor]].
+    * Emission is cumulative per touched (user, type) per batch, so the
+    * final counts are the argmax-n row per pair — batch-split-invariant
+    * consumption, the q260 trick (n is strictly increasing per touched
+    * batch). */
+  def typeHistogramStream(spark: SparkSession,
+                          events: Dataset[EventTyped]): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeHistProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One session emitted by the TIMER-based sessionizer: start in µs
     * (consumers order/rank on it — the Timestamp form adds nothing the
     * q66-shaped rollup uses). */

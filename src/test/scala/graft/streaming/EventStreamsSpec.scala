@@ -470,6 +470,44 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("MapState histogram accumulates across batches; argmax pick is split-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val fixture = Seq(
+      EventTyped(1L, 1L, 100L, "view"), EventTyped(2L, 1L, 200L, "view"),
+      EventTyped(3L, 1L, 300L, "purchase"), EventTyped(4L, 2L, 400L, "view"),
+      EventTyped(5L, 1L, 500L, "view"), EventTyped(6L, 2L, 600L, "signup"))
+    val expect = fixture.groupBy(e => (e.user_id, e.event_type))
+      .view.mapValues(_.size.toLong).toMap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val results = Seq(Seq(fixture), Seq(fixture.take(3), fixture.drop(3)))
+        .zipWithIndex.map { case (batches, i) =>
+          val in = MemoryStream[EventTyped]
+          val sink = s"maphist_$i"
+          val q = typeHistogramStream(spark, in.toDS())
+            .toDF().writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+          q.stop()
+          val rows = spark.table(sink).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          spark.catalog.dropTempView(sink)
+          // argmax n per (user, type) — the q260 consumption trick
+          rows.groupBy(r => (r._1, r._2)).view
+            .mapValues(_.map(_._3).max).toMap
+        }
+      assert(results(0) == expect)
+      assert(results(1) == expect) // split batch: (1, view) counts 2 then 3
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q260's last-summary-per-series pick is batch-split-invariant") {
     // r13 item 2: the driver query's sink consumption must yield the
     // SAME final rows under any micro-batch split. The pick is argmax

@@ -266,6 +266,15 @@ object DocStreams {
         expr("transform(r, x -> x.doc_id)").as("ids"),
         expr("transform(r, x -> x.sig)").as("sigs"),
         lit(0L).as("overflow"))
+      // Materialize NOW, at the session's parallelism: the initial
+      // state plan otherwise executes lazily INSIDE the streaming
+      // query, where bounded runs drop shuffle partitions to 1 for
+      // state-store hygiene (StreamingQueries.withStreamConf) — which
+      // serialized the whole corpus signature pipeline onto one
+      // partition (q263 first benched 13.2 s retimed; the checkpoint
+      // moves the md5 work back to 32-way and the stream only
+      // re-shuffles materialized rows).
+      .localCheckpoint()
       .as[BandBucket]
       .groupByKey(_.band)
       .mapValues(b => BucketSigs(b.ids, b.sigs, b.overflow))

@@ -739,6 +739,38 @@ object StreamingQueries {
         .filter(col("_rn") === 1)
         .select("user_id", "event_type", "n")
         .orderBy("user_id", "event_type")
+    }),
+
+    // The near-dup gate UNDER CAP PRESSURE (driver-checking the r13
+    // item-3 overflow contract end-to-end, beyond the spec): cap = 8
+    // forces real rejections on the fixture, and the emitted set must
+    // be exactly (a) pairs both-resident in a shared bucket and (b)
+    // one (-1, doc_id, -1) sentinel per rejected doc — never silence.
+    // cap = 2 because the sf0.01 fixture's largest bucket holds 3
+    // docs (measured): the cap MUST bind or the query degenerates to
+    // q261 and the sentinel arm goes untested.
+    // Capped admission is ARRIVAL-ORDER semantics by nature (the
+    // production gate's too: whoever came first holds the bucket), so
+    // the oracle mirrors the single-batch doc_id admission order and
+    // the run asserts one data batch — unlike q260's summaries, this
+    // order-dependence is the operator's meaning, not a consumption
+    // artifact (a multi-batch split legitimately admits different
+    // residents).
+    "q268_stream_neardup_capped" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val out = graft.streaming.DocStreams.nearDupGate(s, banded,
+        k = 24, minAgree = 12, cap = 2)
+      val (sunk, dataBatches) = withRocksDbState(s) {
+        runBoundedCounted(s, out.toDF(), "graft_q268_sink", "append")
+      }
+      require(dataBatches == 1,
+        s"q268's capped-admission oracle assumes doc_id arrival order " +
+          s"(single-batch fixture); got $dataBatches data batches")
+      sunk.distinct().orderBy("doc_a", "doc_b")
     })
   )
 
@@ -821,6 +853,61 @@ object StreamingQueries {
          SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
          FROM agree
          WHERE n_agree >= 12 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+         ORDER BY doc_a, doc_b""",
+
+    // Capped admission replicated declaratively: within the one-batch
+    // run the gate admits per band in doc_id order, so residents are
+    // the first 2 ranks per band; rejected docs (rank > 2 in SOME
+    // band) surface as (-1, doc_id, -1) sentinels; pairs require BOTH
+    // sides resident in a SHARED band at agreement >= 12.
+    "q268_stream_neardup_capped" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         ranked AS (
+           SELECT doc_id, band,
+                  row_number() OVER (PARTITION BY band
+                                     ORDER BY doc_id) AS rk
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ranked x JOIN ranked y
+             ON x.band = y.band AND x.doc_id < y.doc_id
+           WHERE x.rk <= 2 AND y.rk <= 2),
+         agree AS (
+           SELECT c.a AS doc_a, c.b AS doc_b,
+                  CAST(len(list_filter(range(0, 24),
+                    i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS n_agree
+           FROM cand c
+           JOIN sigs sa ON c.a = sa.doc_id
+           JOIN sigs sb ON c.b = sb.doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b, (1000 * n_agree) // 24 AS est_permille
+           FROM agree WHERE n_agree >= 12),
+         sentinels AS (
+           SELECT DISTINCT CAST(-1 AS BIGINT) AS doc_a, doc_id AS doc_b,
+                  CAST(-1 AS BIGINT) AS est_permille
+           FROM ranked WHERE rk > 2)
+         SELECT * FROM pairs
+         UNION ALL
+         SELECT * FROM sentinels
          ORDER BY doc_a, doc_b""",
 
     // The committed outcome of the streaming round-trip, re-derived

@@ -84,6 +84,24 @@ object LineageParser {
                     index: Int = 1): LineageResult =
     fromPlan(df.sparkSession, df.queryExecution.analyzed, index)
 
+  /** Write-side DataFrame lineage: the edges of
+    * `df.write.insertInto(table)` / `saveAsTable(table)` BEFORE the
+    * write happens — same fold as [[fromDataFrame]] with the sink
+    * named, so destination columns zip by ordinal against the sink's
+    * catalog schema exactly like a SQL INSERT (S10). `explicitCols`
+    * mirrors `INSERT INTO t (b, a)`: the named columns map by
+    * position and beat the catalog's ordinal guess. The write API
+    * itself is not a LogicalPlan, so this is declared intent — call
+    * it with the frame you are about to write. */
+  def forWrite(df: org.apache.spark.sql.DataFrame, table: String,
+               explicitCols: Seq[String] = Nil, index: Int = 1,
+               metadata: Option[MetadataProvider] = None): LineageResult = {
+    val spark = df.sparkSession
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
+    extract(spark, df.queryExecution.analyzed, fillDb(table, DefaultDb),
+      Operation.Insert, index, DefaultDb, meta, explicitCols)
+  }
+
   private val UniqueJoin = "(?i)\\bUNIQUEJOIN\\b".r
 
   /** Lineage for a single statement. */

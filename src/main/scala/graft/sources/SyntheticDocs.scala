@@ -112,7 +112,8 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticDocsScanBuilder(rows, parts, rowsPerBatch)
 
@@ -131,7 +132,14 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeId = Option(info.options.get("writeId"))
       .getOrElse(info.queryId())
-    new WriteBuilder {
+    // SupportsTruncate so mode("overwrite") plans: a storage-less
+    // validating sink has nothing to truncate, so overwrite ≡ append
+    // (same validation, same commit protocol) — accepting it is the
+    // honest semantics, not a shortcut.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate():
+          org.apache.spark.sql.connector.write.WriteBuilder = this
       override def build(): Write = new Write {
         private def checkSchema(): Unit = {
           val names = info.schema().fieldNames

@@ -85,6 +85,29 @@ class LineageFromPlanSpec extends SparkTestBase {
     }
   }
 
+  test("forWrite matches the SQL INSERT: sink columns zip by ordinal") {
+    ready
+    // DataFrame twin of corpus statement 14:
+    //   INSERT INTO lineage_target SELECT n_nationkey, n_name
+    //   FROM nation WHERE n_regionkey = 1
+    val df = spark.table("nation").where(col("n_regionkey") === 1)
+      .select("n_nationkey", "n_name")
+    val viaWrite = LineageParser.forWrite(df, "lineage_target")
+    val viaSql = LineageParser.parseStatement(spark,
+      LineageQueries.corpus(13), 1)
+    assert(rows(viaWrite) == rows(viaSql))
+    assert(viaWrite.outputTables == Set("default.lineage_target"))
+    assert(viaWrite.inputTables == viaSql.inputTables)
+    assert(viaWrite.colLines.map(_.colName).toSet ==
+      viaSql.colLines.map(_.colName).toSet) // S10 ordinal zip
+    // explicit column list beats the catalog's ordinal guess
+    val swapped = LineageParser.forWrite(df, "lineage_target",
+      explicitCols = Seq("tgt_name", "tgt_key"))
+    assert(swapped.colLines.map(_.colName.get).toList ==
+      List("default.lineage_target.tgt_name",
+        "default.lineage_target.tgt_key"))
+  }
+
   /** Where DataFrame and SQL literals render identically, the two
     * construction paths must be INDISTINGUISHABLE — same edges, same
     * tags, same inputTables (fromPlan is an entry point, not a second

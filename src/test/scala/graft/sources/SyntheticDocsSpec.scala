@@ -332,6 +332,17 @@ class SyntheticDocsSpec extends SparkTestBase {
       s"expected an aborted outcome, got $o")
   }
 
+  test("overwrite mode validates like append (truncate is a no-op on a storage-less sink)") {
+    val wid = "spec_overwrite"
+    SyntheticDocsWrites.clear(wid)
+    load(120, 3).write.format("graft.sources.SyntheticDocs")
+      .option("rows", "120").option("writeId", wid)
+      .mode("overwrite").save()
+    val o = SyntheticDocsWrites.get(wid).get
+    SyntheticDocsWrites.clear(wid)
+    assert(o.status == "committed" && o.nRows == 120L)
+  }
+
   test("streaming write: epoch commits merge exactly-once into the outcome") {
     val wid = "spec_stream_commit"
     SyntheticDocsWrites.clear(wid)

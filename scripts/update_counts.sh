@@ -15,9 +15,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 COUNTS=$(sbt -batch "runMain graft.SurfaceCounts" 2>/dev/null \
-  | grep -oE '(queries|oracles|max_query_id)=[0-9]+')
+  | grep -oE '(queries|max_query_id)=[0-9]+')
 Q=$(echo "$COUNTS" | grep '^queries='      | cut -d= -f2)
 MAXQ=$(echo "$COUNTS" | grep '^max_query_id=' | cut -d= -f2)
+# A garbled sbt line must not stamp empty counts into the docs — the
+# whole point of this script is preventing count corruption.
+if [ -z "$Q" ] || [ -z "$MAXQ" ]; then
+  echo "ERROR: could not extract counts (queries='$Q' max='$MAXQ')" >&2
+  exit 1
+fi
 
 T="${1:-}"
 if [ -z "$T" ]; then
@@ -25,6 +31,10 @@ if [ -z "$T" ]; then
   T=$(sbt -batch test 2>&1 \
     | grep -oE 'Total number of tests run: [0-9]+' | tail -1 \
     | grep -oE '[0-9]+')
+fi
+if [ -z "$T" ]; then
+  echo "ERROR: could not determine the test count" >&2
+  exit 1
 fi
 
 python3 - "$Q" "$MAXQ" "$T" <<'EOF'

@@ -95,17 +95,21 @@ object Bench {
         // BASELINE-CREEP GUARD (ADVICE r13): pre-flag archives from
         // loaded rounds carry no loaded_host marker and would ratchet
         // the median upward as they accumulate (1–2× runs stay
-        // unflagged, then ENTER the baseline). One robust iteration:
-        // compute the raw median, drop every archive above 2× it (the
-        // same cut the flag applies), re-take the median of the clean
-        // set. The archived loaded-era probes (3.55/3.02/2.587 vs the
-        // clean ~0.93) fall out on the first pass; a second iteration
-        // cannot remove more (anything left is ≤ 2× a median that only
-        // decreased), so one is enough.
-        val raw = medianOf(cals)
-        val clean = cals.filter(_ <= 2.0 * raw)
-        val median = if (clean.size >= 3) medianOf(clean) else raw
-        calibration > 2.0 * median
+        // unflagged, then ENTER the baseline). Iterate the 2×-median
+        // cut to FIXPOINT: one pass is not enough — e.g. cals
+        // [1.0, 1.5, 2.0, 3.9, 10, 10, 10] has raw median 3.9, a
+        // single filter keeps 3.9 (≤ 7.8) and the cleaned median
+        // lands at 1.75 instead of the true clean 1.5. Each pass only
+        // removes values, so the loop terminates (≤ |cals| passes;
+        // in practice 2).
+        var clean = cals
+        var done = false
+        while (!done && clean.size >= 3) {
+          val next = clean.filter(_ <= 2.0 * medianOf(clean))
+          if (next.size == clean.size || next.size < 3) done = true
+          else clean = next
+        }
+        calibration > 2.0 * medianOf(clean)
       }
     }
     // Same for the streaming machinery (state store, file source,

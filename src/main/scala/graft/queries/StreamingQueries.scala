@@ -126,6 +126,20 @@ object StreamingQueries {
     }
   }
 
+  /** Best-effort recursive delete for per-run temp checkpoint dirs —
+    * the one streaming resource [[graft.Checkpoints.sweep]] can't
+    * reach (it unpersists RDDs; it doesn't know about sink checkpoint
+    * locations). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+
   /** Scope the RocksDB state-store provider (transformWithState's
     * requirement) to one bounded run — the [[withStreamConf]] shape
     * shared by every stateful-processor twin. */
@@ -669,16 +683,16 @@ object StreamingQueries {
         .option("rows", "2000").option("partitions", "8")
         .option("rowsPerBatch", "512").load()
       val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q265_ckpt").toString
-      withStreamConf(s) {
+        .createTempDirectory("graft_q265_ckpt")
+      try withStreamConf(s) {
         val q = docs.writeStream.format("graft.sources.SyntheticDocs")
           .option("rows", "2000").option("writeId", writeId)
-          .option("checkpointLocation", ckpt)
+          .option("checkpointLocation", ckpt.toString)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      }
+      } finally deleteRecursively(ckpt) // every bench/verify run makes one
       val o = graft.sources.SyntheticDocsWrites.get(writeId).getOrElse(
         sys.error(s"streaming validating write $writeId recorded no outcome"))
       graft.sources.SyntheticDocsWrites.clear(writeId)
@@ -742,7 +756,7 @@ object StreamingQueries {
     }),
 
     // The near-dup gate UNDER CAP PRESSURE (driver-checking the r13
-    // item-3 overflow contract end-to-end, beyond the spec): cap = 8
+    // item-3 overflow contract end-to-end, beyond the spec): the cap
     // forces real rejections on the fixture, and the emitted set must
     // be exactly (a) pairs both-resident in a shared bucket and (b)
     // one (-1, doc_id, -1) sentinel per rejected doc — never silence.

@@ -142,11 +142,19 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
           org.apache.spark.sql.connector.write.WriteBuilder = this
       override def build(): Write = new Write {
         private def checkSchema(): Unit = {
-          val names = info.schema().fieldNames
-          require(names.sameElements(SyntheticDocs.schema.fieldNames),
+          // names AND types: a same-name wrong-type frame would
+          // otherwise reach the per-row validators and fail as a
+          // confusing physical-layout read instead of the promised
+          // build-time refusal
+          val got = info.schema().fields.map(f => (f.name, f.dataType))
+          val want = SyntheticDocs.schema.fields.map(f => (f.name, f.dataType))
+          require(got.sameElements(want),
             s"validating sink expects the full generator schema " +
-              s"${SyntheticDocs.schema.fieldNames.mkString("(", ",", ")")}; " +
-              s"got ${names.mkString("(", ",", ")")}")
+              want.map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("(", ",", ")") +
+              s"; got " +
+              got.map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("(", ",", ")"))
         }
         override def toBatch: BatchWrite = {
           checkSchema()

@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   * inputs. At scale: state lives in the state store (RocksDB provider),
   * partitioned by the group key; watermarks bound state size.
   */
-object EventStreams {
+// Serializable: sessionize's flatMapGroupsWithState closure calls the
+// shared [[usOf]] helper, which captures this module.
+object EventStreams extends Serializable {
 
   /** A typed event row (mirrors the events fixture schema). */
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -117,11 +119,7 @@ object EventStreams {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    // Full microsecond precision: getTime() is epoch MILLIS (it
-    // already contains the ms digits), getNanos() is the sub-second
-    // part — combine without double-counting the millis.
-    def us(t: Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def us(t: Timestamp): Long = usOf(t) // shared helper — one source
     def tsOf(us: Long): Timestamp = {
       val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
       ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -144,7 +142,13 @@ object EventStreams {
         val t = us(e.ts)
         cur match {
           case Some(s) if t - s.lastUs <= gapUs =>
-            cur = Some(SessionState(s.startUs, t, s.n + 1, s.sum + e.value))
+            // min/max: a LATE event (older than lastUs, inside the
+            // watermark delay, arriving in a later batch) must not
+            // move the session boundary BACKWARD — shrinking lastUs
+            // would re-arm the close earlier than the gap rule allows
+            // and split sessions the batch oracle keeps whole.
+            cur = Some(SessionState(math.min(s.startUs, t),
+              math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed += Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum)
             cur = Some(SessionState(t, t, 1L, e.value))
@@ -645,7 +649,11 @@ object EventStreams {
         val t = usOf(e.ts)
         cur match {
           case Some(s) if t - s.lastUs <= gapUs =>
-            cur = Some(TimerSessState(s.startUs, t, s.n + 1))
+            // min/max, same reason as [[sessionize]]: a late event
+            // (older than lastUs, within the watermark delay, in a
+            // later batch) must not shrink the timer backward
+            cur = Some(TimerSessState(math.min(s.startUs, t),
+              math.max(s.lastUs, t), s.n + 1))
           case Some(s) =>
             out += SessionLite(key, s.startUs, s.n)
             cur = Some(TimerSessState(t, t, 1L))

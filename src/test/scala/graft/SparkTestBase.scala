@@ -20,6 +20,21 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     Checkpoints.sweep(SparkTestBase.session)
     super.afterAll()
   }
+
+  /** Scope the RocksDB state-store provider (transformWithState's
+    * requirement) to one block — the save/set/restore boilerplate
+    * every stateful-processor test was re-pasting. */
+  def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkTestBase {

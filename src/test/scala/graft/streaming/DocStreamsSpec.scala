@@ -11,10 +11,6 @@ case class NdDoc(doc_id: Long, text: String)
   * emulation. */
 class DocStreamsSpec extends SparkTestBase {
 
-  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
-  private val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
-    "RocksDBStateStoreProvider"
-
   private val docs = Seq(
     NdDoc(1L, "a b c d e f g h"),
     NdDoc(2L, "a b c d e f g h"), // exact dup of 1 → agree 24/24
@@ -46,9 +42,7 @@ class DocStreamsSpec extends SparkTestBase {
                       sink: String): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey, rocksDb)
-    try {
+    withRocksDb {
       val in = MemoryStream[NdDoc]
       val banded = DocStreams.bandedSignatures(
         in.toDF(), "doc_id", "text", 24, 4, 6)
@@ -61,9 +55,6 @@ class DocStreamsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       spark.catalog.dropTempView(sink)
       out
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 
@@ -98,9 +89,7 @@ class DocStreamsSpec extends SparkTestBase {
                             cap: Int = 65536): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey, rocksDb)
-    try {
+    withRocksDb {
       val init = DocStreams.bucketIndex(spark,
         DocStreams.bandedSignatures(
           corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6))
@@ -117,9 +106,6 @@ class DocStreamsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       spark.catalog.dropTempView(sink)
       out
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 
@@ -172,9 +158,7 @@ class DocStreamsSpec extends SparkTestBase {
                             cap: Int): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey, rocksDb)
-    try {
+    withRocksDb {
       val in = MemoryStream[NdDoc]
       val banded = DocStreams.bandedSignatures(
         in.toDF(), "doc_id", "text", 24, 4, 6)
@@ -188,9 +172,6 @@ class DocStreamsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       spark.catalog.dropTempView(sink)
       out
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 }

@@ -443,11 +443,7 @@ class EventStreamsSpec extends SparkTestBase {
       Event(6L, t(56), 1L, "view", 1.0),
       Event(7L, t(80), 3L, "view", 1.0),
       Event(8L, t(90), 4L, "view", 1.0)) // watermark driver; own session
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[Event]
       val q = timerSessionize(spark, in.toDS(), gapMinutes = 30,
           watermarkDelay = "5 minutes")
@@ -464,9 +460,6 @@ class EventStreamsSpec extends SparkTestBase {
       // t+56, timer at t+86 > wm t+85 → B stays open. user 2: timer at
       // t+35 < t+85 → fired with 1 event. users 3, 4: open, unfired.
       assert(got == Set((1L, usAt(0), 2L), (2L, usAt(5), 1L)))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -479,11 +472,7 @@ class EventStreamsSpec extends SparkTestBase {
       EventTyped(5L, 1L, 500L, "view"), EventTyped(6L, 2L, 600L, "signup"))
     val expect = fixture.groupBy(e => (e.user_id, e.event_type))
       .view.mapValues(_.size.toLong).toMap
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val results = Seq(Seq(fixture), Seq(fixture.take(3), fixture.drop(3)))
         .zipWithIndex.map { case (batches, i) =>
           val in = MemoryStream[EventTyped]
@@ -502,9 +491,6 @@ class EventStreamsSpec extends SparkTestBase {
         }
       assert(results(0) == expect)
       assert(results(1) == expect) // split batch: (1, view) counts 2 then 3
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -526,11 +512,7 @@ class EventStreamsSpec extends SparkTestBase {
       Seq(Seq(fixture),                            // one batch
         Seq(fixture.take(2) ++ fixture.drop(3).take(1),
           Seq(fixture(2), fixture(4))))            // "a" gets NULL-only tail
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val results = splits.zipWithIndex.map { case (batches, i) =>
         val in = MemoryStream[(String, Timestamp, Long, java.lang.Double)]
         val named = in.toDF()
@@ -567,9 +549,6 @@ class EventStreamsSpec extends SparkTestBase {
       assert(results(0).map(_._1) == Set("a", "b"))
       assert(results(0).exists(r => r._1 == "a" && r._3 == 1L)) // excluded
       assert(results(1) == results(0))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 }

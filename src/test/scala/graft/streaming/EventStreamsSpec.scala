@@ -494,6 +494,36 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("timer sessionize: a late event never moves the session boundary backward") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // gap 30m, delay 10m. u1 at t=40m; a LATE u1 event t=35m arrives a
+    // batch later (watermark is 30m — not dropped); then t=68m:
+    // 68−40 = 28m ≤ gap keeps ONE session. Before the min/max fix the
+    // late event shrank lastUs to 35m and 68−35 = 33m > gap split it.
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val batches = Seq(
+      Seq(Event(1L, t(40), 1L, "view", 1.0)),
+      Seq(Event(2L, t(35), 1L, "view", 1.0)), // late, within delay
+      Seq(Event(3L, t(68), 1L, "view", 1.0)),
+      Seq(Event(4L, t(120), 9L, "view", 1.0))) // watermark driver
+    withRocksDb {
+      val in = MemoryStream[Event]
+      val q = timerSessionize(spark, in.toDS(), gapMinutes = 30,
+          watermarkDelay = "10 minutes")
+        .toDF().writeStream.format("memory").queryName("timer_late")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("timer_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView("timer_late")
+      // one u1 session, start pulled DOWN to the late 35m, 3 events;
+      // the wm (120−10 = 110m) fires its 68+30 = 98m timer. u9 open.
+      assert(got == Set((1L, (1700000000000L + 35 * 60000L) * 1000L, 3L)))
+    }
+  }
+
   test("q260's last-summary-per-series pick is batch-split-invariant") {
     // r13 item 2: the driver query's sink consumption must yield the
     // SAME final rows under any micro-batch split. The pick is argmax

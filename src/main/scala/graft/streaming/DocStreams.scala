@@ -164,9 +164,9 @@ object DocStreams {
     @transient protected var residents: ListState[ResidentSig] = _
     @transient protected var overflow: ValueState[Long] = _
 
-    protected def initState(): Unit = {
+    protected def initState(ttl: TTLConfig = TTLConfig.NONE): Unit = {
       residents = getHandle.getListState[ResidentSig]("residents",
-        Encoders.product[ResidentSig], TTLConfig.NONE)
+        Encoders.product[ResidentSig], ttl)
       overflow = getHandle.getValueState[Long]("overflow",
         Encoders.scalaLong, TTLConfig.NONE)
     }
@@ -186,13 +186,20 @@ object DocStreams {
   }
 
   /** Cold-start gate processor: state begins empty, the index builds
-    * from the stream itself. */
-  private class NearDupProcessor(k: Int, minAgree: Int, cap: Int)
+    * from the stream itself. With `ttl` set, each admitted resident
+    * AGES OUT of its bucket after the retention window (per-element
+    * ListState TTL — the state-size bound a gate without a cap-sized
+    * corpus needs: "near-duplicate of anything ingested in the last N
+    * days", not "of everything ever"). Expired residents stop matching
+    * AND stop counting toward `cap`; the overflow counter deliberately
+    * keeps [[TTLConfig.NONE]] (a metric that expires is a lie). */
+  private class NearDupProcessor(k: Int, minAgree: Int, cap: Int,
+                                 ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, BandedDoc, NearDupPair]
       with GateState {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      initState()
+      initState(ttl)
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[NearDupPair] =
@@ -240,12 +247,21 @@ object DocStreams {
     * computes. Bucket-overflow rejections surface as sentinel rows
     * (`doc_a = -1`, see [[NearDupPair]]) rather than vanishing. */
   def nearDupGate(spark: SparkSession, banded: DataFrame, k: Int,
-                  minAgree: Int, cap: Int = 65536): Dataset[NearDupPair] = {
+                  minAgree: Int, cap: Int = 65536,
+                  retention: Option[java.time.Duration] = None)
+      : Dataset[NearDupPair] = {
     import spark.implicits._
+    // State TTL is processing-time-based, so a retention window
+    // requires the ProcessingTime time mode; without one the gate
+    // stays TimeMode.None (no clock in the loop at all).
+    val (ttl, mode) = retention match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     banded.as[BandedDoc]
       .groupByKey(_.band)
-      .transformWithState(new NearDupProcessor(k, minAgree, cap),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupProcessor(k, minAgree, cap, ttl),
+        mode, OutputMode.Append())
   }
 
   /** The batch-built LSH bucket index in the gate's state shape: one

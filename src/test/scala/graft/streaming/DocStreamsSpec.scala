@@ -154,6 +154,62 @@ class DocStreamsSpec extends SparkTestBase {
     assert(got == Set((-1L, 9L, -1L)))
   }
 
+  /** TTL runs use single-batch Trigger.Once executions sharing one
+    * checkpoint (offset resume), NOT a long-lived query: under
+    * TimeMode.ProcessingTime the engine keeps scheduling TTL-sweep
+    * batches, so `processAllAvailable` never quiesces AND an
+    * AvailableNow run never terminates (both measured: the stream
+    * thread spins in plan execution indefinitely). Trigger.Once is
+    * deprecated but is the one trigger that bounds the run to exactly
+    * one batch regardless of pending TTL work; two runs with real
+    * wall-clock between them exercise exactly the contract — expiry
+    * is evaluated against the SECOND run's batch timestamp. */
+  private def runGateTtl(batches: Seq[Seq[NdDoc]],
+                         retention: java.time.Duration,
+                         sleepMsBetween: Long): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("ndg_ttl")
+      val ckpt = s"$base/ckpt"
+      val out = s"$base/out"
+      val in = MemoryStream[NdDoc]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0 && sleepMsBetween > 0) Thread.sleep(sleepMsBetween)
+        in.addData(b: _*)
+        val banded = DocStreams.bandedSignatures(
+          in.toDF(), "doc_id", "text", 24, 4, 6)
+        val q = DocStreams.nearDupGate(spark, banded, 24, 12,
+            retention = Some(retention)).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+      }
+      scala.util.Try(spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+        .getOrElse(Set.empty)
+    }
+  }
+
+  test("retention: an aged-out resident no longer matches; a live one does") {
+    // Flake posture: both arms only get MORE deterministic under host
+    // stalls. Expiry arm (ttl 300 ms, sleep 1500 ms): a stall makes
+    // the resident MORE expired. Liveness arm (ttl 1 h, no sleep):
+    // only an hour-long pause could expire it.
+    val a = NdDoc(1L, "a b c d e f g h")
+    val dup = NdDoc(2L, "a b c d e f g h")
+    val expired = runGateTtl(Seq(Seq(a), Seq(dup)),
+      java.time.Duration.ofMillis(300), sleepMsBetween = 1500L)
+    assert(expired.isEmpty,
+      s"doc 1 should have aged out before doc 2 arrived: $expired")
+    val live = runGateTtl(Seq(Seq(a), Seq(dup)),
+      java.time.Duration.ofHours(1), sleepMsBetween = 0L)
+    assert(live == Set((1L, 2L, 1000L)))
+  }
+
   private def runGateCapped(batches: Seq[Seq[NdDoc]], sink: String,
                             cap: Int): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext

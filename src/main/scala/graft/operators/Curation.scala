@@ -178,9 +178,16 @@ object Curation {
     * same integer derivation and gets the same 4× off its md5 bill). */
   def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
                          benchmarkFilter: Column, bits: Int = 65536,
-                         kHash: Int = 4): DataFrame = {
+                         kHash: Int = 4,
+                         tier: Dedup.DigestTier = Dedup.Md5Tier): DataFrame = {
+    // tier (r14): the xx tier swaps md5 for codegen'd xxhash64 at the
+    // SAME 60-bit domain, so the double-hashing split is unchanged.
+    // Builder and probes must share one tier or membership desyncs
+    // into false negatives — which is why it is one parameter here,
+    // not one per side. No-false-negative contract is tier-invariant
+    // (DigestTierSpec); the FP SET is hash-dependent by construction.
     def positions(s: Column): Column =
-      Dedup.bloomPositions(Dedup.digest64(s), kHash, bits)
+      Dedup.bloomPositions(tier.digest(s), kHash, bits)
     // 32-bit words: shifts stay below the sign bit, which DuckDB
     // rejects as overflow on BIGINT << 63
     def mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")

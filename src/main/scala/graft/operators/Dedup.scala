@@ -203,12 +203,20 @@ object Dedup {
     def digest(s: Column): Column
     /** Hex-string digest (the fingerprint family's output form). */
     def hexDigest(s: Column): Column
+    /** DRIVER-side twin of [[digest]] over a literal string — for
+      * probe lists computed on the driver and broadcast (the
+      * [[bloomPositionsOf]] path). Must agree with the Column form
+      * bit-for-bit or filters and probes desync into false negatives
+      * (property-pinned per tier in DigestTierSpec). */
+    def digestOf(s: String): Long
   }
 
   /** md5-based tier — DuckDB-mirrorable, the checked default. */
   case object Md5Tier extends DigestTier {
     override def digest(s: Column): Column = digest64(s)
     override def hexDigest(s: Column): Column = md5(s)
+    override def digestOf(s: String): Long =
+      graft.functions.Md5Prefix64.ofBytes(s.getBytes("UTF-8"))
   }
 
   /** xxhash64-based tier — the production hash for deployments that
@@ -217,6 +225,11 @@ object Dedup {
     override def digest(s: Column): Column =
       xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
     override def hexDigest(s: Column): Column = hex(xxhash64(s))
+    override def digestOf(s: String): Long =
+      // Spark's xxhash64 is XXH64 over the UTF8 bytes with seed 42
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L) &
+        ((1L << 60) - 1)
   }
 
   /** Base hash of one shingle for the MinHash family: the tier's

@@ -166,22 +166,25 @@ object Layout {
     * n_skippable), one row per probe. */
   def zoneBloomAudit(df: org.apache.spark.sql.DataFrame, zone: Column,
                      valueCol: String, probes: Seq[String],
-                     bits: Int = 4096, kHash: Int = 4): org.apache.spark.sql.DataFrame = {
+                     bits: Int = 4096, kHash: Int = 4,
+                     tier: graft.operators.Dedup.DigestTier =
+                       graft.operators.Dedup.Md5Tier): org.apache.spark.sql.DataFrame = {
     require(probes.nonEmpty, "need at least one probe value")
     require(bits >= 32 && bits % 32 == 0, "bits must be a multiple of 32")
     require(kHash >= 1 && kHash <= 16, "kHash in [1, 16]")
     val sp = df.sparkSession
-    graft.functions.Md5Prefix64.register(sp)
     import sp.implicits._
     val zv = df
       .select(zone.cast("long").as("zone"),
         col(valueCol).cast("string").as("v"))
       .filter(col("v").isNotNull)
       .distinct()
+    // tier (r14): builder uses the tier's Column digest, probes its
+    // DRIVER twin — the pair is property-pinned bit-for-bit per tier
+    // (a desync turns guaranteed-clean skips into false negatives)
     val words = zv
       .select(col("zone"), explode(graft.operators.Dedup.bloomPositions(
-        call_function(graft.functions.Md5Prefix64.name, col("v")),
-        kHash, bits)).as("pos"))
+        tier.digest(col("v")), kHash, bits)).as("pos"))
       .select(col("zone"), expr("pos div 32").as("widx"),
         expr("shiftleft(1L, cast(pos % 32 as int))").as("bit"))
       .groupBy("zone", "widx")
@@ -189,7 +192,7 @@ object Layout {
     // probe bit positions from the literal list — driver arithmetic,
     // the shared double-hash derivation
     val probeRows = probes.flatMap { p =>
-      val d = graft.functions.Md5Prefix64.ofBytes(p.getBytes("UTF-8"))
+      val d = tier.digestOf(p)
       graft.operators.Dedup.bloomPositionsOf(d, kHash, bits)
         .map(pos => (p, pos / 32, 1L << (pos % 32).toInt))
     }

@@ -68,6 +68,55 @@ class DigestTierSpec extends SparkTestBase {
     }
   }
 
+  test("Column digest and driver digestOf agree bit-for-bit, per tier") {
+    import spark.implicits._
+    val inputs = (0 until 50).map(i => s"probe:$i:${"x" * (i % 7)}")
+    for (tier <- Seq[Dedup.DigestTier](Dedup.Md5Tier, Dedup.XxTier)) {
+      val colSide = inputs.toDF("s")
+        .select(tier.digest(col("s")).as("d")).collect().map(_.getLong(0))
+      assert(colSide.toSeq == inputs.map(tier.digestOf),
+        s"tier $tier: engine and driver digests desynced")
+    }
+  }
+
+  test("zone Bloom audit never false-negatives, on either tier") {
+    import spark.implicits._
+    // zones 0..3 each hold distinct values; probe values that ARE in a
+    // zone must always be maybe'd there (n_maybe >= n_hits is the
+    // Bloom guarantee; equality would additionally mean zero FPs)
+    val rows = (0L until 200L).map(i => (i % 4, s"v${i % 50}"))
+      .toDF("z", "v")
+    for (tier <- Seq[Dedup.DigestTier](Dedup.Md5Tier, Dedup.XxTier)) {
+      val audit = Layout.zoneBloomAudit(rows, col("z"), "v",
+          probes = Seq("v0", "v7", "nope"), bits = 4096, kHash = 4,
+          tier = tier)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // gcd(50, 4) = 2, so each value lands in exactly 2 of the 4
+      // zones (v0 at i = 0,50,100,150 → zones 0,2; v7 → zones 3,1)
+      assert(audit("v0")._2 == 2L && audit("v0")._3 >= 2L, s"$tier")
+      assert(audit("v7")._2 == 2L && audit("v7")._3 >= 2L, s"$tier")
+      assert(audit("nope")._2 == 0L, s"$tier")
+    }
+  }
+
+  test("bloom contamination gate: every exact hit is maybe'd, per tier") {
+    for (tier <- Seq[Dedup.DigestTier](Dedup.Md5Tier, Dedup.XxTier)) {
+      val out = Curation.bloomContamination(
+          docs.withColumn("bench", col("doc_id") <= 2L),
+          "doc_id", "text", col("bench"), bits = 65536, kHash = 4,
+          tier = tier)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // no false negatives: n_maybe >= n_exact for every probed doc
+      assert(out.nonEmpty && out.forall { case (_, exact, maybe) =>
+        maybe >= exact }, s"$tier: $out")
+      // doc 5 shares no bigrams with the bench docs — exact must be 0;
+      // doc 6 shares the "the quick brown fox…" prefix — exact > 0
+      assert(out.find(_._1 == 5L).exists(_._2 == 0L), s"$tier")
+      assert(out.find(_._1 == 6L).exists(_._2 > 0L), s"$tier")
+    }
+  }
+
   test("default tier is md5 (the oracle-checked configuration)") {
     // the no-tier call and the explicit Md5Tier call are the same
     // plan — the driver's 261 green oracles bind the default

@@ -68,6 +68,11 @@ object DigestTierProbe {
           sigRows = Dedup.charShingleRows(docs, "doc_id", "text", 5),
           tier = tier)
       }
+      time(s"q103_bloom_gate/$tn") {
+        graft.operators.Curation.bloomContamination(docs, "doc_id",
+          "text", col("doc_id") % 50 === 0, bits = 65536, kHash = 4,
+          tier = tier)
+      }
     }
     spark.stop()
   }

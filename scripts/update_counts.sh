@@ -14,10 +14,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# `|| true` keeps the guards below LIVE: under set -euo pipefail a
+# no-match grep would otherwise kill the script before the diagnostic.
 COUNTS=$(sbt -batch "runMain graft.SurfaceCounts" 2>/dev/null \
-  | grep -oE '(queries|max_query_id)=[0-9]+')
-Q=$(echo "$COUNTS" | grep '^queries='      | cut -d= -f2)
-MAXQ=$(echo "$COUNTS" | grep '^max_query_id=' | cut -d= -f2)
+  | grep -oE '(queries|max_query_id)=[0-9]+' || true)
+Q=$(echo "$COUNTS" | grep '^queries='      | cut -d= -f2 || true)
+MAXQ=$(echo "$COUNTS" | grep '^max_query_id=' | cut -d= -f2 || true)
 # A garbled sbt line must not stamp empty counts into the docs — the
 # whole point of this script is preventing count corruption.
 if [ -z "$Q" ] || [ -z "$MAXQ" ]; then
@@ -30,7 +32,7 @@ if [ -z "$T" ]; then
   echo "No test count supplied — running sbt test (~6 min)..." >&2
   T=$(sbt -batch test 2>&1 \
     | grep -oE 'Total number of tests run: [0-9]+' | tail -1 \
-    | grep -oE '[0-9]+')
+    | grep -oE '[0-9]+' || true)
 fi
 if [ -z "$T" ]; then
   echo "ERROR: could not determine the test count" >&2

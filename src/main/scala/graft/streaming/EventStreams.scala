@@ -141,6 +141,17 @@ object EventStreams extends Serializable {
       sorted.foreach { e =>
         val t = us(e.ts)
         cur match {
+          case Some(s) if t < s.startUs - gapUs =>
+            // DEEP-LATE event: more than a gap BELOW the open
+            // session's start — in batch order it belongs to an
+            // EARLIER session, never this one (merging would glue
+            // sessions the batch oracle splits). Emit it as its own
+            // closed singleton: exact whenever it is isolated, which
+            // the watermark guarantees when delay ≤ gap (deeper
+            // disorder is dropped at the source); under delay > gap,
+            // several clustered deep-late events would need
+            // event-buffering to co-sessionize — documented limit.
+            closed += Session(userId, tsOf(t), tsOf(t), 1L, e.value)
           case Some(s) if t - s.lastUs <= gapUs =>
             // min/max: a LATE event (older than lastUs, inside the
             // watermark delay, arriving in a later batch) must not
@@ -648,6 +659,11 @@ object EventStreams extends Serializable {
       sorted.foreach { e =>
         val t = usOf(e.ts)
         cur match {
+          case Some(s) if t < s.startUs - gapUs =>
+            // deep-late: belongs to an EARLIER session — emit as its
+            // own closed singleton, same rule and limits as
+            // [[sessionize]]'s deep-late arm
+            out += SessionLite(key, t, 1L)
           case Some(s) if t - s.lastUs <= gapUs =>
             // min/max, same reason as [[sessionize]]: a late event
             // (older than lastUs, within the watermark delay, in a

@@ -188,9 +188,23 @@ class DocStreamsSpec extends SparkTestBase {
           .start()
         q.awaitTermination()
       }
-      scala.util.Try(spark.read.parquet(out).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
-        .getOrElse(Set.empty)
+      // No Try/getOrElse: a parquet read failure must FAIL the test,
+      // not pass the expiry arm vacuously as Set.empty. An absent or
+      // file-less output dir is the legitimate "nothing emitted" case
+      // (the sink only creates part-files when rows arrive).
+      val outDir = new java.io.File(out)
+      val hasData = outDir.isDirectory && outDir.listFiles != null &&
+        outDir.listFiles.exists(_.getName.startsWith("part-"))
+      val result: Set[(Long, Long, Long)] =
+        if (!hasData) Set.empty
+        else spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // temp hygiene: checkpoint + output dirs per run, like q265
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+      result
     }
   }
 

@@ -168,11 +168,7 @@ class EventStreamsSpec extends SparkTestBase {
   test("running totals carry ValueState across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[EventMilli]
       val q = runningTotals(spark, in.toDS())
         .writeStream.format("memory").queryName("running_totals")
@@ -194,20 +190,13 @@ class EventStreamsSpec extends SparkTestBase {
       assert(rows.toSeq == Seq(
         (1L, 1L, 1L, 1000L), (2L, 1L, 2L, 3500L),
         (3L, 2L, 1L, 7000L), (4L, 1L, 3L, 4000L)))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("transitions chain event types across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[EventTyped]
       val q = transitions(spark, in.toDS())
         .writeStream.format("memory").queryName("transitions_sink")
@@ -229,20 +218,13 @@ class EventStreamsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(rows == Set(
         (1L, "A", "B"), (1L, "B", "C"), (2L, "X", "Y")))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("interArrivalGaps carry the gap chain across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[EventTyped]
       val q = interArrivalGaps(spark, in.toDS())
         .writeStream.format("memory").queryName("gaps_sink")
@@ -264,20 +246,13 @@ class EventStreamsSpec extends SparkTestBase {
       val rows = spark.table("gaps_sink").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(rows == Seq((1L, 7L), (1L, 90L), (2L, 0L)))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("kmvSketchStream: sketch log across batches re-folds to the live sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[KeyedHash]
       val q = kmvSketchStream(spark, in.toDS(), k = 3)
         .writeStream.format("memory").queryName("kmv_sink")
@@ -312,20 +287,13 @@ class EventStreamsSpec extends SparkTestBase {
       assert(est("b") == 1L)
       assert(est("a") ==
         math.floor(2.0 * 1152921504606846976.0 / 30.0).toLong)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("funnelStages advances across batches with the inclusive >= rule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[EventTyped]
       val q = funnelStages(spark, in.toDS(), Seq("signup", "view", "purchase"))
         .writeStream.format("memory").queryName("funnel_sink")
@@ -349,9 +317,6 @@ class EventStreamsSpec extends SparkTestBase {
       val rows = spark.table("funnel_sink").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -385,11 +350,7 @@ class EventStreamsSpec extends SparkTestBase {
           if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
     assert(expect.keySet == Set("up", "mix")) // "gone" absent batch-side
 
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val in = MemoryStream[(String, Timestamp, Long, java.lang.Double)]
       def obs(df: org.apache.spark.sql.DataFrame) = {
         val named = df.toDF("event_type", "ts", "event_id", "value")
@@ -415,9 +376,6 @@ class EventStreamsSpec extends SparkTestBase {
             if (r.isNullAt(5)) None else Some(r.getLong(5))))
         .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
       assert(got == expect)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -521,6 +479,37 @@ class EventStreamsSpec extends SparkTestBase {
       // one u1 session, start pulled DOWN to the late 35m, 3 events;
       // the wm (120−10 = 110m) fires its 68+30 = 98m timer. u9 open.
       assert(got == Set((1L, (1700000000000L + 35 * 60000L) * 1000L, 3L)))
+    }
+  }
+
+  test("timer sessionize: a DEEP-late event forms its own session, not a merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // gap 30m but watermark delay 2h: an event can arrive MORE than a
+    // gap below the open session's start (t = 10:30 vs session at
+    // 12:00, 90m apart). Batch order puts it in its OWN session; the
+    // merge arm's `t - lastUs <= gap` is vacuously true for negative
+    // deltas, so without the deep-late arm it would glue the two.
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val batches = Seq(
+      Seq(Event(1L, t(720), 1L, "view", 1.0)),  // u1 12:00
+      Seq(Event(2L, t(630), 1L, "view", 1.0)),  // u1 10:30, deep-late
+      Seq(Event(3L, t(1080), 9L, "view", 1.0))) // 18:00 watermark driver
+    withRocksDb {
+      val in = MemoryStream[Event]
+      val q = timerSessionize(spark, in.toDS(), gapMinutes = 30,
+          watermarkDelay = "2 hours")
+        .toDF().writeStream.format("memory").queryName("timer_deep")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("timer_deep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView("timer_deep")
+      def usAt(min: Long) = (1700000000000L + min * 60000L) * 1000L
+      // deep-late singleton emitted on arrival; the 12:00 session's
+      // 12:30 timer fires once the watermark reaches 16:00
+      assert(got == Set((1L, usAt(630), 1L), (1L, usAt(720), 1L)))
     }
   }
 

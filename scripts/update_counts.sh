@@ -43,22 +43,40 @@ python3 - "$Q" "$MAXQ" "$T" <<'EOF'
 import re, sys
 q, maxq, t = sys.argv[1], sys.argv[2], sys.argv[3]
 
-def rewrite(path, subs):
-    s = open(path).read()
-    for pat, rep in subs:
-        s = re.sub(pat, rep, s)
-    open(path, 'w').write(s)
+# Substitutions are LINE-ANCHORED (ADVICE r14): each count pattern is
+# rewritten only on lines matching its anchor, so prose mentioning a
+# HISTORICAL count ("retired from the 244-queries era") is never
+# clobbered by a file-wide numeric regex. Every rule must fire at
+# least once — an anchor that stops matching (doc reworded) fails the
+# run loudly instead of leaving a silently stale count.
+def rewrite(path, rules):
+    lines = open(path).read().split('\n')
+    fired = {i: 0 for i in range(len(rules))}
+    out = []
+    for line in lines:
+        for i, (anchor, pat, rep) in enumerate(rules):
+            if re.search(anchor, line):
+                line, n = re.subn(pat, rep, line)
+                fired[i] += n
+        out.append(line)
+    missing = [rules[i][0] for i, n in fired.items() if n == 0]
+    if missing:
+        sys.exit(f"ERROR: {path}: no line matched anchor(s) {missing} "
+                 "— doc reworded? fix the anchors in update_counts.sh")
+    open(path, 'w').write('\n'.join(out))
 
 rewrite('README.md', [
-    (r'\b\d+ queries', f'{q} queries'),
-    (r'ids reach q\d+', f'ids reach q{maxq}'),
-    (r'\b\d+ ScalaTest checks', f'{t} ScalaTest checks'),
+    (r'ids reach q', r'\b\d+ queries', f'{q} queries'),
+    (r'ids reach q', r'ids reach q\d+', f'ids reach q{maxq}'),
+    (r'bench runs in', r'\b\d+ queries', f'{q} queries'),
+    (r'ScalaTest checks', r'\b\d+ ScalaTest checks',
+     f'{t} ScalaTest checks'),
 ])
 rewrite('.claude/skills/verify/SKILL.md', [
-    (r'N = \d+( as of round \d+)?', f'N = {q}'),
-    (r'\b\d+-query surface', f'{q}-query surface'),
-    (r'~?\d+ checks', f'{t} checks'),
-    (r'\b\d+ queries', f'{q} queries'),
+    (r'pass, 0 fail', r'N = \d+', f'N = {q}'),
+    (r'-query surface', r'\b\d+-query surface', f'{q}-query surface'),
+    (r'sbt test', r'\b\d+ checks', f'{t} checks'),
+    (r'lands at', r'\b\d+ queries', f'{q} queries'),
 ])
 print(f'counts written: queries={q} max_id=q{maxq} tests={t}')
 EOF

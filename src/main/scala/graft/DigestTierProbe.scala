@@ -61,6 +61,12 @@ object DigestTierProbe {
       time(s"q39_fingerprint/$tn") {
         TextAnalysis.fingerprint(docs, "doc_id", "text", tier)
       }
+      // the q31 shape (word-2-shingle LSH, the shared-artifact params)
+      // completes the family sweep (VERDICT r14 #7)
+      time(s"q31_word_lsh/$tn") {
+        Dedup.minHashLsh(docs, "doc_id", "text", shingleN = 2, k = 24,
+          bands = 4, rows = 6, threshold = 0.8, tier = tier)
+      }
       time(s"q33_ngram_lsh/$tn") {
         Dedup.minHashLshWith(docs, "doc_id",
           Dedup.charShingles(col("text"), 5),

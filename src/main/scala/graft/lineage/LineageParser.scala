@@ -71,7 +71,10 @@ object LineageParser {
     * COLFUN rendering and inputTables all come from the shared fold,
     * so a pipeline expressed twice — SQL text vs DataFrame calls —
     * yields the same lineage wherever the analyzer produces the same
-    * plan (golden-pinned in LineageFromPlanSpec). */
+    * plan (golden-pinned in LineageFromPlanSpec). STREAMING plans work
+    * too (r14 #6): `readStream` leaves become `stream.<source>` input
+    * tables and the watermark a `WATERMARK:` condition tag
+    * (LineageStreamingSpec). */
   def fromPlan(spark: SparkSession,
                plan: LogicalPlan, index: Int = 1,
                metadata: Option[MetadataProvider] = None): LineageResult = {
@@ -519,6 +522,41 @@ object LineageParser {
       val table = fillDb((id.database.toSeq :+ id.table).mkString(SepDot), db)
       State(lr.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
         Set.empty, Set(table))
+
+    // STREAMING leaves (engine extension, VERDICT r14 #6): a
+    // `readStream` source is an input table like any scan, encoded
+    // under the reserved `stream` qualifier — a stream has no catalog
+    // db, so the two-part name convention is kept as
+    // `stream.<source>[<path>]`. Attribute mapping is identical to
+    // LogicalRelation's, so the rest of the fold (projections, joins,
+    // windows) needs nothing streaming-specific.
+    case s: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+      // file sources self-describe as `FileSource[<path>]` — only
+      // append the path for sources that don't already carry it
+      val path = s.dataSource.options.get("path")
+        .filterNot(p => s.sourceName.contains(p))
+        .map(p => s"[$p]").getOrElse("")
+      val table = s"stream$SepDot${s.sourceName}$path"
+      State(s.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
+        Set.empty, Set(table))
+
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+      // prefer the catalog identifier when the v2 source has one
+      // (e.g. a real streaming table); fall back to the source name
+      val name = s.identifier.map(_.toString).getOrElse(s.sourceName)
+      val table = s"stream$SepDot$name"
+      State(s.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
+        Set.empty, Set(table))
+
+    // A watermark is an ANNOTATION, not column flow: it reads the
+    // event-time column to bound state/lateness, so it joins the
+    // statement-scoped condition set (the WHERE-tag convention applied
+    // to the one streaming-only plan node) while the child's attribute
+    // map passes through untouched.
+    case w: EventTimeWatermark =>
+      val st = build(w.child, ctes, db)
+      st.copy(conds = st.conds +
+        s"WATERMARK:${w.eventTime.name} DELAY ${w.delay}")
 
     case p: Project   => withNamed(build(p.child, ctes, db), p.projectList, ctes, db)
 

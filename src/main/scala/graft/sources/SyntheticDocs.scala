@@ -132,6 +132,13 @@ private class SyntheticDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeId = Option(info.options.get("writeId"))
       .getOrElse(info.queryId())
+    // A NEW query reusing an explicit writeId starts from a clean
+    // outcome: without this, a stale outcome + epoch set from the
+    // previous query would fold into the new query's cumulative counts
+    // unless the caller remembered clear() (ADVICE r14). Keyed on
+    // queryId, which is constant across a streaming run's per-batch
+    // builder rebuilds, so within-run accumulation is untouched.
+    SyntheticDocsWrites.beginQuery(writeId, info.queryId())
     // SupportsTruncate so mode("overwrite") plans: a storage-less
     // validating sink has nothing to truncate, so overwrite ≡ append
     // (same validation, same commit protocol) — accepting it is the
@@ -201,13 +208,24 @@ object SyntheticDocsWrites {
   // the query's lifetime.
   private val epochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Long]]()
+  // Spark queryId last seen per writeId: a DIFFERENT query reusing the
+  // writeId resets its outcome + epoch set at query start (ADVICE r14),
+  // so stale state can never fold into a fresh query's counts. Same-id
+  // calls (per-batch Write rebuilds within one streaming run) no-op.
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[sources] def beginQuery(id: String, queryId: String): Unit = {
+    val prev = owners.put(id, queryId)
+    if (prev != null && prev != queryId) { log.remove(id); epochs.remove(id) }
+  }
   private[sources] def record(id: String, o: Outcome): Unit = log.put(id, o)
   private[sources] def firstCommitOf(id: String, epochId: Long): Boolean =
     epochs.computeIfAbsent(id,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Long]())
       .add(epochId)
   def get(id: String): Option[Outcome] = Option(log.get(id))
-  def clear(id: String): Unit = { log.remove(id); epochs.remove(id) }
+  def clear(id: String): Unit =
+    { log.remove(id); epochs.remove(id); owners.remove(id) }
 }
 
 /** One validated split's fold — the commit message. */

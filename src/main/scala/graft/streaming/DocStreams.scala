@@ -97,6 +97,66 @@ object DocStreams {
       .select(col("band"), col("doc_id"), col("sig"))
   }
 
+  /** Driver-observable gate metrics (VERDICT r14 #8): a production
+    * gate wants per-batch admitted/compared/rejected counts, and the
+    * overflow state counter + inline sentinels alone don't give the
+    * operator a dashboard. Spark's own primitive for executor→driver
+    * counters is the accumulator — `transformWithState` exposes no
+    * custom-metric hook — so the tap is three LongAccumulators the
+    * fold bumps; pair with [[GateMetricsListener]] for per-batch
+    * deltas. Semantics are AT-LEAST-ONCE (a retried task or replayed
+    * batch re-increments — the same contract as the overflow counter,
+    * and the standard accumulator caveat), so these are operational
+    * metrics, never correctness inputs.
+    *
+    *  - `admitted`: (bucket, doc) admissions — a doc landing in
+    *    `bands` buckets counts once per bucket.
+    *  - `compared`: signature comparisons performed (the gate's real
+    *    compute cost — the number a hot-bucket pathology inflates).
+    *  - `rejected`: overflow rejections (sentinel emissions). */
+  case class GateMetrics(admitted: org.apache.spark.util.LongAccumulator,
+                         compared: org.apache.spark.util.LongAccumulator,
+                         rejected: org.apache.spark.util.LongAccumulator) {
+    def snapshot: (Long, Long, Long) =
+      (admitted.value, compared.value, rejected.value)
+  }
+
+  object GateMetrics {
+    def apply(spark: SparkSession): GateMetrics = GateMetrics(
+      spark.sparkContext.longAccumulator("graft.gate.admitted"),
+      spark.sparkContext.longAccumulator("graft.gate.compared"),
+      spark.sparkContext.longAccumulator("graft.gate.rejected"))
+  }
+
+  /** One batch's [[GateMetrics]] delta. */
+  case class GateBatchMetrics(batchId: Long, admitted: Long,
+                              compared: Long, rejected: Long)
+
+  /** Per-batch gate observability: snapshots the tap on every
+    * `QueryProgressEvent` and records the delta since the previous
+    * batch — attach with `spark.streams.addListener` before starting
+    * the gate query (and remove after). Accumulator updates land with
+    * task completion, so by the time the progress event fires the
+    * batch's increments are visible; listener delivery itself is
+    * async (a test polls [[batches]] briefly). */
+  class GateMetricsListener(m: GateMetrics)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[GateBatchMetrics]
+    private var last = (0L, 0L, 0L)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      synchronized {
+        val s = m.snapshot
+        buf += GateBatchMetrics(e.progress.batchId,
+          s._1 - last._1, s._2 - last._2, s._3 - last._3)
+        last = s
+      }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def batches: Seq[GateBatchMetrics] = synchronized { buf.toSeq }
+  }
+
   /** The bucket-resident fold shared by the cold and booted gates:
     * admit each incoming doc (in doc_id order within the batch, the
     * deterministic-twin contract), comparing it against every earlier
@@ -116,13 +176,15 @@ object DocStreams {
     * replayed batch O(residents²) per bucket). */
   private def foldBucket(resident: Array[ResidentSig],
                          incoming: Array[BandedDoc],
-                         k: Int, minAgree: Int, cap: Int)
+                         k: Int, minAgree: Int, cap: Int,
+                         metrics: Option[GateMetrics])
       : (Seq[ResidentSig], Long, Iterator[NearDupPair]) = {
     val all = scala.collection.mutable.ArrayBuffer(resident: _*)
     val admitted = scala.collection.mutable.HashSet(
       resident.map(_.doc_id): _*)
     val appended = scala.collection.mutable.ArrayBuffer.empty[ResidentSig]
     var overflow = 0L
+    var nCompared = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
     incoming.foreach { d =>
       if (admitted.contains(d.doc_id)) {
@@ -131,6 +193,7 @@ object DocStreams {
         overflow += 1L
         out += NearDupPair(-1L, d.doc_id, -1L)
       } else {
+        nCompared += all.length
         var i = 0
         while (i < all.length) {
           val other = all(i).sig
@@ -150,6 +213,11 @@ object DocStreams {
         appended += r
         admitted += d.doc_id
       }
+    }
+    metrics.foreach { m =>
+      m.admitted.add(appended.length.toLong)
+      m.compared.add(nCompared)
+      m.rejected.add(overflow)
     }
     (appended.toSeq, overflow, out.iterator)
   }
@@ -172,12 +240,14 @@ object DocStreams {
     }
 
     protected def processRows(rows: Iterator[BandedDoc], k: Int,
-        minAgree: Int, cap: Int): Iterator[NearDupPair] = {
+        minAgree: Int, cap: Int,
+        metrics: Option[GateMetrics]): Iterator[NearDupPair] = {
       val existing =
         if (residents.exists()) residents.get().toArray
         else Array.empty[ResidentSig]
       val (appended, ovf, out) =
-        foldBucket(existing, rows.toArray.sortBy(_.doc_id), k, minAgree, cap)
+        foldBucket(existing, rows.toArray.sortBy(_.doc_id), k, minAgree,
+          cap, metrics)
       if (appended.nonEmpty) residents.appendList(appended.toArray)
       if (ovf > 0L)
         overflow.update((if (overflow.exists()) overflow.get() else 0L) + ovf)
@@ -194,7 +264,8 @@ object DocStreams {
     * AND stop counting toward `cap`; the overflow counter deliberately
     * keeps [[TTLConfig.NONE]] (a metric that expires is a lie). */
   private class NearDupProcessor(k: Int, minAgree: Int, cap: Int,
-                                 ttl: TTLConfig = TTLConfig.NONE)
+                                 ttl: TTLConfig = TTLConfig.NONE,
+                                 metrics: Option[GateMetrics] = None)
       extends StatefulProcessor[String, BandedDoc, NearDupPair]
       with GateState {
 
@@ -203,7 +274,7 @@ object DocStreams {
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[NearDupPair] =
-      processRows(rows, k, minAgree, cap)
+      processRows(rows, k, minAgree, cap, metrics)
   }
 
   /** Warm-start gate processor: before the first batch, each band key
@@ -215,7 +286,8 @@ object DocStreams {
     * larger than `cap` is truncated to the first `cap` residents in
     * doc_id order with the remainder counted as overflow — the same
     * bound the streaming path enforces. */
-  private class NearDupBootProcessor(k: Int, minAgree: Int, cap: Int)
+  private class NearDupBootProcessor(k: Int, minAgree: Int, cap: Int,
+                                     metrics: Option[GateMetrics] = None)
       extends StatefulProcessorWithInitialState[
         String, BandedDoc, NearDupPair, BucketSigs]
       with GateState {
@@ -234,7 +306,7 @@ object DocStreams {
 
     override def handleInputRows(key: String, rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[NearDupPair] =
-      processRows(rows, k, minAgree, cap)
+      processRows(rows, k, minAgree, cap, metrics)
   }
 
   /** STREAMING NEAR-DUP GATE: banded rows in, qualifying
@@ -248,7 +320,8 @@ object DocStreams {
     * (`doc_a = -1`, see [[NearDupPair]]) rather than vanishing. */
   def nearDupGate(spark: SparkSession, banded: DataFrame, k: Int,
                   minAgree: Int, cap: Int = 65536,
-                  retention: Option[java.time.Duration] = None)
+                  retention: Option[java.time.Duration] = None,
+                  metrics: Option[GateMetrics] = None)
       : Dataset[NearDupPair] = {
     import spark.implicits._
     // State TTL is processing-time-based, so a retention window
@@ -260,7 +333,8 @@ object DocStreams {
     }
     banded.as[BandedDoc]
       .groupByKey(_.band)
-      .transformWithState(new NearDupProcessor(k, minAgree, cap, ttl),
+      .transformWithState(
+        new NearDupProcessor(k, minAgree, cap, ttl, metrics),
         mode, OutputMode.Append())
   }
 
@@ -270,18 +344,21 @@ object DocStreams {
     * [[nearDupGateBooted]] as `transformWithState` initial state.
     * Input is a banded-signature frame ([[bandedSignatures]] over the
     * corpus, or the batch pipeline's persisted banded artifact — same
-    * signature family, so the buckets are bit-identical). */
-  def bucketIndex(spark: SparkSession, banded: DataFrame)
+    * signature family, so the buckets are bit-identical).
+    *
+    * Seed rows are CAP-BOUNDED BY CONSTRUCTION (VERDICT r14 #2): each
+    * band's residents rank by doc_id in a window and only rank ≤ `cap`
+    * reaches the collect_list, the remainder counting straight into
+    * `overflow` — so a boilerplate-skewed hot band (the exact pathology
+    * `cap` exists for) never materializes its full bucket as one
+    * unbounded array row on the way to `handleInitialState`. Pass the
+    * SAME `cap` as the gate; the processor's own truncation stays as a
+    * second bound for indexes built elsewhere. */
+  def bucketIndex(spark: SparkSession, banded: DataFrame,
+                  cap: Int = 65536)
       : KeyValueGroupedDataset[String, BucketSigs] = {
     import spark.implicits._
-    banded
-      .groupBy("band")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig"))))
-        .as("r"))
-      .select(col("band"),
-        expr("transform(r, x -> x.doc_id)").as("ids"),
-        expr("transform(r, x -> x.sig)").as("sigs"),
-        lit(0L).as("overflow"))
+    bucketIndexFrame(banded, cap)
       // Materialize NOW, at the session's parallelism: the initial
       // state plan otherwise executes lazily INSIDE the streaming
       // query, where bounded runs drop shuffle partitions to 1 for
@@ -296,6 +373,32 @@ object DocStreams {
       .mapValues(b => BucketSigs(b.ids, b.sigs, b.overflow))
   }
 
+  /** [[bucketIndex]]'s frame stage, factored out so the band-side cap
+    * bound is directly spec-pinnable (collect the frame, assert every
+    * `ids` array is ≤ cap and the remainder landed in `overflow`). */
+  private[streaming] def bucketIndexFrame(banded: DataFrame,
+                                          cap: Int): DataFrame = {
+    val byBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy("doc_id")
+    banded
+      .withColumn("rk", row_number().over(byBand))
+      // one shuffle total: the groupBy reuses the window's
+      // band-hash partitioning
+      .groupBy("band")
+      .agg(
+        // collect_list skips NULLs, so over-cap rows never enter the
+        // array; array_sort keeps the ids deterministic regardless of
+        // post-shuffle arrival order
+        array_sort(collect_list(
+          when(col("rk") <= cap, struct(col("doc_id"), col("sig")))))
+          .as("r"),
+        count(when(col("rk") > cap, 1)).as("overflow"))
+      .select(col("band"),
+        expr("transform(r, x -> x.doc_id)").as("ids"),
+        expr("transform(r, x -> x.sig)").as("sigs"),
+        col("overflow"))
+  }
+
   /** BOOTSTRAPPED NEAR-DUP GATE (VERDICT r13 item 1): the production
     * online-ingest shape — the bucket index starts as the EXISTING
     * corpus (seeded from the batch LSH artifact through initial
@@ -308,11 +411,13 @@ object DocStreams {
     * `distinct()`-collapsible re-emission as [[nearDupGate]]. */
   def nearDupGateBooted(spark: SparkSession, banded: DataFrame,
       initial: KeyValueGroupedDataset[String, BucketSigs], k: Int,
-      minAgree: Int, cap: Int = 65536): Dataset[NearDupPair] = {
+      minAgree: Int, cap: Int = 65536,
+      metrics: Option[GateMetrics] = None): Dataset[NearDupPair] = {
     import spark.implicits._
     banded.as[BandedDoc]
       .groupByKey(_.band)
-      .transformWithState(new NearDupBootProcessor(k, minAgree, cap),
+      .transformWithState(
+        new NearDupBootProcessor(k, minAgree, cap, metrics),
         TimeMode.None(), OutputMode.Append(), initial)
   }
 }

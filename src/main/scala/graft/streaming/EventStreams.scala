@@ -30,6 +30,56 @@ object EventStreams extends Serializable {
   /** Running per-user session state. */
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 
+  /** The open session of the SHARED gap-session fold ([[foldGapSessions]]). */
+  case class OpenSess(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** THE gap-session fold — one definition for both sessionizers
+    * ([[sessionize]] and the timer-based [[TimerSessionProcessor]]),
+    * which until r15 duplicated these arms verbatim and needed every
+    * semantic fix twice (the r14 deep-late fix landed in two places —
+    * the drift hazard VERDICT r14 flagged). Folds one batch's events,
+    * ALREADY sorted by (us, event_id), into the open session; returns
+    * the new open session plus the sessions this batch closed, in
+    * close order.
+    *
+    * The three arms:
+    *  - DEEP-LATE: an event more than a gap BELOW the open session's
+    *    start belongs to an EARLIER session in batch order — merging
+    *    would glue sessions the batch oracle splits. It emits as its
+    *    own closed singleton: exact whenever it is isolated, which the
+    *    watermark guarantees when delay ≤ gap (deeper disorder is
+    *    dropped at the source); under delay > gap, several clustered
+    *    deep-late events would need event-buffering to co-sessionize —
+    *    documented limit.
+    *  - MERGE (min/max): a LATE event (older than lastUs, inside the
+    *    watermark delay, arriving in a later batch) must not move the
+    *    session boundary BACKWARD — shrinking lastUs would re-arm the
+    *    close earlier than the gap rule allows and split sessions the
+    *    batch oracle keeps whole.
+    *  - CLOSE: a gap beyond `gapUs` closes the open session and opens
+    *    a new one at the event. */
+  private[streaming] def foldGapSessions(sorted: Seq[(Long, Double)],
+      initial: Option[OpenSess], gapUs: Long)
+      : (Option[OpenSess], Seq[OpenSess]) = {
+    var cur = initial
+    val closed = Seq.newBuilder[OpenSess]
+    sorted.foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t < s.startUs - gapUs =>
+          closed += OpenSess(t, t, 1L, v)
+        case Some(s) if t - s.lastUs <= gapUs =>
+          cur = Some(OpenSess(math.min(s.startUs, t),
+            math.max(s.lastUs, t), s.n + 1, s.sum + v))
+        case Some(s) =>
+          closed += s
+          cur = Some(OpenSess(t, t, 1L, v))
+        case None =>
+          cur = Some(OpenSess(t, t, 1L, v))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** Watermarked tumbling-window counts. OutputMode.Append-compatible:
     * a window finalizes once the watermark passes its end. */
   def windowedCounts(events: DataFrame, windowLen: String,
@@ -135,44 +185,21 @@ object EventStreams extends Serializable {
         state.remove()
         return out
       }
+      // deep-late / merge / close arms live in the SHARED fold
+      // ([[foldGapSessions]]) — this wrapper only adapts state and
+      // emission shapes and arms the event-time timeout.
       val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
-      var cur = state.getOption
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val t = us(e.ts)
-        cur match {
-          case Some(s) if t < s.startUs - gapUs =>
-            // DEEP-LATE event: more than a gap BELOW the open
-            // session's start — in batch order it belongs to an
-            // EARLIER session, never this one (merging would glue
-            // sessions the batch oracle splits). Emit it as its own
-            // closed singleton: exact whenever it is isolated, which
-            // the watermark guarantees when delay ≤ gap (deeper
-            // disorder is dropped at the source); under delay > gap,
-            // several clustered deep-late events would need
-            // event-buffering to co-sessionize — documented limit.
-            closed += Session(userId, tsOf(t), tsOf(t), 1L, e.value)
-          case Some(s) if t - s.lastUs <= gapUs =>
-            // min/max: a LATE event (older than lastUs, inside the
-            // watermark delay, arriving in a later batch) must not
-            // move the session boundary BACKWARD — shrinking lastUs
-            // would re-arm the close earlier than the gap rule allows
-            // and split sessions the batch oracle keeps whole.
-            cur = Some(SessionState(math.min(s.startUs, t),
-              math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            closed += Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum)
-            cur = Some(SessionState(t, t, 1L, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1L, e.value))
-        }
-      }
+        .map(e => (us(e.ts), e.value))
+      val initial = state.getOption.map(s =>
+        OpenSess(s.startUs, s.lastUs, s.n, s.sum))
+      val (cur, closed) = foldGapSessions(sorted, initial, gapUs)
       cur.foreach { s =>
-        state.update(s)
+        state.update(SessionState(s.startUs, s.lastUs, s.n, s.sum))
         // Time out once the watermark passes last-event + gap.
         state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
       }
-      closed.result().iterator
+      closed.iterator.map(s =>
+        Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum))
     }
 
     events
@@ -190,6 +217,25 @@ object EventStreams extends Serializable {
     * integer twin of the DECIMAL(18,3) convention). */
   case class RunningTotal(event_id: Long, user_id: Long, running_n: Long,
                           running_sum_millis: Long)
+
+  /** Map an optional retention window to (state TTL, time mode) — the
+    * near-dup gate's pattern ([[graft.streaming.DocStreams]]), shared
+    * by every per-key twin here: state TTL is processing-time-based,
+    * so a retention window requires [[TimeMode.ProcessingTime]];
+    * without one the twin keeps [[TimeMode.None]] (no clock in the
+    * loop at all). Per-key state without retention grows with key
+    * cardinality forever — at production cardinality that is the one
+    * structural 100 TB gap a TTL-less twin carries (VERDICT r14 #1) —
+    * while the oracle-checked queries keep the default: expiry is
+    * wall-clock behavior by construction, spec'd via the bounded
+    * Trigger.Once pattern instead. An expired key simply restarts its
+    * fold from empty state ("the last N days of this key"), which is
+    * each twin's documented idle-retention semantics. */
+  private def ttlOf(retention: Option[java.time.Duration])
+      : (TTLConfig, TimeMode) = retention match {
+    case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+    case None => (TTLConfig.NONE, TimeMode.None())
+  }
 
   // State case classes are PUBLIC on purpose: Scala `private` emits
   // package-private bytecode, and the Janino-generated state-row
@@ -211,13 +257,13 @@ object EventStreams extends Serializable {
     * Emission is per input row (append mode, no watermark dependency),
     * so the bounded single-batch run emits exactly the batch window
     * prefix-sums — which is what the oracle computes. */
-  private class RunningTotalsProcessor
+  private class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, EventMilli, RunningTotal] {
     @transient private var state: ValueState[TotalsState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[TotalsState]("totals",
-        org.apache.spark.sql.Encoders.product[TotalsState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[TotalsState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EventMilli],
         timerValues: TimerValues): Iterator[RunningTotal] = {
@@ -239,13 +285,18 @@ object EventStreams extends Serializable {
     * (cumulative user spend feeding a live model). State is one
     * (n, sum) pair per user in the state store, sharded by key hash;
     * nothing is ever retained per event. */
-  def runningTotals(spark: SparkSession,
-                    events: Dataset[EventMilli]): Dataset[RunningTotal] = {
+  def runningTotals(spark: SparkSession, events: Dataset[EventMilli],
+                    retention: Option[java.time.Duration] = None)
+      : Dataset[RunningTotal] = {
     import spark.implicits._
+    // With retention set, a user idle past the window restarts at
+    // (0, 0) — "running totals over the user's live span", the bound
+    // that keeps state finite at unbounded user cardinality.
+    val (ttl, mode) = ttlOf(retention)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new RunningTotalsProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        mode, OutputMode.Append())
   }
 
   /** An event carrying only what the transition chain needs. */
@@ -263,13 +314,13 @@ object EventStreams extends Serializable {
     * Same bounded per-group-batch sort as [[RunningTotalsProcessor]]
     * to restore (us, event_id) order inside a batch — the state itself
     * stays O(1) regardless of stream length. */
-  private class TransitionProcessor
+  private class TransitionProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, EventTyped, Transition] {
     @transient private var state: ValueState[LastType] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[LastType]("last",
-        org.apache.spark.sql.Encoders.product[LastType], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[LastType], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EventTyped],
         timerValues: TimerValues): Iterator[Transition] = {
@@ -291,13 +342,18 @@ object EventStreams extends Serializable {
     * Markov report never re-reads history. Downstream aggregation
     * (counts per (from, to)) composes as a normal streaming or batch
     * rollup over the emitted steps. */
-  def transitions(spark: SparkSession,
-                  events: Dataset[EventTyped]): Dataset[Transition] = {
+  def transitions(spark: SparkSession, events: Dataset[EventTyped],
+                  retention: Option[java.time.Duration] = None)
+      : Dataset[Transition] = {
     import spark.implicits._
+    // With retention set, a user idle past the window restarts the
+    // chain: the first event after expiry emits no step (exactly like
+    // a brand-new user) — no cross-idle-gap transition is fabricated.
+    val (ttl, mode) = ttlOf(retention)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new TransitionProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new TransitionProcessor(ttl),
+        mode, OutputMode.Append())
   }
 
   /** A funnel advance: `user_id` reached 1-based `stage`. */
@@ -315,13 +371,14 @@ object EventStreams extends Serializable {
     * one row per ADVANCE (append mode; advances are monotone, so the
     * batch-side rollup is max-per-user). Same cross-batch order
     * contract as [[TransitionProcessor]]. */
-  private class FunnelProcessor(stages: Seq[String])
+  private class FunnelProcessor(stages: Seq[String],
+                                ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, EventTyped, StageReached] {
     @transient private var state: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[FunnelState]("stage",
-        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[FunnelState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EventTyped],
         timerValues: TimerValues): Iterator[StageReached] = {
@@ -354,13 +411,20 @@ object EventStreams extends Serializable {
     * census composes batch-side (or as a streaming rollup) over the
     * emitted advances. */
   def funnelStages(spark: SparkSession, events: Dataset[EventTyped],
-                   stages: Seq[String]): Dataset[StageReached] = {
+                   stages: Seq[String],
+                   retention: Option[java.time.Duration] = None)
+      : Dataset[StageReached] = {
     import spark.implicits._
     require(stages.nonEmpty, "need at least one funnel stage")
+    // With retention set, a user idle past the window restarts at
+    // stage 0 — the conversion-window semantics real funnels want
+    // ("completed checkout within N days of signup"), and the bound
+    // that keeps abandoned funnels from living in state forever.
+    val (ttl, mode) = ttlOf(retention)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(stages),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FunnelProcessor(stages, ttl),
+        mode, OutputMode.Append())
   }
 
   /** One consecutive-event gap of a user, second-quantized (the
@@ -384,13 +448,13 @@ object EventStreams extends Serializable {
     * quantization Spark's `div` and DuckDB's `//` apply — both
     * truncate, verified; -7/2 = -3 in all three) and the chain
     * self-reports the violation rather than silently reordering. */
-  private class GapProcessor
+  private class GapProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, EventTyped, Gap] {
     @transient private var state: ValueState[LastUs] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[LastUs]("last",
-        org.apache.spark.sql.Encoders.product[LastUs], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[LastUs], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EventTyped],
         timerValues: TimerValues): Iterator[Gap] = {
@@ -414,13 +478,20 @@ object EventStreams extends Serializable {
     * burstiness screen's lag window — gaps emit live as events arrive,
     * the CV² rollup composes downstream (streaming aggregation or
     * batch over the sink), and no user's history is ever re-read. */
-  def interArrivalGaps(spark: SparkSession,
-                       events: Dataset[EventTyped]): Dataset[Gap] = {
+  def interArrivalGaps(spark: SparkSession, events: Dataset[EventTyped],
+                       retention: Option[java.time.Duration] = None)
+      : Dataset[Gap] = {
     import spark.implicits._
+    // With retention set, a user idle past the window restarts the
+    // chain: the first post-expiry event emits no gap — semantically
+    // RIGHT for burstiness (an idle span longer than the retention
+    // isn't a "gap" in a burst, it's the end of the user's activity)
+    // as well as the state bound.
+    val (ttl, mode) = ttlOf(retention)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new GapProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new GapProcessor(ttl),
+        mode, OutputMode.Append())
   }
 
   /** One keyed hash observation for the streaming KMV sketch. */
@@ -438,13 +509,13 @@ object EventStreams extends Serializable {
     * live sketch, because bottom-k is monotone and idempotent under
     * union. No ordering contract needed at all (min-merge is
     * order-free) — the loosest of the stateful twins. */
-  private class KmvProcessor(k: Int)
+  private class KmvProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, KeyedHash, KeyedHash] {
     @transient private var state: ValueState[KmvValues] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[KmvValues]("kmv",
-        org.apache.spark.sql.Encoders.product[KmvValues], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[KmvValues], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[KeyedHash],
         timerValues: TimerValues): Iterator[KeyedHash] = {
@@ -464,12 +535,19 @@ object EventStreams extends Serializable {
     * over ANY number of appended sketch versions because bottom-k is
     * idempotent under union. */
   def kmvSketchStream(spark: SparkSession, hashes: Dataset[KeyedHash],
-                      k: Int): Dataset[KeyedHash] = {
+                      k: Int,
+                      retention: Option[java.time.Duration] = None)
+      : Dataset[KeyedHash] = {
     import spark.implicits._
+    // With retention set, a key idle past the window restarts its
+    // sketch — "distinct count over the key's live span". Note the
+    // sketch itself is already k-bounded; retention here bounds the
+    // NUMBER of keys, not each key's size.
+    val (ttl, mode) = ttlOf(retention)
     hashes
       .groupByKey(_.k)
-      .transformWithState(new KmvProcessor(k),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new KmvProcessor(k, ttl),
+        mode, OutputMode.Append())
   }
 
   /** One time-ordered metric observation for the CUSUM stream. `d` is
@@ -506,13 +584,14 @@ object EventStreams extends Serializable {
     * [[runningTotals]]). Emission: ONE summary row per touched series
     * per batch — the bounded single-batch run emits exactly the batch
     * q257 rows. */
-  private class CusumProcessor(thresholdCents: Long)
+  private class CusumProcessor(thresholdCents: Long,
+                               ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, MetricObs, CusumSummary] {
     @transient private var state: ValueState[CusumState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[CusumState]("cusum",
-        org.apache.spark.sql.Encoders.product[CusumState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[CusumState], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[MetricObs],
         timerValues: TimerValues): Iterator[CusumSummary] = {
@@ -555,12 +634,21 @@ object EventStreams extends Serializable {
     * append mode — a bounded one-batch run therefore equals the batch
     * detector row-for-row). */
   def cusumShiftStream(spark: SparkSession, obs: Dataset[MetricObs],
-                       thresholdCents: Long): Dataset[CusumSummary] = {
+                       thresholdCents: Long,
+                       retention: Option[java.time.Duration] = None)
+      : Dataset[CusumSummary] = {
     import spark.implicits._
+    // With retention set, a series idle past the window RE-ARMS the
+    // detector from S=0 with fresh counters — a deliberate semantics
+    // choice (a shift from before a long silence shouldn't still be
+    // alarming), not just a state bound; the emitted summary then
+    // describes the post-restart span, so consumers aggregating across
+    // restarts should treat each span independently.
+    val (ttl, mode) = ttlOf(retention)
     obs
       .groupByKey(_.event_type)
-      .transformWithState(new CusumProcessor(thresholdCents),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CusumProcessor(thresholdCents, ttl),
+        mode, OutputMode.Append())
   }
 
   /** One cumulative per-user event-type count (the MapState twin's
@@ -575,7 +663,7 @@ object EventStreams extends Serializable {
     * amplification the near-dup gate's ListState refactor removed).
     * Batch counts fold locally first, so each touched type costs
     * exactly one getValue + one updateValue regardless of row count. */
-  private class TypeHistProcessor
+  private class TypeHistProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, EventTyped, TypeCount] {
     @transient private var counts:
       org.apache.spark.sql.streaming.MapState[String, Long] = _
@@ -583,18 +671,25 @@ object EventStreams extends Serializable {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       counts = getHandle.getMapState[String, Long]("counts",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EventTyped],
         timerValues: TimerValues): Iterator[TypeCount] = {
       val delta = scala.collection.mutable.Map.empty[String, Long]
       rows.foreach(e =>
         delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1L)
-      delta.toSeq.sortBy(_._1).iterator.map { case (t, d) =>
+      // State writes are applied EAGERLY (buffer, then iterate): a
+      // lazily-mapped iterator would run updateValue only as the engine
+      // drains the output, so a short-circuiting consumer could emit
+      // some rows yet silently skip the remaining state updates
+      // (ADVICE r14) — the same eager-buffer posture as the other
+      // processors here.
+      val out = delta.toSeq.sortBy(_._1).map { case (t, d) =>
         val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
         counts.updateValue(t, n)
         TypeCount(key, t, n)
       }
+      out.iterator
     }
   }
 
@@ -603,13 +698,20 @@ object EventStreams extends Serializable {
     * final counts are the argmax-n row per pair — batch-split-invariant
     * consumption, the q260 trick (n is strictly increasing per touched
     * batch). */
-  def typeHistogramStream(spark: SparkSession,
-                          events: Dataset[EventTyped]): Dataset[TypeCount] = {
+  def typeHistogramStream(spark: SparkSession, events: Dataset[EventTyped],
+                          retention: Option[java.time.Duration] = None)
+      : Dataset[TypeCount] = {
     import spark.implicits._
+    // MapState TTL is PER ENTRY: a (user, type) pair untouched past the
+    // window expires alone and its count restarts at the next touch,
+    // while the user's still-active types keep counting — finer-grained
+    // than the ValueState twins' whole-key expiry, and exactly the map
+    // semantics ("each type's count over its own live span").
+    val (ttl, mode) = ttlOf(retention)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new TypeHistProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new TypeHistProcessor(ttl),
+        mode, OutputMode.Append())
   }
 
   /** One session emitted by the TIMER-based sessionizer: start in µs
@@ -650,38 +752,25 @@ object EventStreams extends Serializable {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionLite] = {
+      // deep-late / merge / close arms live in the SHARED fold
+      // ([[foldGapSessions]], same semantics as [[sessionize]]) — this
+      // wrapper adapts shapes and does the timer bookkeeping. This
+      // twin's emission carries no value sum, so the fold's sum slot
+      // runs on zeros.
       val sorted = rows.toArray.sortBy(e => (usOf(e.ts), e.event_id))
-      var cur = if (state.exists()) Some(state.get()) else None
+        .toSeq.map(e => (usOf(e.ts), 0.0))
+      val initial = if (state.exists()) {
+        val s = state.get()
+        Some(OpenSess(s.startUs, s.lastUs, s.n, 0.0))
+      } else None
       // the open session's pending close moves with its last event
-      cur.foreach(s => getHandle.deleteTimer(timerOf(s.lastUs)))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionLite]
-      val gapUs = gapMs * 1000L
-      sorted.foreach { e =>
-        val t = usOf(e.ts)
-        cur match {
-          case Some(s) if t < s.startUs - gapUs =>
-            // deep-late: belongs to an EARLIER session — emit as its
-            // own closed singleton, same rule and limits as
-            // [[sessionize]]'s deep-late arm
-            out += SessionLite(key, t, 1L)
-          case Some(s) if t - s.lastUs <= gapUs =>
-            // min/max, same reason as [[sessionize]]: a late event
-            // (older than lastUs, within the watermark delay, in a
-            // later batch) must not shrink the timer backward
-            cur = Some(TimerSessState(math.min(s.startUs, t),
-              math.max(s.lastUs, t), s.n + 1))
-          case Some(s) =>
-            out += SessionLite(key, s.startUs, s.n)
-            cur = Some(TimerSessState(t, t, 1L))
-          case None =>
-            cur = Some(TimerSessState(t, t, 1L))
-        }
-      }
+      initial.foreach(s => getHandle.deleteTimer(timerOf(s.lastUs)))
+      val (cur, closed) = foldGapSessions(sorted, initial, gapMs * 1000L)
       cur.foreach { s =>
-        state.update(s)
+        state.update(TimerSessState(s.startUs, s.lastUs, s.n))
         getHandle.registerTimer(timerOf(s.lastUs))
       }
-      out.iterator
+      closed.iterator.map(s => SessionLite(key, s.startUs, s.n))
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,

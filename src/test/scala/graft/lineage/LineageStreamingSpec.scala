@@ -1,0 +1,92 @@
+package graft.lineage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Golden lineage for STREAMING DataFrames (VERDICT r14 #6):
+  * `LineageParser.fromPlan` over an analyzed `readStream` plan —
+  * streaming leaves land in inputTables under the reserved `stream`
+  * qualifier (`stream.<source>`, file sources self-describing as
+  * `FileSource[<path>]`), the watermark joins the condition set as a
+  * `WATERMARK:<col> DELAY <interval>` tag, and everything else
+  * (filters, joins, aggregates) is the same fold batch plans take.
+  * No query ever RUNS here: lineage reads the analyzed plan only, so
+  * no sink or checkpoint is needed. */
+class LineageStreamingSpec extends SparkTestBase {
+
+  private lazy val ready: Unit =
+    LineageQueries.registerFixtures(spark, sfDir)
+
+  private def eventsPath = s"$sfDir/events.parquet"
+
+  private def eventsStream = {
+    ready
+    val schema = spark.read.parquet(eventsPath).schema
+    spark.readStream.schema(schema).parquet(eventsPath)
+  }
+
+  private def src = s"stream.FileSource[$eventsPath]"
+
+  private def rows(r: LineageResult): Set[(String, String, String)] =
+    r.colLines.map(c => (c.toName, c.fromName,
+      c.conditionSet.toSeq.sorted.mkString("|"))).toSet
+
+  test("file readStream: stream-qualified input table, WHERE tag, leaf edges") {
+    val df = eventsStream
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+    val r = LineageParser.fromDataFrame(df)
+    assert(r.inputTables == Set(src))
+    assert(r.outputTables.isEmpty) // <EOF> sink, like any plain query
+    assert(rows(r) == Set(
+      ("event_id", s"$src.event_id", "WHERE:(event_type = 'click')"),
+      ("user_id", s"$src.user_id", "WHERE:(event_type = 'click')")))
+  }
+
+  test("watermark + windowed aggregate: WATERMARK condition tag on every edge") {
+    // the q66 shape: watermark, tumbling window, count — the watermark
+    // is an annotation (condition set), never an edge; the analyzer's
+    // own `ts IS NOT NULL` guard for streaming aggregation shows up as
+    // an ordinary WHERE tag because it IS an ordinary Filter node
+    val df = eventsStream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"))
+    val r = LineageParser.fromDataFrame(df)
+    assert(r.inputTables == Set(src))
+    val conds = "WATERMARK:ts DELAY 10 minutes|WHERE:(ts IS NOT NULL)"
+    assert(rows(r) == Set(
+      ("event_type", s"$src.event_type", conds),
+      ("n", "", conds))) // count(1) references no column (E14)
+  }
+
+  test("v2 stream (MemoryStream): stream.<sourceName> input") {
+    ready
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)].toDF().toDF("k", "v")
+    val r = LineageParser.fromDataFrame(ms.select(col("k")))
+    assert(r.inputTables == Set("stream.memory"))
+    // the memory relation's native columns are _1/_2; toDF renames
+    assert(rows(r) == Set(("k", "stream.memory._1", "")))
+  }
+
+  test("stream-static join: both the stream leaf and the catalog table are inputs") {
+    // the enrichedWindowCounts shape: a streaming frame joined against
+    // a static dimension — the stream contributes stream.* sources,
+    // the dimension ordinary db.table.col ones, under one JOIN tag
+    val df = eventsStream
+      .join(spark.table("nation"), col("user_id") === col("n_nationkey"))
+      .select(col("event_id"), col("n_name"))
+    val r = LineageParser.fromDataFrame(df)
+    assert(r.inputTables == Set(src, "default.nation"))
+    // the analyzer widens the int dimension key to the stream's bigint
+    val tag = "JOIN:(user_id = CAST(nation.n_nationkey AS BIGINT))"
+    assert(rows(r) == Set(
+      ("event_id", s"$src.event_id", tag),
+      ("n_name", "default.nation.n_name", tag)))
+  }
+}

@@ -391,6 +391,40 @@ class SyntheticDocsSpec extends SparkTestBase {
       s"expected an aborted outcome, got $o")
   }
 
+  test("a NEW query reusing a writeId starts from a clean outcome") {
+    // ADVICE r14: the registry and epoch set are driver-JVM-global, so
+    // without the query-start reset a second query reusing the writeId
+    // (no clear() between) would dedup its epoch ids against the FIRST
+    // query's and keep its stale cumulative counts. Run 1 is the
+    // LARGER write so the stale fold is detectable: without the reset,
+    // run 2's epochs 0 and 1 are silently skipped and the outcome
+    // stays at 900 rows / 3 epochs.
+    val wid = "spec_stream_reuse"
+    SyntheticDocsWrites.clear(wid)
+    def run(rows: Int): SyntheticDocsWrites.Outcome = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("sdocs_sw_reuse").toString
+      val q = spark.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", rows.toString).option("partitions", "4")
+        .option("rowsPerBatch", "300").load()
+        .writeStream.format("graft.sources.SyntheticDocs")
+        .option("rows", rows.toString).option("writeId", wid)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SyntheticDocsWrites.get(wid).get
+    }
+    val first = run(900)
+    assert(first.nRows == 900L && first.nEpochs == 3)
+    val second = run(600) // NO clear() — the reset is the contract
+    SyntheticDocsWrites.clear(wid)
+    assert(second.nRows == 600L && second.nEpochs == 2 &&
+      second.maxId == 599L,
+      s"stale outcome folded into the reused writeId: $second")
+  }
+
   test("validating write refuses ids outside the declared range") {
     val wid = "spec_range"
     SyntheticDocsWrites.clear(wid)

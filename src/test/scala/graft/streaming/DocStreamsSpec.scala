@@ -84,15 +84,19 @@ class DocStreamsSpec extends SparkTestBase {
     assert(got == expectedPairs())
   }
 
+  /** `cap` bounds the GATE; `indexCap` bounds [[DocStreams.bucketIndex]]
+    * band-side (default: unbounded in practice, so the existing tests
+    * keep exercising the processor's second-bound truncation). */
   private def runBootedGate(corpus: Seq[NdDoc], batches: Seq[Seq[NdDoc]],
-                            sink: String,
-                            cap: Int = 65536): Set[(Long, Long, Long)] = {
+                            sink: String, cap: Int = 65536,
+                            indexCap: Int = 65536): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     withRocksDb {
       val init = DocStreams.bucketIndex(spark,
         DocStreams.bandedSignatures(
-          corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6))
+          corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6),
+        cap = indexCap)
       val in = MemoryStream[NdDoc]
       val banded = DocStreams.bandedSignatures(
         in.toDF(), "doc_id", "text", 24, 4, 6)
@@ -163,10 +167,15 @@ class DocStreamsSpec extends SparkTestBase {
     * deprecated but is the one trigger that bounds the run to exactly
     * one batch regardless of pending TTL work; two runs with real
     * wall-clock between them exercise exactly the contract — expiry
-    * is evaluated against the SECOND run's batch timestamp. */
-  private def runGateTtl(batches: Seq[Seq[NdDoc]],
-                         retention: java.time.Duration,
-                         sleepMsBetween: Long): Set[(Long, Long, Long)] = {
+    * is evaluated against the SECOND run's batch timestamp.
+    *
+    * With `retention = None` the same mechanics become a CHECKPOINT
+    * RESTART harness: each batch runs as its own query resuming the
+    * shared checkpoint, so state recovery across a stop/restart is
+    * what's under test (VERDICT r14 #3). */
+  private def runGateRuns(batches: Seq[Seq[NdDoc]],
+                          retention: Option[java.time.Duration],
+                          sleepMsBetween: Long): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     withRocksDb {
@@ -180,7 +189,7 @@ class DocStreamsSpec extends SparkTestBase {
         val banded = DocStreams.bandedSignatures(
           in.toDF(), "doc_id", "text", 24, 4, 6)
         val q = DocStreams.nearDupGate(spark, banded, 24, 12,
-            retention = Some(retention)).toDF()
+            retention = retention).toDF()
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append")
@@ -215,13 +224,102 @@ class DocStreamsSpec extends SparkTestBase {
     // only an hour-long pause could expire it.
     val a = NdDoc(1L, "a b c d e f g h")
     val dup = NdDoc(2L, "a b c d e f g h")
-    val expired = runGateTtl(Seq(Seq(a), Seq(dup)),
-      java.time.Duration.ofMillis(300), sleepMsBetween = 1500L)
+    val expired = runGateRuns(Seq(Seq(a), Seq(dup)),
+      Some(java.time.Duration.ofMillis(300)), sleepMsBetween = 1500L)
     assert(expired.isEmpty,
       s"doc 1 should have aged out before doc 2 arrived: $expired")
-    val live = runGateTtl(Seq(Seq(a), Seq(dup)),
-      java.time.Duration.ofHours(1), sleepMsBetween = 0L)
+    val live = runGateRuns(Seq(Seq(a), Seq(dup)),
+      Some(java.time.Duration.ofHours(1)), sleepMsBetween = 0L)
     assert(live == Set((1L, 2L, 1000L)))
+  }
+
+  test("checkpoint restart: the resumed gate emits exactly the uninterrupted set") {
+    // The batch-split-invariance fixture, but the query is STOPPED and
+    // a NEW query RESUMES the shared checkpoint between the batches —
+    // state RECOVERY end-to-end (RocksDB snapshot + changelog replay),
+    // not just within-run replay idempotence (VERDICT r14 #3). Doc 5's
+    // duplicate (doc 4) is admitted before the stop, so the (4,5) pair
+    // can only emit if the recovered state carries the residents.
+    val resumed = runGateRuns(Seq(docs.take(4), docs.drop(4)),
+      retention = None, sleepMsBetween = 0L)
+    assert(resumed == expectedPairs())
+    assert(resumed.contains((4L, 5L, 1000L))) // the cross-restart pair
+  }
+
+  test("bucketIndex bounds seed rows band-side: over-cap bands truncate with overflow") {
+    // Three identical docs share every band; cap = 2 must bind IN THE
+    // FRAME (before handleInitialState ever sees a row): each band's
+    // ids array is exactly [1, 2] and the remainder is pre-counted as
+    // overflow — so a boilerplate-skewed hot band can never build an
+    // unbounded array row (VERDICT r14 #2).
+    import spark.implicits._
+    val trio = Seq(NdDoc(1L, "a b c d e f g h"),
+      NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+    val banded = DocStreams.bandedSignatures(
+      trio.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6)
+    val rows = DocStreams.bucketIndexFrame(banded, cap = 2).collect()
+    assert(rows.length == 4) // one bucket per band, all three docs identical
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == Seq(1L, 2L),
+        s"band ${r.getString(0)}: expected capped ids [1,2], got $r")
+      assert(r.getSeq[Seq[Long]](2).length == 2)
+      assert(r.getLong(3) == 1L, s"band ${r.getString(0)}: overflow")
+    }
+  }
+
+  test("booted gate over a band-side-capped index matches the processor-truncated path") {
+    // Same fixture as the seed-truncation test, but the cap binds in
+    // bucketIndex itself (indexCap = 2): residents are still 1 and 2,
+    // doc 3 is seed overflow, and the streamed near-dup is rejected
+    // with a sentinel — identical observable behavior to the
+    // processor's own truncation (the second bound).
+    val corpus = Seq(NdDoc(1L, "a b c d e f g h"),
+      NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+    val got = runBootedGate(corpus,
+      Seq(Seq(NdDoc(9L, "a b c d e f g h"))), "ndg_boot_fcap",
+      cap = 2, indexCap = 2)
+    assert(got == Set((-1L, 9L, -1L)))
+  }
+
+  test("gate metrics: admitted/compared/rejected totals and per-batch deltas") {
+    // Three identical docs (every band shared), cap = 2, two batches:
+    //   batch 0 (docs 1, 2): per band — doc 1 admits (0 comparisons),
+    //     doc 2 admits (1 comparison). 4 bands → admitted 8, compared 4.
+    //   batch 1 (doc 3): bucket full in all 4 bands → rejected 4.
+    // Deterministic because admission is doc_id-ordered per batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val trio = Seq(NdDoc(1L, "a b c d e f g h"),
+        NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+      val m = DocStreams.GateMetrics(spark)
+      val listener = new DocStreams.GateMetricsListener(m)
+      spark.streams.addListener(listener)
+      try {
+        val in = MemoryStream[NdDoc]
+        val banded = DocStreams.bandedSignatures(
+          in.toDF(), "doc_id", "text", 24, 4, 6)
+        val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2,
+            metrics = Some(m)).toDF()
+          .writeStream.format("memory").queryName("ndg_metrics")
+          .outputMode("append").start()
+        in.addData(trio.take(2): _*); q.processAllAvailable()
+        in.addData(trio.last); q.processAllAvailable()
+        q.stop()
+        spark.catalog.dropTempView("ndg_metrics")
+        // cumulative totals are task-completion-synchronous
+        assert(m.snapshot == ((8L, 4L, 4L)), s"totals: ${m.snapshot}")
+        // listener delivery is async — poll briefly for both batches
+        val deadline = System.nanoTime() + 10000000000L
+        def dataBatches = listener.batches.filter(b =>
+          b.admitted + b.compared + b.rejected > 0)
+        while (dataBatches.size < 2 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val perBatch = dataBatches
+        assert(perBatch.map(b => (b.admitted, b.compared, b.rejected))
+          == Seq((8L, 4L, 0L), (0L, 0L, 4L)), s"batches: $perBatch")
+      } finally spark.streams.removeListener(listener)
+    }
   }
 
   private def runGateCapped(batches: Seq[Seq[NdDoc]], sink: String,

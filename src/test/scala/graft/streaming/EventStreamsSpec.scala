@@ -570,4 +570,94 @@ class EventStreamsSpec extends SparkTestBase {
       assert(results(1) == results(0))
     }
   }
+
+  /** Retention runs use single-batch Trigger.Once executions sharing
+    * one checkpoint — the gate's documented TTL quiescence trap
+    * (DocStreamsSpec.runGateRuns): under TimeMode.ProcessingTime the
+    * engine keeps scheduling TTL-sweep batches, so a long-lived query
+    * never quiesces. Expiry is evaluated against the SECOND run's
+    * batch timestamp, so real wall-clock between runs exercises the
+    * contract. Flake posture (both arms): a host stall only makes an
+    * expired key MORE expired, and only an hour-long pause could
+    * expire the liveness arm. */
+  private def runRetentionBatches(
+      batches: Seq[Seq[EventTyped]], sleepMsBetween: Long,
+      make: org.apache.spark.sql.Dataset[EventTyped] =>
+        org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("evt_ttl")
+      val ckpt = s"$base/ckpt"
+      val out = s"$base/out"
+      val in = MemoryStream[EventTyped]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0 && sleepMsBetween > 0) Thread.sleep(sleepMsBetween)
+        in.addData(b: _*)
+        val q = make(in.toDS())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+      }
+      val outDir = new java.io.File(out)
+      val hasData = outDir.isDirectory && outDir.listFiles != null &&
+        outDir.listFiles.exists(_.getName.startsWith("part-"))
+      val rows: Seq[org.apache.spark.sql.Row] =
+        if (!hasData) Seq.empty
+        else spark.read.parquet(out).collect().toSeq
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+      rows
+    }
+  }
+
+  private val shortTtl = Some(java.time.Duration.ofMillis(300))
+  private val longTtl = Some(java.time.Duration.ofHours(1))
+
+  test("transitions retention: an idle chain expires and restarts; a live one chains") {
+    val batches = Seq(Seq(EventTyped(1L, 7L, 1000L, "A")),
+      Seq(EventTyped(2L, 7L, 2000L, "B")))
+    val expired = runRetentionBatches(batches, 1500L,
+      ds => transitions(spark, ds, retention = shortTtl).toDF())
+    // chain restarted: the first post-expiry event emits NO step
+    assert(expired.isEmpty, s"expected no transition, got $expired")
+    val live = runRetentionBatches(batches, 0L,
+      ds => transitions(spark, ds, retention = longTtl).toDF())
+    assert(live.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      == Seq((7L, "A", "B")))
+  }
+
+  test("interArrivalGaps retention: an idle chain expires; a live one emits the gap") {
+    val batches = Seq(Seq(EventTyped(1L, 7L, 1000000L, "A")),
+      Seq(EventTyped(2L, 7L, 5000000L, "B")))
+    val expired = runRetentionBatches(batches, 1500L,
+      ds => interArrivalGaps(spark, ds, retention = shortTtl).toDF())
+    assert(expired.isEmpty, s"expected no gap, got $expired")
+    val live = runRetentionBatches(batches, 0L,
+      ds => interArrivalGaps(spark, ds, retention = longTtl).toDF())
+    assert(live.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 4L)))
+  }
+
+  test("typeHistogram retention: per-ENTRY expiry — idle type restarts, counts restart") {
+    // batch 1: type A twice → n=2; batch 2 after the window: A again.
+    // Expired arm: A's entry aged out, so batch 2 re-counts from 1.
+    // Live arm: the entry survives, batch 2 emits n=3.
+    val batches = Seq(
+      Seq(EventTyped(1L, 7L, 1000L, "A"), EventTyped(2L, 7L, 2000L, "A")),
+      Seq(EventTyped(3L, 7L, 3000L, "A")))
+    val expired = runRetentionBatches(batches, 1500L,
+      ds => typeHistogramStream(spark, ds, retention = shortTtl).toDF())
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expired == Set((7L, "A", 2L), (7L, "A", 1L)),
+      s"expected the count to RESTART at 1 after expiry, got $expired")
+    val live = runRetentionBatches(batches, 0L,
+      ds => typeHistogramStream(spark, ds, retention = longTtl).toDF())
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(live == Set((7L, "A", 2L), (7L, "A", 3L)))
+  }
 }

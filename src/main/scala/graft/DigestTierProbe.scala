@@ -29,6 +29,19 @@ object DigestTierProbe {
       println(f"$name: ${ts.min}%.2fs")
       Checkpoints.sweep(spark)
     }
+    if (sys.env.contains("SPARK_GRAFT_TIER_DEBUG31")) {
+      // candidate-count check for the q31 (word-2-shingle) shape: when
+      // a tier swap moves THIS benchmark, rule the banding lottery in
+      // or out before crediting/blaming the hash (DESIGN §5 lesson)
+      for (tier <- Seq[Dedup.DigestTier](Dedup.Md5Tier, Dedup.XxTier)) {
+        val tn = if (tier == Dedup.Md5Tier) "md5" else "xx"
+        val rows = docs.select(col("doc_id").as("id"),
+          explode(Dedup.wordShingleMultiset(col("text"), 2)).as("s"))
+        val cand = Dedup.minHashCandidatesOf(rows, 24, 4, 6, tier)
+        println(s"q31_candidates/$tn: ${cand.count()}")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SPARK_GRAFT_TIER_DEBUG")) {
       for (tier <- Seq[Dedup.DigestTier](Dedup.Md5Tier, Dedup.XxTier)) {
         val tn = if (tier == Dedup.Md5Tier) "md5" else "xx"

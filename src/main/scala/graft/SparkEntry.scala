@@ -75,7 +75,12 @@ object SparkEntry {
         val prev = cur.filter(col("stmt") <= 35)
         graft.operators.Reconcile.rowDiff(prev, cur, "_k",
           Seq("conditions"))
-      })
+      }),
+      // STREAMING-plan lineage (r14 #6 as a driver query): fromDataFrame
+      // over MemoryStream-based readStream shapes — path-free, so the
+      // edges are a pure VALUES golden; nothing executes.
+      "q270_lineage_streaming" ->
+        ((s, dir) => graft.lineage.LineageQueries.streamingEdges(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +94,8 @@ object SparkEntry {
       "q121_lineage_ops" -> graft.lineage.LineageQueries.opsOracleSql,
       "q126_lineage_impact" -> graft.lineage.LineageQueries.impactOracleSql,
       "q191_column_impact" -> graft.lineage.LineageQueries.columnImpactOracleSql,
-      "q192_lineage_diff" -> graft.lineage.LineageQueries.lineageDiffOracleSql
+      "q192_lineage_diff" -> graft.lineage.LineageQueries.lineageDiffOracleSql,
+      "q270_lineage_streaming" ->
+        graft.lineage.LineageQueries.streamingLineageOracleSql
     )
 }

@@ -213,6 +213,51 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** STREAMING-plan lineage corpus (q270): [[LineageParser.fromDataFrame]]
+    * over fixed `readStream` shapes — the streaming entry point as an
+    * oracle-checked query. Shapes are built on MemoryStream so no file
+    * path (environment-dependent string) enters the edges, and NOTHING
+    * ever runs: lineage reads analyzed plans only, so the query costs
+    * milliseconds. One shape per streaming construct: filter/select,
+    * watermark + windowed aggregate, stream-static join, union of two
+    * streams. */
+  def streamingEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    registerFixtures(spark, dir)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def events = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      .toDF().toDF("ts", "user_id", "event_type", "value")
+    val shapes: Seq[DataFrame] = Seq(
+      // 1 filter + select
+      events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("value")),
+      // 2 watermark + tumbling-window aggregate (the q66 shape)
+      events.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n")),
+      // 3 stream-static join against a catalog table
+      events.join(spark.table("nation"),
+          col("user_id") === col("n_nationkey"))
+        .select(col("value"), col("n_name")),
+      // 4 union of two streams (positional fold, `&` encoding —
+      // branches read different source columns so they don't collapse)
+      events.select(col("user_id").as("id"))
+        .unionAll(events.select(col("value").cast("long").as("id"))))
+    val rows = shapes.zipWithIndex.flatMap { case (df, i) =>
+      LineageParser.fromDataFrame(df, i + 1).colLines.map { cl =>
+        (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
+          cl.fromName, cl.conditionSet.toSeq.sorted.mkString("|"))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name",
+        "conditions")
+      .orderBy("stmt", "to_name", "from_name")
+  }
+
   /** IMPACT ANALYSIS over the corpus lineage — the question a lineage
     * service exists to answer ("if this table changes, what breaks?").
     * Lineage output is itself a Dataset (SURVEY §1.3), so the analysis
@@ -376,6 +421,23 @@ object LineageQueries {
                    AS BIGINT)
           FROM j)
         ORDER BY metric"""
+
+  /** DuckDB oracle for [[streamingEdges]] — a frozen VALUES golden
+    * (lineage depends only on the shapes; MemoryStream leaves carry no
+    * environment-dependent path). `_1.._4` are the memory relation's
+    * native tuple columns under the `ts/user_id/event_type/value`
+    * renames. */
+  val streamingLineageOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, '<EOF>', '', 'user_id', 'stream.memory._2', 'WHERE:(event_type = ''click'')'),
+    (1, '<EOF>', '', 'value', 'stream.memory._4', 'WHERE:(event_type = ''click'')'),
+    (2, '<EOF>', '', 'event_type', 'stream.memory._3', 'WATERMARK:ts DELAY 10 minutes|WHERE:(ts IS NOT NULL)'),
+    (2, '<EOF>', '', 'n', '', 'WATERMARK:ts DELAY 10 minutes|WHERE:(ts IS NOT NULL)'),
+    (3, '<EOF>', '', 'n_name', 'default.nation.n_name', 'JOIN:(user_id = CAST(nation.n_nationkey AS BIGINT))'),
+    (3, '<EOF>', '', 'value', 'stream.memory._4', 'JOIN:(user_id = CAST(nation.n_nationkey AS BIGINT))'),
+    (4, '<EOF>', '', 'id', 'stream.memory._2&stream.memory._4', '')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name"""
 
   /** DuckDB oracle for [[impact]] — the same rollup over the frozen
     * edge golden (the [[oracleSql]] VALUES relation as a subquery). */

@@ -785,6 +785,39 @@ object StreamingQueries {
         s"q268's capped-admission oracle assumes doc_id arrival order " +
           s"(single-batch fixture); got $dataBatches data batches")
       sunk.distinct().orderBy("doc_a", "doc_b")
+    }),
+
+    // Streaming twin #23 — GATE OBSERVABILITY as data (r14 #8 made a
+    // driver query): q268's capped gate run with the GateMetrics
+    // accumulator tap, emitting the tap's totals as rows. On the
+    // single-batch doc_id-ordered fixture the counters are pure
+    // functions of bucket occupancy — admitted = Σ min(cap, size),
+    // compared = Σ C(min(cap, size), 2), rejected = Σ max(0, size−cap)
+    // per band bucket — so DuckDB re-derives them from the band keys
+    // alone. Accumulators are at-least-once under task RETRIES; the
+    // correctness run is a clean local execution (no retries — the
+    // same clean-run determinism contract q265's epoch count relies
+    // on), and production use reads them as operational metrics, not
+    // correctness inputs.
+    "q269_stream_gate_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val m = graft.streaming.DocStreams.GateMetrics(s)
+      val out = graft.streaming.DocStreams.nearDupGate(s, banded,
+        k = 24, minAgree = 12, cap = 2, metrics = Some(m))
+      val (_, dataBatches) = withRocksDbState(s) {
+        runBoundedCounted(s, out.toDF(), "graft_q269_sink", "append")
+      }
+      require(dataBatches == 1,
+        s"q269's occupancy oracle assumes doc_id arrival order " +
+          s"(single-batch fixture); got $dataBatches data batches")
+      val (adm, cmp, rej) = m.snapshot
+      Seq(("admitted", adm), ("compared", cmp), ("rejected", rej))
+        .toDF("metric", "n").orderBy("metric")
     })
   )
 
@@ -923,6 +956,45 @@ object StreamingQueries {
          UNION ALL
          SELECT * FROM sentinels
          ORDER BY doc_a, doc_b""",
+
+    // Gate metrics from bucket occupancy alone: the single-batch
+    // doc_id-ordered run admits min(cap, size) per band bucket — those
+    // pay C(adm, 2) comparisons (doc i compares against the i earlier
+    // residents) — and rejects the rest.
+    "q269_stream_gate_metrics" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         m AS (
+           SELECT least(count(*), 2) AS adm,
+                  greatest(count(*) - 2, 0) AS rej
+           FROM bands GROUP BY band)
+         SELECT metric, n FROM (
+           SELECT 'admitted' AS metric, CAST(sum(adm) AS BIGINT) AS n
+           FROM m
+           UNION ALL
+           SELECT 'compared', CAST(sum(adm * (adm - 1) // 2) AS BIGINT)
+           FROM m
+           UNION ALL
+           SELECT 'rejected', CAST(sum(rej) AS BIGINT) FROM m)
+         ORDER BY metric""",
 
     // The committed outcome of the streaming round-trip, re-derived
     // from the generator arithmetic; n_epochs is the admission-control

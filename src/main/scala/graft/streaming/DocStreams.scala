@@ -287,13 +287,14 @@ object DocStreams {
     * doc_id order with the remainder counted as overflow — the same
     * bound the streaming path enforces. */
   private class NearDupBootProcessor(k: Int, minAgree: Int, cap: Int,
-                                     metrics: Option[GateMetrics] = None)
+                                     metrics: Option[GateMetrics] = None,
+                                     ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessorWithInitialState[
         String, BandedDoc, NearDupPair, BucketSigs]
       with GateState {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      initState()
+      initState(ttl)
 
     override def handleInitialState(key: String, initial: BucketSigs,
         timerValues: TimerValues): Unit = {
@@ -412,12 +413,24 @@ object DocStreams {
   def nearDupGateBooted(spark: SparkSession, banded: DataFrame,
       initial: KeyValueGroupedDataset[String, BucketSigs], k: Int,
       minAgree: Int, cap: Int = 65536,
-      metrics: Option[GateMetrics] = None): Dataset[NearDupPair] = {
+      metrics: Option[GateMetrics] = None,
+      retention: Option[java.time.Duration] = None): Dataset[NearDupPair] = {
     import spark.implicits._
+    // Retention composes with initial state (the cold gate's r14
+    // contract, closed for the booted gate in r15): SEEDED residents
+    // are TTL-stamped at seeding time — the batch corpus ages out of
+    // the online index on the same clock streamed admissions do, so a
+    // long-running booted gate converges to "near-dup of the last N
+    // days" exactly like the cold one. Expired seeds stop matching
+    // AND free their cap slots; the overflow counter never expires.
+    val (ttl, mode) = retention match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     banded.as[BandedDoc]
       .groupByKey(_.band)
       .transformWithState(
-        new NearDupBootProcessor(k, minAgree, cap, metrics),
-        TimeMode.None(), OutputMode.Append(), initial)
+        new NearDupBootProcessor(k, minAgree, cap, metrics, ttl),
+        mode, OutputMode.Append(), initial)
   }
 }

@@ -233,6 +233,76 @@ class DocStreamsSpec extends SparkTestBase {
     assert(live == Set((1L, 2L, 1000L)))
   }
 
+  /** [[runGateRuns]] for the BOOTED gate: the corpus seeds initial
+    * state on the FIRST Trigger.Once run (later runs resume the
+    * checkpoint and never re-seed — the engine's initial-state
+    * contract), so seeded residents TTL-stamp at run-1 batch time. */
+  private def runBootedGateRuns(corpus: Seq[NdDoc],
+                                batches: Seq[Seq[NdDoc]],
+                                retention: Option[java.time.Duration],
+                                sleepMsBetween: Long)
+      : Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("ndg_boot_ttl")
+      val ckpt = s"$base/ckpt"
+      val out = s"$base/out"
+      val in = MemoryStream[NdDoc]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0 && sleepMsBetween > 0) Thread.sleep(sleepMsBetween)
+        in.addData(b: _*)
+        val init = DocStreams.bucketIndex(spark,
+          DocStreams.bandedSignatures(
+            corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6))
+        val banded = DocStreams.bandedSignatures(
+          in.toDF(), "doc_id", "text", 24, 4, 6)
+        val q = DocStreams.nearDupGateBooted(spark, banded, init, 24, 12,
+            retention = retention).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+      }
+      val outDir = new java.io.File(out)
+      val hasData = outDir.isDirectory && outDir.listFiles != null &&
+        outDir.listFiles.exists(_.getName.startsWith("part-"))
+      val result: Set[(Long, Long, Long)] =
+        if (!hasData) Set.empty
+        else spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+      result
+    }
+  }
+
+  test("booted gate retention: seeded corpus ages out on the same clock") {
+    // Corpus doc 1 seeds through initial state on run 1 (whose batch
+    // carries only the unrelated doc 6 — no pairs). Run 2 streams the
+    // exact dup doc 2. Expiry arm (ttl 300 ms, sleep 1500 ms): the
+    // SEEDED resident aged out, so no (1,2) pair — the batch corpus
+    // leaves the online index on the same clock streamed admissions
+    // do. Liveness arm (ttl 1 h, no sleep): the pair emits via the
+    // seeded resident. Same flake posture as the cold-gate TTL test.
+    val corpus = Seq(NdDoc(1L, "a b c d e f g h"))
+    val unrelated = NdDoc(6L, "m n o p q r s t")
+    val dup = NdDoc(2L, "a b c d e f g h")
+    val expired = runBootedGateRuns(corpus,
+      Seq(Seq(unrelated), Seq(dup)),
+      Some(java.time.Duration.ofMillis(300)), sleepMsBetween = 1500L)
+    assert(expired.isEmpty,
+      s"the seeded corpus should have aged out: $expired")
+    val live = runBootedGateRuns(corpus,
+      Seq(Seq(unrelated), Seq(dup)),
+      Some(java.time.Duration.ofHours(1)), sleepMsBetween = 0L)
+    assert(live == Set((1L, 2L, 1000L)))
+  }
+
   test("checkpoint restart: the resumed gate emits exactly the uninterrupted set") {
     // The batch-split-invariance fixture, but the query is STOPPED and
     // a NEW query RESUMES the shared checkpoint between the batches —

@@ -48,7 +48,10 @@ q, maxq, t = sys.argv[1], sys.argv[2], sys.argv[3]
 # HISTORICAL count ("retired from the 244-queries era") is never
 # clobbered by a file-wide numeric regex. Every rule must fire at
 # least once — an anchor that stops matching (doc reworded) fails the
-# run loudly instead of leaving a silently stale count.
+# run loudly instead of leaving a silently stale count. Validation of
+# ALL files happens before ANY write, so a failed anchor can never
+# leave the docs half-updated (README new, SKILL.md stale — the exact
+# cross-file drift this script exists to prevent).
 def rewrite(path, rules):
     lines = open(path).read().split('\n')
     fired = {i: 0 for i in range(len(rules))}
@@ -63,20 +66,24 @@ def rewrite(path, rules):
     if missing:
         sys.exit(f"ERROR: {path}: no line matched anchor(s) {missing} "
                  "— doc reworded? fix the anchors in update_counts.sh")
-    open(path, 'w').write('\n'.join(out))
+    return '\n'.join(out)
 
-rewrite('README.md', [
-    (r'ids reach q', r'\b\d+ queries', f'{q} queries'),
-    (r'ids reach q', r'ids reach q\d+', f'ids reach q{maxq}'),
-    (r'bench runs in', r'\b\d+ queries', f'{q} queries'),
-    (r'ScalaTest checks', r'\b\d+ ScalaTest checks',
-     f'{t} ScalaTest checks'),
-])
-rewrite('.claude/skills/verify/SKILL.md', [
-    (r'pass, 0 fail', r'N = \d+', f'N = {q}'),
-    (r'-query surface', r'\b\d+-query surface', f'{q}-query surface'),
-    (r'sbt test', r'\b\d+ checks', f'{t} checks'),
-    (r'lands at', r'\b\d+ queries', f'{q} queries'),
-])
+pending = [(path, rewrite(path, rules)) for path, rules in [
+    ('README.md', [
+        (r'ids reach q', r'\b\d+ queries', f'{q} queries'),
+        (r'ids reach q', r'ids reach q\d+', f'ids reach q{maxq}'),
+        (r'bench runs in', r'\b\d+ queries', f'{q} queries'),
+        (r'ScalaTest checks', r'\b\d+ ScalaTest checks',
+         f'{t} ScalaTest checks'),
+    ]),
+    ('.claude/skills/verify/SKILL.md', [
+        (r'pass, 0 fail', r'N = \d+', f'N = {q}'),
+        (r'-query surface', r'\b\d+-query surface', f'{q}-query surface'),
+        (r'sbt test', r'\b\d+ checks', f'{t} checks'),
+        (r'lands at', r'\b\d+ queries', f'{q} queries'),
+    ]),
+]]
+for path, content in pending:
+    open(path, 'w').write(content)
 print(f'counts written: queries={q} max_id=q{maxq} tests={t}')
 EOF

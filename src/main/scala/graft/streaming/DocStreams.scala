@@ -133,13 +133,17 @@ object DocStreams {
                               compared: Long, rejected: Long)
 
   /** Per-batch gate observability: snapshots the tap on every
-    * `QueryProgressEvent` and records the delta since the previous
-    * batch — attach with `spark.streams.addListener` before starting
-    * the gate query (and remove after). Accumulator updates land with
-    * task completion, so by the time the progress event fires the
-    * batch's increments are visible; listener delivery itself is
-    * async (a test polls [[batches]] briefly). */
-  class GateMetricsListener(m: GateMetrics)
+    * `QueryProgressEvent` of the NAMED query and records the delta
+    * since the previous batch — attach with `spark.streams.addListener`
+    * before starting the gate query (and remove after). `queryName`
+    * must be the gate query's `.queryName(...)`: the session's
+    * listener bus fans events from EVERY streaming query, so without
+    * the filter a concurrent query's progress event would snapshot the
+    * gate's delta under the wrong batchId and zero the gate's own row.
+    * Accumulator updates land with task completion, so by the time the
+    * progress event fires the batch's increments are visible; listener
+    * delivery itself is async (a test polls [[batches]] briefly). */
+  class GateMetricsListener(m: GateMetrics, queryName: String)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val buf =
@@ -148,10 +152,12 @@ object DocStreams {
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       synchronized {
-        val s = m.snapshot
-        buf += GateBatchMetrics(e.progress.batchId,
-          s._1 - last._1, s._2 - last._2, s._3 - last._3)
-        last = s
+        if (e.progress.name == queryName) {
+          val s = m.snapshot
+          buf += GateBatchMetrics(e.progress.batchId,
+            s._1 - last._1, s._2 - last._2, s._3 - last._3)
+          last = s
+        }
       }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     def batches: Seq[GateBatchMetrics] = synchronized { buf.toSeq }
@@ -325,13 +331,11 @@ object DocStreams {
                   metrics: Option[GateMetrics] = None)
       : Dataset[NearDupPair] = {
     import spark.implicits._
-    // State TTL is processing-time-based, so a retention window
-    // requires the ProcessingTime time mode; without one the gate
-    // stays TimeMode.None (no clock in the loop at all).
-    val (ttl, mode) = retention match {
-      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
-      case None => (TTLConfig.NONE, TimeMode.None())
-    }
+    // Retention → (TTL, time mode) via the ONE shared mapping
+    // (EventStreams.ttlOf): state TTL is processing-time-based, so a
+    // window requires the ProcessingTime time mode; without one the
+    // gate stays TimeMode.None (no clock in the loop at all).
+    val (ttl, mode) = EventStreams.ttlOf(retention)
     banded.as[BandedDoc]
       .groupByKey(_.band)
       .transformWithState(
@@ -423,10 +427,7 @@ object DocStreams {
     // long-running booted gate converges to "near-dup of the last N
     // days" exactly like the cold one. Expired seeds stop matching
     // AND free their cap slots; the overflow counter never expires.
-    val (ttl, mode) = retention match {
-      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
-      case None => (TTLConfig.NONE, TimeMode.None())
-    }
+    val (ttl, mode) = EventStreams.ttlOf(retention)
     banded.as[BandedDoc]
       .groupByKey(_.band)
       .transformWithState(

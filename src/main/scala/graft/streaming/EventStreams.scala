@@ -231,7 +231,7 @@ object EventStreams extends Serializable {
     * Trigger.Once pattern instead. An expired key simply restarts its
     * fold from empty state ("the last N days of this key"), which is
     * each twin's documented idle-retention semantics. */
-  private def ttlOf(retention: Option[java.time.Duration])
+  private[streaming] def ttlOf(retention: Option[java.time.Duration])
       : (TTLConfig, TimeMode) = retention match {
     case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
     case None => (TTLConfig.NONE, TimeMode.None())

@@ -363,7 +363,7 @@ class DocStreamsSpec extends SparkTestBase {
       val trio = Seq(NdDoc(1L, "a b c d e f g h"),
         NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
       val m = DocStreams.GateMetrics(spark)
-      val listener = new DocStreams.GateMetricsListener(m)
+      val listener = new DocStreams.GateMetricsListener(m, "ndg_metrics")
       spark.streams.addListener(listener)
       try {
         val in = MemoryStream[NdDoc]

@@ -246,10 +246,21 @@ object LineageQueries {
       // branches read different source columns so they don't collapse)
       events.select(col("user_id").as("id"))
         .unionAll(events.select(col("value").cast("long").as("id"))))
-    val rows = shapes.zipWithIndex.flatMap { case (df, i) =>
-      LineageParser.fromDataFrame(df, i + 1).colLines.map { cl =>
-        (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
-          cl.fromName, cl.conditionSet.toSeq.sorted.mkString("|"))
+    val results = shapes.zipWithIndex.map { case (df, i) =>
+      LineageParser.fromDataFrame(df, i + 1)
+    } :+
+      // 5 write-side: forWrite on a STREAMING frame — the S10 ordinal
+      // zip against the sink's schema works unchanged (the fold never
+      // cared that the plan streams), so a writeStream.toTable
+      // pipeline gets destination-column edges before the write runs
+      LineageParser.forWrite(
+        events.select(col("user_id"), col("event_type")),
+        "lineage_target", index = 5)
+    val rows = results.flatMap { r =>
+      r.colLines.map { cl =>
+        (r.statementIndex, cl.tableName, cl.colName.getOrElse(""),
+          cl.toName, cl.fromName,
+          cl.conditionSet.toSeq.sorted.mkString("|"))
       }
     }
     spark.createDataFrame(rows)
@@ -435,7 +446,9 @@ object LineageQueries {
     (2, '<EOF>', '', 'n', '', 'WATERMARK:ts DELAY 10 minutes|WHERE:(ts IS NOT NULL)'),
     (3, '<EOF>', '', 'n_name', 'default.nation.n_name', 'JOIN:(user_id = CAST(nation.n_nationkey AS BIGINT))'),
     (3, '<EOF>', '', 'value', 'stream.memory._4', 'JOIN:(user_id = CAST(nation.n_nationkey AS BIGINT))'),
-    (4, '<EOF>', '', 'id', 'stream.memory._2&stream.memory._4', '')
+    (4, '<EOF>', '', 'id', 'stream.memory._2&stream.memory._4', ''),
+    (5, 'default.lineage_target', 'default.lineage_target.tgt_key', 'user_id', 'stream.memory._2', ''),
+    (5, 'default.lineage_target', 'default.lineage_target.tgt_name', 'event_type', 'stream.memory._3', '')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 

@@ -619,6 +619,20 @@ class EventStreamsSpec extends SparkTestBase {
   private val shortTtl = Some(java.time.Duration.ofMillis(300))
   private val longTtl = Some(java.time.Duration.ofHours(1))
 
+  test("checkpoint restart: a twin's ValueState survives stop/resume") {
+    // retention = None makes the harness a pure RESTART check (each
+    // batch is its own query resuming the shared checkpoint): user 7's
+    // chain state from run 1 must survive into run 2 or the (A, B)
+    // step never emits — the gate's recovery test applied to the
+    // ValueState twins.
+    val batches = Seq(Seq(EventTyped(1L, 7L, 1000L, "A")),
+      Seq(EventTyped(2L, 7L, 2000L, "B")))
+    val rows = runRetentionBatches(batches, 0L,
+      ds => transitions(spark, ds).toDF())
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      == Seq((7L, "A", "B")))
+  }
+
   test("transitions retention: an idle chain expires and restarts; a live one chains") {
     val batches = Seq(Seq(EventTyped(1L, 7L, 1000L, "A")),
       Seq(EventTyped(2L, 7L, 2000L, "B")))

@@ -818,6 +818,48 @@ object StreamingQueries {
       val (adm, cmp, rej) = m.snapshot
       Seq(("admitted", adm), ("compared", cmp), ("rejected", rej))
         .toDF("metric", "n").orderBy("metric")
+    }),
+
+    // Streaming twin #24 — OFFLINE STATE AUDIT (r15): the capped
+    // gate's state store read back from its checkpoint through Spark's
+    // state data source, no gate restart — residents per band bucket
+    // plus the overflow counters, the skew report the cap leaves
+    // behind. On the single-batch doc_id-ordered run the state is pure
+    // bucket occupancy (residents = rank ≤ cap per band, overflow =
+    // the remainder), so DuckDB re-derives the ENTIRE state store from
+    // the band keys — this pins the state itself, not just the gate's
+    // emissions.
+    "q271_gate_state_audit" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val out = graft.streaming.DocStreams.nearDupGate(s, banded,
+        k = 24, minAgree = 12, cap = 2)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q271_ckpt")
+      try withRocksDbState(s) {
+        withStreamConf(s) {
+          val q = out.toDF().writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val residents = graft.streaming.DocStreams
+          .gateStateResidents(s, ckpt.toString)
+          .select(lit("resident").as("kind"), col("band"),
+            col("doc_id").as("n"))
+        val overflow = graft.streaming.DocStreams
+          .gateStateOverflow(s, ckpt.toString)
+          .select(lit("overflow").as("kind"), col("band"),
+            col("overflow").as("n"))
+        // materialize BEFORE the checkpoint dir is deleted
+        residents.unionAll(overflow).localCheckpoint()
+          .orderBy("kind", "band", "n")
+      } finally deleteRecursively(ckpt)
     })
   )
 
@@ -995,6 +1037,44 @@ object StreamingQueries {
            UNION ALL
            SELECT 'rejected', CAST(sum(rej) AS BIGINT) FROM m)
          ORDER BY metric""",
+
+    // The gate's state store, re-derived from bucket occupancy: the
+    // rank ≤ cap residents per band plus the remainder as per-band
+    // overflow counters (rows only for buckets that rejected — the
+    // gate creates the counter lazily).
+    "q271_gate_state_audit" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         ranked AS (
+           SELECT doc_id, band,
+                  row_number() OVER (PARTITION BY band
+                                     ORDER BY doc_id) AS rk
+           FROM bands)
+         SELECT kind, band, n FROM (
+           SELECT 'resident' AS kind, band, CAST(doc_id AS BIGINT) AS n
+           FROM ranked WHERE rk <= 2
+           UNION ALL
+           SELECT 'overflow', band, CAST(count(*) - 2 AS BIGINT)
+           FROM bands GROUP BY band HAVING count(*) > 2)
+         ORDER BY kind, band, n""",
 
     // The committed outcome of the streaming round-trip, re-derived
     // from the generator arithmetic; n_epochs is the admission-control

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics pin for the `graft_bottom_k` escape hatch (Spark's
+  * CollectTopK reversed — see [[BottomK]]): smallest-k per group,
+  * correct across PARTIAL merges (the property the hatch exists for),
+  * struct ordering by first field. */
+class BottomKSpec extends SparkTestBase {
+
+  test("bottom-k keeps the k smallest per group across partition merges") {
+    import spark.implicits._
+    BottomK.register(spark)
+    // 32 partitions force real partial buffers + merges: each holds at
+    // most k = 3, and the merged result must still be the global
+    // smallest 3 per group.
+    val df = (1 to 100).map(i => (i % 2, 101 - i)).toDF("g", "v")
+      .repartition(32)
+    val got = df.groupBy("g")
+      .agg(array_sort(call_function(BottomK.name, col("v"), lit(3)))
+        .as("bottom"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    // g=0: even i → v = 101-i for i in 2,4,..,100 → smallest 1,3,5
+    assert(got(0) == Seq(1, 3, 5))
+    // g=1: odd i → v = 101-i for i in 1,3,..,99 → smallest 2,4,6
+    assert(got(1) == Seq(2, 4, 6))
+  }
+
+  test("bottom-k over structs orders by the first field") {
+    import spark.implicits._
+    BottomK.register(spark)
+    val df = Seq((9L, "z"), (1L, "a"), (5L, "m"), (3L, "c"))
+      .toDF("id", "tag").repartition(4)
+    val got = df.agg(array_sort(call_function(BottomK.name,
+        struct(col("id"), col("tag")), lit(2))).as("b"))
+      .selectExpr("transform(b, x -> x.id) AS ids")
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("a group smaller than k returns all of it") {
+    import spark.implicits._
+    BottomK.register(spark)
+    val got = Seq(7, 4).toDF("v")
+      .agg(array_sort(call_function(BottomK.name, col("v"), lit(10))))
+      .collect().head.getSeq[Int](0)
+    assert(got == Seq(4, 7))
+  }
+}

@@ -36,11 +36,20 @@ object BottomK {
       registry.registerFunction(
         ident,
         new ExpressionInfo(GraftCollectTopK.getClass.getName, name),
-        (exprs: Seq[Expression]) => exprs(1) match {
-          case Literal(k: Int, _) =>
-            GraftCollectTopK.bottomK(exprs.head, k)
-          case other => throw new IllegalArgumentException(
-            s"$name: k must be an integer literal, got ${other.sql}")
+        (exprs: Seq[Expression]) => {
+          // named errors at ANALYSIS time: a wrong arity must not
+          // surface as IndexOutOfBounds, and k ≤ 0 must not reach the
+          // executors (PriorityQueue(0) throws mid-job there)
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$name expects exactly (value, k); got ${exprs.length} arguments")
+          exprs(1) match {
+            case Literal(k: Int, _) if k >= 1 =>
+              GraftCollectTopK.bottomK(exprs.head, k)
+            case Literal(k: Int, _) => throw new IllegalArgumentException(
+              s"$name: k must be >= 1, got $k")
+            case other => throw new IllegalArgumentException(
+              s"$name: k must be an integer literal, got ${other.sql}")
+          }
         })
     }
   }

@@ -847,6 +847,13 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // same guard as q268: the occupancy oracle assumes doc_id
+          // ADMISSION order, which only a single data batch guarantees
+          // — fail by name, not as an opaque hash mismatch
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q271's occupancy oracle assumes doc_id arrival order " +
+              s"(single-batch fixture); got $dataBatches data batches")
         }
         val residents = graft.streaming.DocStreams
           .gateStateResidents(s, ckpt.toString)

@@ -394,10 +394,12 @@ object DocStreams {
     * (ObjectHashAggregate + interpreted per-row struct ordering beats
     * codegen'd sort only under real hot-band skew, where partials cap
     * at `cap` per partition instead of shipping the whole bucket).
-    * BottomK stays registered as the vetted escape hatch for that
-    * regime, semantics spec-pinned (BottomKSpec). */
+    * BottomK is registered here so the hatch is LIVE in any session
+    * that builds an index (swap the agg below under real skew);
+    * semantics spec-pinned (BottomKSpec). */
   private[streaming] def bucketIndexFrame(banded: DataFrame,
                                           cap: Int): DataFrame = {
+    graft.functions.BottomK.register(banded.sparkSession)
     val byBand = org.apache.spark.sql.expressions.Window
       .partitionBy("band").orderBy("doc_id")
     banded

@@ -39,6 +39,24 @@ class BottomKSpec extends SparkTestBase {
     assert(got == Seq(1L, 3L))
   }
 
+  test("invalid calls fail by name at analysis time") {
+    import spark.implicits._
+    BottomK.register(spark)
+    val df = Seq(1, 2).toDF("v")
+    val arity = intercept[Exception] {
+      df.agg(call_function(BottomK.name, col("v"))).collect()
+    }
+    assert(arity.getMessage.contains("exactly (value, k)"))
+    val zero = intercept[Exception] {
+      df.agg(call_function(BottomK.name, col("v"), lit(0))).collect()
+    }
+    assert(zero.getMessage.contains("k must be >= 1"))
+    val nonLit = intercept[Exception] {
+      df.agg(call_function(BottomK.name, col("v"), col("v"))).collect()
+    }
+    assert(nonLit.getMessage.contains("integer literal"))
+  }
+
   test("a group smaller than k returns all of it") {
     import spark.implicits._
     BottomK.register(spark)

@@ -362,38 +362,41 @@ class DocStreamsSpec extends SparkTestBase {
     import spark.implicits._
     withRocksDb {
       val base = java.nio.file.Files.createTempDirectory("ndg_audit")
-      val ckpt = s"$base/ckpt"
-      val out = s"$base/out"
-      val in = MemoryStream[NdDoc]
-      in.addData(NdDoc(1L, "a b c d e f g h"),
-        NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
-      val banded = DocStreams.bandedSignatures(
-        in.toDF(), "doc_id", "text", 24, 4, 6)
-      val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2)
-        .toDF()
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-        .start()
-      q.awaitTermination()
-      val residents = DocStreams.gateStateResidents(spark, ckpt)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      // 4 band buckets × residents [1, 2] each; doc 3 never resident
-      assert(residents.length == 8)
-      assert(residents.map(_._1).distinct.length == 4)
-      residents.groupBy(_._1).foreach { case (band, rs) =>
-        assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L),
-          s"band $band residents: ${rs.toSeq}")
-      }
-      val overflow = DocStreams.gateStateOverflow(spark, ckpt)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      assert(overflow.length == 4 && overflow.forall(_._2 == 1L),
-        s"overflow: ${overflow.toSeq}")
+      // cleanup in finally: an assertion failure must not leak the
+      // RocksDB checkpoint + parquet trees into the temp dir
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(base.toFile)
+      try {
+        val ckpt = s"$base/ckpt"
+        val out = s"$base/out"
+        val in = MemoryStream[NdDoc]
+        in.addData(NdDoc(1L, "a b c d e f g h"),
+          NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+        val banded = DocStreams.bandedSignatures(
+          in.toDF(), "doc_id", "text", 24, 4, 6)
+        val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+        val residents = DocStreams.gateStateResidents(spark, ckpt)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // 4 band buckets × residents [1, 2] each; doc 3 never resident
+        assert(residents.length == 8)
+        assert(residents.map(_._1).distinct.length == 4)
+        residents.groupBy(_._1).foreach { case (band, rs) =>
+          assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L),
+            s"band $band residents: ${rs.toSeq}")
+        }
+        val overflow = DocStreams.gateStateOverflow(spark, ckpt)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        assert(overflow.length == 4 && overflow.forall(_._2 == 1L),
+          s"overflow: ${overflow.toSeq}")
+      } finally rm(base.toFile)
     }
   }
 

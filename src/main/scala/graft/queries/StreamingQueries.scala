@@ -106,11 +106,20 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val dataBatches = dataBatchCount(q)
       val out = s.table(name).localCheckpoint()
       s.catalog.dropTempView(name)
       (out, dataBatches)
     }
+
+  /** The run's DATA-carrying micro-batch count — THE definition of
+    * "data batch" for every single-batch-contract guard (q262's
+    * admission pin, q268/q269/q271's doc_id-order oracles), single-
+    * sourced so the rule can't fork between the memory-sink helper
+    * above and explicit-checkpoint runs. */
+  private def dataBatchCount(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+    q.recentProgress.count(_.numInputRows > 0)
 
   /** Scope the low streaming shuffle-partition setting to one bounded
     * run; the session value is restored for the batch queries. */
@@ -850,7 +859,7 @@ object StreamingQueries {
           // same guard as q268: the occupancy oracle assumes doc_id
           // ADMISSION order, which only a single data batch guarantees
           // — fail by name, not as an opaque hash mismatch
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          val dataBatches = dataBatchCount(q)
           require(dataBatches == 1,
             s"q271's occupancy oracle assumes doc_id arrival order " +
               s"(single-batch fixture); got $dataBatches data batches")

@@ -21,19 +21,37 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 
-  /** Scope the RocksDB state-store provider (transformWithState's
-    * requirement) to one block — the save/set/restore boilerplate
-    * every stateful-processor test was re-pasting. */
-  def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
+  /** Scope a session conf to one block: set happens INSIDE the try's
+    * reach (prev is read first), so no throw can leak the value into
+    * the JVM-shared session and contaminate later suites. */
+  def withConf[A](key: String, value: String)(body: => A): A = {
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try body
+    try { spark.conf.set(key, value); body }
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Scope the RocksDB state-store provider (transformWithState's
+    * requirement) to one block — the save/set/restore boilerplate
+    * every stateful-processor test was re-pasting. */
+  def withRocksDb[A](body: => A): A =
+    withConf("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")(body)
+
+  /** A temp dir owned for one block: created here, recursively deleted
+    * in a finally — an assertion failure can't leak checkpoint/output
+    * trees (the `rm` helper every checkpoint-using test was
+    * re-pasting). */
+  def withTempDir[A](prefix: String)(body: java.nio.file.Path => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try body(dir)
+    finally rm(dir.toFile)
   }
 }
 

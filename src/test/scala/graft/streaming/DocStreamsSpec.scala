@@ -178,8 +178,7 @@ class DocStreamsSpec extends SparkTestBase {
                           sleepMsBetween: Long): Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("ndg_ttl")
+    withRocksDb { withTempDir("ndg_ttl") { base =>
       val ckpt = s"$base/ckpt"
       val out = s"$base/out"
       val in = MemoryStream[NdDoc]
@@ -204,17 +203,10 @@ class DocStreamsSpec extends SparkTestBase {
       val outDir = new java.io.File(out)
       val hasData = outDir.isDirectory && outDir.listFiles != null &&
         outDir.listFiles.exists(_.getName.startsWith("part-"))
-      val result: Set[(Long, Long, Long)] =
-        if (!hasData) Set.empty
-        else spark.read.parquet(out).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      // temp hygiene: checkpoint + output dirs per run, like q265
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(base.toFile)
-      result
-    }
+      if (!hasData) Set.empty[(Long, Long, Long)]
+      else spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } }
   }
 
   test("retention: an aged-out resident no longer matches; a live one does") {
@@ -244,8 +236,7 @@ class DocStreamsSpec extends SparkTestBase {
       : Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("ndg_boot_ttl")
+    withRocksDb { withTempDir("ndg_boot_ttl") { base =>
       val ckpt = s"$base/ckpt"
       val out = s"$base/out"
       val in = MemoryStream[NdDoc]
@@ -269,16 +260,10 @@ class DocStreamsSpec extends SparkTestBase {
       val outDir = new java.io.File(out)
       val hasData = outDir.isDirectory && outDir.listFiles != null &&
         outDir.listFiles.exists(_.getName.startsWith("part-"))
-      val result: Set[(Long, Long, Long)] =
-        if (!hasData) Set.empty
-        else spark.read.parquet(out).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(base.toFile)
-      result
-    }
+      if (!hasData) Set.empty[(Long, Long, Long)]
+      else spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } }
   }
 
   test("booted gate retention: seeded corpus ages out on the same clock") {
@@ -360,44 +345,36 @@ class DocStreamsSpec extends SparkTestBase {
     // it against a checkpoint copy.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("ndg_audit")
-      // cleanup in finally: an assertion failure must not leak the
-      // RocksDB checkpoint + parquet trees into the temp dir
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    withRocksDb { withTempDir("ndg_audit") { base =>
+      val ckpt = s"$base/ckpt"
+      val out = s"$base/out"
+      val in = MemoryStream[NdDoc]
+      in.addData(NdDoc(1L, "a b c d e f g h"),
+        NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+      val banded = DocStreams.bandedSignatures(
+        in.toDF(), "doc_id", "text", 24, 4, 6)
+      val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      val residents = DocStreams.gateStateResidents(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // 4 band buckets × residents [1, 2] each; doc 3 never resident
+      assert(residents.length == 8)
+      assert(residents.map(_._1).distinct.length == 4)
+      residents.groupBy(_._1).foreach { case (band, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L),
+          s"band $band residents: ${rs.toSeq}")
       }
-      try {
-        val ckpt = s"$base/ckpt"
-        val out = s"$base/out"
-        val in = MemoryStream[NdDoc]
-        in.addData(NdDoc(1L, "a b c d e f g h"),
-          NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
-        val banded = DocStreams.bandedSignatures(
-          in.toDF(), "doc_id", "text", 24, 4, 6)
-        val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2)
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-          .start()
-        q.awaitTermination()
-        val residents = DocStreams.gateStateResidents(spark, ckpt)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        // 4 band buckets × residents [1, 2] each; doc 3 never resident
-        assert(residents.length == 8)
-        assert(residents.map(_._1).distinct.length == 4)
-        residents.groupBy(_._1).foreach { case (band, rs) =>
-          assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L),
-            s"band $band residents: ${rs.toSeq}")
-        }
-        val overflow = DocStreams.gateStateOverflow(spark, ckpt)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        assert(overflow.length == 4 && overflow.forall(_._2 == 1L),
-          s"overflow: ${overflow.toSeq}")
-      } finally rm(base.toFile)
-    }
+      val overflow = DocStreams.gateStateOverflow(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(overflow.length == 4 && overflow.forall(_._2 == 1L),
+        s"overflow: ${overflow.toSeq}")
+    } }
   }
 
   test("gate metrics: admitted/compared/rejected totals and per-batch deltas") {

@@ -586,8 +586,7 @@ class EventStreamsSpec extends SparkTestBase {
         org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("evt_ttl")
+    withRocksDb { withTempDir("evt_ttl") { base =>
       val ckpt = s"$base/ckpt"
       val out = s"$base/out"
       val in = MemoryStream[EventTyped]
@@ -605,15 +604,9 @@ class EventStreamsSpec extends SparkTestBase {
       val outDir = new java.io.File(out)
       val hasData = outDir.isDirectory && outDir.listFiles != null &&
         outDir.listFiles.exists(_.getName.startsWith("part-"))
-      val rows: Seq[org.apache.spark.sql.Row] =
-        if (!hasData) Seq.empty
-        else spark.read.parquet(out).collect().toSeq
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(base.toFile)
-      rows
-    }
+      if (!hasData) Seq.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(out).collect().toSeq
+    } }
   }
 
   private val shortTtl = Some(java.time.Duration.ofMillis(300))

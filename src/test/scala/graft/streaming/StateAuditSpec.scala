@@ -16,63 +16,53 @@ class StateAuditSpec extends SparkTestBase {
 
   import EventStreams._
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-  }
-
   test("ValueState audit: runningTotals state reads back per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("state_audit")
-      try {
-        val ckpt = s"$base/ckpt"
-        val in = MemoryStream[EventMilli]
-        in.addData(EventMilli(1L, 7L, 1000L, 250L),
-          EventMilli(2L, 7L, 2000L, 750L), EventMilli(3L, 9L, 1500L, 100L))
-        val q = runningTotals(spark, in.toDS()).toDF()
-          .writeStream.format("parquet")
-          .option("path", s"$base/out").option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-          .start()
-        q.awaitTermination()
-        val got = spark.read.format("statestore")
-          .option("stateVarName", "totals").load(ckpt)
-          .selectExpr("key.value AS user_id", "value.n AS n",
-            "value.sumMillis AS sum_millis")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toSet
-        assert(got == Set((7L, 2L, 1000L), (9L, 1L, 100L)))
-      } finally rm(base.toFile)
-    }
+    withRocksDb { withTempDir("state_audit") { base =>
+      val ckpt = s"$base/ckpt"
+      val in = MemoryStream[EventMilli]
+      in.addData(EventMilli(1L, 7L, 1000L, 250L),
+        EventMilli(2L, 7L, 2000L, 750L), EventMilli(3L, 9L, 1500L, 100L))
+      val q = runningTotals(spark, in.toDS()).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.format("statestore")
+        .option("stateVarName", "totals").load(ckpt)
+        .selectExpr("key.value AS user_id", "value.n AS n",
+          "value.sumMillis AS sum_millis")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((7L, 2L, 1000L), (9L, 1L, 100L)))
+    } }
   }
 
   test("MapState audit: the histogram reads back one row per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    withRocksDb {
-      val base = java.nio.file.Files.createTempDirectory("state_audit2")
-      try {
-        val ckpt = s"$base/ckpt"
-        val in = MemoryStream[EventTyped]
-        in.addData(EventTyped(1L, 7L, 1000L, "A"),
-          EventTyped(2L, 7L, 2000L, "A"), EventTyped(3L, 7L, 3000L, "B"))
-        val q = typeHistogramStream(spark, in.toDS()).toDF()
-          .writeStream.format("parquet")
-          .option("path", s"$base/out").option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-          .start()
-        q.awaitTermination()
-        val got = spark.read.format("statestore")
-          .option("stateVarName", "counts").load(ckpt)
-          .selectExpr("key.value AS user_id", "user_map_key.value AS t",
-            "user_map_value.value AS n")
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-          .toSet
-        assert(got == Set((7L, "A", 2L), (7L, "B", 1L)))
-      } finally rm(base.toFile)
-    }
+    withRocksDb { withTempDir("state_audit2") { base =>
+      val ckpt = s"$base/ckpt"
+      val in = MemoryStream[EventTyped]
+      in.addData(EventTyped(1L, 7L, 1000L, "A"),
+        EventTyped(2L, 7L, 2000L, "A"), EventTyped(3L, 7L, 3000L, "B"))
+      val q = typeHistogramStream(spark, in.toDS()).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.format("statestore")
+        .option("stateVarName", "counts").load(ckpt)
+        .selectExpr("key.value AS user_id", "user_map_key.value AS t",
+          "user_map_value.value AS n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((7L, "A", 2L), (7L, "B", 1L)))
+    } }
   }
 }

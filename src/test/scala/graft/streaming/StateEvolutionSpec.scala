@@ -52,47 +52,34 @@ class StateEvolutionSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     withRocksDb {
-      val prevEnc = spark.conf.getOption(
-        "spark.sql.streaming.stateStore.encodingFormat")
-      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
-      val base = java.nio.file.Files.createTempDirectory("state_evo")
-      try {
-        val ckpt = s"$base/ckpt"
-        val in = MemoryStream[EvoIn]
-        def run(p: StatefulProcessor[Long, EvoIn, EvoOut]): Unit = {
-          val q = in.toDS().groupByKey(_.k)
-            .transformWithState(p, TimeMode.None(), OutputMode.Append())
-            .toDF()
-            .writeStream.format("parquet")
-            .option("path", s"$base/out")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-            .start()
-          q.awaitTermination()
-        }
-        in.addData(EvoIn(7L, 10L))
-        run(new EvoP1)
-        in.addData(EvoIn(7L, 5L))
-        run(new EvoP2) // state gains `bonus` — must resume, not reset
-        val rows = spark.read.parquet(s"$base/out")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toSet
-        // run 1 emitted (7, 10, -1); run 2 must fold ON TOP of the
-        // recovered total (15, not 5) with the new field defaulted
-        // then bumped (bonus = 1)
-        assert(rows == Set((7L, 10L, -1L), (7L, 15L, 1L)),
-          s"v2 must resume v1's total=10 and fold 5 more: $rows")
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(base.toFile)
-        prevEnc match {
-          case Some(v) => spark.conf.set(
-            "spark.sql.streaming.stateStore.encodingFormat", v)
-          case None => spark.conf.unset(
-            "spark.sql.streaming.stateStore.encodingFormat")
+      withConf("spark.sql.streaming.stateStore.encodingFormat", "avro") {
+        withTempDir("state_evo") { base =>
+          val ckpt = s"$base/ckpt"
+          val in = MemoryStream[EvoIn]
+          def run(p: StatefulProcessor[Long, EvoIn, EvoOut]): Unit = {
+            val q = in.toDS().groupByKey(_.k)
+              .transformWithState(p, TimeMode.None(), OutputMode.Append())
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", s"$base/out")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+              .start()
+            q.awaitTermination()
+          }
+          in.addData(EvoIn(7L, 10L))
+          run(new EvoP1)
+          in.addData(EvoIn(7L, 5L))
+          run(new EvoP2) // state gains `bonus` — must resume, not reset
+          val rows = spark.read.parquet(s"$base/out")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+          // run 1 emitted (7, 10, -1); run 2 must fold ON TOP of the
+          // recovered total (15, not 5) with the new field defaulted
+          // then bumped (bonus = 1)
+          assert(rows == Set((7L, 10L, -1L), (7L, 15L, 1L)),
+            s"v2 must resume v1's total=10 and fold 5 more: $rows")
         }
       }
     }

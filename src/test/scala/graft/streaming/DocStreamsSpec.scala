@@ -377,6 +377,52 @@ class DocStreamsSpec extends SparkTestBase {
     } }
   }
 
+  test("state audit: the booted gate's SEEDED residents equal the capped corpus") {
+    // Seeding happens through handleInitialState, a code path the cold
+    // gate's audit never exercises: read the checkpoint back and pin
+    // that the state holds EXACTLY the cap-truncated corpus plus the
+    // streamed admission — seeded residents [1, 2] per trio band with
+    // overflow 1 (doc 3), and the unrelated streamed doc 6 resident in
+    // its own four buckets.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb { withTempDir("ndg_boot_audit") { base =>
+      val ckpt = s"$base/ckpt"
+      val corpus = Seq(NdDoc(1L, "a b c d e f g h"),
+        NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
+      val init = DocStreams.bucketIndex(spark,
+        DocStreams.bandedSignatures(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", 24, 4, 6),
+        cap = 2)
+      val in = MemoryStream[NdDoc]
+      in.addData(NdDoc(6L, "m n o p q r s t"))
+      val banded = DocStreams.bandedSignatures(
+        in.toDF(), "doc_id", "text", 24, 4, 6)
+      val q = DocStreams.nearDupGateBooted(spark, banded, init, 24, 12,
+          cap = 2).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      val residents = DocStreams.gateStateResidents(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byBand = residents.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.toSeq).toMap
+      // 4 trio bands seeded [1, 2] + 4 doc-6 bands (disjoint text →
+      // disjoint buckets, same fixture fact the booted-gate pair
+      // tests rely on)
+      assert(byBand.size == 8, s"bands: ${byBand.keys}")
+      assert(byBand.values.count(_ == Seq(1L, 2L)) == 4)
+      assert(byBand.values.count(_ == Seq(6L)) == 4)
+      val overflow = DocStreams.gateStateOverflow(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(overflow.length == 4 && overflow.forall(_._2 == 1L),
+        s"seed overflow: ${overflow.toSeq}")
+    } }
+  }
+
   test("gate metrics: admitted/compared/rejected totals and per-batch deltas") {
     // Three identical docs (every band shared), cap = 2, two batches:
     //   batch 0 (docs 1, 2): per band — doc 1 admits (0 comparisons),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
 
 /** `graft_bottom_k(value, k)` — the k SMALLEST values of a group as an
@@ -42,13 +42,33 @@ object BottomK {
           // executors (PriorityQueue(0) throws mid-job there)
           if (exprs.length != 2) throw new IllegalArgumentException(
             s"$name expects exactly (value, k); got ${exprs.length} arguments")
+          // any FOLDABLE integral expression works (lit(3L), 1 + 2, a
+          // byte/short literal) — CollectTopK only needs the evaluated
+          // Int, and "integer literal" was stricter than the contract
+          // (ADVICE r15)
           exprs(1) match {
-            case Literal(k: Int, _) if k >= 1 =>
-              GraftCollectTopK.bottomK(exprs.head, k)
-            case Literal(k: Int, _) => throw new IllegalArgumentException(
-              s"$name: k must be >= 1, got $k")
+            case e if e.foldable && (e.dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType => true
+                case _ => false
+              }) =>
+              val k = e.eval() match {
+                case null => throw new IllegalArgumentException(
+                  s"$name: k must not be NULL")
+                case b: Byte => b.toLong
+                case s: Short => s.toLong
+                case i: Int => i.toLong
+                case l: Long => l
+              }
+              if (k < 1L) throw new IllegalArgumentException(
+                s"$name: k must be >= 1, got $k")
+              if (k > Int.MaxValue) throw new IllegalArgumentException(
+                s"$name: k must fit in an Int, got $k")
+              GraftCollectTopK.bottomK(exprs.head, k.toInt)
             case other => throw new IllegalArgumentException(
-              s"$name: k must be an integer literal, got ${other.sql}")
+              s"$name: k must be a foldable integral expression, got ${other.sql}")
           }
         })
     }

@@ -818,13 +818,30 @@ object StreamingQueries {
       val m = graft.streaming.DocStreams.GateMetrics(s)
       val out = graft.streaming.DocStreams.nearDupGate(s, banded,
         k = 24, minAgree = 12, cap = 2, metrics = Some(m))
-      val (_, dataBatches) = withRocksDbState(s) {
+      val (sunk, dataBatches) = withRocksDbState(s) {
         runBoundedCounted(s, out.toDF(), "graft_q269_sink", "append")
       }
       require(dataBatches == 1,
         s"q269's occupancy oracle assumes doc_id arrival order " +
           s"(single-batch fixture); got $dataBatches data batches")
       val (adm, cmp, rej) = m.snapshot
+      // Accumulators are at-least-once under task retries; cross-check
+      // the snapshot against two derivable invariants and fail BY NAME
+      // rather than as an opaque driver hash mismatch (ADVICE r15):
+      // every (band, doc) row is either admitted or rejected (each
+      // non-null-text doc yields exactly `bands` = 4 banded rows), and
+      // each rejection emits exactly one sentinel sink row.
+      val expectedRows = 4L * s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull).count()
+      require(adm + rej == expectedRows,
+        s"q269 accumulator retry contamination: admitted($adm) + " +
+          s"rejected($rej) != banded rows ($expectedRows) — a retried " +
+          "or speculative task re-incremented the tap; rerun on an " +
+          "unloaded host")
+      val sunkSentinels = sunk.filter(col("doc_a") === -1L).count()
+      require(rej == sunkSentinels,
+        s"q269 accumulator retry contamination: rejected($rej) != " +
+          s"sentinel sink rows ($sunkSentinels)")
       Seq(("admitted", adm), ("compared", cmp), ("rejected", rej))
         .toDF("metric", "n").orderBy("metric")
     }),

@@ -128,9 +128,30 @@ object DocStreams {
       spark.sparkContext.longAccumulator("graft.gate.rejected"))
   }
 
-  /** One batch's [[GateMetrics]] delta. */
+  /** One batch's [[GateMetrics]] delta, plus the EXACTLY-ONCE observed
+    * emission counters when the gate output was wrapped in
+    * [[observedGate]] (`nPairs`/`nSentinels` are −1 when no
+    * observation rode the progress event — the accumulator channel
+    * works without one). */
   case class GateBatchMetrics(batchId: Long, admitted: Long,
-                              compared: Long, rejected: Long)
+                              compared: Long, rejected: Long,
+                              nPairs: Long = -1L, nSentinels: Long = -1L)
+
+  /** The named observation [[observedGate]] attaches and
+    * [[GateMetricsListener]] reads back from progress events. */
+  val GateObservationName = "graft_gate"
+
+  /** EXACTLY-ONCE emission metrics channel (VERDICT r15 #4): wrap the
+    * gate output so each micro-batch's emitted pair and sentinel
+    * counts ride `QueryProgressEvent.observedMetrics` — computed by
+    * the batch's OWN plan, so a retried task never double-counts
+    * (unlike the accumulator tap, which stays the only channel for
+    * `compared`/`admitted`: those are internal to the fold and never
+    * reach the output rows). */
+  def observedGate(out: Dataset[NearDupPair]): Dataset[NearDupPair] =
+    out.observe(GateObservationName,
+      count(when(col("doc_a") =!= -1L, 1)).as("n_pairs"),
+      count(when(col("doc_a") === -1L, 1)).as("n_sentinels"))
 
   /** Per-batch gate observability: snapshots the tap on every
     * `QueryProgressEvent` of the NAMED query and records the delta
@@ -142,20 +163,39 @@ object DocStreams {
     * gate's delta under the wrong batchId and zero the gate's own row.
     * Accumulator updates land with task completion, so by the time the
     * progress event fires the batch's increments are visible; listener
-    * delivery itself is async (a test polls [[batches]] briefly). */
-  class GateMetricsListener(m: GateMetrics, queryName: String)
+    * delivery itself is async (a test polls [[batches]] briefly).
+    *
+    * One GateMetrics+listener pair serves ONE query run: the delta
+    * baseline re-anchors to the accumulators' CURRENT values on the
+    * matching `onQueryStarted` (delivered synchronously by `start()`),
+    * so attaching to a pre-incremented [[GateMetrics]] or restarting
+    * the query never misattributes earlier increments to the first
+    * batch (ADVICE r15). The buffer is a RING bounded at `maxBatches`
+    * (oldest row dropped) — a months-running gate keeps a window, not
+    * an unbounded history (VERDICT r15 #5).
+    *
+    * When the gate output was wrapped in [[observedGate]], each row
+    * also carries the batch's exactly-once `nPairs`/`nSentinels` from
+    * the progress event's observed metrics. */
+  class GateMetricsListener(m: GateMetrics, queryName: String,
+                            maxBatches: Int = 1024)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val buf =
       scala.collection.mutable.ArrayBuffer.empty[GateBatchMetrics]
     private var last = (0L, 0L, 0L)
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      synchronized { if (e.name == queryName) last = m.snapshot }
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       synchronized {
         if (e.progress.name == queryName) {
           val s = m.snapshot
+          val obs = Option(e.progress.observedMetrics.get(GateObservationName))
           buf += GateBatchMetrics(e.progress.batchId,
-            s._1 - last._1, s._2 - last._2, s._3 - last._3)
+            s._1 - last._1, s._2 - last._2, s._3 - last._3,
+            nPairs = obs.map(_.getAs[Long]("n_pairs")).getOrElse(-1L),
+            nSentinels = obs.map(_.getAs[Long]("n_sentinels")).getOrElse(-1L))
+          if (buf.length > maxBatches) buf.remove(0)
           last = s
         }
       }

@@ -54,7 +54,27 @@ class BottomKSpec extends SparkTestBase {
     val nonLit = intercept[Exception] {
       df.agg(call_function(BottomK.name, col("v"), col("v"))).collect()
     }
-    assert(nonLit.getMessage.contains("integer literal"))
+    assert(nonLit.getMessage.contains("foldable integral"))
+    val nullK = intercept[Exception] {
+      df.agg(call_function(BottomK.name, col("v"),
+        lit(null).cast("int"))).collect()
+    }
+    assert(nullK.getMessage.contains("NULL"))
+  }
+
+  test("k accepts any foldable integral expression, not just Int literals") {
+    // ADVICE r15: lit(3L), a short literal, and a foldable arithmetic
+    // expression are all valid k — the contract is "foldable integral",
+    // not "Int literal".
+    import spark.implicits._
+    BottomK.register(spark)
+    val df = Seq(5, 1, 4, 2, 3).toDF("v")
+    def bottom(k: org.apache.spark.sql.Column): Seq[Int] =
+      df.agg(array_sort(call_function(BottomK.name, col("v"), k)))
+        .collect().head.getSeq[Int](0)
+    assert(bottom(lit(3L)) == Seq(1, 2, 3))
+    assert(bottom(lit(2.toShort)) == Seq(1, 2))
+    assert(bottom(lit(1) + lit(1)) == Seq(1, 2))
   }
 
   test("a group smaller than k returns all of it") {

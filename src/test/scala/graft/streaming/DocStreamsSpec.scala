@@ -175,15 +175,25 @@ class DocStreamsSpec extends SparkTestBase {
     * what's under test (VERDICT r14 #3). */
   private def runGateRuns(batches: Seq[Seq[NdDoc]],
                           retention: Option[java.time.Duration],
-                          sleepMsBetween: Long): Set[(Long, Long, Long)] = {
+                          sleepMsBetween: Long): Set[(Long, Long, Long)] =
+    runGateRunsSleeps(batches.zipWithIndex.map { case (b, i) =>
+      (b, if (i > 0) sleepMsBetween else 0L)
+    }, retention)
+
+  /** [[runGateRuns]] with a PER-RUN sleep-before, for scenarios whose
+    * expiry gaps differ between restarts (the retention-survives-
+    * restart pin needs one long gap followed by back-to-back runs). */
+  private def runGateRunsSleeps(batches: Seq[(Seq[NdDoc], Long)],
+                                retention: Option[java.time.Duration])
+      : Set[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     withRocksDb { withTempDir("ndg_ttl") { base =>
       val ckpt = s"$base/ckpt"
       val out = s"$base/out"
       val in = MemoryStream[NdDoc]
-      batches.zipWithIndex.foreach { case (b, i) =>
-        if (i > 0 && sleepMsBetween > 0) Thread.sleep(sleepMsBetween)
+      batches.foreach { case (b, sleepMs) =>
+        if (sleepMs > 0) Thread.sleep(sleepMs)
         in.addData(b: _*)
         val banded = DocStreams.bandedSignatures(
           in.toDF(), "doc_id", "text", 24, 4, 6)
@@ -286,6 +296,31 @@ class DocStreamsSpec extends SparkTestBase {
       Seq(Seq(unrelated), Seq(dup)),
       Some(java.time.Duration.ofHours(1)), sleepMsBetween = 0L)
     assert(live == Set((1L, 2L, 1000L)))
+  }
+
+  test("retention survives restart: expired residents stay expired, live admission still works") {
+    // TTL metadata lives IN the checkpoint — an encoding regression
+    // would silently resurrect aged-out residents on resume (VERDICT
+    // r15 #6). Run 1 admits doc 1 (ttl 300 ms); after a 1500 ms gap,
+    // run 2 carries only the unrelated doc 6 — doc 1 is expired by
+    // run 2's batch time and must STAY expired in the later resumed
+    // run. Run 3 streams docs 2 and 3 (both exact dups of 1) in ONE
+    // batch: neither may pair with the expired doc 1, but (2,3) MUST
+    // pair — expiry freed state without breaking live admission on
+    // the same resumed checkpoint. Flake posture: a host stall only
+    // makes doc 1 more expired, and the (2,3) pair is within-batch
+    // (no clock involved), so stalls cannot flip either assertion.
+    val a = NdDoc(1L, "a b c d e f g h")
+    val unrelated = NdDoc(6L, "m n o p q r s t")
+    val dup2 = NdDoc(2L, "a b c d e f g h")
+    val dup3 = NdDoc(3L, "a b c d e f g h")
+    val got = runGateRunsSleeps(
+      Seq((Seq(a), 0L), (Seq(unrelated), 1500L), (Seq(dup2, dup3), 0L)),
+      Some(java.time.Duration.ofMillis(300)))
+    assert(!got.exists(p => p._1 == 1L),
+      s"expired resident doc 1 resurrected across restart: $got")
+    assert(got == Set((2L, 3L, 1000L)),
+      s"live admission on the resumed checkpoint should pair (2,3): $got")
   }
 
   test("checkpoint restart: the resumed gate emits exactly the uninterrupted set") {
@@ -435,14 +470,19 @@ class DocStreamsSpec extends SparkTestBase {
       val trio = Seq(NdDoc(1L, "a b c d e f g h"),
         NdDoc(2L, "a b c d e f g h"), NdDoc(3L, "a b c d e f g h"))
       val m = DocStreams.GateMetrics(spark)
+      // pre-incremented tap: onQueryStarted must re-anchor the delta
+      // baseline so these never land in batch 0's row (ADVICE r15)
+      m.admitted.add(100L); m.compared.add(100L); m.rejected.add(100L)
       val listener = new DocStreams.GateMetricsListener(m, "ndg_metrics")
       spark.streams.addListener(listener)
       try {
         val in = MemoryStream[NdDoc]
         val banded = DocStreams.bandedSignatures(
           in.toDF(), "doc_id", "text", 24, 4, 6)
-        val q = DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2,
-            metrics = Some(m)).toDF()
+        val out = DocStreams.observedGate(
+          DocStreams.nearDupGate(spark, banded, 24, 12, cap = 2,
+            metrics = Some(m)))
+        val q = out.toDF()
           .writeStream.format("memory").queryName("ndg_metrics")
           .outputMode("append").start()
         in.addData(trio.take(2): _*); q.processAllAvailable()
@@ -450,7 +490,7 @@ class DocStreamsSpec extends SparkTestBase {
         q.stop()
         spark.catalog.dropTempView("ndg_metrics")
         // cumulative totals are task-completion-synchronous
-        assert(m.snapshot == ((8L, 4L, 4L)), s"totals: ${m.snapshot}")
+        assert(m.snapshot == ((108L, 104L, 104L)), s"totals: ${m.snapshot}")
         // listener delivery is async — poll briefly for both batches
         val deadline = System.nanoTime() + 10000000000L
         def dataBatches = listener.batches.filter(b =>
@@ -460,6 +500,50 @@ class DocStreamsSpec extends SparkTestBase {
         val perBatch = dataBatches
         assert(perBatch.map(b => (b.admitted, b.compared, b.rejected))
           == Seq((8L, 4L, 0L), (0L, 0L, 4L)), s"batches: $perBatch")
+        // the observed channel (exactly-once, ridden on the progress
+        // event) must agree with the accumulator deltas: batch 0 emits
+        // the (1,2) pair in 4 bands, batch 1 four overflow sentinels
+        assert(perBatch.map(b => (b.nPairs, b.nSentinels))
+          == Seq((4L, 0L), (0L, 4L)), s"observed: $perBatch")
+        assert(perBatch.map(_.nSentinels) == perBatch.map(_.rejected),
+          "observed sentinels must equal the accumulator's rejected " +
+            s"delta on a clean run: $perBatch")
+      } finally spark.streams.removeListener(listener)
+    }
+  }
+
+  test("gate metrics listener bounds its buffer as a ring") {
+    // maxBatches = 2 over a 3-batch run: only the two NEWEST rows
+    // survive (VERDICT r15 #5 — a months-running gate keeps a window,
+    // not an unbounded history).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val m = DocStreams.GateMetrics(spark)
+      val listener = new DocStreams.GateMetricsListener(m, "ndg_ring",
+        maxBatches = 2)
+      spark.streams.addListener(listener)
+      try {
+        val in = MemoryStream[NdDoc]
+        val banded = DocStreams.bandedSignatures(
+          in.toDF(), "doc_id", "text", 24, 4, 6)
+        val q = DocStreams.nearDupGate(spark, banded, 24, 12,
+            metrics = Some(m)).toDF()
+          .writeStream.format("memory").queryName("ndg_ring")
+          .outputMode("append").start()
+        Seq(1L, 2L, 3L).foreach { i =>
+          in.addData(NdDoc(i, s"w$i x$i y$i z$i a b c d"))
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.catalog.dropTempView("ndg_ring")
+        val deadline = System.nanoTime() + 10000000000L
+        while (listener.batches.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val got = listener.batches
+        assert(got.size <= 2, s"ring must cap at 2 rows: $got")
+        assert(got.nonEmpty && got.map(_.batchId) ==
+          got.map(_.batchId).sorted, s"newest-last order: $got")
       } finally spark.streams.removeListener(listener)
     }
   }

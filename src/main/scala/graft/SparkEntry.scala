@@ -80,7 +80,13 @@ object SparkEntry {
       // over MemoryStream-based readStream shapes — path-free, so the
       // edges are a pure VALUES golden; nothing executes.
       "q270_lineage_streaming" ->
-        ((s, dir) => graft.lineage.LineageQueries.streamingEdges(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.streamingEdges(s, dir)),
+      // TYPED-boundary lineage (r15 #1 as a driver query): fromDataFrame
+      // over the engine's own transformWithState twins — the opaque
+      // FUNC: contract carries stream.<source> leaves through
+      // AppendColumns/TransformWithState/SerializeFromObject.
+      "q272_lineage_typed" ->
+        ((s, dir) => graft.lineage.LineageQueries.typedEdges(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +102,8 @@ object SparkEntry {
       "q191_column_impact" -> graft.lineage.LineageQueries.columnImpactOracleSql,
       "q192_lineage_diff" -> graft.lineage.LineageQueries.lineageDiffOracleSql,
       "q270_lineage_streaming" ->
-        graft.lineage.LineageQueries.streamingLineageOracleSql
+        graft.lineage.LineageQueries.streamingLineageOracleSql,
+      "q272_lineage_typed" ->
+        graft.lineage.LineageQueries.typedLineageOracleSql
     )
 }

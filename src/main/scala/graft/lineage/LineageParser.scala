@@ -694,6 +694,32 @@ object LineageParser {
         defState.copy(src = defState.src ++ m, funs = defState.funs ++ fm)
       }.getOrElse(State.empty)
 
+    // TYPED/OPAQUE plan boundaries (VERDICT r15 #1): Dataset operations
+    // like groupByKey().mapGroups / flatMapGroupsWithState /
+    // transformWithState pass through object-typed nodes
+    // (DeserializeToObject → <func node> → SerializeFromObject) whose
+    // Scala closure the plan cannot see into. The reference's stance for
+    // opaque functions (E10, `LineParser.java:669-687`) lifted to typed
+    // plans: every attribute the node PRODUCES gets the union of ALL
+    // child output sources (pass-through attributes keep their precise
+    // mapping), and each closure-carrying node joins the condition set
+    // as `FUNC:<node>` — conservative all-inputs, never silently lossy.
+    // Encoder plumbing (Serialize/DeserializeToObject) moves values
+    // without a user function, so it propagates sources but adds no tag.
+    case o @ (_: ObjectProducer | _: ObjectConsumer | _: AppendColumns |
+              _: TypedFilter) =>
+      val st = o.children.map(build(_, ctes, db))
+        .foldLeft(State.empty)(_ merge _)
+      val childSrcs = o.children.flatMap(_.output)
+        .flatMap(a => st.src.getOrElse(a.exprId, Set.empty[String])).toSet
+      val produced = o.output.filterNot(a => st.src.contains(a.exprId))
+      val plumbing = o.isInstanceOf[SerializeFromObject] ||
+        o.isInstanceOf[DeserializeToObject]
+      st.copy(
+        src = st.src ++ produced.map(a => a.exprId -> childSrcs),
+        conds = if (plumbing) st.conds
+                else st.conds + s"FUNC:${o.nodeName}")
+
     case _: LeafNode => State.empty
 
     case other =>

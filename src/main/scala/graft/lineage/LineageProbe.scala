@@ -14,7 +14,11 @@ object LineageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = LineageQueries.edges(spark, dir)
+    // `typed` as a second arg dumps the q272 typed-boundary corpus
+    // instead of the SQL corpus
+    val df =
+      if (args.lift(1).contains("typed")) LineageQueries.typedEdges(spark, dir)
+      else LineageQueries.edges(spark, dir)
     val rows = df.collect()
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     println("== VALUES oracle ==")

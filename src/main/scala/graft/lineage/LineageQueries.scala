@@ -269,6 +269,49 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** TYPED-boundary lineage corpus (q272, VERDICT r15 #1):
+    * [[LineageParser.fromDataFrame]] over the engine's OWN stateful
+    * streaming twins — pipelines whose plans pass through
+    * `AppendColumns`/`TransformWithState`/`SerializeFromObject` (every
+    * `groupByKey().transformWithState(...)` does). The conservative
+    * opaque-function contract must carry the `stream.<source>` leaves
+    * through the typed boundary: each output column sources from ALL
+    * stream inputs (the closure could read any of them), and each
+    * closure-carrying node tags the condition set `FUNC:<node>`.
+    * MemoryStream-based like [[streamingEdges]], so no paths enter the
+    * golden and nothing executes. */
+  def typedEdges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // 1 per-key transitions twin: groupByKey + transformWithState
+    val events =
+      MemoryStream[graft.streaming.EventStreams.EventTyped].toDS()
+    val transitions = graft.streaming.EventStreams
+      .transitions(spark, events)
+    // 2 the near-dup gate: banded signatures (stateless projections)
+    //   feeding the stateful bucket fold
+    val docs = MemoryStream[(Long, String)].toDF()
+      .toDF("doc_id", "text")
+    val banded = graft.streaming.DocStreams.bandedSignatures(
+      docs, "doc_id", "text", 24, 4, 6)
+    val gate = graft.streaming.DocStreams.nearDupGate(
+      spark, banded, k = 24, minAgree = 12)
+    val results = Seq(transitions.toDF(), gate.toDF()).zipWithIndex
+      .map { case (df, i) => LineageParser.fromDataFrame(df, i + 1) }
+    val rows = results.flatMap { r =>
+      r.colLines.map { cl =>
+        (r.statementIndex, cl.tableName, cl.colName.getOrElse(""),
+          cl.toName, cl.fromName,
+          cl.conditionSet.toSeq.sorted.mkString("|"))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name",
+        "conditions")
+      .orderBy("stmt", "to_name", "from_name")
+  }
+
   /** IMPACT ANALYSIS over the corpus lineage — the question a lineage
     * service exists to answer ("if this table changes, what breaks?").
     * Lineage output is itself a Dataset (SURVEY §1.3), so the analysis
@@ -449,6 +492,20 @@ object LineageQueries {
     (4, '<EOF>', '', 'id', 'stream.memory._2&stream.memory._4', ''),
     (5, 'default.lineage_target', 'default.lineage_target.tgt_key', 'user_id', 'stream.memory._2', ''),
     (5, 'default.lineage_target', 'default.lineage_target.tgt_name', 'event_type', 'stream.memory._3', '')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name"""
+
+  /** DuckDB oracle for [[typedEdges]] — a frozen VALUES golden: the
+    * conservative typed-boundary contract over fixed MemoryStream
+    * shapes depends on nothing environmental. */
+  val typedLineageOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, '<EOF>', '', 'from_type', 'stream.memory.event_id,stream.memory.event_type,stream.memory.us,stream.memory.user_id', 'FUNC:AppendColumns|FUNC:TransformWithState'),
+    (1, '<EOF>', '', 'to_type', 'stream.memory.event_id,stream.memory.event_type,stream.memory.us,stream.memory.user_id', 'FUNC:AppendColumns|FUNC:TransformWithState'),
+    (1, '<EOF>', '', 'user_id', 'stream.memory.event_id,stream.memory.event_type,stream.memory.us,stream.memory.user_id', 'FUNC:AppendColumns|FUNC:TransformWithState'),
+    (2, '<EOF>', '', 'doc_a', 'stream.memory._1,stream.memory._2', 'FUNC:AppendColumns|FUNC:TransformWithState|WHERE:(text IS NOT NULL)'),
+    (2, '<EOF>', '', 'doc_b', 'stream.memory._1,stream.memory._2', 'FUNC:AppendColumns|FUNC:TransformWithState|WHERE:(text IS NOT NULL)'),
+    (2, '<EOF>', '', 'est_permille', 'stream.memory._1,stream.memory._2', 'FUNC:AppendColumns|FUNC:TransformWithState|WHERE:(text IS NOT NULL)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 

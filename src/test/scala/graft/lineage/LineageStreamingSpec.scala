@@ -74,6 +74,79 @@ class LineageStreamingSpec extends SparkTestBase {
     assert(rows(r) == Set(("k", "stream.memory._1", "")))
   }
 
+  test("typed boundary: transitions' transformWithState plan keeps its stream leaves") {
+    // VERDICT r15 #1: a groupByKey().transformWithState pipeline passes
+    // through AppendColumns (the grouping closure) and
+    // TransformWithState + SerializeFromObject (the processor). The
+    // conservative opaque contract: every output column sources from
+    // ALL stream inputs, closure-carrying nodes tag FUNC:<node>, and
+    // the stream.<source> leaf survives to inputTables.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.EventTyped].toDS()
+    val r = LineageParser.fromDataFrame(
+      graft.streaming.EventStreams.transitions(spark, events).toDF())
+    assert(r.inputTables == Set("stream.memory"))
+    val allIn = Seq("event_id", "event_type", "us", "user_id")
+      .map(c => s"stream.memory.$c").mkString(",")
+    val conds = "FUNC:AppendColumns|FUNC:TransformWithState"
+    assert(rows(r) == Set(
+      ("user_id", allIn, conds),
+      ("from_type", allIn, conds),
+      ("to_type", allIn, conds)))
+  }
+
+  test("typed boundary: the near-dup gate's plan traces to its document stream") {
+    // The engine's flagship twin: banded signatures (stateless
+    // projections, including the text IS NOT NULL filter) feeding the
+    // stateful bucket fold. Output columns are produced BY the
+    // processor, so each sources from the full document stream.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+    val banded = graft.streaming.DocStreams.bandedSignatures(
+      docs, "doc_id", "text", 24, 4, 6)
+    val r = LineageParser.fromDataFrame(
+      graft.streaming.DocStreams.nearDupGate(spark, banded, 24, 12).toDF())
+    assert(r.inputTables == Set("stream.memory"))
+    val allIn = "stream.memory._1,stream.memory._2"
+    val conds = "FUNC:AppendColumns|FUNC:TransformWithState|" +
+      "WHERE:(text IS NOT NULL)"
+    assert(rows(r) == Set(
+      ("doc_a", allIn, conds),
+      ("doc_b", allIn, conds),
+      ("est_permille", allIn, conds)))
+  }
+
+  test("typed boundary: mapGroups and typed filter stay conservative, pass-through stays precise") {
+    // mapGroups produces a fresh object column (all-inputs edge, FUNC
+    // tags); a typed filter reads the row opaquely (FUNC:TypedFilter
+    // tag) but its child attributes PASS THROUGH with their precise
+    // per-column mapping — conservatism only where the plan is
+    // actually opaque. Batch plans, same fold.
+    import spark.implicits._
+    LineageQueries.registerFixtures(spark, sfDir)
+    val base = spark.table("nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val mapped = base.as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.length))
+      .toDF("k", "n")
+    val rm = LineageParser.fromDataFrame(mapped)
+    assert(rm.inputTables == Set("default.nation"))
+    val allIn = "default.nation.n_name,default.nation.n_nationkey"
+    assert(rows(rm).forall { case (_, from, conds) =>
+      from == allIn && conds.contains("FUNC:AppendColumns") &&
+        conds.contains("FUNC:MapGroups") })
+    val filtered = base.as[(Int, String)].filter(_._1 > 2).toDF()
+    val rf = LineageParser.fromDataFrame(filtered)
+    assert(rows(rf) == Set(
+      ("n_nationkey", "default.nation.n_nationkey", "FUNC:TypedFilter"),
+      ("n_name", "default.nation.n_name", "FUNC:TypedFilter")))
+  }
+
   test("stream-static join: both the stream leaf and the catalog table are inputs") {
     // the enrichedWindowCounts shape: a streaming frame joined against
     // a static dimension — the stream contributes stream.* sources,

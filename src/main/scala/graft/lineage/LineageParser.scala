@@ -381,6 +381,23 @@ object LineageParser {
   def fillDb(name: String, db: String = DefaultDb): String =
     if (name.contains(SepDot)) name else s"$db$SepDot$name"
 
+  /** `fillDB` extended ONE level (VERDICT r15 #2): names resolve
+    * two-part (`db.table`) inside the session catalog — default-
+    * catalog parity, keeping the reference contract and the frozen
+    * goldens — and THREE-part (`catalog.db.table`) when the relation
+    * lives in another `CatalogPlugin`, where truncation would collide
+    * same-named tables across catalogs. */
+  private def threePart(catalog: Option[String], parts: Seq[String],
+                        db: String): String = {
+    // CatalogManager.SESSION_CATALOG_NAME (private[sql]) — the fixed
+    // name of the default v2 session catalog
+    val sessionCatalog = "spark_catalog"
+    catalog.filter(_ != sessionCatalog) match {
+      case Some(cat) => (cat +: parts).mkString(SepDot)
+      case None => fillDb(parts.mkString(SepDot), db)
+    }
+  }
+
   /** Lineage results as a queryable Dataset (SURVEY.md §1.3: lineage
     * output is itself data). */
   def toDataset(spark: SparkSession, results: Seq[LineageResult]) = {
@@ -515,12 +532,30 @@ object LineageParser {
     case v: View => build(v.child, ctes, db)
 
     case lr: LogicalRelation if lr.catalogTable.isDefined =>
-      // db.table, never catalog.db.table: the reference's name encoding
-      // is two-part (`fillDB`, LineParser.java:770-788), and
-      // `identifier.unquotedString` would prepend `spark_catalog.`
+      // db.table for the SESSION catalog — the reference's two-part
+      // name encoding (`fillDB`, LineParser.java:770-788); the
+      // `spark_catalog.` prefix `identifier.unquotedString` would add
+      // is dropped so the frozen goldens (and the reference contract)
+      // hold. A table from a NON-default catalog keeps its catalog
+      // prefix (VERDICT r15 #2): on a multi-catalog lakehouse,
+      // `spark_catalog.default.t` and `iceberg.default.t` must not
+      // collide after truncation.
       val id = lr.catalogTable.get.identifier
-      val table = fillDb((id.database.toSeq :+ id.table).mkString(SepDot), db)
+      val table = threePart(id.catalog, id.database.toSeq :+ id.table, db)
       State(lr.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
+        Set.empty, Set(table))
+
+    // V2 catalog scans (Iceberg/Delta/any CatalogPlugin): same encoding
+    // rule — two-part under the session catalog, catalog-qualified
+    // elsewhere. Without this arm a v2 table fell through to the
+    // SubqueryAlias fallback, which names only the alias's LAST part
+    // and would mis-file `testcat.ns1.t` as `default.t`.
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.identifier.isDefined =>
+      val id = r.identifier.get
+      val table = threePart(r.catalog.map(_.name()),
+        id.namespace.toSeq :+ id.name, db)
+      State(r.output.map(a => a.exprId -> Set(s"$table$SepDot${a.name}")).toMap,
         Set.empty, Set(table))
 
     // STREAMING leaves (engine extension, VERDICT r14 #6): a

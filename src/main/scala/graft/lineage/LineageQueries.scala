@@ -116,7 +116,21 @@ object LineageQueries {
     "SELECT n_regionkey AS k FROM nation INTERSECT SELECT r_regionkey FROM region",
     // 40 S5 extension: CREATE OR REPLACE TABLE AS SELECT — CTAS
     // lineage, not the "Replace*" ALTER heuristic
-    "CREATE OR REPLACE TABLE lineage_rtas AS SELECT n_name FROM nation WHERE n_regionkey = 1"
+    "CREATE OR REPLACE TABLE lineage_rtas AS SELECT n_name FROM nation WHERE n_regionkey = 1",
+    // 41 THREE-PART catalog names (VERDICT r15 #2): a scan from a
+    // non-default catalog keeps its catalog prefix — on a lakehouse,
+    // `spark_catalog.default.t` and `testcat.ns1.t` must not collide
+    // after truncation (reference relationship: `fillDB`'s default-db
+    // rule, LineParser.java:770-788, extended one level)
+    "SELECT d_key, d_name FROM testcat.ns1.cat_docs WHERE d_key > 1",
+    // 42 INSERT with a three-part sink: destination columns still zip
+    // by ordinal against the sink schema, resolved through the same
+    // session-catalog metadata provider (spark.table handles the
+    // multi-part name)
+    "INSERT INTO testcat.ns1.cat_sink SELECT d_key, d_name FROM testcat.ns1.cat_docs",
+    // 43 mixed catalogs in one statement: the session-catalog side
+    // stays two-part, the second catalog three-part, under one JOIN tag
+    "SELECT n.n_name, x.d_name FROM nation n JOIN testcat.ns1.cat_docs x ON n.n_nationkey = x.d_key"
   )
 
   /** Register every fixture the corpus references (tables, sinks, the
@@ -152,6 +166,18 @@ object LineageQueries {
     spark.sql("""CREATE TABLE dest1 (d_key STRING, d_value STRING,
                                      d_ds STRING, d_hr STRING)
                  USING parquet PARTITIONED BY (ds STRING)""")
+    // Second catalog for the three-part statements (41-43): the
+    // schema-only in-memory CatalogPlugin — lineage analyzes, never
+    // reads, so empty tables are the honest fixture. IF NOT EXISTS
+    // keeps re-registration idempotent (the catalog instance lives for
+    // the session once the conf is set).
+    spark.conf.set("spark.sql.catalog.testcat",
+      classOf[graft.sources.MemoryCatalog].getName)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.ns1")
+    spark.sql("""CREATE TABLE IF NOT EXISTS testcat.ns1.cat_docs
+                 (d_key BIGINT, d_name STRING)""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS testcat.ns1.cat_sink
+                 (s_key BIGINT, s_name STRING)""")
   }
 
   /** Statement-LEVEL operations corpus: the session/DDL constructs whose
@@ -210,7 +236,11 @@ object LineageQueries {
     }
     spark.createDataFrame(rows)
       .toDF("stmt", "table_name", "col_name", "to_name", "from_name", "conditions")
-      .orderBy("stmt", "to_name", "from_name")
+      // the full key: (stmt, to_name, from_name) TIES for multi-sink
+      // statements (24's two INSERTs both write n_name from the same
+      // source), and an ambiguous ORDER BY breaks differently across
+      // engines once the row count shifts their sort paths
+      .orderBy("stmt", "to_name", "from_name", "table_name", "col_name")
   }
 
   /** STREAMING-plan lineage corpus (q270): [[LineageParser.fromDataFrame]]
@@ -326,8 +356,14 @@ object LineageQueries {
       .select(col("stmt"), col("to_name"),
         explode(split(col("from_name"), "[,&]")).as("src"))
       .filter(col("src") =!= "")
+      // the source table is everything before the LAST dot (the column)
+      // — names are two-part (db.table) in the session catalog and
+      // three-part (catalog.db.table) elsewhere, so a fixed-width
+      // prefix slice would truncate the latter
+      .withColumn("p", split(col("src"), "\\."))
       .select(col("stmt"), col("to_name"),
-        concat_ws(".", slice(split(col("src"), "\\."), 1, 2)).as("src_table"))
+        concat_ws(".", slice(col("p"), lit(1), size(col("p")) - 1))
+          .as("src_table"))
       .groupBy("src_table")
       .agg(count(lit(1)).as("n_edges"),
         countDistinct(concat_ws(":", col("stmt"), col("to_name")))
@@ -519,10 +555,12 @@ object LineageQueries {
           CAST(count(DISTINCT stmt) AS BIGINT) AS n_statements
         FROM (
           SELECT stmt, to_name,
-                 array_to_string(string_split(unnest(
-                   string_split_regex(from_name, '[,&]')), '.')[1:2], '.')
-                   AS src_table
-          FROM ($oracleSql))
+                 array_to_string(p[1:len(p)-1], '.') AS src_table
+          FROM (
+            SELECT stmt, to_name,
+                   string_split(unnest(
+                     string_split_regex(from_name, '[,&]')), '.') AS p
+            FROM ($oracleSql)))
         WHERE src_table <> ''
         GROUP BY src_table
         ORDER BY src_table"""
@@ -613,7 +651,13 @@ object LineageQueries {
     (38, 'default.dest1', 'default.dest1.d_key', 'key', 'default.srcpart.key', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (39, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
-    (40, 'default.lineage_rtas', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)')
+    (40, 'default.lineage_rtas', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (41, '<EOF>', '', 'd_key', 'testcat.ns1.cat_docs.d_key', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
+    (41, '<EOF>', '', 'd_name', 'testcat.ns1.cat_docs.d_name', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
+    (42, 'testcat.ns1.cat_sink', 'testcat.ns1.cat_sink.s_key', 'd_key', 'testcat.ns1.cat_docs.d_key', ''),
+    (42, 'testcat.ns1.cat_sink', 'testcat.ns1.cat_sink.s_name', 'd_name', 'testcat.ns1.cat_docs.d_name', ''),
+    (43, '<EOF>', '', 'd_name', 'testcat.ns1.cat_docs.d_name', 'JOIN:(CAST(n.n_nationkey AS BIGINT) = x.d_key)'),
+    (43, '<EOF>', '', 'n_name', 'default.nation.n_name', 'JOIN:(CAST(n.n_nationkey AS BIGINT) = x.d_key)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
-    ORDER BY stmt, to_name, from_name"""
+    ORDER BY stmt, to_name, from_name, table_name, col_name"""
 }

@@ -225,7 +225,15 @@ object DocStreams {
                          k: Int, minAgree: Int, cap: Int,
                          metrics: Option[GateMetrics])
       : (Seq[ResidentSig], Long, Iterator[NearDupPair]) = {
-    val all = scala.collection.mutable.ArrayBuffer(resident: _*)
+    // Signatures unbox to Array[Long] ONCE per doc: the compare loop
+    // is the gate's entire compute (compared × k element reads), and
+    // indexing the encoder's boxed Seq cost ~10× per read — the
+    // HotBandProbe's 10k-resident seed batch measured 24.5 s boxed vs
+    // 3.6 s with this, same 50M comparisons (DESIGN §5).
+    val ids = scala.collection.mutable.ArrayBuffer(
+      resident.map(_.doc_id): _*)
+    val sigs = scala.collection.mutable.ArrayBuffer(
+      resident.map(_.sig.toArray): _*)
     val admitted = scala.collection.mutable.HashSet(
       resident.map(_.doc_id): _*)
     val appended = scala.collection.mutable.ArrayBuffer.empty[ResidentSig]
@@ -235,28 +243,29 @@ object DocStreams {
     incoming.foreach { d =>
       if (admitted.contains(d.doc_id)) {
         // replayed resident: already admitted, nothing to do
-      } else if (all.length >= cap) {
+      } else if (ids.length >= cap) {
         overflow += 1L
         out += NearDupPair(-1L, d.doc_id, -1L)
       } else {
-        nCompared += all.length
+        val dsig = d.sig.toArray
+        nCompared += ids.length
         var i = 0
-        while (i < all.length) {
-          val other = all(i).sig
+        while (i < ids.length) {
+          val other = sigs(i)
           var agree = 0
           var j = 0
           while (j < k) {
-            if (d.sig(j) == other(j)) agree += 1
+            if (dsig(j) == other(j)) agree += 1
             j += 1
           }
           if (agree >= minAgree)
-            out += NearDupPair(math.min(all(i).doc_id, d.doc_id),
-              math.max(all(i).doc_id, d.doc_id), 1000L * agree / k)
+            out += NearDupPair(math.min(ids(i), d.doc_id),
+              math.max(ids(i), d.doc_id), 1000L * agree / k)
           i += 1
         }
-        val r = ResidentSig(d.doc_id, d.sig)
-        all += r
-        appended += r
+        ids += d.doc_id
+        sigs += dsig
+        appended += ResidentSig(d.doc_id, d.sig)
         admitted += d.doc_id
       }
     }

@@ -1,0 +1,1192 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Bpe, Cdc, Curation, DataQuality, Dedup, Events, FuzzyJoin, Graph, Layout, Multimodal, Pq, RangeJoin, Reconcile, Search, Similarity, Sketch, Stats, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import PipelineShared._
+
+/** Deduplication and near-dup clustering queries: exact/incremental/span/containment/chunk dedup, MinHash-LSH, SimHash, n-gram Jaccard, embedding dedup, contamination gates, and the graph family (components, LPA, k-core, triangles, PageRank, modularity).
+  *
+  * One of five domain slices of the former single-file
+  * PipelineQueries (r16 split, VERDICT item 7) — entries are
+  * verbatim; [[PipelineQueries]] aggregates the maps back into the
+  * driver-facing surface. */
+private[queries] object PipelineDedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-shuffle on the md5 digest.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")
+    }),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified. r=6 rows per
+    // band keeps the candidate set ~10⁻⁴ of the pair space on this
+    // corpus (shared small vocab inflates baseline Jaccard).
+    "q31_dedup_minhash_lsh" -> ((s, dir) => {
+      minhashPairs(s, dir)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash 32-bit fingerprints (narrow projection, no shuffle).
+    "q32_dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Char-5-gram Jaccard near-dups: LSH candidates (no O(n²) pair
+    // space), exact-verified — the scale path for raw-string near-dup.
+    // Char 5-grams have high baseline similarity on this vocab, so the
+    // band width is r=9 (collision odds ~j⁹ per band).
+    "q33_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.minHashLshWith(t(s, dir, "documents"), "doc_id",
+        Dedup.charShingles(col("text"), 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5,
+        sigRows = Dedup.charShingleRows(t(s, dir, "documents"),
+          "doc_id", "text", 5))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding cosine near-dup pairs, blocked by (label, hyperplane
+    // sign-LSH band) — the banded self-join bounds the pair space by
+    // bucket size instead of O(label-group²), so a hot label cannot
+    // blow up the join at scale. 16 planes × 4 bands of 4 bits.
+    //
+    // RECALL TRADE-OFF (deliberate): output is LSH *candidates*, not the
+    // exhaustive pair set — at threshold 0.3 (angle ≈ 72°) a 4-bit band
+    // collides with p ≈ (1-θ/π)^4 ≈ 0.13, so 4 bands recover roughly
+    // 40% of qualifying pairs. The oracle mirrors the same approximation
+    // (both engines compute identical candidates); completeness is
+    // pinned separately by EmbeddingLshSpec's subset + minimum-recall
+    // assertions. Consumers needing higher recall raise `bands` (recall
+    // 1-(1-p)^b) at proportional shuffle cost.
+    "q34_dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCols = Seq("label"), dim = 64, nPlanes = 16, bands = 4,
+        threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Near-dup CLUSTERS: the q31 LSH pairs fed through connected
+    // components — component = min doc_id, the canonical document a
+    // keep-one-per-cluster retention policy retains. Min-label
+    // propagation, one join+min-agg shuffle per round.
+    "q53_dedup_components" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // q113: incremental dedup — the daily-ingest gate. New docs
+    // (doc_id ≥ 400) match against the standing corpus (< 400) via a
+    // batch-bands-broadcast join: the corpus is never shuffled or
+    // self-paired, and only candidate corpus docs pay the exact verify.
+    "q113_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalMinHashLsh(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", shingleN = 2, k = 24, bands = 4, rows = 6,
+        threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // q110: triangle census of the near-dup graph (q31's LSH pairs) —
+    // degree-ordered orientation caps wedge fan-out at O(√m) per
+    // vertex; triangle-dense components are near-cliques of copies.
+    "q110_triangle_count" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      Graph.triangleCount(pairs, "doc_a", "doc_b")
+        .orderBy("node")
+    }),
+
+    // q88: fixed-iteration PageRank over the part↔supplier bipartite
+    // graph, in pure integer arithmetic (Graph.pageRankInt) — float
+    // PageRank sums contributions in nondeterministic order, integer
+    // ranks make every iteration exact, so the oracle can recompute
+    // all three iterations verbatim as unrolled CTEs. Node encoding:
+    // part k → 2k, supplier k → 2k+1.
+    "q88_pagerank" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        // checkpoint before the two-direction fan-out: union branches
+        // are separate subtrees and would evaluate the distinct twice
+        .localCheckpoint()
+      val edges = base
+        .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .union(base.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iters = 3)
+        .orderBy(desc("rank"), col("node")).limit(20)
+    }),
+
+    // Benchmark decontamination: per-doc overlap with a held-out set.
+    "q49_contamination" -> ((s, dir) => {
+      Curation.contamination(t(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 50 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // q103: Bloom-filter decontamination (Curation.bloomContamination)
+    // — the broadcast-kilobytes first-pass gate next to q49's exact
+    // set join; n_maybe ≥ n_exact per doc by construction and the
+    // surplus is the measured false-positive mass.
+    "q103_bloom_contamination" -> ((s, dir) => {
+      Curation.bloomContamination(t(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 50 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // Same clusters via star contraction (O(log²) rounds — the variant
+    // for graphs whose diameter defeats min-label propagation).
+    "q69_dedup_components_star" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Span-level duplication census: which documents are stitched from
+    // corpus-repeated 8-gram spans (the suffix-array dedup signal of
+    // Lee et al. 2022, as a distributed fixed-width census).
+    "q117_span_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-dup: asymmetric |A∩B|/|A| over 3-gram shingle
+    // sets, rare-shingle prefix blocking (4 probes/doc), integer
+    // permille verification ≥ 600 on either side.
+    "q118_containment" -> ((s, dir) => {
+      Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, probes = 4, thresholdPermille = 600)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Semantic dedup (SemDeDup): trained clusters bound the pair space,
+    // within-cluster high-cosine pairs close into keep-one groups.
+    // Composes KMeans.lloyd + cluster equi-join + connected components.
+    // Threshold 0.4: the synthetic embedding space is diffuse (max
+    // pairwise cosine ≈ 0.51), so a production-style 0.95 would make
+    // the group-formation path vacuous; 0.4 exercises it. Runs the
+    // SUB-BANDED pair space (hyperplane sign-LSH inside each cluster,
+    // self-join key (cluster, band)) — the shape that survives fixed-k
+    // clusters growing with the corpus; the oracle mirrors the banding
+    // bit-for-bit, so the recall trade is verified, not assumed.
+    "q122_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, trainedCentroids(s, dir, 8, 2),
+        "vec_id", "embedding", threshold = 0.4,
+        subPlanes = 16, subBands = 4, dim = 64)
+        .orderBy("vec_id")
+    }),
+
+    // k-core peeling (k = 26, 3 fixed rounds) over the bipartite
+    // part–supplier incidence graph (q88's node encoding): the
+    // dense-region filter. The real cascade depth is proven on a path
+    // graph in GraphSpec; here the third round is the oracle-checked
+    // converged no-op.
+    "q138_kcore" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.kCorePeel(edges, "a", "b", k = 26, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // Keep-the-BEST dedup rewrite map: q53's LSH clusters, keeper =
+    // longest member (min doc_id tiebreak), singletons map to
+    // themselves — the artifact downstream references rewrite through.
+    "q146_canonical_pick" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(s, dir)
+      Dedup.canonicalMap(docs, "doc_id", "n_chars", pairs,
+          "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
+    // Synchronous label-propagation communities (2 rounds, majority
+    // vote, min-label ties) over the part–supplier incidence graph —
+    // the dense-region sibling of q53's reachability components,
+    // deterministic by integer argmax scoring.
+    "q150_label_prop" -> ((s, dir) => {
+      lpaLabels(s, dir, rounds = 2).orderBy("node")
+    }),
+
+    // CROSS-SOURCE duplication matrix: which sources near-duplicate
+    // into which — q31's LSH pair pipeline rolled up by unordered
+    // source pair. The report that decides which feed to cut when the
+    // same content arrives twice; source labels attach broadcast.
+    "q156_source_dup_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      minhashPairs(s, dir)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"))), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
+    // LSH parameter eval: q33's banding (k=36, 4x9) measured against
+    // the exact shared-shingle ground truth at the same 0.5 threshold.
+    // The ground truth is QUADRATIC in sample size (its contract says
+    // sample-only — frequent shingles like " the " degenerate the
+    // shared-shingle blocking toward all-pairs at a 0.5 threshold), so
+    // the eval runs on the doc_id < 400 prefix: 80% of the sf0.01
+    // fixture, a ~1/12 sample at sf0.1 — measured 174 s unsampled at
+    // sf0.1, ~24 s at 600 docs in full-bench context, ~10 s at 400.
+    "q182_lsh_recall_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+      Dedup.lshCandidateEval(
+        Dedup.charShingleRows(docs, "doc_id", "text", 5),
+        k = 36, bands = 4, rows = 9, threshold = 0.5)
+    }),
+
+    // Duplicate-cluster size census over q53's components: how many
+    // clusters of each size (singletons are not clusters — components
+    // exist only for paired docs).
+    "q183_dup_cluster_census" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
+    // PARTITION-QUALITY EVAL: Newman modularity of the q150 label-prop
+    // communities on the part-supplier incidence graph — scores the
+    // clustering the way q182 scores LSH banding.
+    "q202_modularity" -> ((s, dir) => {
+      Graph.modularity(partSupplierEdges(s, dir), lpaLabels(s, dir, 2),
+        "a", "b", "node", "label")
+    }),
+
+    // DEDUP THRESHOLD SWEEP: pairs/losers at 700/800/900‰ from ONE
+    // LSH candidate pass with exact integer cutoffs — the knob-tuning
+    // table behind q31's 0.8.
+    "q210_threshold_sweep" -> ((s, dir) => {
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 24, bands = 4, rows = 6,
+        thresholdsPermille = Seq(700L, 800L, 900L))
+    }),
+
+    // CONTAMINATION n-GRAM SWEEP: q49's benchmark split re-scanned at
+    // shingle n = 2, 3, 4 — how the decontamination n gets chosen.
+    //
+    // NOT rewired onto the artifact family (r12 verdict item 7,
+    // decided): the pair artifact stores verified near-dup PAIRS; this
+    // sweep consumes per-document shingle SETS (exploded digest join
+    // against the benchmark's distinct shingles) — no LSH pipeline
+    // exists here to elide, so the only shareable piece would be the
+    // shingling pass itself. A shingle-level artifact is a poor trade:
+    // the exploded (doc, shingle-digest) table is corpus×~35 rows
+    // (LARGER than the corpus, ~3 legs' worth of parquet I/O to write
+    // once), while recomputing it is one cheap narrow projection per
+    // leg with no shuffle — and only the n=2 leg could share it with
+    // the rest of the family anyway. Contrast with minhashPairs, which
+    // elides eight full shingle→signature→band→verify pipelines.
+    "q211_contamination_sweep" -> ((s, dir) => {
+      Curation.contaminationSweep(t(s, dir, "documents"), "doc_id",
+        "text", col("doc_id") % 50 === 0, ns = Seq(2, 3, 4))
+    }),
+
+    // QUALITY×DUP CROSS PROFILE: near-dup rate per quality decile —
+    // "are my duplicates concentrated in the junk?" — the analysis
+    // that decides whether dedup or quality filtering runs first.
+    // Deciles are exact integer rank arithmetic ((10·(rn−1)) div n,
+    // no boundary-interpolation ambiguity); dup flags are q31's
+    // loser set (distinct doc_b at jaccard ≥ 0.8, the pairwise view).
+    // The global rank window is corpus-sized — at 100 TB this is the
+    // q181 range-partition + prefix-count two-pass, stated.
+    "q213_quality_dup_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = qualityScores(s, dir)
+      val losers = minhashPairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("_dup", lit(1L))
+      // the corpus total rides the SAME single-partition window pass
+      // as the rank (full frame vs growing frame) — no eager count
+      // job, no second scan
+      val w = Window.orderBy("quality", "doc_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      scored
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("decile",
+          // 10L: _rn is 32-bit; the int product would overflow at
+          // ~2^31/10 rows where the BIGINT oracle keeps going
+          least(lit(9L), expr("(10L * (_rn - 1)) div _n")))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("_dup"), lit(0L))).as("n_dups"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"))
+        .select(col("decile"), col("n_docs"), col("n_dups"),
+          expr("(1000 * n_dups) div n_docs").as("dup_permille"),
+          col("q_min"), col("q_max"))
+        .orderBy("decile")
+    }),
+
+    // ZONE-BLOOM PRUNING AUDIT: per probe source, zones skipped /
+    // admitted / falsely admitted by a per-zone 256-bit Bloom over the
+    // zone's sources. Present probes legitimately admit every zone
+    // (sources span all zones in this layout — the audit says so
+    // instead of pretending); the absent probe shows the skip rate
+    // the filter actually buys, minus its measured false positives.
+    "q217_zone_bloom" -> ((s, dir) => {
+      Layout.zoneBloomAudit(t(s, dir, "documents"),
+        expr("doc_id div 50"), "source",
+        probes = Seq("src3", "src15", "src-absent"),
+        bits = 256, kHash = 3)
+    }),
+
+    // CROSS-LINGUAL DUPLICATE DETECTION: high-cosine pairs whose
+    // documents carry DIFFERENT langs — translated/mirrored content
+    // that n-gram dedup can never see (zero shared shingles). The
+    // sign-LSH banding runs UNBLOCKED (a lang block would hide exactly
+    // the pairs we want); the lang tags join on the aligned doc ids
+    // after verification, pair-count-sized.
+    "q218_crosslingual_dups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
+          blockCols = Seq(), dim = 64, nPlanes = 16, bands = 4,
+          threshold = 0.3)
+        .join(langs.select(col("doc_id").as("id_a"),
+          col("lang").as("lang_a")), "id_a")
+        .join(langs.select(col("doc_id").as("id_b"),
+          col("lang").as("lang_b")), "id_b")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+          col("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PERCEPTUAL AVERAGE-HASH near-dup over the multimodal payloads:
+    // 64 slice-pixels -> 4 banded 16-bit words -> Hamming <= 3 pairs.
+    "q225_ahash_neardup" -> ((s, dir) => {
+      Multimodal.ahashNearDup(
+          Multimodal.mediaTable(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy("media_id_a", "media_id_b")
+    }),
+
+    // CHUNK-LEVEL DEDUP RATE: duplication measured at q226's chunk
+    // granularity — partial overlap that document-level dedup misses.
+    "q235_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.chunkDocs(docs, "doc_id", "text", chunkTokens = 64,
+          stride = 48)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_digest")).as("n_distinct"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          expr("(1000 * (n_chunks - n_distinct)) div n_chunks")
+            .as("dup_permille"))
+        .orderBy("source")
+    }),
+
+    // DEDUP SURVIVORSHIP BIAS: does exact dedup shift the language
+    // mixture? Per lang: before/after counts, shares, removal rate.
+    "q236_dedup_bias" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("_d"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val after = docs.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+      val before = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val totals = before.agg(sum(col("n_before")).as("_tb"))
+        .crossJoin(after.agg(sum(col("n_after")).as("_ta")))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_before"), col("n_after"),
+          expr("(1000 * n_before) div _tb").as("share_before_milli"),
+          expr("(1000 * n_after) div _ta").as("share_after_milli"),
+          expr("(1000 * (n_before - n_after)) div n_before")
+            .as("removal_permille"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q150's two LPA rounds verbatim, then the modularity aggregates:
+    // exact integer m / intra / degree-square sums, one fixed double
+    // expression for the micro score (q169 discipline).
+    "q202_modularity" ->
+      """WITH fwd AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM fwd
+                 UNION SELECT dst, src FROM fwd),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         r1 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l0 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l1 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r1 GROUP BY n),
+         r2 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l1 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l2 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r2 GROUP BY n),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                  CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS intra_edges
+           FROM fwd JOIN l2 la ON la.node = fwd.src
+                    JOIN l2 lb ON lb.node = fwd.dst),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY src),
+         dc AS (SELECT l2.label, CAST(sum(deg.deg) AS BIGINT) AS dc
+                FROM deg JOIN l2 USING (node) GROUP BY l2.label),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                       CAST(sum(dc * dc) AS BIGINT) AS d2
+                FROM dc)
+         SELECT n_edges, n_communities, intra_edges,
+                CAST(floor(1000000.0 *
+                     CAST(4 * n_edges * intra_edges - d2 AS DOUBLE) /
+                     CAST(4 * n_edges * n_edges AS DOUBLE)) AS BIGINT)
+                  AS modularity_micro
+         FROM stats CROSS JOIN dd""",
+
+    // q31's candidate chain, scored once with integer (|∩|, |∪|),
+    // swept by pure-integer cutoffs; one aggregate row per threshold
+    // even at zero pairs.
+    "q210_threshold_sweep" ->
+      s"""WITH docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         sigs AS (
+           SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         scored AS (
+           SELECT c.b AS doc_b,
+                  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS ni,
+                  CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                    AS BIGINT) AS nu
+           FROM cand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id)
+         SELECT CAST(700 AS BIGINT) AS thresh_permille,
+                CAST(count(CASE WHEN 1000 * ni >= 700 * nu THEN 1 END)
+                  AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 700 * nu
+                  THEN doc_b END) AS BIGINT) AS n_losers
+         FROM scored
+         UNION ALL
+         SELECT CAST(800 AS BIGINT),
+                CAST(count(CASE WHEN 1000 * ni >= 800 * nu THEN 1 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 800 * nu
+                  THEN doc_b END) AS BIGINT)
+         FROM scored
+         UNION ALL
+         SELECT CAST(900 AS BIGINT),
+                CAST(count(CASE WHEN 1000 * ni >= 900 * nu THEN 1 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT CASE WHEN 1000 * ni >= 900 * nu
+                  THEN doc_b END) AS BIGINT)
+         FROM scored
+         ORDER BY thresh_permille""",
+
+    // The q49 scan at n = 2, 3, 4 — same split, same clamped-shingle
+    // degradation, corpus-level integer flag rates.
+    "q211_contamination_sweep" ->
+      (Seq(2, 3, 4).map(sqlContamLeg).mkString(" UNION ALL ") +
+        " ORDER BY shingle_n"),
+
+    // q46's quality expression, q210's integer-cutoff loser set at
+    // 800‰, exact rank-arithmetic deciles.
+    "q213_quality_dup_profile" ->
+      s"""WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh FROM base),
+         sigs AS (
+           SELECT doc_id, ${sqlSig(24)} AS sig FROM docs),
+         bands AS (
+           SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         losers AS (
+           SELECT DISTINCT c.b AS doc_id
+           FROM cand c
+           JOIN docs da ON c.a = da.doc_id
+           JOIN docs db ON c.b = db.doc_id
+           WHERE 1000 * len(list_intersect(da.sh, db.sh))
+                 >= 800 * len(list_distinct(list_concat(da.sh, db.sh)))),
+         scored AS (
+           SELECT doc_id,
+                  least(len(w) / 64.0, 1.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)) * 0.4 +
+                  least((len(list_filter(w, x -> x IN ('the','a','of','and','in','is')))::DOUBLE / len(w)) * 4.0, 1.0) * 0.2
+                    AS quality
+           FROM base),
+         ranked AS (
+           SELECT doc_id, quality,
+                  row_number() OVER (ORDER BY quality, doc_id) AS rn
+           FROM scored),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         dec AS (
+           SELECT r.doc_id, r.quality,
+                  least(CAST(9 AS BIGINT), (10 * (rn - 1)) // n) AS decile
+           FROM ranked r CROSS JOIN tot)
+         SELECT d.decile, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dups,
+                (1000 * CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1
+                                      ELSE 0 END) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS dup_permille,
+                min(d.quality) AS q_min, max(d.quality) AS q_max
+         FROM dec d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         GROUP BY d.decile ORDER BY d.decile""",
+
+    // q103's word-fold idiom per zone; probe positions from the same
+    // md5 formula over the literal probe list.
+    "q217_zone_bloom" ->
+      """WITH zv AS (
+           SELECT DISTINCT doc_id // 50 AS zone, source AS v
+           FROM documents WHERE source IS NOT NULL),
+         words AS (
+           SELECT zone, pos // 32 AS widx,
+                  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+           FROM (SELECT zone,
+                   ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
+                     % 256 AS pos
+                 FROM (SELECT zone,
+                         ('0x'||substr(md5(v),1,15))::BIGINT AS d
+                       FROM zv), range(0, 3) t(j))
+           GROUP BY 1, 2),
+         probes(p) AS (VALUES ('src3'), ('src15'), ('src-absent')),
+         pp AS (
+           SELECT p,
+                  ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
+                    % 256 AS pos
+           FROM (SELECT p, ('0x'||substr(md5(p),1,15))::BIGINT AS d
+                 FROM probes), range(0, 3) t(j)),
+         zones AS (SELECT DISTINCT zone FROM zv),
+         checks AS (
+           SELECT z.zone, pp.p,
+                  min(CASE WHEN w.word IS NOT NULL
+                            AND (w.word &
+                                 (1::BIGINT << CAST(pp.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END) AS may
+           FROM zones z CROSS JOIN pp
+           LEFT JOIN words w ON w.zone = z.zone AND w.widx = pp.pos // 32
+           GROUP BY 1, 2),
+         hits AS (
+           SELECT zone, v AS p, 1 AS hit FROM zv
+           WHERE v IN ('src3', 'src15', 'src-absent'))
+         SELECT c.p AS probe, CAST(count(*) AS BIGINT) AS n_zones,
+                CAST(sum(COALESCE(h.hit, 0)) AS BIGINT) AS n_hits,
+                CAST(sum(c.may) AS BIGINT) AS n_maybe,
+                CAST(sum(c.may) - sum(COALESCE(h.hit, 0)) AS BIGINT)
+                  AS n_false_pos,
+                CAST(count(*) - sum(c.may) AS BIGINT) AS n_skippable
+         FROM checks c
+         LEFT JOIN hits h ON h.zone = c.zone AND h.p = c.p
+         GROUP BY c.p ORDER BY probe""",
+
+    // q34's sign-LSH chain with the label block REMOVED, then the
+    // aligned documents' langs joined on and required to differ.
+    "q218_crosslingual_dups" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQuantize AS q FROM embeddings),
+         sig AS (
+           SELECT vec_id,
+                  [CASE WHEN list_sum(list_transform(range(0, 64),
+                         i -> q[i+1] * (('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000))) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 16)] AS bits
+           FROM e),
+         bands AS (
+           SELECT vec_id,
+                  unnest([g::VARCHAR || ':' || array_to_string(bits[g*4+1:g*4+4], '') for g in range(0, 4)]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM bands x JOIN bands y
+           ON x.band = y.band AND x.vec_id < y.vec_id),
+         verified AS (
+           SELECT id_a, id_b, cosine FROM (
+             SELECT c.a AS id_a, c.b AS id_b,
+                    ${sqlQcos("ea.q", "eb.q")} AS cosine
+             FROM cand c
+             JOIN e ea ON c.a = ea.vec_id
+             JOIN e eb ON c.b = eb.vec_id)
+           WHERE cosine >= 0.3)
+         SELECT v.id_a, v.id_b, da.lang AS lang_a, db.lang AS lang_b,
+                v.cosine
+         FROM verified v
+         JOIN documents da ON da.doc_id = v.id_a
+         JOIN documents db ON db.doc_id = v.id_b
+         WHERE da.lang <> db.lang
+         ORDER BY id_a, id_b""",
+
+    // The engine's slice-pixel aHash reproduced over the same bytes
+    // (documents.text IS the payload; ASCII, so VARCHAR substr = byte
+    // slice), then band-blocked candidates and exact Hamming.
+    "q225_ahash_neardup" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text,
+                  (length(text) + 63) // 64 AS w
+           FROM documents),
+         p1 AS (
+           SELECT media_id,
+                  list_transform(range(0, 64), j ->
+                    ('0x' || substr(md5(substr(text,
+                       CAST(j * w + 1 AS INT), CAST(w AS INT))), 1, 4))::BIGINT)
+                    AS px
+           FROM m),
+         p2 AS (
+           SELECT media_id, px,
+                  CAST(list_sum(px) AS BIGINT) // 64 AS mean
+           FROM p1),
+         p3 AS (
+           SELECT media_id,
+                  [CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN px[g * 16 + j + 1] > mean
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))
+                    AS BIGINT) for g in range(0, 4)] AS bands
+           FROM p2),
+         k AS (
+           SELECT media_id, bands, g, bands[g + 1] AS b
+           FROM p3 CROSS JOIN range(0, 4) t(g)),
+         cand AS (
+           SELECT DISTINCT x.media_id AS media_id_a,
+                  y.media_id AS media_id_b,
+                  x.bands AS ba, y.bands AS bb
+           FROM k x JOIN k y
+             ON x.g = y.g AND x.b = y.b AND x.media_id < y.media_id),
+         h AS (
+           SELECT media_id_a, media_id_b,
+                  CAST(list_sum(list_transform(range(0, 4), g ->
+                    bit_count(xor(ba[g + 1], bb[g + 1])))) AS BIGINT)
+                    AS hamming
+           FROM cand)
+         SELECT media_id_a, media_id_b, hamming FROM h
+         WHERE hamming <= 3
+         ORDER BY media_id_a, media_id_b""",
+
+    // q226's window geometry, digests distinct-counted per source.
+    "q235_chunk_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, source, t, CAST(s AS BIGINT) AS start_tok
+           FROM (SELECT doc_id, source, t,
+                        unnest(range(0, greatest(len(t), 1), 48)) AS s
+                 FROM d)),
+         dg AS (
+           SELECT source,
+                  md5(array_to_string(
+                    list_transform(range(0, least(64, len(t) - start_tok)),
+                      i -> t[CAST(start_tok + i + 1 AS INT)]), ' '))
+                    AS chunk_digest
+           FROM ch)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(count(DISTINCT chunk_digest) AS BIGINT) AS n_distinct,
+                (1000 * (CAST(count(*) AS BIGINT)
+                  - CAST(count(DISTINCT chunk_digest) AS BIGINT)))
+                  // CAST(count(*) AS BIGINT) AS dup_permille
+         FROM dg GROUP BY source ORDER BY source""",
+
+    "q236_dedup_bias" ->
+      """WITH keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         aft AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+           FROM documents JOIN keep USING (doc_id) GROUP BY lang),
+         bef AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY lang),
+         tot AS (
+           SELECT (SELECT CAST(sum(n_before) AS BIGINT) FROM bef) AS tb,
+                  (SELECT CAST(sum(n_after) AS BIGINT) FROM aft) AS ta)
+         SELECT bef.lang, bef.n_before,
+                COALESCE(aft.n_after, 0) AS n_after,
+                (1000 * bef.n_before) // tot.tb AS share_before_milli,
+                (1000 * COALESCE(aft.n_after, 0)) // tot.ta
+                  AS share_after_milli,
+                (1000 * (bef.n_before - COALESCE(aft.n_after, 0)))
+                  // bef.n_before AS removal_permille
+         FROM bef LEFT JOIN aft USING (lang) CROSS JOIN tot
+         ORDER BY lang""",
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY digest""",
+
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH docs AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         ${sqlLshPipeline(24, 4, 6, 0.8)}""",
+
+    // q31's pair pipeline verbatim (as a nested CTE), then transitive
+    // closure by recursion — component = min reachable doc_id, the same
+    // fixpoint BOTH Spark variants reach (q53 min-label propagation,
+    // q69 star contraction), so they share this oracle.
+    "q53_dedup_components" -> componentsOracle,
+    "q69_dedup_components_star" -> componentsOracle,
+
+    // Same signatures and band keys on both sides of the id-400 split;
+    // candidates cross the split only, verified by the same exact
+    // Jaccard.
+    "q113_incremental_dedup" ->
+      s"""WITH docsall AS (
+           SELECT doc_id, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         corp AS (SELECT * FROM docsall WHERE doc_id < 400),
+         newb AS (SELECT * FROM docsall WHERE doc_id >= 400),
+         csig AS (SELECT doc_id, ${sqlSig(24)} AS sig FROM corp),
+         nsig AS (SELECT doc_id, ${sqlSig(24)} AS sig FROM newb),
+         cb AS (SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM csig),
+         nb AS (SELECT doc_id, ${sqlBandUnnest(4, 6)} AS band FROM nsig),
+         cand AS (
+           SELECT DISTINCT n.doc_id AS batch_id, c.doc_id AS corpus_id
+           FROM cb c JOIN nb n ON c.band = n.band)
+         SELECT batch_id, corpus_id, jaccard FROM (
+           SELECT cand.batch_id, cand.corpus_id,
+                  len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM cand
+           JOIN newb a ON cand.batch_id = a.doc_id
+           JOIN corp b ON cand.corpus_id = b.doc_id)
+         WHERE jaccard >= 0.8
+         ORDER BY batch_id, corpus_id""",
+
+    // q31's pair pipeline as a nested CTE, then the same degree-ordered
+    // orientation, wedge join, and closing join — each triangle counted
+    // once at its order-minimal vertex.
+    "q110_triangle_count" ->
+      s"""WITH pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)}),
+         und AS (
+           SELECT DISTINCT least(doc_a, doc_b) AS a,
+                  greatest(doc_a, doc_b) AS b
+           FROM pairs WHERE doc_a <> doc_b),
+         deg AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           GROUP BY v),
+         o AS (
+           SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN u.a ELSE u.b END AS u,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN u.b ELSE u.a END AS v,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                       THEN db.d ELSE da.d END AS dv
+           FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+         w AS (
+           SELECT x.u, x.v AS v1, y.v AS v2
+           FROM o x JOIN o y ON x.u = y.u
+             AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+         tri AS (
+           SELECT w.u, w.v1, w.v2
+           FROM w JOIN o z ON z.u = w.v1 AND z.v = w.v2),
+         pv AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT u AS v FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri)
+           GROUP BY v)
+         SELECT deg.v AS node, deg.d AS degree,
+                COALESCE(pv.n_triangles, 0) AS n_triangles
+         FROM deg LEFT JOIN pv ON deg.v = pv.v
+         ORDER BY node""",
+
+    "q32_dedup_simhash" ->
+      """SELECT doc_id,
+                array_to_string(
+                  [CASE WHEN list_sum([CASE WHEN substr(md5(t), j+1, 1) >= '8' THEN 1 ELSE -1 END for t in w]) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 32)], '') AS simhash
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+
+    "q33_dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+           SELECT doc_id, ${sqlCharShingles(5)} AS sh FROM documents),
+         ${sqlLshPipeline(36, 4, 9, 0.5)}""",
+
+    "q34_dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, label, $sqlQuantize AS q FROM embeddings),
+         sig AS (
+           SELECT vec_id, label,
+                  [CASE WHEN list_sum(list_transform(range(0, 64),
+                         i -> q[i+1] * (('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000))) > 0
+                        THEN '1' ELSE '0' END for j in range(0, 16)] AS bits
+           FROM e),
+         bands AS (
+           SELECT vec_id, label,
+                  unnest([g::VARCHAR || ':' || array_to_string(bits[g*4+1:g*4+4], '') for g in range(0, 4)]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM bands x JOIN bands y
+           ON x.label = y.label AND x.band = y.band AND x.vec_id < y.vec_id)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT c.a AS id_a, c.b AS id_b,
+                  ${sqlQcos("ea.q", "eb.q")} AS cosine
+           FROM cand c
+           JOIN e ea ON c.a = ea.vec_id
+           JOIN e eb ON c.b = eb.vec_id)
+         WHERE cosine >= 0.3
+         ORDER BY id_a, id_b""",
+
+    // Identical filter build (same md5 positions, same bit_or words),
+    // identical probe — the false positives agree bit-for-bit too.
+    "q103_bloom_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+         words AS (
+           SELECT pos // 32 AS word_idx,
+                  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+           FROM (SELECT ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
+                          % 65536 AS pos
+                 FROM (SELECT (('0x'||substr(md5(s),1,15))::BIGINT) AS d
+                       FROM bench), range(0, 4) t(j))
+           GROUP BY word_idx),
+         probes AS (SELECT DISTINCT doc_id, unnest(sh) AS s
+                    FROM sh WHERE NOT is_bench),
+         pp AS (SELECT doc_id, s,
+                  ((d & 1073741823) + j * ((d >> 30) * 2 + 1))
+                    % 65536 AS pos
+                FROM (SELECT doc_id, s,
+                        (('0x'||substr(md5(s),1,15))::BIGINT) AS d
+                      FROM probes), range(0, 4) t(j)),
+         checked AS (
+           SELECT doc_id, s,
+                  min(CASE WHEN w.word IS NOT NULL
+                            AND (w.word &
+                                 (1::BIGINT << CAST(pp.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END) AS member
+           FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 32
+           GROUP BY doc_id, s),
+         ex AS (
+           SELECT p.doc_id,
+                  CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_exact
+           FROM probes p LEFT JOIN bench b ON p.s = b.s
+           GROUP BY p.doc_id)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                ex.n_exact, CAST(sum(c.member) AS BIGINT) AS n_maybe
+         FROM checked c JOIN ex ON c.doc_id = ex.doc_id
+         GROUP BY c.doc_id, ex.n_exact
+         ORDER BY c.doc_id""",
+
+    // Three unrolled iterations of the exact integer recurrence:
+    // rank' = (base·15)//100 + (85·Σ rank//outdeg)//100. The CAST on
+    // the sum keeps DuckDB's HUGEINT out of the damping multiply.
+    "q88_pagerank" ->
+      """WITH base AS (
+           SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+         edges AS (
+           SELECT 2*p AS src, 2*s+1 AS dst FROM base
+           UNION ALL
+           SELECT 2*s+1, 2*p FROM base),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         params AS (
+           SELECT (1000000000000 // count(*)) * 15 // 100 AS t,
+                  1000000000000 // count(*) AS b
+           FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM edges GROUP BY src),
+         r0 AS (SELECT node, (SELECT b FROM params) AS rank FROM nodes),
+         it1 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN r0 r ON e.src = r.node
+           GROUP BY e.dst),
+         it2 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN it1 r ON e.src = r.node
+           GROUP BY e.dst),
+         it3 AS (
+           SELECT e.dst AS node,
+                  (SELECT t FROM params) +
+                  (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           FROM edges e JOIN deg d ON e.src = d.src
+                        JOIN it2 r ON e.src = r.node
+           GROUP BY e.dst)
+         SELECT node, rank FROM it3
+         ORDER BY rank DESC, node
+         LIMIT 20""",
+    "q49_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id, doc_id % 50 = 0 AS is_bench, $sqlWordShingles AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+         ex AS (
+           SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench)
+         SELECT ex.doc_id,
+                count(*)::BIGINT AS n_shingles,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
+         FROM ex LEFT JOIN bench b ON ex.s = b.s
+         GROUP BY ex.doc_id
+         ORDER BY ex.doc_id""",
+
+    // Same span census: distinct 8-gram spans as 60-bit digests, row
+    // count per span = its document frequency, integer permille.
+    "q117_span_dedup" ->
+      s"""WITH spans AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(${sqlWordShinglesN(8)})), 1, 15))::BIGINT AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         freq AS (SELECT g, CAST(count(*) AS BIGINT) AS ndocs
+                  FROM spans GROUP BY g)
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans,
+                (1000 * CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_permille
+         FROM spans s JOIN freq f USING (g)
+         GROUP BY s.doc_id
+         ORDER BY doc_id""",
+
+    // Same prefix-blocked containment: rarest-4 probe shingles per doc
+    // (ties on the shingle digest), exact intersection counts, integer
+    // permille on both sides.
+    "q118_containment" ->
+      s"""WITH spans AS (
+           SELECT doc_id AS id,
+                  ('0x' || substr(md5(unnest(${sqlWordShinglesN(3)})), 1, 15))::BIGINT AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+                   FROM spans GROUP BY id),
+         dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+                   FROM spans GROUP BY g),
+         pk AS (
+           SELECT id AS pid, g FROM (
+             SELECT s.id, s.g,
+                    row_number() OVER (PARTITION BY s.id
+                                       ORDER BY d.df, s.g) AS rk
+             FROM spans s JOIN dfreq d USING (g))
+           WHERE rk <= 4),
+         cands AS (
+           SELECT DISTINCT least(pid, oid) AS a, greatest(pid, oid) AS b
+           FROM pk JOIN (SELECT id AS oid, g FROM spans) o USING (g)
+           WHERE pid <> oid),
+         inter AS (
+           SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n
+           FROM cands c
+           JOIN spans sa ON sa.id = c.a
+           JOIN spans sb ON sb.id = c.b AND sb.g = sa.g
+           GROUP BY c.a, c.b)
+         SELECT i.a AS doc_a, i.b AS doc_b,
+                (1000 * i.n) // za.sz AS cont_a_permille,
+                (1000 * i.n) // zb.sz AS cont_b_permille
+         FROM inter i
+         JOIN sizes za ON za.id = i.a
+         JOIN sizes zb ON zb.id = i.b
+         WHERE (1000 * i.n) // za.sz >= 600 OR (1000 * i.n) // zb.sz >= 600
+         ORDER BY doc_a, doc_b""",
+
+    // Same two Lloyd iterations as q51, then: min-L2 assignment (ties →
+    // lowest cluster), (cluster, band) sub-banded candidates with the
+    // identical hyperplane weight literals, cosine ≥ 0.4 verification,
+    // recursive min-label components, keep_id = component min (self if
+    // unpaired).
+    "q122_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $sqlQuantize AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         ${sqlLloydIter("c0", "c1")},
+         ${sqlLloydIter("c1", "c2")},
+         assigned AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) for i in range(0, 64)]),
+                               c.cluster) AS rn
+             FROM e CROSS JOIN c2 c)
+           WHERE rn = 1),
+         banded AS (
+           SELECT vec_id, cluster,
+                  unnest(${sqlHyperplaneBands("v", 16, 4, 64)}) AS band
+           FROM assigned),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+           FROM banded a JOIN banded b
+             ON a.cluster = b.cluster AND a.band = b.band
+                AND a.vec_id < b.vec_id),
+         pairs AS (
+           SELECT c.x, c.y
+           FROM cand c
+           JOIN assigned a ON a.vec_id = c.x
+           JOIN assigned b ON b.vec_id = c.y
+           WHERE ${sqlQcos("a.v", "b.v")} >= 0.4),
+         edges AS (
+           SELECT x AS a, y AS b FROM pairs
+           UNION SELECT y, x FROM pairs),
+         reach(node, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+         comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                coalesce(c.component, a.vec_id) AS keep_id
+         FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
+         ORDER BY vec_id""",
+
+    // Three unrolled peel stages — the same fixed-round contract
+    // (peeling is monotone, so a converged round is a no-op).
+    "q138_kcore" ->
+      """WITH e0 AS (
+           SELECT u, v FROM (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem)
+           UNION
+           SELECT v, u FROM (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem)),
+         k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 26),
+         e1 AS (SELECT e0.u, e0.v FROM e0
+                WHERE e0.u IN (SELECT u FROM k1)
+                  AND e0.v IN (SELECT u FROM k1)),
+         k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 26),
+         e2 AS (SELECT e1.u, e1.v FROM e1
+                WHERE e1.u IN (SELECT u FROM k2)
+                  AND e1.v IN (SELECT u FROM k2)),
+         k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 26),
+         e3 AS (SELECT e2.u, e2.v FROM e2
+                WHERE e2.u IN (SELECT u FROM k3)
+                  AND e2.v IN (SELECT u FROM k3))
+         SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM e3 GROUP BY u
+         ORDER BY node""",
+
+    "q146_canonical_pick" -> canonicalOracle,
+
+    // Two synchronous rounds unrolled; the arg_max score c·2^40 −
+    // label mirrors Graph.labelPropagation's integer tie-break
+    // exactly.
+    "q150_label_prop" ->
+      """WITH fwd AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM fwd
+                 UNION SELECT dst, src FROM fwd),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         r1 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l0 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l1 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r1 GROUP BY n),
+         r2 AS (SELECT u.src AS n, l.label, count(*) AS c
+                FROM und u JOIN l1 l ON l.node = u.dst
+                GROUP BY u.src, l.label),
+         l2 AS (SELECT n AS node,
+                       arg_max(label, c * 1099511627776 - label) AS label
+                FROM r2 GROUP BY n)
+         SELECT node, CAST(label AS BIGINT) AS label FROM l2
+         ORDER BY node""",
+
+    // q31's pair pipeline verbatim, rolled up by unordered source pair.
+    "q156_source_dup_matrix" ->
+      s"""WITH pairs AS (
+           WITH docs AS (
+             SELECT doc_id, $sqlWordShingles AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents)),
+           ${sqlLshPipeline(24, 4, 6, 0.8)})
+         SELECT least(da.source, db.source) AS source_x,
+                greatest(da.source, db.source) AS source_y,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Candidates from q33's band chain; ground truth from the complete
+    // shared-shingle blocking, verified at the same threshold. Same
+    // doc_id < 400 sample prefix as the engine (the ground truth is
+    // quadratic — sample-only by contract).
+    "q182_lsh_recall_eval" ->
+      s"""WITH docs AS (
+           SELECT doc_id, ${sqlCharShingles(5)} AS sh FROM documents
+           WHERE doc_id < 400),
+         sigs AS (SELECT doc_id, ${sqlSig(36)} AS sig FROM docs),
+         bands AS (SELECT doc_id, ${sqlBandUnnest(4, 9)} AS band FROM sigs),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.doc_id < y.doc_id),
+         sh1 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         excand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM sh1 x JOIN sh1 y ON x.s = y.s AND x.doc_id < y.doc_id),
+         ex AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(da.sh, db.sh))::DOUBLE /
+                    len(list_distinct(list_concat(da.sh, db.sh))) AS j
+             FROM excand c
+             JOIN docs da ON c.doc_a = da.doc_id
+             JOIN docs db ON c.doc_b = db.doc_id)
+           WHERE j >= 0.5),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+                FROM ex JOIN cand USING (doc_a, doc_b))
+         SELECT n_exact, n_cand, n_hit,
+                CASE WHEN n_exact = 0 THEN NULL
+                     ELSE (1000 * n_hit) // n_exact END AS recall_milli,
+                CASE WHEN n_cand = 0 THEN NULL
+                     ELSE (1000 * n_hit) // n_cand END AS efficiency_milli
+         FROM ne, nc, nh""",
+
+    // q53's recursive components, folded to a size census.
+    "q183_dup_cluster_census" ->
+      s"""$componentsCtes,
+         comps AS (SELECT node, min(r) AS component
+                   FROM reach GROUP BY node),
+         sizes AS (SELECT component, CAST(count(*) AS BIGINT)
+                     AS cluster_size
+                   FROM comps GROUP BY component)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+  )
+}

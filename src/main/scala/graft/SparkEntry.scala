@@ -86,7 +86,12 @@ object SparkEntry {
       // FUNC: contract carries stream.<source> leaves through
       // AppendColumns/TransformWithState/SerializeFromObject.
       "q272_lineage_typed" ->
-        ((s, dir) => graft.lineage.LineageQueries.typedEdges(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.typedEdges(s, dir)),
+      // IMPACT over the WHOLE graph (r15 #8): batch corpus + streaming
+      // shapes + typed twins in one rollup — stream.<source> fan-out
+      // answered beside db.table.
+      "q273_stream_impact" ->
+        ((s, dir) => graft.lineage.LineageQueries.impactAll(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +109,8 @@ object SparkEntry {
       "q270_lineage_streaming" ->
         graft.lineage.LineageQueries.streamingLineageOracleSql,
       "q272_lineage_typed" ->
-        graft.lineage.LineageQueries.typedLineageOracleSql
+        graft.lineage.LineageQueries.typedLineageOracleSql,
+      "q273_stream_impact" ->
+        graft.lineage.LineageQueries.impactAllOracleSql
     )
 }

@@ -147,6 +147,32 @@ class LineageStreamingSpec extends SparkTestBase {
       ("n_name", "default.nation.n_name", "FUNC:TypedFilter")))
   }
 
+  test("impactAll counts stream-source fan-out beside batch tables") {
+    // q273 (VERDICT r15 #8): the impact rollup over the UNION of the
+    // batch corpus, the streaming shapes, and the typed twins — "what
+    // breaks if this stream source's schema changes" is answerable in
+    // the same frame as the batch question. Exact counts live in the
+    // frozen q273 oracle; here the structural facts are pinned: the
+    // stream source appears as a first-class row, fed by BOTH the
+    // streaming corpus and the typed twins (> either alone), and the
+    // batch rows are untouched by the union.
+    val all = LineageQueries.impactAll(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(all.contains("stream.memory"), s"rows: ${all.keys}")
+    assert(all("stream.memory")._3 == 7,
+      s"5 streaming + 2 typed statements read the stream: $all")
+    val batchOnly = LineageQueries.impact(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!batchOnly.contains("stream.memory"))
+    // nation gains exactly the stream-static join's one edge (shape 3
+    // reads n_name); every other batch table is untouched by the union
+    assert(all("default.nation")._1 == batchOnly("default.nation")._1 + 1)
+    (batchOnly - "default.nation").foreach { case (k, v) =>
+      assert(all(k) == v, s"batch row $k changed under the union") }
+  }
+
   test("stream-static join: both the stream leaf and the catalog table are inputs") {
     // the enrichedWindowCounts shape: a streaming frame joined against
     // a static dimension — the stream contributes stream.* sources,

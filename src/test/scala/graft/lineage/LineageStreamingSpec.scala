@@ -147,6 +147,28 @@ class LineageStreamingSpec extends SparkTestBase {
       ("n_name", "default.nation.n_name", "FUNC:TypedFilter")))
   }
 
+  test("typed boundary: cogroup unions BOTH children's sources") {
+    // The one multi-child typed node: the opaque arm's child fold must
+    // merge both grouped datasets' leaf sources into every output
+    // column (a cogroup closure can read either side).
+    import spark.implicits._
+    LineageQueries.registerFixtures(spark, sfDir)
+    val left = spark.table("nation")
+      .select(col("n_nationkey"), col("n_name")).as[(Int, String)]
+      .groupByKey(_._1)
+    val right = spark.table("region")
+      .select(col("r_regionkey"), col("r_name")).as[(Int, String)]
+      .groupByKey(_._1)
+    val cg = left.cogroup(right)((k, a, b) =>
+      Iterator((k, a.length + b.length))).toDF("k", "n")
+    val r = LineageParser.fromDataFrame(cg)
+    assert(r.inputTables == Set("default.nation", "default.region"))
+    val allIn = Seq("default.nation.n_name", "default.nation.n_nationkey",
+      "default.region.r_name", "default.region.r_regionkey").mkString(",")
+    assert(rows(r).forall { case (_, from, conds) =>
+      from == allIn && conds.contains("FUNC:CoGroup") })
+  }
+
   test("impactAll counts stream-source fan-out beside batch tables") {
     // q273 (VERDICT r15 #8): the impact rollup over the UNION of the
     // batch corpus, the streaming shapes, and the typed twins — "what

@@ -846,6 +846,47 @@ object StreamingQueries {
         .toDF("metric", "n").orderBy("metric")
     }),
 
+    // The EXACTLY-ONCE emission-metrics channel as data (r15 #4 made
+    // a driver query): the capped gate wrapped in observedGate — each
+    // batch's emitted pair and sentinel counts ride
+    // QueryProgressEvent.observedMetrics, computed by the batch's own
+    // plan (retries never double-count, unlike q269's accumulator
+    // tap). On the single-batch doc_id-ordered fixture both counters
+    // are pure occupancy+signature functions: at cap = 2 each bucket
+    // emits at most its one admitted pair (when the first two
+    // residents agree >= 12/24) and one sentinel per over-cap doc —
+    // per-bucket EMISSIONS, not distinct pairs, which is exactly what
+    // the observation counts.
+    "q274_gate_observed_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val banded = graft.streaming.DocStreams.bandedSignatures(
+        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val out = graft.streaming.DocStreams.observedGate(
+        graft.streaming.DocStreams.nearDupGate(s, banded,
+          k = 24, minAgree = 12, cap = 2))
+      withRocksDbState(s) { withStreamConf(s) {
+        val q = out.toDF().writeStream.format("noop")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dataBatches = dataBatchCount(q)
+        require(dataBatches == 1,
+          s"q274's occupancy oracle assumes doc_id arrival order " +
+            s"(single-batch fixture); got $dataBatches data batches")
+        // exactly-once per epoch: summing across all progress events
+        // (including zero-row finalization batches) IS the total
+        val obs = q.recentProgress.flatMap(p => Option(p.observedMetrics
+          .get(graft.streaming.DocStreams.GateObservationName)))
+        Seq(("n_pairs", obs.map(_.getAs[Long]("n_pairs")).sum),
+            ("n_sentinels", obs.map(_.getAs[Long]("n_sentinels")).sum))
+          .toDF("metric", "n").orderBy("metric")
+      } }
+    }),
+
     // Streaming twin #24 — OFFLINE STATE AUDIT (r15): the capped
     // gate's state store read back from its checkpoint through Spark's
     // state data source, no gate restart — residents per band bucket
@@ -1069,6 +1110,57 @@ object StreamingQueries {
            FROM m
            UNION ALL
            SELECT 'rejected', CAST(sum(rej) AS BIGINT) FROM m)
+         ORDER BY metric""",
+
+    // Observed emissions from bucket occupancy + signatures: at
+    // cap = 2 a bucket emits its one admitted pair iff the first two
+    // residents (doc_id order) agree >= 12/24 positions; sentinels =
+    // one per over-cap doc per bucket. Counts are per-bucket
+    // EMISSIONS (a pair sharing several buckets counts once per
+    // bucket), matching what the gate's output plan observes.
+    "q274_gate_observed_metrics" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, greatest(len(w), 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL)),
+         sigs AS (
+           SELECT doc_id,
+                  [list_min([((2*k+1) * b + (101*k+17)) % 2147483647
+                             for b in list_transform(sh,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                      % 2147483647)])
+                   for k in range(0, 24)] AS sig
+           FROM docs),
+         bands AS (
+           SELECT doc_id,
+                  unnest([g::VARCHAR || ':' ||
+                          md5(array_to_string(sig[g*6+1:g*6+6], '|'))
+                          for g in range(0, 4)]) AS band
+           FROM sigs),
+         ranked AS (
+           SELECT doc_id, band,
+                  row_number() OVER (PARTITION BY band
+                                     ORDER BY doc_id) AS rk
+           FROM bands),
+         buckets AS (
+           SELECT r1.band, r1.doc_id AS a, r2.doc_id AS b
+           FROM ranked r1 JOIN ranked r2
+             ON r1.band = r2.band AND r1.rk = 1 AND r2.rk = 2),
+         np AS (
+           SELECT count(*) AS n
+           FROM buckets bk
+           JOIN sigs sa ON bk.a = sa.doc_id
+           JOIN sigs sb ON bk.b = sb.doc_id
+           WHERE len(list_filter(range(0, 24),
+                   i -> sa.sig[i+1] = sb.sig[i+1])) >= 12),
+         ns AS (
+           SELECT count(*) AS n FROM ranked WHERE rk > 2)
+         SELECT metric, n FROM (
+           SELECT 'n_pairs' AS metric, CAST(n AS BIGINT) AS n FROM np
+           UNION ALL
+           SELECT 'n_sentinels', CAST(n AS BIGINT) FROM ns)
          ORDER BY metric""",
 
     // The gate's state store, re-derived from bucket occupancy: the

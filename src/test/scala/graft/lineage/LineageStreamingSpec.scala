@@ -120,6 +120,25 @@ class LineageStreamingSpec extends SparkTestBase {
       ("est_permille", allIn, conds)))
   }
 
+  test("observe (CollectMetrics) is lineage-transparent") {
+    // Dataset.observe wraps the plan in a CollectMetrics node whose
+    // output IS its child's output — the generic fold arm must pass
+    // sources through unchanged, so wrapping the gate in its
+    // exactly-once metrics observation never perturbs lineage.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+    val banded = graft.streaming.DocStreams.bandedSignatures(
+      docs, "doc_id", "text", 24, 4, 6)
+    val gate = graft.streaming.DocStreams.nearDupGate(spark, banded, 24, 12)
+    val plain = LineageParser.fromDataFrame(gate.toDF())
+    val observed = LineageParser.fromDataFrame(
+      graft.streaming.DocStreams.observedGate(gate).toDF())
+    assert(rows(observed) == rows(plain))
+    assert(observed.inputTables == plain.inputTables)
+  }
+
   test("typed boundary: mapGroups and typed filter stay conservative, pass-through stays precise") {
     // mapGroups produces a fresh object column (all-inputs edge, FUNC
     // tags); a typed filter reads the row opaquely (FUNC:TypedFilter

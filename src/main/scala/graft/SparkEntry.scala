@@ -91,7 +91,11 @@ object SparkEntry {
       // shapes + typed twins in one rollup — stream.<source> fan-out
       // answered beside db.table.
       "q273_stream_impact" ->
-        ((s, dir) => graft.lineage.LineageQueries.impactAll(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.impactAll(s, dir)),
+      // ... and at COLUMN grain: transitive reach over the same union
+      // (the q191 closure, streaming-aware).
+      "q275_stream_column_impact" ->
+        ((s, dir) => graft.lineage.LineageQueries.columnImpactAll(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,6 +115,8 @@ object SparkEntry {
       "q272_lineage_typed" ->
         graft.lineage.LineageQueries.typedLineageOracleSql,
       "q273_stream_impact" ->
-        graft.lineage.LineageQueries.impactAllOracleSql
+        graft.lineage.LineageQueries.impactAllOracleSql,
+      "q275_stream_column_impact" ->
+        graft.lineage.LineageQueries.columnImpactAllOracleSql
     )
 }

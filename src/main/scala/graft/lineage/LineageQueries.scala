@@ -417,9 +417,25 @@ object LineageQueries {
     * Returns (src_col, n_reach, max_depth): how many distinct
     * downstream columns the source feeds and how deep the longest
     * minimal chain runs. */
-  def columnImpact(spark: SparkSession, dir: String): DataFrame = {
+  def columnImpact(spark: SparkSession, dir: String): DataFrame =
+    columnImpactFrom(edges(spark, dir))
+
+  /** [[columnImpact]] over the WHOLE graph (q275): batch ∪ streaming ∪
+    * typed edges with per-corpus statement offsets — "which downstream
+    * COLUMNS derive from this stream source's column, through any
+    * chain" completes the q273 story at column grain. */
+  def columnImpactAll(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val e = edges(spark, dir)
+    columnImpactFrom(edges(spark, dir)
+      .unionAll(streamingEdges(spark, dir)
+        .withColumn("stmt", col("stmt") + lit(1000)))
+      .unionAll(typedEdges(spark, dir)
+        .withColumn("stmt", col("stmt") + lit(2000))))
+  }
+
+  private def columnImpactFrom(edgesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = edgesDf
       .select(explode(split(col("from_name"), "[,&]")).as("src"),
         when(col("table_name") === "<EOF>",
           concat_ws(".", col("table_name"), col("stmt"), col("to_name")))
@@ -461,16 +477,36 @@ object LineageQueries {
     reach
   }
 
+  /** The batch ∪ streaming ∪ typed golden union, statement indices
+    * disjointed exactly as the Spark side does — the shared inner
+    * relation of the q273/q275 oracles. */
+  private lazy val unionGoldenSql: String =
+    s"""SELECT * FROM ($oracleSql)
+        UNION ALL
+        SELECT stmt + 1000 AS stmt, table_name, col_name, to_name,
+               from_name, conditions
+        FROM ($streamingLineageOracleSql)
+        UNION ALL
+        SELECT stmt + 2000 AS stmt, table_name, col_name, to_name,
+               from_name, conditions
+        FROM ($typedLineageOracleSql)"""
+
   /** DuckDB oracle for [[columnImpact]] — the same normalization and a
     * depth-capped recursive closure over the frozen edge golden. */
-  lazy val columnImpactOracleSql: String =
+  lazy val columnImpactOracleSql: String = columnImpactOracle(oracleSql)
+
+  /** DuckDB oracle for [[columnImpactAll]] (q275). */
+  lazy val columnImpactAllOracleSql: String =
+    columnImpactOracle(unionGoldenSql)
+
+  private def columnImpactOracle(inner: String): String =
     s"""WITH RECURSIVE ed AS (
           SELECT DISTINCT
                  unnest(string_split_regex(from_name, '[,&]')) AS src,
                  CASE WHEN table_name = '<EOF>'
                       THEN table_name || '.' || stmt || '.' || to_name
                       ELSE table_name || '.' || to_name END AS dst
-          FROM ($oracleSql)
+          FROM ($inner)
           WHERE from_name <> ''),
         e2 AS (SELECT src, dst FROM ed WHERE src <> ''),
         r(src, dst, depth) AS (
@@ -603,16 +639,7 @@ object LineageQueries {
             SELECT stmt, to_name,
                    string_split(unnest(
                      string_split_regex(from_name, '[,&]')), '.') AS p
-            FROM (
-              SELECT * FROM ($oracleSql)
-              UNION ALL
-              SELECT stmt + 1000 AS stmt, table_name, col_name, to_name,
-                     from_name, conditions
-              FROM ($streamingLineageOracleSql)
-              UNION ALL
-              SELECT stmt + 2000 AS stmt, table_name, col_name, to_name,
-                     from_name, conditions
-              FROM ($typedLineageOracleSql))))
+            FROM ($unionGoldenSql)))
         WHERE src_table <> ''
         GROUP BY src_table
         ORDER BY src_table"""

@@ -170,7 +170,8 @@ object Bench {
     // as a transient host stall.
     val retimed = results.sortBy(-_._2).take(3).map { case (name, _) =>
       val fn = SparkEntry.queries(name)
-      val warm = graft.queries.PipelineQueries.artifactBacked
+      val warm = (graft.queries.PipelineQueries.artifactBacked ++
+          graft.queries.StreamingQueries.artifactBacked)
         .get(name).exists(_.apply())
       val t0 = System.nanoTime()
       // A re-run FAILURE must not masquerade as a fast retime (a tiny

@@ -164,6 +164,45 @@ object StreamingQueries {
     }
   }
 
+  /** Train-once banded-signature artifact shared by the gate CONTRACT
+    * queries (q268/q269/q271/q274) — the established pipeline-artifact
+    * pattern (PipelineShared's pair/quality artifacts): production
+    * bands a corpus ONCE and fans the banded frame out to the gate,
+    * the index builder, and the audits, so the four queries that pin
+    * gate CONTRACTS (capping, metrics, state audit, observed
+    * emissions) stream the same materialized banding instead of each
+    * re-running the md5 pipeline. q261/q263 stay full cold pipelines —
+    * they ARE the end-to-end twins. Whichever consumer runs first pays
+    * the build; the map below flags warmth for Bench's retime triage. */
+  private val bandedArtifact =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandedDocsArtifact(s: SparkSession, dir: String): String =
+    bandedArtifact.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_banded_artifact").toString
+      graft.streaming.DocStreams.bandedSignatures(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 24, bands = 4, rows = 6)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Banded artifact as a bounded STREAM (all files, one data batch). */
+  private def bandedStream(s: SparkSession, dir: String): DataFrame = {
+    val art = bandedDocsArtifact(s, dir)
+    s.readStream.schema(s.read.parquet(art).schema).parquet(art)
+  }
+
+  /** Artifact-warmth flags for Bench's retime triage — same contract
+    * as PipelineQueries.artifactBacked. */
+  val artifactBacked: Map[String, () => Boolean] = {
+    val banded = () => !bandedArtifact.isEmpty
+    Seq("q268_stream_neardup_capped", "q269_stream_gate_metrics",
+      "q271_gate_state_audit", "q274_gate_observed_metrics")
+      .map(_ -> banded).toMap
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Watermarked tumbling-window counts, append mode: only windows the
@@ -780,11 +819,7 @@ object StreamingQueries {
     // artifact (a multi-batch split legitimately admits different
     // residents).
     "q268_stream_neardup_capped" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val banded = graft.streaming.DocStreams.bandedSignatures(
-        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val banded = bandedStream(s, dir)
       val out = graft.streaming.DocStreams.nearDupGate(s, banded,
         k = 24, minAgree = 12, cap = 2)
       val (sunk, dataBatches) = withRocksDbState(s) {
@@ -810,11 +845,7 @@ object StreamingQueries {
     // correctness inputs.
     "q269_stream_gate_metrics" -> ((s, dir) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val banded = graft.streaming.DocStreams.bandedSignatures(
-        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val banded = bandedStream(s, dir)
       val m = graft.streaming.DocStreams.GateMetrics(s)
       val out = graft.streaming.DocStreams.nearDupGate(s, banded,
         k = 24, minAgree = 12, cap = 2, metrics = Some(m))
@@ -828,11 +859,10 @@ object StreamingQueries {
       // Accumulators are at-least-once under task retries; cross-check
       // the snapshot against two derivable invariants and fail BY NAME
       // rather than as an opaque driver hash mismatch (ADVICE r15):
-      // every (band, doc) row is either admitted or rejected (each
-      // non-null-text doc yields exactly `bands` = 4 banded rows), and
-      // each rejection emits exactly one sentinel sink row.
-      val expectedRows = 4L * s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("text").isNotNull).count()
+      // every banded (band, doc) row is either admitted or rejected,
+      // and each rejection emits exactly one sentinel sink row.
+      val expectedRows =
+        s.read.parquet(bandedDocsArtifact(s, dir)).count()
       require(adm + rej == expectedRows,
         s"q269 accumulator retry contamination: admitted($adm) + " +
           s"rejected($rej) != banded rows ($expectedRows) — a retried " +
@@ -859,11 +889,7 @@ object StreamingQueries {
     // the observation counts.
     "q274_gate_observed_metrics" -> ((s, dir) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val banded = graft.streaming.DocStreams.bandedSignatures(
-        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val banded = bandedStream(s, dir)
       val out = graft.streaming.DocStreams.observedGate(
         graft.streaming.DocStreams.nearDupGate(s, banded,
           k = 24, minAgree = 12, cap = 2))
@@ -897,11 +923,7 @@ object StreamingQueries {
     // the band keys — this pins the state itself, not just the gate's
     // emissions.
     "q271_gate_state_audit" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val banded = graft.streaming.DocStreams.bandedSignatures(
-        docs, "doc_id", "text", k = 24, bands = 4, rows = 6)
+      val banded = bandedStream(s, dir)
       val out = graft.streaming.DocStreams.nearDupGate(s, banded,
         k = 24, minAgree = 12, cap = 2)
       val ckpt = java.nio.file.Files

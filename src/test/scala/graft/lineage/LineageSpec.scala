@@ -109,6 +109,19 @@ class LineageSpec extends SparkTestBase {
     assert(v1.inputTables == Set("default.srcpart"))
   }
 
+  test("USE catalog.namespace threads three-part qualification into later statements") {
+    // `USE testcat.ns1` sets a DOTTED current db, and fillDb's
+    // no-dot rule then qualifies bare names with the full
+    // catalog.namespace prefix — S2 threading composes with the
+    // three-part encoding with no special casing.
+    LineageQueries.registerFixtures(spark, sfDir)
+    val rs = LineageParser.parse(spark,
+      "USE testcat.ns1;\nDROP TABLE cat_docs")
+    assert(rs.head.operation == Operation.Use)
+    assert(rs.head.outputTables == Set("testcat.ns1"))
+    assert(rs(1).outputTables == Set("testcat.ns1.cat_docs\tDROP"))
+  }
+
   test("statement splitting honors escaped semicolons") {
     assert(LineageParser.splitStatements("a; b;c") == Seq("a", "b", "c"))
     assert(LineageParser.splitStatements("a\\;b; c") == Seq("a\\;b", "c"))

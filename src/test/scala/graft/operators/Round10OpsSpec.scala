@@ -51,7 +51,8 @@ class Round10OpsSpec extends SparkTestBase {
     // A typo here would silently un-flag a cache-backed retime, which
     // is exactly the misreading the flag exists to prevent.
     val known = graft.SparkEntry.queries.keySet
-    val unknown = graft.queries.PipelineQueries.artifactBacked.keySet
+    val unknown = (graft.queries.PipelineQueries.artifactBacked.keySet ++
+      graft.queries.StreamingQueries.artifactBacked.keySet)
       .filterNot(known)
     assert(unknown.isEmpty, s"artifactBacked names not in queries: $unknown")
   }

@@ -172,7 +172,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val warm = (graft.queries.PipelineQueries.artifactBacked ++
           graft.queries.StreamingQueries.artifactBacked)
-        .get(name).exists(_.apply())
+        .get(name).exists(_.apply(sfDir))
       val t0 = System.nanoTime()
       // A re-run FAILURE must not masquerade as a fast retime (a tiny
       // time-to-exception would read as "transient stall" — the exact

@@ -386,6 +386,10 @@ object LineageQueries {
       .select(col("stmt"), col("to_name"),
         concat_ws(".", slice(col("p"), lit(1), size(col("p")) - 1))
           .as("src_table"))
+      // mirror the oracle's WHERE src_table <> '' (ADVICE r16): a
+      // dot-free source name (unreachable today — sources are always
+      // >= 2-part) would otherwise group under '' on this side only
+      .filter(col("src_table") =!= "")
       .groupBy("src_table")
       .agg(count(lit(1)).as("n_edges"),
         countDistinct(concat_ws(":", col("stmt"), col("to_name")))
@@ -406,13 +410,12 @@ object LineageQueries {
     * Edge normalization: composite sources split on `,` (within an
     * expression) and `&` (across union branches); a `<EOF>` sink
     * (plain SELECT) is qualified by its statement number so ad-hoc
-    * reads never collide or chain. Closure: iterative join rounds to
-    * depth ≤ 4 (the corpus' chains are shorter; a production run sizes
-    * rounds to the warehouse's pipeline depth — each round is one
-    * self-equi-join + min-depth aggregate, the [[graft.operators.Graph]]
-    * posture), keeping the MIN depth per (src, dst) pair. Roots =
-    * source columns never produced by any statement (true base-table
-    * columns).
+    * reads never collide or chain. Closure: iterative join rounds TO
+    * FIXPOINT (each round is one self-equi-join + min-depth aggregate,
+    * the [[graft.operators.Graph]] posture — see [[closure]]), keeping
+    * the MIN depth per (src, dst) pair, so a pipeline of any depth
+    * reports exact reach. Roots = source columns never produced by any
+    * statement (true base-table columns).
     *
     * Returns (src_col, n_reach, max_depth): how many distinct
     * downstream columns the source feeds and how deep the longest
@@ -455,24 +458,45 @@ object LineageQueries {
       .orderBy("src_col")
   }
 
-  /** Min-depth transitive closure of a (src, dst) edge frame to depth
-    * ≤ 4 — [[columnImpact]]'s engine, factored so the multi-hop
-    * semantics are spec-testable beyond the (currently chain-free)
-    * frozen corpus. Each round: one self-equi-join extending every
-    * known path by one edge, then a min-depth aggregate — both
-    * map-side combinable; the corpus-free shape also means a
-    * production run sizes rounds to its pipeline depth without
-    * touching this code. */
-  private[lineage] def closure(edgesDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Min-depth transitive closure of a (src, dst) edge frame, iterated
+    * TO FIXPOINT (VERDICT r16 #1 — the former hard depth-4 cap
+    * silently truncated `n_reach`/`max_depth` on pipelines deeper than
+    * 4 stages, the exact miscount q191/q275 exist to prevent) —
+    * [[columnImpact]]'s engine, factored so the multi-hop semantics
+    * are spec-testable beyond the frozen corpus. Each round: one
+    * self-equi-join extending every known path by one edge, then a
+    * min-depth aggregate — both map-side combinable — followed by a
+    * `localCheckpoint` (truncates the growing plan lineage; at
+    * warehouse scale each round is one bounded distributed job) and a
+    * count-stability convergence check. The check is sufficient, not
+    * just necessary: after round k the reach holds exactly the pairs
+    * at min path length ≤ k+1 with their EXACT min depth (the BFS
+    * invariant — extensions of exact-min prefixes, min-merged across
+    * intermediates), so a round that adds no new pair can never
+    * change a depth either. Cycles (statement 36's self-edge) are
+    * safe: they only re-derive existing pairs at larger depths, which
+    * the min-aggregate discards. `maxDepth` is a runaway guard for
+    * pathological graphs, not a semantic cap — at the default no real
+    * warehouse pipeline comes near it. */
+  private[lineage] def closure(edgesDf: org.apache.spark.sql.DataFrame,
+                               maxDepth: Int = 64): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    var reach = edgesDf.withColumn("depth", lit(1L))
-    (1 to 3).foreach { _ =>
+    var reach = edgesDf.withColumn("depth", lit(1L)).localCheckpoint()
+    var nPairs = reach.count()
+    var round = 1
+    var converged = false
+    while (!converged && round < maxDepth) {
       val next = reach.as("r")
         .join(edgesDf.as("e2"), col("r.dst") === col("e2.src"))
         .select(col("r.src"), col("e2.dst").as("dst"),
           (col("r.depth") + 1L).as("depth"))
       reach = reach.unionAll(next)
         .groupBy("src", "dst").agg(min("depth").as("depth"))
+        .localCheckpoint()
+      val n = reach.count()
+      converged = n == nPairs
+      nPairs = n
+      round += 1
     }
     reach
   }
@@ -492,7 +516,12 @@ object LineageQueries {
         FROM ($typedLineageOracleSql)"""
 
   /** DuckDB oracle for [[columnImpact]] — the same normalization and a
-    * depth-capped recursive closure over the frozen edge golden. */
+    * recursive closure over the frozen edge golden. The `depth < 32`
+    * guard is what bounds recursion through the golden's one cycle
+    * (statement 36's self-edge re-derives pairs at ever-larger depths;
+    * DuckDB's UNION dedup alone can't stop that) — it is far above any
+    * corpus chain, so like the Spark side's `maxDepth` runaway guard
+    * it never binds semantically. */
   lazy val columnImpactOracleSql: String = columnImpactOracle(oracleSql)
 
   /** DuckDB oracle for [[columnImpactAll]] (q275). */
@@ -514,7 +543,7 @@ object LineageQueries {
           UNION
           SELECT r.src, e.dst, r.depth + 1
           FROM r JOIN e2 e ON r.dst = e.src
-          WHERE r.depth < 4),
+          WHERE r.depth < 32),
         md AS (SELECT src, dst, min(depth) AS depth
                FROM r GROUP BY src, dst),
         roots AS (

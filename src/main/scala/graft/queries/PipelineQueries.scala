@@ -24,12 +24,14 @@ object PipelineQueries {
     * triage so "retimed ≪ in-run" on a cache-backed query reads as
     * artifact playback, not as a transient host stall (VERDICT r9
     * item 3). Thunks, not booleans: warmth is evaluated at retime
-    * time, after the in-run pass has populated the caches. */
-  val artifactBacked: Map[String, () => Boolean] = {
-    val bpe = () => bpeMergeCache.nonEmpty
-    val cent = () => centroidCache.nonEmpty
-    val lpa = () => lpaArtifact.nonEmpty
-    val pq = () => pqCache.nonEmpty
+    * time, after the in-run pass has populated the caches. Keyed by
+    * the BENCHED data dir (ADVICE r16): an any-dir nonEmpty check read
+    * warm for one dir when only another dir's cache was populated. */
+  val artifactBacked: Map[String, String => Boolean] = {
+    val bpe = (dir: String) => bpeMergeCache.keys.exists(_._1 == dir)
+    val cent = (dir: String) => centroidCache.keys.exists(_._1 == dir)
+    val lpa = (dir: String) => lpaArtifact.keys.exists(_._1 == dir)
+    val pq = (dir: String) => pqCache.keys.exists(_._1 == dir)
     Map(
       "q51_ann_ivf_trained" -> cent,
       "q122_semantic_dedup" -> cent,
@@ -45,14 +47,14 @@ object PipelineQueries {
       "q202_modularity" -> lpa,
       "q172_pq_encode" -> pq,
       "q173_pq_adc_topk" -> pq,
-      "q245_ivf_pq" -> (() => cent() || pq())) ++ {
-      val pairs = () => pairArtifact.nonEmpty
-      val quality = () => qualityArtifact.nonEmpty
+      "q245_ivf_pq" -> ((dir: String) => cent(dir) || pq(dir))) ++ {
+      val pairs = (dir: String) => pairArtifact.contains(dir)
+      val quality = (dir: String) => qualityArtifact.contains(dir)
       // Dual-artifact consumers get `pairs() || quality()` — a
       // warm-pairs/cold-quality state (or vice versa) still means the
       // retime replays SOME trained cache, so the triage flag must not
       // read "fully cold" (ADVICE r12).
-      val both = () => pairs() || quality()
+      val both = (dir: String) => pairs(dir) || quality(dir)
       Seq("q31_dedup_minhash_lsh", "q53_dedup_components",
         "q69_dedup_components_star", "q110_triangle_count",
         "q146_canonical_pick", "q156_source_dup_matrix",

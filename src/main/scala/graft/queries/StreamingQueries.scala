@@ -179,8 +179,13 @@ object StreamingQueries {
 
   private def bandedDocsArtifact(s: SparkSession, dir: String): String =
     bandedArtifact.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_banded_artifact").toString
+      // Stable dir-hash-keyed path with mode(overwrite), like the
+      // pair/quality/LPA artifacts (ADVICE r16 / VERDICT r16 #8): a
+      // fresh createTempDirectory per JVM accumulated orphaned banded
+      // parquet copies in /tmp across bench runs; overwriting one
+      // target/ path bounds the footprint at one copy per data dir.
+      val out = "target/graft-artifacts/banded_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       graft.streaming.DocStreams.bandedSignatures(
         s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 24, bands = 4, rows = 6)
@@ -195,9 +200,11 @@ object StreamingQueries {
   }
 
   /** Artifact-warmth flags for Bench's retime triage — same contract
-    * as PipelineQueries.artifactBacked. */
-  val artifactBacked: Map[String, () => Boolean] = {
-    val banded = () => !bandedArtifact.isEmpty
+    * as PipelineQueries.artifactBacked. Keyed by the BENCHED data dir
+    * (ADVICE r16): an any-dir `isEmpty` check read warm for one dir
+    * when only another dir's artifact had been built this session. */
+  val artifactBacked: Map[String, String => Boolean] = {
+    val banded = (dir: String) => bandedArtifact.containsKey(dir)
     Seq("q268_stream_neardup_capped", "q269_stream_gate_metrics",
       "q271_gate_state_audit", "q274_gate_observed_metrics")
       .map(_ -> banded).toMap

@@ -123,14 +123,18 @@ class MemoryCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
-    if (!cascade && tables.keySet().toArray(Array.empty[Identifier])
-        .exists(_.namespace.sameElements(namespace)))
+    val inNs = tables.keySet().toArray(Array.empty[Identifier])
+      .filter(_.namespace.sameElements(namespace))
+    if (!cascade && inNs.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
-    tables.keySet().toArray(Array.empty[Identifier])
-      .filter(_.namespace.sameElements(namespace))
-      .foreach(tables.remove)
+    // The namespace may exist only IMPLICITLY via its tables (ADVICE
+    // r16): capture existence BEFORE mutation, or a cascade drop that
+    // actually removed tables reports "nothing dropped".
+    val existed = namespaces.contains(namespace.toSeq) || inNs.nonEmpty
+    inNs.foreach(tables.remove)
     namespaces.remove(namespace.toSeq)
+    existed
   }
 }
 

@@ -95,7 +95,13 @@ object SparkEntry {
       // ... and at COLUMN grain: transitive reach over the same union
       // (the q191 closure, streaming-aware).
       "q275_stream_column_impact" ->
-        ((s, dir) => graft.lineage.LineageQueries.columnImpactAll(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.columnImpactAll(s, dir)),
+      // SINK CAPTURE (r16 #2): fromStreamingQuery over STARTED queries
+      // — the sink read from the resolved WriteToStream (toTable's
+      // catalog identifier with the automatic S10 ordinal zip; a named
+      // memory sink), never a caller-supplied name.
+      "q276_lineage_sink_capture" ->
+        ((s, dir) => graft.lineage.LineageQueries.sinkCaptureEdges(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +123,8 @@ object SparkEntry {
       "q273_stream_impact" ->
         graft.lineage.LineageQueries.impactAllOracleSql,
       "q275_stream_column_impact" ->
-        graft.lineage.LineageQueries.columnImpactAllOracleSql
+        graft.lineage.LineageQueries.columnImpactAllOracleSql,
+      "q276_lineage_sink_capture" ->
+        graft.lineage.LineageQueries.sinkCaptureOracleSql
     )
 }

@@ -87,6 +87,87 @@ object LineageParser {
                     index: Int = 1): LineageResult =
     fromPlan(df.sparkSession, df.queryExecution.analyzed, index)
 
+  /** Lineage for a STARTED streaming query, SINK INCLUDED (VERDICT r16
+    * #2): the write-side twin of [[fromDataFrame]]. The reference
+    * detected INSERT sinks automatically (S4, `LineParser.java:300-304`)
+    * — [[forWrite]] made the caller re-state the streaming sink name;
+    * this entry point reads the ACTUAL sink from the query's own
+    * resolved `WriteToStream` (what the StreamingQueryManager built at
+    * `start()`), so `writeStream.toTable(t)` gets the same
+    * ordinal-zipped destination columns as a SQL `INSERT INTO t` (S10)
+    * with no caller-supplied name to drift from the truth.
+    *
+    * Sink naming: a catalog sink (v1 `catalogTable` or v2
+    * `catalogAndIdent`) goes through the same two-/three-part encoding
+    * as scan-side names ([[fillDb]]/threePart); a non-catalog sink
+    * keeps the source-side `stream.` convention — a path sink is
+    * `stream.FileSink[<path>]` (mirror of `stream.FileSource[<path>]`),
+    * a memory sink `stream.MemorySink[<query name>]` (the query name IS
+    * the addressable temp view).
+    *
+    * Plumbing note: the `WriteToStream` is held by the execution as a
+    * constructor field with no public getter, so one reflective field
+    * read unwraps it (the wrapper + field have been stable across
+    * Spark's streaming engine; a miss degrades to the execution's
+    * public `analyzedPlan`/`sink` getters, losing only the catalog
+    * identifier of `toTable` sinks, never the edges). Needs no batch
+    * to have run: everything is resolved at `start()`. */
+  def fromStreamingQuery(query: org.apache.spark.sql.streaming.StreamingQuery,
+                         index: Int = 1,
+                         metadata: Option[MetadataProvider] = None): LineageResult = {
+    val spark = query.sparkSession
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
+    val exec: AnyRef =
+      try query.getClass.getMethod("streamingQuery").invoke(query)
+      catch { case _: NoSuchMethodException => query }
+    def tableString(t: org.apache.spark.sql.connector.catalog.Table): String =
+      try t.name() catch { case _: Exception => t.toString } // v1 Sink.name throws
+    writeToStreamOf(exec) match {
+      case Some(w) =>
+        val sink = w.catalogTable.map { ct =>
+          val id = ct.identifier
+          threePart(id.catalog, id.database.toSeq :+ id.table, DefaultDb)
+        }.orElse(w.catalogAndIdent.map { case (cat, ident) =>
+          threePart(Some(cat.name), ident.namespace.toSeq :+ ident.name,
+            DefaultDb)
+        }).getOrElse {
+          val qn = Option(w.name).filter(_.nonEmpty)
+            .filter(_ => tableString(w.sink) == "MemorySink")
+            .map(n => s"[$n]").getOrElse("")
+          s"stream$SepDot${tableString(w.sink)}$qn"
+        }
+        extract(spark, w.inputQuery, sink, Operation.Insert, index,
+          DefaultDb, meta)
+      case None =>
+        def call[A](n: String): A =
+          exec.getClass.getMethod(n).invoke(exec).asInstanceOf[A]
+        val plan = call[LogicalPlan]("analyzedPlan")
+        val sink = "stream" + SepDot + tableString(
+          call[org.apache.spark.sql.connector.catalog.Table]("sink"))
+        extract(spark, plan, sink, Operation.Insert, index, DefaultDb, meta)
+    }
+  }
+
+  /** The resolved `WriteToStream` a stream execution was constructed
+    * from — found by walking the class hierarchy for the (private,
+    * getter-less) field of that type. */
+  private def writeToStreamOf(exec: AnyRef)
+      : Option[org.apache.spark.sql.catalyst.streaming.WriteToStream] = {
+    var c: Class[_] = exec.getClass
+    while (c != null) {
+      c.getDeclaredFields.find(f =>
+        classOf[org.apache.spark.sql.catalyst.streaming.WriteToStream]
+          .isAssignableFrom(f.getType)) match {
+        case Some(f) =>
+          f.setAccessible(true)
+          return Option(f.get(exec)
+            .asInstanceOf[org.apache.spark.sql.catalyst.streaming.WriteToStream])
+        case None => c = c.getSuperclass
+      }
+    }
+    None
+  }
+
   /** Write-side DataFrame lineage: the edges of
     * `df.write.insertInto(table)` / `saveAsTable(table)` BEFORE the
     * write happens — same fold as [[fromDataFrame]] with the sink

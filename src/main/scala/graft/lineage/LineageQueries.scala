@@ -342,6 +342,88 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** SINK-CAPTURE lineage corpus (q276, VERDICT r16 #2):
+    * [[LineageParser.fromStreamingQuery]] over STARTED queries — the
+    * sink comes from the query's own resolved WriteToStream, not a
+    * caller-supplied name. Two deterministic shapes (no filesystem
+    * path enters an edge): `toTable` to a catalog table (the S10
+    * ordinal zip, automatic) and a named memory sink (the query name
+    * is the addressable temp view). MemoryStream sources stay EMPTY,
+    * so each query starts, runs zero data batches under AvailableNow,
+    * and terminates in milliseconds — lineage needs only what
+    * `start()` resolved. */
+  def sinkCaptureEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def docs = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+    // Managed-table fixture: a prior JVM's run can leave the location
+    // dir behind after the fresh in-memory catalog forgot the table —
+    // clear both or CREATE fails LOCATION_ALREADY_EXISTS.
+    spark.sql("DROP TABLE IF EXISTS lineage_stream_sink")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    deleteRecursively(java.nio.file.Paths.get(wh, "lineage_stream_sink"))
+    spark.sql("""CREATE TABLE lineage_stream_sink
+                 (sk_key BIGINT, sk_text STRING) USING parquet""")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q276_ckpt")
+    import org.apache.spark.sql.streaming.Trigger
+    val results = try {
+      val q1 = docs.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .toTable("lineage_stream_sink")
+      val r1 = try LineageParser.fromStreamingQuery(q1, index = 1)
+        finally q1.awaitTermination()
+      val q2 = docs.filter(col("doc_id") > 3)
+        .writeStream.format("memory").queryName("graft_q276_sink")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val r2 = try LineageParser.fromStreamingQuery(q2, index = 2)
+        finally {
+          q2.awaitTermination()
+          spark.catalog.dropTempView("graft_q276_sink")
+        }
+      Seq(r1, r2)
+    } finally {
+      deleteRecursively(ckpt)
+      spark.sql("DROP TABLE IF EXISTS lineage_stream_sink")
+    }
+    val rows = results.flatMap { r =>
+      r.colLines.map { cl =>
+        (r.statementIndex, cl.tableName, cl.colName.getOrElse(""),
+          cl.toName, cl.fromName,
+          cl.conditionSet.toSeq.sorted.mkString("|"))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name",
+        "conditions")
+      .orderBy("stmt", "to_name", "from_name")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+
+  /** DuckDB oracle for [[sinkCaptureEdges]] — frozen VALUES golden
+    * (both shapes are path-free by construction). */
+  val sinkCaptureOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'default.lineage_stream_sink', 'default.lineage_stream_sink.sk_key', 'doc_id', 'stream.memory._1', ''),
+    (1, 'default.lineage_stream_sink', 'default.lineage_stream_sink.sk_text', 'text', 'stream.memory._2', ''),
+    (2, 'stream.MemorySink[graft_q276_sink]', '', 'doc_id', 'stream.memory._1', 'WHERE:(doc_id > CAST(3 AS BIGINT))'),
+    (2, 'stream.MemorySink[graft_q276_sink]', '', 'text', 'stream.memory._2', 'WHERE:(doc_id > CAST(3 AS BIGINT))')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name"""
+
   /** IMPACT ANALYSIS over the corpus lineage — the question a lineage
     * service exists to answer ("if this table changes, what breaks?").
     * Lineage output is itself a Dataset (SURVEY §1.3), so the analysis

@@ -101,7 +101,17 @@ object SparkEntry {
       // catalog identifier with the automatic S10 ordinal zip; a named
       // memory sink), never a caller-supplied name.
       "q276_lineage_sink_capture" ->
-        ((s, dir) => graft.lineage.LineageQueries.sinkCaptureEdges(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.sinkCaptureEdges(s, dir)),
+      // CONTROL-dependency lineage (r16 #3): opt-in CTRL:<tag> edges
+      // from WHERE/JOIN-ON condition columns to every statement output
+      // — parity value flow untouched, view conditions chased to base
+      // tables, predicate-subquery outer refs captured.
+      "q277_lineage_ctrl" ->
+        ((s, dir) => graft.lineage.LineageQueries.ctrlEdges(s, dir)),
+      // ... and the impact rollup INCLUDING those control deps — the
+      // "can I drop this column" answer that pure value flow misses.
+      "q278_ctrl_impact" ->
+        ((s, dir) => graft.lineage.LineageQueries.ctrlImpact(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +135,8 @@ object SparkEntry {
       "q275_stream_column_impact" ->
         graft.lineage.LineageQueries.columnImpactAllOracleSql,
       "q276_lineage_sink_capture" ->
-        graft.lineage.LineageQueries.sinkCaptureOracleSql
+        graft.lineage.LineageQueries.sinkCaptureOracleSql,
+      "q277_lineage_ctrl" -> graft.lineage.LineageQueries.ctrlOracleSql,
+      "q278_ctrl_impact" -> graft.lineage.LineageQueries.ctrlImpactOracleSql
     )
 }

@@ -49,11 +49,12 @@ object LineageParser {
     * A `USE db` statement re-qualifies later unqualified names.
     * `metadata` resolves sink schemas (S11); None = the session catalog. */
   def parse(spark: SparkSession, sql: String,
-            metadata: Option[MetadataProvider] = None): Seq[LineageResult] = {
+            metadata: Option[MetadataProvider] = None,
+            includeControl: Boolean = false): Seq[LineageResult] = {
     val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
     var db = DefaultDb
     splitStatements(sql).zipWithIndex.map { case (stmt, i) =>
-      val r = parseStatement(spark, stmt, i + 1, db, Some(meta))
+      val r = parseStatement(spark, stmt, i + 1, db, Some(meta), includeControl)
       if (r.operation == Operation.Use) db = r.outputTables.headOption.getOrElse(db)
       r
     }
@@ -77,15 +78,19 @@ object LineageParser {
     * (LineageStreamingSpec). */
   def fromPlan(spark: SparkSession,
                plan: LogicalPlan, index: Int = 1,
-               metadata: Option[MetadataProvider] = None): LineageResult = {
+               metadata: Option[MetadataProvider] = None,
+               includeControl: Boolean = false): LineageResult = {
     val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
-    extract(spark, plan, Eof, Operation.Select, index, DefaultDb, meta)
+    extract(spark, plan, Eof, Operation.Select, index, DefaultDb, meta,
+      includeControl = includeControl)
   }
 
   /** [[fromPlan]] directly off a Dataset/DataFrame. */
   def fromDataFrame(df: org.apache.spark.sql.DataFrame,
-                    index: Int = 1): LineageResult =
-    fromPlan(df.sparkSession, df.queryExecution.analyzed, index)
+                    index: Int = 1,
+                    includeControl: Boolean = false): LineageResult =
+    fromPlan(df.sparkSession, df.queryExecution.analyzed, index,
+      includeControl = includeControl)
 
   /** Lineage for a STARTED streaming query, SINK INCLUDED (VERDICT r16
     * #2): the write-side twin of [[fromDataFrame]]. The reference
@@ -191,7 +196,8 @@ object LineageParser {
   /** Lineage for a single statement. */
   def parseStatement(spark: SparkSession, stmt: String, index: Int,
                      currentDb: String = DefaultDb,
-                     metadata: Option[MetadataProvider] = None): LineageResult = {
+                     metadata: Option[MetadataProvider] = None,
+                     includeControl: Boolean = false): LineageResult = {
     val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
     // Hive's UNIQUEJOIN has no Spark SQL equivalent; the reference also
     // declares it unsupported (LineParser.java:248,288). Fail with a
@@ -213,7 +219,7 @@ object LineageParser {
           val i = c.asInstanceOf[InsertIntoStatement]
           val sink = fill(unresolvedName(i.table).getOrElse(Eof))
           extract(spark, i.query, sink, Operation.Insert, index, currentDb,
-            meta, i.userSpecifiedCols)
+            meta, i.userSpecifiedCols, includeControl)
         }
         parts.reduce { (a, b) =>
           LineageResult(index, Operation.Insert,
@@ -223,20 +229,23 @@ object LineageParser {
       case i: InsertIntoStatement =>
         val sink = fill(unresolvedName(i.table).getOrElse(Eof))
         extract(spark, i.query, sink, Operation.Insert, index, currentDb,
-          meta, i.userSpecifiedCols)
+          meta, i.userSpecifiedCols, includeControl)
       case c: CreateTableAsSelect =>
         val sink = fill(unresolvedName(c.name).getOrElse(Eof))
-        extract(spark, c.query, sink, Operation.CreateTable, index, currentDb, meta)
+        extract(spark, c.query, sink, Operation.CreateTable, index, currentDb,
+          meta, includeControl = includeControl)
       // RTAS is CTAS with replace semantics — same sink, same select
       // lineage. Without this arm the generic name heuristic below
       // ("Replace*" → ALTER) would mis-file it as DDL and drop every
       // column edge.
       case r: ReplaceTableAsSelect =>
         val sink = fill(unresolvedName(r.name).getOrElse(Eof))
-        extract(spark, r.query, sink, Operation.CreateTable, index, currentDb, meta)
+        extract(spark, r.query, sink, Operation.CreateTable, index, currentDb,
+          meta, includeControl = includeControl)
       case v: CreateView =>
         val sink = fill(unresolvedName(v).getOrElse(Eof))
-        extract(spark, v.query, sink, Operation.CreateTable, index, currentDb, meta)
+        extract(spark, v.query, sink, Operation.CreateTable, index, currentDb,
+          meta, includeControl = includeControl)
       // Lakehouse DML (engine extension — Hive's MERGE/UPDATE/DELETE
       // postdate the reference): lineage from the UNRESOLVED plan, since
       // analysis of row-level DML requires a v2 table; the MERGE source
@@ -288,7 +297,8 @@ object LineageParser {
           case _ =>
             // Plain query: sink is the <EOF> sentinel like the reference's
             // TOK_TMP_FILE path (LineParser.java:104-108,343-345).
-            extract(spark, other, Eof, Operation.Select, index, currentDb, meta)
+            extract(spark, other, Eof, Operation.Select, index, currentDb,
+              meta, includeControl = includeControl)
         }
     }
   }
@@ -507,16 +517,30 @@ object LineageParser {
       // tag — the reference's E11 column-function intent extended to
       // UDTF output, where the function application happens in the
       // Generate node rather than the select item.
-      funs: Map[ExprId, String] = Map.empty) {
+      funs: Map[ExprId, String] = Map.empty,
+      // CONTROL dependencies (VERDICT r16 #3): condition tag → the leaf
+      // source columns that condition READS. Filled by the Filter /
+      // Join / watermark arms; emitted as CTRL:-tagged edges only when
+      // the caller opts in (includeControl), so value-flow parity
+      // output is untouched.
+      ctrl: Map[String, Set[String]] = Map.empty) {
     def merge(o: State): State =
-      State(src ++ o.src, conds ++ o.conds, inputs ++ o.inputs, funs ++ o.funs)
+      State(src ++ o.src, conds ++ o.conds, inputs ++ o.inputs,
+        funs ++ o.funs, mergeCtrl(ctrl, o.ctrl))
   }
   private object State { val empty: State = State(Map.empty, Set.empty, Set.empty) }
+
+  private def mergeCtrl(a: Map[String, Set[String]],
+                        b: Map[String, Set[String]]): Map[String, Set[String]] =
+    (a.keySet ++ b.keySet).iterator.map(k =>
+      k -> (a.getOrElse(k, Set.empty[String]) ++
+        b.getOrElse(k, Set.empty[String]))).toMap
 
   private def extract(spark: SparkSession, query: LogicalPlan, sink: String,
                       op: Operation, index: Int, db: String,
                       meta: MetadataProvider,
-                      explicitCols: Seq[String] = Nil): LineageResult = {
+                      explicitCols: Seq[String] = Nil,
+                      includeControl: Boolean = false): LineageResult = {
     val analyzed = spark.sessionState.executePlan(query).analyzed
     val st = build(analyzed, Map.empty, db)
 
@@ -555,8 +579,31 @@ object LineageParser {
         fromName = sources.toSeq.sorted.mkString(SepCol),
         conditionSet = st.conds ++ colFun)
     }
+    // CONTROL-dependency edges (VERDICT r16 #3, opt-in): a column read
+    // only by a WHERE / JOIN-ON / WATERMARK condition still breaks
+    // every output downstream when dropped — impact analysis over pure
+    // value flow misses it (the reference records conditions as TAG
+    // TEXT only; SURVEY E6 notes the divergence). One extra edge per
+    // (condition site, output column), fromName = the columns that
+    // condition reads, tagged `CTRL:<original tag>` so parity output
+    // (the default) is byte-identical with the flag off. CASE-WHEN
+    // condition columns need no CTRL twin here: the engine already
+    // carries them as value sources (corpus 5's golden).
+    val ctrlEdges =
+      if (!includeControl) Nil
+      else st.ctrl.toSeq.sortBy(_._1).flatMap { case (tag, cols) =>
+        if (cols.isEmpty) Nil
+        else analyzed.output.zipWithIndex.map { case (attr, i) =>
+          ColLine(
+            tableName = sink,
+            colName = sinkSchema.lift(i).map(c => s"${fillDb(sink, db)}$SepDot$c"),
+            toName = attr.name,
+            fromName = cols.toSeq.sorted.mkString(SepCol),
+            conditionSet = Set(s"CTRL:$tag"))
+        }
+      }
     val outs = if (sink == Eof) Set.empty[String] else Set(fillDb(sink, db))
-    LineageResult(index, op, st.inputs, outs, edges)
+    LineageResult(index, op, st.inputs, outs, edges ++ ctrlEdges)
   }
 
   /** The top select list, for COLFUN detection — descends through nodes
@@ -671,8 +718,10 @@ object LineageParser {
     // map passes through untouched.
     case w: EventTimeWatermark =>
       val st = build(w.child, ctes, db)
-      st.copy(conds = st.conds +
-        s"WATERMARK:${w.eventTime.name} DELAY ${w.delay}")
+      val tag = s"WATERMARK:${w.eventTime.name} DELAY ${w.delay}"
+      st.copy(conds = st.conds + tag,
+        ctrl = mergeCtrl(st.ctrl,
+          Map(tag -> st.src.getOrElse(w.eventTime.exprId, Set.empty))))
 
     case p: Project   => withNamed(build(p.child, ctes, db), p.projectList, ctes, db)
 
@@ -746,12 +795,18 @@ object LineageParser {
 
     case f: Filter =>
       val st = build(f.child, ctes, db)
-      st.copy(conds = st.conds + s"WHERE:${condSql(f.condition, ctes, db)}")
+      val tag = s"WHERE:${condSql(f.condition, ctes, db)}"
+      st.copy(conds = st.conds + tag,
+        ctrl = mergeCtrl(st.ctrl,
+          Map(tag -> refsOf(f.condition, st, ctes, db))))
 
     case j: Join =>
       val merged = build(j.left, ctes, db).merge(build(j.right, ctes, db))
       j.condition.fold(merged) { c =>
-        merged.copy(conds = merged.conds + s"${joinTag(j.joinType)}:${condSql(c, ctes, db)}")
+        val tag = s"${joinTag(j.joinType)}:${condSql(c, ctes, db)}"
+        merged.copy(conds = merged.conds + tag,
+          ctrl = mergeCtrl(merged.ctrl,
+            Map(tag -> refsOf(c, merged, ctes, db))))
       }
 
     // Positional union fold — reference `LineParser.java:203-232` with the

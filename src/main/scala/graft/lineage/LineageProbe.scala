@@ -14,10 +14,12 @@ object LineageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // `typed` as a second arg dumps the q272 typed-boundary corpus
-    // instead of the SQL corpus
+    // `typed` as a second arg dumps the q272 typed-boundary corpus,
+    // `ctrl` the q277 control-dependency subset, instead of the SQL
+    // corpus
     val df =
       if (args.lift(1).contains("typed")) LineageQueries.typedEdges(spark, dir)
+      else if (args.lift(1).contains("ctrl")) LineageQueries.ctrlEdges(spark, dir)
       else LineageQueries.edges(spark, dir)
     val rows = df.collect()
     def q(s: String) = "'" + s.replace("'", "''") + "'"

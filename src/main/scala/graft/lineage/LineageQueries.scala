@@ -342,6 +342,92 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** CONTROL-DEPENDENCY lineage corpus (q277, VERDICT r16 #3): a
+    * corpus subset re-parsed with `includeControl = true` — value-flow
+    * edges stay byte-identical to the main golden (parity untouched),
+    * PLUS one `CTRL:<tag>`-tagged edge per (condition site, output
+    * column) naming the columns that WHERE / JOIN-ON conditions READ.
+    * The subset exercises: plain WHERE (1), join + filter with two
+    * sites (2), an INSERT sink where CTRL edges zip destination
+    * columns too (3), a view whose condition columns chase to the base
+    * table (4), and a predicate subquery whose OUTER reference is the
+    * control column (5). A HAVING over a literal-only aggregate elides
+    * (no columns read ⇒ no edge) — spec-pinned rather than corpus-
+    * pinned. */
+  val ctrlCorpus: Seq[String] = Seq(corpus(0), corpus(1), corpus(13),
+    corpus(34), corpus(22))
+
+  def ctrlEdges(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    val rows = ctrlCorpus.zipWithIndex.flatMap { case (sql, i) =>
+      LineageParser.parseStatement(spark, sql, i + 1,
+        includeControl = true).colLines.map { cl =>
+        (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
+          cl.fromName, cl.conditionSet.toSeq.sorted.mkString("|"))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name",
+        "conditions")
+      // conditions joins the key: a value edge and its CTRL twin can
+      // share (stmt, to_name, from_name) when the condition reads the
+      // same column the select list projects
+      .orderBy("stmt", "to_name", "from_name", "conditions")
+  }
+
+  /** IMPACT including control dependencies (q278): the q126 rollup
+    * over the CTRL-enabled subset — "does anything downstream DEPEND
+    * ON this column" now counts a column read only by a WHERE / ON
+    * condition, which pure value-flow impact misses. */
+  def ctrlImpact(spark: SparkSession, dir: String): DataFrame =
+    impactRollup(ctrlEdges(spark, dir))
+
+  /** DuckDB oracle for [[ctrlEdges]] — frozen VALUES golden (refresh
+    * via `LineageProbe <sfdir> ctrl`). */
+  val ctrlOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, '<EOF>', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 0)'),
+    (1, '<EOF>', '', 'n_name', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 0)'),
+    (1, '<EOF>', '', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 0)'),
+    (1, '<EOF>', '', 'n_nationkey', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 0)'),
+    (2, '<EOF>', '', 'c_name', 'default.customer.c_custkey,default.orders.o_custkey', 'CTRL:JOIN:(c.c_custkey = o.o_custkey)'),
+    (2, '<EOF>', '', 'c_name', 'default.customer.c_name', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (2, '<EOF>', '', 'c_name', 'default.orders.o_totalprice', 'CTRL:WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (2, '<EOF>', '', 'o_totalprice', 'default.customer.c_custkey,default.orders.o_custkey', 'CTRL:JOIN:(c.c_custkey = o.o_custkey)'),
+    (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'CTRL:WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
+    (4, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)'),
+    (4, '<EOF>', '', 'v_name', 'default.nation.n_nationkey', 'CTRL:WHERE:(lineage_view.v_key > 2)'),
+    (4, '<EOF>', '', 'v_name', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey < 4)'),
+    (5, '<EOF>', '', 'o_orderkey', 'default.orders.o_custkey', 'CTRL:WHERE:(orders.o_custkey IN (subquery(default.customer)))'),
+    (5, '<EOF>', '', 'o_orderkey', 'default.orders.o_orderkey', 'WHERE:(orders.o_custkey IN (subquery(default.customer)))')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name, conditions"""
+
+  /** DuckDB oracle for [[ctrlImpact]] — the impact rollup over the
+    * frozen CTRL golden. */
+  lazy val ctrlImpactOracleSql: String =
+    s"""SELECT src_table,
+          CAST(count(*) AS BIGINT) AS n_edges,
+          CAST(count(DISTINCT stmt || ':' || to_name) AS BIGINT)
+            AS n_dest_cols,
+          CAST(count(DISTINCT stmt) AS BIGINT) AS n_statements
+        FROM (
+          SELECT stmt, to_name,
+                 array_to_string(p[1:len(p)-1], '.') AS src_table
+          FROM (
+            SELECT stmt, to_name,
+                   string_split(unnest(
+                     string_split_regex(from_name, '[,&]')), '.') AS p
+            FROM ($ctrlOracleSql)))
+        WHERE src_table <> ''
+        GROUP BY src_table
+        ORDER BY src_table"""
+
   /** SINK-CAPTURE lineage corpus (q276, VERDICT r16 #2):
     * [[LineageParser.fromStreamingQuery]] over STARTED queries — the
     * sink comes from the query's own resolved WriteToStream, not a

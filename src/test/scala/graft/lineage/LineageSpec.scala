@@ -425,6 +425,61 @@ class LineageSpec extends SparkTestBase {
     assert(reach.values.max == 3L)
   }
 
+  test("CTRL mode: control edges opt-in; parity output untouched by default") {
+    graft.Tables.registerAll(spark, sfDir)
+    val sql = "SELECT n_name FROM nation WHERE n_regionkey = 0"
+    val plain = LineageParser.parseStatement(spark, sql, 1)
+    assert(!plain.colLines.exists(_.conditionSet.exists(_.startsWith("CTRL:"))))
+    val ctrl = LineageParser.parseStatement(spark, sql, 1,
+      includeControl = true)
+    // value edges byte-identical to the plain run...
+    assert(ctrl.colLines.filterNot(
+      _.conditionSet.exists(_.startsWith("CTRL:"))) == plain.colLines)
+    // ...plus one CTRL edge per (condition site, output column)
+    val c = ctrl.colLines.filter(_.conditionSet.exists(_.startsWith("CTRL:")))
+    assert(c.map(e => (e.toName, e.fromName)) ==
+      Seq(("n_name", "default.nation.n_regionkey")))
+    assert(c.head.conditionSet == Set("CTRL:WHERE:(nation.n_regionkey = 0)"))
+  }
+
+  test("CTRL mode: literal-only conditions elide, multi-site conditions split") {
+    graft.Tables.registerAll(spark, sfDir)
+    // HAVING count(1) > 5 reads no column — no CTRL edge for that site
+    val having = LineageParser.parseStatement(spark,
+      "SELECT o_orderstatus FROM orders GROUP BY o_orderstatus " +
+        "HAVING count(1) > 5", 1, includeControl = true)
+    assert(!having.colLines.exists(_.conditionSet.exists(_.startsWith("CTRL:"))))
+    // two condition sites → two distinct CTRL edges per output, each
+    // naming only ITS columns (the per-site grain impact needs)
+    val two = LineageParser.parseStatement(spark,
+      "SELECT c.c_name FROM customer c JOIN nation n " +
+        "ON c.c_nationkey = n.n_nationkey WHERE n.n_regionkey = 1", 1,
+      includeControl = true)
+    val sites = two.colLines.filter(_.conditionSet.exists(_.startsWith("CTRL:")))
+      .map(e => (e.conditionSet.head, e.fromName)).toSet
+    assert(sites == Set(
+      ("CTRL:JOIN:(c.c_nationkey = n.n_nationkey)",
+        "default.customer.c_nationkey,default.nation.n_nationkey"),
+      ("CTRL:WHERE:(n.n_regionkey = 1)", "default.nation.n_regionkey")))
+  }
+
+  test("CTRL mode: the watermark column is a control dependency of a stream") {
+    val df = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, k BIGINT"))
+      .parquet(s"$sfDir/events.parquet") // schema-only; nothing runs
+      .withWatermark("ts", "5 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "5 minutes"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select("n")
+    val r = LineageParser.fromDataFrame(df, includeControl = true)
+    val wm = r.colLines.filter(_.conditionSet.exists(_.startsWith("CTRL:WATERMARK")))
+    assert(wm.map(_.fromName).distinct.size == 1)
+    assert(wm.head.fromName.endsWith(".ts"))
+  }
+
   test("CTE-wrapped explode keeps the generator COLFUN tag") {
     graft.Tables.registerAll(spark, sfDir)
     // the CTERelationRef re-keys output exprIds; UDTF provenance must

@@ -929,6 +929,40 @@ object StreamingQueries {
     // the remainder), so DuckDB re-derives the ENTIRE state store from
     // the band keys — this pins the state itself, not just the gate's
     // emissions.
+    // Streaming twin #25 — OFFLINE STATE AUDIT BEYOND THE GATE (r16
+    // #4): q271's checkpoint-read contract generalized to a COMPOSITE
+    // state type — the per-user type histogram's MapState, read back
+    // as (user_id, event_type, n) rows through the state data source,
+    // no query restart. Stronger determinism than the gate audits: the
+    // final map is batch-split-invariant (each entry is its own
+    // running total), so no single-batch require is needed and the
+    // oracle is the plain batch GROUP BY — the state store itself must
+    // equal the aggregate however the run was micro-batched.
+    "q279_event_state_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+        .as[EventStreams.EventTyped]
+      val out = EventStreams.typeHistogramStream(s, ev)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q279_ckpt")
+      try withRocksDbState(s) {
+        withStreamConf(s) {
+          val q = out.toDF().writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // materialize BEFORE the checkpoint dir is deleted
+        EventStreams.typeHistState(s, ckpt.toString)
+          .localCheckpoint()
+          .orderBy("user_id", "event_type")
+      } finally deleteRecursively(ckpt)
+    }),
+
     "q271_gate_state_audit" -> ((s, dir) => {
       val banded = bandedStream(s, dir)
       val out = graft.streaming.DocStreams.nearDupGate(s, banded,
@@ -1443,6 +1477,15 @@ object StreamingQueries {
     // The final MapState histogram IS the batch GROUP BY — cumulative
     // emission + argmax consumption make the stream shape invisible.
     "q267_stream_mapstate_hist" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events
+         GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+
+    // q267's oracle VERBATIM, but pinning the STATE STORE instead of
+    // the emissions: the checkpoint's counts map must hold exactly the
+    // batch totals (split-invariant — no arrival-order caveat).
+    "q279_event_state_audit" ->
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
          FROM events
          GROUP BY user_id, event_type

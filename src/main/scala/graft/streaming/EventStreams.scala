@@ -714,6 +714,24 @@ object EventStreams extends Serializable {
         mode, OutputMode.Append())
   }
 
+  /** OFFLINE AUDIT of a [[typeHistogramStream]] checkpoint (VERDICT
+    * r16 #4 — the q271 state-read contract generalized beyond the
+    * near-dup gate, here to MAPSTATE): Spark's state data source reads
+    * the checkpoint's `counts` map directly — no query restart — as
+    * one row per live (user, type) entry. Unlike the gate's occupancy
+    * contracts, the FINAL map is batch-split-invariant (each entry is
+    * the running total of its own touches), so the audit oracle is the
+    * plain batch GROUP BY however the fixture was micro-batched.
+    * Distributed read — one task per state-store shard; requires the
+    * same provider conf the stream ran under (RocksDB). */
+  def typeHistState(spark: SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", "counts")
+      .load(checkpoint)
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("n"))
+
   /** One session emitted by the TIMER-based sessionizer: start in µs
     * (consumers order/rank on it — the Timestamp form adds nothing the
     * q66-shaped rollup uses). */

@@ -538,9 +538,10 @@ object LineageQueries {
     impactRollup(all)
   }
 
-  /** The per-source-table rollup shared by [[impact]] (batch corpus)
-    * and [[impactAll]] (batch + streaming + typed). */
-  private def impactRollup(edgesDf: DataFrame): DataFrame = {
+  /** The per-source-table rollup shared by [[impact]] (batch corpus),
+    * [[impactAll]] (batch + streaming + typed), and the service's
+    * `/impact` endpoint. */
+  private[lineage] def impactRollup(edgesDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     edgesDf
       .select(col("stmt"), col("to_name"),
@@ -604,12 +605,20 @@ object LineageQueries {
         .withColumn("stmt", col("stmt") + lit(2000))))
   }
 
-  private def columnImpactFrom(edgesDf: DataFrame): DataFrame = {
+  private[lineage] def columnImpactFrom(edgesDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Destination node identity: the SINK column when the edge has one
+    // (col_name is already db.table.col) — a downstream statement reads
+    // the sink's column NAME, not this statement's select alias, so
+    // keying sinks by to_name would break every chain through an
+    // INSERT (r17 fix; latent while the frozen corpus was chain-free,
+    // caught by the /column-impact service case). <EOF> sinks keep the
+    // statement-qualified alias (ad-hoc reads never chain).
     val e = edgesDf
       .select(explode(split(col("from_name"), "[,&]")).as("src"),
-        when(col("table_name") === "<EOF>",
-          concat_ws(".", col("table_name"), col("stmt"), col("to_name")))
+        when(col("col_name") =!= "", col("col_name"))
+          .when(col("table_name") === "<EOF>",
+            concat_ws(".", col("table_name"), col("stmt"), col("to_name")))
           .otherwise(concat_ws(".", col("table_name"), col("to_name")))
           .as("dst"))
       .filter(col("src") =!= "")
@@ -700,7 +709,8 @@ object LineageQueries {
     s"""WITH RECURSIVE ed AS (
           SELECT DISTINCT
                  unnest(string_split_regex(from_name, '[,&]')) AS src,
-                 CASE WHEN table_name = '<EOF>'
+                 CASE WHEN col_name <> '' THEN col_name
+                      WHEN table_name = '<EOF>'
                       THEN table_name || '.' || stmt || '.' || to_name
                       ELSE table_name || '.' || to_name END AS dst
           FROM ($inner)

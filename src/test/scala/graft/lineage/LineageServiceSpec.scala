@@ -10,8 +10,9 @@ import graft.SparkTestBase
 class LineageServiceSpec extends SparkTestBase {
 
   private def post(port: Int, body: String,
-                   method: String = "POST"): HttpResponse[String] = {
-    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/fetch"))
+                   method: String = "POST",
+                   path: String = "/fetch"): HttpResponse[String] = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
     HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
   }
@@ -47,6 +48,48 @@ class LineageServiceSpec extends SparkTestBase {
 
       val wrongMethod = post(port, "", method = "GET")
       assert(wrongMethod.statusCode() == 405)
+    } finally server.stop(0)
+  }
+
+  test("POST /impact and /column-impact answer the downstream question") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val server = LineageService.start(spark)
+    try {
+      val port = server.getAddress.getPort
+      // /impact: per-source-table fan-out of the POSTed statements
+      val imp = post(port,
+        "SELECT c.c_name, o.o_totalprice FROM customer c JOIN orders o " +
+          "ON c.c_custkey = o.o_custkey",
+        path = "/impact")
+      assert(imp.statusCode() == 200)
+      assert(imp.body().contains(
+        """{"srcTable":"default.customer","nEdges":1,"nDestCols":1,"nStatements":1}"""))
+      assert(imp.body().contains(
+        """{"srcTable":"default.orders","nEdges":1,"nDestCols":1,"nStatements":1}"""))
+
+      // /column-impact: a two-statement CHAIN — nation.n_name flows
+      // through the INSERT's sink column into statement 2's output, so
+      // its transitive reach is 2 at max depth 2 (the q191 closure
+      // over the request's own edges). The sink must be a real TABLE:
+      // a temp-view sink would resolve statement 2 through its
+      // definition back to nation at depth 1 (correct, but chain-free).
+      spark.sql("DROP TABLE IF EXISTS svc_chain")
+      spark.sql("CREATE TABLE svc_chain (k BIGINT, v STRING) USING parquet")
+      val ci = try post(port,
+        "INSERT INTO svc_chain SELECT n_nationkey, n_name FROM nation; " +
+          "SELECT v FROM svc_chain",
+        path = "/column-impact")
+      finally spark.sql("DROP TABLE IF EXISTS svc_chain")
+      assert(ci.statusCode() == 200)
+      assert(ci.body().contains(
+        """{"srcCol":"default.nation.n_name","nReach":2,"maxDepth":2}"""))
+      assert(ci.body().contains(
+        """{"srcCol":"default.nation.n_nationkey","nReach":1,"maxDepth":1}"""))
+
+      // errors keep the /fetch contract on the new endpoints
+      assert(post(port, "SELEKT x", path = "/impact").statusCode() == 400)
+      assert(post(port, "", method = "GET",
+        path = "/column-impact").statusCode() == 405)
     } finally server.stop(0)
   }
 

@@ -502,6 +502,54 @@ object DocStreams {
       .select(col("key.value").as("band"),
         col("value.value").as("overflow"))
 
+  /** A gate booted by [[bootGateFromBacklog]]: `start` wires a RAW
+    * document stream (same id/text columns as the backlog) through
+    * banding into the seeded gate; `overflowReport` is the backlog's
+    * cap-rejection census — one (band, n_rejected) row per bucket the
+    * cap truncated, available BEFORE the gate ever runs. */
+  case class BootedGate(start: DataFrame => Dataset[NearDupPair],
+                        overflowReport: DataFrame)
+
+  /** COLD-START SEEDING, one call (VERDICT r16 #7): batch backlog in,
+    * TTL-stamped cap-bounded initial state + overflow report out, gate
+    * ready to start. DESIGN §5's guidance made API: a backlog must
+    * seed through `bucketIndex` initial state — which COMPARES NOTHING
+    * (`handleInitialState` writes residents straight into state) —
+    * never through the streaming path, where the r16 HotBandProbe
+    * priced the default-cap hot-band seed at a quadratic ~24.5 s per
+    * 10k-resident bucket batch. Admissions are IDENTICAL to the cold
+    * path by construction (rank ≤ cap per band in doc_id order — the
+    * same order single-batch streamed admission produces, spec-pinned
+    * in DocStreamsSpec), the remainder counting into each bucket's
+    * overflow state and surfacing in `overflowReport`. With `retention`
+    * set, seeded residents are TTL-stamped at seeding time (the r15
+    * booted-gate contract), so the backlog ages out on the same clock
+    * streamed admissions do. */
+  def bootGateFromBacklog(spark: SparkSession, backlog: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int, rows: Int,
+      minAgree: Int, cap: Int = 65536,
+      retention: Option[java.time.Duration] = None,
+      metrics: Option[GateMetrics] = None): BootedGate = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val frame = bucketIndexFrame(
+      bandedSignatures(backlog, idCol, textCol, k, bands, rows), cap)
+      // one materialization serves both the initial state and the
+      // report (and keeps the banding at session parallelism — the
+      // bucketIndex rationale)
+      .localCheckpoint()
+    val init = frame.as[BandBucket]
+      .groupByKey(_.band)
+      .mapValues(b => BucketSigs(b.ids, b.sigs, b.overflow))
+    val report = frame.filter(col("overflow") > 0L)
+      .select(col("band"), col("overflow"))
+    BootedGate(
+      start = docs => nearDupGateBooted(spark,
+        bandedSignatures(docs, idCol, textCol, k, bands, rows),
+        init, k, minAgree, cap, metrics, retention),
+      overflowReport = report)
+  }
+
   /** BOOTSTRAPPED NEAR-DUP GATE (VERDICT r13 item 1): the production
     * online-ingest shape — the bucket index starts as the EXISTING
     * corpus (seeded from the batch LSH artifact through initial

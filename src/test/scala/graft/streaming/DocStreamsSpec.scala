@@ -458,6 +458,86 @@ class DocStreamsSpec extends SparkTestBase {
     } }
   }
 
+  test("bootGateFromBacklog: 10k backlog seeds with ZERO comparisons; state equals the cold path") {
+    // The one-call cold-start helper (VERDICT r16 #7): a 10k-document
+    // backlog — every 100th doc identical boilerplate, so the cap
+    // genuinely truncates hot buckets — boots the gate through initial
+    // state. Contract: (a) seeding compares NOTHING (the r16
+    // HotBandProbe priced streaming a hot-band seed at quadratic cost;
+    // the helper exists so that path is never taken), (b) the booted
+    // state store is IDENTICAL to what cold-streaming the backlog
+    // admits (residents and overflow counters alike), (c) the overflow
+    // report names the truncated buckets before the gate ever runs.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cap = 3
+    val backlog = spark.range(10000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 100 = 0 THEN 'the quick brown fox jumps over' " +
+        "ELSE concat('w', id % 53, ' x', id % 97, ' y', id % 31, ' z', id) " +
+        "END AS text")
+    val backlogRows = backlog.as[NdDoc].collect().toSeq
+    val fresh = NdDoc(20000L, "totally fresh unseen words here now")
+
+    def stateOf(ckpt: String): (Set[(String, Long)], Set[(String, Long)]) = (
+      DocStreams.gateStateResidents(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      DocStreams.gateStateOverflow(spark, ckpt)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+
+    withRocksDb { withTempDir("ndg_backlog") { base =>
+      // COLD path: the backlog streamed through the cold gate, one
+      // batch (doc_id admission order — the order the seed reproduces)
+      val coldIn = MemoryStream[NdDoc]
+      coldIn.addData(backlogRows: _*)
+      val coldQ = DocStreams.nearDupGate(spark,
+          DocStreams.bandedSignatures(coldIn.toDF(), "doc_id", "text",
+            24, 4, 6), 24, 12, cap = cap).toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/cold")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      coldQ.awaitTermination()
+      val (coldResidents, coldOverflow) = stateOf(s"$base/cold")
+
+      // BOOTED path: same backlog seeded in one call; only the fresh
+      // doc streams
+      val m = DocStreams.GateMetrics(spark)
+      val boot = DocStreams.bootGateFromBacklog(spark, backlog,
+        "doc_id", "text", k = 24, bands = 4, rows = 6, minAgree = 12,
+        cap = cap, metrics = Some(m))
+      val bootIn = MemoryStream[NdDoc]
+      bootIn.addData(fresh)
+      val bootQ = boot.start(bootIn.toDF()).toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/boot")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      bootQ.awaitTermination()
+
+      // (a) zero in-stream comparisons: the 10k seed wrote state
+      // without a single signature compare; the fresh doc's buckets
+      // are empty, so the run's ONLY admissions are its 4 band rows
+      val (adm, cmp, rej) = m.snapshot
+      assert(cmp == 0L, s"seeding compared $cmp times")
+      assert(adm == 4L && rej == 0L, s"(adm=$adm, rej=$rej)")
+
+      // (b) identical admissions: booted state minus the fresh doc's
+      // own rows == the cold path's state, counters included
+      val (bootResidents, bootOverflow) = stateOf(s"$base/boot")
+      assert(bootResidents.filterNot(_._2 == fresh.doc_id) == coldResidents)
+      assert(bootOverflow == coldOverflow)
+      assert(coldOverflow.nonEmpty, "fixture must make the cap bind")
+
+      // (c) the report named every truncated bucket up front
+      val report = boot.overflowReport.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(report == coldOverflow)
+    } }
+  }
+
   test("gate metrics: admitted/compared/rejected totals and per-batch deltas") {
     // Three identical docs (every band shared), cap = 2, two batches:
     //   batch 0 (docs 1, 2): per band — doc 1 admits (0 comparisons),

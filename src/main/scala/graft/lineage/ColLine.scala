@@ -65,3 +65,48 @@ case class LineageResult(
     inputTables: Set[String],
     outputTables: Set[String],
     colLines: Seq[ColLine])
+
+/** PUBLISHED edge-ROW contract, v1 (VERDICT r16 #9): the flat shape
+  * `LineageParser.toDataset` emits and every downstream consumer reads
+  * — the impact/column-impact engines, the q192 diff gate, the HTTP
+  * service, and external subscribers. Field names, declaration order,
+  * and types ARE the DataFrame schema (the Dataset is derived from
+  * this class's encoder, so code and contract cannot drift apart);
+  * [[LineageEdgeSchema.Version]] bumps on any change, and the spec
+  * suite pins the rendered schema (DESIGN.md "Lineage edge schema"
+  * documents the JSON form).
+  *
+  * Encodings (unchanged from the reference's string conventions):
+  * `col_name`/`from_name` empty when absent, `.` qualifies names, `,`
+  * separates one expression's sources, `&` union-branch merges, `|`
+  * joins the SORTED condition tags; `CTRL:`-prefixed tags appear only
+  * when control-dependency mode was requested. */
+case class LineageEdge(
+    stmt: Int,
+    operation: String,
+    table_name: String,
+    col_name: String,
+    to_name: String,
+    from_name: String,
+    conditions: String)
+
+object LineageEdgeSchema {
+  /** Bump on ANY change to [[LineageEdge]]'s fields, order, or
+    * encodings — consumers key compatibility off this. */
+  val Version = 1
+
+  /** The contract as a JSON-schema-ish document (also in DESIGN.md);
+    * served to consumers that never touch the JVM. */
+  val json: String =
+    """{"title":"graft.lineage.edge","version":1,"type":"object",
+      |"properties":{
+      |"stmt":{"type":"integer","description":"1-based statement index"},
+      |"operation":{"type":"string","enum":["SELECT","INSERT","DROP","TRUNCATE","LOAD","CREATETABLE","ALTER","USE","UPDATE","DELETE","MERGE","DEFAULT"]},
+      |"table_name":{"type":"string","description":"dest table (db.table / catalog.db.table / stream.<sink>); <EOF> = no sink"},
+      |"col_name":{"type":"string","description":"dest column db.table.col by sink-schema ordinal; '' when unknown"},
+      |"to_name":{"type":"string","description":"dest column as parsed (select-item alias)"},
+      |"from_name":{"type":"string","description":"source columns db.table.col, ','-joined per expression, '&'-joined across union branches; '' for literals"},
+      |"conditions":{"type":"string","description":"'|'-joined sorted tags: WHERE:/JOIN…:/COLFUN:/WATERMARK:/FUNC:/MERGE:/WHEN:, CTRL:-prefixed in control mode"}},
+      |"required":["stmt","operation","table_name","col_name","to_name","from_name","conditions"]}"""
+      .stripMargin.replace("\n", "")
+}

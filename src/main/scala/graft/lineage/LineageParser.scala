@@ -490,14 +490,16 @@ object LineageParser {
   }
 
   /** Lineage results as a queryable Dataset (SURVEY.md §1.3: lineage
-    * output is itself data). */
+    * output is itself data) — rows ARE the published v1 contract
+    * [[LineageEdge]] (its encoder derives the schema, so field
+    * names/types cannot drift from the case class;
+    * LineageEdgeSchema.Version tracks changes). */
   def toDataset(spark: SparkSession, results: Seq[LineageResult]) = {
     import spark.implicits._
-    results.flatMap(r => r.colLines.map(c => (r.statementIndex,
+    results.flatMap(r => r.colLines.map(c => LineageEdge(r.statementIndex,
       r.operation.name, c.tableName, c.colName.getOrElse(""), c.toName,
       c.fromName, c.conditionSet.toSeq.sorted.mkString("|"))))
-      .toDF("stmt", "operation", "table_name", "col_name", "to_name",
-        "from_name", "conditions")
+      .toDF()
   }
 
   // ---------------------------------------------------------------------

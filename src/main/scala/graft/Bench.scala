@@ -47,6 +47,11 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Discard one probe before the timed one: the first probe at full
+    // size still pays residual JIT past the small warmup (measured
+    // 1.48 s vs 0.69 s steady on a quiet host), which would false-trip
+    // the >2× drift rule on every clean run.
+    calibrationProbe()
     val calibration = calibrationProbe()
     // LOADED-HOST FLAG (r10/r11/r12 verdict item, landed r13): compare
     // this run's calibration probe against the MEDIAN calibration of
@@ -143,7 +148,21 @@ object Bench {
     // the full result rows — recorded as "sink":"noop" in the JSON.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = selected.map { case (name, fn) =>
+    // PER-SEGMENT CALIBRATION (r16 verdict item 6a): one start probe and
+    // one end probe can't localize WHEN a run decayed — r16's official
+    // capture went 0.86 → 5.10 and every per-query number in between
+    // carried unknown salt. Re-probe every SEG queries (untimed) and
+    // stamp (index, cal) pairs; query i in the sorted order ran under
+    // the most recent probe with at <= i (read protocol in DESIGN.md).
+    val SEG = 25
+    // Min-of-two for the in-run probes: a single probe is itself a
+    // ~0.5 s sample that a transient stall can inflate 2×+ (observed
+    // 0.48 → 1.15 within one minute) — min of back-to-back probes
+    // measures the host's available headroom, not one sample's luck.
+    def segProbe(): Double = math.min(calibrationProbe(), calibrationProbe())
+    val segProbes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    segProbes += ((0, calibration))
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
       val t0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -152,7 +171,37 @@ object Bench {
       // without the sweep they accumulate for the whole 100+-query run
       // and degrade every later query (the r5 q73/q74 regression).
       Checkpoints.sweep(spark)
+      if ((idx + 1) % SEG == 0 && idx + 1 < selected.size)
+        segProbes += ((idx + 1, segProbe()))
       name -> dt
+    }
+    // Post-loop probe closes the last segment; it is the "end" side of
+    // the drift rule (the final calibration_end after the retime pass
+    // is kept for cross-round continuity but retimes happen BETWEEN).
+    segProbes += ((results.size, segProbe()))
+    // DRIFT RULE (r16 verdict item 6b): the host's condition changed
+    // mid-run when any two probes disagree by >2× — then in-run numbers
+    // for the slow queries are suspect and the retime pass widens from
+    // 3 to 10 and waits for a QUIET WINDOW first.
+    val segCals = segProbes.map(_._2).toSeq
+    val drifted = segCals.max > 2.0 * segCals.min
+    // Quiet-window wait: bounded re-probe loop (12 × 10 s worst case,
+    // so a permanently-loaded host can't hang the bench). "Quiet" =
+    // within 1.5× of the best probe seen this run. Every attempt is
+    // recorded so the judge can see whether quiet was reached or the
+    // retimes ran loaded anyway.
+    val quietWait = scala.collection.mutable.ArrayBuffer[Double]()
+    if (drifted) {
+      val target = 1.5 * segCals.min
+      var attempts = 0
+      var cur = calibrationProbe()
+      quietWait += cur
+      while (cur > target && attempts < 12) {
+        Thread.sleep(10000)
+        cur = calibrationProbe()
+        quietWait += cur
+        attempts += 1
+      }
     }
     // SPIKE TRIAGE: re-time the slowest three queries at the END of the
     // run. A real plan cost repeats (retimed ≈ in-run); a transient
@@ -168,7 +217,18 @@ object Bench {
     // trained-artifact cache retimes as playback, not as honest
     // first-run cost — flag it so "retimed ≪ in-run" can't be misread
     // as a transient host stall.
-    val retimed = results.sortBy(-_._2).take(3).map { case (name, _) =>
+    // Top-K widens 3 → 10 under drift (r16 item 6b): when the run
+    // straddled a load change, three retimes aren't enough to separate
+    // plan cost from noise across the slow tail.
+    val retimeK = if (drifted) 10 else 3
+    // Each retime is stamped with the nearest preceding calibration
+    // probe ("cal"), refreshed every 4th retime — a retime is only as
+    // trustworthy as the host condition it ran under.
+    var retimeCal =
+      if (quietWait.nonEmpty) quietWait.last else segCals.last
+    val retimed = results.sortBy(-_._2).take(retimeK).zipWithIndex
+        .map { case ((name, _), i) =>
+      if (i > 0 && i % 4 == 0) retimeCal = calibrationProbe()
       val fn = SparkEntry.queries(name)
       val warm = (graft.queries.PipelineQueries.artifactBacked ++
           graft.queries.StreamingQueries.artifactBacked)
@@ -182,7 +242,7 @@ object Bench {
                catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Checkpoints.sweep(spark)
-      (name, dt, warm)
+      (name, dt, warm, retimeCal)
     }
     // END-OF-RUN CALIBRATION (r13 verdict item 7): one probe can't
     // tell a transient stall from sustained contention, and the r13
@@ -207,9 +267,10 @@ object Bench {
     // Each retimed entry is {"sec": t, "warm": bool}: `warm` = the
     // query's trained-artifact cache was already populated by the
     // in-run pass, so the retime measures playback, not plan cost.
-    val retimedJson = retimed.map { case (k, v, warm) =>
+    val retimedJson = retimed.map { case (k, v, warm, cal) =>
       val id = if (retimedShortOk) k.takeWhile(_ != '_') else k
-      s"\"" + id + "\":{\"sec\":" + r3(v) + ",\"warm\":" + warm + "}"
+      s"\"" + id + "\":{\"sec\":" + r3(v) + ",\"warm\":" + warm +
+        ",\"cal\":" + r3(cal) + "}"
     }.mkString("{", ",", "}")
     // STDOUT line: the harness keeps only a ~2 KiB tail of sbt output, so
     // the line must stay well under that or its head gets clipped and the
@@ -223,7 +284,7 @@ object Bench {
       val short = results.zip(shortIds).map { case ((k, v), sid) =>
         s"\"" + (if (useShort) sid else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"drifted":$drifted,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     // Tail-budget guard: past ~1.9 KiB the head of the line gets clipped
     // by the harness tail. Degrade gracefully: ms precision → cs
@@ -246,7 +307,7 @@ object Bench {
         val id = if (useShort) sid.stripPrefix("q") else k
         s"\"" + id + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"drifted":$drifted,"retimed":$retimedJson,"queries":$short,"sf":"$sfDir"}"""
     }
     // FINAL per-query tier (r15): at 269 queries even whole-second
     // entries for EVERY query overflow the tail budget — r14's and
@@ -258,7 +319,7 @@ object Bench {
     // through to totals-only while at least "rest" fits.
     def fmtLineTopSlow(): String = {
       val overhead =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"drifted":$drifted,"retimed":$retimedJson,"queries":{},"sf":"$sfDir"}"""
       // room for the worst-case rest entry ("rest":NNNNN.N + comma)
       var budget = 1900 - overhead.length - 16
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -271,7 +332,7 @@ object Bench {
           else restSum += v
         }
       val q = (kept :+ ("\"rest\":" + r1(restSum))).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$q,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"drifted":$drifted,"retimed":$retimedJson,"queries":$q,"sf":"$sfDir"}"""
     }
     println(Seq(fmtLine(r3), fmtLine(r2), fmtLine(r1), fmtLineNoQ(r1),
         fmtLineNoQ(r0))
@@ -280,8 +341,16 @@ object Bench {
     // [info]/[error] tags that can defeat line-oriented parsing).
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // Per-segment probes + the quiet-window trace land in the FILE
+    // record only (the stdout line has a hard tail budget): "at" is an
+    // index into the sorted-key query order, so query i ran under the
+    // most recent probe with at <= i.
+    val segJson = segProbes
+      .map { case (at, c) => s"""{"at":$at,"cal":${r3(c)}}""" }
+      .mkString("[", ",", "]")
+    val quietJson = quietWait.map(r3).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"sink":"noop","loaded_host":$loadedHost,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calibration)},"calibration_end":${r3(calibrationEnd)},"calibration_segments":$segJson,"quiet_wait":$quietJson,"sink":"noop","loaded_host":$loadedHost,"drifted":$drifted,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
     // DURABILITY (r9 verdict item 4): bench.json used to be silently
     // overwritten by any targeted SPARK_GRAFT_ONLY run, and at 244
     // queries the stdout line is totals-only — making bench.json the

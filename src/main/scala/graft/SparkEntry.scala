@@ -111,7 +111,23 @@ object SparkEntry {
       // ... and the impact rollup INCLUDING those control deps — the
       // "can I drop this column" answer that pure value flow misses.
       "q278_ctrl_impact" ->
-        ((s, dir) => graft.lineage.LineageQueries.ctrlImpact(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.ctrlImpact(s, dir)),
+      // PERSISTENT lineage store (r17): run-partitioned parquet graph
+      // — latest-wins-per-statement snapshot after a partial parser-v2
+      // re-parse (run 2 = stmts 1-2 in control mode) ...
+      "q280_lineage_store" ->
+        ((s, dir) => graft.lineage.LineageQueries.storeSnapshot(s, dir)),
+      // ... and the store-served cross-run diff: what the v2 canary
+      // ADDED over its re-parsed scope (set algebra, partition-pruned
+      // per run) — the parser-upgrade certification gate.
+      "q281_store_diff" ->
+        ((s, dir) => graft.lineage.LineageQueries.storeDiff(s, dir)),
+      // OPENLINEAGE interop (r17): the corpus exported through the
+      // open wire format's columnLineage facet, flattened to rows —
+      // dataset/field name splitting, sink-less and literal edges
+      // elided, DIRECT/INDIRECT transformation classification.
+      "q282_openlineage" ->
+        ((s, dir) => graft.lineage.LineageQueries.openLineageRows(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +153,11 @@ object SparkEntry {
       "q276_lineage_sink_capture" ->
         graft.lineage.LineageQueries.sinkCaptureOracleSql,
       "q277_lineage_ctrl" -> graft.lineage.LineageQueries.ctrlOracleSql,
-      "q278_ctrl_impact" -> graft.lineage.LineageQueries.ctrlImpactOracleSql
+      "q278_ctrl_impact" -> graft.lineage.LineageQueries.ctrlImpactOracleSql,
+      "q280_lineage_store" ->
+        graft.lineage.LineageQueries.storeSnapshotOracleSql,
+      "q281_store_diff" -> graft.lineage.LineageQueries.storeDiffOracleSql,
+      "q282_openlineage" ->
+        graft.lineage.LineageQueries.openLineageOracleSql
     )
 }

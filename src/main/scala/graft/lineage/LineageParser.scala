@@ -35,6 +35,9 @@ object LineageParser {
 
   private val DefaultDb = "default"
   private val Eof = "<EOF>" // reference common/Constants.java:7
+  /** The no-sink sentinel, exposed for consumers of the edge contract
+    * (OpenLineage export skips datasets named this). */
+  private[lineage] val NoSink = Eof
   private val SepCol = ","  // reference common/Constants.java:5
   private val SepDot = "."  // reference common/Constants.java:4
   private val SepAnd = "&"  // reference common/Constants.java:6

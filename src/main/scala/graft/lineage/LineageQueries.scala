@@ -428,6 +428,140 @@ object LineageQueries {
         GROUP BY src_table
         ORDER BY src_table"""
 
+  /** STORE-backed lineage snapshot (q280, r17): the [[LineageStore]]
+    * round-trip as an oracle-checked query. Run 1 = the full corpus
+    * under the parser's value-flow mode; run 2 = a PARTIAL re-parse
+    * (statements 1-2 only) under control-dependency mode — the
+    * "parser v2 canary re-parse" a lineage service runs before a
+    * fleet-wide upgrade. The snapshot must be latest-wins per
+    * STATEMENT: stmts 1-2 served from run 2 (value edges byte-equal
+    * to run 1, plus their CTRL: twins), everything else untouched
+    * from run 1 — which is exactly what the oracle states by stitching
+    * the two frozen goldens. The store lives in a per-call temp dir
+    * (rows are collected before deletion); at warehouse scale the
+    * same calls run against a durable path with per-run partition
+    * pruning and a broadcast stmt→run resolve (see [[LineageStore]]).
+    */
+  def storeSnapshot(spark: SparkSession, dir: String): DataFrame =
+    withCorpusStore(spark, dir) { store =>
+      LineageStore.snapshot(spark, store)
+        .select("run_id", "stmt", "table_name", "col_name", "to_name",
+          "from_name", "conditions")
+        .orderBy("stmt", "to_name", "from_name", "conditions",
+          "table_name", "col_name")
+    }
+
+  /** STORE-backed cross-run diff (q281, r17): what did parser v2 ADD
+    * over the statements it re-parsed — the certification gate for a
+    * parser upgrade, answered from the store alone (no re-parse at
+    * read time). Scoped to run 2's statements, so the 41 statements
+    * run 2 never touched do NOT read as removals; and set-algebra
+    * rather than q192's keyed rowDiff, because control mode
+    * legitimately emits a value edge and its CTRL: twin under the
+    * same (stmt, names) key. */
+  def storeDiff(spark: SparkSession, dir: String): DataFrame =
+    withCorpusStore(spark, dir) { store =>
+      LineageStore.diff(spark, store, fromRun = 1L, toRun = 2L)
+        .select("stmt", "table_name", "col_name", "to_name",
+          "from_name", "conditions", "change")
+        .orderBy("stmt", "to_name", "from_name", "conditions", "change")
+    }
+
+  /** Build the two-run corpus store in a temp dir, evaluate `f`'s
+    * result rows, then delete the store (the returned frame must not
+    * reference the deleted path, so rows are materialized). */
+  private def withCorpusStore(spark: SparkSession, dir: String)
+      (f: String => DataFrame): DataFrame = {
+    registerFixtures(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_lineage_store").toString
+    try {
+      val run1 = LineageParser.toDataset(spark,
+        corpus.zipWithIndex.map { case (sql, i) =>
+          LineageParser.parseStatement(spark, sql, i + 1) })
+      LineageStore.append(spark, store, 1L, run1)
+      val run2 = LineageParser.toDataset(spark,
+        corpus.take(2).zipWithIndex.map { case (sql, i) =>
+          LineageParser.parseStatement(spark, sql, i + 1,
+            includeControl = true) })
+      LineageStore.append(spark, store, 2L, run2)
+      val out = f(store)
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+  }
+
+  /** DuckDB oracle for [[storeSnapshot]] — the two frozen goldens
+    * stitched by the latest-wins rule (stmts 1-2 from the CTRL
+    * golden = run 2, the rest from the main golden = run 1). */
+  lazy val storeSnapshotOracleSql: String =
+    s"""SELECT * FROM (
+          SELECT CAST(2 AS BIGINT) AS run_id, stmt, table_name,
+                 col_name, to_name, from_name, conditions
+          FROM ($ctrlOracleSql) WHERE stmt <= 2
+          UNION ALL
+          SELECT CAST(1 AS BIGINT) AS run_id, stmt, table_name,
+                 col_name, to_name, from_name, conditions
+          FROM ($oracleSql) WHERE stmt > 2)
+        ORDER BY stmt, to_name, from_name, conditions, table_name,
+                 col_name"""
+
+  /** DuckDB oracle for [[storeDiff]]: control mode's additions over
+    * the re-parsed scope are exactly the CTRL:-tagged rows of the
+    * CTRL golden (value-flow parity means nothing is removed or
+    * altered — the CTRL: prefix only ever appears in tags control
+    * mode created). */
+  lazy val storeDiffOracleSql: String =
+    s"""SELECT stmt, table_name, col_name, to_name, from_name,
+               conditions, 'added' AS change
+        FROM ($ctrlOracleSql)
+        WHERE stmt <= 2 AND conditions LIKE '%CTRL:%'
+        ORDER BY stmt, to_name, from_name, conditions, change"""
+
+  /** OPENLINEAGE facet rows (q282, r17): the corpus exported through
+    * [[OpenLineageExport]] and flattened to its relational projection
+    * — one row per (output field, input field) of every statement
+    * that HAS a sink, the exact content of the columnLineage dataset
+    * facet the open wire format carries. Distinct from [[edges]]:
+    * no-sink statements drop out, literal edges drop out, names split
+    * into dataset vs field, the output field prefers the
+    * sink-schema-resolved name over the parsed alias, and each pair
+    * is classified DIRECT (value flow) vs INDIRECT (control flow;
+    * value mode here, so all DIRECT — the INDIRECT arm is spec-pinned
+    * in OpenLineageExportSpec). */
+  def openLineageRows(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    val results = corpus.zipWithIndex.map { case (sql, i) =>
+      LineageParser.parseStatement(spark, sql, i + 1) }
+    OpenLineageExport.toDataFrame(spark, results)
+      .orderBy("stmt", "dataset", "field", "input_dataset",
+        "input_field", "transformation")
+  }
+
+  /** DuckDB oracle for [[openLineageRows]] — the facet projection
+    * derived from the frozen edge golden in SQL: sink-less and
+    * literal edges filtered, names split at the last `.`, DISTINCT
+    * because a MERGE's matched/not-matched paths emit one edge twice
+    * and the facet is a set. */
+  lazy val openLineageOracleSql: String =
+    s"""SELECT DISTINCT stmt, table_name AS dataset,
+          CASE WHEN col_name = '' THEN to_name
+               ELSE p2[len(p2)] END AS field,
+          array_to_string(p[1:len(p)-1], '.') AS input_dataset,
+          p[len(p)] AS input_field,
+          'DIRECT' AS transformation
+        FROM (
+          SELECT stmt, table_name, col_name, to_name,
+                 string_split(unnest(
+                   string_split_regex(from_name, '[,&]')), '.') AS p,
+                 string_split(col_name, '.') AS p2
+          FROM ($oracleSql)
+          WHERE table_name <> '<EOF>' AND from_name <> '')
+        WHERE array_to_string(p, '.') <> ''
+        ORDER BY stmt, dataset, field, input_dataset, input_field,
+                 transformation"""
+
   /** SINK-CAPTURE lineage corpus (q276, VERDICT r16 #2):
     * [[LineageParser.fromStreamingQuery]] over STARTED queries — the
     * sink comes from the query's own resolved WriteToStream, not a

@@ -49,7 +49,8 @@ object LineageService {
             metadata: Option[MetadataProvider] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/fetch",
-      (ex: HttpExchange) => handle(spark, metadata, ex, toJson))
+      (ex: HttpExchange) => handle(spark, metadata, ex,
+        (_, rs) => toJson(rs)))
     // The questions a lineage service EXISTS to answer, served over the
     // same POST-the-SQL contract (VERDICT r16 #5): /impact = the q126
     // per-source-table rollup, /column-impact = the q191 transitive
@@ -59,10 +60,29 @@ object LineageService {
     // request-sized, never warehouse-sized.
     server.createContext("/impact",
       (ex: HttpExchange) => handle(spark, metadata, ex,
-        rs => impactJson(spark, rs)))
+        (_, rs) => impactJson(spark, rs)))
     server.createContext("/column-impact",
       (ex: HttpExchange) => handle(spark, metadata, ex,
-        rs => columnImpactJson(spark, rs)))
+        (_, rs) => columnImpactJson(spark, rs)))
+    // OPENLINEAGE interop (r17): the same POST-the-SQL contract, the
+    // response an array of OpenLineage RunEvents (one per statement).
+    // runId is a name-UUID of the request body, so re-emitting the
+    // same SQL is idempotent at the consumer; eventTime comes from the
+    // X-Event-Time header (the emitter itself adds no wall clock —
+    // absent the header, the epoch sentinel marks "unspecified").
+    server.createContext("/openlineage",
+      (ex: HttpExchange) => {
+        val eventTime = Option(
+          ex.getRequestHeaders.getFirst("X-Event-Time"))
+          .getOrElse("1970-01-01T00:00:00Z")
+        handle(spark, metadata, ex, (sql, rs) =>
+          OpenLineageExport.runEvents(rs, namespace = "default",
+            jobName = "adhoc",
+            runId = java.util.UUID.nameUUIDFromBytes(
+              sql.getBytes(StandardCharsets.UTF_8)).toString,
+            eventTime = eventTime)
+            .mkString("[", ",", "]"))
+      })
     server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
     server.start()
     server
@@ -70,7 +90,7 @@ object LineageService {
 
   private def handle(spark: SparkSession, metadata: Option[MetadataProvider],
                      ex: HttpExchange,
-                     render: Seq[LineageResult] => String): Unit = {
+                     render: (String, Seq[LineageResult]) => String): Unit = {
     try {
       if (ex.getRequestMethod != "POST") respond(ex, 405,
         """{"error":"use POST with the raw SQL as the request body"}""")
@@ -80,7 +100,7 @@ object LineageService {
         if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty body"}""")
         else {
           val body =
-            try Right(render(LineageParser.parse(spark, sql, metadata)))
+            try Right(render(sql, LineageParser.parse(spark, sql, metadata)))
             catch { case e: Exception =>
               Left(Option(e.getMessage).getOrElse(e.getClass.getName))
             }
@@ -135,8 +155,9 @@ object LineageService {
       }
     }.mkString("[", ",", "]")
 
-  /** Minimal JSON string escaping (quote, backslash, control chars). */
-  private def jstr(s: String): String = {
+  /** Minimal JSON string escaping (quote, backslash, control chars).
+    * Shared with [[OpenLineageExport]]. */
+  private[lineage] def jstr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")

@@ -1,0 +1,94 @@
+package graft.lineage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, incrementally-maintained lineage graph.
+  *
+  * The reference parses one SQL string per HTTP call and forgets it
+  * (`ParseController.java:18-28` — stateless request/response). A
+  * lineage service for a real warehouse accumulates edges run over
+  * run: every ETL deploy re-parses its statements, most runs touch a
+  * SUBSET of the statement population, and consumers ask for (a) the
+  * CURRENT graph and (b) WHAT CHANGED between two parser/pipeline
+  * versions. At warehouse scale the edge set is itself big data
+  * (10^4 statements × 10^2 edges × years of runs), so the store is a
+  * run-partitioned parquet layout, not a driver-side map:
+  *
+  *  - **append** writes one run's edges under `run_id=<n>/` via
+  *    `partitionBy` — runs are immutable, appends never rewrite
+  *    history, and any per-run read is partition-PRUNED (the scan
+  *    touches one directory regardless of store size).
+  *  - **snapshot** is latest-wins per STATEMENT: a run that re-parsed
+  *    statements {1,2} supersedes only those statements' edges. The
+  *    stmt→max(run_id) map is tiny (one row per statement, never per
+  *    edge), so the resolving join BROADCASTS — the full edge scan is
+  *    the only large side and it flows through map-side.
+  *  - **diff** compares two runs over the newer run's statement scope
+  *    (a partial re-parse must not report the statements it didn't
+  *    touch as "removed"). Lineage is a SET of edges keyed by the
+  *    whole row — q192's `rowDiff` keys on (stmt,cols,names) and
+  *    compares `conditions`, which breaks when control-dependency
+  *    mode legitimately emits a value edge and its `CTRL:` twin under
+  *    the same key — so the diff is set algebra (`except` both ways),
+  *    each side partition-pruned to one run.
+  */
+object LineageStore {
+
+  /** Edge columns, in [[LineageEdge]] (contract v1) order. */
+  private val edgeCols =
+    Seq("stmt", "operation", "table_name", "col_name", "to_name",
+      "from_name", "conditions")
+
+  /** Append one run's edges (any DataFrame carrying the v1 edge
+    * columns; extras are dropped). Rejects an already-present run id:
+    * runs are immutable facts, and a silent double-append would
+    * double every edge in that run's partition. */
+  def append(spark: SparkSession, storeDir: String, runId: Long,
+             edges: DataFrame): Unit = {
+    require(!runs(spark, storeDir).contains(runId),
+      s"run $runId already present in $storeDir — runs are immutable")
+    edges.select(edgeCols.map(col): _*)
+      .withColumn("run_id", lit(runId))
+      .write.mode("append").partitionBy("run_id").parquet(storeDir)
+  }
+
+  /** Run ids present, from the partition directories (no data read). */
+  def runs(spark: SparkSession, storeDir: String): Seq[Long] = {
+    val d = new java.io.File(storeDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("run_id="))
+      .map(_.stripPrefix("run_id=").toLong).sorted
+  }
+
+  /** All stored edges with their `run_id` (cast to BIGINT — partition
+    * inference would otherwise narrow the directory value to INT). */
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .withColumn("run_id", col("run_id").cast("long"))
+
+  /** Current graph: for each statement, the edges of the LATEST run
+    * that parsed it. */
+  def snapshot(spark: SparkSession, storeDir: String): DataFrame = {
+    val all = read(spark, storeDir)
+    val latest = all.groupBy("stmt").agg(max("run_id").as("run_id"))
+    all.join(broadcast(latest), Seq("stmt", "run_id"))
+      .select((Seq("run_id") ++ edgeCols).map(col): _*)
+  }
+
+  /** Edge-set diff `fromRun` → `toRun`, restricted to the statements
+    * `toRun` actually re-parsed. Returns full edge rows tagged
+    * `change` ∈ {added, removed}; an unchanged edge emits nothing. */
+  def diff(spark: SparkSession, storeDir: String, fromRun: Long,
+           toRun: Long): DataFrame = {
+    val a = read(spark, storeDir).filter(col("run_id") === fromRun)
+      .select(edgeCols.map(col): _*)
+    val b = read(spark, storeDir).filter(col("run_id") === toRun)
+      .select(edgeCols.map(col): _*)
+    val scope = b.select("stmt").distinct()
+    val aScoped = a.join(broadcast(scope), Seq("stmt"))
+    aScoped.exceptAll(b).withColumn("change", lit("removed"))
+      .unionAll(b.exceptAll(aScoped).withColumn("change", lit("added")))
+  }
+}

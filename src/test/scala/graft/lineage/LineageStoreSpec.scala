@@ -1,0 +1,99 @@
+package graft.lineage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[LineageStore]] semantics over a synthetic three-run store: runs
+  * are immutable appends, the snapshot is latest-wins PER STATEMENT
+  * (not per store), the diff is scoped to the newer run's statements,
+  * and per-run reads prune to one partition directory. */
+class LineageStoreSpec extends SparkTestBase {
+
+  private def edge(stmt: Int, to: String, from: String,
+                   conds: String = ""): LineageEdge =
+    LineageEdge(stmt, "SELECT", "<EOF>", "", to, from, conds)
+
+  private def frame(edges: LineageEdge*) = {
+    import spark.implicits._
+    edges.toDF()
+  }
+
+  private def withStore(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_store_spec").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("snapshot is latest-wins per statement across partial runs") {
+    withStore { dir =>
+      // run 1: stmts 1,2,3 — run 2 re-parses stmt 2 only — run 3
+      // re-parses stmts 1,3 (overlapping neither-superset scopes)
+      LineageStore.append(spark, dir, 1L, frame(
+        edge(1, "a", "db.t.x"), edge(2, "b", "db.t.y"),
+        edge(3, "c", "db.t.z")))
+      LineageStore.append(spark, dir, 2L, frame(
+        edge(2, "b", "db.t.y2")))
+      LineageStore.append(spark, dir, 3L, frame(
+        edge(1, "a", "db.t.x3"), edge(3, "c", "db.t.z3"),
+        edge(3, "c2", "db.t.w")))
+      assert(LineageStore.runs(spark, dir) == Seq(1L, 2L, 3L))
+      val snap = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "to_name", "from_name")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getString(2), r.getString(3))).toSet
+      assert(snap == Set(
+        (3L, 1, "a", "db.t.x3"),
+        (2L, 2, "b", "db.t.y2"),
+        (3L, 3, "c", "db.t.z3"), (3L, 3, "c2", "db.t.w")))
+    }
+  }
+
+  test("append refuses an already-present run id") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      }
+    }
+  }
+
+  test("diff is scoped to the newer run's statements and is set algebra") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(
+        edge(1, "a", "db.t.x"), edge(1, "gone", "db.t.g"),
+        edge(2, "untouched", "db.t.u")))
+      // run 2 re-parses stmt 1 only: keeps a, drops gone, adds a CTRL
+      // twin of a (same names, different conditions — the case q192's
+      // keyed rowDiff cannot represent)
+      LineageStore.append(spark, dir, 2L, frame(
+        edge(1, "a", "db.t.x"),
+        edge(1, "a", "db.t.c", "CTRL:WHERE:(t.c > 0)")))
+      val d = LineageStore.diff(spark, dir, 1L, 2L)
+        .select("stmt", "to_name", "from_name", "change")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getString(3))).toSet
+      // stmt 2 (outside run 2's scope) emits NOTHING — a partial
+      // re-parse must not read as mass removal
+      assert(d == Set(
+        (1, "gone", "db.t.g", "removed"),
+        (1, "a", "db.t.c", "added")))
+    }
+  }
+
+  test("a per-run read prunes to that run's partition") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      LineageStore.append(spark, dir, 2L, frame(edge(1, "a", "db.t.y")))
+      val one = LineageStore.read(spark, dir)
+        .filter(col("run_id") === 2L)
+      // partition pruning: the scan's selected partitions drop run 1
+      val scan = one.queryExecution.executedPlan.collectLeaves().head
+        .toString
+      assert(scan.contains("run_id"), scan)
+      assert(one.select("from_name").collect().map(_.getString(0))
+        .toSeq == Seq("db.t.y"))
+    }
+  }
+}

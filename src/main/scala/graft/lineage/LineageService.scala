@@ -35,6 +35,14 @@ import org.apache.spark.sql.SparkSession
   * transitive column reach (the q191 fixpoint closure), both computed
   * by the LineageQueries engines verbatim over the request's edges.
   *
+  * With a [[LineageStore]] directory (`store = Some(dir)`) the service
+  * is additionally a DURABLE backend: `POST /runs/<id>` parses the
+  * body and appends it as that immutable run, `GET /runs` /
+  * `GET /snapshot` / `GET /diff?from=&to=` serve the accumulated
+  * graph (latest-wins snapshot; run-scoped set diff), `POST /vacuum`
+  * drops fully-superseded runs, and `POST /openlineage` exports the
+  * open wire format (idempotent name-UUID runId).
+  *
   * Concurrency: requests serialize through one executor thread.
   * Lineage parses touch only the analyzer (no Spark jobs), so a
   * request is milliseconds; the serialization also keeps the
@@ -46,8 +54,81 @@ import org.apache.spark.sql.SparkSession
 object LineageService {
 
   def start(spark: SparkSession, port: Int = 0,
-            metadata: Option[MetadataProvider] = None): HttpServer = {
+            metadata: Option[MetadataProvider] = None,
+            store: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // STORE-BACKED tier (r17): with a LineageStore directory the
+    // service is a durable lineage BACKEND, not just a parser —
+    // POST /runs/<id> parses the body and appends it as that run;
+    // GET /runs, /snapshot, /diff?from=&to= and POST /vacuum serve
+    // the store's accumulated graph (see LineageStore for the scale
+    // shapes: per-run partition pruning, broadcast snapshot resolve).
+    store.foreach { dir =>
+      server.createContext("/runs", (ex: HttpExchange) => try {
+        val path = ex.getRequestURI.getPath
+        (ex.getRequestMethod, path.stripPrefix("/runs")) match {
+          case ("GET", "" | "/") =>
+            respond(ex, 200, LineageStore.runs(spark, dir)
+              .mkString("""{"runs":[""", ",", "]}"))
+          case ("POST", sub) if sub.matches("/\\d+") =>
+            val runId = sub.stripPrefix("/").toLong
+            val sql = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            if (sql.trim.isEmpty)
+              respond(ex, 400, """{"error":"empty body"}""")
+            else if (LineageStore.runs(spark, dir).contains(runId))
+              respond(ex, 409,
+                s"""{"error":"run $runId already exists"}""")
+            else try {
+              val results = LineageParser.parse(spark, sql, metadata)
+              LineageStore.append(spark, dir, runId,
+                LineageParser.toDataset(spark, results))
+              respond(ex, 200, s"""{"run":$runId,"edges":${
+                results.map(_.colLines.size).sum}}""")
+            } catch { case e: Exception =>
+              respond(ex, 400, s"""{"error":${jstr(
+                Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+            }
+          case _ => respond(ex, 405,
+            """{"error":"GET /runs or POST /runs/<id> with SQL body"}""")
+        }
+      } finally ex.close())
+      server.createContext("/snapshot", (ex: HttpExchange) => try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"use GET"}""")
+        else if (LineageStore.runs(spark, dir).isEmpty)
+          respond(ex, 200, "[]") // empty store: no partitions to scan
+        else respond(ex, 200,
+          edgesJson(LineageStore.snapshot(spark, dir)
+            .orderBy("stmt", "to_name", "from_name", "conditions",
+              "table_name", "col_name"), withRun = true))
+      } finally ex.close())
+      server.createContext("/diff", (ex: HttpExchange) => try {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        (params.get("from").map(_.toLong),
+          params.get("to").map(_.toLong)) match {
+          case (Some(f), Some(t))
+              if !LineageStore.runs(spark, dir).contains(f) ||
+                !LineageStore.runs(spark, dir).contains(t) =>
+            respond(ex, 404, """{"error":"unknown run id"}""")
+          case (Some(f), Some(t)) =>
+            respond(ex, 200,
+              edgesJson(LineageStore.diff(spark, dir, f, t)
+                .orderBy("stmt", "to_name", "from_name", "conditions",
+                  "change"), withChange = true))
+          case _ => respond(ex, 400,
+            """{"error":"need ?from=<run>&to=<run>"}""")
+        }
+      } finally ex.close())
+      server.createContext("/vacuum", (ex: HttpExchange) => try {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"use POST"}""")
+        else respond(ex, 200, LineageStore.vacuum(spark, dir)
+          .mkString("""{"removed":[""", ",", "]}"))
+      } finally ex.close())
+    }
     server.createContext("/fetch",
       (ex: HttpExchange) => handle(spark, metadata, ex,
         (_, rs) => toJson(rs)))
@@ -133,6 +214,28 @@ object LineageService {
       .map(r => s"""{"srcCol":${jstr(r.getString(0))},""" +
         s""""nReach":${r.getLong(1)},"maxDepth":${r.getLong(2)}}""")
       .mkString("[", ",", "]")
+
+  /** Store rows (the v1 edge columns, optionally + run_id / change)
+    * as a JSON array. Collect is bounded by the served graph — the
+    * warehouse deployment paginates at the store layer (per-run
+    * partition reads), not here. */
+  private def edgesJson(df: org.apache.spark.sql.DataFrame,
+                        withRun: Boolean = false,
+                        withChange: Boolean = false): String =
+    df.collect().map { r =>
+      val base =
+        s"""{"stmt":${r.getAs[Int]("stmt")},""" +
+          s""""operation":${jstr(r.getAs[String]("operation"))},""" +
+          s""""tableName":${jstr(r.getAs[String]("table_name"))},""" +
+          s""""colName":${jstr(r.getAs[String]("col_name"))},""" +
+          s""""toName":${jstr(r.getAs[String]("to_name"))},""" +
+          s""""fromName":${jstr(r.getAs[String]("from_name"))},""" +
+          s""""conditions":${jstr(r.getAs[String]("conditions"))}"""
+      val run = if (withRun) s""","runId":${r.getAs[Long]("run_id")}""" else ""
+      val chg = if (withChange)
+        s""","change":${jstr(r.getAs[String]("change"))}""" else ""
+      base + run + chg + "}"
+    }.mkString("[", ",", "]")
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -77,6 +77,44 @@ object LineageStore {
       .select((Seq("run_id") ++ edgeCols).map(col): _*)
   }
 
+  /** Runs the snapshot can no longer see: every statement run `r`
+    * parsed was re-parsed by a LATER run, so `r`'s partition is dead
+    * weight. Computed from the distinct (stmt, run_id) pairs — one
+    * row per statement per run, never per edge, so the whole check is
+    * metadata-sized even when the store holds years of edges. */
+  def supersededRuns(spark: SparkSession, storeDir: String): Seq[Long] = {
+    val pairs = read(spark, storeDir)
+      .select("stmt", "run_id").distinct()
+    val latest = pairs.groupBy("stmt")
+      .agg(max("run_id").as("latest_run"))
+    // a run survives iff it is still SOME statement's latest
+    val live = pairs.join(broadcast(latest),
+        pairs("stmt") === latest("stmt") &&
+          pairs("run_id") === latest("latest_run"))
+      .select(pairs("run_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    runs(spark, storeDir).filterNot(live)
+  }
+
+  /** Delete the partitions of fully-superseded runs. The snapshot is
+    * provably unchanged (no deleted row can win latest-per-statement),
+    * so vacuum bounds store growth under continuous re-parsing without
+    * touching history that [[diff]] against a LIVE run still needs.
+    * Returns the run ids removed. */
+  def vacuum(spark: SparkSession, storeDir: String): Seq[Long] = {
+    val dead = supersededRuns(spark, storeDir)
+    dead.foreach { r =>
+      val p = java.nio.file.Paths.get(storeDir, s"run_id=$r")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    dead
+  }
+
   /** Edge-set diff `fromRun` → `toRun`, restricted to the statements
     * `toRun` actually re-parsed. Returns full edge rows tagged
     * `change` ∈ {added, removed}; an unchanged edge emits nothing. */

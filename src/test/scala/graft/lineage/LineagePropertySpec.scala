@@ -80,6 +80,30 @@ class LineagePropertySpec extends SparkTestBase {
     }
   }
 
+  test("control mode never perturbs value-flow edges (parity, whole corpus)") {
+    // The CTRL contract (VERDICT r16 #3): includeControl adds edges,
+    // never alters one. Checked over EVERY corpus statement, not just
+    // the 5-statement ctrl golden: value rows (no CTRL: tag) of the
+    // control parse equal the plain parse exactly, and every added row
+    // carries only CTRL: tags.
+    def key(c: ColLine) = (c.tableName, c.colName, c.toName, c.fromName,
+      c.conditionSet)
+    LineageQueries.corpus.zipWithIndex.foreach { case (sql, i) =>
+      val plain = LineageParser.parseStatement(spark, sql, i + 1)
+      val ctrl = LineageParser.parseStatement(spark, sql, i + 1,
+        includeControl = true)
+      val (added, value) = ctrl.colLines.partition(
+        _.conditionSet.exists(_.startsWith("CTRL:")))
+      assert(value.map(key).sortBy(_.toString) ==
+        plain.colLines.map(key).sortBy(_.toString), s"stmt ${i + 1}: $sql")
+      added.foreach(c => assert(
+        c.conditionSet.forall(_.startsWith("CTRL:")),
+        s"stmt ${i + 1}: mixed tag set on added edge $c"))
+      assert(ctrl.inputTables == plain.inputTables, s"stmt ${i + 1}")
+      assert(ctrl.outputTables == plain.outputTables, s"stmt ${i + 1}")
+    }
+  }
+
   test("ORDER BY / LIMIT wrappers never change a SELECT statement's sources") {
     // Presentation operators are lineage-invariant on SOURCES and on
     // WHERE/JOIN condition tags (corpus 33 pins one instance; this

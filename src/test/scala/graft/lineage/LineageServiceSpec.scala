@@ -93,6 +93,61 @@ class LineageServiceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("store-backed tier: append runs, serve snapshot/diff, vacuum") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_svc_store").toString
+    val server = LineageService.start(spark, store = Some(dir))
+    try {
+      val port = server.getAddress.getPort
+      // empty store responds, not 500s
+      assert(post(port, "", method = "GET", path = "/runs").body() ==
+        """{"runs":[]}""")
+      assert(post(port, "", method = "GET", path = "/snapshot").body() ==
+        "[]")
+      // append two runs: run 2 re-parses statement 1 with a narrower
+      // filter (the "pipeline changed" event)
+      val r1 = post(port,
+        "SELECT n_name FROM nation WHERE n_regionkey = 0",
+        path = "/runs/1")
+      assert(r1.statusCode() == 200 &&
+        r1.body() == """{"run":1,"edges":1}""")
+      assert(post(port, "SELECT n_name FROM nation WHERE n_regionkey = 1",
+        path = "/runs/2").statusCode() == 200)
+      // immutability: re-POSTing run 1 is a 409, store unchanged
+      assert(post(port, "SELECT 1", path = "/runs/1").statusCode() == 409)
+      assert(post(port, "", method = "GET", path = "/runs").body() ==
+        """{"runs":[1,2]}""")
+      // snapshot: stmt 1's latest is run 2 — exactly one edge, run 2's
+      val snap = post(port, "", method = "GET", path = "/snapshot").body()
+      assert(snap.contains(""""runId":2"""))
+      assert(!snap.contains(""""runId":1"""))
+      assert(snap.contains("n_regionkey = 1"))
+      // diff: run 1's edge removed, run 2's added
+      val d = post(port, "", method = "GET", path = "/diff?from=1&to=2")
+        .body()
+      assert(d.contains(""""change":"removed"""") &&
+        d.contains(""""change":"added""""))
+      assert(post(port, "", method = "GET",
+        path = "/diff?from=1&to=9").statusCode() == 404)
+      assert(post(port, "", method = "GET",
+        path = "/diff").statusCode() == 400)
+      // vacuum: run 1 is fully superseded and gets removed
+      assert(post(port, "", path = "/vacuum").body() ==
+        """{"removed":[1]}""")
+      assert(post(port, "", method = "GET", path = "/runs").body() ==
+        """{"runs":[2]}""")
+      // parse errors on append don't leave a partial run behind
+      assert(post(port, "SELEKT x", path = "/runs/3").statusCode() == 400)
+      assert(post(port, "", method = "GET", path = "/runs").body() ==
+        """{"runs":[2]}""")
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("toJson escapes quotes and emits sorted deterministic conditions") {
     val r = LineageResult(1, Operation.Select, Set("t"), Set.empty,
       Seq(ColLine("<EOF>", None, "c", "t.c",

@@ -82,6 +82,30 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum removes exactly the fully-superseded runs; snapshot unchanged") {
+    withStore { dir =>
+      // run 1 {1,2} fully re-parsed by runs 2+3; run 2 {1} superseded
+      // by run 3; run 3 {1} and run 4 {2} are each some stmt's latest
+      LineageStore.append(spark, dir, 1L, frame(
+        edge(1, "a", "db.t.x"), edge(2, "b", "db.t.y")))
+      LineageStore.append(spark, dir, 2L, frame(edge(1, "a", "db.t.x2")))
+      LineageStore.append(spark, dir, 3L, frame(edge(1, "a", "db.t.x3")))
+      LineageStore.append(spark, dir, 4L, frame(edge(2, "b", "db.t.y4")))
+      assert(LineageStore.supersededRuns(spark, dir) == Seq(1L, 2L))
+      def snap() = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      val before = snap()
+      assert(LineageStore.vacuum(spark, dir) == Seq(1L, 2L))
+      assert(LineageStore.runs(spark, dir) == Seq(3L, 4L))
+      assert(snap() == before)
+      assert(before == Set((3L, 1, "db.t.x3"), (4L, 2, "db.t.y4")))
+      // vacuum is idempotent: nothing left to remove
+      assert(LineageStore.vacuum(spark, dir).isEmpty)
+    }
+  }
+
   test("a per-run read prunes to that run's partition") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))

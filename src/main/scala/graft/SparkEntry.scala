@@ -127,7 +127,12 @@ object SparkEntry {
       // dataset/field name splitting, sink-less and literal edges
       // elided, DIRECT/INDIRECT transformation classification.
       "q282_openlineage" ->
-        ((s, dir) => graft.lineage.LineageQueries.openLineageRows(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.openLineageRows(s, dir)),
+      // AUTOMATIC write capture (r17): a QueryExecutionListener turns
+      // the session's own writes (DataFrame API + SQL INSERT) into
+      // edges — sink read from the executed command, never re-stated.
+      "q283_write_capture" ->
+        ((s, dir) => graft.lineage.LineageQueries.captureEdges(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,6 +163,7 @@ object SparkEntry {
         graft.lineage.LineageQueries.storeSnapshotOracleSql,
       "q281_store_diff" -> graft.lineage.LineageQueries.storeDiffOracleSql,
       "q282_openlineage" ->
-        graft.lineage.LineageQueries.openLineageOracleSql
+        graft.lineage.LineageQueries.openLineageOracleSql,
+      "q283_write_capture" -> graft.lineage.LineageQueries.captureOracleSql
     )
 }

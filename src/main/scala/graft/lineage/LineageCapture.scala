@@ -1,0 +1,85 @@
+package graft.lineage
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** AUTOMATIC lineage capture (r17): a session-wide
+  * `QueryExecutionListener` that turns every successful DataFrame
+  * WRITE into lineage edges — no caller restates what was written
+  * (the batch analogue of [[LineageParser.fromStreamingQuery]]'s
+  * sink capture, and the reference's automatic INSERT detection, S4
+  * `LineParser.java:300-304`, lifted to the session).
+  *
+  * `attach` delivers each write's [[LineageResult]] to a callback;
+  * `attachStore` wires the callback straight into a [[LineageStore]]
+  * (one run per write, ids allocated past the store's current max) —
+  * attach at session start and the store accumulates the warehouse's
+  * actual write graph as a side effect of running it.
+  *
+  * Non-write executions (collect/count/show) produce no event —
+  * [[LineageParser.fromExecution]] returns None for them. Capture
+  * failures are swallowed by design: lineage is an observer, and an
+  * observer must never fail the write it observes. The listener bus
+  * is asynchronous; tests poll the sink rather than assuming
+  * delivery before the write call returns. */
+object LineageCapture {
+
+  def attach(spark: SparkSession,
+             onLineage: LineageResult => Unit,
+             metadata: Option[MetadataProvider] = None)
+      : QueryExecutionListener = {
+    val counter = new AtomicInteger(0)
+    // RE-ENTRANCY guard: a callback that itself WRITES (attachStore's
+    // parquet append) generates another onSuccess on this thread —
+    // without the guard the observer observes itself forever.
+    val handling = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (!handling.get()) {
+          handling.set(true)
+          try LineageParser.fromExecution(qe,
+              counter.incrementAndGet(), metadata)
+            .foreach(onLineage)
+          catch { case _: Exception => () }
+          finally handling.set(false)
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    listener
+  }
+
+  def detach(spark: SparkSession,
+             listener: QueryExecutionListener): Unit =
+    spark.listenerManager.unregister(listener)
+
+  /** Capture directly into a [[LineageStore]]: each write appends as
+    * its own run (immutable, monotonically allocated past the store's
+    * existing runs). The listener thread serializes appends, so the
+    * max+1 allocation is race-free within one session. */
+  def attachStore(spark: SparkSession, storeDir: String,
+                  metadata: Option[MetadataProvider] = None)
+      : QueryExecutionListener = {
+    val next = new java.util.concurrent.atomic.AtomicLong(
+      LineageStore.runs(spark, storeDir).lastOption.getOrElse(0L))
+    // The bus is ASYNC, so the ThreadLocal in attach can't see the
+    // store's own append arriving as a later event — drop any write
+    // landing under the store dir by name, or the observer observes
+    // itself forever (each append captured as another run).
+    val selfSink = java.nio.file.Paths.get(storeDir)
+      .toAbsolutePath.toString
+    def sinks(r: LineageResult): Set[String] =
+      r.outputTables ++ r.colLines.map(_.tableName)
+    attach(spark, r =>
+      if (!sinks(r).exists(_.contains(selfSink)))
+        LineageStore.append(spark, storeDir, next.incrementAndGet(),
+          LineageParser.toDataset(spark, Seq(r))),
+      metadata)
+  }
+}

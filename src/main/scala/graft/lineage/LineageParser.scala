@@ -176,6 +176,108 @@ object LineageParser {
     None
   }
 
+  /** Lineage of an EXECUTED write (r17): the arm behind
+    * [[LineageCapture]]'s session-wide listener — given the
+    * `QueryExecution` a `QueryExecutionListener` receives, return the
+    * write's edges (sink included) or None when the execution was not
+    * a write (actions like collect/count produce no lineage fact and
+    * must not spam the capture sink). Covers both write paths the
+    * DataFrame API plans: the V1 file-relation commands
+    * (`df.write.saveAsTable`/`insertInto`/`parquet(path)` against the
+    * session catalog's file tables) and the V2 `AppendData` /
+    * `Overwrite*` plans (DSV2 tables, `CreateTableAsSelect` for
+    * catalog plugins). A pure-path write (no catalog table) gets the
+    * `file.[<path>]` sink — the batch mirror of the streaming
+    * `stream.FileSink[<path>]` encoding. */
+  def fromExecution(qe: org.apache.spark.sql.execution.QueryExecution,
+                    index: Int = 1,
+                    metadata: Option[MetadataProvider] = None)
+      : Option[LineageResult] = {
+    val spark = qe.sparkSession
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
+    def v2Sink(nr: LogicalPlan): String = nr match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        (r.catalog, r.identifier) match {
+          case (cat, Some(id)) =>
+            threePart(cat.map(_.name), id.namespace.toSeq :+ id.name,
+              DefaultDb)
+          case _ => fillDb(r.name, DefaultDb)
+        }
+      case other: org.apache.spark.sql.catalyst.analysis.NamedRelation =>
+        fillDb(other.name, DefaultDb)
+      case _ => Eof
+    }
+    def v1Sink(ct: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable],
+               path: => String): String =
+      ct.map { t =>
+        val id = t.identifier
+        threePart(id.catalog, id.database.toSeq :+ id.table, DefaultDb)
+      }.getOrElse {
+        // A catalogTable-less insert under the WAREHOUSE dir is the
+        // data-writing leg of saveAsTable (the wrapper commands are
+        // skipped below; the catalog identifier isn't on this nested
+        // command, but the managed layout names the table):
+        // <wh>/<table> = default db, <wh>/<db>.db/<table> otherwise.
+        val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+          .stripSuffix("/")
+        def noScheme(s: String) = s.replaceFirst("^file:/*", "/")
+        val p = noScheme(path).stripSuffix("/")
+        val w = noScheme(wh)
+        if (wh.nonEmpty && p.startsWith(w + "/"))
+          p.drop(w.length + 1).split('/') match {
+            case Array(t) => s"$DefaultDb$SepDot$t"
+            case Array(db, t) if db.endsWith(".db") =>
+              s"${db.stripSuffix(".db")}$SepDot$t"
+            case _ => s"file$SepDot[$path]"
+          }
+        else s"file$SepDot[$path]"
+      }
+    // The eager write runs through QueryExecution of the command
+    // itself; a lazily-collected command surfaces wrapped in
+    // CommandResult — unwrap either shape.
+    val plan = qe.analyzed match {
+      case c: CommandResult => c.commandLogicalPlan
+      case p => p
+    }
+    val mapped: Option[(String, LogicalPlan, Operation)] = plan match {
+      case i: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+        Some((v1Sink(i.catalogTable, i.outputPath.toString), i.query,
+          Operation.Insert))
+      // V1 saveAsTable WRAPPERS are skipped on purpose: one user call
+      // emits CreateDataSourceTableAsSelectCommand AND
+      // SaveAsV1TableCommand AND the nested data-writing insert as
+      // SEPARATE listener events — capturing the terminal insert only
+      // keeps one fact per write (the op normalizes to Insert; the V2
+      // CTAS arm below still reports CreateTable, since V2 executes
+      // the write inside the one command).
+      case c if c.getClass.getSimpleName == "CreateDataSourceTableAsSelectCommand" ||
+          c.getClass.getSimpleName == "SaveAsV1TableCommand" => None
+      case a: AppendData => Some((v2Sink(a.table), a.query, Operation.Insert))
+      case o: OverwriteByExpression =>
+        Some((v2Sink(o.table), o.query, Operation.Insert))
+      case o: OverwritePartitionsDynamic =>
+        Some((v2Sink(o.table), o.query, Operation.Insert))
+      case c: CreateTableAsSelect =>
+        Some((resolvedOrNot(c.name), c.query, Operation.CreateTable))
+      case r: ReplaceTableAsSelect =>
+        Some((resolvedOrNot(r.name), r.query, Operation.CreateTable))
+      case _ => None
+    }
+    mapped.map { case (sink, query, op) =>
+      extract(spark, query, sink, op, index, DefaultDb, meta)
+    }
+  }
+
+  /** Name of a CTAS/RTAS target in EITHER resolution state: the
+    * analyzed plan a listener sees carries `ResolvedIdentifier`, the
+    * parsed plan `UnresolvedIdentifier`. */
+  private def resolvedOrNot(name: LogicalPlan): String = name match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      threePart(Some(r.catalog.name),
+        r.identifier.namespace.toSeq :+ r.identifier.name, DefaultDb)
+    case other => fillDb(unresolvedName(other).getOrElse(Eof), DefaultDb)
+  }
+
   /** Write-side DataFrame lineage: the edges of
     * `df.write.insertInto(table)` / `saveAsTable(table)` BEFORE the
     * write happens — same fold as [[fromDataFrame]] with the sink

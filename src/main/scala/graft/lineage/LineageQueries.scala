@@ -396,9 +396,9 @@ object LineageQueries {
     (2, '<EOF>', '', 'o_totalprice', 'default.customer.c_custkey,default.orders.o_custkey', 'CTRL:JOIN:(c.c_custkey = o.o_custkey)'),
     (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'CTRL:WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
     (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
-    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
     (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
-    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'cap_key', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
     (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
     (4, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)'),
     (4, '<EOF>', '', 'v_name', 'default.nation.n_nationkey', 'CTRL:WHERE:(lineage_view.v_key > 2)'),
@@ -622,6 +622,64 @@ object LineageQueries {
         "conditions")
       .orderBy("stmt", "to_name", "from_name")
   }
+
+  /** AUTOMATIC write capture as a driver query (q283, r17): attach
+    * [[LineageCapture]], run one DataFrame-API write and one SQL
+    * INSERT against a pre-created table, and return what the listener
+    * observed — nobody re-states a sink. The sink table exists before
+    * the window opens so the S10 ordinal zip is deterministic (a
+    * create-as-you-write shape would race the async bus against the
+    * catalog registration); rows are indexed by ARRIVAL order (the
+    * bus is FIFO and the writes are sequential). */
+  def captureEdges(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS lineage_cap")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(java.nio.file.Paths.get(wh, "lineage_cap"))
+    spark.sql(
+      "CREATE TABLE lineage_cap (cap_key INT, cap_name STRING) USING parquet")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[LineageResult]()
+    val listener = LineageCapture.attach(spark, r => buf.add(r))
+    try {
+      import org.apache.spark.sql.functions.col
+      spark.table("nation")
+        .filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.insertInto("lineage_cap")
+      spark.sql("INSERT INTO lineage_cap SELECT r_regionkey, r_name " +
+        "FROM region WHERE r_regionkey < 2")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (buf.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(25)
+      require(buf.size >= 2, s"capture delivered ${buf.size}/2 writes")
+    } finally {
+      LineageCapture.detach(spark, listener)
+      spark.sql("DROP TABLE IF EXISTS lineage_cap")
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = buf.iterator().asScala.toSeq.zipWithIndex.flatMap {
+      case (r, i) =>
+        r.colLines.map { cl =>
+          (i + 1, cl.tableName, cl.colName.getOrElse(""), cl.toName,
+            cl.fromName, cl.conditionSet.toSeq.sorted.mkString("|"))
+        }
+    }
+    spark.createDataFrame(rows)
+      .toDF("stmt", "table_name", "col_name", "to_name", "from_name",
+        "conditions")
+      .orderBy("stmt", "to_name", "from_name")
+  }
+
+  /** DuckDB oracle for [[captureEdges]] — frozen VALUES golden (the
+    * capture is schema-and-corpus determined, path-free). */
+  val captureOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'default.lineage_cap', 'default.lineage_cap.cap_key', 'cap_key', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (1, 'default.lineage_cap', 'default.lineage_cap.cap_name', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (2, 'default.lineage_cap', 'default.lineage_cap.cap_key', 'cap_key', 'default.region.r_regionkey', 'WHERE:(region.r_regionkey < 2)'),
+    (2, 'default.lineage_cap', 'default.lineage_cap.cap_name', 'cap_name', 'default.region.r_name', 'WHERE:(region.r_regionkey < 2)')
+    ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
+    ORDER BY stmt, to_name, from_name"""
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
@@ -1025,8 +1083,8 @@ object LineageQueries {
     (12, '<EOF>', '', 'num', '', 'COLFUN:123'),
     (12, '<EOF>', '', 'str', '', 'COLFUN:''x'''),
     (13, '<EOF>', '', 'o_custkey', 'default.orders.o_custkey', 'WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))'),
-    (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
-    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'cap_key', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
     (15, '<EOF>', '', 'n_name', 'default.nation.n_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
     (15, '<EOF>', '', 's_name', 'default.supplier.s_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
     (16, '<EOF>', '', 'c_name', 'default.customer.c_name', 'FULLOUTERJOIN:(c.c_nationkey = n.n_nationkey)'),
@@ -1071,7 +1129,7 @@ object LineageQueries {
     (38, 'default.dest1', 'default.dest1.d_key', 'key', 'default.srcpart.key', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (39, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
-    (40, 'default.lineage_rtas', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (40, 'default.lineage_rtas', '', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
     (41, '<EOF>', '', 'd_key', 'testcat.ns1.cat_docs.d_key', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
     (41, '<EOF>', '', 'd_name', 'testcat.ns1.cat_docs.d_name', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
     (42, 'testcat.ns1.cat_sink', 'testcat.ns1.cat_sink.s_key', 'd_key', 'testcat.ns1.cat_docs.d_key', ''),

@@ -63,6 +63,48 @@ object LineageParser {
     }
   }
 
+  /** Parse a LARGE statement population in parallel (r17): the scale
+    * path for warehouse-log backfills, where the corpus is millions of
+    * INDEPENDENT statements and 7 ms/statement sequential
+    * (DESIGN.md §1) means hours on one thread. Statement analysis is
+    * driver-side by nature (it needs the session's analyzer — there is
+    * nothing distributed to do: no data is read), but Spark supports
+    * concurrent queries on one session, so a fixed pool of threads
+    * shares the session and the (stateless) metadata provider.
+    * Measured: see DESIGN.md §1 (BulkParseProbe).
+    *
+    * Contract: statements must be SELF-CONTAINED — cross-statement
+    * `USE db` threading is inherently sequential and is NOT applied
+    * (the realistic backfill source, a query log, records each
+    * statement with its db already resolved). Results keep input
+    * order; indices are 1-based positions. A statement that fails to
+    * parse surfaces as a Left(index, message) so one bad log line
+    * cannot void a million-statement backfill. */
+  def parseBulk(spark: SparkSession, statements: Seq[String],
+                parallelism: Int = Runtime.getRuntime.availableProcessors(),
+                metadata: Option[MetadataProvider] = None,
+                includeControl: Boolean = false)
+      : Seq[Either[(Int, String), LineageResult]] = {
+    val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, parallelism))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val futs = statements.zipWithIndex.map { case (s, i) =>
+        Future(
+          try Right(parseStatement(spark, s, i + 1, DefaultDb,
+            Some(meta), includeControl))
+          catch { case e: Exception =>
+            Left((i + 1, Option(e.getMessage).getOrElse(e.getClass.getName)))
+          })
+      }
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Lineage for a PROGRAMMATIC DataFrame pipeline (r13 stretch): the
     * SAME analyzed-plan fold the SQL path runs, entered from
     * `df.queryExecution.analyzed` instead of a parsed statement — the

@@ -104,6 +104,28 @@ class LineagePropertySpec extends SparkTestBase {
     }
   }
 
+  test("parseBulk equals sequential parsing, any thread count") {
+    // the parallel path must be a pure reordering of work: same
+    // results, same order, same indices — and one poisoned statement
+    // degrades to a Left without voiding its neighbors
+    val stmts = LineageQueries.corpus.filter(_.startsWith("SELECT")).take(12)
+    val sequential = stmts.zipWithIndex.map { case (s, i) =>
+      LineageParser.parseStatement(spark, s, i + 1) }
+    Seq(1, 4, 16).foreach { p =>
+      val bulk = LineageParser.parseBulk(spark, stmts, p)
+      assert(bulk.forall(_.isRight), s"p=$p")
+      bulk.map(_.toOption.get).zip(sequential).foreach { case (b, s) =>
+        assert(b.statementIndex == s.statementIndex)
+        assert(b.colLines == s.colLines, s"p=$p stmt ${s.statementIndex}")
+        assert(b.inputTables == s.inputTables)
+      }
+    }
+    val poisoned = stmts.take(2) ++ Seq("SELEKT broken FROM") ++ stmts.drop(2)
+    val r = LineageParser.parseBulk(spark, poisoned, 8)
+    assert(r.count(_.isLeft) == 1 && r(2).isLeft)
+    assert(r.count(_.isRight) == stmts.size)
+  }
+
   test("ORDER BY / LIMIT wrappers never change a SELECT statement's sources") {
     // Presentation operators are lineage-invariant on SOURCES and on
     // WHERE/JOIN condition tags (corpus 33 pins one instance; this

@@ -681,6 +681,35 @@ object LineageQueries {
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
 
+  /** The edge set as Graphviz DOT at TABLE grain — the picture a
+    * lineage UI draws: one node per table (sinks and sources), one
+    * edge per (source table → sink table) pair that any statement
+    * establishes. Deterministic (sorted nodes/edges, duplicates
+    * collapsed); sink-less statements contribute nothing. The input is
+    * service-sized (a snapshot or a request's edges), so the collect
+    * is bounded by the graph being drawn. */
+  def toDot(edgesDf: DataFrame): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val rows = edgesDf.select("table_name", "from_name").collect()
+    val pairs = rows.iterator.flatMap { r =>
+      val dst = r.getString(0)
+      if (dst == "<EOF>") Iterator.empty
+      else r.getString(1).split("[,&]").iterator.filter(_.nonEmpty)
+        .map { src =>
+          val p = src.split('.')
+          (p.dropRight(1).mkString("."), dst)
+        }
+    }.filter(_._1.nonEmpty).toSeq.distinct.sorted
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val sb = new StringBuilder("digraph lineage {\n  rankdir=LR;\n")
+    nodes.foreach(n => sb.append("  \"").append(esc(n)).append("\";\n"))
+    pairs.foreach { case (s, d) =>
+      sb.append("  \"").append(esc(s)).append("\" -> \"")
+        .append(esc(d)).append("\";\n")
+    }
+    sb.append("}\n").toString
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._

@@ -128,6 +128,46 @@ object LineageService {
         else respond(ex, 200, LineageStore.vacuum(spark, dir)
           .mkString("""{"removed":[""", ",", "]}"))
       } finally ex.close())
+      // The impact questions over WHAT ACTUALLY RAN: same rollups as
+      // the POST-the-SQL endpoints, computed over the store's current
+      // snapshot instead of a request body.
+      server.createContext("/store-impact", (ex: HttpExchange) => try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"use GET"}""")
+        else if (LineageStore.runs(spark, dir).isEmpty)
+          respond(ex, 200, "[]")
+        else respond(ex, 200, rollupJson(
+          LineageQueries.impactRollup(LineageStore.snapshot(spark, dir)),
+          Seq("srcTable", "nEdges", "nDestCols", "nStatements")))
+      } finally ex.close())
+      server.createContext("/store-column-impact", (ex: HttpExchange) =>
+        try {
+          if (ex.getRequestMethod != "GET")
+            respond(ex, 405, """{"error":"use GET"}""")
+          else if (LineageStore.runs(spark, dir).isEmpty)
+            respond(ex, 200, "[]")
+          else respond(ex, 200, rollupJson(
+            LineageQueries.columnImpactFrom(
+              LineageStore.snapshot(spark, dir)),
+            Seq("srcCol", "nReach", "maxDepth")))
+        } finally ex.close())
+      // The graph itself, renderable: Graphviz DOT of the snapshot at
+      // TABLE grain (sink <- source per statement, deduped, sorted —
+      // deterministic output, the shape lineage UIs draw).
+      server.createContext("/graph.dot", (ex: HttpExchange) => try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"use GET"}""")
+        else {
+          val dot =
+            if (LineageStore.runs(spark, dir).isEmpty)
+              "digraph lineage {\n}\n"
+            else LineageQueries.toDot(LineageStore.snapshot(spark, dir))
+          val bytes = dot.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/vnd.graphviz")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close())
     }
     server.createContext("/fetch",
       (ex: HttpExchange) => handle(spark, metadata, ex,
@@ -214,6 +254,18 @@ object LineageService {
       .map(r => s"""{"srcCol":${jstr(r.getString(0))},""" +
         s""""nReach":${r.getLong(1)},"maxDepth":${r.getLong(2)}}""")
       .mkString("[", ",", "]")
+
+  /** A rollup DataFrame as a JSON array, columns by position. */
+  private def rollupJson(df: org.apache.spark.sql.DataFrame,
+                         names: Seq[String]): String =
+    df.collect().map { r =>
+      names.zipWithIndex.map { case (n, i) =>
+        r.get(i) match {
+          case s: String => s""""$n":${jstr(s)}"""
+          case v => s""""$n":$v"""
+        }
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
 
   /** Store rows (the v1 edge columns, optionally + run_id / change)
     * as a JSON array. Collect is bounded by the served graph — the

@@ -141,6 +141,31 @@ class LineageServiceSpec extends SparkTestBase {
       assert(post(port, "SELEKT x", path = "/runs/3").statusCode() == 400)
       assert(post(port, "", method = "GET", path = "/runs").body() ==
         """{"runs":[2]}""")
+      // impact over WHAT ACTUALLY RAN: the rollups served from the
+      // snapshot (one statement survives: run 2's filtered SELECT)
+      val si = post(port, "", method = "GET", path = "/store-impact")
+      assert(si.statusCode() == 200)
+      assert(si.body() ==
+        """[{"srcTable":"default.nation","nEdges":1,"nDestCols":1,"nStatements":1}]""")
+      val sci = post(port, "", method = "GET",
+        path = "/store-column-impact")
+      assert(sci.statusCode() == 200)
+      assert(sci.body().contains(
+        """{"srcCol":"default.nation.n_name","nReach":1,"maxDepth":1}"""))
+      // the drawable graph: INSERT an edge with a real sink, then DOT
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name " +
+          "FROM nation WHERE n_regionkey = 2",
+        path = "/runs/5").statusCode() == 200)
+      val dot = post(port, "", method = "GET", path = "/graph.dot")
+      assert(dot.statusCode() == 200)
+      assert(dot.headers().firstValue("Content-Type").get ==
+        "text/vnd.graphviz")
+      assert(dot.body().startsWith("digraph lineage {"))
+      assert(dot.body().contains(
+        "\"default.nation\" -> \"default.lineage_target\";"))
+      // sink-less statements draw nothing (run 2's bare SELECT)
+      assert(!dot.body().contains("<EOF>"))
     } finally {
       server.stop(0)
       org.apache.commons.io.FileUtils

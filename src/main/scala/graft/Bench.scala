@@ -231,7 +231,8 @@ object Bench {
       if (i > 0 && i % 4 == 0) retimeCal = calibrationProbe()
       val fn = SparkEntry.queries(name)
       val warm = (graft.queries.PipelineQueries.artifactBacked ++
-          graft.queries.StreamingQueries.artifactBacked)
+          graft.queries.StreamingQueries.artifactBacked ++
+          graft.lineage.LineageQueries.artifactBacked)
         .get(name).exists(_.apply(sfDir))
       val t0 = System.nanoTime()
       // A re-run FAILURE must not masquerade as a fast retime (a tiny

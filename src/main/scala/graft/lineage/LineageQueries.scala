@@ -396,9 +396,9 @@ object LineageQueries {
     (2, '<EOF>', '', 'o_totalprice', 'default.customer.c_custkey,default.orders.o_custkey', 'CTRL:JOIN:(c.c_custkey = o.o_custkey)'),
     (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'CTRL:WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
     (2, '<EOF>', '', 'o_totalprice', 'default.orders.o_totalprice', 'JOIN:(c.c_custkey = o.o_custkey)|WHERE:(o.o_totalprice > CAST(1000.0BD AS DOUBLE))'),
-    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
     (3, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
-    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'cap_key', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
     (3, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_regionkey', 'CTRL:WHERE:(nation.n_regionkey = 1)'),
     (4, '<EOF>', '', 'v_name', 'default.nation.n_name', 'WHERE:(lineage_view.v_key > 2)|WHERE:(nation.n_regionkey < 4)'),
     (4, '<EOF>', '', 'v_name', 'default.nation.n_nationkey', 'CTRL:WHERE:(lineage_view.v_key > 2)'),
@@ -443,13 +443,11 @@ object LineageQueries {
     * pruning and a broadcast stmt→run resolve (see [[LineageStore]]).
     */
   def storeSnapshot(spark: SparkSession, dir: String): DataFrame =
-    withCorpusStore(spark, dir) { store =>
-      LineageStore.snapshot(spark, store)
-        .select("run_id", "stmt", "table_name", "col_name", "to_name",
-          "from_name", "conditions")
-        .orderBy("stmt", "to_name", "from_name", "conditions",
-          "table_name", "col_name")
-    }
+    LineageStore.snapshot(spark, corpusStore(spark, dir))
+      .select("run_id", "stmt", "table_name", "col_name", "to_name",
+        "from_name", "conditions")
+      .orderBy("stmt", "to_name", "from_name", "conditions",
+        "table_name", "col_name")
 
   /** STORE-backed cross-run diff (q281, r17): what did parser v2 ADD
     * over the statements it re-parsed — the certification gate for a
@@ -460,37 +458,45 @@ object LineageQueries {
     * legitimately emits a value edge and its CTRL: twin under the
     * same (stmt, names) key. */
   def storeDiff(spark: SparkSession, dir: String): DataFrame =
-    withCorpusStore(spark, dir) { store =>
-      LineageStore.diff(spark, store, fromRun = 1L, toRun = 2L)
-        .select("stmt", "table_name", "col_name", "to_name",
-          "from_name", "conditions", "change")
-        .orderBy("stmt", "to_name", "from_name", "conditions", "change")
-    }
+    LineageStore.diff(spark, corpusStore(spark, dir),
+        fromRun = 1L, toRun = 2L)
+      .select("stmt", "table_name", "col_name", "to_name",
+        "from_name", "conditions", "change")
+      .orderBy("stmt", "to_name", "from_name", "conditions", "change")
 
-  /** Build the two-run corpus store in a temp dir, evaluate `f`'s
-    * result rows, then delete the store (the returned frame must not
-    * reference the deleted path, so rows are materialized). */
-  private def withCorpusStore(spark: SparkSession, dir: String)
-      (f: String => DataFrame): DataFrame = {
-    registerFixtures(spark, dir)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_lineage_store").toString
-    try {
+  /** The two-run corpus store, built ONCE per data dir at a stable
+    * target/graft-artifacts path (the bandedDocsArtifact pattern):
+    * q280 and q281 both read it, so whichever runs first pays the two
+    * corpus parses and the parquet writes. A previous JVM's copy is
+    * wiped before the appends (runs are immutable, so an append onto
+    * a leftover store would be rejected). */
+  private val corpusStoreArtifact =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusStore(spark: SparkSession, dir: String): String =
+    corpusStoreArtifact.computeIfAbsent(dir, _ => {
+      registerFixtures(spark, dir)
+      val out = "target/graft-artifacts/lineage_store_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      deleteRecursively(java.nio.file.Paths.get(out))
       val run1 = LineageParser.toDataset(spark,
         corpus.zipWithIndex.map { case (sql, i) =>
           LineageParser.parseStatement(spark, sql, i + 1) })
-      LineageStore.append(spark, store, 1L, run1)
+      LineageStore.append(spark, out, 1L, run1)
       val run2 = LineageParser.toDataset(spark,
         corpus.take(2).zipWithIndex.map { case (sql, i) =>
           LineageParser.parseStatement(spark, sql, i + 1,
             includeControl = true) })
-      LineageStore.append(spark, store, 2L, run2)
-      val out = f(store)
-      val rows = out.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally deleteRecursively(java.nio.file.Paths.get(store))
-  }
+      LineageStore.append(spark, out, 2L, run2)
+      out
+    })
+
+  /** Artifact-warmth flags for Bench's retime triage — same contract
+    * as PipelineQueries.artifactBacked. */
+  val artifactBacked: Map[String, String => Boolean] =
+    Seq("q280_lineage_store", "q281_store_diff")
+      .map(_ -> ((d: String) => corpusStoreArtifact.containsKey(d)))
+      .toMap
 
   /** DuckDB oracle for [[storeSnapshot]] — the two frozen goldens
     * stitched by the latest-wins rule (stmts 1-2 from the CTRL
@@ -1112,8 +1118,8 @@ object LineageQueries {
     (12, '<EOF>', '', 'num', '', 'COLFUN:123'),
     (12, '<EOF>', '', 'str', '', 'COLFUN:''x'''),
     (13, '<EOF>', '', 'o_custkey', 'default.orders.o_custkey', 'WHERE:(orders.o_totalprice > CAST(500.0BD AS DOUBLE))'),
-    (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
-    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'cap_key', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_name', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (14, 'default.lineage_target', 'default.lineage_target.tgt_key', 'n_nationkey', 'default.nation.n_nationkey', 'WHERE:(nation.n_regionkey = 1)'),
     (15, '<EOF>', '', 'n_name', 'default.nation.n_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
     (15, '<EOF>', '', 's_name', 'default.supplier.s_name', 'RIGHTOUTERJOIN:(s.s_nationkey = n.n_nationkey)'),
     (16, '<EOF>', '', 'c_name', 'default.customer.c_name', 'FULLOUTERJOIN:(c.c_nationkey = n.n_nationkey)'),
@@ -1158,7 +1164,7 @@ object LineageQueries {
     (38, 'default.dest1', 'default.dest1.d_key', 'key', 'default.srcpart.key', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (38, 'default.dest1', 'default.dest1.d_value', 'value', 'default.srcpart.value', 'WHERE:((s.ds = ''2008-04-08'') AND (s.hr = ''11''))'),
     (39, '<EOF>', '', 'k', 'default.nation.n_regionkey&default.region.r_regionkey', ''),
-    (40, 'default.lineage_rtas', '', 'cap_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
+    (40, 'default.lineage_rtas', '', 'n_name', 'default.nation.n_name', 'WHERE:(nation.n_regionkey = 1)'),
     (41, '<EOF>', '', 'd_key', 'testcat.ns1.cat_docs.d_key', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
     (41, '<EOF>', '', 'd_name', 'testcat.ns1.cat_docs.d_name', 'WHERE:(testcat.ns1.cat_docs.d_key > CAST(1 AS BIGINT))'),
     (42, 'testcat.ns1.cat_sink', 'testcat.ns1.cat_sink.s_key', 'd_key', 'testcat.ns1.cat_docs.d_key', ''),

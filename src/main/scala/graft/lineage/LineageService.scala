@@ -98,10 +98,16 @@ object LineageService {
           respond(ex, 405, """{"error":"use GET"}""")
         else if (LineageStore.runs(spark, dir).isEmpty)
           respond(ex, 200, "[]") // empty store: no partitions to scan
-        else respond(ex, 200,
-          edgesJson(LineageStore.snapshot(spark, dir)
-            .orderBy("stmt", "to_name", "from_name", "conditions",
-              "table_name", "col_name"), withRun = true))
+        else {
+          // ?asOf=<run> time-travels (the graph as of that run)
+          val asOf = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").find(_.startsWith("asOf="))
+            .flatMap(_.stripPrefix("asOf=").toLongOption)
+          respond(ex, 200,
+            edgesJson(LineageStore.snapshot(spark, dir, asOf)
+              .orderBy("stmt", "to_name", "from_name", "conditions",
+                "table_name", "col_name"), withRun = true))
+        }
       } finally ex.close())
       server.createContext("/diff", (ex: HttpExchange) => try {
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")

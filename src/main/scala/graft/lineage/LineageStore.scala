@@ -69,9 +69,15 @@ object LineageStore {
       .withColumn("run_id", col("run_id").cast("long"))
 
   /** Current graph: for each statement, the edges of the LATEST run
-    * that parsed it. */
-  def snapshot(spark: SparkSession, storeDir: String): DataFrame = {
-    val all = read(spark, storeDir)
+    * that parsed it. `asOf` time-travels — the graph as it stood when
+    * run `asOf` was the newest (later partitions pruned out before the
+    * scan, so looking at last year costs last year's size). */
+  def snapshot(spark: SparkSession, storeDir: String,
+               asOf: Option[Long] = None): DataFrame = {
+    val all = asOf match {
+      case Some(r) => read(spark, storeDir).filter(col("run_id") <= r)
+      case None => read(spark, storeDir)
+    }
     val latest = all.groupBy("stmt").agg(max("run_id").as("run_id"))
     all.join(broadcast(latest), Seq("stmt", "run_id"))
       .select((Seq("run_id") ++ edgeCols).map(col): _*)

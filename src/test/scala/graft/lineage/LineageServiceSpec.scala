@@ -132,6 +132,12 @@ class LineageServiceSpec extends SparkTestBase {
         path = "/diff?from=1&to=9").statusCode() == 404)
       assert(post(port, "", method = "GET",
         path = "/diff").statusCode() == 400)
+      // time travel: as of run 1, run 1's (superseded, still stored)
+      // edge IS the snapshot — must run before vacuum reclaims it
+      val asOf1 = post(port, "", method = "GET",
+        path = "/snapshot?asOf=1").body()
+      assert(asOf1.contains(""""runId":1""") &&
+        asOf1.contains("n_regionkey = 0"))
       // vacuum: run 1 is fully superseded and gets removed
       assert(post(port, "", path = "/vacuum").body() ==
         """{"removed":[1]}""")

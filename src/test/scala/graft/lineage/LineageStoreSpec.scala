@@ -47,6 +47,16 @@ class LineageStoreSpec extends SparkTestBase {
         (3L, 1, "a", "db.t.x3"),
         (2L, 2, "b", "db.t.y2"),
         (3L, 3, "c", "db.t.z3"), (3L, 3, "c2", "db.t.w")))
+      // time travel: as of run 2 the graph is run 1's stmts 1,3 plus
+      // run 2's stmt 2 — run 3 never happened yet
+      val asOf2 = LineageStore.snapshot(spark, dir, asOf = Some(2L))
+        .select("run_id", "stmt", "to_name", "from_name")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getString(2), r.getString(3))).toSet
+      assert(asOf2 == Set(
+        (1L, 1, "a", "db.t.x"),
+        (2L, 2, "b", "db.t.y2"),
+        (1L, 3, "c", "db.t.z")))
     }
   }
 

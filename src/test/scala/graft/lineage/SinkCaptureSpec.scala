@@ -89,4 +89,26 @@ class SinkCaptureSpec extends SparkTestBase {
       spark.catalog.dropTempView("sinkcap_mem")
     }
   }
+
+  test("foreachBatch sink: the opaque-callback write still names itself") {
+    // the callback is a black box (lineage cannot see inside it), but
+    // the query's SOURCE-side edges and the sink's self-description
+    // still capture — the degradation is named, never silent
+    val ckpt = java.nio.file.Files.createTempDirectory("sinkcap_fb")
+    val q = emptyDocs.filter(col("doc_id") > 1).writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch((_: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], _: Long) => ())
+      .start()
+    try {
+      val r = LineageParser.fromStreamingQuery(q, index = 9)
+      assert(r.outputTables.size == 1)
+      val sink = r.outputTables.head
+      assert(sink.startsWith("stream.") && sink.contains("ForeachBatch"),
+        sink)
+      assert(r.colLines.map(c => (c.toName, c.fromName)).toSet ==
+        Set(("doc_id", "stream.memory._1"), ("text", "stream.memory._2")))
+    } finally q.awaitTermination()
+  }
 }

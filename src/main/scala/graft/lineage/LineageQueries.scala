@@ -694,16 +694,25 @@ object LineageQueries {
     * collapsed); sink-less statements contribute nothing. The input is
     * service-sized (a snapshot or a request's edges), so the collect
     * is bounded by the graph being drawn. */
-  def toDot(edgesDf: DataFrame): String = {
+  def toDot(edgesDf: DataFrame, grain: String = "table"): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val rows = edgesDf.select("table_name", "from_name").collect()
+    val rows = edgesDf
+      .select("table_name", "from_name", "col_name", "to_name").collect()
     val pairs = rows.iterator.flatMap { r =>
       val dst = r.getString(0)
       if (dst == "<EOF>") Iterator.empty
       else r.getString(1).split("[,&]").iterator.filter(_.nonEmpty)
         .map { src =>
-          val p = src.split('.')
-          (p.dropRight(1).mkString("."), dst)
+          if (grain == "column") {
+            // node = db.table.col; the sink column prefers the
+            // schema-resolved name, falling back to the parsed alias
+            val d = Option(r.getString(2)).filter(_.nonEmpty)
+              .getOrElse(s"$dst.${r.getString(3)}")
+            (src, d)
+          } else {
+            val p = src.split('.')
+            (p.dropRight(1).mkString("."), dst)
+          }
         }
     }.filter(_._1.nonEmpty).toSeq.distinct.sorted
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted

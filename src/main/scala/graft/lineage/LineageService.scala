@@ -164,10 +164,15 @@ object LineageService {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
         else {
+          // ?grain=column draws db.table.col nodes instead of tables
+          val grain = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").find(_.startsWith("grain="))
+            .map(_.stripPrefix("grain=")).getOrElse("table")
           val dot =
             if (LineageStore.runs(spark, dir).isEmpty)
               "digraph lineage {\n}\n"
-            else LineageQueries.toDot(LineageStore.snapshot(spark, dir))
+            else LineageQueries.toDot(
+              LineageStore.snapshot(spark, dir), grain)
           val bytes = dot.getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", "text/vnd.graphviz")
           ex.sendResponseHeaders(200, bytes.length.toLong)

@@ -48,9 +48,29 @@ object LineageStore {
              edges: DataFrame): Unit = {
     require(!runs(spark, storeDir).contains(runId),
       s"run $runId already present in $storeDir — runs are immutable")
+    checkOrStampVersion(storeDir)
     edges.select(edgeCols.map(col): _*)
       .withColumn("run_id", lit(runId))
       .write.mode("append").partitionBy("run_id").parquet(storeDir)
+  }
+
+  /** The edge-contract version the store was created under, stamped as
+    * `_schema_version` beside the partitions on first append and
+    * CHECKED on every later one: a store written by a future contract
+    * must fail by name, not decode garbage. (The file name starts with
+    * `_` so Spark's parquet reader ignores it.) */
+  private def checkOrStampVersion(storeDir: String): Unit = {
+    val p = java.nio.file.Paths.get(storeDir, "_schema_version")
+    if (java.nio.file.Files.exists(p)) {
+      val v = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      require(v == LineageEdgeSchema.Version.toString,
+        s"store $storeDir was written under edge-contract v$v; " +
+          s"this library speaks v${LineageEdgeSchema.Version}")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+    }
   }
 
   /** Run ids present, from the partition directories (no data read). */

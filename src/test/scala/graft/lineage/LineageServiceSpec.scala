@@ -172,6 +172,13 @@ class LineageServiceSpec extends SparkTestBase {
         "\"default.nation\" -> \"default.lineage_target\";"))
       // sink-less statements draw nothing (run 2's bare SELECT)
       assert(!dot.body().contains("<EOF>"))
+      // column grain: db.table.col nodes, sink column schema-resolved
+      val cdot = post(port, "", method = "GET",
+        path = "/graph.dot?grain=column").body()
+      assert(cdot.contains("\"default.nation.n_nationkey\" -> " +
+        "\"default.lineage_target.tgt_key\";"), cdot)
+      assert(cdot.contains("\"default.nation.n_name\" -> " +
+        "\"default.lineage_target.tgt_name\";"))
     } finally {
       server.stop(0)
       org.apache.commons.io.FileUtils

@@ -69,6 +69,27 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("stores are version-stamped; a foreign contract fails by name") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      val p = java.nio.file.Paths.get(dir, "_schema_version")
+      assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        == LineageEdgeSchema.Version.toString)
+      // a store written under a future contract refuses this library
+      java.nio.file.Files.write(p, "99".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 2L, frame(edge(1, "b", "db.t.y")))
+      }
+      assert(e.getMessage.contains("v99"))
+      // the stamp survives vacuum (it lives beside the partitions)
+      java.nio.file.Files.write(p,
+        LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+      LineageStore.append(spark, dir, 2L, frame(edge(1, "b", "db.t.y")))
+      LineageStore.vacuum(spark, dir)
+      assert(java.nio.file.Files.exists(p))
+    }
+  }
+
   test("diff is scoped to the newer run's statements and is set algebra") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(

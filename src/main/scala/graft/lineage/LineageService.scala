@@ -196,6 +196,19 @@ object LineageService {
     server.createContext("/column-impact",
       (ex: HttpExchange) => handle(spark, metadata, ex,
         (_, rs) => columnImpactJson(spark, rs)))
+    // Deployability: what a load balancer and an operator ask first.
+    // Reports the edge-contract version and (when store-backed) the
+    // run population, from partition listings only — no data read.
+    server.createContext("/health", (ex: HttpExchange) => try {
+      val runsPart = store.map { dir =>
+        val rs = LineageStore.runs(spark, dir)
+        s""","store":{"runs":${rs.size},"latest":${
+          rs.lastOption.getOrElse(0L)}}"""
+      }.getOrElse("")
+      respond(ex, 200,
+        s"""{"status":"ok","edgeContractVersion":${
+          LineageEdgeSchema.Version}$runsPart}""")
+    } finally ex.close())
     // OPENLINEAGE interop (r17): the same POST-the-SQL contract, the
     // response an array of OpenLineage RunEvents (one per statement).
     // runId is a name-UUID of the request body, so re-emitting the

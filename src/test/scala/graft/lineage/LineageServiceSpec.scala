@@ -172,6 +172,9 @@ class LineageServiceSpec extends SparkTestBase {
         "\"default.nation\" -> \"default.lineage_target\";"))
       // sink-less statements draw nothing (run 2's bare SELECT)
       assert(!dot.body().contains("<EOF>"))
+      // health: contract version + run population, no data read
+      assert(post(port, "", method = "GET", path = "/health").body() ==
+        s"""{"status":"ok","edgeContractVersion":1,"store":{"runs":2,"latest":5}}""")
       // column grain: db.table.col nodes, sink column schema-resolved
       val cdot = post(port, "", method = "GET",
         path = "/graph.dot?grain=column").body()

@@ -77,9 +77,20 @@ object LineageCapture {
     def sinks(r: LineageResult): Set[String] =
       r.outputTables ++ r.colLines.map(_.tableName)
     attach(spark, r =>
-      if (!sinks(r).exists(_.contains(selfSink)))
-        LineageStore.append(spark, storeDir, next.incrementAndGet(),
-          LineageParser.toDataset(spark, Seq(r))),
+      if (!sinks(r).exists(_.contains(selfSink))) {
+        val run = next.incrementAndGet()
+        // CAPTURED history is a write LOG: statement identity is the
+        // run id itself (unique across sessions, since allocation
+        // resumes past the store's max), so the latest-wins snapshot
+        // never silently supersedes one write with an unrelated one —
+        // a restarted session's event counter restarting at 1 must
+        // not shadow an earlier session's first write. Supersession
+        // stays a property of re-PARSE runs (same corpus, stable
+        // statement numbering), not of observed history.
+        LineageStore.append(spark, storeDir, run,
+          LineageParser.toDataset(spark,
+            Seq(r.copy(statementIndex = run.toInt))))
+      },
       metadata)
   }
 }

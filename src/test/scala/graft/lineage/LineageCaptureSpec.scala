@@ -104,6 +104,13 @@ class LineageCaptureSpec extends SparkTestBase {
       eventually(LineageStore.runs(spark, store).size == 2)
       Thread.sleep(500)
       assert(LineageStore.runs(spark, store) == Seq(1L, 2L))
+      // captured history is a write LOG: statement identity = run id,
+      // so the snapshot keeps BOTH writes (nothing silently shadowed
+      // by a restarted session's event counter)
+      val stmts = LineageStore.snapshot(spark, store)
+        .select("run_id", "stmt").distinct()
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(stmts == Set((1L, 1), (2L, 2)))
     } finally {
       LineageCapture.detach(spark, l)
       org.apache.commons.io.FileUtils

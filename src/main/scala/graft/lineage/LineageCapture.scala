@@ -24,11 +24,59 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * observer must never fail the write it observes. The listener bus
   * is asynchronous; tests poll the sink rather than assuming
   * delivery before the write call returns. */
+/** CONFIG-ONLY deployment of automatic capture: Spark instantiates
+  * zero-arg `QueryExecutionListener` classes named in
+  * `spark.sql.queryExecutionListeners`, so a cluster turns the write
+  * log on without touching application code:
+  *
+  * {{{
+  * --conf spark.sql.queryExecutionListeners=graft.lineage.GraftCaptureListener
+  * --conf spark.graft.lineage.store=hdfs:///lineage/store
+  * }}}
+  *
+  * The store directory comes from `spark.graft.lineage.store` on the
+  * execution's own session (read lazily per event — the listener is
+  * constructed before the session finishes building); with the conf
+  * unset the listener is inert. Same self-observation filter and
+  * write-log statement identity as [[LineageCapture.attachStore]]. */
+class GraftCaptureListener extends QueryExecutionListener {
+  private val delegates = new java.util.concurrent.ConcurrentHashMap[
+    String, QueryExecutionListener]()
+  override def onSuccess(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         durationNs: Long): Unit = {
+    val spark = qe.sparkSession
+    spark.conf.getOption("spark.graft.lineage.store").foreach { dir =>
+      // one real (attach-style) delegate per store dir, built on first
+      // use; register() is NOT called on it — events are forwarded, so
+      // the delegate's re-entrancy and self-sink filters still apply
+      delegates.computeIfAbsent(dir,
+        d => LineageCapture.storeListener(spark, d))
+        .onSuccess(funcName, qe, durationNs)
+    }
+  }
+  override def onFailure(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         exception: Exception): Unit = ()
+}
+
 object LineageCapture {
 
   def attach(spark: SparkSession,
              onLineage: LineageResult => Unit,
              metadata: Option[MetadataProvider] = None)
+      : QueryExecutionListener = {
+    val listener = callbackListener(onLineage, metadata)
+    spark.listenerManager.register(listener)
+    listener
+  }
+
+  /** The capture listener WITHOUT registration — forwarded to by
+    * [[GraftCaptureListener]] (config-only deployment), registered by
+    * [[attach]]. */
+  private[lineage] def callbackListener(
+      onLineage: LineageResult => Unit,
+      metadata: Option[MetadataProvider] = None)
       : QueryExecutionListener = {
     val counter = new AtomicInteger(0)
     // RE-ENTRANCY guard: a callback that itself WRITES (attachStore's
@@ -51,7 +99,6 @@ object LineageCapture {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
     listener
   }
 
@@ -66,6 +113,17 @@ object LineageCapture {
   def attachStore(spark: SparkSession, storeDir: String,
                   metadata: Option[MetadataProvider] = None)
       : QueryExecutionListener = {
+    val listener = storeListener(spark, storeDir, metadata)
+    spark.listenerManager.register(listener)
+    listener
+  }
+
+  /** The store-wired listener WITHOUT registration (the
+    * [[GraftCaptureListener]] config path forwards to one of these
+    * per configured store dir). */
+  private[lineage] def storeListener(spark: SparkSession, storeDir: String,
+                                     metadata: Option[MetadataProvider] = None)
+      : QueryExecutionListener = {
     val next = new java.util.concurrent.atomic.AtomicLong(
       LineageStore.runs(spark, storeDir).lastOption.getOrElse(0L))
     // The bus is ASYNC, so the ThreadLocal in attach can't see the
@@ -76,7 +134,7 @@ object LineageCapture {
       .toAbsolutePath.toString
     def sinks(r: LineageResult): Set[String] =
       r.outputTables ++ r.colLines.map(_.tableName)
-    attach(spark, r =>
+    callbackListener(r =>
       if (!sinks(r).exists(_.contains(selfSink))) {
         val run = next.incrementAndGet()
         // CAPTURED history is a write LOG: statement identity is the

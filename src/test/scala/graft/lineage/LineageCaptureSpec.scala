@@ -83,6 +83,37 @@ class LineageCaptureSpec extends SparkTestBase {
     assert(buf.size == before)
   }
 
+  test("GraftCaptureListener: config-only deployment (store from conf)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_conf").toString
+    // production wires this via --conf spark.sql.queryExecutionListeners
+    // (zero-arg construction by Spark) + the store conf; the test
+    // registers the same zero-arg instance by hand on the live session
+    spark.conf.set("spark.graft.lineage.store", store)
+    val l = new GraftCaptureListener
+    spark.listenerManager.register(l)
+    try withTable("cap_conf_tbl") {
+      spark.table("region").select(col("r_regionkey"), col("r_name"))
+        .write.saveAsTable("cap_conf_tbl")
+      eventually(LineageStore.runs(spark, store).nonEmpty)
+      Thread.sleep(500) // self-appends must be filtered here too
+      assert(LineageStore.runs(spark, store) == Seq(1L))
+      assert(LineageStore.snapshot(spark, store)
+        .filter(col("table_name").contains("cap_conf_tbl")).count() == 2)
+      // conf unset → the listener goes inert, no new runs
+      spark.conf.unset("spark.graft.lineage.store")
+      spark.table("region").select(col("r_name"))
+        .write.mode("overwrite").saveAsTable("cap_conf_tbl")
+      Thread.sleep(700)
+      assert(LineageStore.runs(spark, store) == Seq(1L))
+    } finally {
+      spark.listenerManager.unregister(l)
+      spark.conf.unset("spark.graft.lineage.store")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(store))
+    }
+  }
+
   test("attachStore accumulates runs without observing its own appends") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString

@@ -106,6 +106,68 @@ object LineageCapture {
              listener: QueryExecutionListener): Unit =
     spark.listenerManager.unregister(listener)
 
+  /** READ-side capture (r17): the access log that pairs with impact
+    * analysis — "is anything still READING this table" is the other
+    * half of the deprecation question. Reads come from the EXECUTED
+    * physical plan's scans, so the reported columns are the ones
+    * physically read after pruning (`FileSourceScanExec
+    * .requiredSchema` / DSV2 `Scan.readSchema`), not what the query
+    * mentioned — the listener doubles as a live check that column
+    * pruning reached the scan. Table naming mirrors the write side:
+    * catalog identifier when the scan has one, `file.[<path>]`
+    * otherwise. */
+  def readsOf(qe: org.apache.spark.sql.execution.QueryExecution)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansOf(p: SparkPlan): Seq[(String, Seq[String])] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        // AQE materializes stages behind QueryStageExec nodes whose
+        // plan is NOT a child — without this arm every scan under an
+        // executed adaptive plan is invisible
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case f: FileSourceScanExec =>
+          val name = f.tableIdentifier
+            .map(id => (id.database.toSeq :+ id.table).mkString("."))
+            .map(n => if (n.contains('.')) n else s"default.$n")
+            .getOrElse("file.[" +
+              f.relation.location.rootPaths.mkString(",") + "]")
+          Seq(name -> f.requiredSchema.fieldNames.toSeq.sorted)
+        case b: BatchScanExec =>
+          Seq(("dsv2." + b.scan.getClass.getSimpleName) ->
+            b.scan.readSchema().fieldNames.toSeq.sorted)
+      }.flatten
+    try scansOf(qe.executedPlan).distinct
+    catch { case _: Exception => Nil }
+  }
+
+  /** Session-wide access log: every action's scans delivered as
+    * (action index, table, physically-read columns). Write commands
+    * also read their sources — they appear here too (an INSERT is a
+    * read of its inputs and a write of its sink). */
+  def attachReads(spark: SparkSession,
+                  onRead: (Int, Seq[(String, Seq[String])]) => Unit)
+      : QueryExecutionListener = {
+    val counter = new AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        try {
+          val reads = readsOf(qe)
+          if (reads.nonEmpty) onRead(counter.incrementAndGet(), reads)
+        } catch { case _: Exception => () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    listener
+  }
+
   /** Capture directly into a [[LineageStore]]: each write appends as
     * its own run (immutable, monotonically allocated past the store's
     * existing runs). The listener thread serializes appends, so the

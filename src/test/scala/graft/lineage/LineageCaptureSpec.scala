@@ -114,6 +114,39 @@ class LineageCaptureSpec extends SparkTestBase {
     }
   }
 
+  test("attachReads logs scans with the PHYSICALLY read columns") {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Seq[(String, Seq[String])])]()
+    val l = LineageCapture.attachReads(spark, (i, rs) => buf.add((i, rs)))
+    try withTable("cap_read_tbl") {
+      spark.table("nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.saveAsTable("cap_read_tbl")
+      Thread.sleep(400); buf.clear() // drop the write's own reads
+      // a two-column question against a three-column table: the log
+      // must show only the pruned pair — proof pruning reached the scan
+      spark.table("cap_read_tbl").filter(col("n_regionkey") === 1)
+        .select(col("n_name"))
+        .write.format("noop").mode("overwrite").save()
+      eventually(!buf.isEmpty)
+      val (_, reads) = buf.poll()
+      assert(reads == Seq("default.cap_read_tbl" ->
+        Seq("n_name", "n_regionkey")), reads)
+      // a count() needs NO columns — the log shows the scan with an
+      // EMPTY column list (metadata-only read), which is itself the
+      // pruning fact
+      buf.clear()
+      spark.table("cap_read_tbl").count()
+      eventually(!buf.isEmpty)
+      assert(buf.poll()._2 == Seq("default.cap_read_tbl" -> Seq()))
+      // actions with no table scan (range) log nothing
+      buf.clear()
+      spark.range(5).count()
+      Thread.sleep(400)
+      assert(buf.isEmpty)
+    } finally LineageCapture.detach(spark, l)
+  }
+
   test("attachStore accumulates runs without observing its own appends") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString

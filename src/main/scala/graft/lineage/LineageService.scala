@@ -70,7 +70,9 @@ object LineageService {
           case ("GET", "" | "/") =>
             respond(ex, 200, LineageStore.runs(spark, dir)
               .mkString("""{"runs":[""", ",", "]}"))
-          case ("POST", sub) if sub.matches("/\\d+") =>
+          case ("POST", sub)
+              if sub.matches("/\\d+") &&
+                sub.stripPrefix("/").toLongOption.isDefined =>
             val runId = sub.stripPrefix("/").toLong
             val sql = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
@@ -113,8 +115,8 @@ object LineageService {
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")
         val params = q.split("&").filter(_.contains("="))
           .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
-        (params.get("from").map(_.toLong),
-          params.get("to").map(_.toLong)) match {
+        (params.get("from").flatMap(_.toLongOption),
+          params.get("to").flatMap(_.toLongOption)) match {
           case (Some(f), Some(t))
               if !LineageStore.runs(spark, dir).contains(f) ||
                 !LineageStore.runs(spark, dir).contains(t) =>

@@ -132,7 +132,12 @@ object SparkEntry {
       // the session's own writes (DataFrame API + SQL INSERT) into
       // edges — sink read from the executed command, never re-stated.
       "q283_write_capture" ->
-        ((s, dir) => graft.lineage.LineageQueries.captureEdges(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.captureEdges(s, dir)),
+      // READ-side access log (r17): the scans each action ran, with
+      // the PHYSICALLY read (post-pruning) columns — a count() logs a
+      // metadata-only read (empty column set).
+      "q284_read_capture" ->
+        ((s, dir) => graft.lineage.LineageQueries.readCaptureRows(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,6 +169,7 @@ object SparkEntry {
       "q281_store_diff" -> graft.lineage.LineageQueries.storeDiffOracleSql,
       "q282_openlineage" ->
         graft.lineage.LineageQueries.openLineageOracleSql,
-      "q283_write_capture" -> graft.lineage.LineageQueries.captureOracleSql
+      "q283_write_capture" -> graft.lineage.LineageQueries.captureOracleSql,
+      "q284_read_capture" -> graft.lineage.LineageQueries.readCaptureOracleSql
     )
 }

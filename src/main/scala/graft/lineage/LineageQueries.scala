@@ -676,6 +676,60 @@ object LineageQueries {
       .orderBy("stmt", "to_name", "from_name")
   }
 
+  /** READ capture as a driver query (q284, r17): attach the access
+    * log, run two actions against a pre-created table — a pruned
+    * noop-consumed projection and a metadata-only count — and return
+    * what the log saw: (action, table, column) rows, where the column
+    * set is the PHYSICALLY read one (requiredSchema after pruning).
+    * The count action contributes a single empty-column row — the
+    * metadata-only read is a fact worth logging, encoded as '' to
+    * keep the row. */
+  def readCaptureRows(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS lineage_readcap")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(java.nio.file.Paths.get(wh, "lineage_readcap"))
+    import org.apache.spark.sql.functions.col
+    spark.table("nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.saveAsTable("lineage_readcap")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[(String, Seq[String])]]()
+    val listener = LineageCapture.attachReads(spark,
+      (_, rs) => buf.add(rs))
+    try {
+      spark.table("lineage_readcap")
+        .filter(col("n_regionkey") === 1).select(col("n_name"))
+        .write.format("noop").mode("overwrite").save()
+      spark.table("lineage_readcap").count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (buf.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(25)
+      require(buf.size >= 2, s"read log delivered ${buf.size}/2 actions")
+    } finally {
+      LineageCapture.detach(spark, listener)
+      spark.sql("DROP TABLE IF EXISTS lineage_readcap")
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = buf.iterator().asScala.toSeq.zipWithIndex.flatMap {
+      case (reads, i) =>
+        reads.flatMap { case (t, cols) =>
+          (if (cols.isEmpty) Seq("") else cols).map(c => (i + 1, t, c)) }
+    }
+    spark.createDataFrame(rows)
+      .toDF("action", "table_name", "column_read")
+      .orderBy("action", "table_name", "column_read")
+  }
+
+  /** DuckDB oracle for [[readCaptureRows]] — frozen VALUES golden. */
+  val readCaptureOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'default.lineage_readcap', 'n_name'),
+    (1, 'default.lineage_readcap', 'n_regionkey'),
+    (2, 'default.lineage_readcap', '')
+    ) AS t(action, table_name, column_read)
+    ORDER BY action, table_name, column_read"""
+
   /** DuckDB oracle for [[captureEdges]] — frozen VALUES golden (the
     * capture is schema-and-corpus determined, path-free). */
   val captureOracleSql: String =

@@ -222,12 +222,16 @@ object LineageService {
         val eventTime = Option(
           ex.getRequestHeaders.getFirst("X-Event-Time"))
           .getOrElse("1970-01-01T00:00:00Z")
+        val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
         handle(spark, metadata, ex, (sql, rs) =>
           OpenLineageExport.runEvents(rs, namespace = "default",
             jobName = "adhoc",
             runId = java.util.UUID.nameUUIDFromBytes(
               sql.getBytes(StandardCharsets.UTF_8)).toString,
-            eventTime = eventTime)
+            eventTime = eventTime,
+            // output datasets carry the `schema` facet when the
+            // catalog knows their columns
+            schemaOf = t => meta.tableColumns(t))
             .mkString("[", ",", "]"))
       })
     server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())

@@ -35,6 +35,8 @@ object OpenLineageExport {
     "https://openlineage.io/spec/1-0-5/OpenLineage.json"
   private val FacetUrl =
     "https://openlineage.io/spec/facets/1-0-1/ColumnLineageDatasetFacet.json"
+  private val SchemaFacetUrl =
+    "https://openlineage.io/spec/facets/1-0-0/SchemaDatasetFacet.json"
 
   import LineageService.jstr
 
@@ -69,12 +71,14 @@ object OpenLineageExport {
 
   /** One OpenLineage RunEvent per statement, JSON-encoded. */
   def runEvents(results: Seq[LineageResult], namespace: String,
-                jobName: String, runId: String,
-                eventTime: String): Seq[String] =
-    results.map(r => runEvent(r, namespace, jobName, runId, eventTime))
+                jobName: String, runId: String, eventTime: String,
+                schemaOf: String => Seq[String] = _ => Nil): Seq[String] =
+    results.map(r =>
+      runEvent(r, namespace, jobName, runId, eventTime, schemaOf))
 
   def runEvent(r: LineageResult, namespace: String, jobName: String,
-               runId: String, eventTime: String): String = {
+               runId: String, eventTime: String,
+               schemaOf: String => Seq[String] = _ => Nil): String = {
     val rows = fieldRows(Seq(r))
     val inputs = r.inputTables.toSeq.sorted
       .map(t => s"""{"namespace":${jstr(namespace)},"name":${jstr(t)}}""")
@@ -87,8 +91,21 @@ object OpenLineageExport {
     val outputs = outNames.map { t =>
       val byField = rows.filter(_._2 == t)
         .groupBy(_._3).toSeq.sortBy(_._1)
+      // the OpenLineage `schema` dataset facet, from the supplied
+      // catalog lookup (field names; omitted when unknown — a facet
+      // of guesses is worse than no facet)
+      val schemaFacet = schemaOf(t) match {
+        case Nil => ""
+        case cols =>
+          val fs = cols.map(c => s"""{"name":${jstr(c)}}""")
+            .mkString("[", ",", "]")
+          s""""schema":{"_producer":${jstr(Producer)},""" +
+            s""""_schemaURL":${jstr(SchemaFacetUrl)},"fields":$fs},"""
+      }
       val facet =
-        if (byField.isEmpty) ""
+        if (byField.isEmpty && schemaFacet.isEmpty) ""
+        else if (byField.isEmpty)
+          s""","facets":{${schemaFacet.stripSuffix(",")}}"""
         else {
           val fields = byField.map { case (f, rs) =>
             val ins = rs.sortBy(x => (x._4, x._5)).map { x =>
@@ -98,7 +115,8 @@ object OpenLineageExport {
             }.mkString("[", ",", "]")
             s"""${jstr(f)}:{"inputFields":$ins}"""
           }.mkString(",")
-          s""","facets":{"columnLineage":{"_producer":${jstr(Producer)},""" +
+          s""","facets":{$schemaFacet"columnLineage":{"_producer":${
+            jstr(Producer)},""" +
             s""""_schemaURL":${jstr(FacetUrl)},"fields":{$fields}}}"""
         }
       s"""{"namespace":${jstr(namespace)},"name":${jstr(t)}$facet}"""

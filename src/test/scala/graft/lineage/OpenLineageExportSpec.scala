@@ -45,6 +45,24 @@ class OpenLineageExportSpec extends SparkTestBase {
       "etl.daily", "run-1", "2026-08-16T00:00:00Z"))
   }
 
+  test("a supplied catalog lookup adds the schema facet to outputs") {
+    val r = LineageParser.parseStatement(spark,
+      "INSERT INTO lineage_target SELECT n_nationkey, n_name " +
+        "FROM nation", 1)
+    val json = OpenLineageExport.runEvent(r, "ns", "j", "run", "t",
+      schemaOf = t => if (t == "default.lineage_target")
+        Seq("tgt_key", "tgt_name") else Nil)
+    assert(json.contains(
+      """"schema":{"_producer":"urn:graft:lineage:v1","_schemaURL":""" +
+        """"https://openlineage.io/spec/facets/1-0-0/SchemaDatasetFacet.json",""" +
+        """"fields":[{"name":"tgt_key"},{"name":"tgt_name"}]}"""))
+    // schema facet precedes columnLineage inside the same facets object
+    assert(json.indexOf("\"schema\":{") < json.indexOf("columnLineage"))
+    // default (no lookup) stays byte-identical to the v-facet-less form
+    assert(!OpenLineageExport.runEvent(r, "ns", "j", "run", "t")
+      .contains("\"schema\":{"))
+  }
+
   test("a bare SELECT exports no outputs; literal edges export no pair") {
     val r = LineageParser.parseStatement(spark,
       "SELECT n_name, 123 AS num FROM nation", 1)
@@ -104,6 +122,9 @@ class OpenLineageExportSpec extends SparkTestBase {
       assert(a.body().startsWith("""[{"eventType":"COMPLETE""""))
       assert(a.body().contains(""""eventTime":"2026-08-16T01:02:03Z""""))
       assert(a.body().contains(""""columnLineage""""))
+      // the endpoint wires the session catalog as the schema lookup
+      assert(a.body().contains(
+        """"fields":[{"name":"tgt_key"},{"name":"tgt_name"}]"""))
       // same SQL → same runId (idempotent re-emission); different SQL
       // → different runId
       val b = post(sql, Seq("X-Event-Time" -> "2026-08-17T00:00:00Z"))

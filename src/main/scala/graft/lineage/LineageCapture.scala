@@ -168,6 +168,44 @@ object LineageCapture {
     listener
   }
 
+  /** STREAMING auto-capture (r17): the streaming analogue of
+    * [[attach]] — a `StreamingQueryListener` that runs
+    * [[LineageParser.fromStreamingQuery]] on every query START, so a
+    * session's streaming topology (sources → sink, sink included)
+    * lands in the same place its batch writes do without any caller
+    * involvement. Start is the right hook: everything lineage needs
+    * was resolved by `start()`, no batch has to run, and a query that
+    * later fails still had its topology recorded. Failures are
+    * swallowed (observer contract). */
+  def attachStreams(spark: SparkSession,
+                    onLineage: LineageResult => Unit,
+                    metadata: Option[MetadataProvider] = None)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val counter = new AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        try {
+          Option(spark.streams.get(e.id)).foreach { q =>
+            onLineage(LineageParser.fromStreamingQuery(q,
+              counter.incrementAndGet(), metadata))
+          }
+        } catch { case _: Exception => () }
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
+
+  def detachStreams(spark: SparkSession,
+      listener: org.apache.spark.sql.streaming.StreamingQueryListener)
+      : Unit =
+    spark.streams.removeListener(listener)
+
   /** Capture directly into a [[LineageStore]]: each write appends as
     * its own run (immutable, monotonically allocated past the store's
     * existing runs). The listener thread serializes appends, so the

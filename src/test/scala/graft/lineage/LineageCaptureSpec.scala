@@ -147,6 +147,32 @@ class LineageCaptureSpec extends SparkTestBase {
     } finally LineageCapture.detach(spark, l)
   }
 
+  test("attachStreams captures a starting query's topology, sink included") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[LineageResult]()
+    val l = LineageCapture.attachStreams(spark, r => buf.add(r))
+    try {
+      val docs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+      val q = docs.filter(col("doc_id") > 2)
+        .writeStream.format("memory").queryName("cap_stream_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        eventually(!buf.isEmpty)
+        val r = buf.poll()
+        assert(r.outputTables == Set("stream.MemorySink[cap_stream_sink]"))
+        assert(r.colLines.map(c => (c.toName, c.fromName)).toSet ==
+          Set(("doc_id", "stream.memory._1"), ("text", "stream.memory._2")))
+      } finally {
+        q.awaitTermination()
+        spark.catalog.dropTempView("cap_stream_sink")
+      }
+    } finally LineageCapture.detachStreams(spark, l)
+  }
+
   test("attachStore accumulates runs without observing its own appends") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString

@@ -48,7 +48,7 @@ object LineageStore {
              edges: DataFrame): Unit = {
     require(!runs(spark, storeDir).contains(runId),
       s"run $runId already present in $storeDir — runs are immutable")
-    checkOrStampVersion(storeDir)
+    checkOrStampVersion(spark, storeDir)
     edges.select(edgeCols.map(col): _*)
       .withColumn("run_id", lit(runId))
       .write.mode("append").partitionBy("run_id").parquet(storeDir)
@@ -59,26 +59,42 @@ object LineageStore {
     * CHECKED on every later one: a store written by a future contract
     * must fail by name, not decode garbage. (The file name starts with
     * `_` so Spark's parquet reader ignores it.) */
-  private def checkOrStampVersion(storeDir: String): Unit = {
-    val p = java.nio.file.Paths.get(storeDir, "_schema_version")
-    if (java.nio.file.Files.exists(p)) {
-      val v = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+  private def checkOrStampVersion(spark: SparkSession,
+                                  storeDir: String): Unit = {
+    val (filesystem, root) = fs(spark, storeDir)
+    val p = new org.apache.hadoop.fs.Path(root, "_schema_version")
+    if (filesystem.exists(p)) {
+      val in = filesystem.open(p)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
       require(v == LineageEdgeSchema.Version.toString,
         s"store $storeDir was written under edge-contract v$v; " +
           s"this library speaks v${LineageEdgeSchema.Version}")
     } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+      filesystem.mkdirs(root)
+      val out = filesystem.create(p, true)
+      try out.write(LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+      finally out.close()
     }
+  }
+
+  /** The store's filesystem — Hadoop's, not java.io: a deployed store
+    * lives on HDFS/S3/GCS exactly like the parquet it holds, so every
+    * metadata operation (listing, version stamp, vacuum delete) must
+    * go through the same FileSystem abstraction the writes use. */
+  private def fs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
   /** Run ids present, from the partition directories (no data read). */
   def runs(spark: SparkSession, storeDir: String): Seq[Long] = {
-    val d = new java.io.File(storeDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq.filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("run_id="))
+    val (filesystem, root) = fs(spark, storeDir)
+    if (!filesystem.exists(root)) Seq.empty
+    else filesystem.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("run_id="))
       .map(_.stripPrefix("run_id=").toLong).sorted
   }
 
@@ -129,14 +145,10 @@ object LineageStore {
     * Returns the run ids removed. */
   def vacuum(spark: SparkSession, storeDir: String): Seq[Long] = {
     val dead = supersededRuns(spark, storeDir)
+    val (filesystem, root) = fs(spark, storeDir)
     dead.foreach { r =>
-      val p = java.nio.file.Paths.get(storeDir, s"run_id=$r")
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
+      filesystem.delete(
+        new org.apache.hadoop.fs.Path(root, s"run_id=$r"), true)
     }
     dead
   }

@@ -72,21 +72,30 @@ class LineageStoreSpec extends SparkTestBase {
   test("stores are version-stamped; a foreign contract fails by name") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
-      val p = java.nio.file.Paths.get(dir, "_schema_version")
-      assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        == LineageEdgeSchema.Version.toString)
+      // the stamp lives on the store's own (Hadoop) filesystem — read
+      // and tamper through it, like a real HDFS/S3 deployment would
+      val p = new org.apache.hadoop.fs.Path(dir, "_schema_version")
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def readStamp(): String = {
+        val in = hfs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      def writeStamp(v: String): Unit = {
+        val out = hfs.create(p, true)
+        try out.write(v.getBytes("UTF-8")) finally out.close()
+      }
+      assert(readStamp() == LineageEdgeSchema.Version.toString)
       // a store written under a future contract refuses this library
-      java.nio.file.Files.write(p, "99".getBytes("UTF-8"))
+      writeStamp("99")
       val e = intercept[IllegalArgumentException] {
         LineageStore.append(spark, dir, 2L, frame(edge(1, "b", "db.t.y")))
       }
       assert(e.getMessage.contains("v99"))
       // the stamp survives vacuum (it lives beside the partitions)
-      java.nio.file.Files.write(p,
-        LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+      writeStamp(LineageEdgeSchema.Version.toString)
       LineageStore.append(spark, dir, 2L, frame(edge(1, "b", "db.t.y")))
       LineageStore.vacuum(spark, dir)
-      assert(java.nio.file.Files.exists(p))
+      assert(hfs.exists(p))
     }
   }
 

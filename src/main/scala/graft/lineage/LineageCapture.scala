@@ -137,8 +137,21 @@ object LineageCapture {
               f.relation.location.rootPaths.mkString(",") + "]")
           Seq(name -> f.requiredSchema.fieldNames.toSeq.sorted)
         case b: BatchScanExec =>
-          Seq(("dsv2." + b.scan.getClass.getSimpleName) ->
-            b.scan.readSchema().fieldNames.toSeq.sorted)
+          // name the TABLE, not the scan class — "is anything still
+          // reading this table" needs per-table identity. BatchScanExec
+          // carries the v2 Table; read it reflectively (constructor
+          // field, accessor presence has shifted across Spark minors)
+          // and fall back to the scan's own description only when the
+          // table truly can't be named.
+          val name =
+            try b.getClass.getMethod("table").invoke(b) match {
+              case t: org.apache.spark.sql.connector.catalog.Table =>
+                t.name()
+              case _ => "dsv2." + b.scan.getClass.getSimpleName
+            } catch { case _: Exception =>
+              "dsv2." + b.scan.getClass.getSimpleName
+            }
+          Seq(name -> b.scan.readSchema().fieldNames.toSeq.sorted)
       }.flatten
     try scansOf(qe.executedPlan).distinct
     catch { case _: Exception => Nil }
@@ -228,14 +241,44 @@ object LineageCapture {
       LineageStore.runs(spark, storeDir).lastOption.getOrElse(0L))
     // The bus is ASYNC, so the ThreadLocal in attach can't see the
     // store's own append arriving as a later event — drop any write
-    // landing under the store dir by name, or the observer observes
-    // itself forever (each append captured as another run).
-    val selfSink = java.nio.file.Paths.get(storeDir)
-      .toAbsolutePath.toString
+    // landing under the store dir, or the observer observes itself
+    // forever (each append captured as another run). "Under" is a
+    // PATH relation on the store's own Hadoop filesystem, not a
+    // substring test: java.nio mangles scheme-qualified dirs
+    // (hdfs:///lineage → <cwd>/hdfs:/lineage, so nothing ever matched
+    // and the loop ran), and raw contains() also swallowed legitimate
+    // sinks that merely embed the store path as a substring
+    // (store=/data dropping writes to /data/out/tbl is a silent hole
+    // in the log — /data/out is NOT under /data/run_id=*, only the
+    // store dir itself and its partitions are self).
+    val hconf = spark.sessionState.newHadoopConf()
+    // Canonical (scheme, authority, path) triple: comparing rendered
+    // URI STRINGS fails because a null vs empty authority prints
+    // "file:/x" vs "file:///x" for the same location depending on how
+    // the Path was constructed.
+    def canon(raw: String): Option[(String, String, String)] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(raw)
+        val u = p.getFileSystem(hconf).makeQualified(p).toUri
+        Some((Option(u.getScheme).getOrElse(""),
+          Option(u.getAuthority).getOrElse(""),
+          u.getPath.stripSuffix("/")))
+      } catch { case _: Exception => None }
+    val storeQ = canon(storeDir)
+    def isSelf(sink: String): Boolean = {
+      // path-shaped sinks are encoded "<kind>.[<path>]"
+      val i = sink.indexOf('[')
+      if (i < 0 || !sink.endsWith("]")) false
+      else (canon(sink.substring(i + 1, sink.length - 1)), storeQ) match {
+        case (Some((s, a, p)), Some((ss, sa, sp))) =>
+          s == ss && a == sa && (p == sp || p.startsWith(sp + "/"))
+        case _ => false
+      }
+    }
     def sinks(r: LineageResult): Set[String] =
       r.outputTables ++ r.colLines.map(_.tableName)
     callbackListener(r =>
-      if (!sinks(r).exists(_.contains(selfSink))) {
+      if (!sinks(r).exists(isSelf)) {
         val run = next.incrementAndGet()
         // CAPTURED history is a write LOG: statement identity is the
         // run id itself (unique across sessions, since allocation
@@ -244,10 +287,20 @@ object LineageCapture {
         // a restarted session's event counter restarting at 1 must
         // not shadow an earlier session's first write. Supersession
         // stays a property of re-PARSE runs (same corpus, stable
-        // statement numbering), not of observed history.
-        LineageStore.append(spark, storeDir, run,
-          LineageParser.toDataset(spark,
-            Seq(r.copy(statementIndex = run.toInt))))
+        // statement numbering), not of observed history. stmt is Int
+        // by the v1 contract while run ids are Long: past Int.MaxValue
+        // writes the identity would WRAP and shadow unrelated runs, so
+        // capture refuses the append instead of corrupting (the
+        // observer contract swallows the throw, so capture goes quiet
+        // — detectable by /health's frozen run count; 2^31 writes is
+        // an archive-and-restart event for the store regardless).
+        if (run <= Int.MaxValue.toLong)
+          LineageStore.append(spark, storeDir, run,
+            LineageParser.toDataset(spark,
+              Seq(r.copy(statementIndex = run.toInt))))
+        else throw new IllegalStateException(
+          s"capture run id $run exceeds the v1 edge contract's Int " +
+            "stmt field — archive and restart the store")
       },
       metadata)
   }

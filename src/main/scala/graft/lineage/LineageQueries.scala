@@ -780,14 +780,7 @@ object LineageQueries {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    } catch { case _: Throwable => () }
+    graft.Cleanup.deleteRecursively(p)
 
   /** DuckDB oracle for [[sinkCaptureEdges]] — frozen VALUES golden
     * (both shapes are path-free by construction). */

@@ -64,7 +64,7 @@ object LineageService {
     // the store's accumulated graph (see LineageStore for the scale
     // shapes: per-run partition pruning, broadcast snapshot resolve).
     store.foreach { dir =>
-      server.createContext("/runs", (ex: HttpExchange) => try {
+      server.createContext("/runs", (ex: HttpExchange) => guarded(ex) {
         val path = ex.getRequestURI.getPath
         (ex.getRequestMethod, path.stripPrefix("/runs")) match {
           case ("GET", "" | "/") =>
@@ -94,8 +94,8 @@ object LineageService {
           case _ => respond(ex, 405,
             """{"error":"GET /runs or POST /runs/<id> with SQL body"}""")
         }
-      } finally ex.close())
-      server.createContext("/snapshot", (ex: HttpExchange) => try {
+      })
+      server.createContext("/snapshot", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
         else if (LineageStore.runs(spark, dir).isEmpty)
@@ -110,8 +110,8 @@ object LineageService {
               .orderBy("stmt", "to_name", "from_name", "conditions",
                 "table_name", "col_name"), withRun = true))
         }
-      } finally ex.close())
-      server.createContext("/diff", (ex: HttpExchange) => try {
+      })
+      server.createContext("/diff", (ex: HttpExchange) => guarded(ex) {
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")
         val params = q.split("&").filter(_.contains("="))
           .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
@@ -129,17 +129,17 @@ object LineageService {
           case _ => respond(ex, 400,
             """{"error":"need ?from=<run>&to=<run>"}""")
         }
-      } finally ex.close())
-      server.createContext("/vacuum", (ex: HttpExchange) => try {
+      })
+      server.createContext("/vacuum", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "POST")
           respond(ex, 405, """{"error":"use POST"}""")
         else respond(ex, 200, LineageStore.vacuum(spark, dir)
           .mkString("""{"removed":[""", ",", "]}"))
-      } finally ex.close())
+      })
       // The impact questions over WHAT ACTUALLY RAN: same rollups as
       // the POST-the-SQL endpoints, computed over the store's current
       // snapshot instead of a request body.
-      server.createContext("/store-impact", (ex: HttpExchange) => try {
+      server.createContext("/store-impact", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
         else if (LineageStore.runs(spark, dir).isEmpty)
@@ -147,9 +147,9 @@ object LineageService {
         else respond(ex, 200, rollupJson(
           LineageQueries.impactRollup(LineageStore.snapshot(spark, dir)),
           Seq("srcTable", "nEdges", "nDestCols", "nStatements")))
-      } finally ex.close())
+      })
       server.createContext("/store-column-impact", (ex: HttpExchange) =>
-        try {
+        guarded(ex) {
           if (ex.getRequestMethod != "GET")
             respond(ex, 405, """{"error":"use GET"}""")
           else if (LineageStore.runs(spark, dir).isEmpty)
@@ -158,11 +158,11 @@ object LineageService {
             LineageQueries.columnImpactFrom(
               LineageStore.snapshot(spark, dir)),
             Seq("srcCol", "nReach", "maxDepth")))
-        } finally ex.close())
+        })
       // The graph itself, renderable: Graphviz DOT of the snapshot at
       // TABLE grain (sink <- source per statement, deduped, sorted —
       // deterministic output, the shape lineage UIs draw).
-      server.createContext("/graph.dot", (ex: HttpExchange) => try {
+      server.createContext("/graph.dot", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
         else {
@@ -180,7 +180,7 @@ object LineageService {
           ex.sendResponseHeaders(200, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
         }
-      } finally ex.close())
+      })
     }
     server.createContext("/fetch",
       (ex: HttpExchange) => handle(spark, metadata, ex,
@@ -201,7 +201,7 @@ object LineageService {
     // Deployability: what a load balancer and an operator ask first.
     // Reports the edge-contract version and (when store-backed) the
     // run population, from partition listings only — no data read.
-    server.createContext("/health", (ex: HttpExchange) => try {
+    server.createContext("/health", (ex: HttpExchange) => guarded(ex) {
       val runsPart = store.map { dir =>
         val rs = LineageStore.runs(spark, dir)
         s""","store":{"runs":${rs.size},"latest":${
@@ -210,7 +210,7 @@ object LineageService {
       respond(ex, 200,
         s"""{"status":"ok","edgeContractVersion":${
           LineageEdgeSchema.Version}$runsPart}""")
-    } finally ex.close())
+    })
     // OPENLINEAGE interop (r17): the same POST-the-SQL contract, the
     // response an array of OpenLineage RunEvents (one per statement).
     // runId is a name-UUID of the request body, so re-emitting the
@@ -284,6 +284,22 @@ object LineageService {
       .map(r => s"""{"srcCol":${jstr(r.getString(0))},""" +
         s""""nReach":${r.getLong(1)},"maxDepth":${r.getLong(2)}}""")
       .mkString("[", ",", "]")
+
+  /** Handler wrapper upholding the JSON-error contract: an exception
+    * out of a store read (a corrupt parquet file, a concurrent
+    * vacuum) must surface as a 500 with a named error body, not a
+    * connection reset — callers keyed on the documented error shape
+    * would otherwise misclassify it as a network failure. The inner
+    * respond is best-effort: if headers already went out, only the
+    * close remains. */
+  private def guarded(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Exception =>
+        try respond(ex, 500, s"""{"error":${jstr(
+          Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        catch { case _: Exception => () }
+    } finally ex.close()
 
   /** A rollup DataFrame as a JSON array, columns by position. */
   private def rollupJson(df: org.apache.spark.sql.DataFrame,

@@ -52,6 +52,16 @@ object LineageStore {
     edges.select(edgeCols.map(col): _*)
       .withColumn("run_id", lit(runId))
       .write.mode("append").partitionBy("run_id").parquet(storeDir)
+    // A ZERO-edge run (a DDL-only re-parse) writes no partition files,
+    // which would make the run invisible to runs() — the immutability
+    // require above would then let a later append REUSE the
+    // acknowledged id with different content. Materialize the
+    // partition directory explicitly so every accepted run id exists
+    // (parquet reads ignore a file-less partition dir; mkdirs is
+    // idempotent for the non-empty case).
+    val (filesystem, root) = fs(spark, storeDir)
+    filesystem.mkdirs(
+      new org.apache.hadoop.fs.Path(root, s"run_id=$runId"))
   }
 
   /** The edge-contract version the store was created under, stamped as

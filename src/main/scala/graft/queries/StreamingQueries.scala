@@ -140,14 +140,7 @@ object StreamingQueries {
     * reach (it unpersists RDDs; it doesn't know about sink checkpoint
     * locations). */
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    } catch { case _: Throwable => () }
+    graft.Cleanup.deleteRecursively(p)
 
   /** Scope the RocksDB state-store provider (transformWithState's
     * requirement) to one bounded run — the [[withStreamConf]] shape

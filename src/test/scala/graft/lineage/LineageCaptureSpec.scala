@@ -174,8 +174,13 @@ class LineageCaptureSpec extends SparkTestBase {
   }
 
   test("attachStore accumulates runs without observing its own appends") {
-    val store = java.nio.file.Files
+    val local = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString
+    // SCHEME-QUALIFIED store dir on purpose: the hdfs:///-style config
+    // the class documents. The self-filter must recognize its appends
+    // through the URI form (a rendered-string compare printed
+    // file:/x vs file:///x for one location and looped forever).
+    val store = "file:" + local
     val l = LineageCapture.attachStore(spark, store)
     try withTable("cap_store_tbl") {
       spark.table("region").select(col("r_regionkey"), col("r_name"))
@@ -204,7 +209,7 @@ class LineageCaptureSpec extends SparkTestBase {
     } finally {
       LineageCapture.detach(spark, l)
       org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(store))
+        .deleteDirectory(new java.io.File(local))
     }
   }
 }

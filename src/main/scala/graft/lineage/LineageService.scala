@@ -55,8 +55,14 @@ object LineageService {
 
   def start(spark: SparkSession, port: Int = 0,
             metadata: Option[MetadataProvider] = None,
-            store: Option[String] = None): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+            store: Option[String] = None,
+            host: String = "127.0.0.1",
+            maxResponseEdges: Int = 10000): HttpServer = {
+    // loopback by DEFAULT (ADVICE r18): the store tier carries
+    // mutating endpoints (POST /runs/<id>, /vacuum) — exposing them
+    // beyond the host is an explicit `host = "0.0.0.0"` decision that
+    // belongs to whoever also provides the auth layer in front.
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     // STORE-BACKED tier (r17): with a LineageStore directory the
     // service is a durable lineage BACKEND, not just a parser —
     // POST /runs/<id> parses the body and appends it as that run;
@@ -101,14 +107,14 @@ object LineageService {
         else if (LineageStore.runs(spark, dir).isEmpty)
           respond(ex, 200, "[]") // empty store: no partitions to scan
         else {
-          // ?asOf=<run> time-travels (the graph as of that run)
-          val asOf = Option(ex.getRequestURI.getQuery).getOrElse("")
-            .split("&").find(_.startsWith("asOf="))
-            .flatMap(_.stripPrefix("asOf=").toLongOption)
-          respond(ex, 200,
-            edgesJson(LineageStore.snapshot(spark, dir, asOf)
-              .orderBy("stmt", "to_name", "from_name", "conditions",
-                "table_name", "col_name"), withRun = true))
+          // ?asOf=<run> time-travels (the graph as of that run);
+          // ?limit=<stmts>&after_stmt=<cursor> paginates (r18)
+          val asOf = queryParams(ex).get("asOf").flatMap(_.toLongOption)
+          servePaged(ex,
+            LineageStore.snapshot(spark, dir, asOf),
+            Seq("stmt", "to_name", "from_name", "conditions",
+              "table_name", "col_name"),
+            maxResponseEdges, withRun = true)
         }
       })
       server.createContext("/diff", (ex: HttpExchange) => guarded(ex) {
@@ -122,10 +128,10 @@ object LineageService {
                 !LineageStore.runs(spark, dir).contains(t) =>
             respond(ex, 404, """{"error":"unknown run id"}""")
           case (Some(f), Some(t)) =>
-            respond(ex, 200,
-              edgesJson(LineageStore.diff(spark, dir, f, t)
-                .orderBy("stmt", "to_name", "from_name", "conditions",
-                  "change"), withChange = true))
+            servePaged(ex, LineageStore.diff(spark, dir, f, t),
+              Seq("stmt", "to_name", "from_name", "conditions",
+                "change"),
+              maxResponseEdges, withChange = true)
           case _ => respond(ex, 400,
             """{"error":"need ?from=<run>&to=<run>"}""")
         }
@@ -204,8 +210,12 @@ object LineageService {
     server.createContext("/health", (ex: HttpExchange) => guarded(ex) {
       val runsPart = store.map { dir =>
         val rs = LineageStore.runs(spark, dir)
+        // capture_errors: appends the observer contract swallowed —
+        // the difference between "capture went quiet" and "nothing
+        // was written" (VERDICT r17 #7)
         s""","store":{"runs":${rs.size},"latest":${
-          rs.lastOption.getOrElse(0L)}}"""
+          rs.lastOption.getOrElse(0L)},"capture_errors":${
+          LineageCapture.captureErrors(spark, dir)}}"""
       }.getOrElse("")
       respond(ex, 200,
         s"""{"status":"ok","edgeContractVersion":${
@@ -313,14 +323,62 @@ object LineageService {
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
 
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("="))
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+
+  /** Serve an edge frame, paginated on the STATEMENT ordering (r18,
+    * VERDICT r17 #4 — `stmt` is the stable, partition-prunable key):
+    *
+    *  - `?limit=<n>&after_stmt=<cursor>` returns the edges of the
+    *    next `n` statements past the cursor as
+    *    `{"edges":[…],"next_after_stmt":<cursor>}` — the cursor field
+    *    absent on the last page;
+    *  - without `limit`, the legacy bare-array shape, CAPPED: a
+    *    response that would exceed `maxEdges` edges is refused with a
+    *    named 413 telling the caller to paginate, instead of
+    *    collecting an unbounded store into one JSON body. */
+  private def servePaged(ex: HttpExchange,
+                         df: org.apache.spark.sql.DataFrame,
+                         order: Seq[String], maxEdges: Int,
+                         withRun: Boolean = false,
+                         withChange: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val params = queryParams(ex)
+    params.get("limit").flatMap(_.toIntOption) match {
+      case Some(limit) if limit > 0 =>
+        val after = params.get("after_stmt")
+          .flatMap(_.toIntOption).getOrElse(Int.MinValue)
+        val base = df.filter(col("stmt") > after)
+        // limit+1 statements: the extra one only signals "more pages"
+        val stmts = base.select("stmt").distinct().orderBy("stmt")
+          .limit(limit + 1).collect().map(_.getInt(0))
+        val page = stmts.take(limit)
+        val rows =
+          if (page.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else base.filter(col("stmt").isin(page.map(Int.box): _*))
+            .orderBy(order.head, order.tail: _*).collect()
+        val next = if (stmts.length > limit)
+          s""","next_after_stmt":${page.last}""" else ""
+        respond(ex, 200,
+          s"""{"edges":${edgesJson(rows, withRun, withChange)}$next}""")
+      case _ =>
+        val rows = df.orderBy(order.head, order.tail: _*)
+          .limit(maxEdges + 1).collect()
+        if (rows.length > maxEdges)
+          respond(ex, 413, s"""{"error":"response exceeds $maxEdges """ +
+            """edges; paginate with ?limit=<stmts>&after_stmt=<cursor>"}""")
+        else respond(ex, 200, edgesJson(rows, withRun, withChange))
+    }
+  }
+
   /** Store rows (the v1 edge columns, optionally + run_id / change)
-    * as a JSON array. Collect is bounded by the served graph — the
-    * warehouse deployment paginates at the store layer (per-run
-    * partition reads), not here. */
-  private def edgesJson(df: org.apache.spark.sql.DataFrame,
-                        withRun: Boolean = false,
-                        withChange: Boolean = false): String =
-    df.collect().map { r =>
+    * as a JSON array. */
+  private def edgesJson(rows: Array[org.apache.spark.sql.Row],
+                        withRun: Boolean,
+                        withChange: Boolean): String =
+    rows.map { r =>
       val base =
         s"""{"stmt":${r.getAs[Int]("stmt")},""" +
           s""""operation":${jstr(r.getAs[String]("operation"))},""" +

@@ -173,6 +173,142 @@ class LineageCaptureSpec extends SparkTestBase {
     } finally LineageCapture.detachStreams(spark, l)
   }
 
+  test("two sessions capturing into one store lose no writes") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_multi").toString
+    // the config-only deployment's shape: independent sessions (own
+    // listener bus, own listener, own claim sequence) sharing ONE
+    // store dir — the max+1 allocation this replaces silently dropped
+    // the slower writer's append whenever both saw the same max
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    graft.Tables.registerAll(s1, sfDir) // temp views are per-session
+    graft.Tables.registerAll(s2, sfDir)
+    val l1 = LineageCapture.attachStore(s1, store)
+    val l2 = LineageCapture.attachStore(s2, store)
+    val outs = (1 to 6).map(i => java.nio.file.Files
+      .createTempDirectory(s"graft_cap_multi_out$i").toString)
+    try {
+      // interleave writes across the sessions; every write must land
+      // as its own run
+      outs.zipWithIndex.foreach { case (out, i) =>
+        val s = if (i % 2 == 0) s1 else s2
+        s.table("region").select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").parquet(out)
+      }
+      eventually(LineageStore.runs(spark, store).size == 6)
+      Thread.sleep(500) // self-appends must still be filtered
+      assert(LineageStore.runs(spark, store) == (1L to 6L).toSeq)
+      // write-log identity: six distinct statements, nothing shadowed
+      assert(LineageStore.snapshot(spark, store)
+        .select("stmt").distinct().count() == 6)
+      assert(LineageCapture.captureErrors(spark, store) == 0)
+    } finally {
+      LineageCapture.detach(s1, l1)
+      LineageCapture.detach(s2, l2)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(store))
+      outs.foreach(o => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(o)))
+    }
+  }
+
+  test("a store under the warehouse dir does not self-capture (catalog-shaped sink)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // the store AS a warehouse path: fromExecution's managed-layout
+    // heuristic names its appends `default.graft_cap_wh_store`, not
+    // `file.[...]` — the filter must still recognize itself or every
+    // append is captured as a new run, forever (ADVICE r18 #1)
+    val store = new java.io.File(wh, "graft_cap_wh_store").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(store))
+    val l = LineageCapture.attachStore(spark, store)
+    try withTable("cap_wh_tbl") {
+      spark.table("region").select(col("r_regionkey"), col("r_name"))
+        .write.saveAsTable("cap_wh_tbl")
+      eventually(LineageStore.runs(spark, store).nonEmpty)
+      Thread.sleep(700) // a self-capture loop would keep adding runs
+      assert(LineageStore.runs(spark, store) == Seq(1L))
+      assert(LineageStore.snapshot(spark, store)
+        .filter(col("table_name").contains("cap_wh_tbl")).count() == 2)
+    } finally {
+      LineageCapture.detach(spark, l)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(store))
+    }
+  }
+
+  test("capture failures are counted, not silent (observer contract kept)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_err").toString
+    val l = LineageCapture.attachStore(spark, store)
+    val before = LineageCapture.captureErrors(spark, store)
+    try withTable("cap_err_tbl") {
+      // sabotage the store AFTER attach: stamp a foreign contract
+      // version so every append fails by name
+      val p = new org.apache.hadoop.fs.Path(store, "_schema_version")
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = hfs.create(p, true)
+      try out.write("99".getBytes("UTF-8")) finally out.close()
+      // the observed write itself must still SUCCEED
+      spark.table("region").select(col("r_regionkey"), col("r_name"))
+        .write.saveAsTable("cap_err_tbl")
+      eventually(LineageCapture.captureErrors(spark, store) > before)
+      assert(spark.table("cap_err_tbl").count() > 0)
+      assert(LineageStore.runs(spark, store).isEmpty)
+    } finally {
+      LineageCapture.detach(spark, l)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(store))
+    }
+  }
+
+  test("attachReadStore persists the access log across handles") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_readstore").toString
+    try withTable("cap_readstore_tbl") {
+      spark.table("nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.saveAsTable("cap_readstore_tbl")
+      Thread.sleep(400)
+      val h = LineageCapture.attachReadStore(spark, store,
+        flushEvery = 1000, session = "sess-a")
+      try {
+        spark.table("cap_readstore_tbl")
+          .filter(col("n_regionkey") === 1).select(col("n_name"))
+          .write.format("noop").mode("overwrite").save()
+        spark.table("cap_readstore_tbl").count()
+        // the bus is async — poll flush-then-count until both actions
+        // (the pruned pair + the metadata-only count) are durable
+        eventually {
+          h.flush()
+          LineageStore.readLog(spark, store)
+            .filter(col("table_name") === "default.cap_readstore_tbl")
+            .count() == 3
+        }
+      } finally h.detach()
+      // a SECOND handle (a later session) appends, never rewrites
+      val h2 = LineageCapture.attachReadStore(spark, store,
+        flushEvery = 1000, session = "sess-b")
+      try {
+        spark.table("cap_readstore_tbl").select(col("n_name")).collect()
+        eventually {
+          h2.flush()
+          LineageStore.readLog(spark, store)
+            .filter(col("table_name") === "default.cap_readstore_tbl")
+            .filter(col("session") === "sess-b").count() == 1
+        }
+      } finally h2.detach()
+      val log = LineageStore.readLog(spark, store)
+        .filter(col("table_name") === "default.cap_readstore_tbl")
+        .select("session", "column_read")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(log == Set(("sess-a", "n_name"), ("sess-a", "n_regionkey"),
+        ("sess-a", ""), ("sess-b", "n_name")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(store))
+  }
+
   test("attachStore accumulates runs without observing its own appends") {
     val local = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString

@@ -146,6 +146,155 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("claimRun is atomic: concurrent claimers never share an id") {
+    withStore { dir =>
+      // seed so allocation starts past an existing run
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val claims = (1 to 80).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = LineageStore.claimRun(spark, dir)
+          }))
+        val ids = claims.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        assert(ids.distinct.size == 80, "duplicate claim")
+        assert(ids.min == 2L && ids.max == 81L, s"${ids.sorted}")
+      } finally pool.shutdownNow()
+      // claimed ids are reserved: visible in runs(), invisible to read()
+      assert(LineageStore.runs(spark, dir).size == 81)
+      assert(LineageStore.read(spark, dir).count() == 1)
+      // a claimed id is appendable exactly once
+      LineageStore.append(spark, dir, 5L, frame(edge(9, "b", "db.t.y")))
+      intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 5L, frame(edge(9, "b", "db.t.y")))
+      }
+      assert(LineageStore.read(spark, dir).count() == 2)
+    }
+  }
+
+  test("a zero-edge run's id can never be reused") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame()) // DDL-only re-parse
+      assert(LineageStore.runs(spark, dir) == Seq(1L))
+      intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      }
+      // and a store holding ONLY file-less runs reads as EMPTY, not a
+      // schema-inference crash (ADVICE r17 #3)
+      assert(LineageStore.read(spark, dir).count() == 0)
+      assert(LineageStore.snapshot(spark, dir).count() == 0)
+      // nor does vacuum eat the tombstone that makes the id reserved
+      assert(LineageStore.supersededRuns(spark, dir).isEmpty)
+      assert(LineageStore.vacuum(spark, dir).isEmpty)
+      assert(LineageStore.runs(spark, dir) == Seq(1L))
+    }
+  }
+
+  test("compact folds old runs into a segment; semantics unchanged") {
+    withStore { dir =>
+      // capture-log shape: one statement per run, never superseded
+      (1 to 6).foreach { i =>
+        LineageStore.append(spark, dir, i.toLong,
+          frame(edge(i, s"c$i", s"db.t.x$i"),
+            edge(i, s"d$i", s"db.t.y$i")))
+      }
+      LineageStore.append(spark, dir, 7L, frame()) // zero-edge run
+      def snap() = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "to_name", "from_name")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getString(2), r.getString(3))).toSet
+      val before = snap()
+      assert(LineageStore.compact(spark, dir, upToRun = 4L) ==
+        Seq(1L, 2L, 3L, 4L))
+      // the run POPULATION and the graph are unchanged — only the
+      // one-directory-per-write layout folded away
+      assert(LineageStore.runs(spark, dir) ==
+        (1L to 7L).toSeq)
+      assert(snap() == before)
+      assert(LineageStore.read(spark, dir)
+        .filter(col("run_id") === 3L).count() == 2)
+      // folded directories are gone; survivors remain
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!names.exists(n => (1 to 4).exists(i => n == s"run_id=$i")),
+        names.toString)
+      assert(names.contains("run_id=5") && names.contains("_compacted"))
+      // compacted ids stay reserved
+      intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 2L, frame(edge(2, "z", "db.t.z")))
+      }
+      // allocation resumes past everything
+      assert(LineageStore.claimRun(spark, dir) == 8L)
+      // a second compact folds the rest INCLUDING the zero-edge
+      // tombstone (its id moves into the manifest) and the old segment
+      assert(LineageStore.compact(spark, dir, upToRun = 8L) ==
+        Seq(5L, 6L, 7L, 8L))
+      assert(LineageStore.runs(spark, dir) == (1L to 8L).toSeq)
+      assert(snap() == before)
+      // run-scoped diff still works from the segment's run_id COLUMN:
+      // run 2's scope is stmt 2, where run 1 has nothing → 2 additions
+      assert(LineageStore.diff(spark, dir, 1L, 2L).count() == 2)
+      // exactly one live segment (bin-packed, not accumulating)
+      val segs = new java.io.File(dir, "_compacted").listFiles()
+        .map(_.getName).filter(_.startsWith("seg_"))
+      assert(segs.length == 1, segs.toSeq.toString)
+    }
+  }
+
+  test("vacuum is two-phase: tombstone first, data deleted only on purge") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      LineageStore.append(spark, dir, 2L, frame(edge(1, "a", "db.t.x2")))
+      // a scan started BEFORE the vacuum: its plan has already listed
+      // both partitions
+      val it = LineageStore.read(spark, dir).toLocalIterator()
+      assert(LineageStore.vacuum(spark, dir) == Seq(1L))
+      // vacuum touched no data file — the pre-vacuum scan completes
+      // across both runs even though its tasks open files AFTER the
+      // vacuum returned
+      val seen = new scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) seen += it.next().getAs[Long]("run_id")
+      assert(seen.sorted == Seq(1L, 2L), seen.toString)
+      // new reads skip the tombstoned partition
+      assert(LineageStore.runs(spark, dir) == Seq(2L))
+      assert(LineageStore.read(spark, dir).count() == 1)
+      assert(new java.io.File(dir, "run_id=1/_vacuumed").exists())
+      // a grace window longer than the tombstone's age purges nothing
+      assert(LineageStore.purgeVacuumed(spark, dir,
+        graceMs = 3600L * 1000).isEmpty)
+      assert(new java.io.File(dir, "run_id=1").exists())
+      assert(LineageStore.purgeVacuumed(spark, dir) == Seq("run_id=1"))
+      assert(!new java.io.File(dir, "run_id=1").exists())
+      // vacuum stays idempotent across the phases
+      assert(LineageStore.vacuum(spark, dir).isEmpty)
+    }
+  }
+
+  test("read log: appendReads/readLog round-trip, empty-safe") {
+    withStore { dir =>
+      // before the first flush the log reads as an EMPTY typed frame
+      assert(LineageStore.readLog(spark, dir).count() == 0)
+      assert(LineageStore.readLog(spark, dir).columns.toSeq ==
+        Seq("session", "action", "table_name", "column_read", "ts_ms"))
+      import spark.implicits._
+      LineageStore.appendReads(spark, dir, Seq(
+        ("s1", 1, "default.t", "a", 100L),
+        ("s1", 1, "default.t", "b", 100L))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      LineageStore.appendReads(spark, dir, Seq(
+        ("s2", 1, "default.t", "", 200L))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      val log = LineageStore.readLog(spark, dir)
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getString(2), r.getString(3), r.getLong(4))).toSet
+      assert(log == Set(("s1", 1, "default.t", "a", 100L),
+        ("s1", 1, "default.t", "b", 100L),
+        ("s2", 1, "default.t", "", 200L)))
+      // the log hides behind an underscore dir: edge reads unaffected
+      assert(LineageStore.runs(spark, dir).isEmpty)
+      assert(LineageStore.read(spark, dir).count() == 0)
+    }
+  }
+
   test("a per-run read prunes to that run's partition") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))

@@ -137,7 +137,27 @@ object SparkEntry {
       // the PHYSICALLY read (post-pruning) columns — a count() logs a
       // metadata-only read (empty column set).
       "q284_read_capture" ->
-        ((s, dir) => graft.lineage.LineageQueries.readCaptureRows(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.readCaptureRows(s, dir)),
+      // STORE COMPACTION (r18): one-run-per-write history bin-packed
+      // into a consolidated segment; snapshot provably unchanged.
+      "q285_store_compact" ->
+        ((s, dir) => graft.lineage.LineageQueries.storeCompactSnapshot(s, dir)),
+      // PERSISTED read log (r18): the q284 access-log scenario written
+      // through attachReadStore and read back from disk.
+      "q286_read_log_persist" ->
+        ((s, dir) => graft.lineage.LineageQueries.readLogPersist(s, dir)),
+      // DEPRECATION query (r18): write-impact LEFT JOIN read recency —
+      // the written-but-never-read table surfaces with zero reads.
+      "q287_deprecation" ->
+        ((s, dir) => graft.lineage.LineageQueries.deprecationCandidates(s, dir)),
+      // CONCURRENT capture (r18): two sessions, one store, six writes —
+      // atomic run claims mean six runs, six distinct ids, zero lost.
+      "q288_concurrent_capture" ->
+        ((s, dir) => graft.lineage.LineageQueries.concurrentCaptureCounts(s, dir)),
+      // STORE LIFECYCLE (r18): supersession → tombstone vacuum → grace
+      // window → purge → id reuse, as one ordered frozen golden.
+      "q289_store_lifecycle" ->
+        ((s, dir) => graft.lineage.LineageQueries.storeLifecycle(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +190,15 @@ object SparkEntry {
       "q282_openlineage" ->
         graft.lineage.LineageQueries.openLineageOracleSql,
       "q283_write_capture" -> graft.lineage.LineageQueries.captureOracleSql,
-      "q284_read_capture" -> graft.lineage.LineageQueries.readCaptureOracleSql
+      "q284_read_capture" -> graft.lineage.LineageQueries.readCaptureOracleSql,
+      "q285_store_compact" ->
+        graft.lineage.LineageQueries.storeCompactOracleSql,
+      "q286_read_log_persist" ->
+        graft.lineage.LineageQueries.readLogPersistOracleSql,
+      "q287_deprecation" -> graft.lineage.LineageQueries.deprecationOracleSql,
+      "q288_concurrent_capture" ->
+        graft.lineage.LineageQueries.concurrentCaptureOracleSql,
+      "q289_store_lifecycle" ->
+        graft.lineage.LineageQueries.storeLifecycleOracleSql
     )
 }

@@ -496,7 +496,9 @@ object LineageQueries {
   val artifactBacked: Map[String, String => Boolean] =
     Seq("q280_lineage_store", "q281_store_diff")
       .map(_ -> ((d: String) => corpusStoreArtifact.containsKey(d)))
-      .toMap
+      .toMap ++ Map(
+      "q285_store_compact" ->
+        ((d: String) => compactedStoreArtifact.containsKey(d)))
 
   /** DuckDB oracle for [[storeSnapshot]] — the two frozen goldens
     * stitched by the latest-wins rule (stmts 1-2 from the CTRL
@@ -645,7 +647,16 @@ object LineageQueries {
     spark.sql(
       "CREATE TABLE lineage_cap (cap_key INT, cap_name STRING) USING parquet")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[LineageResult]()
-    val listener = LineageCapture.attach(spark, r => buf.add(r))
+    // The bus is SESSION-wide and async: a write issued just before
+    // attach (a preceding harness query's own save) can deliver INTO
+    // the capture window and shift arrival indices under the frozen
+    // golden (ADVICE r18 #2) — admit only events whose sink is THIS
+    // query's table.
+    def ours(r: LineageResult): Boolean =
+      (r.outputTables ++ r.colLines.map(_.tableName))
+        .exists(_.endsWith("default.lineage_cap"))
+    val listener = LineageCapture.attach(spark,
+      r => if (ours(r)) buf.add(r))
     try {
       import org.apache.spark.sql.functions.col
       spark.table("nation")
@@ -695,8 +706,15 @@ object LineageQueries {
       .write.saveAsTable("lineage_readcap")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[
       Seq[(String, Seq[String])]]()
+    // Same arrival-index pinning as captureEdges (ADVICE r18 #2):
+    // only actions that READ this query's table may enter the window
+    // (the fixture write above, or a late event from a preceding
+    // harness query, would otherwise shift the frozen action numbers).
     val listener = LineageCapture.attachReads(spark,
-      (_, rs) => buf.add(rs))
+      (_, rs) => {
+        val ours = rs.filter(_._1 == "default.lineage_readcap")
+        if (ours.nonEmpty) buf.add(ours)
+      })
     try {
       spark.table("lineage_readcap")
         .filter(col("n_regionkey") === 1).select(col("n_name"))
@@ -740,6 +758,308 @@ object LineageQueries {
     (2, 'default.lineage_cap', 'default.lineage_cap.cap_name', 'cap_name', 'default.region.r_name', 'WHERE:(region.r_regionkey < 2)')
     ) AS t(stmt, table_name, col_name, to_name, from_name, conditions)
     ORDER BY stmt, to_name, from_name"""
+
+  /** STORE COMPACTION as a driver query (q285, r18): the capture-log
+    * workload's reclamation story, oracle-checked. Six single-
+    * statement runs (run i = corpus statement i — the one-write-per-
+    * run layout [[graft.lineage.LineageCapture.attachStore]]
+    * produces), then `compact(upToRun = 4)` folds the first four
+    * partition directories into one consolidated segment. The query
+    * returns the post-compaction snapshot — which the oracle states
+    * as ALL six statements' golden edges with `run_id = stmt`,
+    * i.e. compaction is invisible to every read path: same rows,
+    * same run ids (now a parquet COLUMN for folded runs), same
+    * latest-wins resolution. The builder additionally proves the
+    * invariants the oracle can't see: the fold reports exactly runs
+    * 1-4, allocation resumes past the manifest (claim = 7), and the
+    * pre/post snapshots are row-identical. */
+  def storeCompactSnapshot(spark: SparkSession, dir: String): DataFrame =
+    LineageStore.snapshot(spark, compactedStore(spark, dir))
+      .select("run_id", "stmt", "table_name", "col_name", "to_name",
+        "from_name", "conditions")
+      .orderBy("stmt", "to_name", "from_name", "conditions",
+        "table_name", "col_name")
+
+  private val compactedStoreArtifact =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactedStore(spark: SparkSession, dir: String): String =
+    compactedStoreArtifact.computeIfAbsent(dir, _ => {
+      registerFixtures(spark, dir)
+      val out = "target/graft-artifacts/lineage_store_compact_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      deleteRecursively(java.nio.file.Paths.get(out))
+      (1 to 6).foreach { i =>
+        LineageStore.append(spark, out, i.toLong,
+          LineageParser.toDataset(spark,
+            Seq(LineageParser.parseStatement(spark, corpus(i - 1), i))))
+      }
+      def snap() = LineageStore.snapshot(spark, out)
+        .orderBy("stmt", "to_name", "from_name", "conditions")
+        .collect().toSeq
+      val before = snap()
+      val folded = LineageStore.compact(spark, out, upToRun = 4L)
+      require(folded == Seq(1L, 2L, 3L, 4L),
+        s"compact folded $folded, expected runs 1-4")
+      require(LineageStore.claimRun(spark, out) == 7L,
+        "allocation must resume past the compacted manifest")
+      require(snap() == before,
+        "compaction changed the snapshot — the fold must be invisible")
+      out
+    })
+
+  /** DuckDB oracle for [[storeCompactSnapshot]]: single-statement
+    * runs mean every statement is its own latest, so the snapshot is
+    * the main golden's first six statements with `run_id = stmt` —
+    * unchanged by the fold, which is the point. */
+  lazy val storeCompactOracleSql: String =
+    s"""SELECT CAST(stmt AS BIGINT) AS run_id, stmt, table_name,
+               col_name, to_name, from_name, conditions
+        FROM ($oracleSql) WHERE stmt <= 6
+        ORDER BY stmt, to_name, from_name, conditions, table_name,
+                 col_name"""
+
+  /** PERSISTED read log as a driver query (q286, r18): the q284
+    * scenario — a pruned two-column question and a metadata-only
+    * count against a three-column table — but captured through
+    * [[graft.lineage.LineageCapture.attachReadStore]] and read back
+    * FROM DISK, proving the access log survives the session that
+    * wrote it. Actions are re-numbered densely over the target
+    * table's rows (the session-wide counter also ticks for unrelated
+    * actions — the store's own polling reads, a harness neighbor —
+    * which the frozen golden must not see). */
+  def readLogPersist(spark: SparkSession, dir: String): DataFrame = {
+    registerFixtures(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS lineage_readlog")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(java.nio.file.Paths.get(wh, "lineage_readlog"))
+    import org.apache.spark.sql.functions.col
+    spark.table("nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.saveAsTable("lineage_readlog")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_readlog_store").toString
+    val rows = try {
+      val handle = LineageCapture.attachReadStore(spark, store,
+        flushEvery = 1000, session = "readlog-probe")
+      try {
+        spark.table("lineage_readlog")
+          .filter(col("n_regionkey") === 1).select(col("n_name"))
+          .write.format("noop").mode("overwrite").save()
+        spark.table("lineage_readlog").count()
+        // the bus is async: poll flush-then-count until both actions
+        // (2 pruned columns + 1 metadata-only row) are durable
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def durable() = {
+          handle.flush()
+          LineageStore.readLog(spark, store)
+            .filter(col("table_name") === "default.lineage_readlog")
+            .count() == 3
+        }
+        while (!durable() && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        require(durable(), "read log did not persist 3 rows")
+      } finally handle.detach()
+      LineageStore.readLog(spark, store)
+        .filter(col("table_name") === "default.lineage_readlog")
+        .select("action", "table_name", "column_read")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    } finally {
+      deleteRecursively(java.nio.file.Paths.get(store))
+      spark.sql("DROP TABLE IF EXISTS lineage_readlog")
+    }
+    val rank = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    spark.createDataFrame(
+        rows.map { case (a, t, c) => (rank(a) + 1, t, c) })
+      .toDF("action", "table_name", "column_read")
+      .orderBy("action", "table_name", "column_read")
+  }
+
+  /** DuckDB oracle for [[readLogPersist]] — the q284 golden, read
+    * back from the persistent store. */
+  val readLogPersistOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'default.lineage_readlog', 'n_name'),
+    (1, 'default.lineage_readlog', 'n_regionkey'),
+    (2, 'default.lineage_readlog', '')
+    ) AS t(action, table_name, column_read)
+    ORDER BY action, table_name, column_read"""
+
+  /** The DEPRECATION query (q287, r18): write-impact joined with read
+    * recency — the question the read log exists to answer across
+    * sessions ("this table is still being WRITTEN; is anything still
+    * READING it?"). Fixture: a store whose write log holds two
+    * captured tables, and whose read log shows activity against only
+    * one of them. For every table the write snapshot knows, the
+    * query reports the distinct read actions, the distinct columns
+    * actually read, and the most recent action — zeros, not absence,
+    * for the table nothing reads (the deprecation candidate). */
+  def deprecationCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_deprecation_store").toString
+    try {
+      def writeRun(run: Long, stmt: Int, table: String): Unit =
+        LineageStore.append(spark, store, run,
+          spark.createDataFrame(Seq(
+            LineageEdge(stmt, "INSERT", table, s"$table.k", "k",
+              "default.src.a", ""),
+            LineageEdge(stmt, "INSERT", table, s"$table.v", "v",
+              "default.src.b", ""))))
+      writeRun(1L, 1, "default.dep_a")
+      writeRun(2L, 2, "default.dep_b")
+      LineageStore.appendReads(spark, store, spark.createDataFrame(Seq(
+        ("s1", 1, "default.dep_a", "k", 100L),
+        ("s1", 1, "default.dep_a", "v", 100L),
+        ("s1", 2, "default.dep_a", "", 200L)))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      val written = LineageStore.snapshot(spark, store)
+        .select(col("table_name")).distinct()
+      val reads = LineageStore.readLog(spark, store)
+        .groupBy("table_name")
+        .agg(countDistinct(col("action")).as("n_read_actions"),
+          countDistinct(when(col("column_read") =!= "",
+            col("column_read"))).as("n_cols_read"),
+          max(col("action")).as("last_action"))
+      val out = written.join(reads, Seq("table_name"), "left")
+        .select(col("table_name"),
+          coalesce(col("n_read_actions"), lit(0L)).as("n_read_actions"),
+          coalesce(col("n_cols_read"), lit(0L)).as("n_cols_read"),
+          coalesce(col("last_action"), lit(0)).as("last_action"))
+        .orderBy("table_name")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSeq
+      spark.createDataFrame(out)
+        .toDF("table_name", "n_read_actions", "n_cols_read",
+          "last_action")
+        .orderBy("table_name")
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+  }
+
+  /** DuckDB oracle for [[deprecationCandidates]] — frozen golden:
+    * dep_a is read (2 actions, 2 distinct columns, last action 2),
+    * dep_b is written but never read — the deprecation candidate. */
+  val deprecationOracleSql: String =
+    """SELECT * FROM (VALUES
+    ('default.dep_a', CAST(2 AS BIGINT), CAST(2 AS BIGINT), 2),
+    ('default.dep_b', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0)
+    ) AS t(table_name, n_read_actions, n_cols_read, last_action)
+    ORDER BY table_name"""
+
+  /** CONCURRENT capture as a driver query (q288, r18): two
+    * independent sessions — own listener bus, own capture listener,
+    * own claim sequence — write into ONE store dir, the advertised
+    * config-only cluster deployment. Every write must land as its
+    * own run: the atomic claim makes the interleaving collision-free
+    * where the old max+1 allocation silently dropped the slower
+    * writer's append. The result is the count row an operator would
+    * alert on: writers, writes issued, runs recorded, distinct ids. */
+  def concurrentCaptureCounts(spark: SparkSession, dir: String)
+      : DataFrame = {
+    registerFixtures(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_concurrent_store").toString
+    val outs = (1 to 6).map(i => java.nio.file.Files
+      .createTempDirectory(s"graft_concurrent_out$i").toString)
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    graft.Tables.registerAll(s1, dir) // temp views are per-session
+    graft.Tables.registerAll(s2, dir)
+    val l1 = LineageCapture.attachStore(s1, store)
+    val l2 = LineageCapture.attachStore(s2, store)
+    val runs = try {
+      import org.apache.spark.sql.functions.col
+      outs.zipWithIndex.foreach { case (out, i) =>
+        val s = if (i % 2 == 0) s1 else s2
+        s.table("region").select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (LineageStore.runs(spark, store).size < 6 &&
+          System.nanoTime() < deadline)
+        Thread.sleep(25)
+      Thread.sleep(300) // self-appends must still be filtered
+      LineageStore.runs(spark, store)
+    } finally {
+      LineageCapture.detach(s1, l1)
+      LineageCapture.detach(s2, l2)
+      (store +: outs).foreach(d =>
+        deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+    spark.createDataFrame(Seq(
+        (2, 6, runs.size, runs.distinct.size)))
+      .toDF("writers", "writes", "runs_recorded", "distinct_run_ids")
+  }
+
+  /** DuckDB oracle for [[concurrentCaptureCounts]]: six writes from
+    * two writers = six runs, six distinct ids — no write lost to an
+    * allocation collision. */
+  val concurrentCaptureOracleSql: String =
+    """SELECT 2 AS writers, 6 AS writes, 6 AS runs_recorded,
+              6 AS distinct_run_ids"""
+
+  /** STORE LIFECYCLE as a driver query (q289, r18): the two-phase
+    * vacuum walked end to end — supersession detection, tombstoning
+    * (runs vanish from every read path while their data survives a
+    * grace window), purge, and id reuse only after the purge. Steps
+    * are emitted as ordered (step, detail) rows so the whole
+    * lifecycle is one frozen golden. */
+  def storeLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_lifecycle_store").toString
+    def edge(stmt: Int, from: String) =
+      LineageEdge(stmt, "SELECT", "<EOF>", "", s"c$stmt", from, "")
+    val steps = try {
+      LineageStore.append(spark, store, 1L, spark.createDataFrame(Seq(
+        edge(1, "db.t.x"), edge(2, "db.t.y"))))
+      LineageStore.append(spark, store, 2L, spark.createDataFrame(Seq(
+        edge(1, "db.t.x2"))))
+      LineageStore.append(spark, store, 3L, spark.createDataFrame(Seq(
+        edge(1, "db.t.x3"))))
+      LineageStore.append(spark, store, 4L, spark.createDataFrame(Seq(
+        edge(2, "db.t.y4"))))
+      val snapBefore = LineageStore.snapshot(spark, store)
+        .orderBy("stmt", "from_name").collect().toSeq
+      val superseded = LineageStore.supersededRuns(spark, store)
+      val vacuumed = LineageStore.vacuum(spark, store)
+      val runsAfter = LineageStore.runs(spark, store)
+      val snapStable = LineageStore.snapshot(spark, store)
+        .orderBy("stmt", "from_name").collect().toSeq == snapBefore
+      val gracePurge =
+        LineageStore.purgeVacuumed(spark, store, graceMs = 3600000L)
+      val purged = LineageStore.purgeVacuumed(spark, store)
+      val nextClaim = LineageStore.claimRun(spark, store)
+      Seq(
+        (1, "superseded", superseded.mkString(",")),
+        (2, "vacuumed", vacuumed.mkString(",")),
+        (3, "runs_after_vacuum", runsAfter.mkString(",")),
+        (4, "snapshot_stable", snapStable.toString),
+        (5, "purged_within_grace", gracePurge.mkString(",")),
+        (6, "purged", purged.mkString(",")),
+        (7, "next_claim", nextClaim.toString))
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail")
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for [[storeLifecycle]] — the frozen lifecycle:
+    * runs 1-2 superseded and tombstoned (runs/snapshot already blind
+    * to them), nothing purged inside the grace window, both purged
+    * after it, and the next claim resumes at 5. */
+  val storeLifecycleOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'superseded', '1,2'),
+    (2, 'vacuumed', '1,2'),
+    (3, 'runs_after_vacuum', '3,4'),
+    (4, 'snapshot_stable', 'true'),
+    (5, 'purged_within_grace', ''),
+    (6, 'purged', 'run_id=1,run_id=2'),
+    (7, 'next_claim', '5')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
 
   /** The edge set as Graphviz DOT at TABLE grain — the picture a
     * lineage UI draws: one node per table (sinks and sources), one

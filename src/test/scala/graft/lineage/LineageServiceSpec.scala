@@ -172,9 +172,11 @@ class LineageServiceSpec extends SparkTestBase {
         "\"default.nation\" -> \"default.lineage_target\";"))
       // sink-less statements draw nothing (run 2's bare SELECT)
       assert(!dot.body().contains("<EOF>"))
-      // health: contract version + run population, no data read
+      // health: contract version + run population (+ the swallowed-
+      // capture-failure counter), no data read
       assert(post(port, "", method = "GET", path = "/health").body() ==
-        s"""{"status":"ok","edgeContractVersion":1,"store":{"runs":2,"latest":5}}""")
+        s"""{"status":"ok","edgeContractVersion":1,""" +
+          """"store":{"runs":2,"latest":5,"capture_errors":0}}""")
       // column grain: db.table.col nodes, sink column schema-resolved
       val cdot = post(port, "", method = "GET",
         path = "/graph.dot?grain=column").body()
@@ -182,6 +184,59 @@ class LineageServiceSpec extends SparkTestBase {
         "\"default.lineage_target.tgt_key\";"), cdot)
       assert(cdot.contains("\"default.nation.n_name\" -> " +
         "\"default.lineage_target.tgt_name\";"))
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("store endpoints paginate on stmt; unpaginated responses are capped") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_svc_page").toString
+    // a tight cap so the 413 arm is reachable with a small store
+    val server = LineageService.start(spark, store = Some(dir),
+      maxResponseEdges = 4)
+    try {
+      val port = server.getAddress.getPort
+      // three statements, two edges each (6 edges > the cap of 4)
+      assert(post(port,
+        "SELECT n_name, n_regionkey FROM nation; " +
+          "SELECT r_name, r_regionkey FROM region; " +
+          "SELECT c_name, c_nationkey FROM customer",
+        path = "/runs/1").statusCode() == 200)
+      // unpaginated: named 413, not an unbounded body
+      val over = post(port, "", method = "GET", path = "/snapshot")
+      assert(over.statusCode() == 413)
+      assert(over.body().contains("paginate"))
+      // page 1: two statements, cursor present
+      val p1 = post(port, "", method = "GET",
+        path = "/snapshot?limit=2").body()
+      assert(p1.contains(""""stmt":1""") && p1.contains(""""stmt":2"""))
+      assert(!p1.contains(""""stmt":3"""))
+      assert(p1.contains(""""next_after_stmt":2"""), p1)
+      // page 2 (from the cursor): last statement, no cursor
+      val p2 = post(port, "", method = "GET",
+        path = "/snapshot?limit=2&after_stmt=2").body()
+      assert(p2.contains(""""stmt":3""") && !p2.contains(""""stmt":2"""))
+      assert(!p2.contains("next_after_stmt"), p2)
+      // past the end: empty page, no cursor
+      val p3 = post(port, "", method = "GET",
+        path = "/snapshot?limit=2&after_stmt=3").body()
+      assert(p3 == """{"edges":[]}""", p3)
+      // /diff paginates with the same contract
+      assert(post(port,
+        "SELECT n_name, n_nationkey FROM nation; " +
+          "SELECT r_name FROM region; " +
+          "SELECT c_name, c_acctbal FROM customer",
+        path = "/runs/2").statusCode() == 200)
+      assert(post(port, "", method = "GET",
+        path = "/diff?from=1&to=2").statusCode() == 413)
+      val dp = post(port, "", method = "GET",
+        path = "/diff?from=1&to=2&limit=1").body()
+      assert(dp.contains(""""stmt":1""") && !dp.contains(""""stmt":2"""))
+      assert(dp.contains(""""next_after_stmt":1"""))
     } finally {
       server.stop(0)
       org.apache.commons.io.FileUtils

@@ -76,12 +76,33 @@ object OpenLineageExport {
     results.map(r =>
       runEvent(r, namespace, jobName, runId, eventTime, schemaOf))
 
+  /** The OpenLineage `schema` dataset facet body from the supplied
+    * catalog lookup — empty when the table is unknown (a facet of
+    * guesses is worse than no facet). */
+  private def schemaFacetJson(schemaOf: String => Seq[String],
+                              table: String): String =
+    schemaOf(table) match {
+      case Nil => ""
+      case cols =>
+        val fs = cols.map(c => s"""{"name":${jstr(c)}}""")
+          .mkString("[", ",", "]")
+        s""""schema":{"_producer":${jstr(Producer)},""" +
+          s""""_schemaURL":${jstr(SchemaFacetUrl)},"fields":$fs}"""
+    }
+
   def runEvent(r: LineageResult, namespace: String, jobName: String,
                runId: String, eventTime: String,
                schemaOf: String => Seq[String] = _ => Nil): String = {
     val rows = fieldRows(Seq(r))
-    val inputs = r.inputTables.toSeq.sorted
-      .map(t => s"""{"namespace":${jstr(namespace)},"name":${jstr(t)}}""")
+    // inputs carry the schema facet too (r18): a catalog rendering
+    // the event can then show SOURCE schemas, not just sink schemas
+    val inputs = r.inputTables.toSeq.sorted.map { t =>
+      val facet = schemaFacetJson(schemaOf, t) match {
+        case "" => ""
+        case f => s""","facets":{$f}"""
+      }
+      s"""{"namespace":${jstr(namespace)},"name":${jstr(t)}$facet}"""
+    }
     // DDL records outputs as "<name>\t<OP>" (reference
     // LineParser.java:435-440) — the dataset name is the part before
     // the tab; `<EOF>` (no sink) exports no output dataset at all.
@@ -91,16 +112,9 @@ object OpenLineageExport {
     val outputs = outNames.map { t =>
       val byField = rows.filter(_._2 == t)
         .groupBy(_._3).toSeq.sortBy(_._1)
-      // the OpenLineage `schema` dataset facet, from the supplied
-      // catalog lookup (field names; omitted when unknown — a facet
-      // of guesses is worse than no facet)
-      val schemaFacet = schemaOf(t) match {
-        case Nil => ""
-        case cols =>
-          val fs = cols.map(c => s"""{"name":${jstr(c)}}""")
-            .mkString("[", ",", "]")
-          s""""schema":{"_producer":${jstr(Producer)},""" +
-            s""""_schemaURL":${jstr(SchemaFacetUrl)},"fields":$fs},"""
+      val schemaFacet = schemaFacetJson(schemaOf, t) match {
+        case "" => ""
+        case f => f + ","
       }
       val facet =
         if (byField.isEmpty && schemaFacet.isEmpty) ""

@@ -61,6 +61,22 @@ class OpenLineageExportSpec extends SparkTestBase {
     // default (no lookup) stays byte-identical to the v-facet-less form
     assert(!OpenLineageExport.runEvent(r, "ns", "j", "run", "t")
       .contains("\"schema\":{"))
+    // INPUT datasets carry the facet too (r18) — a catalog rendering
+    // the event shows source schemas, not just sink schemas
+    val both = OpenLineageExport.runEvent(r, "ns", "j", "run", "t",
+      schemaOf = {
+        case "default.nation" => Seq("n_nationkey", "n_name", "n_regionkey")
+        case "default.lineage_target" => Seq("tgt_key", "tgt_name")
+        case _ => Nil
+      })
+    assert(both.contains(
+      """{"namespace":"ns","name":"default.nation","facets":{""" +
+        """"schema":{"_producer":"urn:graft:lineage:v1","_schemaURL":""" +
+        """"https://openlineage.io/spec/facets/1-0-0/SchemaDatasetFacet.json",""" +
+        """"fields":[{"name":"n_nationkey"},{"name":"n_name"},""" +
+        """{"name":"n_regionkey"}]}}}"""), both)
+    // an unknown input (no catalog answer) stays facet-free
+    assert(both.contains(""""name":"default.lineage_target""""))
   }
 
   test("a bare SELECT exports no outputs; literal edges export no pair") {

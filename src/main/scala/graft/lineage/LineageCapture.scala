@@ -414,6 +414,10 @@ object LineageCapture {
       }
     def sinks(r: LineageResult): Set[String] =
       r.outputTables ++ r.colLines.map(_.tableName)
+    // last id this listener claimed: the first claim pays one store
+    // listing, every later one starts past it (claims stay atomic —
+    // the hint only skips the listing, not the marker)
+    val lastClaim = new AtomicLong(0L)
     callbackListener(r =>
       if (!sinks(r).exists(isSelf))
         try {
@@ -431,7 +435,9 @@ object LineageCapture {
           // refuses the append instead of corrupting — counted in
           // capture_errors and visible on /health (2^31 writes is an
           // archive-and-restart event for the store regardless).
-          val run = LineageStore.claimRun(spark, storeDir)
+          val run = LineageStore.claimRun(spark, storeDir,
+            from = if (lastClaim.get() == 0L) 0L else lastClaim.get() + 1)
+          lastClaim.set(run)
           if (run <= Int.MaxValue.toLong)
             LineageStore.append(spark, storeDir, run,
               LineageParser.toDataset(spark,

@@ -76,6 +76,21 @@ object LineageService {
           case ("GET", "" | "/") =>
             respond(ex, 200, LineageStore.runs(spark, dir)
               .mkString("""{"runs":[""", ",", "]}"))
+          // one run's edges — partition-pruned (or row-group-pruned
+          // once compacted), same pagination contract as /snapshot
+          case ("GET", sub)
+              if sub.matches("/\\d+") &&
+                sub.stripPrefix("/").toLongOption.isDefined =>
+            val runId = sub.stripPrefix("/").toLong
+            if (!LineageStore.runs(spark, dir).contains(runId))
+              respond(ex, 404, """{"error":"unknown run id"}""")
+            else servePaged(ex,
+              LineageStore.read(spark, dir)
+                .filter(org.apache.spark.sql.functions
+                  .col("run_id") === runId),
+              Seq("stmt", "to_name", "from_name", "conditions",
+                "table_name", "col_name"),
+              maxResponseEdges, withRun = true)
           case ("POST", sub)
               if sub.matches("/\\d+") &&
                 sub.stripPrefix("/").toLongOption.isDefined =>
@@ -141,6 +156,84 @@ object LineageService {
           respond(ex, 405, """{"error":"use POST"}""")
         else respond(ex, 200, LineageStore.vacuum(spark, dir)
           .mkString("""{"removed":[""", ",", "]}"))
+      })
+      // maintenance face of the two-phase vacuum and the capture-log
+      // reclamation story (r18): purge aged-out tombstones, fold old
+      // runs into a consolidated segment
+      server.createContext("/purge", (ex: HttpExchange) => guarded(ex) {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"use POST"}""")
+        else {
+          val grace = queryParams(ex).get("graceMs")
+            .flatMap(_.toLongOption).getOrElse(0L)
+          respond(ex, 200,
+            LineageStore.purgeVacuumed(spark, dir, grace)
+              .map(jstr).mkString("""{"purged":[""", ",", "]}"))
+        }
+      })
+      server.createContext("/compact", (ex: HttpExchange) => guarded(ex) {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"use POST"}""")
+        else queryParams(ex).get("upTo").flatMap(_.toLongOption) match {
+          case Some(upTo) => respond(ex, 200,
+            LineageStore.compact(spark, dir, upTo)
+              .mkString("""{"folded":[""", ",", "]}"))
+          case None =>
+            respond(ex, 400, """{"error":"need ?upTo=<run>"}""")
+        }
+      })
+      // the read-log face (r18): "is anything still READING this
+      // table" (optionally ?table=-scoped), and the deprecation join —
+      // every written table with its read recency, zeros for the
+      // written-but-never-read candidates (the q287 shape).
+      server.createContext("/reads", (ex: HttpExchange) => guarded(ex) {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"use GET"}""")
+        else {
+          import org.apache.spark.sql.functions._
+          val scoped = queryParams(ex).get("table") match {
+            case Some(t) => LineageStore.readLog(spark, dir)
+              .filter(col("table_name") === t)
+            case None => LineageStore.readLog(spark, dir)
+          }
+          val rows = scoped.groupBy("table_name")
+            .agg(countDistinct(concat_ws("#", col("session"),
+              col("action"))).as("n_actions"),
+              countDistinct(when(col("column_read") =!= "",
+                col("column_read"))).as("n_cols_read"),
+              max(col("ts_ms")).as("last_read_ms"))
+            .orderBy("table_name").collect()
+          respond(ex, 200, rows.map(r =>
+            s"""{"table":${jstr(r.getString(0))},"nActions":${
+              r.getLong(1)},"nColsRead":${r.getLong(2)},"lastReadMs":${
+              r.getLong(3)}}""").mkString("[", ",", "]"))
+        }
+      })
+      server.createContext("/deprecation", (ex: HttpExchange) => guarded(ex) {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"use GET"}""")
+        else if (LineageStore.runs(spark, dir).isEmpty)
+          respond(ex, 200, "[]")
+        else {
+          import org.apache.spark.sql.functions._
+          val written = LineageStore.snapshot(spark, dir)
+            .select(col("table_name")).distinct()
+            .filter(col("table_name") =!= "<EOF>")
+          val reads = LineageStore.readLog(spark, dir)
+            .groupBy("table_name")
+            .agg(countDistinct(concat_ws("#", col("session"),
+              col("action"))).as("n_actions"),
+              max(col("ts_ms")).as("last_read_ms"))
+          val rows = written.join(reads, Seq("table_name"), "left")
+            .select(col("table_name"),
+              coalesce(col("n_actions"), lit(0L)).as("n_actions"),
+              coalesce(col("last_read_ms"), lit(0L)).as("last_read_ms"))
+            .orderBy("table_name").collect()
+          respond(ex, 200, rows.map(r =>
+            s"""{"table":${jstr(r.getString(0))},"nReadActions":${
+              r.getLong(1)},"lastReadMs":${r.getLong(2)}}""")
+            .mkString("[", ",", "]"))
+        }
       })
       // The impact questions over WHAT ACTUALLY RAN: same rollups as
       // the POST-the-SQL endpoints, computed over the store's current

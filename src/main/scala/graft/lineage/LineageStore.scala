@@ -129,11 +129,20 @@ object LineageStore {
     * the local filesystem) owns the id, the loser advances to N+2.
     * The claimed id is then appended with [[append]]; a claimer that
     * dies leaves an empty run (visible in [[runs]], invisible to
-    * [[read]]) — an auditable gap, never a silent overwrite. */
-  def claimRun(spark: SparkSession, storeDir: String): Long = {
+    * [[read]]) — an auditable gap, never a silent overwrite.
+    *
+    * `from` (when > 0) starts the scan at that id instead of paying a
+    * full [[runs]] listing — callers that claim repeatedly (the
+    * capture listener) pass their last claim + 1, so only the FIRST
+    * claim of a session lists the store. Ids below `from` are never
+    * revisited, which also keeps claims monotonic per caller. */
+  def claimRun(spark: SparkSession, storeDir: String,
+               from: Long = 0L): Long = {
     checkOrStampVersion(spark, storeDir)
     val (filesystem, root) = fs(spark, storeDir)
-    var n = runs(spark, storeDir).lastOption.getOrElse(0L) + 1
+    var n =
+      if (from > 0L) from
+      else runs(spark, storeDir).lastOption.getOrElse(0L) + 1
     while (true) {
       val part = new Path(root, s"run_id=$n")
       // ids already materialized (appended runs carry no _claim) are

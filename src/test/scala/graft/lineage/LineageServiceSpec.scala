@@ -244,6 +244,79 @@ class LineageServiceSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance + read-log endpoints: /runs/<id>, /compact, /purge, /reads, /deprecation") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_svc_maint").toString
+    val server = LineageService.start(spark, store = Some(dir))
+    try {
+      val port = server.getAddress.getPort
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation",
+        path = "/runs/1").statusCode() == 200)
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name " +
+          "FROM nation WHERE n_regionkey = 0",
+        path = "/runs/2").statusCode() == 200)
+      // one run's edges, partition-pruned, same shape as /snapshot
+      val r1 = post(port, "", method = "GET", path = "/runs/1")
+      assert(r1.statusCode() == 200)
+      assert(r1.body().contains(""""runId":1""") &&
+        !r1.body().contains(""""runId":2"""))
+      assert(post(port, "", method = "GET",
+        path = "/runs/9").statusCode() == 404)
+      // two-phase reclamation over HTTP: vacuum tombstones the
+      // superseded run, purge honors the grace window
+      assert(post(port, "", path = "/vacuum").body() ==
+        """{"removed":[1]}""")
+      assert(post(port, "", path = "/purge?graceMs=3600000").body() ==
+        """{"purged":[]}""")
+      assert(post(port, "", path = "/purge").body() ==
+        """{"purged":["run_id=1"]}""")
+      // a fresh run re-parses both statements, then the old layout is
+      // folded into a segment — run ids and reads are unchanged
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name " +
+          "FROM nation; " +
+          "INSERT INTO lineage_target2 SELECT n_regionkey, n_name " +
+          "FROM nation",
+        path = "/runs/3").statusCode() == 200)
+      assert(post(port, "", path = "/compact?upTo=2").body() ==
+        """{"folded":[2]}""")
+      assert(post(port, "", method = "GET", path = "/runs").body() ==
+        """{"runs":[2,3]}""")
+      val r2 = post(port, "", method = "GET", path = "/runs/2")
+      assert(r2.statusCode() == 200)
+      assert(r2.body().contains(""""runId":2""") &&
+        r2.body().contains("n_regionkey = 0"), r2.body())
+      assert(post(port, "", path = "/compact").statusCode() == 400)
+      // read-log face: empty until something is logged
+      assert(post(port, "", method = "GET", path = "/reads").body() ==
+        "[]")
+      LineageStore.appendReads(spark, dir, {
+        import spark.implicits._
+        Seq(("svc", 1, "default.lineage_target", "tgt_name", 123L))
+          .toDF("session", "action", "table_name", "column_read", "ts_ms")
+      })
+      assert(post(port, "", method = "GET", path = "/reads").body() ==
+        """[{"table":"default.lineage_target","nActions":1,""" +
+          """"nColsRead":1,"lastReadMs":123}]""")
+      assert(post(port, "", method = "GET",
+        path = "/reads?table=absent").body() == "[]")
+      // the deprecation join: both written tables, zeros for the one
+      // nothing ever read
+      assert(post(port, "", method = "GET", path = "/deprecation").body() ==
+        """[{"table":"default.lineage_target","nReadActions":1,""" +
+          """"lastReadMs":123},""" +
+          """{"table":"default.lineage_target2","nReadActions":0,""" +
+          """"lastReadMs":0}]""")
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("toJson escapes quotes and emits sorted deterministic conditions") {
     val r = LineageResult(1, Operation.Select, Set("t"), Set.empty,
       Seq(ColLine("<EOF>", None, "c", "t.c",

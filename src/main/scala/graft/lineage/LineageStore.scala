@@ -118,7 +118,7 @@ object LineageStore {
     val part = new Path(root, s"run_id=$runId")
     filesystem.exists(new Path(part, "_committed")) ||
       partitionHasData(filesystem, root, runId) ||
-      readManifest(filesystem, root).exists(_.runs.contains(runId))
+      readManifest(filesystem, root).exists(_.containsRun(runId))
   }
 
   /** Atomically claim the next free run id — the multi-writer
@@ -260,10 +260,9 @@ object LineageStore {
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     val (filesystem, root) = fs(spark, storeDir)
     val m = readManifest(filesystem, root)
-    val compacted = m.map(_.runs.toSet).getOrElse(Set.empty[Long])
     val liveParts = activeRuns(filesystem, root)
       .filter(r => partitionHasData(filesystem, root, r))
-      .filterNot(compacted)
+      .filterNot(r => m.exists(_.containsRun(r)))
     val ordered = (edgeCols :+ "run_id").map(col)
     val partDf =
       if (liveParts.isEmpty) None
@@ -397,9 +396,46 @@ object LineageStore {
   /** Compaction manifest: monotonically versioned (`_manifest_<k>`,
     * max k wins — a half-written successor never hides a committed
     * predecessor), naming the live segment directories and every run
-    * id folded into them. */
+    * id folded into them. Folded ids are held as RANGES (capture-log
+    * ids are near-contiguous, so a store of millions of one-write
+    * runs compacts to a few bytes of manifest, and membership is
+    * O(#ranges) instead of O(#runs)). */
   private case class Manifest(index: Int, segments: Seq[String],
-                              runs: Seq[Long])
+                              ranges: Seq[(Long, Long)]) {
+    def containsRun(id: Long): Boolean =
+      ranges.exists(r => id >= r._1 && id <= r._2)
+    def runs: Seq[Long] = ranges.flatMap(r => r._1 to r._2)
+  }
+
+  /** Sorted distinct ids → minimal closed ranges ("1-4,7,9-12"). */
+  private def toRanges(ids: Seq[Long]): Seq[(Long, Long)] =
+    ids.distinct.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, id) if id == hi + 1 => (lo, id) :: tail
+      case (acc, id) => (id, id) :: acc
+    }.reverse
+
+  private def renderRanges(rs: Seq[(Long, Long)]): String =
+    rs.map { case (lo, hi) =>
+      if (lo == hi) lo.toString else s"$lo-$hi" }.mkString(",")
+
+  private def parseRanges(s: String): Seq[(Long, Long)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map { tok =>
+      tok.split("-", 2) match {
+        case Array(a, b) => (a.toLong, b.toLong)
+        case Array(a) => (a.toLong, a.toLong)
+      }
+    }
+
+  /** Union of two range lists, adjacent/overlapping runs coalesced —
+    * no per-id expansion, so folding a new batch into a manifest of
+    * millions of captured runs stays O(#ranges). */
+  private def mergeRanges(a: Seq[(Long, Long)],
+                          b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l2, h2)) if l2 <= hi + 1 =>
+        (lo, math.max(hi, h2)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
 
   private def compactedDir(root: Path) = new Path(root, "_compacted")
 
@@ -422,8 +458,7 @@ object LineageStore {
         Manifest(k,
           fields.getOrElse("segments", "").split(",").toSeq
             .filter(_.nonEmpty),
-          fields.getOrElse("runs", "").split(",").toSeq
-            .filter(_.nonEmpty).map(_.toLong))
+          parseRanges(fields.getOrElse("runs", "")))
       }
     }
   }
@@ -436,7 +471,7 @@ object LineageStore {
       new Path(dir, s"_manifest_${m.index}"), true)
     try out.write(
       (s"segments\t${m.segments.mkString(",")}\n" +
-        s"runs\t${m.runs.mkString(",")}\n").getBytes("UTF-8"))
+        s"runs\t${renderRanges(m.ranges)}\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -468,11 +503,12 @@ object LineageStore {
               upToRun: Long): Seq[Long] = {
     val (filesystem, root) = fs(spark, storeDir)
     val m = readManifest(filesystem, root)
-    val priorRuns = m.map(_.runs).getOrElse(Seq.empty)
+    val priorRanges = m.map(_.ranges).getOrElse(Seq.empty)
     val priorSegs = m.map(_.segments).getOrElse(Seq.empty)
     // sweep crash remnants: partitions already folded, segments no
     // manifest references
-    partitionRuns(filesystem, root).filter(priorRuns.toSet).foreach(r =>
+    partitionRuns(filesystem, root)
+      .filter(r => m.exists(_.containsRun(r))).foreach(r =>
       filesystem.delete(new Path(root, s"run_id=$r"), true))
     if (filesystem.exists(compactedDir(root)))
       filesystem.listStatus(compactedDir(root)).toSeq
@@ -514,7 +550,7 @@ object LineageStore {
     }
     writeManifest(filesystem, root,
       Manifest(nextIndex, segments,
-        (priorRuns ++ candidates).distinct.sorted))
+        mergeRanges(priorRanges, toRanges(candidates))))
     // cleanup AFTER commit — read() already ignores all of these
     candidates.foreach(r =>
       filesystem.delete(new Path(root, s"run_id=$r"), true))

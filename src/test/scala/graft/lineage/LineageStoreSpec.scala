@@ -237,6 +237,11 @@ class LineageStoreSpec extends SparkTestBase {
       val segs = new java.io.File(dir, "_compacted").listFiles()
         .map(_.getName).filter(_.startsWith("seg_"))
       assert(segs.length == 1, segs.toSeq.toString)
+      // folded ids persist as RANGES — a million-write manifest stays
+      // bytes-sized, not an id-per-line ledger
+      val manifest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_compacted", "_manifest_2"))
+      assert(manifest.contains("runs\t1-8"), manifest)
     }
   }
 

@@ -324,20 +324,27 @@ object LineageCapture {
   /** One canonical key per store LOCATION (scheme, authority, path) —
     * `file:/x`, `file:///x`, and a trailing-slash spelling of the
     * same directory must share delegates and error counters. Falls
-    * back to the raw string when the path cannot be resolved. */
+    * back to the raw string when the path cannot be resolved.
+    * MEMOIZED per raw spelling: [[GraftCaptureListener]] calls this
+    * on every write event, and resolving it fresh would copy a full
+    * Hadoop `Configuration` per event on the listener-bus thread. */
+  private val storeKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[lineage] def storeKey(spark: SparkSession,
                                 storeDir: String): String =
-    canonPath(spark, storeDir)
-      .map { case (s, a, p) => s"$s|$a|$p" }.getOrElse(storeDir)
+    storeKeys.computeIfAbsent(storeDir, raw =>
+      canonPath(spark.sessionState.newHadoopConf(), raw)
+        .map { case (s, a, p) => s"$s|$a|$p" }.getOrElse(raw))
 
   /** Canonical (scheme, authority, path) triple: comparing rendered
     * URI STRINGS fails because a null vs empty authority prints
     * "file:/x" vs "file:///x" for the same location depending on how
     * the Path was constructed. */
-  private def canonPath(spark: SparkSession, raw: String)
+  private def canonPath(hconf: org.apache.hadoop.conf.Configuration,
+                        raw: String)
       : Option[(String, String, String)] =
     try {
-      val hconf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(raw)
       val u = p.getFileSystem(hconf).makeQualified(p).toUri
       Some((Option(u.getScheme).getOrElse(""),
@@ -376,9 +383,12 @@ object LineageCapture {
     // sinks that merely embed the store path as a substring
     // (store=/data dropping writes to /data/out/tbl is a silent hole
     // in the log — /data/out is NOT under /data/run_id=*, only the
-    // store dir itself and its partitions are self).
+    // store dir itself and its partitions are self). The Hadoop conf
+    // is hoisted ONCE per listener — a per-sink Configuration copy on
+    // the bus thread is pure allocation churn.
+    val hconf = spark.sessionState.newHadoopConf()
     def canon(raw: String): Option[(String, String, String)] =
-      canonPath(spark, raw)
+      canonPath(hconf, raw)
     val storeQ = canon(storeDir)
     // A store dir placed under spark.sql.warehouse.dir is named by
     // fromExecution's managed-layout heuristic as a CATALOG-shaped

@@ -74,7 +74,14 @@ object LineageService {
         val path = ex.getRequestURI.getPath
         (ex.getRequestMethod, path.stripPrefix("/runs")) match {
           case ("GET", "" | "/") =>
-            respond(ex, 200, LineageStore.runs(spark, dir)
+            // a multimillion-run capture store must not render one id
+            // per run into a single JSON body — past the response cap
+            // the listing degrades to range-free summary stats
+            val (count, latest) = LineageStore.runStats(spark, dir)
+            if (count > maxResponseEdges)
+              respond(ex, 200,
+                s"""{"runs_count":$count,"latest":$latest}""")
+            else respond(ex, 200, LineageStore.runs(spark, dir)
               .mkString("""{"runs":[""", ",", "]}"))
           // one run's edges — partition-pruned (or row-group-pruned
           // once compacted), same pagination contract as /snapshot
@@ -82,7 +89,7 @@ object LineageService {
               if sub.matches("/\\d+") &&
                 sub.stripPrefix("/").toLongOption.isDefined =>
             val runId = sub.stripPrefix("/").toLong
-            if (!LineageStore.runs(spark, dir).contains(runId))
+            if (!LineageStore.runVisible(spark, dir, runId))
               respond(ex, 404, """{"error":"unknown run id"}""")
             else servePaged(ex,
               LineageStore.read(spark, dir)
@@ -99,7 +106,10 @@ object LineageService {
               StandardCharsets.UTF_8)
             if (sql.trim.isEmpty)
               respond(ex, 400, """{"error":"empty body"}""")
-            else if (LineageStore.runs(spark, dir).contains(runId))
+            // runTaken, not runs(): a vacuumed-but-unpurged or
+            // claim-reserved id must 409 like any other conflict, not
+            // fall through to append's require as a raw 400
+            else if (LineageStore.runTaken(spark, dir, runId))
               respond(ex, 409,
                 s"""{"error":"run $runId already exists"}""")
             else try {
@@ -119,8 +129,12 @@ object LineageService {
       server.createContext("/snapshot", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
-        else if (LineageStore.runs(spark, dir).isEmpty)
-          respond(ex, 200, "[]") // empty store: no partitions to scan
+        else if (LineageStore.runStats(spark, dir)._1 == 0)
+          // empty store: no partitions to scan — keep the caller's
+          // chosen response envelope (paged vs legacy bare array)
+          respond(ex, 200,
+            if (queryParams(ex).contains("limit")) """{"edges":[]}"""
+            else "[]")
         else {
           // ?asOf=<run> time-travels (the graph as of that run);
           // ?limit=<stmts>&after_stmt=<cursor> paginates (r18)
@@ -139,8 +153,8 @@ object LineageService {
         (params.get("from").flatMap(_.toLongOption),
           params.get("to").flatMap(_.toLongOption)) match {
           case (Some(f), Some(t))
-              if !LineageStore.runs(spark, dir).contains(f) ||
-                !LineageStore.runs(spark, dir).contains(t) =>
+              if !LineageStore.runVisible(spark, dir, f) ||
+                !LineageStore.runVisible(spark, dir, t) =>
             respond(ex, 404, """{"error":"unknown run id"}""")
           case (Some(f), Some(t)) =>
             servePaged(ex, LineageStore.diff(spark, dir, f, t),
@@ -212,7 +226,7 @@ object LineageService {
       server.createContext("/deprecation", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
-        else if (LineageStore.runs(spark, dir).isEmpty)
+        else if (LineageStore.runStats(spark, dir)._1 == 0)
           respond(ex, 200, "[]")
         else {
           import org.apache.spark.sql.functions._
@@ -241,7 +255,7 @@ object LineageService {
       server.createContext("/store-impact", (ex: HttpExchange) => guarded(ex) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"use GET"}""")
-        else if (LineageStore.runs(spark, dir).isEmpty)
+        else if (LineageStore.runStats(spark, dir)._1 == 0)
           respond(ex, 200, "[]")
         else respond(ex, 200, rollupJson(
           LineageQueries.impactRollup(LineageStore.snapshot(spark, dir)),
@@ -251,7 +265,7 @@ object LineageService {
         guarded(ex) {
           if (ex.getRequestMethod != "GET")
             respond(ex, 405, """{"error":"use GET"}""")
-          else if (LineageStore.runs(spark, dir).isEmpty)
+          else if (LineageStore.runStats(spark, dir)._1 == 0)
             respond(ex, 200, "[]")
           else respond(ex, 200, rollupJson(
             LineageQueries.columnImpactFrom(
@@ -270,7 +284,7 @@ object LineageService {
             .split("&").find(_.startsWith("grain="))
             .map(_.stripPrefix("grain=")).getOrElse("table")
           val dot =
-            if (LineageStore.runs(spark, dir).isEmpty)
+            if (LineageStore.runStats(spark, dir)._1 == 0)
               "digraph lineage {\n}\n"
             else LineageQueries.toDot(
               LineageStore.snapshot(spark, dir), grain)
@@ -302,12 +316,13 @@ object LineageService {
     // run population, from partition listings only — no data read.
     server.createContext("/health", (ex: HttpExchange) => guarded(ex) {
       val runsPart = store.map { dir =>
-        val rs = LineageStore.runs(spark, dir)
-        // capture_errors: appends the observer contract swallowed —
-        // the difference between "capture went quiet" and "nothing
-        // was written" (VERDICT r17 #7)
-        s""","store":{"runs":${rs.size},"latest":${
-          rs.lastOption.getOrElse(0L)},"capture_errors":${
+        // range-aware stats: one listing + the manifest header, never
+        // an id-per-run expansion. capture_errors: appends the
+        // observer contract swallowed — the difference between
+        // "capture went quiet" and "nothing was written" (VERDICT
+        // r17 #7)
+        val (count, latest) = LineageStore.runStats(spark, dir)
+        s""","store":{"runs":$count,"latest":$latest,"capture_errors":${
           LineageCapture.captureErrors(spark, dir)}}"""
       }.getOrElse("")
       respond(ex, 200,
@@ -416,10 +431,16 @@ object LineageService {
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).getOrElse("")
+  /** Split on the RAW (still percent-encoded) query so a value
+    * containing an encoded `&` or `=` survives, then decode each
+    * side — `getQuery` pre-decodes and would split inside values. */
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split("&").filter(_.contains("="))
-      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      .map(_.split("=", 2)).map(a => dec(a(0)) -> dec(a(1))).toMap
+  }
 
   /** Serve an edge frame, paginated on the STATEMENT ordering (r18,
     * VERDICT r17 #4 — `stmt` is the stable, partition-prunable key):

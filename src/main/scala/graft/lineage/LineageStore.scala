@@ -88,25 +88,36 @@ object LineageStore {
     * is the right physical shape — without it a captured write's
     * handful of edges fans out into default-parallelism slivers
     * (VERDICT r17). Even a million-edge re-parse run is one modest
-    * parquet file. */
+    * parquet file.
+    *
+    * The write targets the run's OWN `run_id=<n>/` directory, never a
+    * `partitionBy` append at the store root: a root-level write stages
+    * under a shared `<store>/_temporary`, and two apps appending
+    * concurrently (the multi-writer deployment [[claimRun]] exists
+    * for) would have one job's commit delete the other's in-flight
+    * task files — id allocation alone does not make the write itself
+    * concurrent-safe. Per-run directories give every writer a private
+    * committer workspace; the on-disk layout (and every read path,
+    * which derives `run_id` from the directory name) is identical. */
   def append(spark: SparkSession, storeDir: String, runId: Long,
              edges: DataFrame): Unit = {
     val (filesystem, root) = fs(spark, storeDir)
     require(!isCommitted(filesystem, root, runId),
       s"run $runId already present in $storeDir — runs are immutable")
     checkOrStampVersion(spark, storeDir)
-    edges.select(edgeCols.map(col): _*)
-      .withColumn("run_id", lit(runId))
-      .coalesce(1)
-      .write.mode("append").partitionBy("run_id").parquet(storeDir)
-    // A ZERO-edge run (a DDL-only re-parse) writes no partition files;
-    // materialize the directory so runs() sees every accepted id.
     val part = new Path(root, s"run_id=$runId")
-    filesystem.mkdirs(part)
+    val toWrite = edges.select(edgeCols.map(col): _*)
+    // a ZERO-edge run (DDL-only re-parse) materializes no file at all
+    // — an empty parquet file would read as data and make the
+    // tombstone-directory eligible for vacuum (ADVICE r17 #3)
+    if (toWrite.limit(1).count() > 0)
+      toWrite.coalesce(1)
+        .write.mode("append").parquet(part.toString)
     // The commit marker makes "this id was appended" independent of
-    // whether the append produced files — without it a later append
-    // could silently REUSE a zero-edge run's acknowledged id with
-    // different content.
+    // whether the append produced files (a ZERO-edge run writes none)
+    // — without it a later append could silently REUSE a zero-edge
+    // run's acknowledged id with different content.
+    filesystem.mkdirs(part)
     filesystem.create(new Path(part, "_committed"), true).close()
   }
 
@@ -126,7 +137,8 @@ object LineageStore {
     * Spark apps attached to one store both scan max=N and both want
     * N+1; whoever creates `run_id=N+1/_claim` first (create with
     * overwrite=false — atomic on HDFS; an atomic `createNewFile` on
-    * the local filesystem) owns the id, the loser advances to N+2.
+    * the local filesystem; see [[atomicCreate]] for the object-store
+    * caveat) owns the id, the loser advances to N+2.
     * The claimed id is then appended with [[append]]; a claimer that
     * dies leaves an empty run (visible in [[runs]], invisible to
     * [[read]]) — an auditable gap, never a silent overwrite.
@@ -142,7 +154,7 @@ object LineageStore {
     val (filesystem, root) = fs(spark, storeDir)
     var n =
       if (from > 0L) from
-      else runs(spark, storeDir).lastOption.getOrElse(0L) + 1
+      else runStats(spark, storeDir)._2 + 1
     while (true) {
       val part = new Path(root, s"run_id=$n")
       // ids already materialized (appended runs carry no _claim) are
@@ -156,10 +168,15 @@ object LineageStore {
     n // unreachable
   }
 
-  /** Create `p` iff it does not exist, atomically. HDFS/S3A honor the
-    * overwrite=false contract server-side; the local filesystem's
-    * Hadoop shim is check-then-create, so the `file` scheme drops to
-    * `java.io.File.createNewFile` (atomic per POSIX). */
+  /** Create `p` iff it does not exist, atomically where the
+    * filesystem can promise it: HDFS enforces overwrite=false in the
+    * NameNode (atomic), and the `file` scheme drops to
+    * `java.io.File.createNewFile` (atomic per POSIX) because the
+    * local Hadoop shim's create is check-then-act. Plain S3A `create`
+    * is ALSO client-side check-then-act — deploy a multi-writer store
+    * on object storage only with conditional-create support enabled
+    * (S3 If-None-Match, `fs.s3a.create.conditional.enabled` on recent
+    * Hadoop) or keep one writer per store. */
   private def atomicCreate(filesystem: FileSystem, p: Path): Boolean = {
     filesystem.mkdirs(p.getParent)
     if (filesystem.getScheme == "file")
@@ -182,19 +199,36 @@ object LineageStore {
                                   storeDir: String): Unit = {
     val (filesystem, root) = fs(spark, storeDir)
     val p = new Path(root, "_schema_version")
-    if (filesystem.exists(p)) {
-      val in = filesystem.open(p)
-      val v = try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      require(v == LineageEdgeSchema.Version.toString,
-        s"store $storeDir was written under edge-contract v$v; " +
-          s"this library speaks v${LineageEdgeSchema.Version}")
-    } else {
+    if (!filesystem.exists(p)) {
       filesystem.mkdirs(root)
-      val out = filesystem.create(p, true)
-      try out.write(LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
-      finally out.close()
+      // first writer stamps; a CONCURRENT first writer may race us
+      // here — the content is identical either way, and a failed
+      // create just falls through to the check below
+      try {
+        val out = filesystem.create(p, true)
+        try out.write(
+          LineageEdgeSchema.Version.toString.getBytes("UTF-8"))
+        finally out.close()
+        return
+      } catch { case _: java.io.IOException => () }
     }
+    // the stamp may be MID-WRITE by a concurrent first writer (create
+    // and write are two steps on every FileSystem) — an empty read is
+    // "in flight", not "foreign contract"; retry briefly before
+    // judging the content
+    var v = ""
+    var tries = 0
+    while (v.isEmpty && tries < 100) {
+      v = try {
+        val in = filesystem.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => "" }
+      if (v.isEmpty) { tries += 1; Thread.sleep(10) }
+    }
+    require(v == LineageEdgeSchema.Version.toString,
+      s"store $storeDir was written under edge-contract v$v; " +
+        s"this library speaks v${LineageEdgeSchema.Version}")
   }
 
   /** The store's filesystem — Hadoop's, not java.io: a deployed store
@@ -240,12 +274,55 @@ object LineageStore {
   /** Run ids present — live partition directories plus runs folded
     * into compacted segments (their ids persist in the manifest, so a
     * compacted id can never be reused; no data read either way).
-    * Vacuumed runs drop out the moment the tombstone lands. */
+    * Vacuumed runs drop out the moment the tombstone lands.
+    *
+    * This EXPANDS the manifest's ranges into one id per run — fine
+    * for listings of bounded stores; hot paths on a multimillion-run
+    * capture store should use [[runStats]] (count + latest),
+    * [[runTaken]] (membership), or [[runVisible]] instead. */
   def runs(spark: SparkSession, storeDir: String): Seq[Long] = {
     val (filesystem, root) = fs(spark, storeDir)
     val compacted = readManifest(filesystem, root)
       .map(_.runs).getOrElse(Seq.empty)
     (activeRuns(filesystem, root) ++ compacted).distinct.sorted
+  }
+
+  /** (run count, latest id) without expanding manifest ranges — what
+    * `/health` reports even when the store holds millions of folded
+    * capture runs. */
+  def runStats(spark: SparkSession, storeDir: String): (Long, Long) = {
+    val (filesystem, root) = fs(spark, storeDir)
+    val m = readManifest(filesystem, root)
+    val ranges = m.map(_.ranges).getOrElse(Seq.empty)
+    // partitions the manifest already covers are crash remnants of an
+    // interrupted compact — counted once, through the manifest
+    val liveParts = activeRuns(filesystem, root)
+      .filterNot(r => m.exists(_.containsRun(r)))
+    val count = liveParts.size.toLong +
+      ranges.map(r => r._2 - r._1 + 1).sum
+    val latest = (liveParts.lastOption.toSeq ++
+      ranges.lastOption.map(_._2).toSeq).foldLeft(0L)(math.max)
+    (count, latest)
+  }
+
+  /** Is `runId` spoken for — committed, claim-reserved, or tombstoned
+    * awaiting purge? Range-aware; the service's duplicate check. */
+  def runTaken(spark: SparkSession, storeDir: String,
+               runId: Long): Boolean = {
+    val (filesystem, root) = fs(spark, storeDir)
+    filesystem.exists(new Path(root, s"run_id=$runId")) ||
+      readManifest(filesystem, root).exists(_.containsRun(runId))
+  }
+
+  /** Does `runId` currently serve reads — a live (non-vacuumed)
+    * partition or a compacted segment member? Range-aware. */
+  def runVisible(spark: SparkSession, storeDir: String,
+                 runId: Long): Boolean = {
+    val (filesystem, root) = fs(spark, storeDir)
+    val part = new Path(root, s"run_id=$runId")
+    (filesystem.exists(part) &&
+      !isVacuumed(filesystem, root, runId)) ||
+      readManifest(filesystem, root).exists(_.containsRun(runId))
   }
 
   /** All stored edges with their `run_id` — live partitions (cast to
@@ -484,9 +561,11 @@ object LineageStore {
     * and after; only the one-directory-per-write explosion of the
     * capture-log workload (VERDICT r17 #2 — 10k writes/day = 10k
     * directories/day, forever, that every snapshot must list) is
-    * folded away. Zero-edge and claim-only runs ≤ `upToRun` fold too:
-    * their ids move into the manifest (still reservation-proof), the
-    * tombstone directories go.
+    * folded away. Zero-edge COMMITTED runs ≤ `upToRun` fold too
+    * (their ids move into the manifest, still reservation-proof, and
+    * the tombstone directories go); a claim-only partition does NOT —
+    * that reservation's append may be in flight, and folding its id
+    * would reject the append and lose the write.
     *
     * Crash-safe without coordination: the new segment is written
     * first (invisible — only manifest-listed segments are read), the
@@ -516,8 +595,14 @@ object LineageStore {
         .filter(n => n.startsWith("seg_") && !priorSegs.contains(n))
         .foreach(n =>
           filesystem.delete(new Path(compactedDir(root), n), true))
+    // only COMMITTED runs fold — a claim-only partition is a live
+    // reservation whose append is still in flight; folding its id
+    // into the manifest would reject that append and lose the write
+    // (review r18). Zero-edge runs carry `_committed` and fold fine.
     val candidates = activeRuns(filesystem, root)
       .filter(_ <= upToRun)
+      .filter(r => partitionHasData(filesystem, root, r) ||
+        filesystem.exists(new Path(root, s"run_id=$r/_committed")))
     if (candidates.isEmpty && priorSegs.size <= 1) return Seq.empty
     val ordered = (edgeCols :+ "run_id").map(col)
     val dataParts = candidates

@@ -200,6 +200,12 @@ class LineageServiceSpec extends SparkTestBase {
       maxResponseEdges = 4)
     try {
       val port = server.getAddress.getPort
+      // empty store honors the caller's envelope: paged requests get
+      // the paged shape, legacy requests the bare array
+      assert(post(port, "", method = "GET",
+        path = "/snapshot?limit=2").body() == """{"edges":[]}""")
+      assert(post(port, "", method = "GET", path = "/snapshot").body() ==
+        "[]")
       // three statements, two edges each (6 edges > the cap of 4)
       assert(post(port,
         "SELECT n_name, n_regionkey FROM nation; " +
@@ -269,6 +275,9 @@ class LineageServiceSpec extends SparkTestBase {
       // superseded run, purge honors the grace window
       assert(post(port, "", path = "/vacuum").body() ==
         """{"removed":[1]}""")
+      // a tombstoned-but-unpurged id is still a conflict (409), not a
+      // raw 400 out of append's immutability require
+      assert(post(port, "SELECT 1", path = "/runs/1").statusCode() == 409)
       assert(post(port, "", path = "/purge?graceMs=3600000").body() ==
         """{"purged":[]}""")
       assert(post(port, "", path = "/purge").body() ==

@@ -172,6 +172,35 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent claim+append threads lose no run (private committer dirs)") {
+    withStore { dir =>
+      // appends write into their OWN run_id=<n>/ directory — a
+      // root-level partitionBy append would stage every writer under
+      // one shared _temporary, and one job's commit could delete
+      // another's in-flight task files (review r18)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      try {
+        val futures = (1 to 24).map(i => pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              val id = LineageStore.claimRun(spark, dir)
+              LineageStore.append(spark, dir, id,
+                frame(edge(i, s"c$i", s"db.t.x$i")))
+              id
+            }
+          }))
+        val ids = futures.map(
+          _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+        assert(ids.distinct.size == 24)
+      } finally pool.shutdownNow()
+      assert(LineageStore.read(spark, dir).count() == 24)
+      val perRun = LineageStore.read(spark, dir)
+        .groupBy("run_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRun.size == 24 && perRun.values.forall(_ == 1L), perRun)
+    }
+  }
+
   test("a zero-edge run's id can never be reused") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame()) // DDL-only re-parse
@@ -225,11 +254,17 @@ class LineageStoreSpec extends SparkTestBase {
       // allocation resumes past everything
       assert(LineageStore.claimRun(spark, dir) == 8L)
       // a second compact folds the rest INCLUDING the zero-edge
-      // tombstone (its id moves into the manifest) and the old segment
+      // tombstone (its id moves into the manifest) and the old
+      // segment — but NOT the claim-only run 8: that reservation's
+      // append is still in flight and must survive the fold
       assert(LineageStore.compact(spark, dir, upToRun = 8L) ==
-        Seq(5L, 6L, 7L, 8L))
+        Seq(5L, 6L, 7L))
       assert(LineageStore.runs(spark, dir) == (1L to 8L).toSeq)
       assert(snap() == before)
+      // the claimed id is still appendable after the fold
+      LineageStore.append(spark, dir, 8L, frame(edge(8, "c8", "db.t.x8")))
+      assert(LineageStore.read(spark, dir)
+        .filter(col("run_id") === 8L).count() == 1)
       // run-scoped diff still works from the segment's run_id COLUMN:
       // run 2's scope is stmt 2, where run 1 has nothing → 2 additions
       assert(LineageStore.diff(spark, dir, 1L, 2L).count() == 2)
@@ -241,7 +276,7 @@ class LineageStoreSpec extends SparkTestBase {
       // bytes-sized, not an id-per-line ledger
       val manifest = java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, "_compacted", "_manifest_2"))
-      assert(manifest.contains("runs\t1-8"), manifest)
+      assert(manifest.contains("runs\t1-7"), manifest)
     }
   }
 

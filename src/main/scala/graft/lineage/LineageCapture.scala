@@ -45,7 +45,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * write-log statement identity as [[LineageCapture.attachStore]].
   * Several apps naming ONE store dir is the advertised deployment;
   * run ids come from the store's atomic claim, so concurrent writers
-  * interleave instead of colliding. */
+  * interleave instead of colliding, and each append commits inside
+  * its own run directory (no shared staging). Bound store growth by
+  * periodically folding old runs — `LineageStore.compact(spark, dir,
+  * upToRun)` from a maintenance job, or `POST /compact?upTo=` on the
+  * store-backed [[LineageService]]. */
 class GraftCaptureListener extends QueryExecutionListener {
   private val delegates = new java.util.concurrent.ConcurrentHashMap[
     String, QueryExecutionListener]()

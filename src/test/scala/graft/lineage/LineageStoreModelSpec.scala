@@ -1,0 +1,164 @@
+package graft.lineage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** MODEL-BASED store check (r18): a random sequence of store
+  * operations — claim, append (claimed / explicit / zero-edge),
+  * compact, vacuum, purge — driven against an independent in-memory
+  * model of what the store MUST contain, with every read path
+  * (runs, runStats, read, snapshot, runTaken/runVisible) compared to
+  * the model after every step. The single-behavior specs pin each
+  * operation alone; this spec pressures their INTERACTIONS — the
+  * territory where r18's review found its races (claim-only folds,
+  * mid-write stamps, shared committer dirs). Deterministic seed.
+  *
+  * Model:
+  *  - `committed`: run id → its edge rows (empty seq = zero-edge run)
+  *  - `claimed`: ids reserved but not yet appended
+  *  - `vacuumed`: tombstoned ids (invisible to every read, data kept)
+  *  - `folded`: ids living in compacted segments (from compact's own
+  *    return value — the model checks the VISIBLE semantics, which
+  *    must not change across the fold)
+  */
+class LineageStoreModelSpec extends SparkTestBase {
+
+  private case class Model(
+      committed: Map[Long, Seq[(Int, String)]] = Map.empty,
+      claimed: Set[Long] = Set.empty,
+      vacuumed: Set[Long] = Set.empty,
+      folded: Set[Long] = Set.empty) {
+    /** Runs every read path may see. */
+    def visible: Map[Long, Seq[(Int, String)]] =
+      committed.filterNot { case (id, _) => vacuumed(id) }
+    /** Latest-wins per statement over the visible runs. */
+    def snapshot: Set[(Long, Int, String)] = {
+      val latest = visible.toSeq
+        .flatMap { case (id, es) => es.map(e => (e._1, id)) }
+        .groupBy(_._1).map { case (stmt, xs) => stmt -> xs.map(_._2).max }
+      visible.toSeq.flatMap { case (id, es) =>
+        es.collect { case (stmt, from) if latest(stmt) == id =>
+          (id, stmt, from) }
+      }.toSet
+    }
+    /** What runs()/runTaken must report: everything not purged. */
+    def registered: Set[Long] = committed.keySet ++ claimed
+    def listed: Set[Long] = registered -- vacuumed
+    /** Fully-superseded, data-bearing, still-partition-resident runs
+      * — vacuum's exact expected return. */
+    def vacuumable: Seq[Long] = visible.toSeq
+      .filter { case (id, es) => es.nonEmpty && !folded(id) }
+      .filter { case (id, es) =>
+        es.map(_._1).distinct.forall { stmt =>
+          visible.exists { case (id2, es2) =>
+            id2 > id && es2.exists(_._1 == stmt) }
+        }
+      }.map(_._1).sorted
+  }
+
+  private def edgeFrame(rows: Seq[(Int, String)]) = {
+    import spark.implicits._
+    rows.map { case (stmt, from) =>
+      LineageEdge(stmt, "SELECT", "<EOF>", "", s"c$stmt", from, "")
+    }.toDF()
+  }
+
+  private def checkAll(dir: String, m: Model, step: String): Unit = {
+    assert(LineageStore.runs(spark, dir).toSet == m.listed,
+      s"[$step] runs() diverged from model")
+    val (count, latest) = LineageStore.runStats(spark, dir)
+    assert(count == m.listed.size,
+      s"[$step] runStats count $count != ${m.listed.size}")
+    assert(latest == (if (m.listed.isEmpty) 0L else m.listed.max),
+      s"[$step] runStats latest")
+    val got = LineageStore.read(spark, dir)
+      .select("run_id", "stmt", "from_name").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = m.visible.toSeq.flatMap { case (id, es) =>
+      es.map(e => (id, e._1, e._2)) }.toSet
+    assert(got == want, s"[$step] read() diverged:\n got $got\nwant $want")
+    val snap = LineageStore.snapshot(spark, dir)
+      .select("run_id", "stmt", "from_name").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(snap == m.snapshot, s"[$step] snapshot diverged")
+    // membership views: every registered id is taken; listed ids with
+    // data or a segment home are visible
+    m.registered.foreach { id =>
+      assert(LineageStore.runTaken(spark, dir, id), s"[$step] taken $id")
+    }
+    assert(!LineageStore.runTaken(spark, dir,
+      (m.registered + 0L).max + 1000), s"[$step] phantom taken")
+  }
+
+  for (seed <- Seq(20260816L, 77L))
+  test(s"random op sequences agree with the in-memory model (seed $seed)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_store_model").toString
+    val rnd = new scala.util.Random(seed)
+    var m = Model()
+    val stmts = 1 to 5 // small pool → supersession happens often
+    try {
+      for (step <- 1 to 30) {
+        val op = rnd.nextInt(10)
+        if (op <= 3) { // claimed append (sometimes zero-edge)
+          val id = LineageStore.claimRun(spark, dir)
+          assert(!m.registered(id), s"[$step] claim reused id $id")
+          assert(m.registered.forall(_ < id), s"[$step] claim not max")
+          val k = rnd.nextInt(4) // 0 = zero-edge
+          val rows = Seq.fill(k)(
+            (stmts(rnd.nextInt(stmts.size)), s"db.t.x$step"))
+          LineageStore.append(spark, dir, id, edgeFrame(rows))
+          m = m.copy(committed = m.committed + (id -> rows))
+        } else if (op == 4) { // claim left dangling (crashed writer)
+          val id = LineageStore.claimRun(spark, dir)
+          m = m.copy(claimed = m.claimed + id)
+        } else if (op == 5) { // explicit append at a fresh high id
+          val id = (m.registered + 0L).max + 1 + rnd.nextInt(3)
+          if (!m.registered(id)) {
+            val rows = Seq(
+              (stmts(rnd.nextInt(stmts.size)), s"db.t.e$step"))
+            LineageStore.append(spark, dir, id, edgeFrame(rows))
+            m = m.copy(committed = m.committed + (id -> rows))
+          }
+        } else if (op == 6) { // double-append must always be refused
+          if (m.committed.nonEmpty) {
+            val id = m.committed.keys.toSeq(
+              rnd.nextInt(m.committed.size))
+            intercept[IllegalArgumentException] {
+              LineageStore.append(spark, dir, id,
+                edgeFrame(Seq((1, "db.t.dup"))))
+            }
+          }
+        } else if (op == 7) { // compact: visible semantics unchanged
+          if (m.registered.nonEmpty) {
+            val upTo = m.registered.toSeq(rnd.nextInt(m.registered.size))
+            val folded = LineageStore.compact(spark, dir, upTo)
+            // only committed, non-vacuumed, not-already-folded,
+            // non-claim runs ≤ upTo may fold
+            folded.foreach { id =>
+              assert(m.committed.contains(id) && id <= upTo &&
+                !m.vacuumed(id) && !m.folded(id) && !m.claimed(id),
+                s"[$step] compact folded unexpected $id")
+            }
+            m = m.copy(folded = m.folded ++ folded)
+          }
+        } else if (op == 8) { // vacuum: exactly the model's prediction
+          val dead = LineageStore.vacuum(spark, dir)
+          assert(dead == m.vacuumable,
+            s"[$step] vacuum $dead != model ${m.vacuumable}")
+          m = m.copy(vacuumed = m.vacuumed ++ dead)
+        } else { // purge: tombstoned partitions leave the store
+          val purged = LineageStore.purgeVacuumed(spark, dir)
+          val ids = purged.map(_.stripPrefix("run_id=").toLong).toSet
+          assert(ids == m.vacuumed,
+            s"[$step] purge $ids != model ${m.vacuumed}")
+          m = m.copy(
+            committed = m.committed -- ids,
+            vacuumed = m.vacuumed -- ids)
+        }
+        checkAll(dir, m, s"step $step op $op")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}

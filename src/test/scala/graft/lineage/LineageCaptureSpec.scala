@@ -309,6 +309,54 @@ class LineageCaptureSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(store))
   }
 
+  test("compact during live capture loses no write") {
+    // the production maintenance scenario: a compaction job folds old
+    // runs WHILE captures keep landing. Safe by construction — a
+    // capture run is either fully visible to compact (folded with its
+    // data) or not yet data-bearing (claim-only, skipped); either
+    // way every write survives with its edges intact.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_livecompact").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cap_livecompact_out").toString
+    val l = LineageCapture.attachStore(spark, store)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactor = new Thread(() => {
+        while (!stop.get()) {
+          val (_, latest) = LineageStore.runStats(spark, store)
+          if (latest > 0) LineageStore.compact(spark, store, latest)
+          Thread.sleep(50)
+        }
+      })
+      compactor.start()
+      try {
+        (1 to 8).foreach { i =>
+          spark.table("region")
+            .select(col("r_regionkey").as(s"k$i"), col("r_name"))
+            .write.mode("overwrite").parquet(out)
+        }
+        eventually(LineageStore.runStats(spark, store)._1 == 8)
+      } finally { stop.set(true); compactor.join() }
+      // one final fold so everything old is in the segment
+      LineageStore.compact(spark, store,
+        LineageStore.runStats(spark, store)._2)
+      assert(LineageStore.runStats(spark, store)._1 == 8)
+      // every write's two edges survived, each under its own run
+      val perRun = LineageStore.read(spark, store)
+        .groupBy("run_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRun.size == 8 && perRun.values.forall(_ == 2L), perRun)
+      assert(LineageCapture.captureErrors(spark, store) == 0)
+    } finally {
+      LineageCapture.detach(spark, l)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(store))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("attachStore accumulates runs without observing its own appends") {
     val local = java.nio.file.Files
       .createTempDirectory("graft_cap_store").toString

@@ -245,7 +245,10 @@ object LineageCapture {
     /** Write the buffered tail as one parquet file; a no-op when the
       * buffer is empty. Safe from any thread (including the listener
       * bus — the local-rows write plans no table scan, so it never
-      * re-enters the log). */
+      * re-enters the log). A FAILED flush restores its rows to the
+      * buffer (counted in capture_errors): a transient store blip
+      * must not drop a whole batch the next flush would have landed
+      * (review r18). */
     def flush(): Unit = {
       val rows = synchronized {
         val r = buf.toList; buf.clear(); r
@@ -257,6 +260,7 @@ object LineageCapture {
         try LineageStore.appendReads(spark, storeDir, df)
         catch { case _: Exception =>
           errorCounterFor(spark, storeDir).incrementAndGet()
+          synchronized { rows ++=: buf }
         }
       }
     }

@@ -969,19 +969,24 @@ object LineageQueries {
     graft.Tables.registerAll(s2, dir)
     val l1 = LineageCapture.attachStore(s1, store)
     val l2 = LineageCapture.attachStore(s2, store)
-    val runs = try {
+    val (runs, dataRuns, errors) = try {
       import org.apache.spark.sql.functions.col
       outs.zipWithIndex.foreach { case (out, i) =>
         val s = if (i % 2 == 0) s1 else s2
         s.table("region").select(col("r_regionkey"), col("r_name"))
           .write.mode("overwrite").parquet(out)
       }
+      // wait on DATA-bearing runs, not claims: a claim whose append
+      // failed is exactly the lost write this query exists to detect,
+      // and a claims-only count would wave it through (review r18)
+      def dataRunCount(): Long = LineageStore.read(spark, store)
+        .select("run_id").distinct().count()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (LineageStore.runs(spark, store).size < 6 &&
-          System.nanoTime() < deadline)
-        Thread.sleep(25)
+      while (dataRunCount() < 6 && System.nanoTime() < deadline)
+        Thread.sleep(100)
       Thread.sleep(300) // self-appends must still be filtered
-      LineageStore.runs(spark, store)
+      (LineageStore.runs(spark, store), dataRunCount(),
+        LineageCapture.captureErrors(spark, store))
     } finally {
       LineageCapture.detach(s1, l1)
       LineageCapture.detach(s2, l2)
@@ -989,16 +994,19 @@ object LineageQueries {
         deleteRecursively(java.nio.file.Paths.get(d)))
     }
     spark.createDataFrame(Seq(
-        (2, 6, runs.size, runs.distinct.size)))
-      .toDF("writers", "writes", "runs_recorded", "distinct_run_ids")
+        (2, 6, runs.size, runs.distinct.size, dataRuns, errors)))
+      .toDF("writers", "writes", "runs_recorded", "distinct_run_ids",
+        "data_runs", "capture_errors")
   }
 
   /** DuckDB oracle for [[concurrentCaptureCounts]]: six writes from
-    * two writers = six runs, six distinct ids — no write lost to an
-    * allocation collision. */
+    * two writers = six runs, six distinct ids, six runs CARRYING
+    * EDGES, zero swallowed failures — no write lost to an allocation
+    * collision and no claim left dangling by a failed append. */
   val concurrentCaptureOracleSql: String =
     """SELECT 2 AS writers, 6 AS writes, 6 AS runs_recorded,
-              6 AS distinct_run_ids"""
+              6 AS distinct_run_ids, CAST(6 AS BIGINT) AS data_runs,
+              CAST(0 AS BIGINT) AS capture_errors"""
 
   /** STORE LIFECYCLE as a driver query (q289, r18): the two-phase
     * vacuum walked end to end — supersession detection, tombstoning

@@ -147,9 +147,7 @@ object LineageService {
         }
       })
       server.createContext("/diff", (ex: HttpExchange) => guarded(ex) {
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val params = q.split("&").filter(_.contains("="))
-          .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        val params = queryParams(ex)
         (params.get("from").flatMap(_.toLongOption),
           params.get("to").flatMap(_.toLongOption)) match {
           case (Some(f), Some(t))
@@ -280,9 +278,7 @@ object LineageService {
           respond(ex, 405, """{"error":"use GET"}""")
         else {
           // ?grain=column draws db.table.col nodes instead of tables
-          val grain = Option(ex.getRequestURI.getQuery).getOrElse("")
-            .split("&").find(_.startsWith("grain="))
-            .map(_.stripPrefix("grain=")).getOrElse("table")
+          val grain = queryParams(ex).getOrElse("grain", "table")
           val dot =
             if (LineageStore.runStats(spark, dir)._1 == 0)
               "digraph lineage {\n}\n"

@@ -152,10 +152,18 @@ object LineageStore {
                from: Long = 0L): Long = {
     checkOrStampVersion(spark, storeDir)
     val (filesystem, root) = fs(spark, storeDir)
+    // ids folded into segments have NO directory — a from-hint below
+    // the manifest's ranges (a restarted caller racing a maintenance
+    // compact) would otherwise claim an id whose append is then
+    // rejected by the manifest check (review r18); folded ranges are
+    // jumped over wholesale
+    val m = readManifest(filesystem, root)
     var n =
       if (from > 0L) from
       else runStats(spark, storeDir)._2 + 1
     while (true) {
+      m.flatMap(_.ranges.find(r => n >= r._1 && n <= r._2))
+        .foreach(r => n = r._2 + 1)
       val part = new Path(root, s"run_id=$n")
       // ids already materialized (appended runs carry no _claim) are
       // skipped without an atomic attempt; the create-no-overwrite
@@ -241,20 +249,40 @@ object LineageStore {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** One partition directory's standing, from a SINGLE child listing
+    * — the bulk read paths must not pay one `exists(_vacuumed)` plus
+    * one `listStatus` per partition (2N+1 metadata RPCs on a
+    * 10k-directory pre-compaction store; review r18). */
+  private case class PartInfo(id: Long, hasData: Boolean,
+                              vacuumed: Boolean)
+
+  private def partitionInfos(filesystem: FileSystem,
+                             root: Path): Seq[PartInfo] =
+    if (!filesystem.exists(root)) Seq.empty
+    else filesystem.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("run_id="))
+      .map { st =>
+        val id = st.getPath.getName.stripPrefix("run_id=").toLong
+        val children = filesystem.listStatus(st.getPath).toSeq
+        PartInfo(id,
+          hasData = children.exists { c =>
+            val n = c.getPath.getName
+            c.isFile && !n.startsWith("_") && !n.startsWith(".")
+          },
+          vacuumed = children.exists(
+            _.getPath.getName == "_vacuumed"))
+      }.sortBy(_.id)
+
   /** Run ids present as partition directories (claimed, zero-edge, and
     * data-bearing alike), vacuumed tombstones included. */
   private def partitionRuns(filesystem: FileSystem, root: Path): Seq[Long] =
-    if (!filesystem.exists(root)) Seq.empty
-    else filesystem.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("run_id="))
-      .map(_.stripPrefix("run_id=").toLong).sorted
+    partitionInfos(filesystem, root).map(_.id)
 
   /** Partition directories that are LIVE — not yet retired by
     * [[vacuum]]'s tombstone marker. */
   private def activeRuns(filesystem: FileSystem, root: Path): Seq[Long] =
-    partitionRuns(filesystem, root)
-      .filterNot(r => isVacuumed(filesystem, root, r))
+    partitionInfos(filesystem, root).filterNot(_.vacuumed).map(_.id)
 
   private def isVacuumed(filesystem: FileSystem, root: Path,
                          r: Long): Boolean =
@@ -337,8 +365,9 @@ object LineageStore {
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     val (filesystem, root) = fs(spark, storeDir)
     val m = readManifest(filesystem, root)
-    val liveParts = activeRuns(filesystem, root)
-      .filter(r => partitionHasData(filesystem, root, r))
+    val liveParts = partitionInfos(filesystem, root)
+      .filter(p => !p.vacuumed && p.hasData)
+      .map(_.id)
       .filterNot(r => m.exists(_.containsRun(r)))
     val ordered = (edgeCols :+ "run_id").map(col)
     val partDf =
@@ -399,8 +428,9 @@ object LineageStore {
       .select(pairs("run_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     val (filesystem, root) = fs(spark, storeDir)
-    activeRuns(filesystem, root)
-      .filter(r => partitionHasData(filesystem, root, r))
+    partitionInfos(filesystem, root)
+      .filter(p => !p.vacuumed && p.hasData)
+      .map(_.id)
       .filterNot(live)
   }
 
@@ -599,14 +629,21 @@ object LineageStore {
     // reservation whose append is still in flight; folding its id
     // into the manifest would reject that append and lose the write
     // (review r18). Zero-edge runs carry `_committed` and fold fine.
-    val candidates = activeRuns(filesystem, root)
-      .filter(_ <= upToRun)
-      .filter(r => partitionHasData(filesystem, root, r) ||
-        filesystem.exists(new Path(root, s"run_id=$r/_committed")))
+    // CURRENTLY-SUPERSEDED runs are also left out: once inside a
+    // segment a run is invisible to supersededRuns/vacuum forever, so
+    // folding dead re-parse history would freeze it beyond
+    // reclamation — vacuum and compact must compose in either order
+    // (review r18; a no-op on the capture workload, where no run is
+    // ever superseded).
+    val dead = supersededRuns(spark, storeDir).toSet
+    val infos = partitionInfos(filesystem, root)
+      .filter(p => p.id <= upToRun && !p.vacuumed && !dead(p.id))
+      .filter(p => p.hasData ||
+        filesystem.exists(new Path(root, s"run_id=${p.id}/_committed")))
+    val candidates = infos.map(_.id)
     if (candidates.isEmpty && priorSegs.size <= 1) return Seq.empty
     val ordered = (edgeCols :+ "run_id").map(col)
-    val dataParts = candidates
-      .filter(r => partitionHasData(filesystem, root, r))
+    val dataParts = infos.filter(_.hasData).map(_.id)
     val partDf =
       if (dataParts.isEmpty) None
       else Some(spark.read
@@ -669,13 +706,20 @@ object LineageStore {
 
   /** Append a batch of access-log rows under `_read_log/` (one file
     * per flush — [[LineageCapture.attachReadStore]] buffers events so
-    * the file count tracks flushes, not actions). */
+    * the file count tracks flushes, not actions). Each flush commits
+    * inside its OWN `batch_<uuid>/` directory for the same reason
+    * edge appends own their run directory: a shared `mode("append")`
+    * target would put every concurrent flusher's job under one
+    * `_read_log/_temporary`, where one commit can delete another's
+    * in-flight task files (review r18). */
   def appendReads(spark: SparkSession, storeDir: String,
                   rows: DataFrame): Unit = {
     checkOrStampVersion(spark, storeDir)
+    val batch = s"$storeDir/_read_log/batch_${
+      java.util.UUID.randomUUID().toString.take(13)}"
     rows.select(readLogCols.map(col): _*)
       .coalesce(1)
-      .write.mode("append").parquet(s"$storeDir/_read_log")
+      .write.parquet(batch)
   }
 
   /** The persisted access log — empty-schema-safe like [[read]], so
@@ -684,14 +728,19 @@ object LineageStore {
   def readLog(spark: SparkSession, storeDir: String): DataFrame = {
     val (filesystem, root) = fs(spark, storeDir)
     val dir = new Path(root, "_read_log")
-    val hasFiles = filesystem.exists(dir) &&
-      filesystem.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    if (!hasFiles)
+    val batches =
+      if (!filesystem.exists(dir)) Seq.empty
+      else filesystem.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_"))
+        .filter(st => filesystem.listStatus(st.getPath).exists { c =>
+          val n = c.getPath.getName
+          c.isFile && !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.toString)
+    if (batches.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readLogSchema)
-    else spark.read.parquet(s"$storeDir/_read_log")
+    else spark.read.parquet(batches: _*)
       .select(readLogCols.map(col): _*)
   }
 }

@@ -282,16 +282,18 @@ class LineageServiceSpec extends SparkTestBase {
         """{"purged":[]}""")
       assert(post(port, "", path = "/purge").body() ==
         """{"purged":["run_id=1"]}""")
-      // a fresh run re-parses both statements, then the old layout is
-      // folded into a segment — run ids and reads are unchanged
+      // fold the surviving layout into a segment (compact leaves
+      // SUPERSEDED runs for vacuum, so it runs before the re-parse),
+      // then a fresh run re-parses both statements — run ids and
+      // reads are unchanged throughout
+      assert(post(port, "", path = "/compact?upTo=2").body() ==
+        """{"folded":[2]}""")
       assert(post(port,
         "INSERT INTO lineage_target SELECT n_nationkey, n_name " +
           "FROM nation; " +
           "INSERT INTO lineage_target2 SELECT n_regionkey, n_name " +
           "FROM nation",
         path = "/runs/3").statusCode() == 200)
-      assert(post(port, "", path = "/compact?upTo=2").body() ==
-        """{"folded":[2]}""")
       assert(post(port, "", method = "GET", path = "/runs").body() ==
         """{"runs":[2,3]}""")
       val r2 = post(port, "", method = "GET", path = "/runs/2")

@@ -280,6 +280,26 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("compact leaves superseded runs for vacuum (either order works)") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))
+      LineageStore.append(spark, dir, 2L, frame(edge(1, "a", "db.t.x2")))
+      // run 1 is fully superseded by run 2: compact must fold ONLY
+      // run 2 — a superseded run frozen into a segment would be
+      // beyond vacuum's reach forever
+      assert(LineageStore.compact(spark, dir, upToRun = 2L) == Seq(2L))
+      assert(LineageStore.supersededRuns(spark, dir) == Seq(1L))
+      assert(LineageStore.vacuum(spark, dir) == Seq(1L))
+      assert(LineageStore.purgeVacuumed(spark, dir) == Seq("run_id=1"))
+      // the graph is intact from the segment alone
+      val snap = LineageStore.snapshot(spark, dir)
+        .select("run_id", "from_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(snap == Seq((2L, "db.t.x2")))
+      assert(LineageStore.runs(spark, dir) == Seq(2L))
+    }
+  }
+
   test("vacuum is two-phase: tombstone first, data deleted only on purge") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(edge(1, "a", "db.t.x")))

@@ -997,8 +997,16 @@ object LineageParser {
       merged.copy(src = merged.src ++ m)
 
     case w: WithCTE =>
-      val defs = w.cteDefs.map(d => d.id -> (build(d.child, ctes, db), d.child.output)).toMap
-      build(w.plan, ctes ++ defs, db)
+      // cteDefs arrive in DEPENDENCY order and may reference EARLIER
+      // siblings (the analyzer hoists a nested `WITH a AS (WITH b …)`
+      // into one WithCTE) — each definition must build with every
+      // preceding definition already in scope, or the inner reference
+      // dead-ends and the intermediate CTE's NAME leaks into the
+      // edges as if it were a base table (caught by the r18 fuzz).
+      val defs = w.cteDefs.foldLeft(ctes) { (acc, d) =>
+        acc + (d.id -> (build(d.child, acc, db), d.child.output))
+      }
+      build(w.plan, defs, db)
 
     case r: CTERelationRef =>
       ctes.get(r.cteId).map { case (defState, defOut) =>

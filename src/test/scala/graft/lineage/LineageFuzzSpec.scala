@@ -199,9 +199,47 @@ class LineageFuzzSpec extends SparkTestBase {
       case None => Gen.const(child)
     }
 
+  /** HAVING (r18): lowers to a Filter ABOVE the Aggregate — value
+    * sources match plain aggregation, while control mode reads the
+    * aggregate argument through the HAVING predicate. */
+  private def genHaving(child: Q, ctr: AtomicInteger): Gen[Q] =
+    child.cols.find(_.numeric) match {
+      case Some(n) =>
+        for { g <- Gen.oneOf(child.cols); k <- Gen.chooseNum(0, 5) }
+        yield {
+          val a = s"t${ctr.incrementAndGet()}"
+          val gOut = Col(fresh(ctr), g.sources, g.numeric)
+          val sOut = Col(fresh(ctr), n.sources, numeric = true)
+          Q(s"SELECT ${g.name} AS ${gOut.name}, " +
+              s"SUM(${n.name}) AS ${sOut.name} " +
+              s"FROM (${child.sql}) $a GROUP BY ${g.name} " +
+              s"HAVING SUM(${n.name}) > $k",
+            Seq(gOut, sOut), child.tables,
+            child.ctrl ++ n.sources)
+        }
+      case None => Gen.const(child)
+    }
+
+  /** Scalar subquery (r18): a fixed correlated-free `(SELECT MAX …)`
+    * select item — its sources are the INNER table's column, and the
+    * inner table joins the statement's inputTables. */
+  private def genScalarSub(child: Q, ctr: AtomicInteger): Gen[Q] =
+    Gen.const {
+      val a = s"t${ctr.incrementAndGet()}"
+      val kept = child.cols.map(c => c.copy(name = fresh(ctr)))
+      val items = child.cols.zip(kept)
+        .map { case (c, k) => s"${c.name} AS ${k.name}" }
+      val s = Col(fresh(ctr),
+        Set("default.region.r_regionkey"), numeric = true)
+      Q(s"SELECT ${items.mkString(", ")}, " +
+          s"(SELECT MAX(r_regionkey) FROM region) AS ${s.name} " +
+          s"FROM (${child.sql}) $a",
+        kept :+ s, child.tables + "default.region", child.ctrl)
+    }
+
   private def genQ(depth: Int, ctr: AtomicInteger): Gen[Q] =
     if (depth == 0) genScan(ctr)
-    else Gen.chooseNum(0, 7).flatMap {
+    else Gen.chooseNum(0, 9).flatMap {
       case 0 => genScan(ctr)
       case 1 => genQ(depth - 1, ctr).flatMap(genProject(_, ctr))
       case 2 => genQ(depth - 1, ctr).flatMap(genFilter(_, ctr))
@@ -215,7 +253,9 @@ class LineageFuzzSpec extends SparkTestBase {
       } yield u
       case 5 => genQ(depth - 1, ctr).flatMap(genAgg(_, ctr))
       case 6 => genQ(depth - 1, ctr).flatMap(genCte(_, ctr))
-      case _ => genQ(depth - 1, ctr).flatMap(genWindow(_, ctr))
+      case 7 => genQ(depth - 1, ctr).flatMap(genWindow(_, ctr))
+      case 8 => genQ(depth - 1, ctr).flatMap(genHaving(_, ctr))
+      case _ => genQ(depth - 1, ctr).flatMap(genScalarSub(_, ctr))
     }
 
   private def trees(n: Int): Seq[Q] = {

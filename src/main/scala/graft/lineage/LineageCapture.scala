@@ -226,6 +226,12 @@ object LineageCapture {
     private val buf =
       scala.collection.mutable.ArrayBuffer[
         (String, Int, String, String, Long)]()
+    // bounds for a store outage: the buffer never grows past maxKept
+    // (oldest rows dropped, counted as errors), and auto-flushes back
+    // off after a failure so a dead store doesn't pay one doomed
+    // distributed write per action on the listener path
+    private val maxKept = flushEvery * 16
+    @volatile private var lastFailureNanos = 0L
     private[lineage] val listener: QueryExecutionListener =
       attachReads(spark, (action, reads) => record(action, reads))
 
@@ -237,7 +243,8 @@ object LineageCapture {
           (if (cols.isEmpty) Seq("") else cols).foreach(c =>
             buf += ((session, action, t, c, ts)))
         }
-        buf.size >= flushEvery
+        buf.size >= flushEvery &&
+          System.nanoTime() - lastFailureNanos > 5L * 1000 * 1000 * 1000
       }
       if (due) flush()
     }
@@ -260,7 +267,17 @@ object LineageCapture {
         try LineageStore.appendReads(spark, storeDir, df)
         catch { case _: Exception =>
           errorCounterFor(spark, storeDir).incrementAndGet()
-          synchronized { rows ++=: buf }
+          lastFailureNanos = System.nanoTime()
+          synchronized {
+            rows ++=: buf
+            if (buf.size > maxKept) {
+              // sustained outage: keep the NEWEST rows, count the
+              // shed ones — bounded loss beats unbounded driver heap
+              val over = buf.size - maxKept
+              buf.remove(0, over)
+              errorCounterFor(spark, storeDir).addAndGet(over.toLong)
+            }
+          }
         }
       }
     }
@@ -340,10 +357,24 @@ object LineageCapture {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[lineage] def storeKey(spark: SparkSession,
-                                storeDir: String): String =
-    storeKeys.computeIfAbsent(storeDir, raw =>
-      canonPath(spark.sessionState.newHadoopConf(), raw)
-        .map { case (s, a, p) => s"$s|$a|$p" }.getOrElse(raw))
+                                storeDir: String): String = {
+    // memo key includes the context's default filesystem: a
+    // SCHEMELESS dir spelling resolves against fs.defaultFS, so two
+    // contexts with different defaults must not share one cached key
+    // (review r18). Resolution FAILURES are not cached — a transient
+    // blip must not pin the raw-string fallback forever.
+    val memoKey = Option(spark.sparkContext.hadoopConfiguration
+      .get("fs.defaultFS")).getOrElse("") + " " + storeDir
+    Option(storeKeys.get(memoKey)).getOrElse {
+      canonPath(spark.sessionState.newHadoopConf(), storeDir) match {
+        case Some((s, a, p)) =>
+          val k = s"$s|$a|$p"
+          storeKeys.put(memoKey, k)
+          k
+        case None => storeDir
+      }
+    }
+  }
 
   /** Canonical (scheme, authority, path) triple: comparing rendered
     * URI STRINGS fails because a null vs empty authority prints

@@ -131,9 +131,12 @@ object LineageService {
           respond(ex, 405, """{"error":"use GET"}""")
         else if (LineageStore.runStats(spark, dir)._1 == 0)
           // empty store: no partitions to scan — keep the caller's
-          // chosen response envelope (paged vs legacy bare array)
+          // chosen response envelope, judged by the SAME validity
+          // rule servePaged applies (an invalid limit falls to the
+          // legacy shape on both paths)
           respond(ex, 200,
-            if (queryParams(ex).contains("limit")) """{"edges":[]}"""
+            if (queryParams(ex).get("limit")
+                .flatMap(_.toIntOption).exists(_ > 0)) """{"edges":[]}"""
             else "[]")
         else {
           // ?asOf=<run> time-travels (the graph as of that run);

@@ -106,13 +106,31 @@ object LineageStore {
       s"run $runId already present in $storeDir — runs are immutable")
     checkOrStampVersion(spark, storeDir)
     val part = new Path(root, s"run_id=$runId")
-    val toWrite = edges.select(edgeCols.map(col): _*)
-    // a ZERO-edge run (DDL-only re-parse) materializes no file at all
-    // — an empty parquet file would read as data and make the
-    // tombstone-directory eligible for vacuum (ADVICE r17 #3)
-    if (toWrite.limit(1).count() > 0)
-      toWrite.coalesce(1)
-        .write.mode("append").parquet(part.toString)
+    // write FIRST, then drop any zero-row file the write produced: a
+    // ZERO-edge run (DDL-only re-parse) must materialize no data file
+    // (an empty one would read as data and make the tombstone
+    // directory vacuum-eligible, ADVICE r17 #3) — but probing the
+    // PLAN with a pre-count would evaluate it twice, and a
+    // non-deterministic source could then commit rows the probe never
+    // saw (review r18). The emptiness check reads the written file's
+    // parquet FOOTER on the driver — no second plan evaluation, no
+    // Spark job.
+    edges.select(edgeCols.map(col): _*)
+      .coalesce(1)
+      .write.mode("append").parquet(part.toString)
+    val hconf = spark.sessionState.newHadoopConf()
+    filesystem.listStatus(part).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf))
+        val rows = try reader.getRecordCount finally reader.close()
+        if (rows == 0L) filesystem.delete(st.getPath, false)
+      }
     // The commit marker makes "this id was appended" independent of
     // whether the append produced files (a ZERO-edge run writes none)
     // — without it a later append could silently REUSE a zero-edge
@@ -152,12 +170,15 @@ object LineageStore {
                from: Long = 0L): Long = {
     checkOrStampVersion(spark, storeDir)
     val (filesystem, root) = fs(spark, storeDir)
-    // ids folded into segments have NO directory — a from-hint below
-    // the manifest's ranges (a restarted caller racing a maintenance
-    // compact) would otherwise claim an id whose append is then
-    // rejected by the manifest check (review r18); folded ranges are
-    // jumped over wholesale
-    val m = readManifest(filesystem, root)
+    // ids folded into segments have NO directory — a FIRST claim (no
+    // hint: a fresh or restarted caller) must jump the manifest's
+    // ranges wholesale or it claims an id whose append is then
+    // rejected by the manifest check (review r18). Hinted claims skip
+    // the manifest read entirely — the hint is this session's last
+    // claim + 1, monotonically above anything a maintenance compact
+    // (whose upToRun targets OLD runs) has folded, and reading the
+    // manifest per captured write would defeat the hint's purpose.
+    val m = if (from > 0L) None else readManifest(filesystem, root)
     var n =
       if (from > 0L) from
       else runStats(spark, storeDir)._2 + 1
@@ -223,10 +244,11 @@ object LineageStore {
     // the stamp may be MID-WRITE by a concurrent first writer (create
     // and write are two steps on every FileSystem) — an empty read is
     // "in flight", not "foreign contract"; retry briefly before
-    // judging the content
+    // judging the content (bounded: a writer that crashed mid-stamp
+    // must fail FAST with a repair hint, not spin on every later op)
     var v = ""
     var tries = 0
-    while (v.isEmpty && tries < 100) {
+    while (v.isEmpty && tries < 20) {
       v = try {
         val in = filesystem.open(p)
         try new String(in.readAllBytes(), "UTF-8").trim
@@ -234,6 +256,9 @@ object LineageStore {
       } catch { case _: java.io.FileNotFoundException => "" }
       if (v.isEmpty) { tries += 1; Thread.sleep(10) }
     }
+    require(v.nonEmpty,
+      s"store $storeDir has an EMPTY _schema_version stamp (a writer " +
+        "crashed mid-stamp?) — delete the file to re-stamp")
     require(v == LineageEdgeSchema.Version.toString,
       s"store $storeDir was written under edge-contract v$v; " +
         s"this library speaks v${LineageEdgeSchema.Version}")
@@ -728,16 +753,23 @@ object LineageStore {
   def readLog(spark: SparkSession, storeDir: String): DataFrame = {
     val (filesystem, root) = fs(spark, storeDir)
     val dir = new Path(root, "_read_log")
-    val batches =
+    val children =
       if (!filesystem.exists(dir)) Seq.empty
       else filesystem.listStatus(dir).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch_"))
-        .filter(st => filesystem.listStatus(st.getPath).exists { c =>
-          val n = c.getPath.getName
-          c.isFile && !n.startsWith("_") && !n.startsWith(".")
-        })
-        .map(_.getPath.toString)
+    val batches = children
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_"))
+      .filter(st => filesystem.listStatus(st.getPath).exists { c =>
+        val n = c.getPath.getName
+        c.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString) ++
+      // pre-batch-layout flushes wrote part files at the log root —
+      // same v1 contract, still readable (review r18)
+      children.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.toString)
     if (batches.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readLogSchema)
     else spark.read.parquet(batches: _*)

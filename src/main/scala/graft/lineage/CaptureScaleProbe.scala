@@ -65,6 +65,25 @@ object CaptureScaleProbe {
         LineageStore.runs(spark, dir).size }
       val snapBefore = t("snapshot count, exploded") {
         LineageStore.snapshot(spark, dir).count() }
+      // r19 plan audits: UNMARKED, the latest-wins resolve must stop
+      // broadcasting once the run population passes the limit (one
+      // row per run through the driver is the r18 scale bug) ...
+      val unmarked = LineageStore.snapshot(spark, dir)
+        .queryExecution.executedPlan.toString
+      println(s"unmarked snapshot: join=${unmarked.contains("Join")} " +
+        s"broadcast=${unmarked.contains("BroadcastExchange")} " +
+        s"(broadcast expected only <= 10k runs)")
+      // ... and MARKED capture-shaped (the bulk layout upholds
+      // stmt == run_id by construction), the resolve disappears:
+      // no aggregation, no join, no exchange at all
+      LineageStore.markCaptureShaped(spark, dir)
+      val marked = LineageStore.snapshot(spark, dir)
+        .queryExecution.executedPlan.toString
+      require(!marked.contains("Join") && !marked.contains("Exchange"),
+        s"capture-shaped snapshot must be a bare scan:\n$marked")
+      val snapFast = t("snapshot count, capture-shaped") {
+        LineageStore.snapshot(spark, dir).count() }
+      require(snapFast == snapBefore, "fast path changed the snapshot")
       val oneBefore = t("single-run read, exploded") {
         LineageStore.read(spark, dir)
           .filter(col("run_id") === nRuns / 2L).count() }

@@ -243,6 +243,15 @@ object LineageCapture {
           (if (cols.isEmpty) Seq("") else cols).foreach(c =>
             buf += ((session, action, t, c, ts)))
         }
+        // enforce the bound AS rows arrive, not only after a failed
+        // flush — during the post-failure backoff record() keeps
+        // appending without flushing, and an event-rate spike there
+        // must shed (counted), not grow the driver heap (ADVICE r19 #3)
+        if (buf.size > maxKept) {
+          val over = buf.size - maxKept
+          buf.remove(0, over)
+          errorCounterFor(spark, storeDir).addAndGet(over.toLong)
+        }
         buf.size >= flushEvery &&
           System.nanoTime() - lastFailureNanos > 5L * 1000 * 1000 * 1000
       }
@@ -358,13 +367,16 @@ object LineageCapture {
 
   private[lineage] def storeKey(spark: SparkSession,
                                 storeDir: String): String = {
-    // memo key includes the context's default filesystem: a
-    // SCHEMELESS dir spelling resolves against fs.defaultFS, so two
-    // contexts with different defaults must not share one cached key
-    // (review r18). Resolution FAILURES are not cached — a transient
+    // memo key includes the SESSION identity: a schemeless dir
+    // spelling resolves against the session-scoped Hadoop conf that
+    // canonPath uses, so two sessions with different session-level
+    // overrides must not share one cached key - keying on the global
+    // context conf read a DIFFERENT config than the canonicalization
+    // and could merge distinct stores' delegates and error counters
+    // (ADVICE r19 #4). Cheap: no Configuration copy per event. Resolution FAILURES are not cached — a transient
     // blip must not pin the raw-string fallback forever.
-    val memoKey = Option(spark.sparkContext.hadoopConfiguration
-      .get("fs.defaultFS")).getOrElse("") + " " + storeDir
+    val memoKey =
+      System.identityHashCode(spark).toString + " " + storeDir
     Option(storeKeys.get(memoKey)).getOrElse {
       canonPath(spark.sessionState.newHadoopConf(), storeDir) match {
         case Some((s, a, p)) =>
@@ -484,16 +496,32 @@ object LineageCapture {
           // refuses the append instead of corrupting — counted in
           // capture_errors and visible on /health (2^31 writes is an
           // archive-and-restart event for the store regardless).
-          val run = LineageStore.claimRun(spark, storeDir,
+          def claimAndAppend(from: Long): Unit = {
+            val run = LineageStore.claimRun(spark, storeDir, from)
+            lastClaim.set(run)
+            if (run <= Int.MaxValue.toLong)
+              LineageStore.appendCaptured(spark, storeDir, run,
+                LineageParser.toDataset(spark,
+                  Seq(r.copy(statementIndex = run.toInt))))
+            else throw new IllegalStateException(
+              s"capture run id $run exceeds the v1 edge contract's Int " +
+                "stmt field — archive and restart the store")
+          }
+          try claimAndAppend(
             from = if (lastClaim.get() == 0L) 0L else lastClaim.get() + 1)
-          lastClaim.set(run)
-          if (run <= Int.MaxValue.toLong)
-            LineageStore.append(spark, storeDir, run,
-              LineageParser.toDataset(spark,
-                Seq(r.copy(statementIndex = run.toInt))))
-          else throw new IllegalStateException(
-            s"capture run id $run exceeds the v1 edge contract's Int " +
-              "stmt field — archive and restart the store")
+          catch {
+            // the claim/append pair lost a razor-thin race with a
+            // concurrent compact (another writer claimed, appended,
+            // and a maintenance fold covered the id between our
+            // manifest read and the atomic create) — re-claim from a
+            // fresh store listing and retry ONCE rather than silently
+            // dropping the write (ADVICE r19 #1, belt to claimRun's
+            // always-read-the-manifest braces)
+            case e: IllegalArgumentException
+                if Option(e.getMessage)
+                  .exists(_.contains("already present")) =>
+              claimAndAppend(from = 0L)
+          }
         } catch { case e: Exception =>
           errors.incrementAndGet()
           throw e // re-swallowed by callbackListener's observer catch

@@ -1037,7 +1037,9 @@ object LineageQueries {
         .orderBy("stmt", "from_name").collect().toSeq == snapBefore
       val gracePurge =
         LineageStore.purgeVacuumed(spark, store, graceMs = 3600000L)
-      val purged = LineageStore.purgeVacuumed(spark, store)
+      // immediate deletion is an explicit graceMs = 0 decision now —
+      // the DEFAULT grace is conservative and non-zero (ADVICE r19 #2)
+      val purged = LineageStore.purgeVacuumed(spark, store, graceMs = 0L)
       val nextClaim = LineageStore.claimRun(spark, store)
       Seq(
         (1, "superseded", superseded.mkString(",")),

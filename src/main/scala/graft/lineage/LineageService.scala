@@ -179,8 +179,11 @@ object LineageService {
         if (ex.getRequestMethod != "POST")
           respond(ex, 405, """{"error":"use POST"}""")
         else {
+          // same conservative default as the library call (ADVICE r19
+          // #2): immediate deletion is an explicit ?graceMs=0 decision
           val grace = queryParams(ex).get("graceMs")
-            .flatMap(_.toLongOption).getOrElse(0L)
+            .flatMap(_.toLongOption)
+            .getOrElse(LineageStore.DefaultPurgeGraceMs)
           respond(ex, 200,
             LineageStore.purgeVacuumed(spark, dir, grace)
               .map(jstr).mkString("""{"purged":[""", ",", "]}"))
@@ -197,6 +200,29 @@ object LineageService {
             respond(ex, 400, """{"error":"need ?upTo=<run>"}""")
         }
       })
+      // read-log maintenance (r19, VERDICT r18 #2): consolidate
+      // one-directory-per-flush batches; apply the recency retention
+      // an access log exists under
+      server.createContext("/compact-reads", (ex: HttpExchange) =>
+        guarded(ex) {
+          if (ex.getRequestMethod != "POST")
+            respond(ex, 405, """{"error":"use POST"}""")
+          else respond(ex, 200, s"""{"folded":${
+            LineageStore.compactReads(spark, dir)}}""")
+        })
+      server.createContext("/vacuum-reads", (ex: HttpExchange) =>
+        guarded(ex) {
+          if (ex.getRequestMethod != "POST")
+            respond(ex, 405, """{"error":"use POST"}""")
+          else queryParams(ex).get("olderThanMs")
+            .flatMap(_.toLongOption) match {
+            case Some(win) => respond(ex, 200,
+              LineageStore.vacuumReads(spark, dir, win)
+                .map(jstr).mkString("""{"removed":[""", ",", "]}"))
+            case None => respond(ex, 400,
+              """{"error":"need ?olderThanMs=<window>"}""")
+          }
+        })
       // the read-log face (r18): "is anything still READING this
       // table" (optionally ?table=-scoped), and the deprecation join —
       // every written table with its read recency, zeros for the

@@ -280,7 +280,11 @@ class LineageServiceSpec extends SparkTestBase {
       assert(post(port, "SELECT 1", path = "/runs/1").statusCode() == 409)
       assert(post(port, "", path = "/purge?graceMs=3600000").body() ==
         """{"purged":[]}""")
+      // the DEFAULT grace is conservative and non-zero (ADVICE r19
+      // #2): a bare POST /purge no longer deletes a fresh tombstone
       assert(post(port, "", path = "/purge").body() ==
+        """{"purged":[]}""")
+      assert(post(port, "", path = "/purge?graceMs=0").body() ==
         """{"purged":["run_id=1"]}""")
       // fold the surviving layout into a segment (compact leaves
       // SUPERSEDED runs for vacuum, so it runs before the re-parse),
@@ -321,6 +325,19 @@ class LineageServiceSpec extends SparkTestBase {
           """"lastReadMs":123},""" +
           """{"table":"default.lineage_target2","nReadActions":0,""" +
           """"lastReadMs":0}]""")
+      // read-log maintenance faces (r19): one flush dir folds; the
+      // ts=123 row is ancient, so retention removes the segment whole
+      assert(post(port, "", path = "/compact-reads").body() ==
+        """{"folded":1}""")
+      assert(post(port, "", method = "GET", path = "/reads").body() ==
+        """[{"table":"default.lineage_target","nActions":1,""" +
+          """"nColsRead":1,"lastReadMs":123}]""")
+      assert(post(port, "", path = "/vacuum-reads").statusCode() == 400)
+      assert(post(port, "",
+        path = "/vacuum-reads?olderThanMs=3600000").body() ==
+        """{"removed":["rseg_1"]}""")
+      assert(post(port, "", method = "GET", path = "/reads").body() ==
+        "[]")
     } finally {
       server.stop(0)
       org.apache.commons.io.FileUtils

@@ -132,7 +132,12 @@ class LineageStoreModelSpec extends SparkTestBase {
         } else if (op == 7) { // compact: visible semantics unchanged
           if (m.registered.nonEmpty) {
             val upTo = m.registered.toSeq(rnd.nextInt(m.registered.size))
-            val folded = LineageStore.compact(spark, dir, upTo)
+            // random merge threshold (r19): tiered segment creation
+            // and smallest-first merging must both be invisible to
+            // every read path — maxSegments=1 exercises the old
+            // everything-into-one shape, 2-3 force mid-store merges
+            val folded = LineageStore.compact(spark, dir, upTo,
+              maxSegments = 1 + rnd.nextInt(3))
             // only committed, non-vacuumed, not-already-folded,
             // non-claim runs ≤ upTo may fold
             folded.foreach { id =>
@@ -148,7 +153,11 @@ class LineageStoreModelSpec extends SparkTestBase {
             s"[$step] vacuum $dead != model ${m.vacuumable}")
           m = m.copy(vacuumed = m.vacuumed ++ dead)
         } else { // purge: tombstoned partitions leave the store
-          val purged = LineageStore.purgeVacuumed(spark, dir)
+          // explicit zero grace — the DEFAULT is a conservative
+          // non-zero window (ADVICE r19 #2) under which a just-written
+          // tombstone would survive
+          val purged = LineageStore.purgeVacuumed(spark, dir,
+            graceMs = 0L)
           val ids = purged.map(_.stripPrefix("run_id=").toLong).toSet
           assert(ids == m.vacuumed,
             s"[$step] purge $ids != model ${m.vacuumed}")

@@ -254,9 +254,11 @@ class LineageStoreSpec extends SparkTestBase {
       // allocation resumes past everything
       assert(LineageStore.claimRun(spark, dir) == 8L)
       // a second compact folds the rest INCLUDING the zero-edge
-      // tombstone (its id moves into the manifest) and the old
-      // segment — but NOT the claim-only run 8: that reservation's
-      // append is still in flight and must survive the fold
+      // tombstone (its id moves into the manifest) — but NOT the
+      // claim-only run 8: that reservation's append is still in
+      // flight and must survive the fold. TIERED (r19): the prior
+      // segment is NOT rewritten — the new runs land in their own
+      // segment, so compact cost tracks NEW data, not store size.
       assert(LineageStore.compact(spark, dir, upToRun = 8L) ==
         Seq(5L, 6L, 7L))
       assert(LineageStore.runs(spark, dir) == (1L to 8L).toSeq)
@@ -268,15 +270,52 @@ class LineageStoreSpec extends SparkTestBase {
       // run-scoped diff still works from the segment's run_id COLUMN:
       // run 2's scope is stmt 2, where run 1 has nothing → 2 additions
       assert(LineageStore.diff(spark, dir, 1L, 2L).count() == 2)
-      // exactly one live segment (bin-packed, not accumulating)
+      // two live segments — one per compact call, under the merge
+      // threshold; the first was not touched by the second call
       val segs = new java.io.File(dir, "_compacted").listFiles()
-        .map(_.getName).filter(_.startsWith("seg_"))
-      assert(segs.length == 1, segs.toSeq.toString)
+        .map(_.getName).filter(_.startsWith("seg_")).sorted
+      assert(segs.toSeq == Seq("seg_1", "seg_2"), segs.toSeq.toString)
       // folded ids persist as RANGES — a million-write manifest stays
       // bytes-sized, not an id-per-line ledger
       val manifest = java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, "_compacted", "_manifest_2"))
       assert(manifest.contains("runs\t1-7"), manifest)
+      assert(manifest.contains("segments\tseg_1,seg_2"), manifest)
+    }
+  }
+
+  test("tiered compact: segments merge only past maxSegments, smallest first") {
+    withStore { dir =>
+      // 10 capture-shaped runs folded one at a time with maxSegments=3
+      (1 to 10).foreach { i =>
+        LineageStore.append(spark, dir, i.toLong,
+          frame(edge(i, s"c$i", s"db.t.x$i")))
+      }
+      def snap() = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getString(2))).toSet
+      val before = snap()
+      def segCount() = new java.io.File(dir, "_compacted").listFiles()
+        .map(_.getName).count(_.startsWith("seg_"))
+      (1 to 10).foreach { i =>
+        assert(LineageStore.compact(spark, dir, upToRun = i.toLong,
+          maxSegments = 3) == (if (i == 1) Seq(1L) else Seq(i.toLong)))
+        // the merge threshold holds after every call: count never
+        // exceeds maxSegments, and the graph never changes
+        assert(segCount() <= 3, s"after fold $i: ${segCount()} segments")
+        assert(snap() == before, s"after fold $i")
+      }
+      assert(LineageStore.runs(spark, dir) == (1L to 10L).toSeq)
+      // maxSegments = 1 reproduces the old everything-into-one shape
+      LineageStore.append(spark, dir, 11L,
+        frame(edge(11, "c11", "db.t.x11")))
+      assert(LineageStore.compact(spark, dir, upToRun = 11L,
+        maxSegments = 1) == Seq(11L))
+      assert(segCount() == 1)
+      assert(snap() == before + ((11L, 11, "db.t.x11")),
+        "the single-segment fold must carry all 11 runs")
+      assert(LineageStore.runs(spark, dir) == (1L to 11L).toSeq)
     }
   }
 
@@ -290,7 +329,8 @@ class LineageStoreSpec extends SparkTestBase {
       assert(LineageStore.compact(spark, dir, upToRun = 2L) == Seq(2L))
       assert(LineageStore.supersededRuns(spark, dir) == Seq(1L))
       assert(LineageStore.vacuum(spark, dir) == Seq(1L))
-      assert(LineageStore.purgeVacuumed(spark, dir) == Seq("run_id=1"))
+      assert(LineageStore.purgeVacuumed(spark, dir, graceMs = 0L) ==
+        Seq("run_id=1"))
       // the graph is intact from the segment alone
       val snap = LineageStore.snapshot(spark, dir)
         .select("run_id", "from_name").collect()
@@ -322,7 +362,10 @@ class LineageStoreSpec extends SparkTestBase {
       assert(LineageStore.purgeVacuumed(spark, dir,
         graceMs = 3600L * 1000).isEmpty)
       assert(new java.io.File(dir, "run_id=1").exists())
-      assert(LineageStore.purgeVacuumed(spark, dir) == Seq("run_id=1"))
+      // ... and so does the DEFAULT (conservative non-zero) grace
+      assert(LineageStore.purgeVacuumed(spark, dir).isEmpty)
+      assert(LineageStore.purgeVacuumed(spark, dir, graceMs = 0L) ==
+        Seq("run_id=1"))
       assert(!new java.io.File(dir, "run_id=1").exists())
       // vacuum stays idempotent across the phases
       assert(LineageStore.vacuum(spark, dir).isEmpty)
@@ -367,6 +410,133 @@ class LineageStoreSpec extends SparkTestBase {
       assert(scan.contains("run_id"), scan)
       assert(one.select("from_name").collect().map(_.getString(0))
         .toSeq == Seq("db.t.y"))
+    }
+  }
+
+  test("capture-shaped store: snapshot skips the latest-wins resolve") {
+    withStore { dir =>
+      // capture appends uphold stmt == run_id; the footer stats prove
+      // it and the store records the identity
+      (1 to 3).foreach { i =>
+        LineageStore.appendCaptured(spark, dir, i.toLong,
+          frame(edge(i, s"c$i", s"db.t.x$i")))
+      }
+      def joins(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+      val snap = LineageStore.snapshot(spark, dir)
+      assert(joins(snap).isEmpty,
+        "identity fast path must plan no resolve join")
+      assert(snap.select("run_id", "stmt").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        Set((1L, 1), (2L, 2), (3L, 3)))
+      // asOf composes with the fast path
+      assert(LineageStore.snapshot(spark, dir, asOf = Some(2L))
+        .count() == 2)
+      // supersededRuns answers from the markers alone: nothing is
+      // ever superseded on a pure write log
+      assert(LineageStore.supersededRuns(spark, dir).isEmpty)
+      // ... and the identity survives compaction (run_id = column)
+      LineageStore.compact(spark, dir, upToRun = 2L)
+      val postFold = LineageStore.snapshot(spark, dir)
+      assert(joins(postFold).isEmpty && postFold.count() == 3)
+      // one plain append (re-parse style) breaks the promise: the
+      // resolve join returns, results stay correct
+      LineageStore.append(spark, dir, 4L,
+        frame(edge(1, "c1", "db.t.override")))
+      val mixed = LineageStore.snapshot(spark, dir)
+      assert(joins(mixed).nonEmpty,
+        "a mixed store must resolve latest-wins again")
+      assert(mixed.filter(col("stmt") === 1)
+        .select("from_name").collect().map(_.getString(0)).toSeq ==
+        Seq("db.t.override"))
+    }
+  }
+
+  test("appendCaptured with a lying stmt is demoted to mixed, not trusted") {
+    withStore { dir =>
+      // caller CLAIMS capture shape but writes stmt 7 under run 1 —
+      // the footer check catches it and stamps _mixed
+      LineageStore.appendCaptured(spark, dir, 1L,
+        frame(edge(7, "c", "db.t.x")))
+      LineageStore.appendCaptured(spark, dir, 2L,
+        frame(edge(7, "c", "db.t.y")))
+      val snap = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // latest-wins still resolves: stmt 7's latest run (2) wins
+      assert(snap == Set((2L, 7, "db.t.y")))
+    }
+  }
+
+  test("read-log reclamation: compactReads folds batches tiered") {
+    withStore { dir =>
+      import spark.implicits._
+      def flush(i: Int): Unit =
+        LineageStore.appendReads(spark, dir, Seq(
+          (s"s$i", i, "db.a", "k", i * 100L),
+          (s"s$i", i, "db.b", "v", i * 100L))
+          .toDF("session", "action", "table_name", "column_read",
+            "ts_ms"))
+      def logRows() = LineageStore.readLog(spark, dir)
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getString(2), r.getString(3), r.getLong(4))).toSet
+      def units(prefix: String) = Option(
+        new java.io.File(dir, "_read_log").listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName).count(_.startsWith(prefix))
+      (1 to 5).foreach(flush)
+      val before = logRows()
+      assert(units("batch_") == 5)
+      // fold: five flush directories become one segment, rows intact
+      assert(LineageStore.compactReads(spark, dir) == 5)
+      assert(units("batch_") == 0 && units("rseg_") == 1)
+      assert(logRows() == before)
+      // idempotent when nothing new arrived
+      assert(LineageStore.compactReads(spark, dir) == 0)
+      // tiered: repeated folds with maxSegments=2 keep the segment
+      // count bounded and the rows identical
+      (6 to 11).foreach { i =>
+        flush(i)
+        assert(LineageStore.compactReads(spark, dir,
+          maxSegments = 2) == 1)
+        assert(units("rseg_") <= 2, s"after fold $i")
+      }
+      assert(logRows().size == 22)
+    }
+  }
+
+  test("read-log retention: vacuumReads drops old units whole, rewrites straddlers") {
+    withStore { dir =>
+      import spark.implicits._
+      val now = System.currentTimeMillis()
+      val old = now - 10L * 3600 * 1000
+      // batch 1: wholly old — deleted from footer stats alone
+      LineageStore.appendReads(spark, dir, Seq(
+        ("s1", 1, "db.a", "k", old), ("s1", 1, "db.a", "v", old))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      // batch 2: straddles the cutoff — rewritten filtered
+      LineageStore.appendReads(spark, dir, Seq(
+        ("s2", 2, "db.b", "k", old), ("s2", 2, "db.b", "k", now))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      // batch 3: wholly current — untouched
+      LineageStore.appendReads(spark, dir, Seq(
+        ("s3", 3, "db.c", "k", now))
+        .toDF("session", "action", "table_name", "column_read", "ts_ms"))
+      val removed = LineageStore.vacuumReads(spark, dir,
+        olderThanMs = 3600 * 1000L)
+      assert(removed.size == 2, removed.toString)
+      val rows = LineageStore.readLog(spark, dir)
+        .select("session", "ts_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("s2", now), ("s3", now)), rows.toString)
+      // retention composes with consolidation
+      assert(LineageStore.compactReads(spark, dir) >= 1)
+      assert(LineageStore.readLog(spark, dir).count() == 2)
+      // nothing old remains → a second pass is a no-op
+      assert(LineageStore.vacuumReads(spark, dir,
+        olderThanMs = 3600 * 1000L).isEmpty)
     }
   }
 }

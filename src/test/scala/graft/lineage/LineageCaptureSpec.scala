@@ -238,6 +238,56 @@ class LineageCaptureSpec extends SparkTestBase {
     }
   }
 
+  test("OpenLineage auto-emit: one RunEvent per captured write; failures counted") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cap_ol").toString
+    val out1 = java.nio.file.Files
+      .createTempDirectory("graft_cap_ol_out").toString
+    // stub collector: records every POSTed body
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val collector = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    collector.createContext("/api/v1/lineage",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        events.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    collector.start()
+    val url = s"http://127.0.0.1:${collector.getAddress.getPort}" +
+      "/api/v1/lineage"
+    spark.conf.set("spark.graft.lineage.openlineage.url", url)
+    val l = LineageCapture.attachStore(spark, store)
+    try {
+      spark.table("region").select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").parquet(out1)
+      eventually(events.size >= 1)
+      // the write landed in the store AND the collector got its event
+      eventually(LineageStore.runs(spark, store).size == 1)
+      val body = events.peek()
+      assert(body.contains(""""eventType":"COMPLETE""""), body)
+      assert(body.contains("columnLineage") ||
+        body.contains("outputs"), body)
+      assert(body.contains("default.region"), body)
+      assert(LineageCapture.captureErrors(spark, store) == 0)
+      // a DEAD collector: the event is lost (counted), the write and
+      // its store run are not
+      collector.stop(0)
+      val before = LineageCapture.captureErrors(spark, store)
+      spark.table("nation").select(col("n_nationkey"))
+        .write.mode("overwrite").parquet(out1)
+      eventually(LineageStore.runs(spark, store).size == 2)
+      eventually(LineageCapture.captureErrors(spark, store) > before)
+    } finally {
+      spark.conf.unset("spark.graft.lineage.openlineage.url")
+      LineageCapture.detach(spark, l)
+      collector.stop(0)
+      Seq(store, out1).foreach(d => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("capture failures are counted, not silent (observer contract kept)") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_cap_err").toString

@@ -11,10 +11,13 @@ class LineageServiceSpec extends SparkTestBase {
 
   private def post(port: Int, body: String,
                    method: String = "POST",
-                   path: String = "/fetch"): HttpResponse[String] = {
-    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
-      .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
-    HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
+                   path: String = "/fetch",
+                   bearer: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    HttpClient.newHttpClient().send(b.build(),
+      HttpResponse.BodyHandlers.ofString())
   }
 
   test("POST /fetch returns lineage edges as JSON; errors are named") {
@@ -343,6 +346,50 @@ class LineageServiceSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("bearer token: non-loopback binds refuse unauthenticated requests") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_svc_auth").toString
+    // the outward-facing deployment: explicit host + token (the token
+    // can equally come from spark.graft.lineage.token)
+    val server = LineageService.start(spark, store = Some(dir),
+      host = "0.0.0.0", token = Some("s3cr3t"))
+    try {
+      val port = server.getAddress.getPort
+      // every endpoint class 401s without the bearer: parse face,
+      // store mutation, store read, maintenance, health
+      for (p <- Seq("/fetch", "/runs/1", "/vacuum", "/purge"))
+        assert(post(port, "SELECT 1", path = p).statusCode() == 401,
+          p)
+      for (p <- Seq("/runs", "/snapshot", "/health"))
+        assert(post(port, "", method = "GET", path = p)
+          .statusCode() == 401, p)
+      val wrong = post(port, "", method = "GET", path = "/health",
+        bearer = Some("wrong"))
+      assert(wrong.statusCode() == 401)
+      assert(wrong.headers().firstValue("WWW-Authenticate")
+        .orElse("") == "Bearer")
+      // the matching bearer restores the full contract
+      assert(post(port, "", method = "GET", path = "/health",
+        bearer = Some("s3cr3t")).statusCode() == 200)
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation",
+        path = "/runs/1", bearer = Some("s3cr3t")).statusCode() == 200)
+      assert(post(port, "SELECT n_name FROM nation",
+        bearer = Some("s3cr3t")).statusCode() == 200)
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+    // loopback default with NO token: open exactly as before
+    val open = LineageService.start(spark)
+    try {
+      assert(post(open.getAddress.getPort,
+        "SELECT n_name FROM nation").statusCode() == 200)
+    } finally open.stop(0)
   }
 
   test("toJson escapes quotes and emits sorted deterministic conditions") {

@@ -470,6 +470,67 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("migrate rewrites partitions and segments; version flips last") {
+    withStore { dir =>
+      // build a "v0" store: same columns, operation lowercased (the
+      // synthetic prior contract), half of it folded into a segment
+      def v0edge(stmt: Int, from: String) =
+        LineageEdge(stmt, "select", "<EOF>", "", s"c$stmt", from, "")
+      LineageStore.append(spark, dir, 1L, frame(
+        v0edge(1, "db.t.x"), v0edge(2, "db.t.y")))
+      LineageStore.append(spark, dir, 2L, frame(v0edge(3, "db.t.z")))
+      LineageStore.compact(spark, dir, upToRun = 1L)
+      LineageStore.append(spark, dir, 3L, frame()) // zero-edge unit
+      val before = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // forge the stamp: this store now claims contract v0 (drop the
+      // local-FS checksum sidecar too — the out-of-band rewrite would
+      // otherwise trip Hadoop's CRC on the next read)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._schema_version.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_schema_version"),
+        "0".getBytes("UTF-8"))
+      // ... and v1 readers/writers refuse it by name
+      val e = intercept[IllegalArgumentException] {
+        LineageStore.append(spark, dir, 4L, frame(edge(4, "c", "db.q")))
+      }
+      assert(e.getMessage.contains("edge-contract"), e.getMessage)
+      // a mid-migration store refuses READS by name too
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir, "_migrating"))
+      val mid = intercept[IllegalArgumentException] {
+        LineageStore.read(spark, dir).collect()
+      }
+      assert(mid.getMessage.contains("MID-MIGRATION"), mid.getMessage)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "_migrating"))
+      // migrate: uppercase the operation (the v0→v1 rewrite);
+      // 1 segment + 1 live data partition rewritten, zero-edge free
+      val units = LineageStore.migrate(spark, dir, fromVersion = 0,
+        df => df.withColumn("operation",
+          upper(col("operation"))))
+      assert(units == 2, s"rewrote $units units")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_schema_version")) == "1")
+      // row-identical snapshot, operation now under the new contract
+      val after = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(after == before)
+      assert(LineageStore.snapshot(spark, dir)
+        .select("operation").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("SELECT"))
+      // idempotent: already-current store is a no-op
+      assert(LineageStore.migrate(spark, dir, 0,
+        df => df) == 0)
+      // the store is fully writable again
+      LineageStore.append(spark, dir, 4L, frame(edge(4, "c4", "db.q.w")))
+      assert(LineageStore.runs(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    }
+  }
+
   test("read-log reclamation: compactReads folds batches tiered") {
     withStore { dir =>
       import spark.implicits._

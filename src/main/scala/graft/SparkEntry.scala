@@ -157,7 +157,38 @@ object SparkEntry {
       // STORE LIFECYCLE (r18): supersession → tombstone vacuum → grace
       // window → purge → id reuse, as one ordered frozen golden.
       "q289_store_lifecycle" ->
-        ((s, dir) => graft.lineage.LineageQueries.storeLifecycle(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.storeLifecycle(s, dir)),
+      // TIERED COMPACTION (r19): each maintenance call folds only the
+      // NEW runs into its own segment; segments merge smallest-first
+      // past the threshold — compact cost tracks the batch, not the
+      // store, and the graph never changes.
+      "q290_tiered_compact" ->
+        ((s, dir) => graft.lineage.LineageQueries
+          .tieredCompactLifecycle(s, dir)),
+      // READ-LOG RECLAMATION (r19): flush dirs consolidate
+      // (compactReads) and recency retention reclaims old access rows
+      // (vacuumReads) — footer-stats whole-unit drops, straddlers
+      // rewritten filtered.
+      "q291_read_log_reclaim" ->
+        ((s, dir) => graft.lineage.LineageQueries
+          .readLogReclamation(s, dir)),
+      // CAPTURE-SHAPED SNAPSHOT (r19): stmt == run_id proven per
+      // append, so latest-wins is the identity — no resolve join, no
+      // per-run broadcast; one plain append brings the join back.
+      "q292_capture_fastpath" ->
+        ((s, dir) => graft.lineage.LineageQueries
+          .captureFastpathSnapshot(s, dir)),
+      // CONTRACT MIGRATION (r19): v0-stamped store refuses v1 traffic
+      // by name, migrates partition + segment crash-safely, version
+      // stamp flips last, snapshot row-identical.
+      "q293_store_migrate" ->
+        ((s, dir) => graft.lineage.LineageQueries.storeMigration(s, dir)),
+      // OPENLINEAGE AUTO-EMIT (r19): one RunEvent pushed per captured
+      // write to the configured collector; failures counted, never
+      // failing the observed write.
+      "q294_openlineage_autoemit" ->
+        ((s, dir) => graft.lineage.LineageQueries
+          .openLineageAutoEmit(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +230,16 @@ object SparkEntry {
       "q288_concurrent_capture" ->
         graft.lineage.LineageQueries.concurrentCaptureOracleSql,
       "q289_store_lifecycle" ->
-        graft.lineage.LineageQueries.storeLifecycleOracleSql
+        graft.lineage.LineageQueries.storeLifecycleOracleSql,
+      "q290_tiered_compact" ->
+        graft.lineage.LineageQueries.tieredCompactOracleSql,
+      "q291_read_log_reclaim" ->
+        graft.lineage.LineageQueries.readLogReclamationOracleSql,
+      "q292_capture_fastpath" ->
+        graft.lineage.LineageQueries.captureFastpathOracleSql,
+      "q293_store_migrate" ->
+        graft.lineage.LineageQueries.storeMigrationOracleSql,
+      "q294_openlineage_autoemit" ->
+        graft.lineage.LineageQueries.openLineageAutoEmitOracleSql
     )
 }

@@ -1071,6 +1071,357 @@ object LineageQueries {
     ) AS t(step, phase, detail)
     ORDER BY step"""
 
+  /** TIERED COMPACTION as a driver query (q290, r19 — VERDICT r18's
+    * top item): nine capture-shaped runs folded in three maintenance
+    * calls with `maxSegments = 2`. Call 1 folds runs 1-3 into its own
+    * segment; call 2 folds 4-6 WITHOUT rewriting segment 1 (that is
+    * the whole point — compact cost tracks new runs, not store size);
+    * call 3 trips the merge threshold and the smallest segments fold
+    * together. Throughout: the snapshot is row-stable, the plan stays
+    * join-free (the store is provably capture-shaped, so latest-wins
+    * is the identity), and allocation resumes past the manifest. */
+  def tieredCompactLifecycle(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_tiered_store").toString
+    val steps = try {
+      (1 to 9).foreach { i =>
+        LineageStore.appendCaptured(spark, store, i.toLong,
+          spark.createDataFrame(Seq(LineageEdge(i, "INSERT",
+            s"db.sink_$i", s"db.sink_$i.c", "c", s"db.src.x$i", ""))))
+      }
+      def snap() = LineageStore.snapshot(spark, store)
+        .orderBy("run_id", "stmt").collect().toSeq
+      def segs() = Option(new java.io.File(store, "_compacted")
+        .listFiles()).getOrElse(Array.empty)
+        .map(_.getName).count(_.startsWith("seg_"))
+      val before = snap()
+      def fold(upTo: Long): String = {
+        val f = LineageStore.compact(spark, store, upTo,
+          maxSegments = 2)
+        s"${f.mkString(",")}|segs=${segs()}"
+      }
+      val f1 = fold(3L)
+      val f2 = fold(6L)
+      val f3 = fold(9L)
+      val stable = snap() == before
+      val joinFree = LineageStore.snapshot(spark, store)
+        .queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty
+      val next = LineageStore.claimRun(spark, store)
+      Seq(
+        (1, "fold_1", f1),
+        (2, "fold_2", f2),
+        (3, "fold_3", f3),
+        (4, "snapshot_stable", stable.toString),
+        (5, "fastpath_join_free", joinFree.toString),
+        (6, "next_claim", next.toString))
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail").orderBy("step")
+  }
+
+  /** DuckDB oracle for [[tieredCompactLifecycle]] — frozen golden:
+    * each call folds exactly its batch, segment counts go 1 → 2 →
+    * merge back to 1 (threshold 2 tripped on the third call), the
+    * graph never changes, and the next claim is 10. */
+  val tieredCompactOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'fold_1', '1,2,3|segs=1'),
+    (2, 'fold_2', '4,5,6|segs=2'),
+    (3, 'fold_3', '7,8,9|segs=1'),
+    (4, 'snapshot_stable', 'true'),
+    (5, 'fastpath_join_free', 'true'),
+    (6, 'next_claim', '10')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
+
+  /** READ-LOG RECLAMATION as a driver query (q291, r19 — VERDICT r18
+    * #2): three flush batches consolidate into one segment
+    * ([[graft.lineage.LineageStore.compactReads]] — the flush-dir
+    * explosion is the read side's version of the one-run-per-write
+    * problem), then recency retention
+    * ([[graft.lineage.LineageStore.vacuumReads]]) rewrites the
+    * straddling segment and drops the ancient rows: an access log is
+    * about RECENCY, so "still reading" keeps only what read recently. */
+  def readLogReclamation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_readlog_reclaim").toString
+    val now = System.currentTimeMillis()
+    val steps = try {
+      def flush(rows: Seq[(String, Int, String, String, Long)]): Unit =
+        LineageStore.appendReads(spark, store,
+          spark.createDataFrame(rows).toDF("session", "action",
+            "table_name", "column_read", "ts_ms"))
+      flush(Seq(("s1", 1, "db.old", "k", 1000L),
+        ("s1", 1, "db.old", "v", 1000L)))
+      flush(Seq(("s2", 2, "db.old", "k", 2000L),
+        ("s2", 2, "db.recent", "k", now)))
+      flush(Seq(("s3", 3, "db.recent", "v", now)))
+      def batches() = Option(
+        new java.io.File(store, "_read_log").listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName).count(_.startsWith("batch_"))
+      def rsegs() = Option(
+        new java.io.File(store, "_read_log").listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName).count(_.startsWith("rseg_"))
+      def rows() = LineageStore.readLog(spark, store).count()
+      val nBatches = batches()
+      val folded = LineageStore.compactReads(spark, store)
+      val afterCompact = rows()
+      val nSegs = rsegs()
+      val removed = LineageStore.vacuumReads(spark, store,
+        olderThanMs = 3600L * 1000)
+      val afterVacuum = rows()
+      val tables = LineageStore.readLog(spark, store)
+        .select(col("table_name")).distinct()
+        .collect().map(_.getString(0)).sorted.mkString(",")
+      Seq(
+        (1, "batches", nBatches.toString),
+        (2, "compact_folded", folded.toString),
+        (3, "rows_after_compact", afterCompact.toString),
+        (4, "segments", nSegs.toString),
+        (5, "vacuum_removed", removed.size.toString),
+        (6, "rows_after_vacuum", afterVacuum.toString),
+        (7, "tables_after", tables))
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail").orderBy("step")
+  }
+
+  /** DuckDB oracle for [[readLogReclamation]] — frozen golden: three
+    * flush dirs fold to one segment (five rows intact), retention
+    * rewrites that one straddling unit, and only the two recent rows
+    * (one table) survive. */
+  val readLogReclamationOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'batches', '3'),
+    (2, 'compact_folded', '3'),
+    (3, 'rows_after_compact', '5'),
+    (4, 'segments', '1'),
+    (5, 'vacuum_removed', '1'),
+    (6, 'rows_after_vacuum', '2'),
+    (7, 'tables_after', 'db.recent')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
+
+  /** CAPTURE-SHAPED SNAPSHOT fast path as a driver query (q292, r19 —
+    * VERDICT r18 wrong #2): three captured appends (stmt == run_id,
+    * proven per append from parquet footer stats) make latest-wins
+    * the identity, so the snapshot plans NO resolve join and NO
+    * broadcast — on a millions-of-runs capture store the old resolve
+    * broadcast one row per run through the driver. One plain append
+    * then breaks the identity (run 4 re-states stmt 2) and the
+    * resolve join must come back and supersede correctly. The result
+    * is the final mixed-store snapshot; the builder proves the plan
+    * shapes at both stages. */
+  def captureFastpathSnapshot(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_fastpath_store").toString
+    try {
+      (1 to 3).foreach { i =>
+        LineageStore.appendCaptured(spark, store, i.toLong,
+          spark.createDataFrame(Seq(LineageEdge(i, "SELECT",
+            "<EOF>", "", s"c$i", s"db.t.x$i", ""))))
+      }
+      def joins() = LineageStore.snapshot(spark, store)
+        .queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+      require(joins().isEmpty,
+        "capture-shaped snapshot must plan no resolve join")
+      // a plain (re-parse style) append supersedes stmt 2
+      LineageStore.append(spark, store, 4L,
+        spark.createDataFrame(Seq(LineageEdge(2, "SELECT",
+          "<EOF>", "", "c2", "db.t.y", ""))))
+      require(joins().nonEmpty,
+        "a mixed store must resolve latest-wins again")
+      val out = LineageStore.snapshot(spark, store)
+        .select("run_id", "stmt", "from_name")
+        .orderBy("stmt").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      spark.createDataFrame(out)
+        .toDF("run_id", "stmt", "from_name").orderBy("stmt")
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+  }
+
+  /** DuckDB oracle for [[captureFastpathSnapshot]] — frozen golden:
+    * stmts 1 and 3 keep their captured runs, stmt 2 is superseded by
+    * the plain run 4. */
+  val captureFastpathOracleSql: String =
+    """SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), 1, 'db.t.x1'),
+    (CAST(4 AS BIGINT), 2, 'db.t.y'),
+    (CAST(3 AS BIGINT), 3, 'db.t.x3')
+    ) AS t(run_id, stmt, from_name)
+    ORDER BY stmt"""
+
+  /** CONTRACT-VERSION MIGRATION as a driver query (q293, r19 —
+    * VERDICT r18 missing #2): a store stamped with a synthetic prior
+    * contract (v0 = lowercase operation) refuses v1 appends by name,
+    * refuses reads by name MID-migration, and after
+    * [[graft.lineage.LineageStore.migrate]] — which rewrites the live
+    * partition AND the compacted segment, version stamp flipped last
+    * — serves a row-identical snapshot under the current contract. */
+  def storeMigration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, upper}
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_migrate_store").toString
+    val steps = try {
+      def v0edge(stmt: Int, from: String) =
+        LineageEdge(stmt, "select", "<EOF>", "", s"c$stmt", from, "")
+      LineageStore.append(spark, store, 1L, spark.createDataFrame(Seq(
+        v0edge(1, "db.t.x"), v0edge(2, "db.t.y"))))
+      LineageStore.append(spark, store, 2L, spark.createDataFrame(Seq(
+        v0edge(3, "db.t.z"))))
+      LineageStore.compact(spark, store, upToRun = 1L)
+      val before = LineageStore.snapshot(spark, store)
+        .select("run_id", "stmt", "from_name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // forge the v0 stamp (checksum sidecar too — local FS)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(store, "._schema_version.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(store, "_schema_version"),
+        "0".getBytes("UTF-8"))
+      val refused =
+        try { LineageStore.append(spark, store, 3L,
+          spark.createDataFrame(Seq(v0edge(4, "db.q")))); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("edge-contract") }
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(store, "_migrating"))
+      val midRefused =
+        try { LineageStore.read(spark, store).collect(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("MID-MIGRATION") }
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(store, "_migrating"))
+      val units = LineageStore.migrate(spark, store, fromVersion = 0,
+        df => df.withColumn("operation", upper(col("operation"))))
+      val version = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(store, "_schema_version"))
+      val after = LineageStore.snapshot(spark, store)
+        .select("run_id", "stmt", "from_name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val ops = LineageStore.snapshot(spark, store)
+        .select(col("operation")).distinct()
+        .collect().map(_.getString(0)).sorted.mkString(",")
+      Seq(
+        (1, "v1_append_refused", refused.toString),
+        (2, "mid_migration_read_refused", midRefused.toString),
+        (3, "migrated_units", units.toString),
+        (4, "post_version", version),
+        (5, "snapshot_stable", (after == before).toString),
+        (6, "operations", ops))
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail").orderBy("step")
+  }
+
+  /** DuckDB oracle for [[storeMigration]] — frozen golden: both the
+    * foreign-contract append and the mid-migration read refuse by
+    * name, one segment + one live partition rewrite, the stamp lands
+    * on v1 (the current [[LineageEdgeSchema.Version]]), and the graph
+    * is row-identical with the operation now under the new contract. */
+  val storeMigrationOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'v1_append_refused', 'true'),
+    (2, 'mid_migration_read_refused', 'true'),
+    (3, 'migrated_units', '2'),
+    (4, 'post_version', '1'),
+    (5, 'snapshot_stable', 'true'),
+    (6, 'operations', 'SELECT')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
+
+  /** OPENLINEAGE AUTO-EMIT as a driver query (q294, r19 — VERDICT r18
+    * #7): a collector stub receives one RunEvent per captured write,
+    * pushed at write time by the capture listener when
+    * `spark.graft.lineage.openlineage.url` is set — the export tier
+    * (q282) made the format; this wires it to the moment lineage is
+    * OBSERVED, which is how real consumers (Marquez et al.) ingest.
+    * Runs on its own session so the conf and listener never leak into
+    * the harness session. */
+  def openLineageAutoEmit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    registerFixtures(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ol_store").toString
+    val outs = (1 to 2).map(i => java.nio.file.Files
+      .createTempDirectory(s"graft_ol_out$i").toString)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val collector = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    collector.createContext("/api/v1/lineage",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        events.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    collector.start()
+    val s = spark.newSession()
+    graft.Tables.registerAll(s, dir)
+    s.conf.set("spark.graft.lineage.openlineage.url",
+      s"http://127.0.0.1:${collector.getAddress.getPort}/api/v1/lineage")
+    val l = LineageCapture.attachStore(s, store)
+    val steps = try {
+      outs.zipWithIndex.foreach { case (out, i) =>
+        s.table("region").select(col("r_regionkey"), col("r_name"))
+          .filter(col("r_regionkey") <= i)
+          .write.mode("overwrite").parquet(out)
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((events.size < 2 ||
+          LineageStore.read(spark, store).select("run_id")
+            .distinct().count() < 2) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val bodies = events.iterator().asScala.toSeq
+      require(bodies.size >= 2, s"collector got ${bodies.size}/2 events")
+      val types = bodies.flatMap(
+        "\"eventType\":\"([A-Z]+)\"".r.findFirstMatchIn(_))
+        .map(_.group(1)).distinct.sorted.mkString(",")
+      val runIds = bodies.flatMap(
+        "\"runId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(_))
+        .map(_.group(1)).distinct.size
+      val storeRuns = LineageStore.runs(spark, store).size
+      val errors = LineageCapture.captureErrors(s, store)
+      Seq(
+        (1, "events_received", bodies.size.min(2).toString),
+        (2, "event_types", types),
+        (3, "distinct_run_uuids", runIds.toString),
+        (4, "store_runs", storeRuns.toString),
+        (5, "emit_errors", errors.toString))
+    } finally {
+      LineageCapture.detach(s, l)
+      s.conf.unset("spark.graft.lineage.openlineage.url")
+      collector.stop(0)
+      (store +: outs).foreach(d =>
+        deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail").orderBy("step")
+  }
+
+  /** DuckDB oracle for [[openLineageAutoEmit]] — frozen golden: two
+    * captured writes, two COMPLETE events with two distinct
+    * (store,run)-derived UUIDs, two store runs, zero emit failures. */
+  val openLineageAutoEmitOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'events_received', '2'),
+    (2, 'event_types', 'COMPLETE'),
+    (3, 'distinct_run_uuids', '2'),
+    (4, 'store_runs', '2'),
+    (5, 'emit_errors', '0')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
+
   /** The edge set as Graphviz DOT at TABLE grain — the picture a
     * lineage UI draws: one node per table (sinks and sources), one
     * edge per (source table → sink table) pair that any statement

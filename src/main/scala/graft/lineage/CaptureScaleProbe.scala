@@ -36,9 +36,12 @@ object CaptureScaleProbe {
       a
     }
     try {
-      // run 1 through the real append (stamps the version file), the
-      // rest bulk-materialized in the identical layout
-      LineageStore.append(spark, dir, 1L,
+      // run 1 through the real CAPTURE append (stamps the version
+      // file and, with stmt == run_id proven from the footer, the
+      // `_stmt_eq_run` marker — a plain append would stamp `_mixed`
+      // and pin the fast path off); the rest bulk-materialized in the
+      // identical layout
+      LineageStore.appendCaptured(spark, dir, 1L,
         spark.range(perRun).select(
           lit(1).as("stmt"), lit("INSERT").as("operation"),
           lit("db.sink_1").as("table_name"),
@@ -65,17 +68,29 @@ object CaptureScaleProbe {
         LineageStore.runs(spark, dir).size }
       val snapBefore = t("snapshot count, exploded") {
         LineageStore.snapshot(spark, dir).count() }
-      // r19 plan audits: UNMARKED, the latest-wins resolve must stop
-      // broadcasting once the run population passes the limit (one
-      // row per run through the driver is the r18 scale bug) ...
-      val unmarked = LineageStore.snapshot(spark, dir)
+      // r19 plan audits: past 10k runs the resolve drops the FORCED
+      // broadcast hint (one row per run through the driver was the
+      // r18 scale bug) — Catalyst may still choose a broadcast from
+      // its own size estimates while they are small, and grows out of
+      // it with the data; the audit checks the hint is gone, by
+      // planning with auto-broadcast off
+      val prevThreshold =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val unhinted = LineageStore.snapshot(spark, dir)
         .queryExecution.executedPlan.toString
-      println(s"unmarked snapshot: join=${unmarked.contains("Join")} " +
-        s"broadcast=${unmarked.contains("BroadcastExchange")} " +
-        s"(broadcast expected only <= 10k runs)")
-      // ... and MARKED capture-shaped (the bulk layout upholds
-      // stmt == run_id by construction), the resolve disappears:
-      // no aggregation, no join, no exchange at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
+      if (nRuns > 10000)
+        require(!unhinted.contains("BroadcastExchange"),
+          s"past the run limit the resolve must not FORCE a " +
+            s"broadcast:\n$unhinted")
+      println(s"resolve hint past 10k runs: forcedBroadcast=" +
+        s"${unhinted.contains("BroadcastExchange")} (expect false " +
+        s"for nRuns=$nRuns > 10000)")
+      // MARKED capture-shaped (the bulk layout upholds stmt == run_id
+      // by construction; run 1's appendCaptured proved its own), the
+      // resolve disappears: no aggregation, no join, no exchange
       LineageStore.markCaptureShaped(spark, dir)
       val marked = LineageStore.snapshot(spark, dir)
         .queryExecution.executedPlan.toString

@@ -84,6 +84,25 @@ object TieredCompactProbe {
         f"(flat = cost tracks batch, not the ${batches}x-grown store)")
       println(s"snapshot rows=$snapRows expected=$expect " +
         s"invariant=${snapRows == expect}")
+      // ——— row-group pruning audit (VERDICT r18 #8): segments are
+      // sorted and range-partitioned on (run_id, stmt), so a per-run
+      // filter must reach the scan as a pushed predicate and the
+      // reader must emit a sliver of the store, not scan it all ———
+      val probeRun = batches.toLong * perBatch / 2
+      val q = LineageStore.read(spark, dir)
+        .filter(col("run_id") === probeRun)
+      val qe = q.queryExecution
+      val got = qe.executedPlan.executeCollect().length
+      val scans = qe.executedPlan.collectLeaves()
+      val scanRows = scans
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      val pushed = qe.executedPlan.toString.contains("PushedFilters")
+      val (_, tOne) = timed { LineageStore.read(spark, dir)
+        .filter(col("run_id") === probeRun).count() }
+      val (_, tFull) = timed { LineageStore.read(spark, dir).count() }
+      println(f"per-run read on compacted store: rows=$got " +
+        f"scanRowsEmitted=$scanRows of $expect total " +
+        f"(pushdown=$pushed) one-run $tOne%.2f s vs full $tFull%.2f s")
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))

@@ -49,7 +49,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * its own run directory (no shared staging). Bound store growth by
   * periodically folding old runs — `LineageStore.compact(spark, dir,
   * upToRun)` from a maintenance job, or `POST /compact?upTo=` on the
-  * store-backed [[LineageService]]. */
+  * store-backed [[LineageService]]; the read log has the matching
+  * `compactReads` / `vacuumReads(olderThanMs)` pair (`POST
+  * /compact-reads`, `/vacuum-reads`). Optionally set
+  * `spark.graft.lineage.openlineage.url` to push one OpenLineage
+  * RunEvent per captured write to a collector. */
 class GraftCaptureListener extends QueryExecutionListener {
   private val delegates = new java.util.concurrent.ConcurrentHashMap[
     String, QueryExecutionListener]()

@@ -433,10 +433,24 @@ object LineageStore {
         val outCols =
           (if (withRunCol) edgeCols :+ "run_id" else edgeCols).map(col)
         filesystem.delete(stage, true)
-        rewrite(spark.read.parquet(olds.map(_.getPath.toString): _*))
-          .select(outCols: _*)
-          .coalesce(1)
-          .write.parquet(stage.toString)
+        val rewritten =
+          rewrite(spark.read.parquet(olds.map(_.getPath.toString): _*))
+            .select(outCols: _*)
+        // a run partition is one small fact (one file, like append);
+        // a SEGMENT may hold years of folded edges — keep compact's
+        // sorted target-size range partitioning rather than funneling
+        // it through one task
+        val shaped =
+          if (!withRunCol) rewritten.coalesce(1)
+          else {
+            val nFiles = math.max(1L,
+              (olds.map(_.getLen).sum + (128L << 20) - 1) /
+                (128L << 20)).toInt
+            rewritten
+              .repartitionByRange(nFiles, col("run_id"), col("stmt"))
+              .sortWithinPartitions("run_id", "stmt")
+          }
+        shaped.write.parquet(stage.toString)
         filesystem.create(marker, true).close() // unit commit point
       }
       // swap: drop old files (never prefix-named), lift staged files

@@ -352,9 +352,11 @@ object LineageCapture {
     * `capture_errors` and never fail (or retry) the write — the store
     * stays the source of truth, the push is best-effort interop. The
     * runId is a name-UUID of (store, run), so a replayed event is
-    * idempotent at the consumer; bounded timeouts keep a dead
-    * collector from stalling the listener bus. With the conf unset
-    * this is a no-op. */
+    * idempotent at the consumer. The send is ASYNC (failure counted
+    * from the completion callback): the listener bus is shared and
+    * bounded, and a handler that blocked seconds per event on a slow
+    * collector would back the bus up into dropping events for every
+    * listener on it. With the conf unset this is a no-op. */
   private def emitOpenLineage(spark: SparkSession, storeDir: String,
                               run: Long, r: LineageResult,
                               metadata: Option[MetadataProvider],
@@ -376,11 +378,11 @@ object LineageCapture {
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers
             .ofString(event)).build()
-        val resp = olClient.send(req,
-          java.net.http.HttpResponse.BodyHandlers.discarding())
-        if (resp.statusCode() / 100 != 2)
-          throw new java.io.IOException(
-            s"OpenLineage collector returned ${resp.statusCode()}")
+        olClient.sendAsync(req,
+            java.net.http.HttpResponse.BodyHandlers.discarding())
+          .whenComplete((resp, err) =>
+            if (err != null || resp.statusCode() / 100 != 2)
+              errors.incrementAndGet())
       } catch { case _: Exception => errors.incrementAndGet() }
     }
 

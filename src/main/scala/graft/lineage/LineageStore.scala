@@ -1259,7 +1259,10 @@ object LineageStore {
     * legacy files) whose NEWEST row predates the cutoff are deleted
     * whole, decided from parquet footer stats alone (no Spark job);
     * a unit straddling the cutoff is rewritten filtered. Returns the
-    * names of the units removed or rewritten. */
+    * names of the units removed or rewritten. Pairs naturally AFTER
+    * [[compactReads]]: on a consolidated log the footer pass touches
+    * a handful of segments, while an unconsolidated log pays one
+    * driver-side footer read per flush directory. */
   def vacuumReads(spark: SparkSession, storeDir: String,
                   olderThanMs: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanMs

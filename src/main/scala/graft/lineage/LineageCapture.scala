@@ -364,14 +364,19 @@ object LineageCapture {
     spark.conf.getOption("spark.graft.lineage.openlineage.url")
       .filter(_.nonEmpty).foreach { url =>
       try {
+        // schema facets from the session catalog when no provider was
+        // injected (same default the /openlineage endpoint uses) —
+        // lookups only analyze, never execute, so the listener's
+        // re-entrancy surface is untouched; unknown tables (path
+        // sinks) degrade to no facet
+        val meta = metadata.getOrElse(new CatalogMetadataProvider(spark))
         val event = OpenLineageExport.runEvent(
           r.copy(statementIndex = run.toInt),
           namespace = "default", jobName = "capture",
           runId = java.util.UUID.nameUUIDFromBytes(
             s"$storeDir#$run".getBytes("UTF-8")).toString,
           eventTime = java.time.Instant.now().toString,
-          schemaOf = t =>
-            metadata.map(_.tableColumns(t)).getOrElse(Nil))
+          schemaOf = t => meta.tableColumns(t))
         val req = java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(url))
           .timeout(java.time.Duration.ofSeconds(5))

@@ -260,7 +260,9 @@ class LineageCaptureSpec extends SparkTestBase {
     spark.conf.set("spark.graft.lineage.openlineage.url", url)
     val l = LineageCapture.attachStore(spark, store)
     try {
-      spark.table("region").select(col("r_regionkey"), col("r_name"))
+      // reads ONE of region's two columns — the schema facet below
+      // must still list both
+      spark.table("region").select(col("r_name"))
         .write.mode("overwrite").parquet(out1)
       eventually(events.size >= 1)
       // the write landed in the store AND the collector got its event
@@ -270,6 +272,12 @@ class LineageCaptureSpec extends SparkTestBase {
       assert(body.contains("columnLineage") ||
         body.contains("outputs"), body)
       assert(body.contains("default.region"), body)
+      // the input dataset carries the schema facet from the session
+      // catalog (the auto-emit default provider) — r_regionkey was
+      // NOT read, so its presence proves the facet lists the TABLE's
+      // columns, not just the ones this write touched
+      assert(body.contains(""""schema":{""") &&
+        body.contains(""""name":"r_regionkey""""), body)
       assert(LineageCapture.captureErrors(spark, store) == 0)
       // a DEAD collector: the event is lost (counted), the write and
       // its store run are not

@@ -525,6 +525,21 @@ class LineageStoreSpec extends SparkTestBase {
       // idempotent: already-current store is a no-op
       assert(LineageStore.migrate(spark, dir, 0,
         df => df) == 0)
+      // crash-resume: a migration that died between the version flip
+      // and lifting `_migrating` leaves the marker behind — the
+      // re-run must sweep to completion WITHOUT re-rewriting the
+      // already-swapped units (their files carry the version prefix),
+      // even against a rewrite that would corrupt on double
+      // application
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir, "_migrating"))
+      assert(LineageStore.migrate(spark, dir, 0,
+        df => df.withColumn("operation",
+          concat(col("operation"), lit("_X")))) == 0)
+      assert(!new java.io.File(dir, "_migrating").exists())
+      assert(LineageStore.snapshot(spark, dir)
+        .select("operation").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("SELECT"))
       // the store is fully writable again
       LineageStore.append(spark, dir, 4L, frame(edge(4, "c4", "db.q.w")))
       assert(LineageStore.runs(spark, dir) == Seq(1L, 2L, 3L, 4L))

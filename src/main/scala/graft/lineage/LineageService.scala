@@ -479,6 +479,13 @@ object LineageService {
                          (body: => Unit): Unit =
     try { if (!authorized(ex, token)) unauthorized(ex) else body }
     catch {
+      // maintenance mutual exclusion (r20): a lease held by another
+      // maintainer is a CONFLICT the caller should retry, not a server
+      // fault — exactly the duplicate-run 409's semantics
+      case e: MaintenanceBusyException =>
+        try respond(ex, 409, s"""{"error":${jstr(
+          Option(e.getMessage).getOrElse("maintenance busy"))}}""")
+        catch { case _: Exception => () }
       case e: Exception =>
         try respond(ex, 500, s"""{"error":${jstr(
           Option(e.getMessage).getOrElse(e.getClass.getName))}}""")

@@ -188,7 +188,22 @@ object SparkEntry {
       // failing the observed write.
       "q294_openlineage_autoemit" ->
         ((s, dir) => graft.lineage.LineageQueries
-          .openLineageAutoEmit(s, dir))
+          .openLineageAutoEmit(s, dir)),
+      // MAINTENANCE LEASE (r20): single-maintainer is mechanical — a
+      // concurrent compact refuses by name, expired leases are stolen,
+      // committed rows survive any overlap.
+      "q295_maintenance_lease" ->
+        ((s, dir) => graft.lineage.LineageQueries
+          .maintenanceLease(s, dir)),
+      // CLAIM-ORPHAN RECLAMATION (r20): dead claimers' reservations
+      // fold into the manifest — directory gone, id never reusable,
+      // in-window claims untouched.
+      "q296_claim_vacuum" ->
+        ((s, dir) => graft.lineage.LineageQueries.claimVacuum(s, dir)),
+      // AUTO-COMPACTION (r20): the capture listener folds the store
+      // itself every Nth write (conf opt-in), off-bus, under the lease.
+      "q297_autocompact" ->
+        ((s, dir) => graft.lineage.LineageQueries.autoCompact(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +255,12 @@ object SparkEntry {
       "q293_store_migrate" ->
         graft.lineage.LineageQueries.storeMigrationOracleSql,
       "q294_openlineage_autoemit" ->
-        graft.lineage.LineageQueries.openLineageAutoEmitOracleSql
+        graft.lineage.LineageQueries.openLineageAutoEmitOracleSql,
+      "q295_maintenance_lease" ->
+        graft.lineage.LineageQueries.maintenanceLeaseOracleSql,
+      "q296_claim_vacuum" ->
+        graft.lineage.LineageQueries.claimVacuumOracleSql,
+      "q297_autocompact" ->
+        graft.lineage.LineageQueries.autoCompactOracleSql
     )
 }

@@ -391,6 +391,13 @@ object LineageCapture {
   private[lineage] def emissionPermitsAvailable: Int =
     olInFlight.availablePermits()
 
+  /** Test hooks: saturate / restore the emission bound without holding
+    * 64 live sockets against a stalled collector. */
+  private[lineage] def drainEmissionPermits(): Int =
+    olInFlight.drainPermits()
+  private[lineage] def restoreEmissionPermits(n: Int): Unit =
+    olInFlight.release(n)
+
   /** Push one OpenLineage RunEvent per CAPTURED write to the collector
     * named by `spark.graft.lineage.openlineage.url` — real deployments
     * (Marquez et al.) ingest lineage at write time, not on request.

@@ -240,6 +240,23 @@ object LineageService {
               """{"error":"need ?olderThanMs=<window>"}""")
           }
         })
+      // claim-orphan reclamation (r20): fold dead writers' claim-only
+      // reservations into the manifest; the window is mandatory — it
+      // is the only thing standing between maintenance and an append
+      // that is merely slow
+      server.createContext("/vacuum-claims", (ex: HttpExchange) =>
+        guarded(ex) {
+          if (ex.getRequestMethod != "POST")
+            respond(ex, 405, """{"error":"use POST"}""")
+          else queryParams(ex).get("olderThanMs")
+            .flatMap(_.toLongOption) match {
+            case Some(win) => respond(ex, 200,
+              LineageStore.vacuumClaims(spark, dir, win)
+                .mkString("""{"reclaimed":[""", ",", "]}"))
+            case None => respond(ex, 400,
+              """{"error":"need ?olderThanMs=<window>"}""")
+          }
+        })
       // the read-log face (r18): "is anything still READING this
       // table" (optionally ?table=-scoped), and the deprecation join —
       // every written table with its read recency, zeros for the

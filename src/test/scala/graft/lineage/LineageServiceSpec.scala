@@ -348,6 +348,56 @@ class LineageServiceSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance lease over HTTP: held lease answers 409; /vacuum-claims reclaims orphans") {
+    LineageQueries.registerFixtures(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_svc_lease").toString
+    val server = LineageService.start(spark, store = Some(dir))
+    try {
+      val port = server.getAddress.getPort
+      assert(post(port,
+        "INSERT INTO lineage_target SELECT n_nationkey, n_name FROM nation",
+        path = "/runs/1").statusCode() == 200)
+      // another maintainer holds the store (a long compaction in some
+      // other process): every maintenance endpoint answers 409 — the
+      // retryable-conflict shape, not a 500 — and NOTHING else blocks
+      val holder =
+        LineageStore.acquireMaintenance(spark, dir, "other-maintainer")
+      assert(post(port, "", path = "/compact?upTo=1").statusCode() == 409)
+      assert(post(port, "", path = "/vacuum").statusCode() == 409)
+      assert(post(port, "", path = "/purge").statusCode() == 409)
+      assert(post(port, "", path = "/compact-reads").statusCode() == 409)
+      assert(post(port, "",
+        path = "/vacuum-reads?olderThanMs=1").statusCode() == 409)
+      assert(post(port, "",
+        path = "/vacuum-claims?olderThanMs=1").statusCode() == 409)
+      // reads and appends never touch the lease
+      assert(post(port, "", method = "GET",
+        path = "/snapshot").statusCode() == 200)
+      assert(post(port,
+        "INSERT INTO lineage_target2 SELECT n_regionkey, n_name FROM nation",
+        path = "/runs/2").statusCode() == 200)
+      LineageStore.releaseMaintenance(spark, dir, holder)
+      assert(post(port, "", path = "/compact?upTo=2").statusCode() == 200)
+      // a dead writer's claim-only orphan, reclaimed over HTTP: the
+      // window is mandatory, the reservation survives the directory
+      val orphan = LineageStore.claimRun(spark, dir)
+      assert(new java.io.File(dir, s"run_id=$orphan/_claim")
+        .setLastModified(System.currentTimeMillis() - 60000L))
+      assert(post(port, "", path = "/vacuum-claims").statusCode() == 400)
+      assert(post(port, "",
+        path = "/vacuum-claims?olderThanMs=30000").body() ==
+        s"""{"reclaimed":[$orphan]}""")
+      assert(!new java.io.File(dir, s"run_id=$orphan").exists())
+      assert(post(port, "SELECT 1",
+        path = s"/runs/$orphan").statusCode() == 409)
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bearer token: non-loopback binds refuse unauthenticated requests") {
     LineageQueries.registerFixtures(spark, sfDir)
     val dir = java.nio.file.Files

@@ -27,7 +27,11 @@ class LineageStoreModelSpec extends SparkTestBase {
       committed: Map[Long, Seq[(Int, String)]] = Map.empty,
       claimed: Set[Long] = Set.empty,
       vacuumed: Set[Long] = Set.empty,
-      folded: Set[Long] = Set.empty) {
+      folded: Set[Long] = Set.empty,
+      // claim-only ids vacuumClaims folded into the manifest — the
+      // RESERVATION survives (still registered/listed), only the
+      // directory goes, so every read-path expectation is unchanged
+      reclaimedClaims: Set[Long] = Set.empty) {
     /** Runs every read path may see. */
     def visible: Map[Long, Seq[(Int, String)]] =
       committed.filterNot { case (id, _) => vacuumed(id) }
@@ -99,7 +103,7 @@ class LineageStoreModelSpec extends SparkTestBase {
     val stmts = 1 to 5 // small pool → supersession happens often
     try {
       for (step <- 1 to 30) {
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(12)
         if (op <= 3) { // claimed append (sometimes zero-edge)
           val id = LineageStore.claimRun(spark, dir)
           assert(!m.registered(id), s"[$step] claim reused id $id")
@@ -152,7 +156,7 @@ class LineageStoreModelSpec extends SparkTestBase {
           assert(dead == m.vacuumable,
             s"[$step] vacuum $dead != model ${m.vacuumable}")
           m = m.copy(vacuumed = m.vacuumed ++ dead)
-        } else { // purge: tombstoned partitions leave the store
+        } else if (op == 9) { // purge: tombstoned partitions leave
           // explicit zero grace — the DEFAULT is a conservative
           // non-zero window (ADVICE r19 #2) under which a just-written
           // tombstone would survive
@@ -164,8 +168,75 @@ class LineageStoreModelSpec extends SparkTestBase {
           m = m.copy(
             committed = m.committed -- ids,
             vacuumed = m.vacuumed -- ids)
+        } else if (op == 10) { // vacuumClaims: orphan reservations fold
+          // negative window: every dangling claim is "stale" without
+          // sleeping for mtime granularity; the read paths must not
+          // move an inch (the ids stay registered via the manifest)
+          val got = LineageStore.vacuumClaims(spark, dir,
+            olderThanMs = -1000L)
+          val want = (m.claimed -- m.reclaimedClaims).toSeq.sorted
+          assert(got == want,
+            s"[$step] vacuumClaims $got != model $want")
+          m = m.copy(reclaimedClaims = m.reclaimedClaims ++ got)
+        } else { // contract migration with the identity rewrite
+          // simulate a library version bump landing on this store:
+          // forge the stamp back to v0 (CRC sidecar first — local FS
+          // would trip Hadoop's checksum on the out-of-band rewrite),
+          // then migrate; every read path must survive the full
+          // partition+segment rewrite byte-for-byte
+          val stamp = java.nio.file.Paths.get(dir, "_schema_version")
+          if (java.nio.file.Files.exists(stamp)) {
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, "._schema_version.crc"))
+            java.nio.file.Files.write(stamp, "0".getBytes("UTF-8"))
+          }
+          LineageStore.migrate(spark, dir, fromVersion = 0, df => df)
         }
         checkAll(dir, m, s"step $step op $op")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("concurrent maintenance keeps rows, ids, and snapshot intact") {
+    // the model above is sequential by construction; this arm races
+    // two MAINTAINERS (the r19 verdict's committed-data-loss
+    // interleaving) and checks the one invariant every schedule must
+    // uphold under the `_maintain` lease: nothing committed ever
+    // disappears, whichever maintainer wins each round.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_store_model_conc").toString
+    try {
+      val all = (1 to 12).map(i => (i.toLong, i, s"db.t.x$i"))
+      all.foreach { case (id, stmt, from) =>
+        LineageStore.append(spark, dir, id,
+          edgeFrame(Seq((stmt, from))))
+      }
+      for (round <- 1 to 4) {
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val ops: Seq[() => Any] = Seq(
+          () => LineageStore.compact(spark, dir,
+            upToRun = (round * 3).toLong, maxSegments = 2),
+          () =>
+            if (round % 2 == 0)
+              LineageStore.vacuumClaims(spark, dir, -1000L)
+            else LineageStore.compact(spark, dir,
+              upToRun = (round * 3 + 1).toLong, maxSegments = 2))
+        val threads = ops.map(op => new Thread(() => {
+          gate.await()
+          try { op(); () }
+          catch { case _: MaintenanceBusyException => () }
+        }))
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val got = LineageStore.read(spark, dir)
+          .select("run_id", "stmt", "from_name").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        assert(got == all.toSet, s"[round $round] rows diverged")
+        assert(LineageStore.runs(spark, dir) == (1L to 12L),
+          s"[round $round] ids diverged")
+        assert(LineageStore.snapshot(spark, dir).count() == 12,
+          s"[round $round] snapshot diverged")
       }
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))

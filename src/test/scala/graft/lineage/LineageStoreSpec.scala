@@ -546,6 +546,146 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance lease: held lease refuses by name, expired lease is stolen") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "c", "db.t.x")))
+      val holder = LineageStore.acquireMaintenance(spark, dir, "hold")
+      val e = intercept[MaintenanceBusyException] {
+        LineageStore.vacuum(spark, dir)
+      }
+      assert(e.getMessage.contains("maintenance lease"), e.getMessage)
+      LineageStore.releaseMaintenance(spark, dir, holder)
+      assert(LineageStore.vacuum(spark, dir).isEmpty) // lease free again
+      // a DEAD maintainer's expired lease must not wedge the store:
+      // the next maintainer steals it and proceeds
+      LineageStore.acquireMaintenance(spark, dir, "dead-maintainer",
+        leaseMs = -1000L)
+      assert(LineageStore.vacuum(spark, dir).isEmpty)
+      assert(!new java.io.File(dir, "_maintain").exists(),
+        "the steal-then-release cycle must not leave a lease behind")
+    }
+  }
+
+  test("concurrent compacts never interleave: one refuses or they serialize") {
+    withStore { dir =>
+      (1 to 6).foreach(i => LineageStore.append(spark, dir, i.toLong,
+        frame(edge(i, s"c$i", s"db.t.x$i"))))
+      // the r19 verdict's named interleaving: maintainer B reads the
+      // manifest, stalls while A folds 1-3 and commits, then B commits
+      // ITS successor manifest built from the stale one — A's segment
+      // unreferenced, runs 1-3 gone. The lease makes that impossible:
+      // the loser refuses by name (or the two fully serialize).
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        Int, Either[String, Seq[Long]]]()
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (0 to 1).map { i =>
+        new Thread(() => {
+          gate.await()
+          try results.put(i,
+            Right(LineageStore.compact(spark, dir, upToRun = 6L)))
+          catch { case e: MaintenanceBusyException =>
+            results.put(i, Left(e.getMessage)) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val folded = results.values.asScala.collect {
+        case Right(f) => f }.toSeq
+      assert(folded.nonEmpty, "at least one maintainer must proceed")
+      // no run folds twice, and refusals are by name
+      val all = folded.flatten
+      assert(all.distinct == all, s"double fold: $all")
+      results.values.asScala.collect { case Left(m) => m }.foreach(m =>
+        assert(m.contains("maintenance lease"), m))
+      // every committed row and every id survived the overlap
+      assert(LineageStore.read(spark, dir).count() == 6)
+      assert(LineageStore.runs(spark, dir) == (1L to 6L))
+      assert(LineageStore.snapshot(spark, dir).count() == 6)
+      // and the lease was released: a third maintainer proceeds
+      assert(LineageStore.compact(spark, dir, 6L).isEmpty)
+    }
+  }
+
+  test("vacuumClaims reclaims dead claim-only orphans; reservations survive") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "c1", "db.t.x")))
+      val orphan = LineageStore.claimRun(spark, dir) // claimer "dies"
+      val live = LineageStore.claimRun(spark, dir)   // append in flight
+      assert(Seq(orphan, live) == Seq(2L, 3L))
+      // age the orphan's claim past the window; the live one stays new
+      assert(new java.io.File(dir, s"run_id=$orphan/_claim")
+        .setLastModified(System.currentTimeMillis() - 60000L))
+      val reclaimed =
+        LineageStore.vacuumClaims(spark, dir, olderThanMs = 30000L)
+      assert(reclaimed == Seq(orphan))
+      // directory gone, reservation kept: the id stays taken and the
+      // allocator jumps it forever
+      assert(!new java.io.File(dir, s"run_id=$orphan").exists())
+      assert(LineageStore.runTaken(spark, dir, orphan))
+      // the within-window claim is untouched and still appendable
+      assert(new java.io.File(dir, s"run_id=$live/_claim").exists())
+      LineageStore.append(spark, dir, live,
+        frame(edge(3, "c3", "db.t.z")))
+      assert(LineageStore.claimRun(spark, dir) == 4L)
+      assert(LineageStore.read(spark, dir).count() == 2)
+      // a second pass reclaims nothing: the orphan is gone and the
+      // just-made claim (4) sits inside the window
+      assert(LineageStore.vacuumClaims(spark, dir, 30000L).isEmpty)
+    }
+  }
+
+  test("reads stay online mid-migration when the rewrite is registered") {
+    withStore { dir =>
+      def v0edge(stmt: Int, from: String) =
+        LineageEdge(stmt, "select", "<EOF>", "", s"c$stmt", from, "")
+      LineageStore.append(spark, dir, 1L, frame(
+        v0edge(1, "db.t.x"), v0edge(2, "db.t.y")))
+      LineageStore.append(spark, dir, 2L, frame(v0edge(3, "db.t.z")))
+      LineageStore.compact(spark, dir, upToRun = 1L)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._schema_version.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_schema_version"),
+        "0".getBytes("UTF-8"))
+      val rw: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+        df => df.withColumn("operation", upper(col("operation")))
+      // a maintainer that dies after the first unit: the rewrite
+      // throws on its second invocation (partition first, then the
+      // segment) — `_migrating` stays down
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      intercept[RuntimeException] {
+        LineageStore.migrate(spark, dir, 0, df => {
+          if (calls.incrementAndGet() == 2)
+            throw new RuntimeException("maintainer died")
+          rw(df)
+        })
+      }
+      assert(new java.io.File(dir, "_migrating").exists())
+      // a fresh reader JVM has no registration: refusal stands
+      LineageStore.stopServingDuringMigration(spark, dir)
+      val refused = intercept[IllegalArgumentException] {
+        LineageStore.read(spark, dir).collect()
+      }
+      assert(refused.getMessage.contains("MID-MIGRATION"))
+      // opting in serves the PAUSED migration: swapped units read
+      // as-is, the unmigrated segment goes through the rewrite
+      LineageStore.serveDuringMigration(spark, dir, rw)
+      def graph() = LineageStore.snapshot(spark, dir)
+        .select("run_id", "stmt", "from_name", "operation").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getString(3))).toSet
+      val mid = graph()
+      assert(mid.nonEmpty && mid.forall(_._4 == "SELECT"), mid)
+      // finishing the migration changes NOTHING a reader saw
+      LineageStore.stopServingDuringMigration(spark, dir)
+      assert(LineageStore.migrate(spark, dir, 0, rw) >= 1)
+      assert(graph() == mid)
+      assert(!new java.io.File(dir, "_migrating").exists())
+    }
+  }
+
   test("read-log reclamation: compactReads folds batches tiered") {
     withStore { dir =>
       import spark.implicits._

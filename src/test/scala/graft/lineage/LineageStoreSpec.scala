@@ -546,6 +546,33 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("vacuumReads on an exploded log consolidates first (unit-count guard)") {
+    withStore { dir =>
+      // 66 one-row flushes: past the 64-unit guard, retention must
+      // fold the log FIRST (the straddler classification reads one
+      // footer per unit on the driver) and classify the one segment
+      // that remains, not 66 directories
+      val now = System.currentTimeMillis()
+      (1 to 66).foreach { i =>
+        LineageStore.appendReads(spark, dir,
+          spark.createDataFrame(Seq(
+            ("s", i, "db.t", "c", if (i <= 33) 1000L else now)))
+            .toDF("session", "action", "table_name", "column_read",
+              "ts_ms"))
+      }
+      val removed =
+        LineageStore.vacuumReads(spark, dir, olderThanMs = 3600L * 1000)
+      assert(removed == Seq("rseg_1"), removed)
+      assert(LineageStore.readLog(spark, dir).count() == 33)
+      val names = Option(
+        new java.io.File(dir, "_read_log").listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      assert(names.forall(_.startsWith("rseg_")), names.toSeq)
+    }
+  }
+
   test("maintenance lease: held lease refuses by name, expired lease is stolen") {
     withStore { dir =>
       LineageStore.append(spark, dir, 1L, frame(edge(1, "c", "db.t.x")))

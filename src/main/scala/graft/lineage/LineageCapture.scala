@@ -493,7 +493,12 @@ object LineageCapture {
           c.set(0L)
           maintenanceExec.submit(new Runnable {
             def run(): Unit =
-              try { LineageStore.compact(spark, storeDir, upToRun); () }
+              // purge-grace deferred cleanup: the in-process trigger
+              // races the observed application's OWN reads by
+              // construction — folded units must outlive any scan that
+              // listed them before the fold committed
+              try { LineageStore.compact(spark, storeDir, upToRun,
+                cleanupGraceMs = LineageStore.DefaultPurgeGraceMs); () }
               catch {
                 case _: MaintenanceBusyException => () // next Nth retries
                 case _: Exception => errors.incrementAndGet()
@@ -517,7 +522,8 @@ object LineageCapture {
           c.set(0L)
           maintenanceExec.submit(new Runnable {
             def run(): Unit =
-              try { LineageStore.compactReads(spark, storeDir); () }
+              try { LineageStore.compactReads(spark, storeDir,
+                cleanupGraceMs = LineageStore.DefaultPurgeGraceMs); () }
               catch {
                 case _: MaintenanceBusyException => ()
                 case _: Exception => errors.incrementAndGet()

@@ -1599,19 +1599,22 @@ object LineageQueries {
           .select(col("r_regionkey").as(s"k$i"))
           .write.mode("overwrite").parquet(out)
       }
-      // poll until the listener's own triggers settle; reads racing a
-      // fold retry on the transient (same as any reader under
-      // concurrent maintenance)
+      // poll until the listener's own triggers settle. The trigger
+      // folds with the purge-grace DEFERRED cleanup (it races the
+      // observed app's own reads by construction), so the partitions
+      // are retired behind `_folded` markers — excluded from every
+      // new read, data intact for any scan that listed them first —
+      // and a later maintenance call deletes them aged.
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       def state(): Option[(Boolean, Boolean, Long)] =
         try {
-          val dirsGone = (1 to 4).forall(i =>
-            !new java.io.File(store, s"run_id=$i").exists())
+          val retired = (1 to 4).forall(i =>
+            new java.io.File(store, s"run_id=$i/_folded").exists())
           val manifest = Option(
             new java.io.File(store, "_compacted").listFiles())
             .getOrElse(Array.empty)
             .exists(_.getName.startsWith("_manifest_"))
-          Some((dirsGone, manifest, LineageStore.read(spark, store)
+          Some((retired, manifest, LineageStore.read(spark, store)
             .select("run_id").distinct().count()))
         } catch { case _: org.apache.spark.SparkException => None }
       var st = state()
@@ -1620,14 +1623,17 @@ object LineageQueries {
         Thread.sleep(100)
         st = state()
       }
-      val (dirsGone, manifest, runCount) =
+      val (retired, manifest, runCount) =
         st.getOrElse((false, false, -1L))
+      val segmentsOnly = LineageStore.read(spark, store)
+        .inputFiles.forall(_.contains("/_compacted/"))
       Seq(
-        (1, "partition_dirs_folded", dirsGone.toString),
+        (1, "partitions_retired", retired.toString),
         (2, "manifest_committed", manifest.toString),
         (3, "distinct_runs", runCount.toString),
         (4, "ids", LineageStore.runs(spark, store).mkString(",")),
-        (5, "capture_errors",
+        (5, "reads_from_segments_only", segmentsOnly.toString),
+        (6, "capture_errors",
           LineageCapture.captureErrors(s, store).toString))
     } finally {
       LineageCapture.detach(s, l)
@@ -1641,14 +1647,17 @@ object LineageQueries {
 
   /** DuckDB oracle for [[autoCompact]] — frozen golden: the listener's
     * own triggers fold all four partitions behind a committed
-    * manifest, all four runs and their rows survive, zero errors. */
+    * manifest with grace-deferred cleanup (retired markers, data
+    * intact for in-flight readers), new reads plan from the segments
+    * alone, all four runs survive, zero errors. */
   val autoCompactOracleSql: String =
     """SELECT * FROM (VALUES
-    (1, 'partition_dirs_folded', 'true'),
+    (1, 'partitions_retired', 'true'),
     (2, 'manifest_committed', 'true'),
     (3, 'distinct_runs', '4'),
     (4, 'ids', '1,2,3,4'),
-    (5, 'capture_errors', '0')
+    (5, 'reads_from_segments_only', 'true'),
+    (6, 'capture_errors', '0')
     ) AS t(step, phase, detail)
     ORDER BY step"""
 

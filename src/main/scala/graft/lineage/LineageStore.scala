@@ -1244,6 +1244,30 @@ object LineageStore {
     }
   }
 
+  /** Deferred-cleanup primitive (r20): with `graceMs <= 0` the unit is
+    * deleted NOW (the historical behavior); with a grace, the first
+    * call stamps a retirement marker inside the unit and a LATER
+    * maintenance call deletes it once the marker has aged past the
+    * grace. A maintenance commit makes the unit invisible to NEW reads
+    * (manifest ranges / segment lists), but a reader that listed its
+    * files before the commit still holds their paths — immediate
+    * deletion fails exactly those scans mid-flight, the same race the
+    * two-phase vacuum closed with `_vacuumed` + purge. Size the grace
+    * like the purge grace: the longest scan the deployment allows. */
+  private def retireOrDelete(filesystem: FileSystem, unit: Path,
+                             marker: String, graceMs: Long): Unit =
+    if (graceMs <= 0L) { filesystem.delete(unit, true); () }
+    else {
+      val mk = new Path(unit, marker)
+      try {
+        val st = filesystem.getFileStatus(mk)
+        if (System.currentTimeMillis() - st.getModificationTime
+            >= graceMs) { filesystem.delete(unit, true); () }
+      } catch { case _: java.io.FileNotFoundException =>
+        filesystem.create(mk, true).close()
+      }
+    }
+
   /** Every maintenance entry point funnels through here: one lease,
     * one exception, one place the mutual exclusion lives. Appends,
     * claims, and reads never touch the lease — they were always safe
@@ -1384,37 +1408,55 @@ object LineageStore {
     * [[MaintenanceBusyException]] instead of interleaving with this
     * one into a stale-manifest overwrite that loses committed rows.
     * Concurrent APPENDS stay safe without the lease — they only create
-    * partitions above `upToRun`. */
+    * partitions above `upToRun`.
+    *
+    * `cleanupGraceMs` (r20): with the default 0, folded partitions and
+    * merged-away segments are deleted as soon as the manifest commits
+    * — correct for NEW reads (they plan from the manifest), but a
+    * reader that listed files before the commit dies mid-scan on the
+    * deletion. A positive grace defers every such deletion behind a
+    * retirement marker (`_folded` on partitions, `_retired` on
+    * segments), swept by later maintenance calls once aged — readers
+    * get the same in-flight window the two-phase vacuum gives. The
+    * capture listener's auto-compaction passes the purge-grace default
+    * because it races the observed application's own reads by
+    * construction. */
   def compact(spark: SparkSession, storeDir: String, upToRun: Long,
               maxSegments: Int = 8,
-              targetSegmentBytes: Long = 128L << 20): Seq[Long] =
+              targetSegmentBytes: Long = 128L << 20,
+              cleanupGraceMs: Long = 0L): Seq[Long] =
     withMaintenance(spark, storeDir, "compact") {
       compactImpl(spark, storeDir, upToRun, maxSegments,
-        targetSegmentBytes)
+        targetSegmentBytes, cleanupGraceMs)
     }
 
   private def compactImpl(spark: SparkSession, storeDir: String,
                           upToRun: Long, maxSegments: Int,
-                          targetSegmentBytes: Long): Seq[Long] = {
+                          targetSegmentBytes: Long,
+                          cleanupGraceMs: Long): Seq[Long] = {
     require(maxSegments >= 1, "maxSegments must be >= 1")
     val (filesystem, root) = fs(spark, storeDir)
     val m = readManifest(filesystem, root)
     val priorRanges = m.map(_.ranges).getOrElse(Seq.empty)
     val priorSegs = m.map(_.segments).getOrElse(Seq.empty)
-    // sweep crash remnants: partitions already folded, segments no
-    // manifest references
+    // sweep crash remnants AND aged retirements: partitions already
+    // folded, segments no manifest references
     partitionRuns(filesystem, root)
       .filter(r => m.exists(_.containsRun(r))).foreach(r =>
-      filesystem.delete(new Path(root, s"run_id=$r"), true))
+      retireOrDelete(filesystem, new Path(root, s"run_id=$r"),
+        "_folded", cleanupGraceMs))
     if (filesystem.exists(compactedDir(root)))
       filesystem.listStatus(compactedDir(root)).toSeq
         .map(_.getPath.getName)
         .filter(n => n.startsWith("seg_") && !priorSegs.contains(n))
-        .foreach(n =>
-          filesystem.delete(new Path(compactedDir(root), n), true))
+        .foreach(n => retireOrDelete(filesystem,
+          new Path(compactedDir(root), n), "_retired", cleanupGraceMs))
     val dead = supersededRuns(spark, storeDir).toSet
     val infos = partitionInfos(filesystem, root)
       .filter(p => p.id <= upToRun && !p.vacuumed && !dead(p.id))
+      // manifest-covered partitions linger under a positive grace —
+      // they are already folded, never candidates again
+      .filterNot(p => m.exists(_.containsRun(p.id)))
       .filter(p => p.hasData ||
         filesystem.exists(new Path(root, s"run_id=${p.id}/_committed")))
     val candidates = infos.map(_.id)
@@ -1457,9 +1499,12 @@ object LineageStore {
       writeManifest(filesystem, root,
         Manifest(index, segments,
           mergeRanges(priorRanges, toRanges(candidates))))
-      // cleanup AFTER commit — read() already ignores all of these
+      // cleanup AFTER commit — read() already ignores all of these;
+      // under a grace the partitions get their `_folded` stamp now and
+      // a later maintenance call deletes them aged
       candidates.foreach(r =>
-        filesystem.delete(new Path(root, s"run_id=$r"), true))
+        retireOrDelete(filesystem, new Path(root, s"run_id=$r"),
+          "_folded", cleanupGraceMs))
       m.foreach(old => filesystem.delete(
         new Path(compactedDir(root), s"_manifest_${old.index}"), false))
     }
@@ -1484,8 +1529,9 @@ object LineageStore {
       writeManifest(filesystem, root,
         Manifest(index, segments,
           mergeRanges(priorRanges, toRanges(candidates))))
-      toMerge.foreach(s => filesystem.delete(
-        new Path(compactedDir(root), s._1), true))
+      toMerge.foreach(s => retireOrDelete(filesystem,
+        new Path(compactedDir(root), s._1), "_retired",
+        cleanupGraceMs))
       filesystem.delete(
         new Path(compactedDir(root), s"_manifest_$prevIndex"), false)
     }
@@ -1668,40 +1714,71 @@ object LineageStore {
     * Returns the number of input units folded. */
   def compactReads(spark: SparkSession, storeDir: String,
                    maxSegments: Int = 8,
-                   targetSegmentBytes: Long = 128L << 20): Int =
+                   targetSegmentBytes: Long = 128L << 20,
+                   cleanupGraceMs: Long = 0L): Int =
     withMaintenance(spark, storeDir, "compactReads") {
       compactReadsImpl(spark, storeDir, maxSegments,
-        targetSegmentBytes)
+        targetSegmentBytes, cleanupGraceMs)
     }
+
+  /** Consumed names the next manifest must KEEP carrying: under a
+    * deferred cleanup a consumed unit outlives its manifest commit,
+    * and the `consumed` exclusion is the only thing standing between
+    * [[readLog]] and double-reading it — so consumed entries are
+    * carried forward until the unit is physically gone (with immediate
+    * deletion this filter drops everything, the historical shape). */
+  private def liveConsumed(filesystem: FileSystem, dir: Path,
+                           m: Option[RManifest]): Seq[String] =
+    m.map(_.consumed).getOrElse(Seq.empty)
+      .filter(n => filesystem.exists(new Path(dir, n)))
 
   private def compactReadsImpl(spark: SparkSession, storeDir: String,
                                maxSegments: Int,
-                               targetSegmentBytes: Long): Int = {
+                               targetSegmentBytes: Long,
+                               cleanupGraceMs: Long): Int = {
     require(maxSegments >= 1, "maxSegments must be >= 1")
     val (filesystem, root) = fs(spark, storeDir)
     val dir = readLogDir(root)
     if (!filesystem.exists(dir)) return 0
     val m = readRManifest(filesystem, root)
     val priorSegs = m.map(_.segments).getOrElse(Seq.empty)
-    // sweep crash remnants: consumed-but-undeleted inputs, rsegs no
-    // manifest references
-    m.foreach(_.consumed.foreach(n =>
-      filesystem.delete(new Path(dir, n), true)))
+    val consumed = m.map(_.consumed.toSet).getOrElse(Set.empty[String])
+    // sweep crash remnants and aged retirements: consumed-but-
+    // undeleted inputs, rsegs no manifest references
+    m.foreach(_.consumed.foreach { n =>
+      val p = new Path(dir, n)
+      if (filesystem.exists(p)) {
+        val isDir = filesystem.getFileStatus(p).isDirectory
+        // loose legacy FILES can't hold a marker — they go immediately
+        if (isDir) retireOrDelete(filesystem, p, "_consumed",
+          cleanupGraceMs)
+        else { filesystem.delete(p, false); () }
+      }
+    })
     filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("rseg_") && !priorSegs.contains(n))
-      .foreach(n => filesystem.delete(new Path(dir, n), true))
+      .foreach(n => retireOrDelete(filesystem, new Path(dir, n),
+        "_retired", cleanupGraceMs))
     val children = filesystem.listStatus(dir).toSeq
     val inputs = children
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("batch_") &&
+        !consumed(st.getPath.getName) &&
         dataFilesUnder(filesystem, st.getPath).nonEmpty)
       .map(_.getPath) ++
       children.filter { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !consumed(n)
       }.map(_.getPath)
     var index = m.map(_.index).getOrElse(0)
     var segments = priorSegs
+    // names this call's manifests must exclude: the prior manifest's
+    // still-existing consumed units plus whatever THIS call consumes
+    // (phase B's manifest must keep carrying phase A's inputs — under
+    // a grace they still exist, and dropping their names would have
+    // readLog double-read them)
+    var consumedAcc = liveConsumed(filesystem, dir, m)
     if (inputs.isEmpty && segments.size <= maxSegments) return 0
     if (inputs.nonEmpty) {
       index += 1
@@ -1711,9 +1788,13 @@ object LineageStore {
           filesystem.getContentSummary(p).getLength).sum,
         targetSegmentBytes)
       segments = segments :+ segName
+      consumedAcc = (consumedAcc ++ inputs.map(_.getName)).distinct
       writeRManifest(filesystem, root,
-        RManifest(index, segments, inputs.map(_.getName)))
-      inputs.foreach(p => filesystem.delete(p, true))
+        RManifest(index, segments, consumedAcc))
+      inputs.foreach(p =>
+        if (filesystem.getFileStatus(p).isDirectory)
+          retireOrDelete(filesystem, p, "_consumed", cleanupGraceMs)
+        else { filesystem.delete(p, false); () })
       m.foreach(old => filesystem.delete(
         new Path(dir, s"_rmanifest_${old.index}"), false))
     }
@@ -1729,11 +1810,11 @@ object LineageStore {
       writeReadSegment(spark, dir,
         toMerge.map(s => new Path(dir, s._1).toString), mergedName,
         toMerge.map(_._2).sum, targetSegmentBytes)
+      consumedAcc = (consumedAcc ++ toMerge.map(_._1)).distinct
       writeRManifest(filesystem, root,
-        RManifest(index, toKeep.map(_._1) :+ mergedName,
-          toMerge.map(_._1)))
-      toMerge.foreach(s =>
-        filesystem.delete(new Path(dir, s._1), true))
+        RManifest(index, toKeep.map(_._1) :+ mergedName, consumedAcc))
+      toMerge.foreach(s => retireOrDelete(filesystem,
+        new Path(dir, s._1), "_retired", cleanupGraceMs))
       filesystem.delete(
         new Path(dir, s"_rmanifest_$prevIndex"), false)
     }
@@ -1751,9 +1832,10 @@ object LineageStore {
     * a handful of segments, while an unconsolidated log pays one
     * driver-side footer read per flush directory. */
   def vacuumReads(spark: SparkSession, storeDir: String,
-                  olderThanMs: Long): Seq[String] =
+                  olderThanMs: Long,
+                  cleanupGraceMs: Long = 0L): Seq[String] =
     withMaintenance(spark, storeDir, "vacuumReads") {
-      vacuumReadsImpl(spark, storeDir, olderThanMs)
+      vacuumReadsImpl(spark, storeDir, olderThanMs, cleanupGraceMs)
     }
 
   /** Unit-count guard for [[vacuumReads]] on an EXPLODED log (r20,
@@ -1766,7 +1848,8 @@ object LineageStore {
   private val VacuumReadsConsolidateAbove = 64
 
   private def vacuumReadsImpl(spark: SparkSession, storeDir: String,
-                              olderThanMs: Long): Seq[String] = {
+                              olderThanMs: Long,
+                              cleanupGraceMs: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val (filesystem, root) = fs(spark, storeDir)
     val dir = readLogDir(root)
@@ -1776,7 +1859,8 @@ object LineageStore {
           !n.startsWith("_") && !n.startsWith(".")
         } > VacuumReadsConsolidateAbove)
       compactReadsImpl(spark, storeDir, maxSegments = 8,
-        targetSegmentBytes = targetBytesForVacuum)
+        targetSegmentBytes = targetBytesForVacuum,
+        cleanupGraceMs = cleanupGraceMs)
     val m = readRManifest(filesystem, root)
     val consumed = m.map(_.consumed.toSet).getOrElse(Set.empty[String])
     val segNames = m.map(_.segments).getOrElse(Seq.empty)
@@ -1852,9 +1936,16 @@ object LineageStore {
     writeRManifest(filesystem, root,
       RManifest(index,
         segNames.filterNot(removed) ++ rewritten,
-        removed.toSeq.sorted))
-    removed.toSeq.sorted.foreach(n =>
-      filesystem.delete(new Path(dir, n), true))
+        (liveConsumed(filesystem, dir, m) ++ removed.toSeq.sorted)
+          .distinct))
+    removed.toSeq.sorted.foreach { n =>
+      val p = new Path(dir, n)
+      if (filesystem.getFileStatus(p).isDirectory)
+        retireOrDelete(filesystem, p,
+          if (n.startsWith("rseg_")) "_retired" else "_consumed",
+          cleanupGraceMs)
+      else { filesystem.delete(p, false); () }
+    }
     m.foreach(old => filesystem.delete(
       new Path(dir, s"_rmanifest_${old.index}"), false))
     removed.toSeq.sorted

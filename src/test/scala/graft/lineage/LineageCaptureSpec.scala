@@ -374,19 +374,19 @@ class LineageCaptureSpec extends SparkTestBase {
       }
       // the listener's own triggers (after writes 2 and 4) fold every
       // partition into manifest-listed segments — zero POSTs, zero
-      // library calls — with nothing lost and nothing doubled. Polling
-      // tolerates the fold-mid-scan transient (a reader that listed a
-      // partition the concurrent fold then deleted retries, same as
-      // any reader racing maintenance).
+      // library calls — with nothing lost and nothing doubled. The
+      // trigger uses the purge-grace DEFERRED cleanup (it races the
+      // app's own reads by construction): partitions are retired
+      // behind `_folded` markers, data intact, excluded from new reads.
       def settled(): Boolean =
         try {
-          val folded = (1 to 4).forall(i =>
-            !new java.io.File(store, s"run_id=$i").exists())
+          val retired = (1 to 4).forall(i =>
+            new java.io.File(store, s"run_id=$i/_folded").exists())
           val manifest = Option(
             new java.io.File(store, "_compacted").listFiles())
             .getOrElse(Array.empty)
             .exists(_.getName.startsWith("_manifest_"))
-          folded && manifest &&
+          retired && manifest &&
             LineageStore.runs(spark, store) == Seq(1L, 2L, 3L, 4L) &&
             LineageStore.read(spark, store)
               .select("run_id").distinct().count() == 4
@@ -394,6 +394,10 @@ class LineageCaptureSpec extends SparkTestBase {
           case _: org.apache.spark.SparkException => false
         }
       eventually(settled())
+      // new reads plan from the segments alone — the retired
+      // partitions are invisible, not merely tolerated
+      assert(LineageStore.read(spark, store)
+        .inputFiles.forall(_.contains("/_compacted/")))
       assert(LineageCapture.captureErrors(s, store) == 0)
     } finally {
       LineageCapture.detach(s, l)

@@ -546,6 +546,80 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("compact cleanupGraceMs: in-flight readers' files outlive the fold") {
+    withStore { dir =>
+      (1 to 4).foreach(i => LineageStore.append(spark, dir, i.toLong,
+        frame(edge(i, s"c$i", s"db.t.x$i"))))
+      // this reader LISTED the partition files before the fold commits
+      val inFlight = LineageStore.read(spark, dir)
+      assert(LineageStore.compact(spark, dir, 4L,
+        cleanupGraceMs = 3600L * 1000) == Seq(1L, 2L, 3L, 4L))
+      // ... and still completes: nothing it listed was deleted
+      assert(inFlight.count() == 4)
+      // partitions are retired behind `_folded` markers, invisible to
+      // NEW reads (segments only), ids intact
+      (1 to 4).foreach { i =>
+        assert(new java.io.File(dir, s"run_id=$i/_folded").exists())
+      }
+      val fresh = LineageStore.read(spark, dir)
+      assert(fresh.count() == 4)
+      assert(fresh.inputFiles.forall(_.contains("/_compacted/")))
+      assert(LineageStore.runs(spark, dir) == (1L to 4L))
+      // retired partitions are never fold candidates again
+      assert(LineageStore.compact(spark, dir, 4L,
+        cleanupGraceMs = 3600L * 1000).isEmpty)
+      // aged markers are swept by a later maintenance call
+      (1 to 4).foreach { i =>
+        assert(new java.io.File(dir, s"run_id=$i/_folded")
+          .setLastModified(System.currentTimeMillis() - 7200L * 1000))
+      }
+      LineageStore.compact(spark, dir, 4L, cleanupGraceMs = 3600L * 1000)
+      (1 to 4).foreach { i =>
+        assert(!new java.io.File(dir, s"run_id=$i").exists())
+      }
+      assert(LineageStore.read(spark, dir).count() == 4)
+    }
+  }
+
+  test("compactReads cleanupGraceMs: consumed flushes outlive the fold, never double-read") {
+    withStore { dir =>
+      def flush(i: Int): Unit = LineageStore.appendReads(spark, dir,
+        spark.createDataFrame(Seq(("s", i, "db.t", "c", 1000L * i)))
+          .toDF("session", "action", "table_name", "column_read",
+            "ts_ms"))
+      (1 to 3).foreach(flush)
+      val inFlight = LineageStore.readLog(spark, dir)
+      assert(LineageStore.compactReads(spark, dir,
+        cleanupGraceMs = 3600L * 1000) == 3)
+      assert(inFlight.count() == 3) // listed files still exist
+      // the consumed batch dirs linger under the grace — and readLog
+      // must NOT double-read them (consumed names carried forward)
+      assert(LineageStore.readLog(spark, dir).count() == 3)
+      // a second maintenance pass keeps carrying them
+      flush(4)
+      assert(LineageStore.compactReads(spark, dir,
+        cleanupGraceMs = 3600L * 1000) == 1)
+      assert(LineageStore.readLog(spark, dir).count() == 4)
+      // aged consumed units are swept; rows unchanged
+      Option(new java.io.File(dir, "_read_log").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+        .foreach { d =>
+          val mk = new java.io.File(d, "_consumed")
+          if (mk.exists())
+            assert(mk.setLastModified(
+              System.currentTimeMillis() - 7200L * 1000))
+        }
+      LineageStore.compactReads(spark, dir,
+        cleanupGraceMs = 3600L * 1000)
+      val batches = Option(new java.io.File(dir, "_read_log")
+        .listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("batch_"))
+      assert(batches == 0, s"$batches batch dirs survived the sweep")
+      assert(LineageStore.readLog(spark, dir).count() == 4)
+    }
+  }
+
   test("vacuumReads on an exploded log consolidates first (unit-count guard)") {
     withStore { dir =>
       // 66 one-row flushes: past the 64-unit guard, retention must

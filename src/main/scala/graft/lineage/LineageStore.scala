@@ -1230,6 +1230,52 @@ object LineageStore {
         s"after $attempts attempts ($op)")
   }
 
+  /** Re-stamp the lease's deadline — only while it is still OURS (a
+    * stolen lease belongs to the thief; renewing over it would clobber
+    * a live maintainer). [[withMaintenance]] heartbeats this at a
+    * third of the lease interval, so a maintenance operation that
+    * outlives its lease (an hours-long migrate) keeps the store
+    * instead of silently re-opening the two-maintainer race when the
+    * deadline lapses. Residual honesty: a process PAUSED past the full
+    * lease (GC, SIGSTOP) can still be stolen from and later renew over
+    * the thief — the classic lease-without-fencing window every
+    * heartbeat scheme shares; the interval makes it need a pause
+    * longer than the whole lease, not merely a slow operation. */
+  private[lineage] def renewMaintenance(spark: SparkSession,
+                                        storeDir: String,
+                                        holder: String, op: String,
+                                        leaseMs: Long): Unit = {
+    val (filesystem, root) = fs(spark, storeDir)
+    val lease = leasePath(root)
+    leaseInfo(filesystem, lease).foreach { case (h, _, _) =>
+      if (h == holder) {
+        val out = filesystem.create(lease, true)
+        try out.write((s"holder\t$holder\nop\t$op\ndeadline\t${
+          System.currentTimeMillis() + leaseMs}\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+  }
+
+  /** Daemon heartbeat renewing `holder`'s lease every `intervalMs`
+    * until interrupted. */
+  private[lineage] def startRenewal(spark: SparkSession,
+                                    storeDir: String, holder: String,
+                                    op: String, leaseMs: Long,
+                                    intervalMs: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(intervalMs)
+          renewMaintenance(spark, storeDir, holder, op, leaseMs)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-lineage-lease-renewal")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   /** Release a lease taken by [[acquireMaintenance]] — only if it is
     * still OURS: a lease that expired mid-operation and was stolen
     * belongs to the thief, and deleting it would hand the store to a
@@ -1269,14 +1315,23 @@ object LineageStore {
     }
 
   /** Every maintenance entry point funnels through here: one lease,
-    * one exception, one place the mutual exclusion lives. Appends,
-    * claims, and reads never touch the lease — they were always safe
-    * against maintenance by construction (manifest-jumping claims,
-    * tombstone-first vacuum, commit-then-delete compaction). */
+    * one exception, one place the mutual exclusion lives. A heartbeat
+    * renews the lease at a third of its interval for the operation's
+    * whole duration, so "size the lease past the longest op" is a
+    * latency bound on steal-after-death, not a correctness knob.
+    * Appends, claims, and reads never touch the lease — they were
+    * always safe against maintenance by construction
+    * (manifest-jumping claims, tombstone-first vacuum,
+    * commit-then-retire compaction). */
   private def withMaintenance[T](spark: SparkSession, storeDir: String,
                                  op: String)(body: => T): T = {
     val holder = acquireMaintenance(spark, storeDir, op)
-    try body finally releaseMaintenance(spark, storeDir, holder)
+    val heartbeat = startRenewal(spark, storeDir, holder, op,
+      DefaultMaintenanceLeaseMs, DefaultMaintenanceLeaseMs / 3)
+    try body finally {
+      heartbeat.interrupt()
+      releaseMaintenance(spark, storeDir, holder)
+    }
   }
 
   // ——— compaction (r18) ———————————————————————————————————————————

@@ -667,6 +667,30 @@ class LineageStoreSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance lease heartbeat: a long operation outlives its interval") {
+    withStore { dir =>
+      LineageStore.append(spark, dir, 1L, frame(edge(1, "c", "db.t.x")))
+      // a short lease with a heartbeat: long after the UNRENEWED
+      // deadline would have lapsed, a contender still refuses instead
+      // of stealing mid-operation
+      val holder = LineageStore.acquireMaintenance(spark, dir,
+        "long-op", leaseMs = 1500L)
+      val hb = LineageStore.startRenewal(spark, dir, holder,
+        "long-op", leaseMs = 1500L, intervalMs = 150L)
+      try {
+        Thread.sleep(3500)
+        intercept[MaintenanceBusyException] {
+          LineageStore.vacuum(spark, dir)
+        }
+      } finally hb.interrupt()
+      // heartbeat stopped (the maintainer died): the lease lapses and
+      // the next maintainer steals it
+      Thread.sleep(2000)
+      assert(LineageStore.vacuum(spark, dir).isEmpty)
+      assert(!new java.io.File(dir, "_maintain").exists())
+    }
+  }
+
   test("concurrent compacts never interleave: one refuses or they serialize") {
     withStore { dir =>
       (1 to 6).foreach(i => LineageStore.append(spark, dir, i.toLong,

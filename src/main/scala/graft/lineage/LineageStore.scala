@@ -730,9 +730,13 @@ object LineageStore {
       filesystem.delete(stage, true)
       true
     }
+    val mm = readManifest(filesystem, root)
     val parts = partitionInfos(filesystem, root)
+      // manifest-covered partitions lingering under a cleanup grace
+      // are never read — rewriting them would be wasted I/O
+      .filterNot(p => mm.exists(_.containsRun(p.id)))
       .map(p => new Path(root, s"run_id=${p.id}"))
-    val segs = readManifest(filesystem, root)
+    val segs = mm
       .map(_.segments).getOrElse(Seq.empty)
       .map(s => new Path(compactedDir(root), s))
       .filter(filesystem.exists)
@@ -1008,8 +1012,13 @@ object LineageStore {
       .select(pairs("run_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     val (filesystem, root) = fs(spark, storeDir)
+    val m = readManifest(filesystem, root)
     partitionInfos(filesystem, root)
       .filter(p => !p.vacuumed && p.hasData)
+      // a manifest-covered partition lingering under a cleanup grace
+      // is already retired — compact's aged sweep owns its deletion,
+      // and its rows live on in the segment regardless
+      .filterNot(p => m.exists(_.containsRun(p.id)))
       .map(_.id)
       .filterNot(live)
   }

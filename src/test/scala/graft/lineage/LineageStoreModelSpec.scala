@@ -139,9 +139,14 @@ class LineageStoreModelSpec extends SparkTestBase {
             // random merge threshold (r19): tiered segment creation
             // and smallest-first merging must both be invisible to
             // every read path — maxSegments=1 exercises the old
-            // everything-into-one shape, 2-3 force mid-store merges
+            // everything-into-one shape, 2-3 force mid-store merges.
+            // Random cleanup grace (r20): deferred deletion leaves
+            // folded partitions and merged segments LINGERING behind
+            // retirement markers — also invisible to every read path.
             val folded = LineageStore.compact(spark, dir, upTo,
-              maxSegments = 1 + rnd.nextInt(3))
+              maxSegments = 1 + rnd.nextInt(3),
+              cleanupGraceMs =
+                if (rnd.nextBoolean()) 0L else 3600L * 1000)
             // only committed, non-vacuumed, not-already-folded,
             // non-claim runs ≤ upTo may fold
             folded.foreach { id =>

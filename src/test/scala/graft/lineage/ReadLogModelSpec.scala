@@ -52,12 +52,19 @@ class ReadLogModelSpec extends SparkTestBase {
                 .toDF("session", "action", "table_name", "column_read",
                   "ts_ms"))
             model ++= rows
-          case 3 | 4 => // consolidation is invisible at any threshold
+          case 3 | 4 => // consolidation is invisible at any threshold,
+            // with or without grace-deferred cleanup (r20: consumed
+            // flush dirs LINGER behind markers, carried forward in the
+            // manifest so they are excluded, never double-read)
             LineageStore.compactReads(spark, dir,
-              maxSegments = 1 + rnd.nextInt(3))
+              maxSegments = 1 + rnd.nextInt(3),
+              cleanupGraceMs =
+                if (rnd.nextBoolean()) 0L else 3600L * 1000)
           case _ => // retention = a plain ts filter (half-day cutoffs)
             val window = rnd.nextInt(19).toLong * day / 2 + day / 2
-            LineageStore.vacuumReads(spark, dir, olderThanMs = window)
+            LineageStore.vacuumReads(spark, dir, olderThanMs = window,
+              cleanupGraceMs =
+                if (rnd.nextBoolean()) 0L else 3600L * 1000)
             val cutoff = now - window
             model = model.filter(_.ts >= cutoff)
         }

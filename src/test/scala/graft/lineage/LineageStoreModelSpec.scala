@@ -195,6 +195,23 @@ class LineageStoreModelSpec extends SparkTestBase {
               java.nio.file.Paths.get(dir, "._schema_version.crc"))
             java.nio.file.Files.write(stamp, "0".getBytes("UTF-8"))
           }
+          if (rnd.nextBoolean()) {
+            // half the time the maintainer CRASHES on a random unit:
+            // `_migrating` stays down, the rewrite stays registered in
+            // this JVM — every read path must STILL match the model
+            // through the mid-migration serve, and the resume must
+            // finish without double-rewriting
+            val dieAt = 1 + rnd.nextInt(3)
+            val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+            try LineageStore.migrate(spark, dir, fromVersion = 0,
+              df => {
+                if (calls.incrementAndGet() == dieAt)
+                  throw new RuntimeException("model maintainer died")
+                df
+              })
+            catch { case _: RuntimeException => () }
+            checkAll(dir, m, s"step $step mid-migration serve")
+          }
           LineageStore.migrate(spark, dir, fromVersion = 0, df => df)
         }
         checkAll(dir, m, s"step $step op $op")

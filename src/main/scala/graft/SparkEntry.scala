@@ -203,7 +203,11 @@ object SparkEntry {
       // AUTO-COMPACTION (r20): the capture listener folds the store
       // itself every Nth write (conf opt-in), off-bus, under the lease.
       "q297_autocompact" ->
-        ((s, dir) => graft.lineage.LineageQueries.autoCompact(s, dir))
+        ((s, dir) => graft.lineage.LineageQueries.autoCompact(s, dir)),
+      // GRACE-DEFERRED CLEANUP (r20): a pre-fold reader completes;
+      // retired partitions invisible to new reads, swept once aged.
+      "q298_grace_cleanup" ->
+        ((s, dir) => graft.lineage.LineageQueries.graceCleanup(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,6 +265,8 @@ object SparkEntry {
       "q296_claim_vacuum" ->
         graft.lineage.LineageQueries.claimVacuumOracleSql,
       "q297_autocompact" ->
-        graft.lineage.LineageQueries.autoCompactOracleSql
+        graft.lineage.LineageQueries.autoCompactOracleSql,
+      "q298_grace_cleanup" ->
+        graft.lineage.LineageQueries.graceCleanupOracleSql
     )
 }

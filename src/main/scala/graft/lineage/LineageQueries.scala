@@ -1661,6 +1661,77 @@ object LineageQueries {
     ) AS t(step, phase, detail)
     ORDER BY step"""
 
+  /** GRACE-DEFERRED MAINTENANCE CLEANUP as a driver query (q298, r20):
+    * a reader that LISTED partition files before a compact commits
+    * must complete — the historical immediate deletion failed exactly
+    * those scans mid-flight. With `cleanupGraceMs`, the fold retires
+    * partitions behind `_folded` markers (invisible to NEW reads,
+    * which plan from the segments alone; never fold candidates again)
+    * and a later maintenance call deletes them once the marker ages —
+    * the two-phase-vacuum shape applied to compaction's deletes. */
+  def graceCleanup(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_grace_store").toString
+    val steps = try {
+      (1 to 4).foreach { i =>
+        LineageStore.appendCaptured(spark, store, i.toLong,
+          spark.createDataFrame(Seq(LineageEdge(i, "INSERT",
+            s"db.sink_$i", s"db.sink_$i.c", "c", s"db.src.x$i", ""))))
+      }
+      // this reader's file listing happens NOW, before the fold
+      val inFlight = LineageStore.read(spark, store)
+      val folded = LineageStore.compact(spark, store, 4L,
+        cleanupGraceMs = 3600L * 1000)
+      val inFlightRows = inFlight.count() // completes: nothing deleted
+      val retired = (1 to 4).forall(i =>
+        new java.io.File(store, s"run_id=$i/_folded").exists())
+      val fresh = LineageStore.read(spark, store)
+      val segmentsOnly =
+        fresh.inputFiles.forall(_.contains("/_compacted/"))
+      val freshRows = fresh.count()
+      val refold = LineageStore.compact(spark, store, 4L,
+        cleanupGraceMs = 3600L * 1000)
+      // age the markers: the next maintenance call sweeps for real
+      (1 to 4).foreach(i => new java.io.File(store,
+          s"run_id=$i/_folded")
+        .setLastModified(System.currentTimeMillis() - 7200L * 1000))
+      LineageStore.compact(spark, store, 4L,
+        cleanupGraceMs = 3600L * 1000)
+      val swept = (1 to 4).forall(i =>
+        !new java.io.File(store, s"run_id=$i").exists())
+      val finalRows = LineageStore.read(spark, store).count()
+      Seq(
+        (1, "folded", folded.mkString(",")),
+        (2, "in_flight_reader_rows", inFlightRows.toString),
+        (3, "partitions_retired", retired.toString),
+        (4, "new_reads_segments_only", segmentsOnly.toString),
+        (5, "fresh_rows", freshRows.toString),
+        (6, "never_refolded", refold.isEmpty.toString),
+        (7, "aged_sweep_clean", swept.toString),
+        (8, "rows_after_sweep", finalRows.toString))
+    } finally deleteRecursively(java.nio.file.Paths.get(store))
+    spark.createDataFrame(steps)
+      .toDF("step", "phase", "detail").orderBy("step")
+  }
+
+  /** DuckDB oracle for [[graceCleanup]] — frozen golden: the fold
+    * commits, the pre-fold reader still counts every row, partitions
+    * retire behind markers while fresh reads plan from segments only,
+    * retired partitions are never re-folded, and the aged sweep
+    * deletes them with the graph intact. */
+  val graceCleanupOracleSql: String =
+    """SELECT * FROM (VALUES
+    (1, 'folded', '1,2,3,4'),
+    (2, 'in_flight_reader_rows', '4'),
+    (3, 'partitions_retired', 'true'),
+    (4, 'new_reads_segments_only', 'true'),
+    (5, 'fresh_rows', '4'),
+    (6, 'never_refolded', 'true'),
+    (7, 'aged_sweep_clean', 'true'),
+    (8, 'rows_after_sweep', '4')
+    ) AS t(step, phase, detail)
+    ORDER BY step"""
+
   /** The edge set as Graphviz DOT at TABLE grain — the picture a
     * lineage UI draws: one node per table (sinks and sources), one
     * edge per (source table → sink table) pair that any statement

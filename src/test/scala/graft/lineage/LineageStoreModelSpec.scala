@@ -94,7 +94,7 @@ class LineageStoreModelSpec extends SparkTestBase {
       (m.registered + 0L).max + 1000), s"[$step] phantom taken")
   }
 
-  for (seed <- Seq(20260816L, 77L))
+  for (seed <- Seq(20260816L, 77L, 4242L))
   test(s"random op sequences agree with the in-memory model (seed $seed)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_store_model").toString

@@ -17,7 +17,7 @@ class ReadLogModelSpec extends SparkTestBase {
   private case class R(session: String, action: Int, table: String,
                        col: String, ts: Long)
 
-  for (seed <- Seq(20260816L, 7L))
+  for (seed <- Seq(20260816L, 7L, 4242L))
   test(s"read-log op sequences agree with the in-memory model (seed $seed)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_readlog_model").toString

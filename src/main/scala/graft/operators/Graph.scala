@@ -48,11 +48,23 @@ object Graph {
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // ROUND 1 UNROLLED (r21, guide §2.4 "remove shuffles outright"):
+    // the initial labelling is the identity, so round 1's
+    // join-with-labels is label(dst) = dst — algebraically just
+    // min-neighbor: component = least(node, min(dst)), changed iff
+    // min(dst) < node. One aggregate instead of identity-labels
+    // distinct + checkpoint + join + aggregate + join (and every node
+    // appears as a src in the symmetrized edge list, so the aggregate
+    // covers exactly the node set the identity labelling did).
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("node"),
+        least(col("node"), col("nbr_min")).as("component"),
+        (col("nbr_min") < col("node")).as("_changed"))
       .localCheckpoint()
-    var converged = false
-    var round = 0
+    var converged = labels.filter(col("_changed")).isEmpty
+    labels = labels.drop("_changed")
+    var round = 1
     while (!converged && round < maxIters) {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("n"))
@@ -117,10 +129,16 @@ object Graph {
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // ROUND 1 UNROLLED (r21, guide §2.4): the initial labelling is the
+    // identity, so round 1's neighbor labels ARE the neighbors — every
+    // (src, label) group has count exactly 1 (und is distinct), and
+    // the argmax score c·2^40 − label degenerates to "smallest
+    // neighbor id". One min-aggregate replaces identity-labels
+    // distinct + checkpoint + join + count-aggregate + argmax.
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("label"))
       .localCheckpoint()
-    (1 to rounds).foreach { _ =>
+    (2 to rounds).foreach { _ =>
       val next = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("n"), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -330,9 +348,19 @@ object Graph {
     var ranks = endpoints.select(col("node"), lit(base).as("rank"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
-      ranks = withDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+      // ITERATION 1 UNROLLED (r21, guide §2.4): the initial rank
+      // vector is the constant `base`, so the join against it is a
+      // no-op — contribution = base div outdeg comes straight off the
+      // degree-tagged edge list, saving the first rank-vector join
+      // (one shuffle round of |E| rows).
+      val contrib =
+        if (i == 1)
+          withDeg.select(col("dst"),
+            expr(s"${base}L div outdeg").as("c"))
+        else
+          withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("rank div outdeg").as("c"))
+      ranks = contrib
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("node"),

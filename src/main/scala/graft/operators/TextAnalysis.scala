@@ -451,17 +451,32 @@ object TextAnalysis {
     // Fingerprints differ BY CONSTRUCTION across tiers (they are
     // hashes); the preserved contract is decision-level — equal texts
     // collide, distinct texts don't — spec'd in DedupTierSpec.
-    val hashes = tier match {
+    // The 4-smallest-hash selection ("h1|h2|h3|h4") feeding the robust
+    // digest. Md5 tier with a live session: the native Winnow4Md5
+    // expression — bit-identical to the declarative chain (the oracle's
+    // living definition, Winnow4Md5Spec pins it) but it hex-encodes 4
+    // digests instead of L and keeps a running top-4 instead of
+    // materializing, deduping and sorting an L-element hex array
+    // (measured 7.5 s -> see the r21 optimization log on q39 at
+    // sf0.1; the md5-per-gram oracle-parity cost is unchanged).
+    val winnow = tier match {
       case Dedup.Md5Tier =>
-        array_sort(transform(grams, g => md5(g)))
+        org.apache.spark.sql.SparkSession.getActiveSession match {
+          case Some(sp) =>
+            graft.functions.Winnow4Md5.register(sp)
+            call_function(graft.functions.Winnow4Md5.name, col(textCol))
+          case None =>
+            concat_ws("|",
+              slice(array_sort(transform(grams, g => md5(g))), 1, 4))
+        }
       case Dedup.XxTier =>
-        transform(array_sort(transform(grams, g => xxhash64(g))),
-          h => h.cast("string"))
+        concat_ws("|",
+          slice(transform(array_sort(transform(grams, g => xxhash64(g))),
+            h => h.cast("string")), 1, 4))
     }
     df.select(col(idCol),
       tier.hexDigest(col(textCol)).as("digest"),
-      tier.hexDigest(concat_ws("|", slice(hashes, 1, 4)))
-        .as("robust_digest"))
+      tier.hexDigest(winnow).as("robust_digest"))
   }
 
   /** Unigram SURPRISAL scoring — the information-content quality signal

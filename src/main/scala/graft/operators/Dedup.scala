@@ -863,9 +863,6 @@ object Dedup {
                     dim: Int = 0): DataFrame = {
     require(subPlanes == 0 || (subBands > 0 && dim > 0),
       "sub-banding needs subPlanes, subBands and dim all set")
-    def sqDist(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
     // checkpoint the quantize+norm projection: it feeds BOTH the
     // centroid-distance scoring and the join-back, and un-checkpointed
     // each subtree would rescan the corpus and recompute the O(dim)
@@ -873,9 +870,16 @@ object Dedup {
     val vecs = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("nrm", qdot(col("v"), col("v")))
       .localCheckpoint()
+    // Assignment scores via ONE native qdot per (vector, cluster)
+    // instead of the interpreted zip_with/aggregate squared-distance
+    // lambda (HOFs are CodegenFallback — r21): argmin d² == argmin
+    // (|c|² − 2⟨v,c⟩), the |v|² term being constant within each id
+    // group, so the max_by winner and its tie-breaks are unchanged.
     val assigned = vecs
-      .join(broadcast(centroids.select(col("cluster"), col("centroid").as("cv"))))
-      .select(col("id"), col("cluster"), sqDist(col("v"), col("cv")).as("d2"))
+      .join(broadcast(centroids.select(col("cluster"), col("centroid").as("cv"))
+        .withColumn("ncv", qdot(col("cv"), col("cv")))))
+      .select(col("id"), col("cluster"),
+        (col("ncv") - lit(2L) * qdot(col("v"), col("cv"))).as("d2"))
       .groupBy("id")
       .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"))
       .join(vecs, "id")

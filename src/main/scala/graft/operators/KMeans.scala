@@ -42,28 +42,43 @@ object KMeans {
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
 
+    val dim = centroids.headOption.map(_._2.size).getOrElse(0)
+
     (1 to iters).foreach { _ =>
+      // Per-centroid squared norm rides the broadcast (k rows), so the
+      // per-(vector, cluster) score needs ONE native qdot instead of
+      // the interpreted zip_with/aggregate lambda (higher-order
+      // functions are CodegenFallback — r21, guide §1.2 "per-task
+      // work"): argmin d² == argmin (|c|² − 2⟨v,c⟩) because |v|² is a
+      // constant shift WITHIN each vec_id group, and the max_by tie
+      // struct compares only within the group, so winner and
+      // tie-breaks are unchanged.
       val centDf = centroids.toDF("cluster", "cv")
+        .withColumn("ncv", qdot(col("cv"), col("cv")))
 
       // the vector rides THROUGH the assignment aggregate (first(v) is
       // deterministic — every replicated row of a vec_id carries the
       // identical v), so no join-back / corpus re-scan per iteration
       val assigned = vecs.join(broadcast(centDf))
         .select(col("vec_id"), col("v"), col("cluster"),
-          sqDist(col("v"), col("cv")).as("d2"))
+          (col("ncv") - lit(2L) * qdot(col("v"), col("cv"))).as("d2"))
         .groupBy("vec_id")
         .agg(expr("max_by(cluster, struct(-d2, -cluster))").as("cluster"),
           first(col("v")).as("v"))
 
-      // new centroid = per-dimension floor(mean) over exact long sums
+      // new centroid = per-dimension floor(mean) over exact long sums.
+      // One combinable aggregate with `dim` sum slots per cluster (r21)
+      // instead of posexploding the corpus 64-wide and shuffling
+      // (cluster, pos, x) triples — same floor(sum/count) expression
+      // per dimension, so the means are bit-identical.
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"_s$i"))
       val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg((sum("x") / count(lit(1))).as("mean"))
-        .select(col("cluster"), col("pos"), floor(col("mean")).as("m"))
         .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cv"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("cluster"),
+          array((0 until dim).map(i =>
+            floor(col(s"_s$i") / col("_n"))): _*).as("cv"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       // clusters that lost every vector keep their previous centroid

@@ -521,9 +521,14 @@ private[queries] object PipelineStatsQueries {
     // per type — the robust operators (q111) pointed at a derived
     // rate series, the ops-dashboard "did ingestion spike" question.
     "q184_hourly_anomaly" -> ((s, dir) => {
+      // localCheckpoint (r21): madOutliers consumes its input ~4×
+      // (median selection 3 passes + the deviation join) — materialize
+      // the small hourly-rate aggregate once instead of re-running the
+      // events shuffle per pass.
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).cast("double").as("n"))
+        .localCheckpoint()
       Stats.madOutliers(hourly, "event_type", "n", k = 3.0)
         .orderBy("event_type")
     }),
@@ -662,12 +667,18 @@ private[queries] object PipelineStatsQueries {
     // FULFILLMENT LAG: p50/p90 days from order date to line-item ship
     // date, per order priority — two-phase exact quantiles per group.
     "q243_ship_lag" -> ((s, dir) => {
+      // localCheckpoint (r21): the two-phase selector re-consumes its
+      // base 3× (bounds, histogram, target-bucket sort) and here the
+      // base is the lineitem⨝orders join — materialize the narrow
+      // (priority, lag) projection once instead of re-running the join
+      // per pass (measured 2.5 s -> see OPTIMIZATION_r21.md).
       val lag = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
             .as("lag_days"))
+        .localCheckpoint()
       Stats.exactQuantiles(lag, "o_orderpriority", "lag_days",
           Seq(0.5, 0.9))
         .select(col("o_orderpriority"), col("q"),

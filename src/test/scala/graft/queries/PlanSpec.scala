@@ -396,13 +396,15 @@ class PlanSpec extends SparkTestBase {
     assert("Generate \\(\\d+\\)".r.findAllIn(p).size == 1, p)
   }
 
-  test("q32 simhash: exactly one md5 per token in the projection") {
+  test("q32 simhash: one native expression, no hex split, no shuffle") {
     val p = planOf("q32_dedup_simhash")
-    // the r13 fix votes all 32 bits in ONE fold over the split hex
-    // digest — the per-bit formulation re-hashed every token 32×
-    // (DESIGN §5). One `md5(` in the whole plan pins it: the only
-    // hash is the per-token digest inside the vote fold.
-    assert("md5\\(".r.findAllIn(p).size == 1, p)
+    // r21: the whole per-token hash+vote runs inside ONE native
+    // expression (graft_simhash32 — bit-identical to the declarative
+    // fold, NativeTextHashSpec) — no md5 hex string, no 32-way char
+    // split, no zip_with fold left in the plan. The r13 contract
+    // (one digest per token) is now internal to the expression.
+    assert("graft_simhash32\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("md5("), p)
     assert(!p.contains("Exchange hashpartitioning"))
   }
 

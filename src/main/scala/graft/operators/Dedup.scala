@@ -41,7 +41,18 @@ object Dedup {
     * A text with fewer than n words yields its single joined token
     * (never an empty multiset, so Jaccard stays defined). */
   def wordShingleMultiset(text: Column, n: Int): Column =
-    wordShingleMultisetFromTokens(split(text, " "), n)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        // Native expression (r21): each gram is a zero-copy byte-range
+        // slice of the text (consecutive tokens re-joined with single
+        // spaces ARE a substring of the original) — no interpreted
+        // zip-fold, no intermediate gram arrays. Bit-identical to the
+        // fold below (NativeTextHashSpec); the fold stays as the
+        // session-free fallback and the oracle's living definition.
+        graft.functions.WordNgrams.register(sp)
+        call_function(graft.functions.WordNgrams.name, text, lit(n))
+      case None => wordShingleMultisetFromTokens(split(text, " "), n)
+    }
 
   /** [[wordShingleMultiset]] over an ALREADY-TOKENIZED word array —
     * for callers that materialize the split behind an explode-barrier

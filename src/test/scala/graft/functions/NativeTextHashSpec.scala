@@ -63,6 +63,37 @@ class NativeTextHashSpec extends SparkTestBase {
     assert(n.head.isNullAt(0))
   }
 
+  test("native word ngrams are bit-identical to the zip-fold chain") {
+    import spark.implicits._
+    WordNgrams.register(spark)
+    val df = fixtures.toDF("text")
+    for (n <- Seq(2, 3, 8)) {
+      val diff = df.select(
+          call_function(WordNgrams.name, col("text"), lit(n)).as("native"),
+          Dedup.wordShingleMultisetFromTokens(split(col("text"), " "), n)
+            .as("decl"))
+        .filter(not(col("native") <=> col("decl")))
+      assert(diff.isEmpty, s"n=$n: " + diff.collect().mkString("; "))
+    }
+    val nu = Seq[Option[String]](None).toDF("text")
+      .select(call_function(WordNgrams.name, col("text"), lit(2))).collect()
+    assert(nu.head.isNullAt(0))
+  }
+
+  test("native word ngrams agree on the documents corpus") {
+    WordNgrams.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(2, 8)) {
+      val diff = docs.select(
+          call_function(WordNgrams.name, col("text"), lit(n)).as("native"),
+          Dedup.wordShingleMultisetFromTokens(split(col("text"), " "), n)
+            .as("decl"))
+        .filter(not(col("native") <=> col("decl")))
+      assert(diff.isEmpty, s"n=$n")
+    }
+  }
+
   test("native forms agree on the documents fixture corpus") {
     // the real corpus shape (sf0.001): long texts, repeated shingles
     val docs = spark.read

@@ -106,9 +106,19 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n)))
 
-  /** Distinct character n-grams (for near-dup on raw strings). */
+  /** Distinct character n-grams (for near-dup on raw strings).
+    * With a live session: the native [[graft.functions.CharNgrams]]
+    * expression (zero-copy byte-slice grams, packed-long dedupe on
+    * ASCII — bit-identical including array_distinct's first-seen
+    * order, NativeTextHashSpec); the declarative chain stays as the
+    * session-free fallback and the oracle's living definition. */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(charShingleMultiset(text, n))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.CharNgrams.register(sp)
+        call_function(graft.functions.CharNgrams.name, text, lit(n))
+      case None => array_distinct(charShingleMultiset(text, n))
+    }
 
   /** Character n-grams as pre-exploded (id, s) ROWS: positions explode
     * first and each gram is a single substr — no per-document string

@@ -94,6 +94,35 @@ class NativeTextHashSpec extends SparkTestBase {
     }
   }
 
+  test("native char ngrams are bit-identical to the distinct chain") {
+    import spark.implicits._
+    CharNgrams.register(spark)
+    val df = fixtures.toDF("text")
+    for (n <- Seq(3, 5, 8)) {
+      val diff = df.select(
+          call_function(CharNgrams.name, col("text"), lit(n)).as("native"),
+          array_distinct(Dedup.charShingleMultiset(col("text"), n))
+            .as("decl"))
+        .filter(not(col("native") <=> col("decl")))
+      assert(diff.isEmpty, s"n=$n: " + diff.collect().mkString("; "))
+    }
+    val nu = Seq[Option[String]](None).toDF("text")
+      .select(call_function(CharNgrams.name, col("text"), lit(5))).collect()
+    assert(nu.head.isNullAt(0))
+  }
+
+  test("native char ngrams agree on the documents corpus") {
+    CharNgrams.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        call_function(CharNgrams.name, col("text"), lit(5)).as("native"),
+        array_distinct(Dedup.charShingleMultiset(col("text"), 5))
+          .as("decl"))
+      .filter(not(col("native") <=> col("decl")))
+    assert(diff.isEmpty)
+  }
+
   test("native forms agree on the documents fixture corpus") {
     // the real corpus shape (sf0.001): long texts, repeated shingles
     val docs = spark.read

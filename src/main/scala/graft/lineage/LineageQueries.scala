@@ -1334,16 +1334,18 @@ object LineageQueries {
         fromVersion = 0, rw)
       val version = java.nio.file.Files.readString(
         java.nio.file.Paths.get(store, "_schema_version"))
-      val after = LineageStore.snapshot(spark, store)
-        .select("run_id", "stmt", "from_name").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-      val post = LineageStore.snapshot(spark, store)
+      // ONE post-resume snapshot pass serves all three derived views
+      // (r21): `after`, `post` and `ops` are projections of the same
+      // rows — collecting the 4-column form once and deriving the
+      // rest driver-side saves two full snapshot executions with
+      // identical values (the fixture is a handful of rows).
+      val postRows = LineageStore.snapshot(spark, store)
         .select("run_id", "stmt", "from_name", "operation").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-          r.getString(3))).toSet
-      val ops = LineageStore.snapshot(spark, store)
-        .select(col("operation")).distinct()
-        .collect().map(_.getString(0)).sorted.mkString(",")
+          r.getString(3)))
+      val after = postRows.map(t => (t._1, t._2, t._3)).toSet
+      val post = postRows.toSet
+      val ops = postRows.map(_._4).distinct.sorted.mkString(",")
       Seq(
         (1, "v1_append_refused", refused.toString),
         (2, "crash_left_migrating", migratingDown.toString),

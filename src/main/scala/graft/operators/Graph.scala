@@ -398,13 +398,32 @@ object Graph {
     * on the node id, no all-pairs anything. Superseded per-round edge
     * checkpoints are freed as the next generation materializes.
     *
+    * Partitioning: the symmetrized edge list is hash-partitioned by
+    * `u` ONCE up front and every per-round checkpoint preserves that
+    * layout (semi-joins keep the streamed side's partitioning), so
+    * the per-round degree aggregate, the u-side semi-join, and the
+    * final degree aggregate all reuse one exchange instead of
+    * re-shuffling the edge list each round. The dedupe itself rides
+    * the same exchange: hashpartitioning(u) satisfies
+    * ClusteredDistribution(u, v), so dropDuplicates after the
+    * repartition is partition-local. The checkpoints materialize with
+    * AQE scoped OFF: LogicalRDD.fromDataset cannot extract the output
+    * partitioning from an AdaptiveSparkPlanExec (measured: the
+    * checkpoint scan degrades to UnknownPartitioning and every round
+    * re-exchanges), while the join strategy is unaffected (the keep
+    * side is statically broadcast from carried stats) and the only
+    * AQE feature given up is small-partition coalescing on shuffles
+    * this layout removes outright.
+    *
     * Output: (node, degree) of the surviving subgraph. */
   def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
                 k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
     val fwd = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    var e = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+    var e = checkpointKeepingPartitioning(
+      fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+        .dropDuplicates("u", "v"))
     var prev: DataFrame = e
     for (r <- 1 to rounds) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("_d"))
@@ -414,7 +433,7 @@ object Graph {
         .join(keep, col("u") === col("_keep"), "left_semi")
         .join(keep, col("v") === col("_keep"), "left_semi")
       if (r < rounds) {
-        e = next.localCheckpoint()
+        e = checkpointKeepingPartitioning(next)
         graft.Checkpoints.free(prev)
         prev = e
       } else {
@@ -422,6 +441,24 @@ object Graph {
       }
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** localCheckpoint with AQE scoped OFF for the materialization, so
+    * the resulting LogicalRDD keeps the plan's hashpartitioning
+    * instead of UnknownPartitioning (AQE wraps the plan in
+    * AdaptiveSparkPlanExec, from which Dataset.checkpoint extracts no
+    * partitioning). Consumers still run under the session's AQE
+    * setting — the preserved partitioning is leaf metadata. */
+  private def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try df.localCheckpoint()
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** NEWMAN MODULARITY of a node partition — the standard "is this

@@ -191,10 +191,12 @@ private[queries] object PipelineDedupQueries {
     // graph in GraphSpec; here the third round is the oracle-checked
     // converged no-op.
     "q138_kcore" -> ((s, dir) => {
+      // No pre-distinct: kCorePeel dedupes the symmetrized list on its
+      // own single up-front exchange, so a distinct here is one extra
+      // full shuffle of the incidence list for nothing.
       val edges = t(s, dir, "lineitem")
         .select((col("l_partkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
       Graph.kCorePeel(edges, "a", "b", k = 26, rounds = 3)
         .orderBy("node")
     }),

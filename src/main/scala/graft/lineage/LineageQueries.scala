@@ -789,7 +789,9 @@ object LineageQueries {
       val out = "target/graft-artifacts/lineage_store_compact_" +
         java.lang.Integer.toHexString(dir.hashCode)
       deleteRecursively(java.nio.file.Paths.get(out))
-      (1 to 6).foreach { i =>
+      // independent single-run appends — overlap them (guide §2.6;
+      // see tieredCompactLifecycle for the safety argument)
+      parallelAppends(1 to 6) { i =>
         LineageStore.append(spark, out, i.toLong,
           LineageParser.toDataset(spark,
             Seq(LineageParser.parseStatement(spark, corpus(i - 1), i))))
@@ -971,6 +973,10 @@ object LineageQueries {
     val l2 = LineageCapture.attachStore(s2, store)
     val (runs, dataRuns, errors) = try {
       import org.apache.spark.sql.functions.col
+      // Writes stay sequential: overlapping them was measured neutral
+      // (r22) — the captures serialize on the listener bus's single
+      // dispatch thread, so the async appends are the critical path
+      // either way.
       outs.zipWithIndex.foreach { case (out, i) =>
         val s = if (i % 2 == 0) s1 else s2
         s.table("region").select(col("r_regionkey"), col("r_name"))
@@ -981,8 +987,23 @@ object LineageQueries {
       // and a claims-only count would wave it through (review r18)
       def dataRunCount(): Long = LineageStore.read(spark, store)
         .select("run_id").distinct().count()
+      // ...but POLL on the filesystem: a committed partition with a
+      // data file is exactly a data-bearing run (zero-edge appends
+      // write no data file), so the settle loop doesn't need to burn
+      // a full Spark job every 100 ms while the async listeners catch
+      // up (guide §5). The REPORTED count below stays the Spark read.
+      def dataRunCountFs(): Long = Option(
+        new java.io.File(store).listFiles()).getOrElse(Array.empty)
+        .count { d =>
+          d.isDirectory && d.getName.startsWith("run_id=") &&
+            new java.io.File(d, "_committed").exists() &&
+            Option(d.listFiles()).getOrElse(Array.empty).exists { f =>
+              f.isFile && !f.getName.startsWith("_") &&
+                !f.getName.startsWith(".")
+            }
+        }
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (dataRunCount() < 6 && System.nanoTime() < deadline)
+      while (dataRunCountFs() < 6 && System.nanoTime() < deadline)
         Thread.sleep(100)
       Thread.sleep(300) // self-appends must still be filtered
       (LineageStore.runs(spark, store), dataRunCount(),
@@ -1085,7 +1106,13 @@ object LineageQueries {
     val store = java.nio.file.Files
       .createTempDirectory("graft_tiered_store").toString
     val steps = try {
-      (1 to 9).foreach { i =>
+      // The nine runs are independent appends to nine distinct
+      // partitions of a store whose writers are concurrent by design
+      // (q288 pins exactly that) — overlap them (guide §2.6) instead
+      // of paying nine sequential ~150 ms write-job latencies. All
+      // appends complete before the first fold, so every downstream
+      // value is unchanged.
+      parallelAppends(1 to 9) { i =>
         LineageStore.appendCaptured(spark, store, i.toLong,
           spark.createDataFrame(Seq(LineageEdge(i, "INSERT",
             s"db.sink_$i", s"db.sink_$i.c", "c", s"db.src.x$i", ""))))
@@ -1608,6 +1635,11 @@ object LineageQueries {
       // new read, data intact for any scan that listed them first —
       // and a later maintenance call deletes them aged.
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // Poll the two FILE conditions first and only run the Spark
+      // run-count read once both hold: the old poll launched a full
+      // distinct-count job every 100 ms while the listener's async
+      // fold was still in flight (guide §5 — driver-side busywork).
+      // Same settle condition, same reported values.
       def state(): Option[(Boolean, Boolean, Long)] =
         try {
           val retired = (1 to 4).forall(i =>
@@ -1616,8 +1648,11 @@ object LineageQueries {
             new java.io.File(store, "_compacted").listFiles())
             .getOrElse(Array.empty)
             .exists(_.getName.startsWith("_manifest_"))
-          Some((retired, manifest, LineageStore.read(spark, store)
-            .select("run_id").distinct().count()))
+          val runCount =
+            if (retired && manifest) LineageStore.read(spark, store)
+              .select("run_id").distinct().count()
+            else -1L
+          Some((retired, manifest, runCount))
         } catch { case _: org.apache.spark.SparkException => None }
       var st = state()
       while (!st.exists(v => v._1 && v._2 && v._3 == 4L) &&
@@ -1774,6 +1809,25 @@ object LineageQueries {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.Cleanup.deleteRecursively(p)
+
+  /** Run independent store appends concurrently (guide §2.6 — Spark
+    * schedules concurrent jobs fine; the store's marker/commit
+    * protocol is multi-writer by design, which q288 pins). Bounded
+    * pool: enough to hide the per-append write-job latency, not
+    * enough to contend. Fails fast on the first append error. */
+  private def parallelAppends(ids: Range)(append: Int => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, ids.size))
+    try {
+      val fs = ids.map(i => pool.submit(
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = append(i)
+        }))
+      fs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
 
   /** DuckDB oracle for [[sinkCaptureEdges]] — frozen VALUES golden
     * (both shapes are path-free by construction). */

@@ -26,6 +26,28 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** localCheckpoint with AQE scoped OFF for the materialization, so
+    * the resulting LogicalRDD keeps the plan's hashpartitioning
+    * instead of UnknownPartitioning (AQE wraps the plan in
+    * AdaptiveSparkPlanExec, from which Dataset.checkpoint extracts no
+    * partitioning — measured in PartProbe). Use on checkpoints whose
+    * consumers aggregate/join on the partitioning key, so they reuse
+    * the one exchange paid before the checkpoint instead of each
+    * re-shuffling the materialized rows. Consumers still execute
+    * under the session's AQE setting — the partitioning is leaf
+    * metadata. */
+  def localCheckpointKeepingPartitioning(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try df.localCheckpoint()
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Free the block-manager storage behind `localCheckpoint()`ed
     * frames (no-op on frames with no checkpoint in their plan).
     *

@@ -1032,10 +1032,14 @@ object Dedup {
   def containmentNearDup(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int, probes: Int,
                          thresholdPermille: Int): DataFrame = {
+    // Consumed 4× below (sizes, df, postings, verify). NOT
+    // pre-partitioned by g (measured r22, 2.1 → 2.9 s): the g-keyed
+    // consumers exchange post-partial-aggregation rows, far fewer
+    // bytes than a raw repartition of the span table would shuffle.
     val spans = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleN)).as("gs"))
       .select(col("id"), digest64(col("gs")).as("g"))
-      .localCheckpoint() // consumed 4× below (sizes, df, postings, verify)
+      .localCheckpoint()
     val sizes = spans.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = spans.groupBy("g").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -443,23 +443,8 @@ object Graph {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
   }
 
-  /** localCheckpoint with AQE scoped OFF for the materialization, so
-    * the resulting LogicalRDD keeps the plan's hashpartitioning
-    * instead of UnknownPartitioning (AQE wraps the plan in
-    * AdaptiveSparkPlanExec, from which Dataset.checkpoint extracts no
-    * partitioning). Consumers still run under the session's AQE
-    * setting — the preserved partitioning is leaf metadata. */
-  private def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    try df.localCheckpoint()
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private def checkpointKeepingPartitioning(df: DataFrame): DataFrame =
+    graft.Checkpoints.localCheckpointKeepingPartitioning(df)
 
   /** NEWMAN MODULARITY of a node partition — the standard "is this
     * clustering better than chance" score for a community assignment

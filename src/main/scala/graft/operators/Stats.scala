@@ -635,7 +635,17 @@ object Stats {
     * (pairwise-complete would make n pair-dependent; listwise keeps
     * one shared n). A constant column yields NaN (0/0) — surfaced,
     * not masked. Output: (col_a, col_b, n, corr), pairs in list
-    * order. */
+    * order.
+    *
+    * PRECONDITION (caller contract): every pairwise product of the
+    * listed columns must lie exactly on the 4-decimal grid — true for
+    * ≤2-decimal money/quantity inputs, the intended domain. The
+    * product moments accumulate as d4(x)·d4(y) at decimal scale 8,
+    * which equals the definitional d4(x·y) at scale 4 only on that
+    * grid; columns with genuine 4-decimal values would diverge from
+    * the definition (and from any oracle mirroring it), and scale-8
+    * sums carry 4 fewer digits of decimal(38,_) overflow headroom.
+    * CorrDecimalPropertySpec pins both sides of the boundary. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 16,
       s"need 2..16 columns, got ${cols.size} — moments grow O(k²)")

@@ -110,9 +110,13 @@ object Curation {
                          benchmarkFilter: Column, ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns == ns.sorted && ns.distinct == ns &&
       ns.head >= 1, "shingle sizes must be ascending, distinct, positive")
-    val tagged = docs
+    // ScanScale before the token explode: the per-n shingle + digest
+    // construction below is map work a single-split doc scan serializes
+    val tagged = ScanScale.parallelized(docs
       .select(col(idCol).as("id"), benchmarkFilter.as("is_bench"),
-        explode(array(split(col(textCol), " "))).as("_w"))
+        col(textCol).as("_t")))
+      .select(col("id"), col("is_bench"),
+        explode(array(split(col("_t"), " "))).as("_w"))
       .select(col("id"), col("is_bench"),
         explode(flatten(array(ns.map(n =>
           transform(Dedup.wordShinglesFromTokens(col("_w"), n),
@@ -191,6 +195,9 @@ object Curation {
     // 32-bit words: shifts stay below the sign bit, which DuckDB
     // rejects as overflow on BIGINT << 63
     def mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    // No ScanScale here (measured neutral, r22: 1.39 → 1.49 s — the
+    // probe explode + broadcast word join dominates, not the shingle
+    // build on the scan task).
     val shingled = docs.select(col(idCol).as("id"),
       benchmarkFilter.as("is_bench"),
       Dedup.wordShingles(col(textCol), 2).as("sh"))

@@ -127,14 +127,26 @@ object Dedup {
     * [[charShingleMultiset]]; feed to [[minHashLshWith]]'s `sigRows`. */
   def charShingleRows(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).as("_t"),
-      explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
-        .as("_p"))
+    // parallelized BEFORE the explode: the repartition then moves (and
+    // sort-before-repartition sorts) doc-count rows, not gram-count
+    // rows — repartitioning the exploded frame instead was measured
+    // SLOWER than no repartition at all (r22: single-task sort of the
+    // gram rows dominates).
+    parallelized(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), col("_t"),
+        explode(sequence(lit(1),
+          greatest(length(col("_t")) - (n - 1), lit(1)))).as("_p"))
       .select(col("id"), col("_t").substr(col("_p"), lit(n)).as("s"))
 
   /** Exact Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** See [[ScanScale.parallelized]] — the signature pipeline's
+    * per-gram hash + k-way min partial aggregation is exactly the
+    * CPU-bound map work a sub-4 MB single-split scan serializes. */
+  private def parallelized(df: DataFrame): DataFrame =
+    ScanScale.parallelized(df)
 
   // ------------------------------------------------------------------
   // Exact dedup
@@ -321,10 +333,10 @@ object Dedup {
                      threshold: Double, sigShingles: Column = null,
                      sigRows: DataFrame = null,
                      tier: DigestTier = Md5Tier): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
+    val docs = parallelized(df).select(col(idCol).as("id"), shingles.as("sh"))
     val exploded =
       if (sigRows != null) sigRows.select(col("id"), col("s"))
-      else df.select(col(idCol).as("id"),
+      else parallelized(df).select(col(idCol).as("id"),
         explode(Option(sigShingles).getOrElse(shingles)).as("s"))
     val cand = minHashCandidatesOf(exploded, k, bands, rows, tier)
     cand
@@ -984,6 +996,8 @@ object Dedup {
     * and the join back is AQE-skew-splittable. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
+    // No ScanScale here (measured neutral, r22: 0.85 → 1.00 s — the
+    // native digest map work is not this query's bottleneck).
     val spans = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), n)).as("gs"))
       .select(col("id"), digest64(col("gs")).as("g"))

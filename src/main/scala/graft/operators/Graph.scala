@@ -342,9 +342,17 @@ object Graph {
     val n = endpoints.count()
     val base = scale / n
     val teleport = base * 15L / 100L
-    val withDeg = e.join(
+    // The degree-tagged edge list checkpoints HASH-PARTITIONED BY dst
+    // (the kCorePeel layout trick): every iteration's contribution
+    // aggregate groups by dst, so all `iters` rounds reuse this one
+    // exchange instead of re-shuffling their partially-aggregated
+    // contributions. One up-front edge shuffle buys `iters`
+    // post-partial-agg exchanges — a clear win at low iteration
+    // counts and at worst a wash when partial aggregation compresses
+    // heavily.
+    val withDeg = checkpointKeepingPartitioning(e.join(
       endpoints.select(col("node").as("src"), col("outdeg")), "src")
-      .localCheckpoint()
+      .repartition(col("dst")))
     var ranks = endpoints.select(col("node"), lit(base).as("rank"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {

@@ -431,10 +431,28 @@ object CoreQueries {
         df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
           .saveAsTable(name)
       }
-      rewrite("graft_li_bucketed",
-        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"), "l_orderkey")
-      rewrite("graft_ord_bucketed",
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      // The two bucketed rewrites are independent table writes —
+      // overlap them (guide §2.6) instead of paying both write jobs'
+      // latency sequentially.
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val jobs = Seq(
+            () => rewrite("graft_li_bucketed",
+              t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+              "l_orderkey"),
+            () => rewrite("graft_ord_bucketed",
+              t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+              "o_orderkey")
+          ).map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = f()
+          }))
+          jobs.foreach(_.get())
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        } finally pool.shutdown()
+      }
       // hint MERGE: the fixture tables are small enough that AQE would
       // broadcast and ignore the bucketing — the point here is the
       // co-located sort-merge path a 100 TB fact-fact join takes, where

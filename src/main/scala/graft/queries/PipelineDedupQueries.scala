@@ -111,12 +111,13 @@ private[queries] object PipelineDedupQueries {
     // all three iterations verbatim as unrolled CTEs. Node encoding:
     // part k → 2k, supplier k → 2k+1.
     "q88_pagerank" -> ((s, dir) => {
+      // No pre-distinct/checkpoint: pageRankInt dedupes the edge list
+      // on its own single exchange (the two direction branches are
+      // disjoint under the even/odd encoding), so a distinct here was
+      // one extra full shuffle plus a materialization job; the union
+      // branches just re-scan the pruned 2-column parquet projection.
       val base = t(s, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        // checkpoint before the two-direction fan-out: union branches
-        // are separate subtrees and would evaluate the distinct twice
-        .localCheckpoint()
       val edges = base
         .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
         .union(base.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))

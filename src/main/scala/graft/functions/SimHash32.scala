@@ -45,12 +45,31 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_simhash32"
 
-  override protected def nullSafeEval(input: Any): Any =
-    SimHash32.of(input.asInstanceOf[UTF8String])
+  // NULL text yields "" — the declarative chain's value (concat_ws
+  // skips the null vote array), so a nullable text column can never
+  // fork the native form from the oracle's living definition
+  // (ADVICE r21).
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.SimHash32.of($s);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else SimHash32.of(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val javaCode =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull} ?
+          UTF8String.EMPTY_UTF8 :
+          graft.functions.SimHash32.of(${childGen.value});
+      """
+    ev.copy(code = javaCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)

@@ -49,12 +49,31 @@ case class Winnow4Md5(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_winnow4_md5"
 
-  override protected def nullSafeEval(input: Any): Any =
-    Winnow4Md5.of(input.asInstanceOf[UTF8String])
+  // NULL text yields "" — the declarative chain's value (concat_ws
+  // skips the null gram array), so robust_digest stays md5("") on a
+  // nullable text column instead of silently forking from the
+  // oracle's living definition (ADVICE r21).
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.Winnow4Md5.of($s);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else Winnow4Md5.of(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val javaCode =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull} ?
+          UTF8String.EMPTY_UTF8 :
+          graft.functions.Winnow4Md5.of(${childGen.value});
+      """
+    ev.copy(code = javaCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Winnow4Md5 =
     copy(child = newChild)

@@ -106,10 +106,14 @@ object WordNgrams {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[WordNgrams].getName, name),
-        (exprs: Seq[Expression]) => exprs(1) match {
-          case Literal(v: Int, IntegerType) => WordNgrams(exprs.head, v)
-          case other => throw new IllegalArgumentException(
-            s"$name requires a literal int gram size, got $other")
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$name expects (text, gram size), got ${exprs.length} args")
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => WordNgrams(exprs.head, v)
+            case other => throw new IllegalArgumentException(
+              s"$name requires a literal int gram size, got $other")
+          }
         })
     }
   }

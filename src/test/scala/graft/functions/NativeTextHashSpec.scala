@@ -40,10 +40,11 @@ class NativeTextHashSpec extends SparkTestBase {
         Dedup.simHash32Lambda(col("text")).as("decl"))
       .filter(col("native") =!= col("decl"))
     assert(diff.isEmpty, diff.collect().mkString("; "))
-    // and a null text yields null through the unary null contract
+    // and a null text yields "" — the declarative chain's value
+    // (concat_ws skips the null vote array; ADVICE r21)
     val n = Seq[Option[String]](None).toDF("text")
       .select(call_function(SimHash32.name, col("text"))).collect()
-    assert(n.head.isNullAt(0))
+    assert(n.head.getString(0) == "")
   }
 
   test("native winnow4 is bit-identical to the declarative chain") {
@@ -58,9 +59,10 @@ class NativeTextHashSpec extends SparkTestBase {
         decl.as("decl"))
       .filter(col("native") =!= col("decl"))
     assert(diff.isEmpty, diff.collect().mkString("; "))
+    // null text yields "" — the declarative chain's value (ADVICE r21)
     val n = Seq[Option[String]](None).toDF("text")
       .select(call_function(Winnow4Md5.name, col("text"))).collect()
-    assert(n.head.isNullAt(0))
+    assert(n.head.getString(0) == "")
   }
 
   test("native word ngrams are bit-identical to the zip-fold chain") {
@@ -132,12 +134,41 @@ class NativeTextHashSpec extends SparkTestBase {
     val decl = concat_ws("|",
       slice(array_sort(transform(Dedup.charShingles(col("text"), 8),
         g => md5(g))), 1, 4))
+    // null-SAFE compare (ADVICE r21): =!= would silently DROP any row
+    // where one side is NULL — exactly the known native-vs-declarative
+    // divergence mode this pin exists to catch.
     val diff = docs.select(
         call_function(SimHash32.name, col("text")).as("sn"),
         Dedup.simHash32Lambda(col("text")).as("sd"),
         call_function(Winnow4Md5.name, col("text")).as("wn"),
         decl.as("wd"))
-      .filter(col("sn") =!= col("sd") || col("wn") =!= col("wd"))
+      .filter(not(col("sn") <=> col("sd")) || not(col("wn") <=> col("wd")))
     assert(diff.isEmpty)
+  }
+
+  test("null text: native simhash/winnow match the declarative chains") {
+    import spark.implicits._
+    SimHash32.register(spark)
+    Winnow4Md5.register(spark)
+    val decl = concat_ws("|",
+      slice(array_sort(transform(Dedup.charShingles(col("text"), 8),
+        g => md5(g))), 1, 4))
+    val rows = Seq[Option[String]](None, Some(""), Some("a b"))
+      .toDF("text")
+      .select(
+        call_function(SimHash32.name, col("text")).as("sn"),
+        Dedup.simHash32Lambda(col("text")).as("sd"),
+        call_function(Winnow4Md5.name, col("text")).as("wn"),
+        decl.as("wd"))
+    val diff = rows
+      .filter(not(col("sn") <=> col("sd")) || not(col("wn") <=> col("wd")))
+      .collect()
+    assert(diff.isEmpty, diff.mkString("; "))
+    // and the shared value for a NULL text is the chain's "" (so
+    // robust_digest = md5('') on a nullable column, not NULL)
+    val nu = Seq[Option[String]](None).toDF("text")
+      .select(call_function(SimHash32.name, col("text")),
+        call_function(Winnow4Md5.name, col("text"))).collect().head
+    assert(nu.getString(0) == "" && nu.getString(1) == "")
   }
 }

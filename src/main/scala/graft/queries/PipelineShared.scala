@@ -200,7 +200,12 @@ private[queries] object PipelineShared {
     * newlines); same construction in the oracle. */
   private[queries] def lineDocs(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    docs.select(col("doc_id"), col("source"),
+    // ScanScale below the line-building transform: the per-doc slice
+    // loop plus the downstream posexplode+digest are map work a
+    // single-split doc scan serializes.
+    graft.operators.ScanScale.parallelized(
+      docs.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
       concat_ws("\n",
         transform(
           // Column `/` is double division — cast back for sequence()

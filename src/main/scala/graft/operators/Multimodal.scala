@@ -205,7 +205,9 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming in [0,3], got $maxHamming — pigeonhole over 4 bands " +
         "guarantees candidate recall only below the band count")
-    val hashed = averageHash64(media)
+    // ScanScale: the 64-slice-pixel averaging is map work a
+    // single-split payload scan serializes (no-op on real inputs).
+    val hashed = averageHash64(ScanScale.parallelized(media))
     val keyed = hashed.select(col("media_id"), col("bands"),
       posexplode(col("bands")).as(Seq("_g", "_b")))
     val a = keyed.select(col("media_id").as("media_id_a"),

@@ -333,10 +333,14 @@ object Dedup {
                      threshold: Double, sigShingles: Column = null,
                      sigRows: DataFrame = null,
                      tier: DigestTier = Md5Tier): DataFrame = {
-    val docs = parallelized(df).select(col(idCol).as("id"), shingles.as("sh"))
+    // ScanScale lives in charShingleRows (the measured win, q33); NOT
+    // applied to the word-shingle branches here — paired COLD runs of
+    // the q31 artifact build (via q110) measured the probe + extra
+    // exchange as a net ~8% loss on that cheaper-gram path (r22).
+    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
     val exploded =
       if (sigRows != null) sigRows.select(col("id"), col("s"))
-      else parallelized(df).select(col(idCol).as("id"),
+      else df.select(col(idCol).as("id"),
         explode(Option(sigShingles).getOrElse(shingles)).as("s"))
     val cand = minHashCandidatesOf(exploded, k, bands, rows, tier)
     cand

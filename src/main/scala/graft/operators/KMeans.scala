@@ -34,13 +34,13 @@ object KMeans {
             k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // parallelized BEFORE quantize/assignment (ScanScale): the whole
-    // per-iteration k×dim scoring is map work above this scan, and a
-    // sub-4 MB embeddings file plans as one task; the raw (id, vec)
-    // rows repartition, the quantize + qdot math runs post-exchange.
-    val vecs = ScanScale.parallelized(
-      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_raw")))
-      .select(col("vec_id"), quantize(col("_raw")).as("v"))
+    // No ScanScale here (measured r22, paired COLD targeted runs:
+    // q122 8.2 -> 9.4 s, q172 3.9 -> 5.0 s, reverted): every lloyd
+    // reference re-executes `vecs`, so the inserted repartition pays
+    // one extra exchange per init/iteration/consumer and the 8-way
+    // broadcast-assignment fan-out already parallelizes the scoring.
+    val vecs = corpus
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
 
     // deterministic init: the k smallest ids
     var centroids: Seq[(Long, Seq[Long])] = vecs.orderBy("vec_id").limit(k)

@@ -139,6 +139,14 @@ object Graph {
       .agg(min(col("dst")).as("label"))
       .localCheckpoint()
     (2 to rounds).foreach { _ =>
+      // Two exchanges per round, DELIBERATELY (r22): a repartition(src)
+      // between join and aggregates would fold them to one (hash(src)
+      // satisfies both clusterings) and measured ~4% faster at fixture
+      // scale — but it shuffles the RAW |E|-row join output where the
+      // (src, label) exchange ships map-side partially-aggregated
+      // counts, which on a converging label graph at scale is far
+      // fewer bytes (guide §2.3, aggregate before you shuffle). Kept
+      // the combine-friendly form.
       val next = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("n"), col("label"))
         .agg(count(lit(1)).as("c"))
